@@ -1,0 +1,473 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Core relational operator inventory (SURVEY.md §2.2–§2.8): projections,
+  * filters, all join kinds, hash aggregation, distinct/grouping-set
+  * aggregates, window functions, sorts/limits/top-K, set operations and the
+  * scalar function library. Each query is written DataFrame-first so
+  * Catalyst plans it (pushdown, partial aggregation, broadcast selection,
+  * whole-stage codegen) and carries a DuckDB oracle for value-exact
+  * verification.
+  *
+  * Float determinism: double SUMs are order-dependent, so any sum over
+  * non-integral doubles goes through an exact DECIMAL accumulator and is
+  * cast back to DOUBLE at the end — deterministic on both engines.
+  * (`l_quantity` is integral-valued, so its double sum is exact as-is.)
+  */
+object Relational {
+
+  /** Exact sum of a 2-decimal price column, returned as DOUBLE. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+  /** Exact sum of a price-product expression. Scale 6 matches the true
+    * decimal scale of price(2dp) × (1-disc)(2dp) × (1+tax)(2dp) products:
+    * the double's representation error (~1e-11) is then far from the
+    * rounding tie (5e-7), so Spark and DuckDB round identically. A finer
+    * scale (e.g. 10) puts ties within double error and diverges.
+    */
+  private def xsum(c: Column): Column = sum(c.cast(DecimalType(25, 6))).cast(DoubleType)
+  private def t(lit: String): Column = expr(s"TIMESTAMP '$lit'")
+
+  private def li(s: SparkSession, d: String) = Tables.load(s, d, "lineitem")
+  private def ord(s: SparkSession, d: String) = Tables.load(s, d, "orders")
+  private def cust(s: SparkSession, d: String) = Tables.load(s, d, "customer")
+  private def supp(s: SparkSession, d: String) = Tables.load(s, d, "supplier")
+  private def nat(s: SparkSession, d: String) = Tables.load(s, d, "nation")
+  private def reg(s: SparkSession, d: String) = Tables.load(s, d, "region")
+  private def part(s: SparkSession, d: String) = Tables.load(s, d, "part")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- aggregation -----------------------------------------------------
+    QueryDef("q01_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(l_quantity) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(25,6))) AS DOUBLE) AS sum_charge,
+        |  SUM(l_quantity)/COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      li(s, d)
+        .filter(col("l_shipdate") <= t("1998-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          xsum(discPrice).as("sum_disc_price"),
+          xsum(discPrice * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          (sum("l_quantity") / count(lit(1))).as("avg_qty"),
+          (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+          (sum(col("l_discount").cast(DecimalType(18, 6))).cast(DoubleType) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    QueryDef("q02_filter_predicates",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_discount
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00' AND TIMESTAMP '1995-03-31 00:00:00'
+        |  AND l_quantity IN (1.0, 2.0, 3.0)
+        |  AND (l_returnflag = 'A' OR l_returnflag = 'R')
+        |  AND NOT (l_discount > 0.08)
+        |  AND l_tax IS NOT NULL
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      li(s, d)
+        .filter(col("l_shipdate").between(t("1995-01-01 00:00:00"), t("1995-03-31 00:00:00")) &&
+          col("l_quantity").isin(1.0, 2.0, 3.0) &&
+          (col("l_returnflag") === "A" || col("l_returnflag") === "R") &&
+          !(col("l_discount") > 0.08) &&
+          col("l_tax").isNotNull)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    QueryDef("q09_distinct_aggs",
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS distinct_parts,
+        |  COUNT(DISTINCT l_suppkey) AS distinct_supps,
+        |  SUM(DISTINCT l_quantity) AS sum_distinct_qty,
+        |  MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      li(s, d).groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("distinct_parts"),
+          countDistinct(col("l_suppkey")).as("distinct_supps"),
+          sum_distinct(col("l_quantity")).as("sum_distinct_qty"),
+          min("l_extendedprice").as("min_price"),
+          max("l_extendedprice").as("max_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    QueryDef.sharedSql("q10_rollup",
+      """SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin),
+
+    QueryDef("q11_cube_grouping",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+        |  SUM(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, g_flag, g_status""".stripMargin) { (s, d) =>
+      li(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+          grouping("l_returnflag").cast(LongType).as("g_flag"),
+          grouping("l_linestatus").cast(LongType).as("g_status"),
+          sum("l_quantity").as("sum_qty"))
+        .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "sum_qty")
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first,
+          col("g_flag"), col("g_status"))
+    },
+
+    QueryDef.sharedSql("q12_grouping_sets",
+      """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin),
+
+    // ---- joins -----------------------------------------------------------
+    QueryDef("q03_join3_topk",
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+        |  STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin) { (s, d) =>
+      cust(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .join(ord(s, d).filter(col("o_orderdate") < t("1995-03-15 00:00:00")),
+          col("c_custkey") === col("o_custkey"))
+        .join(li(s, d).filter(col("l_shipdate") > t("1995-03-15 00:00:00")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(xsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    QueryDef("q04_semi_join",
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      ord(s, d)
+        .join(li(s, d).filter(col("l_quantity") > 45), col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    QueryDef("q05_anti_join",
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_inactive
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      cust(s, d)
+        .join(ord(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_inactive"))
+        .orderBy("c_mktsegment")
+    },
+
+    QueryDef("q06_left_outer",
+      """SELECT o_orderstatus,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(l_orderkey) AS BIGINT) AS n_matched
+        |FROM orders
+        |LEFT JOIN (SELECT * FROM lineitem WHERE l_extendedprice > 90000) big
+        |  ON o_orderkey = big.l_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      ord(s, d)
+        .join(li(s, d).filter(col("l_extendedprice") > 90000), col("o_orderkey") === col("l_orderkey"), "left")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"), count(col("l_orderkey")).as("n_matched"))
+        .orderBy("o_orderstatus")
+    },
+
+    QueryDef("q07_full_outer",
+      """SELECT COALESCE(c.nk, s.nk) AS nationkey,
+        |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_cust FROM customer GROUP BY c_nationkey) c
+        |FULL OUTER JOIN (SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_supp FROM supplier GROUP BY s_nationkey) s
+        |  ON c.nk = s.nk
+        |ORDER BY nationkey""".stripMargin) { (s, d) =>
+      val c = cust(s, d).groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("n_cust"))
+      val p = supp(s, d).groupBy(col("s_nationkey").as("snk")).agg(count(lit(1)).as("n_supp"))
+      c.join(p, col("nk") === col("snk"), "full_outer")
+        .select(
+          coalesce(col("nk"), col("snk")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nationkey")
+    },
+
+    QueryDef("q08_cross_join",
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |WHERE r_regionkey <> n_regionkey
+        |ORDER BY r_name, n_name""".stripMargin) { (s, d) =>
+      reg(s, d).crossJoin(nat(s, d))
+        .filter(col("r_regionkey") =!= col("n_regionkey"))
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name")
+    },
+
+    QueryDef("q21_non_equi_join",
+      """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_cheaper
+        |FROM part JOIN (SELECT CAST(AVG(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS avg_price FROM part) a
+        |  ON p_retailprice < a.avg_price
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, d) =>
+      val avgP = part(s, d).agg(
+        avg(col("p_retailprice").cast(DecimalType(18, 2))).cast(DoubleType).as("avg_price"))
+      part(s, d).join(avgP, col("p_retailprice") < col("avg_price"))
+        .groupBy("p_brand").agg(count(lit(1)).as("n_cheaper"))
+        .orderBy("p_brand")
+    },
+
+    // ---- windows ---------------------------------------------------------
+    QueryDef("q13_window_ranking",
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity, rn, rk, drk, nt
+        |FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |    ROW_NUMBER() OVER w AS rn,
+        |    RANK() OVER (PARTITION BY l_suppkey ORDER BY l_quantity) AS rk,
+        |    DENSE_RANK() OVER (PARTITION BY l_suppkey ORDER BY l_quantity) AS drk,
+        |    NTILE(4) OVER w AS nt
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber)
+        |) x WHERE rn <= 3 AND l_suppkey <= 50
+        |ORDER BY l_suppkey, rn""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("l_suppkey").orderBy("l_orderkey", "l_linenumber")
+      val wq = Window.partitionBy("l_suppkey").orderBy("l_quantity")
+      li(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rk", rank().over(wq))
+        .withColumn("drk", dense_rank().over(wq))
+        .withColumn("nt", ntile(4).over(w))
+        .filter(col("rn") <= 3 && col("l_suppkey") <= 50)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity", "rn", "rk", "drk", "nt")
+        .orderBy("l_suppkey", "rn")
+    },
+
+    QueryDef("q14_window_analytic",
+      """SELECT o_custkey, o_orderkey, STRFTIME(o_orderdate, '%Y-%m-%d') AS odate,
+        |  LAG(o_totalprice) OVER w AS prev_price,
+        |  LEAD(o_totalprice) OVER w AS next_price,
+        |  FIRST_VALUE(o_orderkey) OVER w AS first_order,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders
+        |WHERE o_custkey <= 30
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, odate, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      ord(s, d).filter(col("o_custkey") <= 30)
+        .withColumn("prev_price", lag("o_totalprice", 1).over(w))
+        .withColumn("next_price", lead("o_totalprice", 1).over(w))
+        .withColumn("first_order", first("o_orderkey").over(w))
+        .withColumn("running_total",
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(DoubleType))
+        .select(col("o_custkey"), col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+          col("prev_price"), col("next_price"), col("first_order"), col("running_total"))
+        .orderBy("o_custkey", "odate", "o_orderkey")
+    },
+
+    QueryDef("q24_topk_per_group",
+      """SELECT c_mktsegment, c_custkey, c_acctbal
+        |FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+        |        ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |      FROM customer) x
+        |WHERE rn <= 5 ORDER BY c_mktsegment, c_acctbal DESC, c_custkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc, col("c_custkey"))
+      cust(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("c_mktsegment", "c_custkey", "c_acctbal")
+        .orderBy(col("c_mktsegment"), col("c_acctbal").desc, col("c_custkey"))
+    },
+
+    // ---- sorts / limits --------------------------------------------------
+    QueryDef("q15_sort_limit_offset",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 10""".stripMargin) { (s, d) =>
+      ord(s, d).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .offset(10).limit(20)
+    },
+
+    // ---- set operations --------------------------------------------------
+    QueryDef("q16_set_ops",
+      """WITH with_orders AS (SELECT DISTINCT o_custkey AS k FROM orders),
+        |     rich AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000)
+        |SELECT 'union_all' AS op, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT k FROM with_orders UNION ALL SELECT k FROM rich) t
+        |UNION ALL
+        |SELECT 'union' AS op, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT k FROM with_orders UNION SELECT k FROM rich) t
+        |UNION ALL
+        |SELECT 'intersect' AS op, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT k FROM with_orders INTERSECT SELECT k FROM rich) t
+        |UNION ALL
+        |SELECT 'except' AS op, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT k FROM with_orders EXCEPT SELECT k FROM rich) t
+        |ORDER BY op""".stripMargin) { (s, d) =>
+      val withOrders = ord(s, d).select(col("o_custkey").as("k")).distinct()
+      val rich = cust(s, d).filter(col("c_acctbal") > 5000).select(col("c_custkey").as("k"))
+      def counted(op: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
+      counted("union_all", withOrders.unionAll(rich))
+        .unionAll(counted("union", withOrders.union(rich).distinct()))
+        .unionAll(counted("intersect", withOrders.intersect(rich)))
+        .unionAll(counted("except", withOrders.except(rich)))
+        .orderBy("op")
+    },
+
+    // ---- scalar functions ------------------------------------------------
+    QueryDef("q17_string_funcs",
+      """SELECT p_partkey,
+        |  UPPER(p_name) AS uname, LOWER(p_brand) AS lbrand,
+        |  SUBSTR(p_name, 1, 5) AS prefix,
+        |  LENGTH(p_name) AS name_len,
+        |  REPLACE(p_type, ' ', '_') AS type_u,
+        |  TRIM(CONCAT('  ', p_brand, '  ')) AS trimmed,
+        |  INSTR(p_name, 'a') AS first_a,
+        |  REVERSE(p_brand) AS rbrand,
+        |  LPAD(CAST(p_size AS VARCHAR), 4, '0') AS padded
+        |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      part(s, d).filter(col("p_partkey") <= 200)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          lower(col("p_brand")).as("lbrand"),
+          substring(col("p_name"), 1, 5).as("prefix"),
+          length(col("p_name")).as("name_len"),
+          regexp_replace(col("p_type"), " ", "_").as("type_u"),
+          trim(concat(lit("  "), col("p_brand"), lit("  "))).as("trimmed"),
+          instr(col("p_name"), "a").as("first_a"),
+          reverse(col("p_brand")).as("rbrand"),
+          lpad(col("p_size").cast(StringType), 4, "0").as("padded"))
+        .orderBy("p_partkey")
+    },
+
+    QueryDef("q18_date_funcs",
+      """SELECT o_orderkey,
+        |  STRFTIME(o_orderdate, '%Y-%m-%d') AS odate,
+        |  CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y,
+        |  CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m,
+        |  CAST(EXTRACT(DAY FROM o_orderdate) AS BIGINT) AS dd,
+        |  STRFTIME(DATE_TRUNC('MONTH', o_orderdate), '%Y-%m-%d') AS month_start,
+        |  STRFTIME(LAST_DAY(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end
+        |FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      ord(s, d).filter(col("o_orderkey") <= 100)
+        .select(
+          col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+          year(col("o_orderdate")).cast(LongType).as("y"),
+          month(col("o_orderdate")).cast(LongType).as("m"),
+          dayofmonth(col("o_orderdate")).cast(LongType).as("dd"),
+          date_format(date_trunc("MONTH", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+          date_format(last_day(col("o_orderdate").cast(DateType)), "yyyy-MM-dd").as("month_end"))
+        .orderBy("o_orderkey")
+    },
+
+    QueryDef("q19_math_funcs",
+      """SELECT p_partkey,
+        |  ABS(p_retailprice - 1000.0) AS dist,
+        |  CAST(CEIL(p_retailprice) AS BIGINT) AS cp,
+        |  CAST(FLOOR(p_retailprice) AS BIGINT) AS fp,
+        |  ROUND(p_retailprice, 1) AS r1,
+        |  SQRT(p_retailprice) AS sq,
+        |  MOD(p_size, 7) AS m7,
+        |  GREATEST(p_size, 25) AS g, LEAST(p_size, 25) AS l,
+        |  SIGN(p_retailprice - 1000.0) AS sg
+        |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      part(s, d).filter(col("p_partkey") <= 200)
+        .select(
+          col("p_partkey"),
+          abs(col("p_retailprice") - 1000.0).as("dist"),
+          ceil(col("p_retailprice")).cast(LongType).as("cp"),
+          floor(col("p_retailprice")).cast(LongType).as("fp"),
+          round(col("p_retailprice"), 1).as("r1"),
+          sqrt(col("p_retailprice")).as("sq"),
+          col("p_size") % 7 as "m7",
+          greatest(col("p_size"), lit(25)).as("g"),
+          least(col("p_size"), lit(25)).as("l"),
+          signum(col("p_retailprice") - 1000.0).as("sg"))
+        .orderBy("p_partkey")
+    },
+
+    QueryDef("q20_case_cast",
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN 'debt' WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS tier,
+        |  COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+        |  CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal_dec,
+        |  CAST(CAST(c_custkey AS VARCHAR) AS BIGINT) AS roundtrip,
+        |  IF(c_nationkey % 2 = 0, 'even', 'odd') AS parity
+        |FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      cust(s, d).filter(col("c_custkey") <= 300)
+        .select(
+          col("c_custkey"),
+          when(col("c_acctbal") < 0, "debt").when(col("c_acctbal") < 5000, "low").otherwise("high").as("tier"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg"),
+          col("c_acctbal").cast(DecimalType(12, 2)).cast(DoubleType).as("bal_dec"),
+          col("c_custkey").cast(StringType).cast(LongType).as("roundtrip"),
+          when(col("c_nationkey") % 2 === 0, "even").otherwise("odd").as("parity"))
+        .orderBy("c_custkey")
+    },
+
+    // ---- subqueries / CTE / HAVING --------------------------------------
+    QueryDef.sharedSql("q22_subqueries",
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |WHERE o_totalprice > (SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) * 1.9 FROM orders)
+        |  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+        |ORDER BY o_orderkey""".stripMargin),
+
+    QueryDef.sharedSql("q23_cte_having",
+      """WITH supp_vol AS (
+        |  SELECT l_suppkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS vol,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY l_suppkey HAVING COUNT(*) > 130
+        |)
+        |SELECT s_suppkey, s_name, vol, n
+        |FROM supp_vol JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY s_suppkey""".stripMargin),
+
+    QueryDef.sharedSql("q25_values_inline",
+      """SELECT v.code, r_name
+        |FROM (VALUES (0, 'zero'), (1, 'one'), (2, 'two')) AS v(rk, code)
+        |JOIN region ON r_regionkey = v.rk
+        |ORDER BY v.code""".stripMargin),
+
+    // ---- approx aggregates (values differ across engines → rows-only) ----
+    QueryDef.unoracled("q26_approx_aggs") { (s, d) =>
+      li(s, d).groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median"))
+        .orderBy("l_returnflag")
+    }
+  )
+}
