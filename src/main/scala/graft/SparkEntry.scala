@@ -10,7 +10,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   def allDefs: Seq[QueryDef] =
-    graft.queries.Relational.defs
+    graft.queries.Relational.defs ++
+      graft.queries.PipelinesDedup.defs ++
+      graft.queries.Similarity.defs ++
+      graft.queries.TextQueries.defs ++
+      graft.queries.Events.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

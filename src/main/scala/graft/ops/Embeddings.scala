@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Embedding similarity operators: brute-force cosine (baseline),
+  * label-blocked pairwise near-dup detection, and a hyperplane-LSH
+  * bucketed ANN variant (the scale path: signature buckets shrink the
+  * candidate set from N to N/2^planes before any distance math).
+  *
+  * Determinism across engines: float math is order-sensitive, so vectors
+  * are quantized to integer micro-units (round(x*1e6)) and all dot
+  * products/norms are exact Int64 sums — order-independent — with a single
+  * deterministic double division+sqrt at the end. The DuckDB oracles use
+  * the same quantization.
+  */
+object Embeddings {
+
+  /** Quantize a float-array column to BIGINT micro-units. */
+  def quantize(vec: Column): Column =
+    transform(vec, x => round(x.cast(DoubleType) * 1000000.0).cast(LongType))
+
+  /** Exact dot product of two quantized vectors (Int64, order-free). */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Cosine from quantized dot and squared norms, as a deterministic
+    * double: one cast per operand, one division, one sqrt each. */
+  def cosine(dot: Column, na2: Column, nb2: Column): Column =
+    dot.cast(DoubleType) / (sqrt(na2.cast(DoubleType)) * sqrt(nb2.cast(DoubleType)))
+
+  /** Vectors with quantized embedding + squared norm precomputed. */
+  def prepared(vecs: DataFrame, idCol: String, vecCol: String, extraCols: Seq[String] = Nil): DataFrame = {
+    val base = vecs.select((Seq(col(idCol).as("vec_id"), quantize(col(vecCol)).as("qe")) ++
+      extraCols.map(col)): _*)
+    base.withColumn("n2", dotQ(col("qe"), col("qe")))
+  }
+
+  /** All pairs with cosine >= threshold within a blocking key (e.g. a
+    * cluster/label column): the standard scale pattern — block first so the
+    * quadratic pairwise stays within blocks, shuffled on the block key.
+    */
+  def blockedNearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
+                          blockCol: String, threshold: Double): DataFrame = {
+    val p = prepared(vecs, idCol, vecCol, Seq(blockCol))
+    p.as("a").join(p.as("b"),
+        col(s"a.$blockCol") === col(s"b.$blockCol") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        cosine(dotQ(col("a.qe"), col("b.qe")), col("a.n2"), col("b.n2")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Brute-force top-k cosine neighbors for a query subset: broadcast the
+    * (small) query side against the full corpus, rank per query. The
+    * baseline ANN answer — O(|Q| * N) dots, embarrassingly parallel.
+    */
+  def topKBruteForce(vecs: DataFrame, idCol: String, vecCol: String,
+                     queryPred: Column, k: Int): DataFrame = {
+    val p = prepared(vecs, idCol, vecCol)
+    val queries = p.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("qe").as("q_qe"), col("n2").as("q_n2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    p.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(dotQ(col("qe"), col("q_qe")), col("n2"), col("q_n2")).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Deterministic ±1 hyperplane components: sign(p,d) = +1 iff the first
+    * hex digit of md5("<p>_<d>") is even. Computed at plan-build time and
+    * baked in as literals (the oracle recomputes the same md5 values). */
+  def planeSigns(planes: Int, dim: Int): Seq[Seq[Long]] = {
+    val mdt = java.security.MessageDigest.getInstance("MD5")
+    (0 until planes).map { p =>
+      (0 until dim).map { d =>
+        val h = mdt.digest(s"${p}_$d".getBytes("UTF-8"))
+        if (((h(0) >> 4) & 0xf) % 2 == 0) 1L else -1L
+      }
+    }
+  }
+
+  /** Bit-string LSH signature of a quantized vector: bit p = 1 iff the
+    * signed projection onto plane p is positive (exact Int64 sum). */
+  def lshSignature(qe: Column, signs: Seq[Seq[Long]]): Column =
+    concat(signs.map { s =>
+      val proj = aggregate(zip_with(qe, typedLit(s), (x, c) => x * c), lit(0L), (a, v) => a + v)
+      when(proj > 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  /** ANN top-k within hyperplane-LSH buckets: candidates are corpus
+    * vectors sharing the query's signature (expected N/2^planes of them),
+    * then exact cosine rank within the bucket. At 100 TB you'd raise
+    * `planes` and add multi-probe/repetition; the plan shape (shuffle on
+    * signature, per-bucket ranking) is unchanged.
+    */
+  def annTopK(vecs: DataFrame, idCol: String, vecCol: String,
+              queryPred: Column, k: Int, planes: Int, dim: Int): DataFrame = {
+    val signs = planeSigns(planes, dim)
+    val p = prepared(vecs, idCol, vecCol)
+      .withColumn("sig", lshSignature(col("qe"), signs))
+    val queries = p.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("qe").as("q_qe"),
+        col("n2").as("q_n2"), col("sig").as("q_sig"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    p.join(broadcast(queries), col("sig") === col("q_sig") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(dotQ(col("qe"), col("q_qe")), col("n2"), col("q_n2")).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+}

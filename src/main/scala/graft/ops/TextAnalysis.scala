@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for training-data curation: marker-word
+  * language ID, heuristic quality scoring, token counting (whitespace and
+  * regex "BPE-ish" segmentation), and min-hash document fingerprinting.
+  * All pure column expressions (codegen'd) — one pass over the corpus,
+  * no shuffles except the fingerprint groupBy.
+  */
+object TextAnalysis {
+
+  /** Marker-word sets per language. Deliberately small and fixed: the
+    * operator contract is a deterministic heuristic, mirrored by the
+    * DuckDB oracle. */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "los", "las", "y", "es", "un"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "dans"))
+
+  private def inList(c: Column, xs: Seq[String]): Column =
+    xs.map(c === _).reduce(_ || _)
+
+  /** Per-language marker ratio columns `score_<lang>` + argmax
+    * `pred_lang` ('zh' if any CJK character is present, 'und' when no
+    * marker hits). */
+  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withTok = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")))
+    val scored = markers.foldLeft(withTok) { case (df, (lang, words)) =>
+      df.withColumn(s"score_$lang",
+        size(filter(col("toks"), t => inList(t, words))).cast(DoubleType) / col("n_tok"))
+    }
+    // Argmax with a fixed tie-break priority (fr > es > en > de), mirrored
+    // verbatim by the oracle: first language whose score equals the max.
+    val hasCjk = col("text").rlike("[\\u4e00-\\u9fff]")
+    val best = greatest(markers.map { case (l, _) => col(s"score_$l") }: _*)
+    val priority = Seq("fr", "es", "en", "de")
+    val argmax = priority.tail.foldLeft(
+      when(col(s"score_${priority.head}") === best, lit(priority.head))) { (acc, l) =>
+      acc.when(col(s"score_$l") === best, lit(l))
+    }
+    scored
+      .withColumn("pred_lang",
+        when(hasCjk, lit("zh"))
+          .when(best > 0, argmax)
+          .otherwise(lit("und")))
+      .select(Seq(col("doc_id")) ++ markers.map { case (l, _) => col(s"score_$l") } :+ col("pred_lang"): _*)
+  }
+
+  /** Heuristic quality features + composite score. Single-division doubles
+    * only (deterministic). */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val nTok = size(toks).cast(LongType)
+    val nChars = length(col(textCol)).cast(LongType)
+    val stops = size(filter(toks, t => inList(t, markers.flatMap(_._2)))).cast(LongType)
+    val punct = (nChars - length(regexp_replace(col(textCol), "[.,!?;:]", ""))).cast(LongType)
+    docs.select(
+      col(idCol).as("doc_id"),
+      nChars.as("n_chars"),
+      nTok.as("n_tokens"),
+      ((nChars - (nTok - 1)).cast(DoubleType) / nTok).as("avg_tok_len"),
+      (stops.cast(DoubleType) / nTok).as("stop_ratio"),
+      (punct.cast(DoubleType) / nChars).as("punct_ratio"),
+      (when(nTok.between(20, 10000), 1).otherwise(0) +
+        when(stops > 0, 1).otherwise(0) +
+        when(punct * 10 < nChars, 1).otherwise(0)).cast(LongType).as("quality"))
+  }
+
+  /** Whitespace and regex token counts. The regex segmentation
+    * (letter-runs | digit-runs | single other non-space) approximates a
+    * byte-pair-style pre-tokenizer. */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(split(col(textCol), " ")).cast(LongType).as("ws_tokens"),
+      size(regexp_extract_all(col(textCol), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
+        .cast(LongType).as("re_tokens"))
+
+  /** Document fingerprint: concatenation of the 3 lexicographically
+    * smallest md5(5-gram shingle) digests — a compact content signature
+    * robust to local edits (winnowing-style min-selection). */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    TextDedup.docShingles(docs, idCol, textCol, 5)
+      .select(col("doc_id"), md5(col("shingle")).as("h"))
+      .groupBy("doc_id")
+      .agg(array_join(slice(sort_array(collect_list(col("h"))), 1, 3), "").as("fingerprint"))
+}

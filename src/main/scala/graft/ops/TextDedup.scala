@@ -1,0 +1,178 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed text deduplication for training-data pipelines: exact
+  * (hash-groupBy), exact n-gram Jaccard via a shingle inverted index,
+  * MinHash+LSH (shingle → minhash → band → bucket self-join), and SimHash.
+  *
+  * Hashing spec is deliberately engine-portable (md5 over seeded strings,
+  * lexicographic MIN over hex digests) so results are bit-identical across
+  * engines — the DuckDB oracles in queries/Pipelines.scala replicate it.
+  * All operators are pure DataFrame compositions: every stage is a
+  * shuffle on a bounded key (doc_id, shingle, or LSH bucket), no
+  * driver-side collection, so the same plan runs at 100 TB — the only
+  * scale knob is `maxShingleDf`, which drops ultra-common shingles that
+  * would otherwise make the inverted-index join quadratic on hot keys.
+  */
+object TextDedup {
+
+  /** (id, shingle) pairs — distinct word n-gram shingles per document
+    * (space tokenization); documents with fewer than n words produce no
+    * rows. Built from codegen'd builtins (split/transform/sequence) only.
+    */
+  def docShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val idxs = (0 until n).map(k => s"w[i+$k]").mkString(", ")
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .select(col("doc_id"),
+        explode(expr(
+          s"CASE WHEN size(w) >= $n THEN transform(sequence(0, size(w) - $n), i -> concat_ws(' ', $idxs)) " +
+            "ELSE array() END")).as("shingle"))
+      .distinct()
+  }
+
+  /** Exact duplicate groups by md5 of the raw text: one row per duplicated
+    * digest with the surviving (minimum) id and the victim count.
+    * Scale: single hash-shuffle on the 32-char digest.
+    */
+  def exactDuplicateGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(md5(col(textCol)).as("text_hash"), col(idCol).as("doc_id"))
+      .groupBy("text_hash")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+
+  /** Survivors of exact dedup: minimum id per distinct text. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(md5(col(textCol)).as("text_hash"), col(idCol).as("doc_id"))
+      .groupBy("text_hash").agg(min("doc_id").as("doc_id"))
+
+  /** All-pairs exact n-gram Jaccard >= threshold via the shingle inverted
+    * index: pairs can only have jaccard > 0 if they share a shingle, so the
+    * self-join on shingle enumerates exactly the candidate space.
+    * `maxShingleDf` drops shingles occurring in more than that many docs
+    * (stop-shingles): bounds the per-key join fan-out at scale. Note the
+    * df-cap slightly changes semantics (capped shingles count for sizes but
+    * not intersections) — the oracle applies the same cap.
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int, threshold: Double, maxShingleDf: Int): DataFrame = {
+    val ds = docShingles(docs, idCol, textCol, n).cache()
+    val rare = ds.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf)
+      .select("shingle")
+    val dsr = ds.join(rare, "shingle")
+    val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = dsr.as("a")
+      .join(dsr.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("sz", "sz1"), "id1")
+      .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("sz", "sz2"), "id2")
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) / (col("sz1") + col("sz2") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** MinHash signature columns h0..h{k-1}: h_j = lexicographic MIN over the
+    * doc's shingles of md5(j || ':' || shingle). A seeded md5 is a uniform
+    * permutation of the shingle space, so the hex-string MIN is a valid
+    * minhash; one groupBy computes all k mins with map-side partial agg.
+    */
+  def minhashSignatures(ds: DataFrame, k: Int): DataFrame = {
+    val aggs = (0 until k).map(j =>
+      min(md5(concat(lit(j.toString), lit(":"), col("shingle")))).as(s"h$j"))
+    ds.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH band buckets: `bands` bands of `rowsPerBand` signature rows each;
+    * bucket key = band index ':' concatenated row hashes. One (doc, bucket)
+    * row per band.
+    */
+  def lshBuckets(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val rows = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      concat(lit(s"$b:") +: rows: _*)
+    }
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bucket"))
+  }
+
+  /** Candidate pairs: docs sharing any LSH bucket (distinct, id1 < id2).
+    * At extreme scale a degenerate bucket (everything identical) would
+    * make this quadratic; cap with a per-bucket count filter upstream if
+    * the corpus has giant exact-dup classes — exact dedup first is the
+    * standard pipeline order.
+    */
+  def lshCandidates(buckets: DataFrame): DataFrame =
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+
+  /** Full MinHash-LSH near-dup pipeline with exact-Jaccard verification of
+    * the candidates: shingle → k minhashes → band buckets → bucket
+    * self-join → exact jaccard filter. Output (id1, id2, jaccard).
+    */
+  def minhashDedupPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+    val ds = docShingles(docs, idCol, textCol, n).cache()
+    val sigs = minhashSignatures(ds, k)
+    val cands = lshCandidates(lshBuckets(sigs, bands, k / bands))
+    val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cands
+      .join(ds.as("sa"), col("id1") === col("sa.doc_id"))
+      .join(ds.as("sb"), col("id2") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("sz", "sz1"), "id1")
+      .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("sz", "sz2"), "id2")
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) / (col("sz1") + col("sz2") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** 64-bit SimHash over the document's distinct words, returned as a
+    * 16-hex-char string (portable: no int64 sign issues). Word hash =
+    * first 16 hex chars of md5(word); bit b of the simhash is 1 iff the
+    * sum over words of ±1 (per word-hash bit b) is positive.
+    * Entirely expression-generated: 64 conditional-sum aggregates in one
+    * hash aggregation, all codegen'd.
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("word"))
+      .distinct()
+      .withColumn("wh", substring(md5(col("word")), 1, 16))
+    // bit b lives in hex digit (b/4), bit position (3 - b%4) from LSB of
+    // the nibble; nibble value via instr on the hex alphabet (portable).
+    def bitExpr(b: Int): Column = {
+      val nib = expr(s"instr('0123456789abcdef', substring(wh, ${b / 4 + 1}, 1)) - 1")
+      (shiftright(nib, 3 - b % 4) bitwiseAND lit(1)).cast(IntegerType)
+    }
+    val sums = (0 until 64).map(b => sum(bitExpr(b) * 2 - 1).as(s"s$b"))
+    val bits = words.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+    val nibbles = (0 until 16).map { j =>
+      val v = (0 until 4).map { r =>
+        when(col(s"s${j * 4 + r}") > 0, lit(1 << (3 - r))).otherwise(lit(0))
+      }.reduce(_ + _)
+      lit("0123456789abcdef").substr(v + 1, lit(1))
+    }
+    bits.select(col("doc_id"), concat(nibbles: _*).as("simhash"))
+  }
+
+  /** Hamming distance between two 16-hex-char simhash columns (given by
+    * name; portable: per-nibble popcount of xor). */
+  def simhashHamming(aCol: String, bCol: String): Column =
+    (0 until 16).map { j =>
+      val va = expr(s"instr('0123456789abcdef', substring($aCol, ${j + 1}, 1)) - 1")
+      val vb = expr(s"instr('0123456789abcdef', substring($bCol, ${j + 1}, 1)) - 1")
+      bit_count(va.bitwiseXOR(vb))
+    }.reduce(_ + _)
+}

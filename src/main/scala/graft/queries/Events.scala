@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Time-series / event-stream queries over `events` (batch semantics of
+  * the streaming operators: tumbling windows, sessionization). The same
+  * aggregations run under Structured Streaming via `readStream` — see
+  * graft.streaming.StreamingOps — these batch twins are the oracle-checked
+  * correctness anchors.
+  */
+object Events {
+
+  private def ev(s: org.apache.spark.sql.SparkSession, d: String) = Tables.load(s, d, "events")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("ev1_tumbling_hour",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value,
+        |  MIN(value) AS min_v, MAX(value) AS max_v
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      ev(s, d)
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(25, 6))).cast(DoubleType).as("total_value"),
+          min("value").as("min_v"),
+          max("value").as("max_v"))
+        .orderBy("hour_start", "event_type")
+    },
+
+    QueryDef("ev2_sessionize",
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |l AS (SELECT *, LAG(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev FROM e),
+        |f AS (SELECT *, CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS brk FROM l),
+        |s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM f)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(MIN(tus) AS BIGINT) AS start_us, CAST(MAX(tus) AS BIGINT) AS end_us
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      ev(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+        .withColumn("prev", lag("tus", 1).over(w))
+        .withColumn("brk",
+          when(col("prev").isNull || col("tus") - col("prev") > 1800000000L, 1).otherwise(0))
+        .withColumn("session_id",
+          sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast(LongType))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("tus").as("start_us"), max("tus").as("end_us"))
+        .orderBy("user_id", "session_id")
+    },
+
+    QueryDef("ev3_window_10min",
+      """SELECT CAST((epoch_us(ts) // 600000000) * 600000000 AS BIGINT) AS win_start_us, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      // window() is the Structured-Streaming tumbling-window primitive;
+      // on batch input it produces the same epoch-aligned buckets.
+      ev(s, d)
+        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(25, 6))).cast(DoubleType).as("total_value"))
+        .select(unix_micros(col("window.start")).as("win_start_us"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("win_start_us", "event_type")
+    }
+  )
+}

@@ -1,0 +1,102 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ops.TextDedup
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over the `documents` table
+  * (deduplication family). Oracles replicate the portable md5 hashing
+  * spec of graft.ops.TextDedup in DuckDB SQL, so results are bit-exact.
+  */
+object PipelinesDedup {
+
+  // Shared DuckDB CTE: distinct (doc_id, 5-gram shingle) pairs.
+  private val shingleCte =
+    """words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS shingle
+      |       FROM words, UNNEST(range(1, len(w)-3)) AS t(i))""".stripMargin
+
+  private val K = 16
+  private val BANDS = 8
+
+  // MIN(md5('<j>:'||shingle)) AS h<j> for j in 0..15
+  private val sigSelect = (0 until K)
+    .map(j => s"MIN(md5('$j:'||shingle)) AS h$j").mkString(",\n    ")
+  // 8 bands of 2 rows: bucket = '<b>:' || h_{2b} || h_{2b+1}
+  private val bandUnion = (0 until BANDS)
+    .map(b => s"SELECT doc_id, '$b:'||h${2 * b}||h${2 * b + 1} AS bucket FROM sig")
+    .mkString("\n  UNION ALL ")
+
+  // 64 signed bit-sums for the simhash oracle
+  private val simhashSums = (0 until 64).map { b =>
+    val digit = b / 4 + 1; val shift = 3 - b % 4
+    s"SUM(CASE WHEN ((instr('0123456789abcdef', substr(wh, $digit, 1)) - 1) >> $shift) & 1 = 1 THEN 1 ELSE -1 END) AS s$b"
+  }.mkString(",\n    ")
+  private val simhashNibbles = (0 until 16).map { j =>
+    val v = (0 until 4).map(r => s"CASE WHEN s${j * 4 + r} > 0 THEN ${8 >> r} ELSE 0 END").mkString(" + ")
+    s"substr('0123456789abcdef', ($v) + 1, 1)"
+  }.mkString("||")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("dd1_dedup_exact",
+      """SELECT md5(text) AS text_hash, CAST(MIN(doc_id) AS BIGINT) AS doc_id
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      TextDedup.exactDedup(Tables.load(s, d, "documents"), "doc_id", "text")
+        .orderBy("text_hash")
+    },
+
+    QueryDef("dd2_dedup_ngram_jaccard",
+      s"""WITH $shingleCte,
+         |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100),
+         |shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+         |          FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT id1, id2, CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) AS jaccard
+         |FROM inter JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
+         |WHERE CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) >= 0.8
+         |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      TextDedup.jaccardPairs(Tables.load(s, d, "documents"), "doc_id", "text",
+          n = 5, threshold = 0.8, maxShingleDf = 100)
+        .orderBy("id1", "id2")
+    },
+
+    QueryDef("dd3_dedup_minhash_lsh",
+      s"""WITH $shingleCte,
+         |sig AS (SELECT doc_id,
+         |    $sigSelect
+         |  FROM sh GROUP BY doc_id),
+         |buckets AS (
+         |  $bandUnion),
+         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |         FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT id1, id2, COUNT(*) AS i
+         |          FROM cand JOIN sh sa ON sa.doc_id = id1
+         |          JOIN sh sb ON sb.doc_id = id2 AND sb.shingle = sa.shingle
+         |          GROUP BY 1, 2)
+         |SELECT id1, id2, CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) AS jaccard
+         |FROM inter JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
+         |WHERE CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) >= 0.8
+         |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      TextDedup.minhashDedupPairs(Tables.load(s, d, "documents"), "doc_id", "text",
+          n = 5, k = K, bands = BANDS, threshold = 0.8)
+        .orderBy("id1", "id2")
+    },
+
+    QueryDef("dd4_dedup_simhash",
+      s"""WITH w AS (SELECT DISTINCT doc_id, word
+         |           FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents)),
+         |wh AS (SELECT doc_id, substr(md5(word), 1, 16) AS wh FROM w),
+         |bits AS (SELECT doc_id,
+         |    $simhashSums
+         |  FROM wh GROUP BY doc_id)
+         |SELECT doc_id, $simhashNibbles AS simhash
+         |FROM bits ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextDedup.simhash(Tables.load(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }
+  )
+}

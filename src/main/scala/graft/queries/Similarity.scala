@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ops.Embeddings
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity queries over the `embeddings` table. Oracles use
+  * the same integer micro-unit quantization as graft.ops.Embeddings, so
+  * every dot product is exact Int64 arithmetic on both engines.
+  */
+object Similarity {
+
+  // DuckDB CTE: quantized vectors + squared norms.
+  private val quantCte =
+    """q0 AS (SELECT vec_id, label,
+      |         [CAST(ROUND(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) FOR x IN embedding] AS qe
+      |       FROM embeddings),
+      |q AS (SELECT vec_id, label, qe,
+      |        CAST(list_sum([qe[i]*qe[i] FOR i IN range(1, len(qe)+1)]) AS BIGINT) AS n2
+      |      FROM q0)""".stripMargin
+
+  private val dotAb = "CAST(list_sum([a.qe[i]*b.qe[i] FOR i IN range(1, len(a.qe)+1)]) AS BIGINT)"
+  private def cosSql(dot: String, na: String, nb: String) =
+    s"CAST($dot AS DOUBLE)/(sqrt(CAST($na AS DOUBLE))*sqrt(CAST($nb AS DOUBLE)))"
+
+  private val PLANES = 6
+  private val DIM = 64
+
+  // Signed projection expression per plane for the ANN oracle, using the
+  // same md5-derived ±1 components baked into the Spark plan.
+  private def sigSql(prefix: String): String = {
+    val signs = Embeddings.planeSigns(PLANES, DIM)
+    signs.map { s =>
+      val terms = s.zipWithIndex
+        .map { case (c, i) => if (c > 0) s"+$prefix.qe[${i + 1}]" else s"-$prefix.qe[${i + 1}]" }
+        .mkString("")
+      s"(CASE WHEN ($terms) > 0 THEN '1' ELSE '0' END)"
+    }.mkString("||")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("em1_embed_blocked_pairs",
+      s"""WITH $quantCte,
+         |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |        $dotAb AS dot, a.n2 AS na, b.n2 AS nb
+         |      FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT id1, id2, ${cosSql("dot", "na", "nb")} AS cos
+         |FROM p WHERE ${cosSql("dot", "na", "nb")} >= 0.4
+         |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      Embeddings.blockedNearDupPairs(Tables.load(s, d, "embeddings"),
+          "vec_id", "embedding", "label", 0.4)
+        .orderBy("id1", "id2")
+    },
+
+    QueryDef("sim1_topk_bruteforce",
+      s"""WITH $quantCte,
+         |qs AS (SELECT vec_id AS query_id, qe, n2 FROM q WHERE vec_id < 10),
+         |s AS (SELECT b.query_id, a.vec_id AS neighbor_id,
+         |        ${cosSql("CAST(list_sum([a.qe[i]*b.qe[i] FOR i IN range(1, len(a.qe)+1)]) AS BIGINT)", "a.n2", "b.n2")} AS cos
+         |      FROM q a JOIN qs b ON a.vec_id <> b.query_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
+         |SELECT query_id, neighbor_id, cos, CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
+      Embeddings.topKBruteForce(Tables.load(s, d, "embeddings"),
+          "vec_id", "embedding", col("vec_id") < 10, k = 5)
+        .withColumn("rnk", col("rnk").cast("long"))
+        .orderBy("query_id", "rnk")
+    },
+
+    QueryDef("sim2_ann_lsh",
+      s"""WITH $quantCte,
+         |sigs AS (SELECT a.vec_id, a.qe, a.n2, ${sigSql("a")} AS sig FROM q a),
+         |qs AS (SELECT vec_id AS query_id, qe, n2, sig FROM sigs WHERE vec_id < 10),
+         |s AS (SELECT b.query_id, a.vec_id AS neighbor_id,
+         |        ${cosSql("CAST(list_sum([a.qe[i]*b.qe[i] FOR i IN range(1, len(a.qe)+1)]) AS BIGINT)", "a.n2", "b.n2")} AS cos
+         |      FROM sigs a JOIN qs b ON a.sig = b.sig AND a.vec_id <> b.query_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
+         |SELECT query_id, neighbor_id, cos, CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
+      Embeddings.annTopK(Tables.load(s, d, "embeddings"),
+          "vec_id", "embedding", col("vec_id") < 10, k = 3, planes = PLANES, dim = DIM)
+        .withColumn("rnk", col("rnk").cast("long"))
+        .orderBy("query_id", "rnk")
+    }
+  )
+}

@@ -1,0 +1,89 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ops.{Multimodal, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + multimodal-plumbing queries over `documents`. */
+object TextQueries {
+
+  private def sqlList(xs: Seq[String]) = xs.map(w => s"'$w'").mkString("(", ", ", ")")
+  private val allStops = sqlList(TextAnalysis.markers.flatMap(_._2))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("tx1_langid", {
+      val scoreCols = TextAnalysis.markers.map { case (lang, words) =>
+        s"CAST(len(list_filter(toks, x -> x IN ${sqlList(words)})) AS DOUBLE)/n_tok AS score_$lang"
+      }.mkString(",\n  ")
+      val langs = TextAnalysis.markers.map(m => s"score_${m._1}").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks,
+         |             len(string_split(text, ' ')) AS n_tok FROM documents),
+         |s AS (SELECT doc_id, text,
+         |  $scoreCols
+         |  FROM t)
+         |SELECT doc_id, $langs,
+         |  CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |       WHEN greatest($langs) = 0 THEN 'und'
+         |       WHEN score_fr = greatest($langs) THEN 'fr'
+         |       WHEN score_es = greatest($langs) THEN 'es'
+         |       WHEN score_en = greatest($langs) THEN 'en'
+         |       ELSE 'de' END AS pred_lang
+         |FROM s ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      TextAnalysis.languageId(Tables.load(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    QueryDef("tx2_quality",
+      s"""WITH t AS (SELECT doc_id, text,
+         |             CAST(length(text) AS BIGINT) AS n_chars,
+         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |             CAST(len(list_filter(string_split(text, ' '), x -> x IN $allStops)) AS BIGINT) AS stops,
+         |             CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS punct
+         |           FROM documents)
+         |SELECT doc_id, n_chars, n_tokens,
+         |  CAST(n_chars - (n_tokens - 1) AS DOUBLE)/n_tokens AS avg_tok_len,
+         |  CAST(stops AS DOUBLE)/n_tokens AS stop_ratio,
+         |  CAST(punct AS DOUBLE)/n_chars AS punct_ratio,
+         |  CAST((CASE WHEN n_tokens BETWEEN 20 AND 10000 THEN 1 ELSE 0 END) +
+         |       (CASE WHEN stops > 0 THEN 1 ELSE 0 END) +
+         |       (CASE WHEN punct * 10 < n_chars THEN 1 ELSE 0 END) AS BIGINT) AS quality
+         |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.qualityScore(Tables.load(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    QueryDef("tx3_token_counts",
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.tokenCounts(Tables.load(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    QueryDef("tx4_fingerprint",
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS shingle
+        |       FROM words, UNNEST(range(1, len(w)-3)) AS t(i)),
+        |h AS (SELECT doc_id, md5(shingle) AS h FROM sh)
+        |SELECT doc_id, array_to_string(list_sort(list(h))[1:3], '') AS fingerprint
+        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.fingerprint(Tables.load(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    QueryDef("mm1_multimodal_features",
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+        |  CAST(ascii(substr(text, 1, 1)) + ascii(substr(text, 2, 1)) +
+        |       ascii(substr(text, 3, 1)) + ascii(substr(text, 4, 1)) AS BIGINT) AS checksum4,
+        |  md5(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Multimodal.extractFeatures(s,
+          Multimodal.asBinaryTable(Tables.load(s, d, "documents"), "doc_id", "text"))
+        .orderBy("doc_id")
+    }
+  )
+}
