@@ -1,0 +1,185 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+
+import graft.lake.Manifest.Json
+import graft.lake.Manifest.Json._
+
+/** File-backed metastore mirroring the reference's SQL-database catalog
+  * (`src/repository/`, `migrations/sqlite/20220728071524_create_tables.up.sql`):
+  * database → schema → table (with storage UUID) plus persisted functions
+  * and a dropped-tables ledger for VACUUM / system.dropped_tables.
+  *
+  * State lives in one JSON file under the data directory, rewritten
+  * atomically (temp + rename) on every mutation; reads re-load the file —
+  * the analog of the reference reloading the catalog before every query
+  * (`src/context/mod.rs:89-112`). At multi-writer scale this component is
+  * the one you swap for a real SQL metastore; the interface stays.
+  */
+class Catalog(val dataDir: String) {
+
+  case class TableEntry(uuid: String)
+  case class FunctionEntry(name: String, detailsJson: String)
+  case class DroppedTable(schema: String, name: String, uuid: String, dropTimeMs: Long)
+
+  case class State(
+      // db -> schema -> table name -> entry
+      dbs: Map[String, Map[String, Map[String, TableEntry]]],
+      functions: Map[String, FunctionEntry],
+      dropped: Seq[DroppedTable])
+
+  private val file: Path = Paths.get(dataDir, "_catalog.json")
+
+  def tableRoot(uuid: String): String = s"$dataDir/$uuid"
+
+  // --- persistence --------------------------------------------------------
+
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+    case '\r' => "\\r"; case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+  private def q(s: String) = "\"" + esc(s) + "\""
+
+  def load(): State = {
+    if (!Files.exists(file))
+      return State(Map("default" -> Map("public" -> Map.empty)), Map.empty, Seq.empty)
+    val o = Json.parse(Files.readString(file)).asInstanceOf[O].m
+    val dbs = o("dbs").asInstanceOf[O].m.map { case (db, sv) =>
+      db -> sv.asInstanceOf[O].m.map { case (sch, tv) =>
+        sch -> tv.asInstanceOf[O].m.map { case (t, ev) =>
+          t -> TableEntry(ev.asInstanceOf[O].m("uuid").asInstanceOf[S].s)
+        }
+      }
+    }
+    val fns = o("functions").asInstanceOf[O].m.map { case (n, fv) =>
+      val f = fv.asInstanceOf[O].m
+      n -> FunctionEntry(n, f("detailsJson").asInstanceOf[S].s)
+    }
+    val dropped = o("dropped").asInstanceOf[A].xs.map { dv =>
+      val d = dv.asInstanceOf[O].m
+      DroppedTable(d("schema").asInstanceOf[S].s, d("name").asInstanceOf[S].s,
+        d("uuid").asInstanceOf[S].s, d("dropTimeMs").asInstanceOf[N].n.toLong)
+    }
+    State(dbs, fns, dropped)
+  }
+
+  private def save(s: State): Unit = {
+    val dbs = s.dbs.toSeq.sortBy(_._1).map { case (db, schemas) =>
+      q(db) + ":" + schemas.toSeq.sortBy(_._1).map { case (sch, tables) =>
+        q(sch) + ":" + tables.toSeq.sortBy(_._1).map { case (t, e) =>
+          q(t) + s""":{"uuid":${q(e.uuid)}}"""
+        }.mkString("{", ",", "}")
+      }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    val fns = s.functions.toSeq.sortBy(_._1).map { case (n, f) =>
+      q(n) + s""":{"detailsJson":${q(f.detailsJson)}}"""
+    }.mkString("{", ",", "}")
+    val dropped = s.dropped.map { d =>
+      s"""{"schema":${q(d.schema)},"name":${q(d.name)},"uuid":${q(d.uuid)},"dropTimeMs":${d.dropTimeMs}}"""
+    }.mkString("[", ",", "]")
+    Files.createDirectories(file.getParent)
+    val tmp = Files.createTempFile(file.getParent, ".catalog-", ".tmp")
+    Files.writeString(tmp, s"""{"dbs":$dbs,"functions":$fns,"dropped":$dropped}""")
+    Files.move(tmp, file, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def mutate[T](f: State => (State, T)): T = synchronized {
+    val (next, r) = f(load())
+    save(next)
+    r
+  }
+
+  // --- namespace ops ------------------------------------------------------
+
+  def createSchema(db: String, schema: String): Unit = mutate { s =>
+    val dbMap = s.dbs.getOrElse(db, throw new IllegalArgumentException(s"unknown database $db"))
+    require(!dbMap.contains(schema), s"schema $schema already exists")
+    (s.copy(dbs = s.dbs.updated(db, dbMap.updated(schema, Map.empty))), ())
+  }
+
+  def createDatabase(db: String): Unit = mutate { s =>
+    require(!s.dbs.contains(db), s"database $db already exists")
+    (s.copy(dbs = s.dbs.updated(db, Map("public" -> Map.empty))), ())
+  }
+
+  def createTable(db: String, schema: String, name: String): String = mutate { s =>
+    val schemas = s.dbs.getOrElse(db, throw new IllegalArgumentException(s"unknown database $db"))
+    val tables = schemas.getOrElse(schema, throw new IllegalArgumentException(s"unknown schema $schema"))
+    require(!tables.contains(name), s"table $schema.$name already exists")
+    val uuid = UUID.randomUUID.toString
+    (s.copy(dbs = s.dbs.updated(db, schemas.updated(schema, tables.updated(name, TableEntry(uuid))))), uuid)
+  }
+
+  def getTable(db: String, schema: String, name: String): Option[String] =
+    load().dbs.get(db).flatMap(_.get(schema)).flatMap(_.get(name)).map(_.uuid)
+
+  def listTables(db: String): Seq[(String, String, String)] =
+    load().dbs.getOrElse(db, Map.empty).toSeq.sortBy(_._1).flatMap { case (sch, ts) =>
+      ts.toSeq.sortBy(_._1).map { case (n, e) => (sch, n, e.uuid) }
+    }
+
+  def dropTable(db: String, schema: String, name: String): String = mutate { s =>
+    val schemas = s.dbs(db)
+    val tables = schemas(schema)
+    val e = tables.getOrElse(name, throw new IllegalArgumentException(s"unknown table $schema.$name"))
+    val next = s.copy(
+      dbs = s.dbs.updated(db, schemas.updated(schema, tables - name)),
+      dropped = s.dropped :+ DroppedTable(schema, name, e.uuid, System.currentTimeMillis))
+    (next, e.uuid)
+  }
+
+  def dropSchema(db: String, schema: String): Seq[String] = mutate { s =>
+    val schemas = s.dbs(db)
+    val tables = schemas.getOrElse(schema, throw new IllegalArgumentException(s"unknown schema $schema"))
+    val now = System.currentTimeMillis
+    val next = s.copy(
+      dbs = s.dbs.updated(db, schemas - schema),
+      dropped = s.dropped ++ tables.toSeq.map { case (n, e) => DroppedTable(schema, n, e.uuid, now) })
+    (next, tables.values.map(_.uuid).toSeq)
+  }
+
+  def renameTable(db: String, schema: String, from: String, toSchema: String, to: String): Unit = mutate { s =>
+    val schemas = s.dbs(db)
+    val tables = schemas(schema)
+    val e = tables.getOrElse(from, throw new IllegalArgumentException(s"unknown table $schema.$from"))
+    val afterRemove = schemas.updated(schema, tables - from)
+    val destTables = afterRemove.getOrElse(toSchema, throw new IllegalArgumentException(s"unknown schema $toSchema"))
+    require(!destTables.contains(to), s"table $toSchema.$to already exists")
+    (s.copy(dbs = s.dbs.updated(db, afterRemove.updated(toSchema, destTables.updated(to, e)))), ())
+  }
+
+  // --- functions ----------------------------------------------------------
+
+  def createFunction(name: String, detailsJson: String, orReplace: Boolean): Unit = mutate { s =>
+    require(orReplace || !s.functions.contains(name), s"function $name already exists")
+    (s.copy(functions = s.functions.updated(name, FunctionEntry(name, detailsJson))), ())
+  }
+
+  def dropFunction(name: String, ifExists: Boolean): Unit = mutate { s =>
+    if (!s.functions.contains(name)) {
+      if (ifExists) (s, ()) else throw new IllegalArgumentException(s"unknown function $name")
+    } else (s.copy(functions = s.functions - name), ())
+  }
+
+  def functions: Map[String, String] = load().functions.map { case (n, f) => n -> f.detailsJson }
+
+  // --- GC -----------------------------------------------------------------
+
+  def droppedTables: Seq[DroppedTable] = load().dropped
+
+  /** Remove dropped tables' storage and clear the ledger (VACUUM DATABASE,
+    * reference `src/utils.rs:50` gc_databases). Returns purged uuids. */
+  def gcDropped(): Seq[String] = mutate { s =>
+    s.dropped.foreach { d =>
+      val p = Paths.get(tableRoot(d.uuid))
+      if (Files.isDirectory(p)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+      }
+    }
+    (s.copy(dropped = Seq.empty), s.dropped.map(_.uuid))
+  }
+}

@@ -1,0 +1,247 @@
+package graft.lake
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+import graft.lake.Manifest._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** A versioned parquet table managed by the manifest log (see Manifest).
+  * Provides the Seafowl-owned storage semantics (reference
+  * `src/context/delta.rs`, `src/context/physical.rs:216-485`):
+  *
+  *  - append writes ZSTD parquet chunked by `maxRecordsPerFile`, collects
+  *    per-file min/max/nullCount in ONE distributed aggregation over
+  *    `input_file_name()`, and commits a new version;
+  *  - UPDATE/DELETE prune files by predicate-vs-stats, rewrite only the
+  *    affected files (fused into new files), and inherit untouched files
+  *    byte-identical — matching the reference's observable file lineage
+  *    (`tests/statements/dml.rs:332-489`);
+  *  - a predicate matching no file's stats commits a version with an
+  *    unchanged file set;
+  *  - TRUNCATE commits an empty file set; VACUUM deletes unreferenced
+  *    data files and old manifests.
+  */
+class GraftTable(val spark: SparkSession, val root: String) {
+
+  def schema: StructType = Manifest.readLatest(root) match {
+    case Some(m) => DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    case None => throw new IllegalStateException(s"no manifest at $root")
+  }
+
+  def latestManifest: TableManifest =
+    Manifest.readLatest(root).getOrElse(throw new IllegalStateException(s"no manifest at $root"))
+
+  /** DataFrame of a pinned version (default latest). An empty file set
+    * yields an empty DataFrame with the manifest schema. */
+  def read(version: Option[Long] = None): DataFrame = {
+    val m = version.map(Manifest.read(root, _)).getOrElse(latestManifest)
+    val sch = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    if (m.files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+    else
+      spark.read.schema(sch).parquet(m.files.map(f => s"$root/${f.path}"): _*)
+  }
+
+  def readAsOf(tsMs: Long): DataFrame = {
+    val v = Manifest.versionAsOf(root, tsMs).getOrElse(
+      throw new IllegalArgumentException(s"no version at or before $tsMs for $root"))
+    read(Some(v))
+  }
+
+  // --- write path ---------------------------------------------------------
+
+  /** Align df to the table schema: missing columns NULL-padded, extra
+    * columns rejected, then cast column-wise (INSERT semantics, reference
+    * `src/context/physical.rs:193-215`). */
+  private def align(df: DataFrame, sch: StructType): DataFrame = {
+    val have = df.columns.map(_.toLowerCase).toSet
+    val extra = df.columns.filterNot(c => sch.fieldNames.exists(_.equalsIgnoreCase(c)))
+    require(extra.isEmpty, s"unknown columns: ${extra.mkString(", ")}")
+    df.select(sch.fields.map { f =>
+      if (have.contains(f.name.toLowerCase)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+  }
+
+  /** Write df's rows as new parquet files under the table root; returns
+    * manifest entries with stats. One distributed stats pass, no collect
+    * of data rows. */
+  private def writeFiles(df: DataFrame, maxRecordsPerFile: Long): Seq[FileEntry] = {
+    val batchDir = s"data-${System.currentTimeMillis}-${UUID.randomUUID.toString.take(8)}"
+    val out = s"$root/$batchDir"
+    df.write
+      .option("compression", "zstd")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(out)
+    collectStats(out, batchDir, df.schema)
+  }
+
+  /** Stats for every parquet file under dir: min/max/nullCount per leaf
+    * column + record count, via one groupBy(input_file_name()). */
+  private[lake] def collectStats(dir: String, relPrefix: String, sch: StructType): Seq[FileEntry] = {
+    val written = spark.read.schema(sch).parquet(dir)
+    def isAtomic(dt: DataType): Boolean = dt match {
+      case _: ArrayType | _: MapType | _: StructType | NullType | BinaryType => false
+      case _ => true
+    }
+    def statBound(f: StructField, c: Column): Column = f.dataType match {
+      case TimestampType | TimestampNTZType => unix_micros(c.cast(TimestampType)).cast(StringType)
+      case DateType => c.cast(IntegerType).cast(StringType)
+      case dt if isAtomic(dt) => c.cast(StringType)
+      case _ => lit(null).cast(StringType)
+    }
+    val statable = sch.fields.filter(f => isAtomic(f.dataType))
+    val aggs = statable.flatMap { f =>
+      Seq(
+        statBound(f, min(col(f.name))).as(s"min__${f.name}"),
+        statBound(f, max(col(f.name))).as(s"max__${f.name}"),
+        sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"nulls__${f.name}"))
+    } :+ count(lit(1)).as("__numRecords")
+    val rows = written
+      .groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    rows.toIndexedSeq.map { r =>
+      val uri = r.getAs[String]("__file")
+      val fileName = uri.substring(uri.lastIndexOf('/') + 1)
+      val rel = if (relPrefix.isEmpty) fileName else s"$relPrefix/$fileName"
+      val size = Files.size(Paths.get(root, rel))
+      val stats = statable.map { f =>
+        f.name -> ColStats(
+          Option(r.getAs[String](s"min__${f.name}")),
+          Option(r.getAs[String](s"max__${f.name}")),
+          r.getAs[Long](s"nulls__${f.name}"))
+      }.toMap
+      FileEntry(rel, size, r.getAs[Long]("__numRecords"), stats)
+    }
+  }
+
+  private def commitNext(files: Seq[FileEntry], schemaJson: String): Long = {
+    val next = Manifest.latestVersion(root).map(_ + 1).getOrElse(0L)
+    Manifest.commit(root, TableManifest(next, System.currentTimeMillis, schemaJson, files))
+    next
+  }
+
+  /** INSERT/CTAS append; returns the new version. */
+  def append(df: DataFrame, maxRecordsPerFile: Long = GraftTable.DefaultMaxRecordsPerFile): Long = {
+    val m = latestManifest
+    val sch = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    val entries = writeFiles(align(df, sch), maxRecordsPerFile)
+    commitNext(m.files ++ entries, m.schemaJson)
+  }
+
+  /** UPDATE ... SET assignments WHERE predSql. Affected files (by stats)
+    * are fused and rewritten; untouched files inherited. */
+  def update(assignments: Seq[(String, String)], predSql: Option[String]): Long = {
+    val m = latestManifest
+    val sch = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    val (affected, untouched) = predSql match {
+      case Some(p) => Pruning.partition(m.files, p, sch)
+      case None => (m.files, Seq.empty[FileEntry])
+    }
+    if (affected.isEmpty) return commitNext(m.files, m.schemaJson)
+    val src = spark.read.schema(sch).parquet(affected.map(f => s"$root/${f.path}"): _*)
+    val pred = predSql.map(expr).getOrElse(lit(true))
+    val assignMap = assignments.map { case (c, e) => c.toLowerCase -> expr(e) }.toMap
+    val updated = src.select(sch.fields.map { f =>
+      assignMap.get(f.name.toLowerCase) match {
+        case Some(e) => when(pred, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }.toIndexedSeq: _*)
+    val entries = writeFiles(updated, GraftTable.DefaultMaxRecordsPerFile)
+    commitNext(untouched ++ entries, m.schemaJson)
+  }
+
+  /** DELETE FROM ... WHERE predSql: rewrite affected files keeping
+    * NOT(pred) rows; no predicate = remove all files. */
+  def delete(predSql: Option[String]): Long = {
+    val m = latestManifest
+    predSql match {
+      case None => commitNext(Seq.empty, m.schemaJson)
+      case Some(p) =>
+        val sch = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+        val (affected, untouched) = Pruning.partition(m.files, p, sch)
+        if (affected.isEmpty) return commitNext(m.files, m.schemaJson)
+        val src = spark.read.schema(sch).parquet(affected.map(f => s"$root/${f.path}"): _*)
+        val kept = src.filter(!coalesce(expr(p), lit(false)))
+        val entries = writeFiles(kept, GraftTable.DefaultMaxRecordsPerFile)
+        commitNext(untouched ++ entries, m.schemaJson)
+    }
+  }
+
+  def truncate(): Long = {
+    val m = latestManifest
+    commitNext(Seq.empty, m.schemaJson)
+  }
+
+  /** Delete data files not referenced by the latest version and all
+    * manifests except the latest. Returns (filesDeleted, versionsDeleted). */
+  def vacuum(): (Int, Int) = {
+    val latest = latestManifest
+    val keep = latest.files.map(_.path).toSet
+    val dataFiles = listDataFiles()
+    val toDelete = dataFiles.filterNot(keep.contains)
+    toDelete.foreach(p => Files.deleteIfExists(Paths.get(root, p)))
+    val oldVersions = Manifest.listVersions(root).filter(_ != latest.version)
+    oldVersions.foreach(v => Files.deleteIfExists(Manifest.versionPath(root, v)))
+    // drop now-empty batch dirs
+    Files.list(Paths.get(root)).iterator.asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("data-"))
+      .filter(p => !Files.list(p).iterator.asScala.hasNext)
+      .foreach(Files.deleteIfExists)
+    (toDelete.size, oldVersions.size)
+  }
+
+  private def listDataFiles(): Seq[String] = {
+    val rootP = Paths.get(root)
+    if (!Files.isDirectory(rootP)) return Seq.empty
+    Files.walk(rootP).iterator.asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .map(p => rootP.relativize(p).toString)
+      .filterNot(_.startsWith("_log"))
+      .toSeq
+  }
+
+  /** (version, timestampMs, numFiles, numRecords) per version. */
+  def history(): Seq[(Long, Long, Int, Long)] =
+    Manifest.listVersions(root).map { v =>
+      val m = Manifest.read(root, v)
+      (v, m.timestampMs, m.files.size, m.files.map(_.numRecords).sum)
+    }
+}
+
+object GraftTable {
+  /** Mirrors the reference's misc.max_partition_size default
+    * (1,048,576 rows/file, `src/config/schema.rs:283`). */
+  val DefaultMaxRecordsPerFile: Long = 1L << 20
+
+  /** Create a new empty table directory with schema (version 0). */
+  def create(spark: SparkSession, root: String, schema: StructType): GraftTable = {
+    Files.createDirectories(Paths.get(root))
+    Manifest.commit(root, TableManifest(0L, System.currentTimeMillis, schema.json, Seq.empty))
+    new GraftTable(spark, root)
+  }
+
+  /** CTAS: create + initial append (two versions, like the reference). */
+  def createAs(spark: SparkSession, root: String, df: DataFrame): GraftTable = {
+    val t = create(spark, root, df.schema)
+    t.append(df)
+    t
+  }
+
+  /** CONVERT: register an existing directory of plain parquet files as a
+    * graft table without rewriting them (reference
+    * `src/context/physical.rs:580-594`). */
+  def convert(spark: SparkSession, root: String): GraftTable = {
+    val df = spark.read.parquet(root)
+    val t = new GraftTable(spark, root)
+    val entries = t.collectStats(root, "", df.schema)
+    Manifest.commit(root, TableManifest(0L, System.currentTimeMillis, df.schema.json, entries))
+    t
+  }
+}

@@ -1,0 +1,206 @@
+package graft.lake
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Versioned-manifest table format ("graft table"): a table is a directory
+  * of parquet files plus `_log/v<N>.json` manifests, each listing the live
+  * files of that version with per-file, per-column min/max/null statistics
+  * — the same information Seafowl consumes from Delta `Add` actions
+  * (reference `src/context/delta.rs:246-256`) and everything UPDATE/DELETE
+  * file pruning, time travel, and ETag caching need.
+  *
+  * Commit protocol: a manifest is staged to a temp file and atomically
+  * renamed to `v<N>.json` with `ATOMIC_MOVE`; a pre-existing `v<N>.json`
+  * means a concurrent writer won that version — the commit fails and the
+  * caller may retry against the new latest (optimistic concurrency,
+  * mirroring Delta's protocol in spirit).
+  *
+  * Manifests are metadata-only (file lists + stats), so driver-side JSON
+  * is fine at scale: 100 TB at 1 GiB/file is ~100k entries per version.
+  */
+object Manifest {
+
+  /** Per-column, per-file statistics. min/max are stored as strings in a
+    * type-faithful textual form (numbers in decimal, timestamps as micros
+    * since epoch); null for all-null or unsupported types. */
+  case class ColStats(min: Option[String], max: Option[String], nullCount: Long)
+
+  case class FileEntry(
+      path: String, // relative to the table root
+      size: Long,
+      numRecords: Long,
+      stats: Map[String, ColStats])
+
+  case class TableManifest(
+      version: Long,
+      timestampMs: Long,
+      schemaJson: String, // Spark StructType JSON
+      files: Seq[FileEntry])
+
+  // --- tiny hand-rolled JSON (no deps beyond the JDK; values are simple) --
+
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private def jstr(s: String): String = "\"" + esc(s) + "\""
+  private def jopt(o: Option[String]): String = o.map(jstr).getOrElse("null")
+
+  def toJson(m: TableManifest): String = {
+    val files = m.files.map { f =>
+      val stats = f.stats.toSeq.sortBy(_._1).map { case (c, s) =>
+        s"${jstr(c)}:{" + s""""min":${jopt(s.min)},"max":${jopt(s.max)},"nullCount":${s.nullCount}}"""
+      }.mkString("{", ",", "}")
+      s"""{"path":${jstr(f.path)},"size":${f.size},"numRecords":${f.numRecords},"stats":$stats}"""
+    }.mkString("[", ",", "]")
+    s"""{"version":${m.version},"timestampMs":${m.timestampMs},"schemaJson":${jstr(m.schemaJson)},"files":$files}"""
+  }
+
+  /** Minimal recursive-descent JSON parser (objects/arrays/strings/numbers/
+    * null) — enough for our own manifests and the catalog file. */
+  object Json {
+    sealed trait V
+    case class S(s: String) extends V
+    case class N(n: Double) extends V
+    case class B(b: Boolean) extends V
+    case object Null extends V
+    case class A(xs: Vector[V]) extends V
+    case class O(m: Map[String, V]) extends V
+
+    def parse(input: String): V = {
+      val it = new P(input); val v = it.value(); it.ws(); require(it.eof, "trailing json"); v
+    }
+    private class P(s: String) {
+      var i = 0
+      def eof: Boolean = i >= s.length
+      def ws(): Unit = while (!eof && s.charAt(i).isWhitespace) i += 1
+      def value(): V = { ws(); s.charAt(i) match {
+        case '{' => obj()
+        case '[' => arr()
+        case '"' => S(str())
+        case 't' => i += 4; B(true)
+        case 'f' => i += 5; B(false)
+        case 'n' => i += 4; Null
+        case _ => num()
+      }}
+      def obj(): O = {
+        i += 1; ws()
+        val b = Map.newBuilder[String, V]
+        if (s.charAt(i) == '}') { i += 1; return O(b.result()) }
+        var done = false
+        while (!done) {
+          ws(); val k = str(); ws(); require(s.charAt(i) == ':'); i += 1
+          b += k -> value(); ws()
+          if (s.charAt(i) == ',') i += 1 else { require(s.charAt(i) == '}'); i += 1; done = true }
+        }
+        O(b.result())
+      }
+      def arr(): A = {
+        i += 1; ws()
+        val b = Vector.newBuilder[V]
+        if (s.charAt(i) == ']') { i += 1; return A(b.result()) }
+        var done = false
+        while (!done) {
+          b += value(); ws()
+          if (s.charAt(i) == ',') i += 1 else { require(s.charAt(i) == ']'); i += 1; done = true }
+        }
+        A(b.result())
+      }
+      def str(): String = {
+        require(s.charAt(i) == '"'); i += 1
+        val sb = new StringBuilder
+        while (s.charAt(i) != '"') {
+          if (s.charAt(i) == '\\') {
+            i += 1
+            s.charAt(i) match {
+              case 'n' => sb += '\n'; case 't' => sb += '\t'; case 'r' => sb += '\r'
+              case 'u' => sb += Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar; i += 4
+              case c => sb += c
+            }
+          } else sb += s.charAt(i)
+          i += 1
+        }
+        i += 1; sb.result()
+      }
+      def num(): N = {
+        val start = i
+        while (!eof && (s.charAt(i).isDigit || "+-.eE".contains(s.charAt(i)))) i += 1
+        N(s.substring(start, i).toDouble)
+      }
+    }
+  }
+
+  def fromJson(j: String): TableManifest = {
+    import Json._
+    val o = parse(j).asInstanceOf[O].m
+    def str(v: V): String = v.asInstanceOf[S].s
+    def lng(v: V): Long = v.asInstanceOf[N].n.toLong
+    val files = o("files").asInstanceOf[A].xs.map { fv =>
+      val f = fv.asInstanceOf[O].m
+      val stats = f("stats").asInstanceOf[O].m.map { case (c, sv) =>
+        val s = sv.asInstanceOf[O].m
+        c -> ColStats(
+          s("min") match { case S(x) => Some(x); case _ => None },
+          s("max") match { case S(x) => Some(x); case _ => None },
+          lng(s("nullCount")))
+      }
+      FileEntry(str(f("path")), lng(f("size")), lng(f("numRecords")), stats)
+    }
+    TableManifest(lng(o("version")), lng(o("timestampMs")), str(o("schemaJson")), files)
+  }
+
+  // --- log directory operations ------------------------------------------
+
+  def logDir(tableRoot: String): Path = Paths.get(tableRoot, "_log")
+
+  def versionPath(tableRoot: String, v: Long): Path = logDir(tableRoot).resolve(f"v$v%020d.json")
+
+  def listVersions(tableRoot: String): Seq[Long] = {
+    val dir = logDir(tableRoot)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    Files.list(dir).iterator.asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
+      .toSeq.sorted
+  }
+
+  def latestVersion(tableRoot: String): Option[Long] = listVersions(tableRoot).lastOption
+
+  def read(tableRoot: String, v: Long): TableManifest =
+    fromJson(Files.readString(versionPath(tableRoot, v)))
+
+  def readLatest(tableRoot: String): Option[TableManifest] =
+    latestVersion(tableRoot).map(read(tableRoot, _))
+
+  /** Version pinned as of an epoch-millis timestamp (latest manifest with
+    * timestampMs <= ts) — the time-travel resolution rule. */
+  def versionAsOf(tableRoot: String, tsMs: Long): Option[Long] = {
+    val vs = listVersions(tableRoot)
+    vs.map(read(tableRoot, _)).filter(_.timestampMs <= tsMs).map(_.version).lastOption
+  }
+
+  /** Atomic commit; throws if the version already exists (lost race). */
+  def commit(tableRoot: String, m: TableManifest): Unit = {
+    val dir = logDir(tableRoot)
+    Files.createDirectories(dir)
+    val target = versionPath(tableRoot, m.version)
+    if (Files.exists(target))
+      throw new IllegalStateException(
+        s"concurrent commit: version ${m.version} already exists at $target")
+    val tmp = Files.createTempFile(dir, s".v${m.version}-", ".tmp")
+    Files.writeString(tmp, toJson(m))
+    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    catch { case e: java.nio.file.FileAlreadyExistsException =>
+      Files.deleteIfExists(tmp)
+      throw new IllegalStateException(s"concurrent commit: lost race for version ${m.version}", e)
+    }
+  }
+}

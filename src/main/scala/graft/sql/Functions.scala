@@ -1,0 +1,76 @@
+package graft.sql
+
+import graft.lake.Manifest.Json
+import graft.lake.Manifest.Json._
+
+/** CREATE FUNCTION DDL (reference `src/wasm_udf/`, DDL plumbing
+  * `src/context/logical.rs:226-296`): function details arrive as a JSON
+  * document `{"entrypoint","language","input_types","return_type","data",
+  * "volatility"}` and are persisted in the catalog.
+  *
+  * Languages:
+  *  - `sql`: `data` is a SQL expression over `$1..$n` — registered as a
+  *    native Spark SQL UDF (codegen'd, no interpretation overhead).
+  *  - `wasm` / `wasmMessagePack`: accepted + persisted for DDL parity;
+  *    execution is unsupported in this offline JVM (no WASM runtime on the
+  *    classpath) — calling one raises a clear error.
+  */
+object Functions {
+
+  case class Details(language: String, inputTypes: Seq[String], returnType: String,
+                     data: String, volatility: String)
+
+  def parse(json: String): Details = {
+    val o = Json.parse(json).asInstanceOf[O].m
+    def str(k: String, dflt: String = ""): String =
+      o.get(k).collect { case S(s) => s }.getOrElse(dflt)
+    val inputs = o.get("input_types").collect { case A(xs) => xs.collect { case S(s) => s } }
+      .getOrElse(Vector.empty)
+    Details(str("language", "wasm"), inputs, str("return_type"), str("data"),
+      str("volatility", "volatile"))
+  }
+
+  def create(ctx: GraftContext, name: String, detailsJson: String, orReplace: Boolean): Unit = {
+    val d = parse(detailsJson) // validate before persisting
+    require(d.returnType.nonEmpty, "function details need a return_type")
+    ctx.catalog.createFunction(name, detailsJson, orReplace)
+    register(ctx, name, d)
+  }
+
+  def registerAll(ctx: GraftContext): Unit =
+    ctx.catalog.functions.foreach { case (n, j) => register(ctx, n, parse(j)) }
+
+  private def sqlTypeName(t: String): String = t.toUpperCase match {
+    case "INT" | "INTEGER" | "INT4" => "INT"
+    case "BIGINT" | "INT8" => "BIGINT"
+    case "SMALLINT" | "INT2" => "SMALLINT"
+    case "REAL" | "FLOAT4" | "FLOAT" => "FLOAT"
+    case "DOUBLE" | "FLOAT8" => "DOUBLE"
+    case "TEXT" | "VARCHAR" | "CHAR" | "STRING" => "STRING"
+    case "BOOLEAN" | "BOOL" => "BOOLEAN"
+    case "DATE" => "DATE"
+    case "TIMESTAMP" => "TIMESTAMP"
+    case other => other
+  }
+
+  private def register(ctx: GraftContext, name: String, d: Details): Unit = d.language match {
+    case "sql" =>
+      val params = d.inputTypes.zipWithIndex
+        .map { case (t, i) => s"p${i + 1} ${sqlTypeName(t)}" }.mkString(", ")
+      val body = (1 to d.inputTypes.size).foldLeft(d.data) { (b, i) =>
+        b.replace(s"$$$i", s"p$i")
+      }
+      ctx.spark.sql(
+        s"CREATE OR REPLACE TEMPORARY FUNCTION $name($params) RETURNS ${sqlTypeName(d.returnType)} RETURN $body")
+    case "wasm" | "wasmMessagePack" =>
+      // persisted but not executable here; register a stub that reports it
+      val msg = s"function $name: WASM execution is not supported in this build"
+      val stub = org.apache.spark.sql.functions.udf((_: Long) => {
+        if (msg.nonEmpty) throw new UnsupportedOperationException(msg)
+        0L
+      })
+      ctx.spark.udf.register(name, stub)
+    case other =>
+      throw new IllegalArgumentException(s"unsupported function language: $other")
+  }
+}

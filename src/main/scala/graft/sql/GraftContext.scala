@@ -1,0 +1,350 @@
+package graft.sql
+
+import java.nio.file.{Files, Paths}
+import java.time.Instant
+
+import graft.catalog.Catalog
+import graft.lake.{GraftTable, Manifest}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The engine's session/statement layer: what Seafowl hand-builds around
+  * DataFusion, re-built around Spark SQL (reference
+  * `src/context/logical.rs`, `src/context/physical.rs`).
+  *
+  * Statement dispatch: graft-owned statements (DDL/DML/VACUUM/COPY/
+  * CONVERT/CREATE FUNCTION — the ones the reference adds to its forked
+  * parser, `src/datafusion/parser.rs:104-186`) are recognized up front and
+  * executed eagerly against the catalog + manifest tables; everything else
+  * (SELECT/WITH/VALUES/EXPLAIN/SHOW) flows to Catalyst via `spark.sql`
+  * after (a) registering the referenced catalog tables as views and
+  * (b) applying the time-travel rewrite `t('<ts>')` → version-pinned view
+  * (reference `src/version.rs:61-106`).
+  *
+  * Naming: tables live in catalog schemas (default `public`); `public`
+  * tables register under their bare name, qualified `sch.tbl` references
+  * are rewritten to backtick-quoted flat view names before parsing.
+  */
+class GraftContext(val spark: SparkSession, val dataDir: String) {
+
+  val catalog = new Catalog(dataDir)
+  Files.createDirectories(Paths.get(dataDir))
+
+  def table(schema: String, name: String): GraftTable = {
+    val uuid = catalog.getTable("default", schema, name)
+      .getOrElse(throw new IllegalArgumentException(s"unknown table $schema.$name"))
+    new GraftTable(spark, catalog.tableRoot(uuid))
+  }
+
+  private def emptyResult: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("ok", BooleanType))))
+
+  // --- statement splitting (quote-aware) ---------------------------------
+
+  def splitStatements(sql: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0; var inS = false; var inD = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'' && !inD) inS = !inS
+      else if (c == '"' && !inS) inD = !inD
+      if (c == ';' && !inS && !inD) { out += cur.result(); cur.clear() }
+      else cur += c
+      i += 1
+    }
+    out += cur.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  // --- DDL type mapping (reference src/datafusion/utils.rs:47-178) --------
+
+  private[sql] def sqlType(t: String): DataType = {
+    val up = t.trim.toUpperCase
+    val dec = """(?:NUMERIC|DECIMAL)\s*\(\s*(\d+)\s*(?:,\s*(\d+))?\s*\)""".r
+    up match {
+      case "BOOLEAN" | "BOOL" => BooleanType
+      case "TINYINT" => ByteType
+      case "SMALLINT" | "INT2" => ShortType
+      case "INT" | "INTEGER" | "INT4" => IntegerType
+      case "BIGINT" | "INT8" => LongType
+      case "FLOAT" | "REAL" | "FLOAT4" => FloatType
+      case "DOUBLE" | "FLOAT8" | "DOUBLE PRECISION" => DoubleType
+      case "CHAR" | "VARCHAR" | "TEXT" | "STRING" => StringType
+      case "TIMESTAMP" => TimestampType
+      case "DATE" => DateType
+      case "BYTEA" | "BINARY" => BinaryType
+      case "NUMERIC" | "DECIMAL" => DecimalType(38, 10)
+      case dec(p, s) => DecimalType(p.toInt, Option(s).map(_.toInt).getOrElse(0))
+      case other if other.startsWith("VARCHAR") || other.startsWith("CHAR") => StringType
+      case other =>
+        // nested/JSON/UUID types are rejected for reference parity
+        // (src/datafusion/utils.rs:110-176)
+        throw new IllegalArgumentException(s"unsupported DDL type: $other")
+    }
+  }
+
+  private def parseColumns(colDefs: String): StructType = {
+    // split on top-level commas (decimal(10,2) has nested ones)
+    val parts = Seq.newBuilder[String]
+    var depth = 0; val cur = new StringBuilder
+    colDefs.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => parts += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    parts += cur.result()
+    StructType(parts.result().map(_.trim).filter(_.nonEmpty).map { cd =>
+      val m = """^"?([\w ]+?)"?\s+(.+?)(\s+NOT\s+NULL)?$""".r
+      cd match {
+        case m(name, tpe, notNull) =>
+          StructField(name.trim, sqlType(tpe), nullable = notNull == null)
+        case _ => throw new IllegalArgumentException(s"cannot parse column def: $cd")
+      }
+    })
+  }
+
+  private def splitName(qname: String): (String, String) = {
+    val parts = qname.replace("\"", "").split('.')
+    if (parts.length == 2) (parts(0), parts(1)) else ("public", parts(0))
+  }
+
+  // --- query-side registration + rewrites ---------------------------------
+
+  /** Make every catalog table visible to spark.sql: public tables under
+    * their bare name; others via flat names addressed with backticks. */
+  private def registerAll(): Unit = {
+    catalog.listTables("default").foreach { case (sch, name, uuid) =>
+      val t = new GraftTable(spark, catalog.tableRoot(uuid))
+      val view = if (sch == "public") name else s"${sch}__$name"
+      t.read().createOrReplaceTempView(view)
+    }
+    SystemTables.registerAll(this)
+  }
+
+  /** Backtick-quote qualified names of known non-public tables + rewrite
+    * time travel `t('<ts>')` to a version-pinned registered view. */
+  private[sql] def rewriteQuery(sql0: String): String = {
+    var sql = sql0
+    // time travel: <table>('<ISO timestamp>')
+    val tt = """(\b[\w."]+)\s*\(\s*'([^']+)'\s*\)""".r
+    sql = tt.replaceAllIn(sql, m => {
+      val (sch, name) = splitName(m.group(1))
+      catalog.getTable("default", sch, name) match {
+        case Some(uuid) =>
+          val tsMs = Instant.parse(m.group(2)).toEpochMilli
+          val root = catalog.tableRoot(uuid)
+          val v = Manifest.versionAsOf(root, tsMs).getOrElse(
+            throw new IllegalArgumentException(s"no version of $sch.$name at or before ${m.group(2)}"))
+          val viewName = if (sch == "public") s"${name}__v$v" else s"${sch}__${name}__v$v"
+          new GraftTable(spark, root).read(Some(v)).createOrReplaceTempView(viewName)
+          java.util.regex.Matcher.quoteReplacement(viewName)
+        case None => java.util.regex.Matcher.quoteReplacement(m.group(0))
+      }
+    })
+    // qualified non-public names -> backticked flat view names
+    val nonPublic = catalog.listTables("default").filter(_._1 != "public") ++
+      Seq(("system", "table_versions", ""), ("system", "dropped_tables", ""),
+        ("information_schema", "tables", ""), ("information_schema", "columns", ""),
+        ("staging", "", ""))
+    nonPublic.foreach { case (sch, name, _) =>
+      if (name.nonEmpty)
+        sql = sql.replaceAll(s"(?i)(?<![`\\w])$sch\\.$name(?![`\\w])", s"${sch}__$name")
+    }
+    // staging external tables are registered on creation with flat names
+    sql = sql.replaceAll("(?i)(?<![`\\w])staging\\.(\\w+)(?![`\\w])", "staging__$1")
+    sql
+  }
+
+  /** Run a read-only (or Spark-handled) statement through Catalyst. */
+  private def sparkSql(sql: String): DataFrame = {
+    registerAll()
+    spark.sql(rewriteQuery(sql))
+  }
+
+  // --- dispatcher ---------------------------------------------------------
+
+  private val reCreateDb = """(?is)^CREATE\s+DATABASE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w"]+)\s*$""".r
+  private val reCreateSchema = """(?is)^CREATE\s+SCHEMA\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w"]+)\s*$""".r
+  private val reCreateTableAs = """(?is)^CREATE\s+TABLE\s+([\w."]+)\s+AS\s+(.+)$""".r
+  private val reCreateTable = """(?is)^CREATE\s+TABLE\s+([\w."]+)\s*\((.+)\)\s*$""".r
+  private val reCreateExternal =
+    """(?is)^CREATE\s+EXTERNAL\s+TABLE\s+([\w."]+)\s+STORED\s+AS\s+(\w+)\s+LOCATION\s+'([^']+)'\s*$""".r
+  private val reInsertSel = """(?is)^INSERT\s+INTO\s+([\w."]+)\s*(?:\(([^)]*)\))?\s*(SELECT.+|VALUES.+|WITH.+)$""".r
+  private val reUpdate = """(?is)^UPDATE\s+([\w."]+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?$""".r
+  private val reDelete = """(?is)^DELETE\s+FROM\s+([\w."]+)(?:\s+WHERE\s+(.+))?$""".r
+  private val reTruncate = """(?is)^TRUNCATE\s+(?:TABLE\s+)?([\w."]+)\s*$""".r
+  private val reDropTable = """(?is)^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w."]+)\s*$""".r
+  private val reDropSchema = """(?is)^DROP\s+SCHEMA\s+(?:IF\s+EXISTS\s+)?([\w"]+)\s*$""".r
+  private val reRename = """(?is)^ALTER\s+TABLE\s+([\w."]+)\s+RENAME\s+TO\s+([\w."]+)\s*$""".r
+  private val reVacuumDb = """(?is)^VACUUM\s+DATABASE\s+([\w"]+)\s*$""".r
+  private val reVacuumTable = """(?is)^VACUUM\s+TABLE\s+([\w."]+)\s*$""".r
+  private val reCopyTo = """(?is)^COPY\s+(.+?)\s+TO\s+'([^']+)'(?:\s+WITH\s*\(\s*FORMAT\s+(\w+)\s*\))?\s*$""".r
+  private val reCreateFn =
+    """(?is)^CREATE\s+(OR\s+REPLACE\s+)?FUNCTION\s+([\w"]+)\s+AS\s+'(.+)'\s*$""".r
+  private val reDropFn = """(?is)^DROP\s+FUNCTION\s+(IF\s+EXISTS\s+)?(.+)$""".r
+  private val reConvert = """(?is)^CONVERT\s+'([^']+)'\s+TO\s+GRAFT\s+([\w."]+)\s*$""".r
+
+  /** Execute one statement; returns its result (DDL/DML → empty). */
+  def execute(sql: String): DataFrame = sql.trim match {
+    case reCreateDb(db) =>
+      catalog.createDatabase(clean(db)); emptyResult
+    case reCreateSchema(sch) =>
+      catalog.createSchema("default", clean(sch)); emptyResult
+    case reCreateExternal(qname, fmt, loc) =>
+      val (_, name) = splitName(qname)
+      val df = fmt.toUpperCase match {
+        case "PARQUET" => spark.read.parquet(loc)
+        case "CSV" => spark.read.option("header", "true").option("inferSchema", "true").csv(loc)
+        case "JSON" | "NDJSON" => spark.read.json(loc)
+        case other => throw new IllegalArgumentException(s"unsupported external format $other")
+      }
+      // external tables land in the transient `staging` schema only
+      // (reference src/context/mod.rs:124-148)
+      df.createOrReplaceTempView(s"staging__$name")
+      emptyResult
+    case reCreateTableAs(qname, query) =>
+      val (sch, name) = splitName(qname)
+      registerAll()
+      val df = spark.sql(rewriteQuery(query))
+      val uuid = catalog.createTable("default", sch, name)
+      GraftTable.createAs(spark, catalog.tableRoot(uuid), df)
+      emptyResult
+    case reCreateTable(qname, cols) =>
+      val (sch, name) = splitName(qname)
+      val schema = parseColumns(cols)
+      val uuid = catalog.createTable("default", sch, name)
+      GraftTable.create(spark, catalog.tableRoot(uuid), schema)
+      emptyResult
+    case reInsertSel(qname, colList, query) =>
+      val (sch, name) = splitName(qname)
+      val t = table(sch, name)
+      registerAll()
+      var df = spark.sql(rewriteQuery(query))
+      Option(colList).map(_.trim).filter(_.nonEmpty) match {
+        case Some(cl) =>
+          val names = cl.split(',').map(_.trim.replace("\"", ""))
+          require(names.length == df.columns.length,
+            s"INSERT column list has ${names.length} columns, query produces ${df.columns.length}")
+          df = df.toDF(names.toIndexedSeq: _*)
+        case None =>
+          // no column list: positional mapping onto the table schema
+          // (cast-by-position, reference src/context/physical.rs:193-215)
+          val sch = t.schema
+          require(df.columns.length <= sch.fields.length,
+            s"INSERT provides ${df.columns.length} columns, table has ${sch.fields.length}")
+          df = df.toDF(sch.fields.take(df.columns.length).map(_.name).toIndexedSeq: _*)
+      }
+      t.append(df); emptyResult
+    case reUpdate(qname, setClause, where) =>
+      val (sch, name) = splitName(qname)
+      val assigns = splitTop(setClause).map { a =>
+        val i = a.indexOf('=')
+        require(i > 0, s"bad assignment: $a")
+        (a.substring(0, i).trim.replace("\"", ""), a.substring(i + 1).trim)
+      }
+      table(sch, name).update(assigns, Option(where)); emptyResult
+    case reDelete(qname, where) =>
+      val (sch, name) = splitName(qname)
+      table(sch, name).delete(Option(where)); emptyResult
+    case reTruncate(qname) =>
+      val (sch, name) = splitName(qname)
+      table(sch, name).truncate(); emptyResult
+    case reDropTable(qname) =>
+      val (sch, name) = splitName(qname)
+      catalog.dropTable("default", sch, name)
+      spark.catalog.dropTempView(if (sch == "public") name else s"${sch}__$name")
+      emptyResult
+    case reDropSchema(schName) =>
+      catalog.dropSchema("default", clean(schName)); emptyResult
+    case reRename(from, to) =>
+      val (fs, fn) = splitName(from); val (ts, tn) = splitName(to)
+      catalog.renameTable("default", fs, fn, ts, tn)
+      spark.catalog.dropTempView(if (fs == "public") fn else s"${fs}__$fn")
+      emptyResult
+    case reVacuumDb(_) =>
+      catalog.gcDropped(); emptyResult
+    case reVacuumTable(qname) =>
+      val (sch, name) = splitName(qname)
+      table(sch, name).vacuum(); emptyResult
+    case reConvert(loc, qname) =>
+      val (sch, name) = splitName(qname)
+      val uuid = catalog.createTable("default", sch, name)
+      val root = catalog.tableRoot(uuid)
+      // register in place: copy the parquet files into the table dir, then
+      // build the initial manifest over them (no rewrite of row data)
+      Files.createDirectories(Paths.get(root))
+      import scala.jdk.CollectionConverters._
+      Files.list(Paths.get(loc)).iterator.asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .foreach(p => Files.copy(p, Paths.get(root, p.getFileName.toString)))
+      GraftTable.convert(spark, root)
+      emptyResult
+    case reCreateFn(orReplace, name, json) =>
+      Functions.create(this, clean(name), json, orReplace != null); emptyResult
+    case reDropFn(ifExists, names) =>
+      names.split(',').map(_.trim.replace("\"", "")).filter(_.nonEmpty)
+        .foreach(n => catalog.dropFunction(n, ifExists != null))
+      emptyResult
+    case reCopyTo(src, path, fmt) =>
+      registerAll()
+      val body = src.trim
+      val df =
+        if (body.startsWith("(")) spark.sql(rewriteQuery(body.stripPrefix("(").stripSuffix(")")))
+        else spark.sql(rewriteQuery(s"SELECT * FROM $body"))
+      val format = Option(fmt).map(_.toLowerCase).getOrElse("parquet")
+      format match {
+        case "parquet" => df.write.mode("overwrite").parquet(path)
+        case "csv" => df.write.mode("overwrite").option("header", "true").csv(path)
+        case other => throw new IllegalArgumentException(s"unsupported COPY format $other")
+      }
+      emptyResult
+    case other =>
+      Functions.registerAll(this)
+      sparkSql(other)
+  }
+
+  /** Multi-statement execution (all run sequentially; results of the last
+    * statement are returned — reference `src/frontend/http.rs:174-218`). */
+  def executeAll(sql: String): DataFrame = {
+    val stmts = splitStatements(sql)
+    require(stmts.nonEmpty, "empty statement")
+    stmts.map(execute).last
+  }
+
+  /** True if the single statement is read-only (cacheable GET path). */
+  def isReadOnly(sql: String): Boolean = {
+    val up = sql.trim.toUpperCase
+    Seq("SELECT", "WITH", "VALUES", "SHOW", "EXPLAIN", "DESCRIBE").exists(up.startsWith)
+  }
+
+  /** (table uuid, version) pairs for every graft table referenced by a
+    * query — the ETag input (reference ETagBuilderVisitor,
+    * `src/frontend/http.rs:63-105`). Conservative textual match. */
+  def versionFingerprint(sql: String): Seq[(String, Long)] =
+    catalog.listTables("default").flatMap { case (sch, name, uuid) =>
+      val ref = if (sch == "public") s"(?i)(?<![\\w`])$name(?![\\w`])" else s"(?i)$sch\\.$name"
+      if (ref.r.findFirstIn(sql).isDefined) {
+        Manifest.latestVersion(catalog.tableRoot(uuid)).map(v => (uuid, v))
+      } else None
+    }
+
+  private def clean(s: String) = s.replace("\"", "")
+
+  private def splitTop(s: String): Seq[String] = {
+    val parts = Seq.newBuilder[String]
+    var depth = 0; var inS = false; val cur = new StringBuilder
+    s.foreach {
+      case '\'' => inS = !inS; cur += '\''
+      case '(' if !inS => depth += 1; cur += '('
+      case ')' if !inS => depth -= 1; cur += ')'
+      case ',' if depth == 0 && !inS => parts += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    parts += cur.result()
+    parts.result().map(_.trim).filter(_.nonEmpty)
+  }
+}

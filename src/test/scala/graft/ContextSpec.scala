@@ -1,0 +1,151 @@
+package graft
+
+import graft.sql.GraftContext
+
+/** Statement-layer semantics, mirroring the reference's statements suite
+  * (`tests/statements/{ddl,dml,query,time_travel}.rs`): the canonical
+  * `test_table` fixture (FIXTURES.md §1), INSERT null-padding, DDL/DML,
+  * time travel via `t('<ts>')`, system/information_schema views,
+  * CREATE FUNCTION, COPY TO, external tables, multi-statement POST rules.
+  */
+class ContextSpec extends SparkSpec {
+
+  private def ctx() = new GraftContext(spark, tmpDir("graft-ctx"))
+
+  private val fixture =
+    """CREATE TABLE test_table (
+      |  some_time TIMESTAMP, some_value REAL,
+      |  some_other_value NUMERIC, some_bool_value BOOLEAN, some_int_value BIGINT
+      |)""".stripMargin
+
+  test("create/insert with missing + reordered columns NULL-pads") {
+    val c = ctx()
+    c.execute(fixture)
+    c.execute(
+      """INSERT INTO test_table (some_int_value, some_other_value, some_time, some_value) VALUES
+        |  (1111, 1.0, TIMESTAMP '2022-01-01 20:01:01', 42),
+        |  (2222, 1.0, TIMESTAMP '2022-01-01 20:02:02', 43),
+        |  (3333, 1.0, TIMESTAMP '2022-01-01 20:03:03', 44)""".stripMargin)
+    val rows = c.execute("SELECT * FROM test_table ORDER BY some_int_value").collect()
+    assert(rows.length === 3)
+    assert(rows.forall(_.isNullAt(3))) // some_bool_value never inserted
+    assert(rows.map(_.getAs[Float]("some_value")).toSeq === Seq(42f, 43f, 44f))
+  }
+
+  test("ctas, rename, drop, schemas") {
+    val c = ctx()
+    c.execute(fixture)
+    c.execute("INSERT INTO test_table (some_int_value) VALUES (7)")
+    c.execute("CREATE TABLE copied AS SELECT some_int_value FROM test_table")
+    assert(c.execute("SELECT * FROM copied").count() === 1)
+    c.execute("ALTER TABLE copied RENAME TO copied2")
+    assert(c.execute("SELECT * FROM copied2").count() === 1)
+    intercept[Exception](c.execute("SELECT * FROM copied").collect())
+    c.execute("DROP TABLE copied2")
+    assert(c.catalog.getTable("default", "public", "copied2").isEmpty)
+    c.execute("CREATE SCHEMA extra")
+    c.execute("CREATE TABLE extra.t2 (a BIGINT)")
+    c.execute("INSERT INTO extra.t2 VALUES (5)")
+    assert(c.execute("SELECT a FROM extra.t2").collect().head.getLong(0) === 5L)
+  }
+
+  test("update and delete through SQL with pruning semantics") {
+    val c = ctx()
+    c.execute("CREATE TABLE t (id BIGINT, v DOUBLE)")
+    c.execute("INSERT INTO t VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    c.execute("UPDATE t SET v = v * 2 WHERE id >= 2")
+    assert(c.execute("SELECT SUM(v) AS s FROM t").collect().head.getDouble(0) === 11.0)
+    c.execute("UPDATE t SET v = CASE WHEN id = 1 THEN 100.0 ELSE v END")
+    assert(c.execute("SELECT SUM(v) AS s FROM t").collect().head.getDouble(0) === 110.0)
+    c.execute("DELETE FROM t WHERE id = 2")
+    assert(c.execute("SELECT COUNT(*) AS n FROM t").collect().head.getLong(0) === 2L)
+    c.execute("TRUNCATE TABLE t")
+    assert(c.execute("SELECT COUNT(*) AS n FROM t").collect().head.getLong(0) === 0L)
+  }
+
+  test("time travel table-function syntax") {
+    val c = ctx()
+    c.execute("CREATE TABLE tt (v BIGINT)")
+    c.execute("INSERT INTO tt VALUES (1)")
+    Thread.sleep(20)
+    val mid = java.time.Instant.now.toString
+    Thread.sleep(20)
+    c.execute("INSERT INTO tt VALUES (2)")
+    assert(c.execute("SELECT COUNT(*) AS n FROM tt").collect().head.getLong(0) === 2L)
+    assert(c.execute(s"SELECT COUNT(*) AS n FROM tt('$mid')").collect().head.getLong(0) === 1L)
+  }
+
+  test("system tables and information_schema") {
+    val c = ctx()
+    c.execute(fixture)
+    c.execute("INSERT INTO test_table (some_int_value) VALUES (1)")
+    val versions = c.execute(
+      "SELECT version FROM system.table_versions WHERE table_name = 'test_table' ORDER BY version")
+      .collect().map(_.getLong(0)).toSeq
+    assert(versions === Seq(0L, 1L))
+    c.execute("DROP TABLE test_table")
+    val dropped = c.execute("SELECT table_name FROM system.dropped_tables").collect()
+    assert(dropped.map(_.getString(0)).toSeq === Seq("test_table"))
+    c.execute("CREATE TABLE t2 (a BIGINT NOT NULL, b VARCHAR)")
+    val cols = c.execute(
+      "SELECT column_name, is_nullable FROM information_schema.columns WHERE table_name = 't2' ORDER BY ordinal_position")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(cols === Seq(("a", "NO"), ("b", "YES")))
+  }
+
+  test("vacuum database GCs dropped table storage") {
+    val c = ctx()
+    c.execute("CREATE TABLE gone (a BIGINT)")
+    c.execute("INSERT INTO gone VALUES (1)")
+    val uuid = c.catalog.getTable("default", "public", "gone").get
+    c.execute("DROP TABLE gone")
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(c.catalog.tableRoot(uuid))))
+    c.execute("VACUUM DATABASE default")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(c.catalog.tableRoot(uuid))))
+    assert(c.catalog.droppedTables.isEmpty)
+  }
+
+  test("create function (sql language) registers a callable UDF") {
+    val c = ctx()
+    c.execute(
+      """CREATE FUNCTION addtwo AS '{"entrypoint":"addtwo","language":"sql","input_types":["bigint","bigint"],"return_type":"bigint","data":"$1 + $2"}'""")
+    assert(c.execute("SELECT addtwo(2, 3) AS r").collect().head.getLong(0) === 5L)
+    intercept[Exception](c.execute(
+      """CREATE FUNCTION addtwo AS '{"language":"sql","input_types":["bigint"],"return_type":"bigint","data":"$1"}'"""))
+    c.execute(
+      """CREATE OR REPLACE FUNCTION addtwo AS '{"language":"sql","input_types":["bigint","bigint"],"return_type":"bigint","data":"$1 + $2 + 1"}'""")
+    assert(c.execute("SELECT addtwo(2, 3) AS r").collect().head.getLong(0) === 6L)
+    c.execute("DROP FUNCTION addtwo")
+    assert(c.catalog.functions.isEmpty)
+  }
+
+  test("copy to + external table round trip through staging") {
+    val c = ctx()
+    c.execute("CREATE TABLE src (a BIGINT, b VARCHAR)")
+    c.execute("INSERT INTO src VALUES (1, 'x'), (2, 'y')")
+    val out = tmpDir("graft-copy") + "/export"
+    c.execute(s"COPY src TO '$out'")
+    c.execute(s"CREATE EXTERNAL TABLE ext STORED AS PARQUET LOCATION '$out'")
+    assert(c.execute("SELECT COUNT(*) AS n FROM staging.ext").collect().head.getLong(0) === 2L)
+  }
+
+  test("convert existing parquet directory to a graft table") {
+    import spark.implicits._
+    val c = ctx()
+    val dir = tmpDir("graft-conv")
+    Seq((1L, "x"), (2L, "y")).toDF("id", "v").write.mode("overwrite").parquet(dir)
+    c.execute(s"CONVERT '$dir' TO GRAFT converted")
+    assert(c.execute("SELECT COUNT(*) AS n FROM converted").collect().head.getLong(0) === 2L)
+  }
+
+  test("multi-statement execution returns the last result") {
+    val c = ctx()
+    val df = c.executeAll(
+      """CREATE TABLE m (a BIGINT);
+        |INSERT INTO m VALUES (1), (2);
+        |SELECT SUM(a) AS s FROM m""".stripMargin)
+    assert(df.collect().head.getLong(0) === 3L)
+    assert(c.isReadOnly("SELECT 1"))
+    assert(!c.isReadOnly("INSERT INTO m VALUES (3)"))
+  }
+}

@@ -1,0 +1,142 @@
+package graft
+
+import graft.lake.{GraftTable, Manifest, Pruning}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Storage-layer semantics mirrored from the reference's DML golden tests
+  * (`tests/statements/dml.rs`): file fusion on UPDATE, byte-identical
+  * inheritance of untouched files, no-op versions when stats prune
+  * everything, full-file DELETE, truncate, time travel, vacuum.
+  */
+class LakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(rows: Seq[(Long, String, Double)], maxPerFile: Long = 2): GraftTable = {
+    val root = tmpDir("graft-lake")
+    val t = GraftTable.create(spark, root,
+      StructType(Seq(
+        StructField("id", LongType), StructField("name", StringType),
+        StructField("score", DoubleType))))
+    // single sorted partition → deterministic sequential file chunking
+    t.append(rows.toDF("id", "name", "score").coalesce(1).sortWithinPartitions("id"), maxPerFile)
+    t
+  }
+
+  test("create + append + read roundtrip with chunking") {
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)), maxPerFile = 2)
+    assert(t.read().count() === 3)
+    // 3 rows with maxRecordsPerFile=2 → at least 2 files
+    assert(t.latestManifest.files.map(_.numRecords).sum === 3)
+    assert(t.latestManifest.files.forall(_.numRecords <= 2))
+  }
+
+  test("append NULL-pads missing and reorders columns") {
+    val t = freshTable(Seq((1L, "a", 1.0)))
+    t.append(Seq(("x", 9L)).toDF("name", "id")) // missing score, reordered
+    val rows = t.read().orderBy("id").collect()
+    assert(rows.length === 2)
+    assert(rows(1).getAs[String]("name") === "x")
+    assert(rows(1).isNullAt(rows(1).fieldIndex("score")))
+  }
+
+  test("manifest stats carry min/max/nullCount") {
+    val t = freshTable(Seq((1L, "a", 1.0), (5L, "b", 2.5)), maxPerFile = 10)
+    val f = t.latestManifest.files.head
+    assert(f.stats("id").min.contains("1"))
+    assert(f.stats("id").max.contains("5"))
+    assert(f.stats("score").nullCount === 0)
+  }
+
+  test("update fuses affected files and inherits untouched ones") {
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0), (10L, "c", 3.0), (11L, "d", 4.0)))
+    val before = t.latestManifest.files.map(_.path).toSet
+    // ids 10,11 live in their own file (rows are written in order, 2/file)
+    t.update(Seq("score" -> "score * 10"), Some("id >= 10"))
+    val after = t.latestManifest
+    // untouched file(s) inherited byte-identical (same path)
+    assert(after.files.map(_.path).toSet.intersect(before).nonEmpty)
+    // affected rows rewritten
+    val rows = t.read().orderBy("id").collect()
+    assert(rows.map(_.getAs[Double]("score")).toSeq === Seq(1.0, 2.0, 30.0, 40.0))
+  }
+
+  test("update matching no file stats commits unchanged file set") {
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    val before = t.latestManifest
+    val v = t.update(Seq("score" -> "0.0"), Some("id > 1000"))
+    val after = Manifest.read(t.root, v)
+    assert(after.files.map(_.path) === before.files.map(_.path))
+    assert(v === before.version + 1)
+  }
+
+  test("delete rewrites only affected files; bare delete empties the table") {
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0), (10L, "c", 3.0), (11L, "d", 4.0)))
+    t.delete(Some("id = 10"))
+    assert(t.read().count() === 3)
+    assert(t.read().orderBy("id").select("id").as[Long].collect().toSeq === Seq(1L, 2L, 11L))
+    t.delete(None)
+    assert(t.read().count() === 0)
+    assert(t.latestManifest.files.isEmpty)
+  }
+
+  test("truncate keeps schema, drops files; failed predicates leave table usable") {
+    val t = freshTable(Seq((1L, "a", 1.0)))
+    intercept[Exception](t.delete(Some("nonexistent_column = 1")))
+    assert(t.read().count() === 1) // failed DML leaves the table usable
+    t.truncate()
+    assert(t.read().count() === 0)
+    assert(t.schema.fieldNames.toSeq === Seq("id", "name", "score"))
+  }
+
+  test("time travel reads historical versions") {
+    val t = freshTable(Seq((1L, "a", 1.0)))
+    val tsAfterV1 = System.currentTimeMillis
+    Thread.sleep(5)
+    t.append(Seq((2L, "b", 2.0)).toDF("id", "name", "score"))
+    assert(t.read().count() === 2)
+    assert(t.readAsOf(tsAfterV1).count() === 1)
+    assert(Manifest.versionAsOf(t.root, tsAfterV1).contains(1L))
+  }
+
+  test("vacuum removes unreferenced files and old manifests") {
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    t.update(Seq("score" -> "score + 1"), Some("id = 1")) // orphans a file
+    val (files, versions) = t.vacuum()
+    assert(files > 0)
+    assert(versions > 0)
+    assert(Manifest.listVersions(t.root).size === 1)
+    assert(t.read().count() === 2) // latest version intact
+  }
+
+  test("pruning is conservative and correct") {
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0), (10L, "c", 3.0)), maxPerFile = 2)
+    val m = t.latestManifest
+    val sch = t.schema
+    val (hit, miss) = Pruning.partition(m.files, "id >= 10", sch)
+    assert(hit.nonEmpty && miss.nonEmpty)
+    val (all, none) = Pruning.partition(m.files, "name IS NOT NULL", sch)
+    assert(none.isEmpty && all.size === m.files.size)
+    val (hits2, _) = Pruning.partition(m.files, "id = 2 OR id = 10", sch)
+    assert(hits2.size === 2) // the two files holding 2 and 10
+    val (h3, m3) = Pruning.partition(m.files, "id > 1000", sch)
+    assert(h3.isEmpty && m3.size === m.files.size)
+  }
+
+  test("concurrent commit of the same version fails cleanly") {
+    val t = freshTable(Seq((1L, "a", 1.0)))
+    val m = t.latestManifest
+    intercept[IllegalStateException] {
+      Manifest.commit(t.root, m) // same version again
+    }
+  }
+
+  test("convert registers existing parquet without rewriting") {
+    val dir = tmpDir("graft-convert")
+    Seq((1L, "x"), (2L, "y")).toDF("id", "v").write.mode("overwrite").parquet(dir)
+    // drop spark's _SUCCESS marker noise; convert only picks *.parquet
+    val t = GraftTable.convert(spark, dir)
+    assert(t.read().count() === 2)
+    assert(t.latestManifest.files.nonEmpty)
+  }
+}
