@@ -174,6 +174,17 @@ class GraftTable(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** Commit a version where `affected` files are replaced by the rows of
+    * `replacement` (written as new files) and `untouched` are inherited —
+    * the merge-rewrite primitive used by CDC sync. */
+  def replaceFiles(affected: Seq[FileEntry], untouched: Seq[FileEntry],
+                   replacement: DataFrame): Long = {
+    val m = latestManifest
+    val sch = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    val entries = writeFiles(align(replacement, sch), GraftTable.DefaultMaxRecordsPerFile)
+    commitNext(untouched ++ entries, m.schemaJson)
+  }
+
   def truncate(): Long = {
     val m = latestManifest
     commitNext(Seq.empty, m.schemaJson)

@@ -1,0 +1,240 @@
+package graft.server
+
+import java.io.ByteArrayOutputStream
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.sql.GraftContext
+import org.apache.spark.sql.DataFrame
+
+/** HTTP query frontend with CDN/browser cache semantics, mirroring the
+  * reference (`src/frontend/http.rs`):
+  *
+  *  - `POST /q` — read/write; body is raw SQL or `{"query": "..."}`.
+  *    Multi-statement: writes run sequentially; at most one read allowed
+  *    and only as the LAST statement (http.rs:174-218). Response is
+  *    JSON-lines with explicit nulls + `X-Graft-Query-Time` (seconds).
+  *  - `GET /q/<query-or-sha256>` — read-only. The path carries either the
+  *    URL-encoded query or its sha256 hex; in hash form the query itself
+  *    arrives in the `X-Graft-Query` header and the hash is verified.
+  *    ETag = sha256 over the (table uuid, version) pairs the query
+  *    references; `If-None-Match` match → 304 WITHOUT executing;
+  *    otherwise `ETag` + `Cache-Control: max-age=43200, public` + `Vary`.
+  *  - `POST /upload/<schema>/<table>` — CSV or parquet payload appended to
+  *    a (possibly new) table. `Content-Type: text/csv` or
+  *    `application/octet-stream` (parquet); simpler than the reference's
+  *    multipart but same semantics (create-if-absent, append).
+  *  - Auth (`src/auth.rs` semantics): optional bearer token for writes;
+  *    reads anonymous unless a read token is configured.
+  */
+class HttpFrontend(ctx: GraftContext, port: Int,
+                   writeToken: Option[String] = None,
+                   readToken: Option[String] = None,
+                   cacheControl: String = "max-age=43200, public") {
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+
+  def boundPort: Int = server.getAddress.getPort
+
+  def start(): Unit = {
+    server.createContext("/q", (ex: HttpExchange) => safely(ex) {
+      ex.getRequestMethod match {
+        case "POST" => postQuery(ex)
+        case "GET" => getCachedQuery(ex)
+        case _ => respond(ex, 405, "method not allowed\n")
+      }
+    })
+    server.createContext("/upload/", (ex: HttpExchange) => safely(ex) {
+      if (ex.getRequestMethod == "POST") upload(ex)
+      else respond(ex, 405, "method not allowed\n")
+    })
+    server.createContext("/sync/", (ex: HttpExchange) => safely(ex) {
+      if (ex.getRequestMethod == "POST") sync(ex)
+      else respond(ex, 405, "method not allowed\n")
+    })
+    server.createContext("/healthz", (ex: HttpExchange) => safely(ex) {
+      respond(ex, 200, "ok\n")
+    })
+    server.start()
+  }
+
+  def stop(): Unit = server.stop(0)
+
+  // --- handlers -----------------------------------------------------------
+
+  private def postQuery(ex: HttpExchange): Unit = {
+    if (!authorized(ex, write = true)) return respond(ex, 401, "unauthorized\n")
+    val sql = extractQuery(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val stmts = ctx.splitStatements(sql)
+    if (stmts.isEmpty) return respond(ex, 400, "empty statement\n")
+    val reads = stmts.zipWithIndex.filter { case (s, _) => ctx.isReadOnly(s) }
+    if (reads.size > 1 || reads.exists(_._2 != stmts.size - 1))
+      return respond(ex, 400, "a read statement must be the only or last statement\n")
+    val t0 = System.nanoTime()
+    val result = stmts.map(ctx.execute).last
+    val body = render(result)
+    ex.getResponseHeaders.add("Content-Type", "application/json")
+    ex.getResponseHeaders.add("X-Graft-Query-Time", ((System.nanoTime() - t0) / 1e9).toString)
+    respondBytes(ex, 200, body)
+  }
+
+  private def getCachedQuery(ex: HttpExchange): Unit = {
+    if (!authorized(ex, write = false)) return respond(ex, 401, "unauthorized\n")
+    val path = ex.getRequestURI.getRawPath.stripPrefix("/q/")
+    val decoded = java.net.URLDecoder.decode(path, UTF_8)
+    val sql =
+      if (decoded.matches("[0-9a-f]{64}")) {
+        val q = Option(ex.getRequestHeaders.getFirst("X-Graft-Query"))
+          .map(extractQuery)
+          .getOrElse(return respond(ex, 400, "hash form needs X-Graft-Query header\n"))
+        if (sha256Hex(q.getBytes(UTF_8)) != decoded)
+          return respond(ex, 400, "query hash mismatch\n")
+        q
+      } else decoded
+    if (!ctx.isReadOnly(sql)) return respond(ex, 405, "NOT_READ_ONLY_QUERY\n")
+
+    val etag = "\"" + sha256Hex(
+      ctx.versionFingerprint(sql).sorted.map { case (u, v) => s"$u:$v" }
+        .mkString(";").getBytes(UTF_8)) + "\""
+    val inm = Option(ex.getRequestHeaders.getFirst("If-None-Match"))
+    ex.getResponseHeaders.add("ETag", etag)
+    ex.getResponseHeaders.add("Cache-Control", cacheControl)
+    ex.getResponseHeaders.add("Vary", "Authorization, X-Graft-Query")
+    if (inm.exists(_.split(",").map(_.trim).contains(etag)))
+      return respondBytes(ex, 304, Array.emptyByteArray) // not executed
+    val body = render(ctx.execute(sql))
+    ex.getResponseHeaders.add("Content-Type", "application/json")
+    respondBytes(ex, 200, body)
+  }
+
+  private def upload(ex: HttpExchange): Unit = {
+    if (!authorized(ex, write = true)) return respond(ex, 401, "unauthorized\n")
+    val parts = ex.getRequestURI.getPath.stripPrefix("/upload/").split("/")
+    if (parts.length != 2) return respond(ex, 400, "use /upload/<schema>/<table>\n")
+    val (schema, table) = (parts(0), parts(1))
+    val bytes = ex.getRequestBody.readAllBytes()
+    val isCsv = Option(ex.getRequestHeaders.getFirst("Content-Type")).exists(_.contains("csv"))
+    val tmp = java.nio.file.Files.createTempFile("graft-upload", if (isCsv) ".csv" else ".parquet")
+    java.nio.file.Files.write(tmp, bytes)
+    val df =
+      if (isCsv)
+        ctx.spark.read.option("header", "true").option("inferSchema", "true").csv(tmp.toString)
+      else ctx.spark.read.parquet(tmp.toString)
+    val existing = ctx.catalog.getTable("default", schema, table)
+    existing match {
+      case Some(uuid) => new graft.lake.GraftTable(ctx.spark, ctx.catalog.tableRoot(uuid)).append(df)
+      case None =>
+        val uuid = ctx.catalog.createTable("default", schema, table)
+        graft.lake.GraftTable.createAs(ctx.spark, ctx.catalog.tableRoot(uuid), df)
+    }
+    java.nio.file.Files.deleteIfExists(tmp)
+    respond(ex, 200, s"done\n")
+  }
+
+  /** CDC ingest: POST /sync/<schema>/<table>?pk=<cols>&values=<cols> with
+    * a JSON-lines body of role-tagged change rows (old_<pk>, new_<pk>,
+    * values, changed_<col>, _seq) — the HTTP stand-in for the reference's
+    * Arrow Flight do_put channel (`src/frontend/flight/handler.rs:136-237`,
+    * gRPC unavailable offline; same command semantics). */
+  private def sync(ex: HttpExchange): Unit = {
+    if (!authorized(ex, write = true)) return respond(ex, 401, "unauthorized\n")
+    val parts = ex.getRequestURI.getPath.stripPrefix("/sync/").split("/")
+    if (parts.length != 2) return respond(ex, 400, "use /sync/<schema>/<table>\n")
+    val params = Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&")
+      .filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        k -> java.net.URLDecoder.decode(v, UTF_8)
+      }.toMap
+    val pkCols = params.getOrElse("pk", return respond(ex, 400, "missing pk param\n"))
+      .split(",").toSeq
+    val valueCols = params.getOrElse("values", return respond(ex, 400, "missing values param\n"))
+      .split(",").toSeq
+    val lines = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    import ctx.spark.implicits._
+    val changes = ctx.spark.read.json(ctx.spark.createDataset(lines.split("\n").toSeq.filter(_.nonEmpty)))
+    val table = ctx.table(parts(0), parts(1))
+    val version = graft.sync.SyncMerge.merge(table, changes, pkCols, valueCols)
+    respond(ex, 200, s"""{"version":$version}""" + "\n")
+  }
+
+  // --- helpers ------------------------------------------------------------
+
+  /** Body may be raw SQL or a JSON object {"query": "..."}. */
+  private def extractQuery(body: String): String = {
+    val trimmed = body.trim
+    if (trimmed.startsWith("{")) {
+      import graft.lake.Manifest.Json
+      Json.parse(trimmed) match {
+        case Json.O(m) => m.get("query") match {
+          case Some(Json.S(q)) => q
+          case _ => throw new IllegalArgumentException("JSON body needs a \"query\" key")
+        }
+        case _ => throw new IllegalArgumentException("bad JSON body")
+      }
+    } else trimmed
+  }
+
+  private def authorized(ex: HttpExchange, write: Boolean): Boolean = {
+    val needed = if (write) writeToken else readToken
+    needed.forall { token =>
+      Option(ex.getRequestHeaders.getFirst("Authorization"))
+        .contains(s"Bearer $token")
+    }
+  }
+
+  private def render(df: DataFrame): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    JsonLines.write(df, bos)
+    bos.toByteArray
+  }
+
+  private def sha256Hex(bytes: Array[Byte]): String =
+    MessageDigest.getInstance("SHA-256").digest(bytes).map(b => f"$b%02x").mkString
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit =
+    respondBytes(ex, code, body.getBytes(UTF_8))
+
+  private def respondBytes(ex: HttpExchange, code: Int, body: Array[Byte]): Unit = {
+    if (code == 304) ex.sendResponseHeaders(code, -1)
+    else {
+      ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length)
+      if (body.nonEmpty) ex.getResponseBody.write(body)
+    }
+    ex.close()
+  }
+
+  private def safely(ex: HttpExchange)(f: => Unit): Unit =
+    try f catch {
+      case e: IllegalArgumentException => respond(ex, 400, s"${e.getMessage}\n")
+      case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+        respond(ex, 400, s"parse error: ${e.getMessage}\n")
+      case e: org.apache.spark.sql.AnalysisException =>
+        respond(ex, 400, s"analysis error: ${e.getMessage}\n")
+      case e: Throwable => respond(ex, 500, s"${e.getClass.getSimpleName}: ${e.getMessage}\n")
+    }
+}
+
+/** Server main: scripts/run.sh graft.server.ServerMain <dataDir> [port]. */
+object ServerMain {
+  def main(args: Array[String]): Unit = {
+    val dataDir = args.headOption.getOrElse("/tmp/graft-data")
+    val port = args.lift(1).map(_.toInt).getOrElse(8080)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName("graft-server")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fe = new HttpFrontend(new GraftContext(spark, dataDir), port,
+      writeToken = sys.env.get("GRAFT_WRITE_TOKEN"), readToken = sys.env.get("GRAFT_READ_TOKEN"))
+    fe.start()
+    System.err.println(s"graft server listening on :$port, data dir $dataDir")
+    Thread.currentThread.join()
+  }
+}

@@ -1,0 +1,51 @@
+package graft.streaming
+
+import graft.lake.GraftTable
+import graft.sync.SyncMerge
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming operators: the streaming twins of the batch event
+  * queries (graft.queries.Events) plus the continuous CDC-upsert path —
+  * `readStream → transform → writeStream`, watermarks for late data,
+  * `foreachBatch` for merge sinks. The reference has no stream engine
+  * (SURVEY §2.9); its pull-based buffered CDC ingestion maps exactly onto
+  * micro-batch `foreachBatch` upserts.
+  */
+object StreamingOps {
+
+  /** Tumbling-window counts/sums per event_type with a watermark for late
+    * data. Works on any streaming DataFrame with (ts TIMESTAMP,
+    * event_type STRING, value DOUBLE). */
+  def tumblingAgg(events: DataFrame, window: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** File-source stream over a directory of parquet (the smoke path: drop
+    * files in, watch aggregates come out). */
+  def parquetStream(spark: SparkSession, schema: StructType, dir: String): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Continuous CDC ingestion: every micro-batch of role-tagged change
+    * rows is merged into the graft table via SyncMerge (insert/update/
+    * delete semantics, pruned file rewrite). The streaming analog of the
+    * reference's buffered sync writer flush loop (`src/sync/mod.rs:90-109`).
+    */
+  def cdcUpsertStream(changes: DataFrame, table: GraftTable,
+                      pkCols: Seq[String], valueCols: Seq[String],
+                      checkpointDir: String,
+                      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) SyncMerge.merge(table, batch, pkCols, valueCols): Unit
+      }
+      .start()
+}

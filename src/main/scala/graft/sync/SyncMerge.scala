@@ -1,0 +1,114 @@
+package graft.sync
+
+import graft.lake.{GraftTable, Manifest, Pruning}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CDC "sync" ingestion: change batches carrying column roles are merged
+  * into a graft table — the Spark re-expression of the reference's largest
+  * self-built subsystem (`src/sync/`, ~4 kLoC; design notes
+  * `src/sync/writer.rs:33-68`, merge planner `src/sync/planner.rs`).
+  *
+  * Change-batch convention (mirrors `clade/proto/sync.proto` roles):
+  *   - `old_<pk>`  — OldPk: NULL for inserts
+  *   - `new_<pk>`  — NewPk: NULL for deletes
+  *   - `<value>`   — Value payload columns
+  *   - `changed_<value>` — optional Changed flag: when FALSE the base
+  *     row's value is preserved instead of the batch's
+  *   - `_seq`      — monotone sequence for intra-batch ordering
+  *
+  * Merge plan (planner.rs:53-117 re-expressed):
+  *   1. squash: last change per PK wins (window by PK, order by _seq desc);
+  *      multi-hop PK chains (A→B→C within ONE batch) are not followed —
+  *      each hop lands in its own batch in practice (the reference's
+  *      physical squash exists for buffer-size control);
+  *   2. prune: only base files whose PK min/max intersects the batch's PK
+  *      range are read/rewritten — untouched files inherit (utils.rs:254);
+  *   3. resolve: deletes drop base rows; upserts replace/move rows with
+  *      per-column Changed-flag resolution against the OLD row's values;
+  *   4. append-only fast path: all OldPk NULL → plain append, no join
+  *      (planner.rs:162-223).
+  */
+object SyncMerge {
+
+  /** Merge a change batch into the table; returns the new version. */
+  def merge(table: GraftTable, changes: DataFrame,
+            pkCols: Seq[String], valueCols: Seq[String]): Long = {
+    val spark = table.spark
+    val m = table.latestManifest
+    val schema = table.schema
+
+    def oldPk(c: String) = col(s"old_$c")
+    def newPk(c: String) = col(s"new_$c")
+    val anyOld = pkCols.map(oldPk(_).isNotNull).reduce(_ || _)
+    val anyNew = pkCols.map(newPk(_).isNotNull).reduce(_ || _)
+
+    // 1. squash: last change per affected PK wins
+    val keyed = changes.withColumn("__key",
+      struct(pkCols.map(c => coalesce(oldPk(c), newPk(c))): _*))
+    val seqCol = if (changes.columns.contains("_seq")) col("_seq") else monotonically_increasing_id()
+    val squashed = keyed
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__key").orderBy(seqCol.desc)))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__key")
+      .cache()
+
+    // fast path: append-only batch
+    val appendOnly = squashed.filter(anyOld).isEmpty
+    if (appendOnly) {
+      val inserts = squashed.select(
+        pkCols.map(c => newPk(c).as(c)) ++ valueCols.map(col): _*)
+      return table.append(inserts)
+    }
+
+    // 2. prune base files by the batch's PK range (per leading pk col)
+    val pk0 = pkCols.head
+    val range = squashed.agg(
+      min(coalesce(oldPk(pk0), newPk(pk0))).as("mn"),
+      max(coalesce(oldPk(pk0), newPk(pk0))).as("mx")).collect()(0)
+    val (affected, untouched) =
+      if (range.isNullAt(0)) (m.files, Seq.empty[Manifest.FileEntry])
+      else Pruning.partition(m.files,
+        s"$pk0 >= ${sqlLit(range.get(0))} AND $pk0 <= ${sqlLit(range.get(1))}", schema)
+
+    val base =
+      if (affected.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(affected.map(f => s"${table.root}/${f.path}"): _*)
+
+    // 3. resolve
+    // rows whose OLD identity is superseded (delete, or update/move source)
+    val deadKeys = squashed.filter(anyOld)
+      .select(pkCols.map(c => oldPk(c).as(c)): _*).distinct()
+    val keptBase = base.join(deadKeys, pkCols, "left_anti")
+
+    // upserts: resolve each value col against the OLD row (Changed flags)
+    val upserts = squashed.filter(anyNew)
+    val baseForLookup = base.select(
+      pkCols.map(c => col(c).as(s"__b_$c")) ++ valueCols.map(c => col(c).as(s"__b_$c")): _*)
+    val joined = upserts.join(baseForLookup,
+      pkCols.map(c => oldPk(c) === col(s"__b_$c")).reduce(_ && _), "left")
+    val resolved = joined.select(
+      pkCols.map(c => newPk(c).as(c)) ++ valueCols.map { c =>
+        val changedFlag = s"changed_$c"
+        val newV = col(c)
+        if (upserts.columns.contains(changedFlag))
+          when(col(changedFlag) === false && col(s"__b_${pkCols.head}").isNotNull, col(s"__b_$c"))
+            .otherwise(newV).as(c)
+        else newV.as(c)
+      }: _*)
+
+    // 4. rewrite affected region
+    val result = keptBase.unionByName(resolved, allowMissingColumns = false)
+    squashed.unpersist()
+    table.replaceFiles(affected, untouched, result)
+  }
+
+  private def sqlLit(v: Any): String = v match {
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case ts: java.sql.Timestamp => s"TIMESTAMP '$ts'"
+    case other => String.valueOf(other)
+  }
+}

@@ -1,0 +1,121 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.server.HttpFrontend
+import graft.sql.GraftContext
+
+/** HTTP e2e, mirroring the reference's warp harness tests
+  * (`tests/http/mod.rs`): query round-trip with explicit-null JSON-lines,
+  * cache semantics (ETag stability, 304 on If-None-Match, ETag change
+  * after writes), hash-form GET with verification, auth matrix,
+  * multi-statement rules, uploads, CDC sync over HTTP.
+  */
+class HttpSpec extends SparkSpec {
+
+  private lazy val ctx = new GraftContext(spark, tmpDir("graft-http"))
+  private lazy val fe = new HttpFrontend(ctx, 0, writeToken = Some("w0bble"))
+  private lazy val base: String = { fe.start(); s"http://127.0.0.1:${fe.boundPort}" }
+  private val client = HttpClient.newHttpClient()
+
+  private def post(path: String, body: String, headers: (String, String)*): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(base + path))
+      .POST(HttpRequest.BodyPublishers.ofString(body, UTF_8))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
+  private def get(path: String, headers: (String, String)*): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(base + path)).GET()
+    headers.foreach { case (k, v) => b.header(k, v) }
+    client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
+  private val auth = "Authorization" -> "Bearer w0bble"
+
+  test("POST /q executes writes and returns explicit-null JSON-lines") {
+    val r = post("/q",
+      """CREATE TABLE t (a BIGINT, b VARCHAR);
+        |INSERT INTO t VALUES (1, 'x'), (2, NULL);
+        |SELECT * FROM t ORDER BY a""".stripMargin, auth)
+    assert(r.statusCode() === 200)
+    assert(r.body() === "{\"a\":1,\"b\":\"x\"}\n{\"a\":2,\"b\":null}\n")
+    assert(r.headers().firstValue("X-Graft-Query-Time").isPresent)
+  }
+
+  test("write without token is 401; read path is anonymous") {
+    assert(post("/q", "CREATE TABLE nope (a BIGINT)").statusCode() === 401)
+    val r = get("/q/" + java.net.URLEncoder.encode("SELECT 1 AS one", UTF_8))
+    assert(r.statusCode() === 200)
+    assert(r.body() === "{\"one\":1}\n")
+  }
+
+  test("multi-statement: read must be the last statement") {
+    val r = post("/q", "SELECT * FROM t; INSERT INTO t VALUES (3, 'y')", auth)
+    assert(r.statusCode() === 400)
+  }
+
+  test("GET /q is read-only") {
+    val r = get("/q/" + java.net.URLEncoder.encode("DROP TABLE t", UTF_8))
+    assert(r.statusCode() === 405)
+  }
+
+  test("ETag: stable across reads, 304 on If-None-Match, changes on write") {
+    val q = java.net.URLEncoder.encode("SELECT COUNT(*) AS n FROM t", UTF_8)
+    val r1 = get("/q/" + q)
+    assert(r1.statusCode() === 200)
+    val etag = r1.headers().firstValue("ETag").get
+    assert(r1.headers().firstValue("Cache-Control").get.contains("max-age=43200"))
+    val r2 = get("/q/" + q, "If-None-Match" -> etag)
+    assert(r2.statusCode() === 304)
+    post("/q", "INSERT INTO t VALUES (10, 'z')", auth)
+    val r3 = get("/q/" + q, "If-None-Match" -> etag)
+    assert(r3.statusCode() === 200) // table version moved → new content
+    assert(r3.headers().firstValue("ETag").get !== etag)
+  }
+
+  test("GET hash form verifies the sha256 of the query") {
+    val sql = "SELECT 2 AS two"
+    val hash = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(sql.getBytes(UTF_8)).map(b => f"$b%02x").mkString
+    val ok = get(s"/q/$hash", "X-Graft-Query" -> sql)
+    assert(ok.statusCode() === 200 && ok.body() === "{\"two\":2}\n")
+    val bad = get(s"/q/$hash", "X-Graft-Query" -> "SELECT 3 AS two")
+    assert(bad.statusCode() === 400)
+  }
+
+  test("upload CSV creates and appends a table") {
+    val csv = "id,name\n1,ann\n2,bo\n"
+    val r = post("/upload/public/people", csv, auth, "Content-Type" -> "text/csv")
+    assert(r.statusCode() === 200)
+    val q = get("/q/" + java.net.URLEncoder.encode("SELECT COUNT(*) AS n FROM people", UTF_8))
+    assert(q.body() === "{\"n\":2}\n")
+    post("/upload/public/people", csv, auth, "Content-Type" -> "text/csv")
+    val q2 = get("/q/" + java.net.URLEncoder.encode("SELECT COUNT(*) AS n FROM people", UTF_8))
+    assert(q2.body() === "{\"n\":4}\n")
+  }
+
+  test("CDC sync over HTTP: insert, update with changed flags, delete, pk move") {
+    post("/q", "CREATE TABLE acc (id BIGINT, bal DOUBLE, tag VARCHAR)", auth)
+    // inserts (append-only fast path)
+    val ins = Seq(
+      """{"old_id":null,"new_id":1,"bal":10.0,"tag":"a","_seq":1}""",
+      """{"old_id":null,"new_id":2,"bal":20.0,"tag":"b","_seq":2}""").mkString("\n")
+    val r1 = post("/sync/public/acc?pk=id&values=bal,tag", ins, auth)
+    assert(r1.statusCode() === 200, r1.body())
+    // update id=1 bal only (tag Changed=false keeps base), delete id=2,
+    // move id 1 -> 5? keep simple: plain update + delete
+    val upd = Seq(
+      """{"old_id":1,"new_id":1,"bal":11.5,"tag":"IGNORED","changed_bal":true,"changed_tag":false,"_seq":3}""",
+      """{"old_id":2,"new_id":null,"bal":null,"tag":null,"_seq":4}""").mkString("\n")
+    val r2 = post("/sync/public/acc?pk=id&values=bal,tag", upd, auth)
+    assert(r2.statusCode() === 200, r2.body())
+    val q = get("/q/" + java.net.URLEncoder.encode("SELECT id, bal, tag FROM acc ORDER BY id", UTF_8))
+    assert(q.body() === "{\"id\":1,\"bal\":11.5,\"tag\":\"a\"}\n")
+    // pk-changing update: 1 -> 7
+    val mv = """{"old_id":1,"new_id":7,"bal":99.0,"tag":"moved","_seq":5}"""
+    post("/sync/public/acc?pk=id&values=bal,tag", mv, auth)
+    val q2 = get("/q/" + java.net.URLEncoder.encode("SELECT id, bal, tag FROM acc ORDER BY id", UTF_8))
+    assert(q2.body() === "{\"id\":7,\"bal\":99.0,\"tag\":\"moved\"}\n")
+  }
+}
