@@ -21,9 +21,12 @@ object Embeddings {
   def quantize(vec: Column): Column =
     transform(vec, x => round(x.cast(DoubleType) * 1000000.0).cast(LongType))
 
-  /** Exact dot product of two quantized vectors (Int64, order-free). */
+  /** Exact dot product of two quantized vectors (Int64, order-free) via
+    * the codegen'd DotProductLong expression — identical semantics to
+    * aggregate(zip_with(...)) at ~5-10x the throughput (higher-order
+    * lambdas run interpreted; see graft.functions.VectorExpressions). */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.dot_q(a, b)
 
   /** Cosine from quantized dot and squared norms, as a deterministic
     * double: one cast per operand, one division, one sqrt each. */
@@ -86,7 +89,7 @@ object Embeddings {
     * signed projection onto plane p is positive (exact Int64 sum). */
   def lshSignature(qe: Column, signs: Seq[Seq[Long]]): Column =
     concat(signs.map { s =>
-      val proj = aggregate(zip_with(qe, typedLit(s), (x, c) => x * c), lit(0L), (a, v) => a + v)
+      val proj = graft.functions.VectorFunctions.dot_q(qe, typedLit(s))
       when(proj > 0, lit("1")).otherwise(lit("0"))
     }: _*)
 

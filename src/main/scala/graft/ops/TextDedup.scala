@@ -59,20 +59,22 @@ object TextDedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double, maxShingleDf: Int): DataFrame = {
-    val ds = docShingles(docs, idCol, textCol, n).cache()
-    val rare = ds.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxShingleDf)
-      .select("shingle")
-    val dsr = ds.join(rare, "shingle")
-    val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = dsr.as("a")
+    import org.apache.spark.sql.expressions.Window
+    // Annotate each (doc, shingle) row with the doc's shingle-set size and
+    // the shingle's document frequency via two window passes instead of
+    // groupBy+join lookups: same semantics, 2 shuffles fewer, and the
+    // final window leaves the data partitioned by shingle — exactly the
+    // distribution the self-join needs, so Catalyst reuses it.
+    val ds = docShingles(docs, idCol, textCol, n)
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+    val dsr = ds.filter(col("df") <= maxShingleDf)
+    dsr.as("a")
       .join(dsr.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("sz", "sz1"), "id1")
-      .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("sz", "sz2"), "id2")
+      .agg(count(lit(1)).as("inter"),
+        first(col("a.sz")).as("sz1"), first(col("b.sz")).as("sz2"))
       .withColumn("jaccard",
         col("inter").cast(DoubleType) / (col("sz1") + col("sz2") - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -121,17 +123,20 @@ object TextDedup {
     */
   def minhashDedupPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
-    val ds = docShingles(docs, idCol, textCol, n).cache()
+    import org.apache.spark.sql.expressions.Window
+    val ds = docShingles(docs, idCol, textCol, n)
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .cache()
     val sigs = minhashSignatures(ds, k)
     val cands = lshCandidates(lshBuckets(sigs, bands, k / bands))
-    val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = cands
+    // exact-Jaccard verification of the candidates: shingle-set
+    // intersection via two keyed joins; sizes ride along on ds rows
+    cands
       .join(ds.as("sa"), col("id1") === col("sa.doc_id"))
       .join(ds.as("sb"), col("id2") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
-      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("sz", "sz1"), "id1")
-      .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("sz", "sz2"), "id2")
+      .groupBy("id1", "id2")
+      .agg(count(lit(1)).as("inter"),
+        first(col("sa.sz")).as("sz1"), first(col("sb.sz")).as("sz2"))
       .withColumn("jaccard",
         col("inter").cast(DoubleType) / (col("sz1") + col("sz2") - col("inter")))
       .filter(col("jaccard") >= threshold)
