@@ -11,6 +11,7 @@ object SparkEntry {
 
   def allDefs: Seq[QueryDef] =
     graft.queries.Relational.defs ++
+      graft.queries.Functions2.defs ++
       graft.queries.PipelinesDedup.defs ++
       graft.queries.Similarity.defs ++
       graft.queries.TextQueries.defs ++

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Time-series operators Spark has no single primitive for, composed
+  * shuffle-efficiently from built-ins (preference (a) of the custom-op
+  * ladder — no custom physical operator needed):
+  *
+  *  - as-of join: one union + one window pass over a single shuffle on
+  *    the key — NOT a range join (which would be O(n*m) per key) and NOT
+  *    a per-row subquery; this is the standard distributed formulation
+  *    and scales linearly with input size.
+  *  - gap-fill/resample: per-key time grid via sequence()+explode, then
+  *    forward-fill with last_value(ignoreNulls) over one keyed window.
+  */
+object TimeSeriesOps {
+
+  /** For every left row, attach `valueCol` of the most recent right row
+    * with right.ts <= left.ts within the same `keyCol` (classic as-of).
+    * `right` must be unique per (key, ts) for deterministic results —
+    * pre-aggregate if needed.
+    *
+    * Implementation: tag and union both sides (right sorts before left on
+    * ts ties, making the join inclusive), then last_value(ignoreNulls)
+    * over (key ORDER BY ts, side) carries the right value forward onto
+    * left rows. One shuffle by key; no join node at all.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               tsCol: String, valueCol: String, asOfName: String): DataFrame = {
+    val leftCols = left.columns
+    val l = left
+      .withColumn("__side", lit(1))
+      .withColumn("__asof", lit(null).cast(right.schema(valueCol).dataType))
+    val r = right.select(
+      Seq(col(keyCol), col(tsCol), lit(0).as("__side"), col(valueCol).as("__asof")) ++
+        leftCols.filterNot(c => c == keyCol || c == tsCol).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val unioned = l.unionByName(r.select(l.columns.map(col).toIndexedSeq: _*))
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn(asOfName, last(col("__asof"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__side", "__asof")
+  }
+
+  /** Resample `valueCol` onto a fixed grid of `stepSeconds` per key:
+    * per-key grid from the key's first to last bucket, aggregated actuals
+    * joined on, gaps forward-filled from the last present bucket.
+    * Output: (key, bucket_start_us, value, filled flag).
+    */
+  def gapFillResample(df: DataFrame, keyCol: String, tsCol: String,
+                      valueCol: Column, stepSeconds: Long): DataFrame = {
+    val stepUs = stepSeconds * 1000000L
+    val bucketed = df
+      // integer `div`, not `/`: double division would round near bucket
+      // boundaries for large epoch-micro values
+      .withColumn("__bucket", expr(s"(unix_micros($tsCol) div ${stepUs}L) * ${stepUs}L"))
+      .groupBy(col(keyCol), col("__bucket"))
+      .agg(valueCol.as("__v"))
+    val grids = bucketed.groupBy(keyCol)
+      .agg(min("__bucket").as("__mn"), max("__bucket").as("__mx"))
+      .select(col(keyCol),
+        explode(sequence(col("__mn"), col("__mx"), lit(stepUs))).as("__bucket"))
+    val w = Window.partitionBy(keyCol).orderBy("__bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grids.join(bucketed, Seq(keyCol, "__bucket"), "left")
+      .withColumn("value", last(col("__v"), ignoreNulls = true).over(w))
+      .withColumn("filled", col("__v").isNull)
+      .select(col(keyCol), col("__bucket").as("bucket_start_us"), col("value"), col("filled"))
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan quality gates: these lock in the properties that make
+  * the operators scale — filters reaching the parquet scan, column
+  * pruning, broadcast of small join sides, two-phase (partial/final)
+  * aggregation, and whole-stage codegen over hot expressions. A
+  * regression here is a performance bug even when results stay correct.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(q: String): String = {
+    val df: DataFrame = SparkEntry.queries(q)(spark, dir)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("filters are pushed into the parquet scan (q02)") {
+    val p = planOf("q02_filter_predicates")
+    assert(p.contains("PushedFilters"), p.take(2000))
+    assert(p.contains("IsNotNull(l_tax)") || p.contains("GreaterThan") || p.contains("In(l_quantity"),
+      "expected concrete pushed filters:\n" + p.take(2000))
+  }
+
+  test("column pruning reaches the scan (q02 reads only needed columns)") {
+    val p = planOf("q02_filter_predicates")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_suppkey"),
+      s"scan should not read unused columns: $readSchema")
+  }
+
+  test("small dimension sides broadcast (q03 3-way join)") {
+    val p = planOf("q03_join3_topk")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("aggregations run partial then final (q01)") {
+    val p = planOf("q01_pricing_summary")
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate, got $hashAggs:\n${p.take(2000)}")
+  }
+
+  test("order-by + limit uses TakeOrderedAndProject (q15 top-k, no full sort)") {
+    val p = planOf("q15_sort_limit_offset")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("exact dedup is a single shuffle (dd1)") {
+    val p = planOf("dd1_dedup_exact")
+    // one exchange for the groupBy, one for the final orderBy — no more
+    // (formatted explain prints each node twice: tree + "(n) Node" detail)
+    val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange\s*"""))
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n${p.take(3000)}")
+  }
+
+  test("embedding queries use the codegen'd dot product (sim1)") {
+    val df = SparkEntry.queries("sim1_topk_bruteforce")(spark, dir)
+    val logical = df.queryExecution.optimizedPlan.toString
+    assert(logical.toLowerCase.contains("dotproductlong"), logical.take(2000))
+    // AQE only reports codegen spans on the FINAL plan, i.e. post-execution
+    df.collect()
+    val physical = df.queryExecution.executedPlan.toString
+    // "*(n) Op" is the WholeStageCodegen marker in tree form
+    assert(physical.contains("*("), physical.take(2000))
+  }
+
+  test("as-of join is a single keyed window, not a join (ev4)") {
+    val p = planOf("ev4_asof_join")
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      "as-of must not degrade to a join:\n" + p.take(3000))
+  }
+}
