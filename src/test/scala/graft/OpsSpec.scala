@@ -1,0 +1,48 @@
+package graft
+
+import graft.ops.Skew
+import graft.streaming.StatefulSessions
+import graft.streaming.StatefulSessions.{Event, Session}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Specs for the scale helpers: salted aggregation equivalence and
+  * stateful streaming sessionization. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted aggregation matches plain aggregation on skewed data") {
+    // heavy hitter: key 'hot' holds 90% of rows
+    val rows = (1 to 900).map(i => ("hot", i.toDouble)) ++ (1 to 100).map(i => (s"k${i % 10}", i.toDouble))
+    val df = rows.toDF("k", "v").repartition(8)
+    val salted = Skew.saltedCountSum(df, Seq("k"), "v", saltBuckets = 16)
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val plain = df.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("total"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(salted.toSeq === plain.toSeq)
+  }
+
+  test("stateful streaming sessionization closes sessions on gaps") {
+    implicit val s = spark
+    val inDir = tmpDir("graft-sess-in")
+    // user 1: two sessions (gap > 30 min); user 2: one session
+    Seq(
+      Event(1L, 0L, 1.0), Event(1L, 60_000_000L, 2.0),            // session A: 2 events
+      Event(1L, 4_000_000_000L, 5.0),                             // session B (gap > 30min)
+      Event(2L, 100L, 7.0))
+      .toDS().write.parquet(inDir + "/b1")
+    val stream = spark.readStream.schema(implicitly[org.apache.spark.sql.Encoder[Event]].schema)
+      .parquet(inDir + "/b1").as[Event]
+    val sessions = StatefulSessions.sessionize(stream, gapUs = 1_800_000_000L,
+      flushTimeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessout")
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+    q.processAllAvailable(); q.stop()
+    // only sessions CLOSED by a later event are emitted (open ones wait
+    // for timeout): user 1 session A
+    val emitted = spark.sql("SELECT * FROM sessout ORDER BY user_id, start_us")
+      .as[Session].collect().toSeq
+    assert(emitted === Seq(Session(1L, 0L, 60_000_000L, 2L, 3.0)))
+  }
+}
