@@ -313,6 +313,25 @@ object Relational {
     },
 
     // ---- sorts / limits --------------------------------------------------
+    QueryDef("q30_window_range_frame",
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+        |    RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING) AS BIGINT) AS n_similar,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing3
+        |FROM orders WHERE o_custkey <= 20
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val wRange = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+        .rangeBetween(-1000L, 1000L)
+      val wRows = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+      ord(s, d).filter(col("o_custkey") <= 20)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          count(lit(1)).over(wRange).cast(LongType).as("n_similar"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(wRows).cast(DoubleType).as("trailing3"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     QueryDef("q15_sort_limit_offset",
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 10""".stripMargin) { (s, d) =>

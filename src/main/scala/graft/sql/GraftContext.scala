@@ -30,6 +30,8 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
 
   val catalog = new Catalog(dataDir)
   Files.createDirectories(Paths.get(dataDir))
+  // engine-native function extensions available to every SQL surface
+  graft.functions.VectorFunctions.register(spark)
 
   def table(schema: String, name: String): GraftTable = {
     val uuid = catalog.getTable("default", schema, name)
