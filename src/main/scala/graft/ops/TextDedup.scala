@@ -81,15 +81,19 @@ object TextDedup {
       .select("id1", "id2", "jaccard")
   }
 
-  /** MinHash signature columns h0..h{k-1}: h_j = lexicographic MIN over the
-    * doc's shingles of md5(j || ':' || shingle). A seeded md5 is a uniform
-    * permutation of the shingle space, so the hex-string MIN is a valid
-    * minhash; one groupBy computes all k mins with map-side partial agg.
+  /** MinHash signature columns h0..h{k-1}: h_j = lexicographic MIN over
+    * the doc's shingles of the first 16 hex chars of md5(j || ':' ||
+    * shingle). A seeded md5 prefix is a uniform 64-bit hash of the shingle
+    * space, so the hex-string MIN is a valid minhash (half the string
+    * traffic of full digests); one groupBy computes all k mins with
+    * map-side partial agg.
     */
   def minhashSignatures(ds: DataFrame, k: Int): DataFrame = {
-    val aggs = (0 until k).map(j =>
-      min(md5(concat(lit(j.toString), lit(":"), col("shingle")))).as(s"h$j"))
-    ds.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    // one imperative aggregate for all k mins (see MinHashAggregate),
+    // projected back to h0..h{k-1} columns for the banding stage
+    val sig = ds.groupBy("doc_id")
+      .agg(graft.functions.MinHashAggregate.minhash_sig(col("shingle"), k).as("sig"))
+    sig.select(col("doc_id") +: (0 until k).map(j => col("sig").getItem(j).as(s"h$j")): _*)
   }
 
   /** LSH band buckets: `bands` bands of `rowsPerBand` signature rows each;

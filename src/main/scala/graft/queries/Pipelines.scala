@@ -19,9 +19,9 @@ object PipelinesDedup {
   private val K = 16
   private val BANDS = 8
 
-  // MIN(md5('<j>:'||shingle)) AS h<j> for j in 0..15
+  // MIN(substr(md5('<j>:'||shingle),1,16)) AS h<j> for j in 0..15
   private val sigSelect = (0 until K)
-    .map(j => s"MIN(md5('$j:'||shingle)) AS h$j").mkString(",\n    ")
+    .map(j => s"MIN(substr(md5('$j:'||shingle), 1, 16)) AS h$j").mkString(",\n    ")
   // 8 bands of 2 rows: bucket = '<b>:' || h_{2b} || h_{2b+1}
   private val bandUnion = (0 until BANDS)
     .map(b => s"SELECT doc_id, '$b:'||h${2 * b}||h${2 * b + 1} AS bucket FROM sig")

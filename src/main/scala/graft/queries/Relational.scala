@@ -480,6 +480,16 @@ object Relational {
         |JOIN region ON r_regionkey = v.rk
         |ORDER BY v.code""".stripMargin),
 
+    QueryDef.sharedSql("q31_null_semantics",
+      """SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+        |   WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)) AS not_in_clean,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS not_exists_n,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem WHERE NULLIF(l_returnflag, 'N') IS NULL) AS nullif_n,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |   WHERE COALESCE(NULL, l_discount, 0.0) = 0.0) AS coalesce_n""".stripMargin),
+
     // ---- approx aggregates (values differ across engines → rows-only) ----
     QueryDef.unoracled("q26_approx_aggs") { (s, d) =>
       li(s, d).groupBy("l_returnflag")
