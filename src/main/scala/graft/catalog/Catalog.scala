@@ -177,7 +177,9 @@ class Catalog(val dataDir: String) {
       val p = Paths.get(tableRoot(d.uuid))
       if (Files.isDirectory(p)) {
         import scala.jdk.CollectionConverters._
-        Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+        val stream = Files.walk(p)
+        val paths = try stream.iterator.asScala.toSeq finally stream.close()
+        paths.reverse.foreach(Files.deleteIfExists)
       }
     }
     (s.copy(dropped = Seq.empty), s.dropped.map(_.uuid))

@@ -89,7 +89,13 @@ class GraftTable(val spark: SparkSession, val root: String) {
       case _ => true
     }
     def statBound(f: StructField, c: Column): Column = f.dataType match {
-      case TimestampType | TimestampNTZType => unix_micros(c.cast(TimestampType)).cast(StringType)
+      case TimestampType => unix_micros(c).cast(StringType)
+      case TimestampNTZType =>
+        // micros-as-if-UTC without a session-timezone round trip (casting
+        // NTZ→TIMESTAMP would shift by the session offset and make
+        // pruning compare skewed bounds): NTZ minus the NTZ epoch is a
+        // day-time interval, whose BIGINT cast is exactly micros.
+        (c - expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'")).cast(LongType).cast(StringType)
       case DateType => c.cast(IntegerType).cast(StringType)
       case dt if isAtomic(dt) => c.cast(StringType)
       case _ => lit(null).cast(StringType)
@@ -200,22 +206,33 @@ class GraftTable(val spark: SparkSession, val root: String) {
     toDelete.foreach(p => Files.deleteIfExists(Paths.get(root, p)))
     val oldVersions = Manifest.listVersions(root).filter(_ != latest.version)
     oldVersions.foreach(v => Files.deleteIfExists(Manifest.versionPath(root, v)))
-    // drop now-empty batch dirs
-    Files.list(Paths.get(root)).iterator.asScala
-      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("data-"))
-      .filter(p => !Files.list(p).iterator.asScala.hasNext)
-      .foreach(Files.deleteIfExists)
+    // drop now-empty batch dirs (close every directory stream — fd leaks
+    // starve a long-lived server)
+    val rootStream = Files.list(Paths.get(root))
+    try {
+      rootStream.iterator.asScala
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("data-"))
+        .toSeq
+        .foreach { p =>
+          val inner = Files.list(p)
+          val empty = try !inner.iterator.asScala.hasNext finally inner.close()
+          if (empty) Files.deleteIfExists(p)
+        }
+    } finally rootStream.close()
     (toDelete.size, oldVersions.size)
   }
 
   private def listDataFiles(): Seq[String] = {
     val rootP = Paths.get(root)
     if (!Files.isDirectory(rootP)) return Seq.empty
-    Files.walk(rootP).iterator.asScala
-      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
-      .map(p => rootP.relativize(p).toString)
-      .filterNot(_.startsWith("_log"))
-      .toSeq
+    val stream = Files.walk(rootP)
+    try
+      stream.iterator.asScala
+        .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+        .map(p => rootP.relativize(p).toString)
+        .filterNot(_.startsWith("_log"))
+        .toSeq
+    finally stream.close()
   }
 
   /** (version, timestampMs, numFiles, numRecords) per version. */

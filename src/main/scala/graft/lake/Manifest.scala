@@ -165,11 +165,14 @@ object Manifest {
   def listVersions(tableRoot: String): Seq[Long] = {
     val dir = logDir(tableRoot)
     if (!Files.isDirectory(dir)) return Seq.empty
-    Files.list(dir).iterator.asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.startsWith("v") && n.endsWith(".json"))
-      .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
-      .toSeq.sorted
+    val stream = Files.list(dir)
+    try
+      stream.iterator.asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("v") && n.endsWith(".json"))
+        .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
+        .toSeq.sorted
+    finally stream.close() // leaked directory fds starve a long-lived server
   }
 
   def latestVersion(tableRoot: String): Option[Long] = listVersions(tableRoot).lastOption

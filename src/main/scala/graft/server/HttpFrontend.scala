@@ -130,6 +130,7 @@ class HttpFrontend(ctx: GraftContext, port: Int,
         val uuid = ctx.catalog.createTable("default", schema, table)
         graft.lake.GraftTable.createAs(ctx.spark, ctx.catalog.tableRoot(uuid), df)
     }
+    ctx.markDirty()
     java.nio.file.Files.deleteIfExists(tmp)
     respond(ex, 200, s"done\n")
   }
@@ -157,6 +158,7 @@ class HttpFrontend(ctx: GraftContext, port: Int,
     val changes = ctx.spark.read.json(ctx.spark.createDataset(lines.split("\n").toSeq.filter(_.nonEmpty)))
     val table = ctx.table(parts(0), parts(1))
     val version = graft.sync.SyncMerge.merge(table, changes, pkCols, valueCols)
+    ctx.markDirty()
     respond(ex, 200, s"""{"version":$version}""" + "\n")
   }
 

@@ -63,12 +63,20 @@ object Functions {
       ctx.spark.sql(
         s"CREATE OR REPLACE TEMPORARY FUNCTION $name($params) RETURNS ${sqlTypeName(d.returnType)} RETURN $body")
     case "wasm" | "wasmMessagePack" =>
-      // persisted but not executable here; register a stub that reports it
+      // persisted but not executable here; register a stub with the
+      // DECLARED arity so calls reach the clear error (a fixed-arity stub
+      // would fail analysis with a confusing arity mismatch instead)
       val msg = s"function $name: WASM execution is not supported in this build"
-      val stub = org.apache.spark.sql.functions.udf((_: Long) => {
-        if (msg.nonEmpty) throw new UnsupportedOperationException(msg)
-        0L
-      })
+      def fail[T]: T = throw new UnsupportedOperationException(msg)
+      import org.apache.spark.sql.functions.udf
+      val stub = d.inputTypes.size match {
+        case 0 => udf(() => fail[Long])
+        case 1 => udf((_: Any) => fail[Long])
+        case 2 => udf((_: Any, _: Any) => fail[Long])
+        case 3 => udf((_: Any, _: Any, _: Any) => fail[Long])
+        case 4 => udf((_: Any, _: Any, _: Any, _: Any) => fail[Long])
+        case _ => udf((_: Any, _: Any, _: Any, _: Any, _: Any) => fail[Long])
+      }
       ctx.spark.udf.register(name, stub)
     case other =>
       throw new IllegalArgumentException(s"unsupported function language: $other")

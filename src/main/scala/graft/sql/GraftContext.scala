@@ -116,15 +116,28 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
 
   // --- query-side registration + rewrites ---------------------------------
 
+  // Views snapshot table file lists, so they must refresh after any
+  // catalog or data mutation — but NOT on every read: re-registering all
+  // tables (and re-reading every manifest for system.table_versions) on
+  // the hot path costs O(total history) per query.
+  @volatile private var catalogDirty = true
+
+  /** Callers that mutate tables outside `execute` (upload/sync endpoints)
+    * must invalidate the registered views. */
+  def markDirty(): Unit = catalogDirty = true
+
   /** Make every catalog table visible to spark.sql: public tables under
-    * their bare name; others via flat names addressed with backticks. */
+    * their bare name; others via `sch__tbl` flat names (rewritten in).
+    * Skipped entirely when nothing changed since the last registration. */
   private def registerAll(): Unit = {
+    if (!catalogDirty) return
     catalog.listTables("default").foreach { case (sch, name, uuid) =>
       val t = new GraftTable(spark, catalog.tableRoot(uuid))
       val view = if (sch == "public") name else s"${sch}__$name"
       t.read().createOrReplaceTempView(view)
     }
     SystemTables.registerAll(this)
+    catalogDirty = false
   }
 
   /** Backtick-quote qualified names of known non-public tables + rewrite
@@ -135,16 +148,20 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
     val tt = """(\b[\w."]+)\s*\(\s*'([^']+)'\s*\)""".r
     sql = tt.replaceAllIn(sql, m => {
       val (sch, name) = splitName(m.group(1))
-      catalog.getTable("default", sch, name) match {
-        case Some(uuid) =>
-          val tsMs = Instant.parse(m.group(2)).toEpochMilli
+      // only rewrite when the argument actually parses as an ISO instant —
+      // otherwise a builtin call like date('2020-01-01') whose name
+      // collides with a table would be hijacked and fail
+      val instant = scala.util.Try(Instant.parse(m.group(2))).toOption
+      (catalog.getTable("default", sch, name), instant) match {
+        case (Some(uuid), Some(ts)) =>
+          val tsMs = ts.toEpochMilli
           val root = catalog.tableRoot(uuid)
           val v = Manifest.versionAsOf(root, tsMs).getOrElse(
             throw new IllegalArgumentException(s"no version of $sch.$name at or before ${m.group(2)}"))
           val viewName = if (sch == "public") s"${name}__v$v" else s"${sch}__${name}__v$v"
           new GraftTable(spark, root).read(Some(v)).createOrReplaceTempView(viewName)
           java.util.regex.Matcher.quoteReplacement(viewName)
-        case None => java.util.regex.Matcher.quoteReplacement(m.group(0))
+        case _ => java.util.regex.Matcher.quoteReplacement(m.group(0))
       }
     })
     // qualified non-public names -> backticked flat view names
@@ -176,7 +193,7 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
   private val reCreateExternal =
     """(?is)^CREATE\s+EXTERNAL\s+TABLE\s+([\w."]+)\s+STORED\s+AS\s+(\w+)\s+LOCATION\s+'([^']+)'\s*$""".r
   private val reInsertSel = """(?is)^INSERT\s+INTO\s+([\w."]+)\s*(?:\(([^)]*)\))?\s*(SELECT.+|VALUES.+|WITH.+)$""".r
-  private val reUpdate = """(?is)^UPDATE\s+([\w."]+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?$""".r
+  private val reUpdate = """(?is)^UPDATE\s+([\w."]+)\s+SET\s+(.+)$""".r
   private val reDelete = """(?is)^DELETE\s+FROM\s+([\w."]+)(?:\s+WHERE\s+(.+))?$""".r
   private val reTruncate = """(?is)^TRUNCATE\s+(?:TABLE\s+)?([\w."]+)\s*$""".r
   private val reDropTable = """(?is)^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w."]+)\s*$""".r
@@ -191,7 +208,13 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
   private val reConvert = """(?is)^CONVERT\s+'([^']+)'\s+TO\s+GRAFT\s+([\w."]+)\s*$""".r
 
   /** Execute one statement; returns its result (DDL/DML → empty). */
-  def execute(sql: String): DataFrame = sql.trim match {
+  def execute(sql: String): DataFrame = {
+    val res = executeInternal(sql)
+    if (!isReadOnly(sql)) markDirty() // writes invalidate registered views
+    res
+  }
+
+  private def executeInternal(sql: String): DataFrame = sql.trim match {
     case reCreateDb(db) =>
       catalog.createDatabase(clean(db)); emptyResult
     case reCreateSchema(sch) =>
@@ -241,14 +264,18 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
           df = df.toDF(sch.fields.take(df.columns.length).map(_.name).toIndexedSeq: _*)
       }
       t.append(df); emptyResult
-    case reUpdate(qname, setClause, where) =>
+    case reUpdate(qname, setAndWhere) =>
       val (sch, name) = splitName(qname)
+      // split SET assignments from WHERE at the first TOP-LEVEL keyword —
+      // a regex split would bite on WHERE inside a string literal or a
+      // subquery in an assignment expression
+      val (setClause, where) = splitAtTopLevelWhere(setAndWhere)
       val assigns = splitTop(setClause).map { a =>
         val i = a.indexOf('=')
         require(i > 0, s"bad assignment: $a")
         (a.substring(0, i).trim.replace("\"", ""), a.substring(i + 1).trim)
       }
-      table(sch, name).update(assigns, Option(where)); emptyResult
+      table(sch, name).update(assigns, where); emptyResult
     case reDelete(qname, where) =>
       val (sch, name) = splitName(qname)
       table(sch, name).delete(Option(where)); emptyResult
@@ -335,6 +362,27 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
     }
 
   private def clean(s: String) = s.replace("\"", "")
+
+  /** Split "assignments [WHERE pred]" at the first top-level (outside
+    * quotes/parens) WHERE keyword. */
+  private def splitAtTopLevelWhere(s: String): (String, Option[String]) = {
+    var depth = 0; var inS = false; var i = 0
+    val up = s.toUpperCase
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => inS = !inS
+        case '(' if !inS => depth += 1
+        case ')' if !inS => depth -= 1
+        case _ =>
+      }
+      if (!inS && depth == 0 && up.startsWith("WHERE", i) &&
+        (i == 0 || s.charAt(i - 1).isWhitespace) &&
+        (i + 5 >= s.length || s.charAt(i + 5).isWhitespace))
+        return (s.substring(0, i).trim, Some(s.substring(i + 5).trim))
+      i += 1
+    }
+    (s.trim, None)
+  }
 
   private def splitTop(s: String): Seq[String] = {
     val parts = Seq.newBuilder[String]

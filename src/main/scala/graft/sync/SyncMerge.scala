@@ -60,7 +60,9 @@ object SyncMerge {
     if (appendOnly) {
       val inserts = squashed.select(
         pkCols.map(c => newPk(c).as(c)) ++ valueCols.map(col): _*)
-      return table.append(inserts)
+      val v = table.append(inserts)
+      squashed.unpersist() // don't leak the cache on the common hot path
+      return v
     }
 
     // 2. prune base files by the batch's PK range (per leading pk col)

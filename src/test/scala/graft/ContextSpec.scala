@@ -138,6 +138,29 @@ class ContextSpec extends SparkSpec {
     assert(c.execute("SELECT COUNT(*) AS n FROM converted").collect().head.getLong(0) === 2L)
   }
 
+  test("UPDATE with WHERE inside a string literal; builtin call not hijacked by time travel") {
+    val c = ctx()
+    c.execute("CREATE TABLE notes (id BIGINT, note VARCHAR)")
+    c.execute("INSERT INTO notes VALUES (1, 'x'), (2, 'y')")
+    c.execute("UPDATE notes SET note = 'a WHERE b' WHERE id = 1")
+    val rows = c.execute("SELECT note FROM notes ORDER BY id").collect().map(_.getString(0)).toSeq
+    assert(rows === Seq("a WHERE b", "y"))
+    // a table named like a builtin must not hijack non-ISO function calls
+    c.execute("CREATE TABLE date (d VARCHAR)")
+    val r = c.execute("SELECT CAST(date('2020-01-01') AS STRING) AS d").collect()
+    assert(r.head.getString(0) === "2020-01-01")
+  }
+
+  test("wasm function stub matches declared arity and raises a clear error") {
+    val c = ctx()
+    c.execute(
+      """CREATE FUNCTION wfn AS '{"entrypoint":"wfn","language":"wasm","input_types":["text","text"],"return_type":"text","data":"AA=="}'""")
+    val e = intercept[Exception](c.execute("SELECT wfn('a', 'b') AS r").collect())
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ rootMessages(x.getCause))
+    assert(rootMessages(e).exists(_.contains("WASM execution is not supported")), e.getMessage)
+  }
+
   test("multi-statement execution returns the last result") {
     val c = ctx()
     val df = c.executeAll(
