@@ -54,6 +54,11 @@ def main():
             n_fail += 1; continue
         if len(g) != len(w):
             print(f"FAIL {name}: rows {len(g)} vs {len(w)}"); n_fail += 1; continue
+        kind_bad = [c for c in g.columns if g[c].dtype.kind != w[c].dtype.kind
+                    and {g[c].dtype.kind, w[c].dtype.kind} - {"O", "b"}]
+        if kind_bad:
+            print(f"FAIL {name}: dtype-kind mismatch {[(c, g[c].dtype.kind, w[c].dtype.kind) for c in kind_bad]}")
+            n_fail += 1; continue
         try:
             pd.testing.assert_frame_equal(g, w, check_dtype=False,
                                           check_exact=True)

@@ -420,7 +420,7 @@ object Relational {
         |  SQRT(p_retailprice) AS sq,
         |  MOD(p_size, 7) AS m7,
         |  GREATEST(p_size, 25) AS g, LEAST(p_size, 25) AS l,
-        |  SIGN(p_retailprice - 1000.0) AS sg
+        |  CAST(SIGN(p_retailprice - 1000.0) AS BIGINT) AS sg
         |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin) { (s, d) =>
       part(s, d).filter(col("p_partkey") <= 200)
         .select(
@@ -433,7 +433,7 @@ object Relational {
           col("p_size") % 7 as "m7",
           greatest(col("p_size"), lit(25)).as("g"),
           least(col("p_size"), lit(25)).as("l"),
-          signum(col("p_retailprice") - 1000.0).as("sg"))
+          signum(col("p_retailprice") - 1000.0).cast(LongType).as("sg"))
         .orderBy("p_partkey")
     },
 
