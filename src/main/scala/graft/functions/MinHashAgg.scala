@@ -16,79 +16,100 @@ import org.apache.spark.unsafe.types.UTF8String
   * the lexicographic MIN over the group's values of the first 16 hex chars
   * of md5(j + ":" + value) — exactly the spec of
   * `TextDedup.minhashSignatures`, which previously ran as k independent
-  * min(md5(...)) aggregates. One buffer of k strings replaces k aggregate
+  * min(md5(...)) aggregates. One buffer of k values replaces k aggregate
   * buffers (k× fewer buffer updates and a k× smaller generated plan), and
   * the md5 of the value is computed once per (row, seed) either way.
-  * Returns ARRAY<STRING> of length k.
+  *
+  * Internally the 16-hex-char prefix is tracked as its unsigned 64-bit
+  * numeric value (the first 8 digest bytes, big-endian): lexicographic
+  * order of fixed-width lowercase hex IS unsigned numeric order, so
+  * Long.compareUnsigned replaces per-row hex encoding + string compares,
+  * and the shuffle buffer is k longs instead of k strings. Hex rendering
+  * happens once per group in eval(). Returns ARRAY<STRING> of length k.
   */
 case class MinHashAggregate(
     child: Expression,
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[String]] {
+  extends TypedImperativeAggregate[Array[Long]] {
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
 
-  override def createAggregationBuffer(): Array[String] = Array.fill[String](k)(null)
-
-  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
-  private val hexChars = "0123456789abcdef".toCharArray
-
-  private def hashPrefix(j: Int, s: String): String = {
-    md.reset()
-    val digest = md.digest((j.toString + ":" + s).getBytes(UTF_8))
-    val out = new Array[Char](16)
-    var i = 0
-    while (i < 8) {
-      out(i * 2) = hexChars((digest(i) >> 4) & 0xf)
-      out(i * 2 + 1) = hexChars(digest(i) & 0xf)
-      i += 1
-    }
-    new String(out)
+  // buffer slot k is a 0/1 "group has at least one value" flag so an
+  // all-null group still evals to k nulls (parity with min(...) aggs)
+  override def createAggregationBuffer(): Array[Long] = {
+    val b = new Array[Long](k + 1)
+    java.util.Arrays.fill(b, 0, k, -1L) // unsigned max
+    b
   }
 
-  override def update(buffer: Array[String], input: InternalRow): Array[String] = {
+  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+  @transient private lazy val digestBuf = new Array[Byte](16)
+  // "<j>:" prefixes pre-encoded once
+  @transient private lazy val seedPrefix: Array[Array[Byte]] =
+    Array.tabulate(k)(j => (j.toString + ":").getBytes(UTF_8))
+
+  private def hash64(j: Int, s: Array[Byte]): Long = {
+    md.reset()
+    md.update(seedPrefix(j))
+    md.update(s)
+    md.digest(digestBuf, 0, 16)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (digestBuf(i) & 0xffL); i += 1 }
+    h
+  }
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val s = v.toString
+      val bytes = v.asInstanceOf[UTF8String].getBytes
       var j = 0
       while (j < k) {
-        val h = hashPrefix(j, s)
-        if (buffer(j) == null || h.compareTo(buffer(j)) < 0) buffer(j) = h
+        val h = hash64(j, bytes)
+        if (java.lang.Long.compareUnsigned(h, buffer(j)) < 0) buffer(j) = h
         j += 1
       }
+      buffer(k) = 1L
     }
     buffer
   }
 
-  override def merge(b1: Array[String], b2: Array[String]): Array[String] = {
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
     var j = 0
     while (j < k) {
-      if (b1(j) == null || (b2(j) != null && b2(j).compareTo(b1(j)) < 0)) b1(j) = b2(j)
+      if (java.lang.Long.compareUnsigned(b2(j), b1(j)) < 0) b1(j) = b2(j)
       j += 1
     }
+    b1(k) |= b2(k)
     b1
   }
 
-  override def eval(buffer: Array[String]): Any =
-    new GenericArrayData(buffer.map(s => if (s == null) null else UTF8String.fromString(s)))
+  private val hexChars = "0123456789abcdef".toCharArray
 
-  override def serialize(buffer: Array[String]): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
+  override def eval(buffer: Array[Long]): Any =
+    if (buffer(k) == 0L) new GenericArrayData(Array.fill[AnyRef](k)(null))
+    else new GenericArrayData(Array.tabulate[Any](k) { j =>
+      val h = buffer(j)
+      val out = new Array[Char](16)
+      var i = 0
+      while (i < 16) { out(i) = hexChars(((h >>> ((15 - i) * 4)) & 0xf).toInt); i += 1 }
+      UTF8String.fromString(new String(out))
+    })
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream((k + 1) * 8)
     val out = new DataOutputStream(bos)
-    buffer.foreach { s =>
-      if (s == null) out.writeBoolean(false)
-      else { out.writeBoolean(true); out.writeUTF(s) }
-    }
+    buffer.foreach(out.writeLong)
     out.flush(); bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): Array[String] = {
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    Array.fill(k)(if (in.readBoolean()) in.readUTF() else null)
+    Array.fill(k + 1)(in.readLong())
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): MinHashAggregate =

@@ -21,18 +21,19 @@ object TextDedup {
 
   /** (id, shingle) pairs — distinct word n-gram shingles per document
     * (space tokenization); documents with fewer than n words produce no
-    * rows. Built from codegen'd builtins (split/transform/sequence) only.
+    * rows. Deliberately lambda-free: higher-order functions (transform)
+    * execute interpreted in Spark, so the shingle is assembled from
+    * codegen'd element_at indexing over an exploded start-index range.
     */
-  def docShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val idxs = (0 until n).map(k => s"w[i+$k]").mkString(", ")
+  def docShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), size(col("w")) - (n - 1))).as("i"))
       .select(col("doc_id"),
-        explode(expr(
-          s"CASE WHEN size(w) >= $n THEN transform(sequence(0, size(w) - $n), i -> concat_ws(' ', $idxs)) " +
-            "ELSE array() END")).as("shingle"))
+        concat_ws(" ", (0 until n).map(k => element_at(col("w"), col("i") + k)): _*).as("shingle"))
       .distinct()
-  }
 
   /** Exact duplicate groups by md5 of the raw text: one row per duplicated
     * digest with the surviving (minimum) id and the victim count.
