@@ -35,15 +35,15 @@ class GraftTable(val spark: SparkSession, val root: String) {
   def latestManifest: TableManifest =
     Manifest.readLatest(root).getOrElse(throw new IllegalStateException(s"no manifest at $root"))
 
-  /** DataFrame of a pinned version (default latest). An empty file set
-    * yields an empty DataFrame with the manifest schema. */
+  /** DataFrame of a pinned version (default latest), served through a
+    * manifest-backed FileIndex so every query gets stats-based file
+    * skipping (GraftFileIndex): predicates prune the file list at plan
+    * time from manifest min/max, before parquet footers are touched. */
   def read(version: Option[Long] = None): DataFrame = {
     val m = version.map(Manifest.read(root, _)).getOrElse(latestManifest)
     val sch = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
-    if (m.files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
-    else
-      spark.read.schema(sch).parquet(m.files.map(f => s"$root/${f.path}"): _*)
+    org.apache.spark.sql.GraftRelations.parquetScan(
+      spark, new GraftFileIndex(root, m), sch)
   }
 
   def readAsOf(tsMs: Long): DataFrame = {

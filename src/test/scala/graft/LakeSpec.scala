@@ -131,6 +131,29 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  test("SELECT scans skip files via manifest stats (GraftFileIndex)") {
+    import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // two disjoint key-range files: [1,2] and [10,11]
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0), (10L, "c", 3.0), (11L, "d", 4.0)))
+    assert(t.latestManifest.files.size === 2)
+    val q = t.read().filter(col("id") >= 10)
+    assert(q.count() === 2)
+    // the executed scan must have planned only the matching file
+    val scans = q.queryExecution.executedPlan.collectLeaves().collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val scannedFiles = scans.head.relation.location
+      .listFiles(Nil, q.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      })
+      .flatMap(_.files).size
+    assert(scannedFiles === 1, "stats pruning should keep exactly one file")
+    // unfiltered read still sees both files
+    assert(t.read().count() === 4)
+  }
+
   test("convert registers existing parquet without rewriting") {
     val dir = tmpDir("graft-convert")
     Seq((1L, "x"), (2L, "y")).toDF("id", "v").write.mode("overwrite").parquet(dir)
