@@ -72,6 +72,80 @@ object Embeddings {
       .filter(col("rnk") <= k)
   }
 
+  /** Assign every vector of `p` (vec_id, qe, n2) to its nearest centroid
+    * in `cents` (cell, cent): exact Int64 squared-L2 via the algebraic
+    * form n2 - 2·dot + cent_n2, ties to the lowest cell id. Centroids are
+    * broadcast (K rows); the argmin is one window shuffle on vec_id.
+    */
+  private def assignCells(p: DataFrame, cents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cd = cents.withColumn("c_n2", dotQ(col("cent"), col("cent")))
+    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cell"))
+    p.crossJoin(broadcast(cd))
+      .withColumn("dist",
+        col("n2") - lit(2L) * dotQ(col("qe"), col("cent")) + col("c_n2"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("qe"), col("n2"), col("cell"))
+  }
+
+  /** Element-wise integer mean of each cell's vectors (truncating DIV —
+    * matches DuckDB's `//`): posexplode → per-(cell,pos) sum/count →
+    * re-assembled in pos order. All shuffles keyed on (cell, pos)/cell.
+    */
+  private def recomputeCentroids(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell"), posexplode(col("qe")).as(Seq("pos", "v")))
+      .groupBy("cell", "pos")
+      .agg(sum("v").as("s"), count(lit(1)).as("c"))
+      .withColumn("comp", expr("s DIV c"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("comp")))).as("pc"))
+      .select(col("cell"), expr("transform(pc, x -> x.comp)").as("cent"))
+
+  /** IVF (inverted-file) ANN top-k with trained centroids: K seed
+    * centroids (the lowest `numCells` vec_ids), `lloydIters` exact-integer
+    * Lloyd refinements, inverted index = final cell assignment, search =
+    * probe the `nprobe` nearest cells per query and exact-cosine rank
+    * within them. All arithmetic is quantized Int64 (deterministic across
+    * engines; the DuckDB oracle replicates it).
+    *
+    * Scale shape: centroids are always tiny (K×dim) and broadcast; the
+    * data-sized stages are per-vector argmin windows (shuffle on vec_id),
+    * centroid recompute (shuffle on (cell,pos)), and the probe join
+    * (shuffle on cell) — the classic IVF layout where cells, not the
+    * corpus, bound the per-query candidate set (expected k·N/K·nprobe
+    * dots instead of N).
+    */
+  def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String,
+              queryPred: Column, k: Int, numCells: Int, nprobe: Int,
+              lloydIters: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = prepared(vecs, idCol, vecCol)
+    var cents = p.orderBy("vec_id").limit(numCells)
+      .select(col("vec_id").as("cell"), col("qe").as("cent"))
+    for (_ <- 0 until lloydIters)
+      cents = recomputeCentroids(assignCells(p, cents))
+    val index = assignCells(p, cents) // the inverted file
+    val cd = cents.withColumn("c_n2", dotQ(col("cent"), col("cent")))
+    val queries = p.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("qe").as("q_qe"), col("n2").as("q_n2"))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("dist"), col("cell"))
+    val probes = queries.crossJoin(broadcast(cd))
+      .withColumn("dist",
+        col("q_n2") - lit(2L) * dotQ(col("q_qe"), col("cent")) + col("c_n2"))
+      .withColumn("prnk", row_number().over(wProbe))
+      .filter(col("prnk") <= nprobe)
+      .select(col("query_id"), col("q_qe"), col("q_n2"), col("cell"))
+    val wRank = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    index.join(probes, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(dotQ(col("qe"), col("q_qe")), col("n2"), col("q_n2")).as("cos"))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= k)
+  }
+
   /** Deterministic ±1 hyperplane components: sign(p,d) = +1 iff the first
     * hex digit of md5("<p>_<d>") is even. Computed at plan-build time and
     * baked in as literals (the oracle recomputes the same md5 values). */

@@ -90,4 +90,40 @@ object TextAnalysis {
       .select(col("doc_id"), md5(col("shingle")).as("h"))
       .groupBy("doc_id")
       .agg(array_join(slice(sort_array(collect_list(col("h"))), 1, 3), "").as("fingerprint"))
+
+  /** Robust winnowing (Schleimer et al., SIGMOD'03): positional word
+    * k-gram hashes (16-hex md5 prefix); every window of `w` consecutive
+    * hashes selects its minimum, rightmost position on ties; the document
+    * fingerprint is the distinct selected (position, hash) set —
+    * guaranteed to share a selection with any copy of length ≥ w+k-1.
+    *
+    * Portable tie-broken argmin: MIN over the window of the string
+    * h || lpad(10^8-1-pos) — smallest hash wins, and among equal hashes
+    * the largest position (smallest complement) wins, in one windowed
+    * string MIN that Spark and DuckDB evaluate identically. One window
+    * shuffle on doc_id; selection density is 2/(w+1).
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 4, w: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kg = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("wd"))
+      .filter(size(col("wd")) >= k)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("wd")) - (k - 1))).as("i"),
+        col("wd"))
+      .select(col("doc_id"), col("i"),
+        substring(md5(concat_ws(" ",
+          (0 until k).map(j => element_at(col("wd"), col("i") + j)): _*)), 1, 16).as("h"))
+    val win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-(w - 1), 0)
+    kg
+      .withColumn("key",
+        concat(col("h"), lpad((lit(99999999) - col("i")).cast(StringType), 8, "0")))
+      .withColumn("sel", min("key").over(win))
+      .filter(col("i") >= w) // complete windows only (positions are 1-based)
+      .select(col("doc_id"),
+        (lit(99999999L) - substring(col("sel"), 17, 8).cast(LongType)).as("pos"),
+        substring(col("sel"), 1, 16).as("fp"))
+      .distinct()
+  }
 }

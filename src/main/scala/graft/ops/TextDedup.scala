@@ -177,6 +177,33 @@ object TextDedup {
     bits.select(col("doc_id"), concat(nibbles: _*).as("simhash"))
   }
 
+  /** Weighted 64-bit SimHash (the standard Charikar construction with
+    * term-frequency weights): each distinct word votes ±tf on every bit
+    * instead of ±1, so frequent terms dominate the signature — more robust
+    * to boilerplate insertions than the unweighted variant. Same portable
+    * bit spec as `simhash`; one groupBy(doc_id, word) for tf, one
+    * groupBy(doc_id) for the 64 weighted sums.
+    */
+  def simhashWeighted(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .withColumn("wh", substring(md5(col("word")), 1, 16))
+    def bitExpr(b: Int): Column = {
+      val nib = expr(s"instr('0123456789abcdef', substring(wh, ${b / 4 + 1}, 1)) - 1")
+      (shiftright(nib, 3 - b % 4) bitwiseAND lit(1)).cast(IntegerType)
+    }
+    val sums = (0 until 64).map(b => sum((bitExpr(b) * 2 - 1) * col("tf")).as(s"s$b"))
+    val bits = words.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+    val nibbles = (0 until 16).map { j =>
+      val v = (0 until 4).map { r =>
+        when(col(s"s${j * 4 + r}") > 0, lit(1 << (3 - r))).otherwise(lit(0))
+      }.reduce(_ + _)
+      lit("0123456789abcdef").substr(v + 1, lit(1))
+    }
+    bits.select(col("doc_id"), concat(nibbles: _*).as("simhash"))
+  }
+
   /** Hamming distance between two 16-hex-char simhash columns (given by
     * name; portable: per-nibble popcount of xor). */
   def simhashHamming(aCol: String, bCol: String): Column =

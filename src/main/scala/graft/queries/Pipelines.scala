@@ -32,6 +32,11 @@ object PipelinesDedup {
     val digit = b / 4 + 1; val shift = 3 - b % 4
     s"SUM(CASE WHEN ((instr('0123456789abcdef', substr(wh, $digit, 1)) - 1) >> $shift) & 1 = 1 THEN 1 ELSE -1 END) AS s$b"
   }.mkString(",\n    ")
+  // tf-weighted variant: each word votes ±tf per bit
+  private val simhashWeightedSums = (0 until 64).map { b =>
+    val digit = b / 4 + 1; val shift = 3 - b % 4
+    s"SUM(tf * (CASE WHEN ((instr('0123456789abcdef', substr(wh, $digit, 1)) - 1) >> $shift) & 1 = 1 THEN 1 ELSE -1 END)) AS s$b"
+  }.mkString(",\n    ")
   private val simhashNibbles = (0 until 16).map { j =>
     val v = (0 until 4).map(r => s"CASE WHEN s${j * 4 + r} > 0 THEN ${8 >> r} ELSE 0 END").mkString(" + ")
     s"substr('0123456789abcdef', ($v) + 1, 1)"
@@ -96,6 +101,20 @@ object PipelinesDedup {
          |SELECT doc_id, $simhashNibbles AS simhash
          |FROM bits ORDER BY doc_id""".stripMargin) { (s, d) =>
       TextDedup.simhash(Tables.load(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    QueryDef("dd5_dedup_simhash_weighted",
+      s"""WITH w AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+         |           FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents)
+         |           GROUP BY doc_id, word),
+         |wh AS (SELECT doc_id, tf, substr(md5(word), 1, 16) AS wh FROM w),
+         |bits AS (SELECT doc_id,
+         |    $simhashWeightedSums
+         |  FROM wh GROUP BY doc_id)
+         |SELECT doc_id, $simhashNibbles AS simhash
+         |FROM bits ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextDedup.simhashWeighted(Tables.load(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     }
   )

@@ -82,6 +82,46 @@ object Similarity {
           "vec_id", "embedding", col("vec_id") < 10, k = 3, planes = PLANES, dim = DIM)
         .withColumn("rnk", col("rnk").cast("long"))
         .orderBy("query_id", "rnk")
+    },
+
+    // IVF with trained centroids: 8 seed cells (lowest vec_ids), one
+    // exact-integer Lloyd refinement (truncating // mean), probe the 2
+    // nearest cells per query, exact cosine rank within them. The oracle
+    // replays the identical training: every distance is
+    // n2 - 2·dot + c_n2 in Int64, ties to the lowest cell.
+    QueryDef("sim3_ann_ivf", {
+      def dot(a: String, b: String) =
+        s"CAST(list_sum([$a[i]*$b[i] FOR i IN range(1, 65)]) AS BIGINT)"
+      def n2(a: String) = dot(a, a)
+      s"""WITH $quantCte,
+         |seeds AS (SELECT vec_id AS cell, qe AS cent FROM q ORDER BY vec_id LIMIT 8),
+         |sd AS (SELECT cell, cent, ${n2("cent")} AS c_n2 FROM seeds),
+         |a0 AS (SELECT q.vec_id, q.qe, q.n2, sd.cell FROM q, sd
+         |       QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |         ORDER BY q.n2 - 2*${dot("q.qe", "sd.cent")} + sd.c_n2, sd.cell) = 1),
+         |cm AS (SELECT cell, i, SUM(qe[i]) AS s, COUNT(*) AS c
+         |       FROM a0, range(1, 65) t(i) GROUP BY cell, i),
+         |cent AS (SELECT cell, list(s // c ORDER BY i) AS cent FROM cm GROUP BY cell),
+         |cd AS (SELECT cell, cent, ${n2("cent")} AS c_n2 FROM cent),
+         |a1 AS (SELECT q.vec_id, q.qe, q.n2, cd.cell FROM q, cd
+         |       QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |         ORDER BY q.n2 - 2*${dot("q.qe", "cd.cent")} + cd.c_n2, cd.cell) = 1),
+         |qs AS (SELECT vec_id AS query_id, qe AS q_qe, n2 AS q_n2 FROM q WHERE vec_id < 10),
+         |pr AS (SELECT query_id, q_qe, q_n2, cd.cell FROM qs, cd
+         |       QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+         |         ORDER BY q_n2 - 2*${dot("q_qe", "cd.cent")} + cd.c_n2, cd.cell) <= 2),
+         |cand AS (SELECT pr.query_id, a1.vec_id AS neighbor_id,
+         |           ${cosSql(dot("a1.qe", "pr.q_qe"), "a1.n2", "pr.q_n2")} AS cos
+         |         FROM a1 JOIN pr ON a1.cell = pr.cell AND a1.vec_id <> pr.query_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, neighbor_id) AS rnk FROM cand)
+         |SELECT query_id, neighbor_id, cos, CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+    }) { (s, d) =>
+      Embeddings.ivfTopK(Tables.load(s, d, "embeddings"),
+          "vec_id", "embedding", col("vec_id") < 10, k = 3, numCells = 8, nprobe = 2)
+        .withColumn("rnk", col("rnk").cast("long"))
+        .orderBy("query_id", "rnk")
     }
   )
 }

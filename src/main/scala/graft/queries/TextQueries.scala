@@ -74,6 +74,28 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Robust winnowing (k=4-gram hashes, w=8 windows, rightmost-min):
+    // both engines compute the tie-broken window argmin as a string MIN
+    // of h || zero-padded position complement.
+    QueryDef("tx5_winnow",
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS wd FROM documents),
+        |kg AS (SELECT doc_id, i, substr(md5(wd[i]||' '||wd[i+1]||' '||wd[i+2]||' '||wd[i+3]), 1, 16) AS h
+        |       FROM words, UNNEST(range(1, len(wd)-2)) AS t(i)),
+        |keyed AS (SELECT doc_id, i, h || lpad(CAST(99999999 - i AS VARCHAR), 8, '0') AS key FROM kg),
+        |sel AS (SELECT doc_id, i,
+        |          MIN(key) OVER (PARTITION BY doc_id ORDER BY i
+        |                         ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS s
+        |        FROM keyed)
+        |SELECT DISTINCT doc_id,
+        |  CAST(99999999 - CAST(substr(s, 17, 8) AS BIGINT) AS BIGINT) AS pos,
+        |  substr(s, 1, 16) AS fp
+        |FROM sel WHERE i >= 8
+        |ORDER BY doc_id, pos, fp""".stripMargin) { (s, d) =>
+      TextAnalysis.winnowFingerprints(Tables.load(s, d, "documents"), "doc_id", "text",
+          k = 4, w = 8)
+        .orderBy("doc_id", "pos", "fp")
+    },
+
     QueryDef("mm1_multimodal_features",
       """SELECT doc_id,
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
