@@ -27,6 +27,50 @@ object StreamingOps {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Sliding-window counts/sums per event_type: windows of `window` width
+    * every `slide`, watermarked. Each event lands in window/slide
+    * overlapping windows — Spark expands them before the one keyed
+    * shuffle, so the scale cost is a ×(window/slide) row blow-up, not
+    * extra shuffles; keep the ratio small at 100 TB. */
+  def slidingAgg(events: DataFrame, window: String, slide: String,
+                 watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window, slide),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Streaming exact dedup — the continuous twin of dd1: emit ONE event
+    * per key (e.g. content digest; which duplicate survives is
+    * batch-order-dependent), with state expired past the watermark so the
+    * dedup map is bounded by the lateness horizon rather than the full
+    * history. At 100 TB/day this is the property that makes streaming
+    * dedup feasible at all: state is O(keys per watermark window), not
+    * O(keys ever). */
+  def dedupStream(events: DataFrame, keyCols: Seq[String], tsCol: String,
+                  watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Watermarked stream-stream interval join: each left event picks up
+    * the right-side rows with the same key whose timestamp lies in
+    * [left.ts - lookback, left.ts]. Both sides buffer only up to their
+    * watermark + interval bound — the state-bounded streaming analog of
+    * the batch as-of join (ev4). */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, key: String,
+                         lookback: String, watermark: String): DataFrame = {
+    val l = left.withWatermark("ts", watermark).as("l")
+    val r = right.withWatermark("rts", watermark).as("r")
+    l.join(r,
+        col(s"l.$key") === col(s"r.$key") &&
+          col("r.rts") >= col("l.ts") - expr(s"INTERVAL $lookback") &&
+          col("r.rts") <= col("l.ts"))
+      .drop(col(s"r.$key"))
+  }
+
   /** File-source stream over a directory of parquet (the smoke path: drop
     * files in, watch aggregates come out). */
   def parquetStream(spark: SparkSession, schema: StructType, dir: String): DataFrame =

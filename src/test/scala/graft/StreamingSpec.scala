@@ -35,6 +35,73 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Seq(("click", 2L, 3.0), ("view", 1L, 5.0)))
   }
 
+  test("sliding window aggregation emits overlapping windows") {
+    val dir = tmpDir("graft-slide-in")
+    Seq(
+      ("2024-01-01 00:01:00", "click", 1.0),
+      ("2024-01-01 00:06:00", "click", 2.0))
+      .toDF("s", "event_type", "value")
+      .select(to_timestamp(col("s")).as("ts"), col("event_type"), col("value"))
+      .write.parquet(dir + "/b1")
+    val stream = StreamingOps.parquetStream(spark, eventSchema, dir + "/b1")
+    val agg = StreamingOps.slidingAgg(stream, "10 minutes", "5 minutes", "10 minutes")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("slideout").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.sql(
+      "SELECT date_format(win_start, 'HH:mm') AS s, n, total_value FROM slideout ORDER BY win_start")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    // 00:01 lands in [23:55,00:05) and [00:00,00:10); 00:06 in [00:00,00:10) and [00:05,00:15)
+    assert(rows === Seq(("23:55", 1L, 1.0), ("00:00", 2L, 3.0), ("00:05", 1L, 2.0)))
+  }
+
+  test("streaming dedup emits one event per key within the watermark") {
+    val dir = tmpDir("graft-dedup-in")
+    Seq(
+      ("2024-01-01 00:01:00", "h1", 1.0),
+      ("2024-01-01 00:02:00", "h1", 2.0), // dup of h1
+      ("2024-01-01 00:03:00", "h2", 3.0))
+      .toDF("s", "event_type", "value") // event_type doubles as the content hash
+      .select(to_timestamp(col("s")).as("ts"), col("event_type"), col("value"))
+      .write.parquet(dir + "/b1")
+    val stream = StreamingOps.parquetStream(spark, eventSchema, dir + "/b1")
+    val dedup = StreamingOps.dedupStream(stream, Seq("event_type"), "ts", "10 minutes")
+    val q = dedup.writeStream.outputMode("append")
+      .format("memory").queryName("dedupout").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.sql("SELECT event_type, value FROM dedupout ORDER BY event_type")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    // exactly one survivor per key; which h1 duplicate survives is
+    // batch-order-dependent
+    assert(rows.map(_._1) === Seq("h1", "h2"))
+    assert(Set(1.0, 2.0).contains(rows.head._2) && rows(1)._2 === 3.0)
+  }
+
+  test("watermarked stream-stream interval join is state-bounded") {
+    val ldir = tmpDir("graft-ssj-l"); val rdir = tmpDir("graft-ssj-r")
+    Seq(("2024-01-01 00:10:00", "u1", 1.0))
+      .toDF("s", "event_type", "value")
+      .select(to_timestamp(col("s")).as("ts"), col("event_type"), col("value"))
+      .write.parquet(ldir + "/b1")
+    Seq(("2024-01-01 00:06:00", "u1", 100.0), // within 5-min lookback
+        ("2024-01-01 00:01:00", "u1", 200.0)) // too old
+      .toDF("s", "event_type", "rvalue")
+      .select(to_timestamp(col("s")).as("rts"), col("event_type"), col("rvalue"))
+      .write.parquet(rdir + "/b1")
+    val rSchema = StructType(Seq(
+      StructField("rts", TimestampType), StructField("event_type", StringType),
+      StructField("rvalue", DoubleType)))
+    val l = StreamingOps.parquetStream(spark, eventSchema, ldir + "/b1")
+    val r = StreamingOps.parquetStream(spark, rSchema, rdir + "/b1")
+    val joined = StreamingOps.intervalJoinStream(l, r, "event_type", "5 MINUTES", "10 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssjout").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.sql("SELECT event_type, rvalue FROM ssjout")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(rows === Seq(("u1", 100.0)))
+  }
+
   test("continuous CDC upsert stream merges micro-batches into a graft table") {
     val inDir = tmpDir("graft-cdc-in")
     val ckDir = tmpDir("graft-cdc-ck")
