@@ -196,6 +196,26 @@ class GraftTable(val spark: SparkSession, val root: String) {
     commitNext(Seq.empty, m.schemaJson)
   }
 
+  /** OPTIMIZE-style compaction: fuse files smaller than `smallBytes` into
+    * ~maxRecordsPerFile-row files; larger files are inherited untouched
+    * (byte-identical paths). Frequent small appends and CDC flushes are
+    * how lakehouse tables rot at scale — scan parallelism degenerates to
+    * per-file task overhead and manifest size balloons — so compaction is
+    * a first-class maintenance op alongside VACUUM. Returns the new
+    * version (unchanged file set committed when <2 small files exist).
+    */
+  def compact(smallBytes: Long = 32L << 20,
+              maxRecordsPerFile: Long = GraftTable.DefaultMaxRecordsPerFile): Long = {
+    val m = latestManifest
+    val (small, big) = m.files.partition(_.size < smallBytes)
+    if (small.size <= 1) return commitNext(m.files, m.schemaJson)
+    val sch = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    val src = spark.read.schema(sch).parquet(small.map(f => s"$root/${f.path}"): _*)
+    val entries = writeFiles(src.coalesce(
+      math.max(1, (small.map(_.numRecords).sum / maxRecordsPerFile).toInt + 1)), maxRecordsPerFile)
+    commitNext(big ++ entries, m.schemaJson)
+  }
+
   /** Delete data files not referenced by the latest version and all
     * manifests except the latest. Returns (filesDeleted, versionsDeleted). */
   def vacuum(): (Int, Int) = {

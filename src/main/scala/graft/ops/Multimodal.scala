@@ -56,4 +56,39 @@ object Multimodal {
       .mapPartitions(_.map { case (id, payload) => decodeStub(id, payload) })
       .toDF()
   }
+
+  /** One sampled "frame" of a media payload. */
+  case class Frame(doc_id: Long, frame_no: Long, frame_hash: String)
+
+  /** Frame sampling over binary payloads — the video/audio access pattern:
+    * slice the payload into fixed-size frames, keep every `strideBytes`-th
+    * one, fingerprint each (STUB: md5 of the frame's lowercase hex; a real
+    * decoder would emit pixels/PCM here). Runs iterator-to-iterator per
+    * partition: one task walks its rows' payloads with zero shuffle — at
+    * 100 TB the only data movement is the parquet scan itself, and frames
+    * explode row counts by len/stride, so sampling happens BEFORE any
+    * downstream shuffle.
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+                   frameBytes: Int = 16, strideBytes: Int = 64): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { case (id, payload) =>
+          Iterator.from(0)
+            .takeWhile(j => j.toLong * strideBytes < payload.length)
+            .map { j =>
+              val start = j * strideBytes
+              val frame = payload.slice(start, math.min(start + frameBytes, payload.length))
+              val hex = frame.map(b => f"$b%02x").mkString
+              md.reset()
+              val digest = md.digest(hex.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+              Frame(id, j.toLong, digest)
+            }
+        }
+      }
+      .toDF()
+  }
 }

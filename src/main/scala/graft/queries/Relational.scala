@@ -490,12 +490,29 @@ object Relational {
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
         |   WHERE COALESCE(NULL, l_discount, 0.0) = 0.0) AS coalesce_n""".stripMargin),
 
-    // ---- approx aggregates (values differ across engines → rows-only) ----
-    QueryDef.unoracled("q26_approx_aggs") { (s, d) =>
+    // ---- approx aggregates ------------------------------------------------
+    // Sketch values are engine-specific (Spark HLL++/GK vs DuckDB HLL/
+    // t-digest), so raw outputs can't hash-match. Instead BOTH engines run
+    // their own sketches and assert the published error guarantee against
+    // the exact answer — the deterministic (exact, within-bound) rows
+    // hash-match while still executing the approx machinery end to end.
+    QueryDef("q26_approx_aggs",
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  abs(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))
+        |    <= 0.10 * COUNT(DISTINCT l_partkey) AS cd_ok,
+        |  abs(approx_quantile(l_extendedprice, 0.5) - median(l_extendedprice))
+        |    <= 0.05 * median(l_extendedprice) AS med_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       li(s, d).groupBy("l_returnflag")
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median"))
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey")).as("acd"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("amed"),
+          expr("percentile(l_extendedprice, 0.5)").as("emed"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("acd") - col("exact_parts")) <= col("exact_parts") * 0.10).as("cd_ok"),
+          (abs(col("amed") - col("emed")) <= col("emed") * 0.05).as("med_ok"))
         .orderBy("l_returnflag")
     }
   )

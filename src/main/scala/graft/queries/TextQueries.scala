@@ -106,6 +106,22 @@ object TextQueries {
       Multimodal.extractFeatures(s,
           Multimodal.asBinaryTable(Tables.load(s, d, "documents"), "doc_id", "text"))
         .orderBy("doc_id")
+    },
+
+    // Frame sampling over binary payloads: every 64-byte stride yields a
+    // 16-byte frame, fingerprinted as md5(lowercase hex) — the hex hop
+    // keeps the spec portable (DuckDB has no blob substring).
+    QueryDef("mm2_frame_sampling",
+      """WITH b AS (SELECT doc_id, lower(hex(CAST(text AS BLOB))) AS hx,
+        |             octet_length(CAST(text AS BLOB)) AS len FROM documents),
+        |f AS (SELECT doc_id, CAST(j AS BIGINT) AS frame_no,
+        |        md5(substr(hx, j*128 + 1, 32)) AS frame_hash
+        |      FROM b, UNNEST(range(0, CAST(ceil(len / 64.0) AS BIGINT))) AS t(j))
+        |SELECT doc_id, frame_no, frame_hash FROM f
+        |ORDER BY doc_id, frame_no""".stripMargin) { (s, d) =>
+      Multimodal.sampleFrames(s,
+          Multimodal.asBinaryTable(Tables.load(s, d, "documents"), "doc_id", "text"))
+        .orderBy("doc_id", "frame_no")
     }
   )
 }

@@ -201,6 +201,7 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
   private val reRename = """(?is)^ALTER\s+TABLE\s+([\w."]+)\s+RENAME\s+TO\s+([\w."]+)\s*$""".r
   private val reVacuumDb = """(?is)^VACUUM\s+DATABASE\s+([\w"]+)\s*$""".r
   private val reVacuumTable = """(?is)^VACUUM\s+TABLE\s+([\w."]+)\s*$""".r
+  private val reOptimize = """(?is)^OPTIMIZE\s+TABLE\s+([\w."]+)\s*$""".r
   private val reCopyTo = """(?is)^COPY\s+(.+?)\s+TO\s+'([^']+)'(?:\s+WITH\s*\(\s*FORMAT\s+(\w+)\s*\))?\s*$""".r
   private val reCreateFn =
     """(?is)^CREATE\s+(OR\s+REPLACE\s+)?FUNCTION\s+([\w"]+)\s+AS\s+'(.+)'\s*$""".r
@@ -299,6 +300,10 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
     case reVacuumTable(qname) =>
       val (sch, name) = splitName(qname)
       table(sch, name).vacuum(); emptyResult
+    case reOptimize(qname) =>
+      // beyond-reference maintenance op: small-file compaction
+      val (sch, name) = splitName(qname)
+      table(sch, name).compact(); emptyResult
     case reConvert(loc, qname) =>
       val (sch, name) = splitName(qname)
       val uuid = catalog.createTable("default", sch, name)

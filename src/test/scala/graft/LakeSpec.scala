@@ -154,6 +154,20 @@ class LakeSpec extends SparkSpec {
     assert(t.read().count() === 4)
   }
 
+  test("compact fuses small files and inherits large ones") {
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0),
+      (4L, "d", 4.0), (5L, "e", 5.0))) // maxPerFile=2 → 3 small files
+    assert(t.latestManifest.files.size === 3)
+    val before = t.read().orderBy("id").collect().toSeq
+    t.compact(smallBytes = 32L << 20)
+    assert(t.latestManifest.files.size === 1)
+    assert(t.read().orderBy("id").collect().toSeq === before)
+    // second compact with nothing to do commits an unchanged file set
+    val paths = t.latestManifest.files.map(_.path)
+    t.compact(smallBytes = 1L) // nothing is "small" now
+    assert(t.latestManifest.files.map(_.path) === paths)
+  }
+
   test("convert registers existing parquet without rewriting") {
     val dir = tmpDir("graft-convert")
     Seq((1L, "x"), (2L, "y")).toDF("id", "v").write.mode("overwrite").parquet(dir)
