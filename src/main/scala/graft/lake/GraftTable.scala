@@ -216,6 +216,31 @@ class GraftTable(val spark: SparkSession, val root: String) {
     commitNext(big ++ entries, m.schemaJson)
   }
 
+  /** Re-cluster the WHOLE table by `cols`: range-repartition + sort so
+    * every rewritten file covers a disjoint key range — which is what
+    * makes GraftFileIndex's min/max skipping selective (a point predicate
+    * then touches exactly one file instead of all of them). The write-side
+    * half of data skipping; run it on tables whose query keys drift from
+    * insert order (Delta's OPTIMIZE ZORDER plays this role for
+    * multi-dimensional keys; single-dimension range clustering is the
+    * right default for one dominant key). One full-table shuffle.
+    */
+  def cluster(cols: Seq[String],
+              maxRecordsPerFile: Long = GraftTable.DefaultMaxRecordsPerFile): Long = {
+    val m = latestManifest
+    if (m.files.isEmpty) return commitNext(m.files, m.schemaJson)
+    val sch = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    val src = spark.read.schema(sch).parquet(m.files.map(f => s"$root/${f.path}"): _*)
+    val totalRecords = m.files.map(_.numRecords).sum
+    val nParts = math.max(1, (totalRecords / maxRecordsPerFile).toInt +
+      (if (totalRecords % maxRecordsPerFile == 0) 0 else 1))
+    val keyCols = cols.map(col)
+    val clustered = src.repartitionByRange(nParts, keyCols: _*)
+      .sortWithinPartitions(keyCols: _*)
+    val entries = writeFiles(clustered, maxRecordsPerFile)
+    commitNext(entries, m.schemaJson)
+  }
+
   /** Delete data files not referenced by the latest version and all
     * manifests except the latest. Returns (filesDeleted, versionsDeleted). */
   def vacuum(): (Int, Int) = {

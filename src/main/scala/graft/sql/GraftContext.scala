@@ -202,6 +202,8 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
   private val reVacuumDb = """(?is)^VACUUM\s+DATABASE\s+([\w"]+)\s*$""".r
   private val reVacuumTable = """(?is)^VACUUM\s+TABLE\s+([\w."]+)\s*$""".r
   private val reOptimize = """(?is)^OPTIMIZE\s+TABLE\s+([\w."]+)\s*$""".r
+  private val reCluster =
+    """(?is)^OPTIMIZE\s+TABLE\s+([\w."]+)\s+CLUSTER\s+BY\s*\(([^)]+)\)\s*$""".r
   private val reCopyTo = """(?is)^COPY\s+(.+?)\s+TO\s+'([^']+)'(?:\s+WITH\s*\(\s*FORMAT\s+(\w+)\s*\))?\s*$""".r
   private val reCreateFn =
     """(?is)^CREATE\s+(OR\s+REPLACE\s+)?FUNCTION\s+([\w"]+)\s+AS\s+'(.+)'\s*$""".r
@@ -300,6 +302,11 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
     case reVacuumTable(qname) =>
       val (sch, name) = splitName(qname)
       table(sch, name).vacuum(); emptyResult
+    case reCluster(qname, cols) =>
+      // beyond-reference maintenance op: range-cluster for data skipping
+      val (sch, name) = splitName(qname)
+      table(sch, name).cluster(cols.split(',').map(_.trim.replace("\"", "")).toSeq)
+      emptyResult
     case reOptimize(qname) =>
       // beyond-reference maintenance op: small-file compaction
       val (sch, name) = splitName(qname)

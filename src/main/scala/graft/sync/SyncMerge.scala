@@ -65,15 +65,21 @@ object SyncMerge {
       return v
     }
 
-    // 2. prune base files by the batch's PK range (per leading pk col)
-    val pk0 = pkCols.head
-    val range = squashed.agg(
-      min(coalesce(oldPk(pk0), newPk(pk0))).as("mn"),
-      max(coalesce(oldPk(pk0), newPk(pk0))).as("mx")).collect()(0)
+    // 2. prune base files by the batch's PK ranges: the conjunction of
+    // every PK column's [min,max] (one aggregate row for all columns) —
+    // composite keys prune on all components, not just the leading one
+    val rangeAggs = pkCols.flatMap(c => Seq(
+      min(coalesce(oldPk(c), newPk(c))).as(s"mn_$c"),
+      max(coalesce(oldPk(c), newPk(c))).as(s"mx_$c")))
+    val range = squashed.agg(rangeAggs.head, rangeAggs.tail: _*).collect()(0)
+    val rangePred = pkCols.zipWithIndex
+      .filterNot { case (_, i) => range.isNullAt(2 * i) }
+      .map { case (c, i) =>
+        s"$c >= ${sqlLit(range.get(2 * i))} AND $c <= ${sqlLit(range.get(2 * i + 1))}"
+      }
     val (affected, untouched) =
-      if (range.isNullAt(0)) (m.files, Seq.empty[Manifest.FileEntry])
-      else Pruning.partition(m.files,
-        s"$pk0 >= ${sqlLit(range.get(0))} AND $pk0 <= ${sqlLit(range.get(1))}", schema)
+      if (rangePred.isEmpty) (m.files, Seq.empty[Manifest.FileEntry])
+      else Pruning.partition(m.files, rangePred.mkString(" AND "), schema)
 
     val base =
       if (affected.isEmpty)

@@ -168,6 +168,29 @@ class LakeSpec extends SparkSpec {
     assert(t.latestManifest.files.map(_.path) === paths)
   }
 
+  test("cluster makes file ranges disjoint so point queries touch one file") {
+    val root = tmpDir("graft-cluster")
+    val t = GraftTable.create(spark, root,
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType))))
+    // interleaved appends: every file spans nearly the full id range,
+    // so stats pruning can't skip anything
+    (0 until 4).foreach { b =>
+      t.append(Seq((b.toLong, s"a$b"), (100L + b, s"b$b")).toDF("id", "v").coalesce(1))
+    }
+    def filesTouched(idVal: Long): Int = {
+      val m = t.latestManifest
+      val sch = t.schema
+      m.files.count(f => Pruning.mayMatch(
+        Pruning.parsePredicate(s"id = $idVal"), f, sch))
+    }
+    assert(t.latestManifest.files.size === 4)
+    assert(filesTouched(100L) === 4) // every file straddles the range
+    t.cluster(Seq("id"), maxRecordsPerFile = 2)
+    assert(t.read().count() === 8)
+    assert(t.latestManifest.files.size >= 3)
+    assert(filesTouched(100L) === 1) // disjoint ranges now
+  }
+
   test("convert registers existing parquet without rewriting") {
     val dir = tmpDir("graft-convert")
     Seq((1L, "x"), (2L, "y")).toDF("id", "v").write.mode("overwrite").parquet(dir)
