@@ -191,7 +191,7 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
   private val reCreateTableAs = """(?is)^CREATE\s+TABLE\s+([\w."]+)\s+AS\s+(.+)$""".r
   private val reCreateTable = """(?is)^CREATE\s+TABLE\s+([\w."]+)\s*\((.+)\)\s*$""".r
   private val reCreateExternal =
-    """(?is)^CREATE\s+EXTERNAL\s+TABLE\s+([\w."]+)\s+STORED\s+AS\s+(\w+)\s+LOCATION\s+'([^']+)'\s*$""".r
+    """(?is)^CREATE\s+EXTERNAL\s+TABLE\s+([\w."]+)\s+STORED\s+AS\s+(\w+)\s+LOCATION\s+'([^']+)'(?:\s+OPTIONS\s*\(([^)]*)\))?\s*$""".r
   private val reInsertSel = """(?is)^INSERT\s+INTO\s+([\w."]+)\s*(?:\(([^)]*)\))?\s*(SELECT.+|VALUES.+|WITH.+)$""".r
   private val reUpdate = """(?is)^UPDATE\s+([\w."]+)\s+SET\s+(.+)$""".r
   private val reDelete = """(?is)^DELETE\s+FROM\s+([\w."]+)(?:\s+WHERE\s+(.+))?$""".r
@@ -222,12 +222,27 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
       catalog.createDatabase(clean(db)); emptyResult
     case reCreateSchema(sch) =>
       catalog.createSchema("default", clean(sch)); emptyResult
-    case reCreateExternal(qname, fmt, loc) =>
+    case reCreateExternal(qname, fmt, loc, opts) =>
       val (_, name) = splitName(qname)
+      // OPTIONS ('k1' 'v1', 'k2' 'v2') — reference external-table syntax
+      val options: Map[String, String] = Option(opts).toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+        .map { kv =>
+          val m = """'([^']*)'\s+'([^']*)'""".r
+          kv match {
+            case m(k, v) => k -> v
+            case _ => throw new IllegalArgumentException(s"bad OPTIONS entry: $kv")
+          }
+        }.toMap
       val df = fmt.toUpperCase match {
         case "PARQUET" => spark.read.parquet(loc)
         case "CSV" => spark.read.option("header", "true").option("inferSchema", "true").csv(loc)
         case "JSON" | "NDJSON" => spark.read.json(loc)
+        case "JDBC" =>
+          // remote tables (reference datafusion_remote_tables): a live
+          // federated scan through Spark's JDBC source, which pushes
+          // column pruning, filters, and LIMIT to the remote database
+          spark.read.format("jdbc").option("url", loc).options(options).load()
         case other => throw new IllegalArgumentException(s"unsupported external format $other")
       }
       // external tables land in the transient `staging` schema only

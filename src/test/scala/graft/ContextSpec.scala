@@ -129,6 +129,28 @@ class ContextSpec extends SparkSpec {
     assert(c.execute("SELECT COUNT(*) AS n FROM staging.ext").collect().head.getLong(0) === 2L)
   }
 
+  test("remote table via JDBC external table with filter pushdown") {
+    val c = ctx()
+    val dbDir = tmpDir("graft-derby") + "/remotedb"
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE remote_items (id BIGINT, name VARCHAR(32))")
+      st.execute("INSERT INTO remote_items VALUES (1, 'alpha'), (2, 'beta'), (3, 'gamma')")
+      st.close()
+    } finally conn.close()
+    c.execute(
+      s"CREATE EXTERNAL TABLE rt STORED AS JDBC LOCATION 'jdbc:derby:$dbDir' " +
+        "OPTIONS ('dbtable' 'remote_items')")
+    val q = c.execute("SELECT name FROM staging.rt WHERE id >= 2 ORDER BY name")
+    assert(q.collect().map(_.getString(0)).toSeq === Seq("beta", "gamma"))
+    // Spark's JDBC source compiled the filter into remote SQL
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual"),
+      s"expected JDBC filter pushdown in plan:\n$plan")
+  }
+
   test("convert existing parquet directory to a graft table") {
     import spark.implicits._
     val c = ctx()
