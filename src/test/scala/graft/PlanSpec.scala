@@ -67,6 +67,40 @@ class PlanSpec extends SparkSpec {
     assert(physical.contains("*("), physical.take(2000))
   }
 
+  test("IVF centroids broadcast; the probe join never shuffles them (sim3)") {
+    val p = planOf("sim3_ann_ivf")
+    // every centroid-side join (assignment + probe) must be a broadcast —
+    // a shuffled join on the K-row centroid table would serialize the
+    // whole corpus through one exchange at scale for no reason
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(3000))
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+  }
+
+  test("minhash signatures compute in one aggregate pass (dd3)") {
+    val p = planOf("dd3_dedup_minhash_lsh")
+    // the 16-seed signature is ONE ObjectHashAggregate (single buffer),
+    // not 16 separate aggregate expressions
+    assert(p.contains("ObjectHashAggregate"), p.take(3000))
+    assert(p.contains("minhashaggregate") || p.contains("MinHashAggregate"),
+      p.take(3000))
+  }
+
+  test("winnowing is one window shuffle over doc_id (tx5)") {
+    val p = planOf("tx5_winnow")
+    val windows = p.linesIterator.count(_.matches("""\(\d+\) Window\s*"""))
+    assert(windows == 1, s"expected exactly 1 Window, got $windows:\n${p.take(3000)}")
+  }
+
+  test("frame sampling plans no shuffle before the sample (mm2)") {
+    val df = SparkEntry.queries("mm2_frame_sampling")(spark, dir)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the mapPartitions stage must sit directly on the scan: the only
+    // exchange allowed is the final presentation orderBy
+    val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange\s*"""))
+    assert(exchanges <= 1, s"expected <=1 exchange, got $exchanges:\n${p.take(3000)}")
+  }
+
   test("as-of join is a single keyed window, not a join (ev4)") {
     val p = planOf("ev4_asof_join")
     assert(p.contains("Window"), p.take(2000))
