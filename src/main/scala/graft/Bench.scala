@@ -34,9 +34,12 @@ object Bench {
       fn(spark, sfDir).write.mode("overwrite").format("noop").save()
 
     // warmup: register views, read footers, prime codegen + shuffle paths
+    // (one lineitem-side and one documents-side query so both scan paths
+    // pay their one-time session costs outside the measurements)
     Tables.register(spark, sfDir)
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).limit(1).count())
     SparkEntry.queries.get("q01_pricing_summary").foreach(run)
+    SparkEntry.queries.get("dd1_dedup_exact").foreach(run)
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

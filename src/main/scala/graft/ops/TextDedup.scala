@@ -128,20 +128,24 @@ object TextDedup {
     */
   def minhashDedupPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ds = docShingles(docs, idCol, textCol, n)
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
-      .cache()
+    val ds = docShingles(docs, idCol, textCol, n).cache()
+    // shingle-set sizes as a groupBy (map-side partial agg → doc-count-
+    // sized shuffle), NOT a window: a count window would sort every
+    // shingle row inside each doc partition just to tag sizes along
+    val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val sigs = minhashSignatures(ds, k)
     val cands = lshCandidates(lshBuckets(sigs, bands, k / bands))
     // exact-Jaccard verification of the candidates: shingle-set
-    // intersection via two keyed joins; sizes ride along on ds rows
+    // intersection via two keyed joins; sizes join the (small) verified
+    // pair set at the end
     cands
       .join(ds.as("sa"), col("id1") === col("sa.doc_id"))
       .join(ds.as("sb"), col("id2") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
       .groupBy("id1", "id2")
-      .agg(count(lit(1)).as("inter"),
-        first(col("sa.sz")).as("sz1"), first(col("sb.sz")).as("sz2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id"), col("sz").as("sz1")), col("id1") === col("doc_id"))
+      .drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("sz").as("sz2")), col("id2") === col("doc_id"))
       .withColumn("jaccard",
         col("inter").cast(DoubleType) / (col("sz1") + col("sz2") - col("inter")))
       .filter(col("jaccard") >= threshold)

@@ -32,6 +32,8 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
   Files.createDirectories(Paths.get(dataDir))
   // engine-native function extensions available to every SQL surface
   graft.functions.VectorFunctions.register(spark)
+  // DataFusion-dialect function-name aliases (reference-compat)
+  org.apache.spark.sql.GraftCompatFunctions.register(spark)
 
   def table(schema: String, name: String): GraftTable = {
     val uuid = catalog.getTable("default", schema, name)

@@ -30,3 +30,34 @@ object GraftRelations {
     classic.Dataset.ofRows(cs, LogicalRelation(rel, isStreaming = false))
   }
 }
+
+/** DataFusion-dialect function-name aliases (SURVEY §2.8 compat shim):
+  * queries written for the reference engine keep working unmodified.
+  * Each alias re-registers the Spark builtin's own expression builder
+  * under the DataFusion name — full codegen, zero UDF overhead.
+  */
+object GraftCompatFunctions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+
+  // DataFusion name -> Spark builtin name (arg-compatible pairs only)
+  private val aliases = Seq(
+    "strpos" -> "instr",            // strpos(str, substr)
+    "starts_with" -> "startswith",
+    "ends_with" -> "endswith",
+    "to_hex" -> "hex",
+    "make_array" -> "array",
+    "array_length" -> "array_size",
+    "list_element" -> "element_at",
+    "regexp_match" -> "regexp_extract_all")
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+    aliases.foreach { case (dfName, sparkName) =>
+      if (reg.lookupFunctionBuilder(FunctionIdentifier(dfName)).isEmpty) {
+        FunctionRegistry.builtin.lookupFunctionBuilder(FunctionIdentifier(sparkName))
+          .foreach(b => reg.registerFunction(FunctionIdentifier(dfName), b, "built-in"))
+      }
+    }
+  }
+}

@@ -151,6 +151,17 @@ class ContextSpec extends SparkSpec {
       s"expected JDBC filter pushdown in plan:\n$plan")
   }
 
+  test("DataFusion-dialect function names resolve (compat aliases)") {
+    val c = ctx()
+    val r = c.execute(
+      "SELECT strpos('hello', 'll') AS p, starts_with('abc', 'ab') AS s, " +
+        "to_hex(255) AS h, array_length(make_array(1, 2, 3)) AS n").collect().head
+    assert(r.getInt(0) === 3)
+    assert(r.getBoolean(1))
+    assert(r.getString(2) === "FF")
+    assert(r.getInt(3) === 3)
+  }
+
   test("convert existing parquet directory to a graft table") {
     import spark.implicits._
     val c = ctx()
