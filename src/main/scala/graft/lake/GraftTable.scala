@@ -241,6 +241,51 @@ class GraftTable(val spark: SparkSession, val root: String) {
     commitNext(entries, m.schemaJson)
   }
 
+  /** Z-order re-cluster by 2-3 numeric columns: each column is bucketed
+    * into 2^bitsPerDim uniform buckets over its global [min,max], the
+    * bucket bits are interleaved into a single z-value, and the table is
+    * range-partitioned + sorted by it. Unlike `cluster` (lexicographic —
+    * only the leading key prunes), the space-filling curve keeps EVERY
+    * participating column's per-file [min,max] narrow, so predicates on
+    * any single dimension skip files (the property Delta's OPTIMIZE
+    * ZORDER provides; production systems bucket on quantiles rather than
+    * uniform ranges — same plan shape, better skew behavior). Two passes:
+    * one tiny min/max aggregate, one full-table shuffle.
+    */
+  def zcluster(cols: Seq[String], bitsPerDim: Int = 10,
+               maxRecordsPerFile: Long = GraftTable.DefaultMaxRecordsPerFile): Long = {
+    require(cols.size >= 2 && cols.size <= 3, "zcluster takes 2-3 columns")
+    val m = latestManifest
+    if (m.files.isEmpty) return commitNext(m.files, m.schemaJson)
+    val sch = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    val src = spark.read.schema(sch).parquet(m.files.map(f => s"$root/${f.path}"): _*)
+    val mmAggs = cols.flatMap(c => Seq(
+      min(col(c).cast(DoubleType)).as(s"mn_$c"),
+      max(col(c).cast(DoubleType)).as(s"mx_$c")))
+    val mm = src.agg(mmAggs.head, mmAggs.tail: _*).collect()(0)
+    val nBuckets = 1 << bitsPerDim
+    val buckets = cols.zipWithIndex.map { case (c, i) =>
+      val (mn, mx) = (mm.getDouble(2 * i), mm.getDouble(2 * i + 1))
+      // width_bucket gives 1..n inside the range; clamp to 0..n-1
+      (width_bucket(col(c).cast(DoubleType), lit(mn), lit(mx + 1e-9), lit(nBuckets)) - 1)
+        .cast(LongType)
+    }
+    val d = cols.size
+    val zkey = (0 until bitsPerDim).flatMap { b =>
+      buckets.zipWithIndex.map { case (v, dim) =>
+        shiftleft(shiftright(v, b).bitwiseAND(lit(1L)), b * d + dim)
+      }
+    }.reduce[Column](_ bitwiseOR _)
+    val totalRecords = m.files.map(_.numRecords).sum
+    val nParts = math.max(1, ((totalRecords + maxRecordsPerFile - 1) / maxRecordsPerFile).toInt)
+    val clustered = src.withColumn("__z", zkey)
+      .repartitionByRange(nParts, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    val entries = writeFiles(clustered, maxRecordsPerFile)
+    commitNext(entries, m.schemaJson)
+  }
+
   /** Delete data files not referenced by the latest version and all
     * manifests except the latest. Returns (filesDeleted, versionsDeleted). */
   def vacuum(): (Int, Int) = {

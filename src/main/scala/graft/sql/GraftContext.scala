@@ -206,6 +206,8 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
   private val reOptimize = """(?is)^OPTIMIZE\s+TABLE\s+([\w."]+)\s*$""".r
   private val reCluster =
     """(?is)^OPTIMIZE\s+TABLE\s+([\w."]+)\s+CLUSTER\s+BY\s*\(([^)]+)\)\s*$""".r
+  private val reZorder =
+    """(?is)^OPTIMIZE\s+TABLE\s+([\w."]+)\s+ZORDER\s+BY\s*\(([^)]+)\)\s*$""".r
   private val reCopyTo = """(?is)^COPY\s+(.+?)\s+TO\s+'([^']+)'(?:\s+WITH\s*\(\s*FORMAT\s+(\w+)\s*\))?\s*$""".r
   private val reCreateFn =
     """(?is)^CREATE\s+(OR\s+REPLACE\s+)?FUNCTION\s+([\w"]+)\s+AS\s+'(.+)'\s*$""".r
@@ -319,6 +321,11 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
     case reVacuumTable(qname) =>
       val (sch, name) = splitName(qname)
       table(sch, name).vacuum(); emptyResult
+    case reZorder(qname, cols) =>
+      // beyond-reference: multi-dimensional clustering (space-filling curve)
+      val (sch, name) = splitName(qname)
+      table(sch, name).zcluster(cols.split(',').map(_.trim.replace("\"", "")).toSeq)
+      emptyResult
     case reCluster(qname, cols) =>
       // beyond-reference maintenance op: range-cluster for data skipping
       val (sch, name) = splitName(qname)

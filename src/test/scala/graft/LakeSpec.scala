@@ -191,6 +191,31 @@ class LakeSpec extends SparkSpec {
     assert(filesTouched(100L) === 1) // disjoint ranges now
   }
 
+  test("zcluster prunes on BOTH dimensions (space-filling curve)") {
+    import spark.implicits._
+    val root = tmpDir("graft-zorder")
+    val t = GraftTable.create(spark, root,
+      StructType(Seq(StructField("x", LongType), StructField("y", LongType))))
+    // 32x32 grid in random-ish insert order (hash shuffle of the grid)
+    val grid = for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y)
+    t.append(scala.util.Random.shuffle(grid).toDF("x", "y").repartition(4), 64)
+    def filesTouched(pred: String): Int = {
+      val m = t.latestManifest
+      m.files.count(f => Pruning.mayMatch(Pruning.parsePredicate(pred), f, t.schema))
+    }
+    val total = t.latestManifest.files.size
+    assert(total >= 8)
+    // random order: narrow slices on either dim still touch ~every file
+    assert(filesTouched("x <= 1") >= total - 2)
+    assert(filesTouched("y <= 1") >= total - 2)
+    t.zcluster(Seq("x", "y"), bitsPerDim = 5, maxRecordsPerFile = 64)
+    val zTotal = t.latestManifest.files.size
+    assert(t.read().count() === 1024)
+    // z-order: a narrow slice on EITHER single dimension skips most files
+    assert(filesTouched("x <= 1") <= zTotal / 2, s"x slice touched ${filesTouched("x <= 1")} of $zTotal")
+    assert(filesTouched("y <= 1") <= zTotal / 2, s"y slice touched ${filesTouched("y <= 1")} of $zTotal")
+  }
+
   test("convert registers existing parquet without rewriting") {
     val dir = tmpDir("graft-convert")
     Seq((1L, "x"), (2L, "y")).toDF("id", "v").write.mode("overwrite").parquet(dir)
