@@ -181,6 +181,43 @@ object TextDedup {
     bits.select(col("doc_id"), concat(nibbles: _*).as("simhash"))
   }
 
+  /** Duplicate GROUPS from a near-dup pair list: connected components of
+    * the (id1, id2) graph, every member labeled with its component's
+    * minimum doc id — the survivor-selection step that turns pairwise
+    * dedup output into "keep one per cluster". Iterative min-label
+    * propagation: each round every node takes the min of its own and its
+    * neighbors' labels; converges in O(component diameter) rounds (near-
+    * dup components are shallow). Each round is one join + one groupBy on
+    * the edge list — the standard distributed CC loop — with
+    * localCheckpoint truncating the plan lineage so iteration N doesn't
+    * re-execute rounds 1..N-1. Fixpoint detected by the monotone label
+    * sum. Returns (doc_id, group_id) for every node of the graph.
+    */
+  def duplicateGroups(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .distinct().cache()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .localCheckpoint()
+    var prevSum = labels.agg(sum("lbl")).collect()(0).getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges.join(labels, edges("b") === labels("id"))
+        .groupBy(col("a").as("id")).agg(min("lbl").as("nlbl"))
+      labels = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      val s = labels.agg(sum("lbl")).collect()(0).getLong(0)
+      converged = s == prevSum // label sum is strictly decreasing until fixpoint
+      prevSum = s
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("lbl").as("group_id"))
+  }
+
   /** Weighted 64-bit SimHash (the standard Charikar construction with
     * term-frequency weights): each distinct word votes ±tf on every bit
     * instead of ±1, so frequent terms dominate the signature — more robust

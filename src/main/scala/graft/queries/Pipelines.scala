@@ -27,6 +27,26 @@ object PipelinesDedup {
     .map(b => s"SELECT doc_id, '$b:'||h${2 * b}||h${2 * b + 1} AS bucket FROM sig")
     .mkString("\n  UNION ALL ")
 
+  // full minhash-LSH pipeline as a CTE chain ending in `pairs` (shared by
+  // dd3 and the dd6 grouping closure)
+  private lazy val minhashPairCtes =
+    s"""$shingleCte,
+       |sig AS (SELECT doc_id,
+       |    $sigSelect
+       |  FROM sh GROUP BY doc_id),
+       |buckets AS (
+       |  $bandUnion),
+       |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |         FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (SELECT id1, id2, COUNT(*) AS i
+       |          FROM cand JOIN sh sa ON sa.doc_id = id1
+       |          JOIN sh sb ON sb.doc_id = id2 AND sb.shingle = sa.shingle
+       |          GROUP BY 1, 2),
+       |pairs AS (SELECT id1, id2, CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) AS jaccard
+       |          FROM inter JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
+       |          WHERE CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) >= 0.8)""".stripMargin
+
   // 64 signed bit-sums for the simhash oracle
   private val simhashSums = (0 until 64).map { b =>
     val digit = b / 4 + 1; val shift = 3 - b % 4
@@ -69,26 +89,32 @@ object PipelinesDedup {
     },
 
     QueryDef("dd3_dedup_minhash_lsh",
-      s"""WITH $shingleCte,
-         |sig AS (SELECT doc_id,
-         |    $sigSelect
-         |  FROM sh GROUP BY doc_id),
-         |buckets AS (
-         |  $bandUnion),
-         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         |         FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
-         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-         |inter AS (SELECT id1, id2, COUNT(*) AS i
-         |          FROM cand JOIN sh sa ON sa.doc_id = id1
-         |          JOIN sh sb ON sb.doc_id = id2 AND sb.shingle = sa.shingle
-         |          GROUP BY 1, 2)
-         |SELECT id1, id2, CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) AS jaccard
-         |FROM inter JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
-         |WHERE CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) >= 0.8
+      s"""WITH $minhashPairCtes
+         |SELECT id1, id2, jaccard FROM pairs
          |ORDER BY id1, id2""".stripMargin) { (s, d) =>
       TextDedup.minhashDedupPairs(Tables.load(s, d, "documents"), "doc_id", "text",
           n = 5, k = K, bands = BANDS, threshold = 0.8)
         .orderBy("id1", "id2")
+    },
+
+    // Connected components over the verified near-dup pair graph: every
+    // member of a transitive duplicate cluster gets the cluster's MIN doc
+    // id. The oracle computes the closure with a recursive CTE; Spark
+    // runs the distributed min-label-propagation loop.
+    QueryDef("dd6_dedup_groups",
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+         |          UNION SELECT id2, id1 FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+         |SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS group_id
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextDedup.duplicateGroups(
+          TextDedup.minhashDedupPairs(Tables.load(s, d, "documents"), "doc_id", "text",
+            n = 5, k = K, bands = BANDS, threshold = 0.8))
+        .orderBy("doc_id")
     },
 
     QueryDef("dd4_dedup_simhash",
