@@ -27,7 +27,9 @@ class Catalog(val dataDir: String) {
       // db -> schema -> table name -> entry
       dbs: Map[String, Map[String, Map[String, TableEntry]]],
       functions: Map[String, FunctionEntry],
-      dropped: Seq[DroppedTable])
+      dropped: Seq[DroppedTable],
+      // CDC origin -> highest applied sequence number (durable watermark)
+      syncSeq: Map[String, Long] = Map.empty)
 
   private val file: Path = Paths.get(dataDir, "_catalog.json")
 
@@ -63,7 +65,10 @@ class Catalog(val dataDir: String) {
       DroppedTable(d("schema").asInstanceOf[S].s, d("name").asInstanceOf[S].s,
         d("uuid").asInstanceOf[S].s, d("dropTimeMs").asInstanceOf[N].n.toLong)
     }
-    State(dbs, fns, dropped)
+    val sseq = o.get("syncSeq").map(_.asInstanceOf[O].m.map {
+      case (k, v) => k -> v.asInstanceOf[N].n.toLong
+    }).getOrElse(Map.empty[String, Long])
+    State(dbs, fns, dropped, sseq)
   }
 
   private def save(s: State): Unit = {
@@ -82,7 +87,9 @@ class Catalog(val dataDir: String) {
     }.mkString("[", ",", "]")
     Files.createDirectories(file.getParent)
     val tmp = Files.createTempFile(file.getParent, ".catalog-", ".tmp")
-    Files.writeString(tmp, s"""{"dbs":$dbs,"functions":$fns,"dropped":$dropped}""")
+    val sseq = s.syncSeq.toSeq.sortBy(_._1).map { case (k, v) => q(k) + ":" + v }
+      .mkString("{", ",", "}")
+    Files.writeString(tmp, s"""{"dbs":$dbs,"functions":$fns,"dropped":$dropped,"syncSeq":$sseq}""")
     Files.move(tmp, file, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
@@ -165,6 +172,21 @@ class Catalog(val dataDir: String) {
   }
 
   def functions: Map[String, String] = load().functions.map { case (n, f) => n -> f.detailsJson }
+
+  // --- CDC sequence durability (reference src/sync/writer.rs origin
+  // watermarks: a sync batch is acknowledged with the durable sequence;
+  // replays at or below it must be no-ops) ---------------------------------
+
+  /** Advance `origin`'s durable sequence to `seq`. Returns false (no
+    * state change) when seq is not beyond the recorded watermark — the
+    * caller skips the merge, making redelivery idempotent. */
+  def advanceSyncSeq(origin: String, seq: Long): Boolean = mutate { s =>
+    val cur = s.syncSeq.get(origin)
+    if (cur.exists(_ >= seq)) (s, false)
+    else (s.copy(syncSeq = s.syncSeq.updated(origin, seq)), true)
+  }
+
+  def syncProgress: Map[String, Long] = load().syncSeq
 
   // --- GC -----------------------------------------------------------------
 

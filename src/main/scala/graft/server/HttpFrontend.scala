@@ -52,7 +52,12 @@ class HttpFrontend(ctx: GraftContext, port: Int,
       else respond(ex, 405, "method not allowed\n")
     })
     server.createContext("/sync/", (ex: HttpExchange) => safely(ex) {
-      if (ex.getRequestMethod == "POST") sync(ex)
+      if (ex.getRequestMethod == "GET" && ex.getRequestURI.getPath == "/sync/progress") {
+        // per-origin durable sequence watermarks
+        val body = ctx.catalog.syncProgress.toSeq.sortBy(_._1)
+          .map { case (o, s) => s""""${o}":$s""" }.mkString("{", ",", "}")
+        respond(ex, 200, body + "\n")
+      } else if (ex.getRequestMethod == "POST") sync(ex)
       else respond(ex, 405, "method not allowed\n")
     })
     server.createContext("/healthz", (ex: HttpExchange) => safely(ex) {
@@ -153,13 +158,33 @@ class HttpFrontend(ctx: GraftContext, port: Int,
       .split(",").toSeq
     val valueCols = params.getOrElse("values", return respond(ex, 400, "missing values param\n"))
       .split(",").toSeq
+    // optional origin/seq: per-origin monotone sequence numbers make
+    // redelivery idempotent (reference DataSyncCommand semantics —
+    // batches at or below the durable watermark are acknowledged
+    // without re-applying)
+    val origin = params.get("origin")
+    val seq = params.get("seq").map(_.toLong)
+    (origin, seq) match {
+      case (Some(o), Some(n)) if ctx.catalog.syncProgress.get(o).exists(_ >= n) =>
+        return respond(ex, 200,
+          s"""{"skipped":true,"origin":"$o","durable_seq":${ctx.catalog.syncProgress(o)}}""" + "\n")
+      case _ =>
+    }
     val lines = new String(ex.getRequestBody.readAllBytes(), UTF_8)
     import ctx.spark.implicits._
     val changes = ctx.spark.read.json(ctx.spark.createDataset(lines.split("\n").toSeq.filter(_.nonEmpty)))
     val table = ctx.table(parts(0), parts(1))
     val version = graft.sync.SyncMerge.merge(table, changes, pkCols, valueCols)
     ctx.markDirty()
-    respond(ex, 200, s"""{"version":$version}""" + "\n")
+    // advance the durable watermark only AFTER the merge committed, so a
+    // failed merge is retried rather than silently skipped
+    (origin, seq) match {
+      case (Some(o), Some(n)) =>
+        ctx.catalog.advanceSyncSeq(o, n)
+        respond(ex, 200, s"""{"version":$version,"origin":"$o","durable_seq":$n}""" + "\n")
+      case _ =>
+        respond(ex, 200, s"""{"version":$version}""" + "\n")
+    }
   }
 
   // --- helpers ------------------------------------------------------------

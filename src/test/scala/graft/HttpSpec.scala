@@ -118,4 +118,23 @@ class HttpSpec extends SparkSpec {
     val q2 = get("/q/" + java.net.URLEncoder.encode("SELECT id, bal, tag FROM acc ORDER BY id", UTF_8))
     assert(q2.body() === "{\"id\":7,\"bal\":99.0,\"tag\":\"moved\"}\n")
   }
+
+  test("CDC origin sequence watermarks make redelivery idempotent") {
+    post("/q", "CREATE TABLE seqd (id BIGINT, v DOUBLE)", auth)
+    val b1 = """{"old_id":null,"new_id":1,"v":1.0,"_seq":1}"""
+    val r1 = post("/sync/public/seqd?pk=id&values=v&origin=cdc1&seq=10", b1, auth)
+    assert(r1.statusCode() === 200 && r1.body().contains("\"durable_seq\":10"), r1.body())
+    // redelivery of the same (or older) sequence is acknowledged, not applied
+    val dup = """{"old_id":null,"new_id":1,"v":999.0,"_seq":1}"""
+    val r2 = post("/sync/public/seqd?pk=id&values=v&origin=cdc1&seq=10", dup, auth)
+    assert(r2.body().contains("\"skipped\":true"), r2.body())
+    val q = get("/q/" + java.net.URLEncoder.encode("SELECT id, v FROM seqd ORDER BY id", UTF_8))
+    assert(q.body() === "{\"id\":1,\"v\":1.0}\n") // 999.0 replay NOT applied
+    // a later sequence applies and advances the watermark
+    val b2 = """{"old_id":1,"new_id":1,"v":2.0,"_seq":2}"""
+    val r3 = post("/sync/public/seqd?pk=id&values=v&origin=cdc1&seq=11", b2, auth)
+    assert(r3.body().contains("\"durable_seq\":11"), r3.body())
+    val prog = get("/sync/progress")
+    assert(prog.body().contains("\"cdc1\":11"), prog.body())
+  }
 }
