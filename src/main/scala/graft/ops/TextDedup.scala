@@ -194,21 +194,29 @@ object TextDedup {
     * sum. Returns (doc_id, group_id) for every node of the graph.
     */
   def duplicateGroups(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
-      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+    // symmetrize in ONE pass over pairs (a union of two selects would
+    // execute the upstream pair pipeline twice — no CSE across branches)
+    val edges = pairs
+      .select(explode(array(
+        struct(col("id1").as("a"), col("id2").as("b")),
+        struct(col("id2").as("a"), col("id1").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct().cache()
-    var labels = edges.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl"))
-      .localCheckpoint()
-    var prevSum = labels.agg(sum("lbl")).collect()(0).getLong(0)
+    // iteration 0 baked in: every node starts from min(self, neighbors)
+    var labels = edges
+      .groupBy(col("a").as("id")).agg(least(first(col("a")), min(col("b"))).as("lbl"))
+      .localCheckpoint(false)
+    var prevSum = labels.agg(sum("lbl")).collect()(0).getLong(0) // materializes ckpt
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
       val nbrMin = edges.join(labels, edges("b") === labels("id"))
         .groupBy(col("a").as("id")).agg(min("lbl").as("nlbl"))
+      // lazy checkpoint: the convergence aggregate below is the single
+      // action that both materializes this round and reads its label sum
       labels = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val s = labels.agg(sum("lbl")).collect()(0).getLong(0)
       converged = s == prevSum // label sum is strictly decreasing until fixpoint
       prevSum = s

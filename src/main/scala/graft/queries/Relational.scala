@@ -504,12 +504,18 @@ object Relational {
         |  abs(approx_quantile(l_extendedprice, 0.5) - median(l_extendedprice))
         |    <= 0.05 * median(l_extendedprice) AS med_ok
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      li(s, d).groupBy("l_returnflag")
+      // two aggregation passes joined on the tiny group key: mixing a
+      // DISTINCT aggregate with sketch/percentile aggregates in one agg
+      // forces an Expand plan that multiplies the input rows per
+      // aggregate — 4x the data through the shuffle for no reason
+      val sketches = li(s, d).groupBy("l_returnflag")
         .agg(
-          countDistinct(col("l_partkey")).as("exact_parts"),
           approx_count_distinct(col("l_partkey")).as("acd"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("amed"),
           expr("percentile(l_extendedprice, 0.5)").as("emed"))
+      val exact = li(s, d).groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      exact.join(sketches, "l_returnflag")
         .select(col("l_returnflag"), col("exact_parts"),
           (abs(col("acd") - col("exact_parts")) <= col("exact_parts") * 0.10).as("cd_ok"),
           (abs(col("amed") - col("emed")) <= col("emed") * 0.05).as("med_ok"))
