@@ -91,6 +91,24 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(array_join(slice(sort_array(collect_list(col("h"))), 1, 3), "").as("fingerprint"))
 
+  /** Corpus-level n-gram frequency: top-k word n-grams across ALL
+    * documents (boilerplate detection, contamination screening, corpus
+    * drift dashboards). One map-side-combined groupBy on the n-gram, then
+    * a TakeOrdered top-k — no full sort, no per-document state, so the
+    * plan is the same at 100 TB: the only large exchange carries partial
+    * counts, sized by distinct n-grams, not corpus tokens. */
+  def topNgrams(docs: DataFrame, idCol: String, textCol: String,
+                n: Int, k: Int): DataFrame =
+    docs
+      .select(split(col(textCol), " ").as("wd"))
+      .filter(size(col("wd")) >= n)
+      .select(col("wd"), explode(sequence(lit(1), size(col("wd")) - (n - 1))).as("i"))
+      .select(concat_ws(" ",
+        (0 until n).map(j => element_at(col("wd"), col("i") + j)): _*).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram"))
+      .limit(k)
+
   /** Robust winnowing (Schleimer et al., SIGMOD'03): positional word
     * k-gram hashes (16-hex md5 prefix); every window of `w` consecutive
     * hashes selects its minimum, rightmost position on ties; the document

@@ -108,6 +108,16 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Corpus-level bigram frequencies, top 50 (boilerplate detection).
+    QueryDef("tx6_ngram_topk",
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS wd FROM documents),
+        |ng AS (SELECT wd[i]||' '||wd[i+1] AS ngram
+        |       FROM words, UNNEST(range(1, len(wd))) AS t(i)),
+        |c AS (SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n FROM ng GROUP BY ngram)
+        |SELECT ngram, n FROM c ORDER BY n DESC, ngram LIMIT 50""".stripMargin) { (s, d) =>
+      TextAnalysis.topNgrams(Tables.load(s, d, "documents"), "doc_id", "text", n = 2, k = 50)
+    },
+
     // Frame sampling over binary payloads: every 64-byte stride yields a
     // 16-byte frame, fingerprinted as md5(lowercase hex) — the hex hop
     // keeps the spec portable (DuckDB has no blob substring).
