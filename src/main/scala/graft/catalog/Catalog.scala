@@ -120,6 +120,8 @@ class Catalog(val dataDir: String) {
     (s.copy(dbs = s.dbs.updated(db, schemas.updated(schema, tables.updated(name, TableEntry(uuid))))), uuid)
   }
 
+  def listDatabases: Seq[String] = load().dbs.keys.toSeq.sorted
+
   def getTable(db: String, schema: String, name: String): Option[String] =
     load().dbs.get(db).flatMap(_.get(schema)).flatMap(_.get(name)).map(_.uuid)
 

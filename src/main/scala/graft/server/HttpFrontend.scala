@@ -72,6 +72,12 @@ class HttpFrontend(ctx: GraftContext, port: Int,
 
   private def postQuery(ex: HttpExchange): Unit = {
     if (!authorized(ex, write = true)) return respond(ex, 401, "unauthorized\n")
+    // optional URL database prefix: POST /q/<db> re-scopes the statement
+    // (reference src/frontend/http.rs:168-170)
+    val dbPrefix = ex.getRequestURI.getPath.stripPrefix("/q").stripPrefix("/") match {
+      case "" => None
+      case db => Some(db)
+    }
     val sql = extractQuery(new String(ex.getRequestBody.readAllBytes(), UTF_8))
     val stmts = ctx.splitStatements(sql)
     if (stmts.isEmpty) return respond(ex, 400, "empty statement\n")
@@ -79,7 +85,11 @@ class HttpFrontend(ctx: GraftContext, port: Int,
     if (reads.size > 1 || reads.exists(_._2 != stmts.size - 1))
       return respond(ex, 400, "a read statement must be the only or last statement\n")
     val t0 = System.nanoTime()
-    val result = stmts.map(ctx.execute).last
+    def runAll() = stmts.map(ctx.execute).last
+    val result = dbPrefix match {
+      case Some(db) => ctx.withDb(db)(runAll())
+      case None => runAll()
+    }
     val body = render(result)
     ex.getResponseHeaders.add("Content-Type", "application/json")
     ex.getResponseHeaders.add("X-Graft-Query-Time", ((System.nanoTime() - t0) / 1e9).toString)

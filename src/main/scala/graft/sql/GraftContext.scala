@@ -29,14 +29,29 @@ import org.apache.spark.sql.types._
 class GraftContext(val spark: SparkSession, val dataDir: String) {
 
   val catalog = new Catalog(dataDir)
+
+  /** Current database (reference: default db "default", re-scoped per
+    * request by a URL prefix or switched with USE — src/context/mod.rs:45-63). */
+  @volatile var currentDb: String = "default"
   Files.createDirectories(Paths.get(dataDir))
   // engine-native function extensions available to every SQL surface
   graft.functions.VectorFunctions.register(spark)
   // DataFusion-dialect function-name aliases (reference-compat)
   org.apache.spark.sql.GraftCompatFunctions.register(spark)
 
+  /** Run `f` scoped to another database, restoring the previous scope
+    * after (the reference's per-request URL db prefix,
+    * src/frontend/http.rs:168-170). Serialized on the context. */
+  def withDb[T](db: String)(f: => T): T = synchronized {
+    require(catalog.listDatabases.contains(db), s"unknown database $db")
+    val prev = currentDb
+    currentDb = db
+    markDirty()
+    try f finally { currentDb = prev; markDirty() }
+  }
+
   def table(schema: String, name: String): GraftTable = {
-    val uuid = catalog.getTable("default", schema, name)
+    val uuid = catalog.getTable(currentDb, schema, name)
       .getOrElse(throw new IllegalArgumentException(s"unknown table $schema.$name"))
     new GraftTable(spark, catalog.tableRoot(uuid))
   }
@@ -128,16 +143,24 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
     * must invalidate the registered views. */
   def markDirty(): Unit = catalogDirty = true
 
+  // views registered by the previous registerAll — dropped when they
+  // disappear from the catalog (or the session switches database), so a
+  // stale view can't serve another database's data
+  private var registeredViews: Set[String] = Set.empty
+
   /** Make every catalog table visible to spark.sql: public tables under
     * their bare name; others via `sch__tbl` flat names (rewritten in).
     * Skipped entirely when nothing changed since the last registration. */
   private def registerAll(): Unit = {
     if (!catalogDirty) return
-    catalog.listTables("default").foreach { case (sch, name, uuid) =>
+    val fresh = catalog.listTables(currentDb).map { case (sch, name, uuid) =>
       val t = new GraftTable(spark, catalog.tableRoot(uuid))
       val view = if (sch == "public") name else s"${sch}__$name"
       t.read().createOrReplaceTempView(view)
-    }
+      view
+    }.toSet
+    (registeredViews -- fresh).foreach(spark.catalog.dropTempView(_): Unit)
+    registeredViews = fresh
     SystemTables.registerAll(this)
     catalogDirty = false
   }
@@ -154,7 +177,7 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
       // otherwise a builtin call like date('2020-01-01') whose name
       // collides with a table would be hijacked and fail
       val instant = scala.util.Try(Instant.parse(m.group(2))).toOption
-      (catalog.getTable("default", sch, name), instant) match {
+      (catalog.getTable(currentDb, sch, name), instant) match {
         case (Some(uuid), Some(ts)) =>
           val tsMs = ts.toEpochMilli
           val root = catalog.tableRoot(uuid)
@@ -167,7 +190,7 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
       }
     })
     // qualified non-public names -> backticked flat view names
-    val nonPublic = catalog.listTables("default").filter(_._1 != "public") ++
+    val nonPublic = catalog.listTables(currentDb).filter(_._1 != "public") ++
       Seq(("system", "table_versions", ""), ("system", "dropped_tables", ""),
         ("information_schema", "tables", ""), ("information_schema", "columns", ""),
         ("staging", "", ""))
@@ -188,6 +211,7 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
 
   // --- dispatcher ---------------------------------------------------------
 
+  private val reUse = """(?is)^USE\s+([\w"]+)\s*$""".r
   private val reCreateDb = """(?is)^CREATE\s+DATABASE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w"]+)\s*$""".r
   private val reCreateSchema = """(?is)^CREATE\s+SCHEMA\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w"]+)\s*$""".r
   private val reCreateTableAs = """(?is)^CREATE\s+TABLE\s+([\w."]+)\s+AS\s+(.+)$""".r
@@ -222,10 +246,16 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
   }
 
   private def executeInternal(sql: String): DataFrame = sql.trim match {
+    case reUse(db) =>
+      val d = clean(db)
+      require(catalog.listDatabases.contains(d), s"unknown database $d")
+      currentDb = d
+      markDirty() // registered views belong to the previous database
+      emptyResult
     case reCreateDb(db) =>
       catalog.createDatabase(clean(db)); emptyResult
     case reCreateSchema(sch) =>
-      catalog.createSchema("default", clean(sch)); emptyResult
+      catalog.createSchema(currentDb, clean(sch)); emptyResult
     case reCreateExternal(qname, fmt, loc, opts) =>
       val (_, name) = splitName(qname)
       // OPTIONS ('k1' 'v1', 'k2' 'v2') — reference external-table syntax
@@ -257,13 +287,13 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
       val (sch, name) = splitName(qname)
       registerAll()
       val df = spark.sql(rewriteQuery(query))
-      val uuid = catalog.createTable("default", sch, name)
+      val uuid = catalog.createTable(currentDb, sch, name)
       GraftTable.createAs(spark, catalog.tableRoot(uuid), df)
       emptyResult
     case reCreateTable(qname, cols) =>
       val (sch, name) = splitName(qname)
       val schema = parseColumns(cols)
-      val uuid = catalog.createTable("default", sch, name)
+      val uuid = catalog.createTable(currentDb, sch, name)
       GraftTable.create(spark, catalog.tableRoot(uuid), schema)
       emptyResult
     case reInsertSel(qname, colList, query) =>
@@ -306,14 +336,14 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
       table(sch, name).truncate(); emptyResult
     case reDropTable(qname) =>
       val (sch, name) = splitName(qname)
-      catalog.dropTable("default", sch, name)
+      catalog.dropTable(currentDb, sch, name)
       spark.catalog.dropTempView(if (sch == "public") name else s"${sch}__$name")
       emptyResult
     case reDropSchema(schName) =>
-      catalog.dropSchema("default", clean(schName)); emptyResult
+      catalog.dropSchema(currentDb, clean(schName)); emptyResult
     case reRename(from, to) =>
       val (fs, fn) = splitName(from); val (ts, tn) = splitName(to)
-      catalog.renameTable("default", fs, fn, ts, tn)
+      catalog.renameTable(currentDb, fs, fn, ts, tn)
       spark.catalog.dropTempView(if (fs == "public") fn else s"${fs}__$fn")
       emptyResult
     case reVacuumDb(_) =>
@@ -337,7 +367,7 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
       table(sch, name).compact(); emptyResult
     case reConvert(loc, qname) =>
       val (sch, name) = splitName(qname)
-      val uuid = catalog.createTable("default", sch, name)
+      val uuid = catalog.createTable(currentDb, sch, name)
       val root = catalog.tableRoot(uuid)
       // register in place: copy the parquet files into the table dir, then
       // build the initial manifest over them (no rewrite of row data)
@@ -390,7 +420,7 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
     * query — the ETag input (reference ETagBuilderVisitor,
     * `src/frontend/http.rs:63-105`). Conservative textual match. */
   def versionFingerprint(sql: String): Seq[(String, Long)] =
-    catalog.listTables("default").flatMap { case (sch, name, uuid) =>
+    catalog.listTables(currentDb).flatMap { case (sch, name, uuid) =>
       val ref = if (sch == "public") s"(?i)(?<![\\w`])$name(?![\\w`])" else s"(?i)$sch\\.$name"
       if (ref.r.findFirstIn(sql).isDefined) {
         Manifest.latestVersion(catalog.tableRoot(uuid)).map(v => (uuid, v))

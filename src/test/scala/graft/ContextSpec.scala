@@ -129,6 +129,25 @@ class ContextSpec extends SparkSpec {
     assert(c.execute("SELECT COUNT(*) AS n FROM staging.ext").collect().head.getLong(0) === 2L)
   }
 
+  test("USE switches databases; tables are db-scoped") {
+    val c = ctx()
+    c.execute("CREATE TABLE shared_name (a BIGINT)")
+    c.execute("INSERT INTO shared_name VALUES (1)")
+    c.execute("CREATE DATABASE db2")
+    c.execute("USE db2")
+    intercept[Exception](c.execute("SELECT * FROM shared_name").collect())
+    c.execute("CREATE TABLE shared_name (a BIGINT)")
+    c.execute("INSERT INTO shared_name VALUES (42), (43)")
+    assert(c.execute("SELECT COUNT(*) AS n FROM shared_name").collect().head.getLong(0) === 2L)
+    c.execute("USE default")
+    assert(c.execute("SELECT COUNT(*) AS n FROM shared_name").collect().head.getLong(0) === 1L)
+    intercept[Exception](c.execute("USE no_such_db"))
+    // scoped helper restores the previous database even on failure
+    assert(c.withDb("db2")(c.execute("SELECT COUNT(*) AS n FROM shared_name")
+      .collect().head.getLong(0)) === 2L)
+    assert(c.currentDb === "default")
+  }
+
   test("remote table via JDBC external table with filter pushdown") {
     val c = ctx()
     val dbDir = tmpDir("graft-derby") + "/remotedb"

@@ -119,6 +119,15 @@ class HttpSpec extends SparkSpec {
     assert(q2.body() === "{\"id\":7,\"bal\":99.0,\"tag\":\"moved\"}\n")
   }
 
+  test("POST /q/<db> scopes statements to that database") {
+    post("/q", "CREATE DATABASE hdb", auth)
+    val r = post("/q/hdb", "CREATE TABLE only_here (a BIGINT); INSERT INTO only_here VALUES (7); SELECT * FROM only_here", auth)
+    assert(r.statusCode() === 200 && r.body() === "{\"a\":7}\n", r.body())
+    // not visible from the default database
+    val miss = post("/q", "SELECT * FROM only_here", auth)
+    assert(miss.statusCode() != 200)
+  }
+
   test("CDC origin sequence watermarks make redelivery idempotent") {
     post("/q", "CREATE TABLE seqd (id BIGINT, v DOUBLE)", auth)
     val b1 = """{"old_id":null,"new_id":1,"v":1.0,"_seq":1}"""
