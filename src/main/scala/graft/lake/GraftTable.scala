@@ -96,7 +96,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
         // pruning compare skewed bounds): NTZ minus the NTZ epoch is a
         // day-time interval, whose BIGINT cast is exactly micros.
         (c - expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'")).cast(LongType).cast(StringType)
-      case DateType => c.cast(IntegerType).cast(StringType)
+      case DateType => unix_date(c).cast(StringType) // epoch-days (DATE→INT cast is illegal under ANSI)
       case dt if isAtomic(dt) => c.cast(StringType)
       case _ => lit(null).cast(StringType)
     }
@@ -263,6 +263,11 @@ class GraftTable(val spark: SparkSession, val root: String) {
       min(col(c).cast(DoubleType)).as(s"mn_$c"),
       max(col(c).cast(DoubleType)).as(s"mx_$c")))
     val mm = src.agg(mmAggs.head, mmAggs.tail: _*).collect()(0)
+    cols.zipWithIndex.foreach { case (c, i) =>
+      require(!mm.isNullAt(2 * i),
+        s"zcluster column '$c' has no numeric values (non-numeric or all-NULL) — " +
+          "ZORDER BY needs numeric, not-all-null columns")
+    }
     val nBuckets = 1 << bitsPerDim
     val buckets = cols.zipWithIndex.map { case (c, i) =>
       val (mn, mx) = (mm.getDouble(2 * i), mm.getDouble(2 * i + 1))

@@ -59,10 +59,25 @@ object Pruning {
     case _ => None
   }
 
+  private def isNumeric(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case _ => false
+  }
+
+  /** Attribute behind an (optionally cast) column reference. Casts are
+    * unwrapped ONLY when provably scale-preserving for stats compare:
+    * numeric→numeric widening (stats and literal stay in the Long/Double/
+    * Decimal domain cmp handles). An analyzer-coerced date→timestamp cast
+    * must NOT unwrap — stats are epoch-DAYS while the coerced literal is
+    * epoch-MICROS, and comparing them prunes files whose rows match.
+    * Unresolved attributes (graft-parsed DML predicates, never coerced)
+    * pass through as before. */
   private def attrName(e: Expression): Option[String] = e match {
     case a: UnresolvedAttribute => Some(a.name)
     case a: AttributeReference => Some(a.name)
-    case Cast(c, _, _, _) => attrName(c)
+    case Cast(a: AttributeReference, dt, _, _) if isNumeric(a.dataType) && isNumeric(dt) =>
+      Some(a.name)
+    case Cast(u: UnresolvedAttribute, _, _, _) => Some(u.name)
     case _ => None
   }
 

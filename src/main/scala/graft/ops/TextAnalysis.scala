@@ -97,7 +97,7 @@ object TextAnalysis {
     * a TakeOrdered top-k — no full sort, no per-document state, so the
     * plan is the same at 100 TB: the only large exchange carries partial
     * counts, sized by distinct n-grams, not corpus tokens. */
-  def topNgrams(docs: DataFrame, idCol: String, textCol: String,
+  def topNgrams(docs: DataFrame, textCol: String,
                 n: Int, k: Int): DataFrame =
     docs
       .select(split(col(textCol), " ").as("wd"))

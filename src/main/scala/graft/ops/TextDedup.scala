@@ -223,6 +223,12 @@ object TextDedup {
       iter += 1
     }
     edges.unpersist()
+    // a silent non-converged result would mislabel clusters (and diverge
+    // from the transitive-closure oracle) — fail loudly instead
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateGroups did not converge within $maxIters iterations " +
+          "(component diameter exceeds the cap); raise maxIters")
     labels.select(col("id").as("doc_id"), col("lbl").as("group_id"))
   }
 

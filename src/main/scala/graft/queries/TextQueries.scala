@@ -115,7 +115,7 @@ object TextQueries {
         |       FROM words, UNNEST(range(1, len(wd))) AS t(i)),
         |c AS (SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n FROM ng GROUP BY ngram)
         |SELECT ngram, n FROM c ORDER BY n DESC, ngram LIMIT 50""".stripMargin) { (s, d) =>
-      TextAnalysis.topNgrams(Tables.load(s, d, "documents"), "doc_id", "text", n = 2, k = 50)
+      TextAnalysis.topNgrams(Tables.load(s, d, "documents"), "text", n = 2, k = 50)
     },
 
     // Frame sampling over binary payloads: every 64-byte stride yields a

@@ -53,10 +53,13 @@ class HttpFrontend(ctx: GraftContext, port: Int,
     })
     server.createContext("/sync/", (ex: HttpExchange) => safely(ex) {
       if (ex.getRequestMethod == "GET" && ex.getRequestURI.getPath == "/sync/progress") {
-        // per-origin durable sequence watermarks
-        val body = ctx.catalog.syncProgress.toSeq.sortBy(_._1)
-          .map { case (o, s) => s""""${o}":$s""" }.mkString("{", ",", "}")
-        respond(ex, 200, body + "\n")
+        if (!authorized(ex, write = false)) respond(ex, 401, "unauthorized\n")
+        else {
+          // per-origin durable sequence watermarks
+          val body = ctx.catalog.syncProgress.toSeq.sortBy(_._1)
+            .map { case (o, s) => jsonStr(o) + ":" + s }.mkString("{", ",", "}")
+          respond(ex, 200, body + "\n")
+        }
       } else if (ex.getRequestMethod == "POST") sync(ex)
       else respond(ex, 405, "method not allowed\n")
     })
@@ -85,12 +88,15 @@ class HttpFrontend(ctx: GraftContext, port: Int,
     if (reads.size > 1 || reads.exists(_._2 != stmts.size - 1))
       return respond(ex, 400, "a read statement must be the only or last statement\n")
     val t0 = System.nanoTime()
-    def runAll() = stmts.map(ctx.execute).last
-    val result = dbPrefix match {
-      case Some(db) => ctx.withDb(db)(runAll())
-      case None => runAll()
+    // hold the context lock through execute + render: currentDb and the
+    // registered-view set are session-global across the handler pool
+    val body = ctx.locked {
+      def runAll() = stmts.map(ctx.execute).last
+      render(dbPrefix match {
+        case Some(db) => ctx.withDb(db)(runAll())
+        case None => runAll()
+      })
     }
-    val body = render(result)
     ex.getResponseHeaders.add("Content-Type", "application/json")
     ex.getResponseHeaders.add("X-Graft-Query-Time", ((System.nanoTime() - t0) / 1e9).toString)
     respondBytes(ex, 200, body)
@@ -120,7 +126,7 @@ class HttpFrontend(ctx: GraftContext, port: Int,
     ex.getResponseHeaders.add("Vary", "Authorization, X-Graft-Query")
     if (inm.exists(_.split(",").map(_.trim).contains(etag)))
       return respondBytes(ex, 304, Array.emptyByteArray) // not executed
-    val body = render(ctx.execute(sql))
+    val body = ctx.locked(render(ctx.execute(sql)))
     ex.getResponseHeaders.add("Content-Type", "application/json")
     respondBytes(ex, 200, body)
   }
@@ -138,14 +144,15 @@ class HttpFrontend(ctx: GraftContext, port: Int,
       if (isCsv)
         ctx.spark.read.option("header", "true").option("inferSchema", "true").csv(tmp.toString)
       else ctx.spark.read.parquet(tmp.toString)
-    val existing = ctx.catalog.getTable("default", schema, table)
-    existing match {
-      case Some(uuid) => new graft.lake.GraftTable(ctx.spark, ctx.catalog.tableRoot(uuid)).append(df)
-      case None =>
-        val uuid = ctx.catalog.createTable("default", schema, table)
-        graft.lake.GraftTable.createAs(ctx.spark, ctx.catalog.tableRoot(uuid), df)
+    ctx.locked {
+      ctx.catalog.getTable(ctx.currentDb, schema, table) match {
+        case Some(uuid) => new graft.lake.GraftTable(ctx.spark, ctx.catalog.tableRoot(uuid)).append(df)
+        case None =>
+          val uuid = ctx.catalog.createTable(ctx.currentDb, schema, table)
+          graft.lake.GraftTable.createAs(ctx.spark, ctx.catalog.tableRoot(uuid), df)
+      }
+      ctx.markDirty()
     }
-    ctx.markDirty()
     java.nio.file.Files.deleteIfExists(tmp)
     respond(ex, 200, s"done\n")
   }
@@ -174,26 +181,32 @@ class HttpFrontend(ctx: GraftContext, port: Int,
     // without re-applying)
     val origin = params.get("origin")
     val seq = params.get("seq").map(_.toLong)
-    (origin, seq) match {
-      case (Some(o), Some(n)) if ctx.catalog.syncProgress.get(o).exists(_ >= n) =>
-        return respond(ex, 200,
-          s"""{"skipped":true,"origin":"$o","durable_seq":${ctx.catalog.syncProgress(o)}}""" + "\n")
-      case _ =>
-    }
     val lines = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-    import ctx.spark.implicits._
-    val changes = ctx.spark.read.json(ctx.spark.createDataset(lines.split("\n").toSeq.filter(_.nonEmpty)))
-    val table = ctx.table(parts(0), parts(1))
-    val version = graft.sync.SyncMerge.merge(table, changes, pkCols, valueCols)
-    ctx.markDirty()
-    // advance the durable watermark only AFTER the merge committed, so a
-    // failed merge is retried rather than silently skipped
-    (origin, seq) match {
-      case (Some(o), Some(n)) =>
-        ctx.catalog.advanceSyncSeq(o, n)
-        respond(ex, 200, s"""{"version":$version,"origin":"$o","durable_seq":$n}""" + "\n")
-      case _ =>
-        respond(ex, 200, s"""{"version":$version}""" + "\n")
+    // watermark check + merge + advance are atomic under the context
+    // lock: without it, a redelivered stale batch racing a newer one
+    // could pass the pre-check concurrently and commit out of order
+    ctx.locked {
+      (origin, seq) match {
+        case (Some(o), Some(n)) if ctx.catalog.syncProgress.get(o).exists(_ >= n) =>
+          return respond(ex, 200,
+            s"""{"skipped":true,"origin":${jsonStr(o)},"durable_seq":${ctx.catalog.syncProgress(o)}}""" + "\n")
+        case _ =>
+      }
+      val changes = ctx.spark.read.json(
+        ctx.spark.createDataset(lines.split("\n").toSeq.filter(_.nonEmpty))(
+          org.apache.spark.sql.Encoders.STRING))
+      val table = ctx.table(parts(0), parts(1))
+      val version = graft.sync.SyncMerge.merge(table, changes, pkCols, valueCols)
+      ctx.markDirty()
+      // advance the durable watermark only AFTER the merge committed, so
+      // a failed merge is retried rather than silently skipped
+      (origin, seq) match {
+        case (Some(o), Some(n)) =>
+          ctx.catalog.advanceSyncSeq(o, n)
+          respond(ex, 200, s"""{"version":$version,"origin":${jsonStr(o)},"durable_seq":$n}""" + "\n")
+        case _ =>
+          respond(ex, 200, s"""{"version":$version}""" + "\n")
+      }
     }
   }
 
@@ -227,6 +240,17 @@ class HttpFrontend(ctx: GraftContext, port: Int,
     JsonLines.write(df, bos)
     bos.toByteArray
   }
+
+  /** JSON string literal with full escaping (origins are client input). */
+  private def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
 
   private def sha256Hex(bytes: Array[Byte]): String =
     MessageDigest.getInstance("SHA-256").digest(bytes).map(b => f"$b%02x").mkString

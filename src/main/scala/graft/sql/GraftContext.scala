@@ -39,6 +39,14 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
   // DataFusion-dialect function-name aliases (reference-compat)
   org.apache.spark.sql.GraftCompatFunctions.register(spark)
 
+  /** Serialize a whole request's statement processing on the context.
+    * The HTTP frontend runs handlers on a thread pool; currentDb,
+    * catalogDirty, and the registered-view set are session-global, so
+    * every handler wraps its execute+render in `locked` — the analog of
+    * the reference re-loading the catalog per statement on one session.
+    * Distributed execution inside Spark still parallelizes fully. */
+  def locked[T](f: => T): T = synchronized(f)
+
   /** Run `f` scoped to another database, restoring the previous scope
     * after (the reference's per-request URL db prefix,
     * src/frontend/http.rs:168-170). Serialized on the context. */

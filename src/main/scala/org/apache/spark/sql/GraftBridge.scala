@@ -40,16 +40,18 @@ object GraftCompatFunctions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 
-  // DataFusion name -> Spark builtin name (arg-compatible pairs only)
+  // DataFusion name -> Spark builtin name. ONLY pairs whose semantics
+  // match exactly are aliased: regexp_match (first-match vs all-matches,
+  // flags vs group-index 3rd arg) and to_hex (lowercase vs uppercase)
+  // were considered and rejected — a silently-different result is worse
+  // than an unresolved-function error.
   private val aliases = Seq(
-    "strpos" -> "instr",            // strpos(str, substr)
+    "strpos" -> "instr",            // strpos(str, substr), both 1-based
     "starts_with" -> "startswith",
     "ends_with" -> "endswith",
-    "to_hex" -> "hex",
     "make_array" -> "array",
     "array_length" -> "array_size",
-    "list_element" -> "element_at",
-    "regexp_match" -> "regexp_extract_all")
+    "list_element" -> "element_at") // both 1-based list indexing
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry

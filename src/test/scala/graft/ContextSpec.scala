@@ -174,10 +174,11 @@ class ContextSpec extends SparkSpec {
     val c = ctx()
     val r = c.execute(
       "SELECT strpos('hello', 'll') AS p, starts_with('abc', 'ab') AS s, " +
-        "to_hex(255) AS h, array_length(make_array(1, 2, 3)) AS n").collect().head
+        "list_element(make_array(7, 8, 9), 2) AS e, array_length(make_array(1, 2, 3)) AS n")
+      .collect().head
     assert(r.getInt(0) === 3)
     assert(r.getBoolean(1))
-    assert(r.getString(2) === "FF")
+    assert(r.getInt(2) === 8)
     assert(r.getInt(3) === 3)
   }
 

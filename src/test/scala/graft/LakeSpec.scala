@@ -154,6 +154,27 @@ class LakeSpec extends SparkSpec {
     assert(t.read().count() === 4)
   }
 
+  test("analyzer-coerced date/timestamp casts never prune matching files") {
+    val root = tmpDir("graft-datecast")
+    val t = GraftTable.create(spark, root,
+      StructType(Seq(StructField("d", DateType), StructField("v", LongType))))
+    t.append(Seq(("2024-06-01", 1L), ("2024-06-02", 2L)).toDF("d", "v")
+      .select(to_date(col("d")).as("d"), col("v")))
+    // analyzer coerces d to TIMESTAMP (micros) while stats are epoch-days;
+    // the cast must not be unwrapped for stats compare, so no pruning —
+    // but also NO false pruning of files whose rows match
+    val q = t.read().filter(col("d") >= expr("TIMESTAMP '2024-06-01 00:00:00'"))
+    assert(q.count() === 2)
+    val q2 = t.read().filter(col("d").cast("timestamp") <= expr("TIMESTAMP '2024-06-02 23:00:00'"))
+    assert(q2.count() === 2)
+    // numeric widening casts still prune: v stats are longs
+    val q3 = t.read().filter(col("v").cast("double") >= 100.0)
+    assert(q3.count() === 0)
+    val m = t.latestManifest
+    assert(m.files.forall(f => !Pruning.mayMatch(
+      Pruning.parsePredicate("v >= 100"), f, t.schema)))
+  }
+
   test("compact fuses small files and inherits large ones") {
     val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0),
       (4L, "d", 4.0), (5L, "e", 5.0))) // maxPerFile=2 → 3 small files
