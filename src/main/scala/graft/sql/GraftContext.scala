@@ -201,6 +201,7 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
     val nonPublic = catalog.listTables(currentDb).filter(_._1 != "public") ++
       Seq(("system", "table_versions", ""), ("system", "dropped_tables", ""),
         ("information_schema", "tables", ""), ("information_schema", "columns", ""),
+        ("information_schema", "routines", ""), ("information_schema", "df_settings", ""),
         ("staging", "", ""))
     nonPublic.foreach { case (sch, name, _) =>
       if (name.nonEmpty)

@@ -13,7 +13,8 @@ object SystemTables {
     val spark = ctx.spark
     import spark.implicits._
 
-    val tables = ctx.catalog.listTables("default")
+    val db = ctx.currentDb
+    val tables = ctx.catalog.listTables(db)
 
     // system.table_versions: one row per (table, version)
     val versions = tables.flatMap { case (sch, name, uuid) =>
@@ -32,9 +33,9 @@ object SystemTables {
       .createOrReplaceTempView("system__dropped_tables")
 
     // information_schema.tables / columns
-    val infoTables = tables.map { case (sch, name, _) => ("default", sch, name, "BASE TABLE") } ++
-      Seq(("default", "system", "table_versions", "VIEW"),
-        ("default", "system", "dropped_tables", "VIEW"))
+    val infoTables = tables.map { case (sch, name, _) => (db, sch, name, "BASE TABLE") } ++
+      Seq((db, "system", "table_versions", "VIEW"),
+        (db, "system", "dropped_tables", "VIEW"))
     infoTables.toDF("table_catalog", "table_schema", "table_name", "table_type")
       .createOrReplaceTempView("information_schema__tables")
 
@@ -43,12 +44,24 @@ object SystemTables {
         val st = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
           .asInstanceOf[org.apache.spark.sql.types.StructType]
         st.fields.zipWithIndex.map { case (f, i) =>
-          ("default", sch, name, f.name, i + 1, if (f.nullable) "YES" else "NO", f.dataType.sql)
+          (db, sch, name, f.name, i + 1, if (f.nullable) "YES" else "NO", f.dataType.sql)
         }
       }
     }
     cols.toDF("table_catalog", "table_schema", "table_name", "column_name",
         "ordinal_position", "is_nullable", "data_type")
       .createOrReplaceTempView("information_schema__columns")
+
+    // information_schema.routines: persisted CREATE FUNCTION entries
+    // (reference exposes routines/parameters for its function catalog)
+    ctx.catalog.functions.toSeq.sortBy(_._1)
+      .map { case (n, details) => (db, "public", n, "FUNCTION", details) }
+      .toDF("routine_catalog", "routine_schema", "routine_name", "routine_type",
+        "routine_definition")
+      .createOrReplaceTempView("information_schema__routines")
+
+    // information_schema.df_settings analog: the session's SQL settings
+    spark.conf.getAll.toSeq.sortBy(_._1).toDF("name", "value")
+      .createOrReplaceTempView("information_schema__df_settings")
   }
 }

@@ -91,6 +91,14 @@ class ContextSpec extends SparkSpec {
       "SELECT column_name, is_nullable FROM information_schema.columns WHERE table_name = 't2' ORDER BY ordinal_position")
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     assert(cols === Seq(("a", "NO"), ("b", "YES")))
+    c.execute("""CREATE FUNCTION my_add AS '{"language": "sql", "input_types": ["BIGINT", "BIGINT"], "return_type": "BIGINT", "data": "$1 + $2"}'""")
+    val routines = c.execute(
+      "SELECT routine_name, routine_type FROM information_schema.routines").collect()
+    assert(routines.map(r => (r.getString(0), r.getString(1))).toSeq === Seq(("my_add", "FUNCTION")))
+    val settings = c.execute(
+      "SELECT value FROM information_schema.df_settings WHERE name = 'spark.sql.session.timeZone'")
+      .collect()
+    assert(settings.map(_.getString(0)).toSeq === Seq("UTC"))
   }
 
   test("vacuum database GCs dropped table storage") {
