@@ -32,7 +32,10 @@ import org.apache.spark.sql.DataFrame
 class HttpFrontend(ctx: GraftContext, port: Int,
                    writeToken: Option[String] = None,
                    readToken: Option[String] = None,
-                   cacheControl: String = "max-age=43200, public") {
+                   cacheControl: String = "max-age=43200, public",
+                   // reference upload_data_max_length default (256 MiB,
+                   // src/config/schema.rs:251,262)
+                   maxUploadBytes: Long = 256L << 20) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
@@ -136,7 +139,22 @@ class HttpFrontend(ctx: GraftContext, port: Int,
     val parts = ex.getRequestURI.getPath.stripPrefix("/upload/").split("/")
     if (parts.length != 2) return respond(ex, 400, "use /upload/<schema>/<table>\n")
     val (schema, table) = (parts(0), parts(1))
-    val bytes = ex.getRequestBody.readAllBytes()
+    // enforce the cap while streaming the body — don't buffer an
+    // over-limit payload before rejecting it
+    val declared = Option(ex.getRequestHeaders.getFirst("Content-Length")).map(_.toLong)
+    if (declared.exists(_ > maxUploadBytes))
+      return respond(ex, 413, s"upload exceeds $maxUploadBytes bytes\n")
+    val bos = new ByteArrayOutputStream()
+    val in = ex.getRequestBody
+    val buf = new Array[Byte](64 << 10)
+    var n = in.read(buf)
+    while (n >= 0) {
+      bos.write(buf, 0, n)
+      if (bos.size() > maxUploadBytes)
+        return respond(ex, 413, s"upload exceeds $maxUploadBytes bytes\n")
+      n = in.read(buf)
+    }
+    val bytes = bos.toByteArray
     val isCsv = Option(ex.getRequestHeaders.getFirst("Content-Type")).exists(_.contains("csv"))
     val tmp = java.nio.file.Files.createTempFile("graft-upload", if (isCsv) ".csv" else ".parquet")
     java.nio.file.Files.write(tmp, bytes)

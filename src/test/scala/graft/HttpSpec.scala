@@ -119,6 +119,18 @@ class HttpSpec extends SparkSpec {
     assert(q2.body() === "{\"id\":7,\"bal\":99.0,\"tag\":\"moved\"}\n")
   }
 
+  test("oversized uploads are rejected with 413") {
+    val tiny = new HttpFrontend(ctx, 0, writeToken = Some("w0bble"), maxUploadBytes = 16)
+    tiny.start()
+    try {
+      val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${tiny.boundPort}/upload/public/big"))
+        .header("Authorization", "Bearer w0bble").header("Content-Type", "text/csv")
+        .POST(HttpRequest.BodyPublishers.ofString("a,b\n" + "x,y\n" * 100, UTF_8))
+      val r = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() === 413, r.body())
+    } finally tiny.stop()
+  }
+
   test("POST /q/<db> scopes statements to that database") {
     post("/q", "CREATE DATABASE hdb", auth)
     val r = post("/q/hdb", "CREATE TABLE only_here (a BIGINT); INSERT INTO only_here VALUES (7); SELECT * FROM only_here", auth)
