@@ -1,0 +1,44 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-behavior probe: replicate documents Nx with distinct ids and
+  * time the dedup/similarity pipelines — the check that candidate
+  * generation stays near-linear (LSH buckets / df-capped inverted index)
+  * instead of quadratic as the corpus grows. */
+object ProbeScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mult = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", (16L << 20).toString)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs0 = graft.Tables.load(spark, sfDir, "documents")
+    val n0 = docs0.count()
+    // N shifted copies; suffix the text so copies are near-dups of their
+    // original (keeps LSH bucket sizes realistic, not degenerate)
+    val docs = spark.range(mult).crossJoin(docs0)
+      .select((col("doc_id") + col("id") * 1000000L).as("doc_id"),
+        concat(col("text"), lit(" rep"), col("id")).as("text"))
+      .cache()
+    val n = docs.count()
+    def t[A](label: String)(f: => A): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"$label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    println(s"docs: $n0 -> $n (x$mult)")
+    t(s"dd3 minhash-lsh x$mult")(
+      graft.ops.TextDedup.minhashDedupPairs(docs, "doc_id", "text", 5, 16, 8, 0.8)
+        .write.mode("overwrite").format("noop").save())
+    t(s"dd1 exact x$mult")(
+      graft.ops.TextDedup.exactDedup(docs, "doc_id", "text")
+        .write.mode("overwrite").format("noop").save())
+    t(s"tx5 winnow x$mult")(
+      graft.ops.TextAnalysis.winnowFingerprints(docs, "doc_id", "text", 4, 8)
+        .write.mode("overwrite").format("noop").save())
+    spark.stop()
+  }
+}
