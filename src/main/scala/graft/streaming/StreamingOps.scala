@@ -76,6 +76,22 @@ object StreamingOps {
   def parquetStream(spark: SparkSession, schema: StructType, dir: String): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
 
+  /** Continuous append ingestion into a graft table: every micro-batch
+    * commits one manifest version (files + stats), so streaming data is
+    * immediately queryable, time-travelable, and ETag-consistent like any
+    * batch write. Pair with `GraftTable.compact` on a maintenance cadence
+    * — per-trigger commits are how small files accumulate at scale. */
+  def appendStream(rows: DataFrame, table: GraftTable,
+                   checkpointDir: String,
+                   trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) table.append(batch): Unit
+      }
+      .start()
+
   /** Continuous CDC ingestion: every micro-batch of role-tagged change
     * rows is merged into the graft table via SyncMerge (insert/update/
     * delete semantics, pruned file rewrite). The streaming analog of the

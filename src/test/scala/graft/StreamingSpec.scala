@@ -102,6 +102,24 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Seq(("u1", 100.0)))
   }
 
+  test("streaming append commits queryable manifest versions") {
+    val inDir = tmpDir("graft-sappend-in"); val ckDir = tmpDir("graft-sappend-ck")
+    val t = GraftTable.create(spark, tmpDir("graft-sappend-table"),
+      StructType(Seq(StructField("ts", TimestampType),
+        StructField("event_type", StringType), StructField("value", DoubleType))))
+    Seq(("2024-01-01 00:01:00", "click", 1.0), ("2024-01-01 00:02:00", "view", 2.0))
+      .toDF("s", "event_type", "value")
+      .select(to_timestamp(col("s")).as("ts"), col("event_type"), col("value"))
+      .write.parquet(inDir + "/b1")
+    val q = StreamingOps.appendStream(
+      StreamingOps.parquetStream(spark, eventSchema, inDir + "/b1"), t, ckDir,
+      Trigger.ProcessingTime("1 second"))
+    q.processAllAvailable(); q.stop()
+    assert(t.read().count() === 2)
+    assert(t.latestManifest.version >= 1) // create=v0, stream batch commits follow
+    assert(t.latestManifest.files.forall(_.stats.contains("value")))
+  }
+
   test("continuous CDC upsert stream merges micro-batches into a graft table") {
     val inDir = tmpDir("graft-cdc-in")
     val ckDir = tmpDir("graft-cdc-ck")
