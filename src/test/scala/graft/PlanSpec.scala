@@ -101,6 +101,32 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1, s"expected <=1 exchange, got $exchanges:\n${p.take(3000)}")
   }
 
+  test("bucketed tables join without any shuffle (co-located join)") {
+    // the pre-partitioning pattern for repeated large-table joins at
+    // scale: bucket both sides on the join key at write time and the
+    // join plans with ZERO exchanges (only per-bucket sorts)
+    val spark2 = spark
+    import spark2.implicits._
+    spark.sql("DROP TABLE IF EXISTS bl")
+    spark.sql("DROP TABLE IF EXISTS br")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the big-table path
+    try {
+      (0L until 1000L).map(i => (i, s"l$i")).toDF("k", "lv")
+        .write.bucketBy(8, "k").sortBy("k").saveAsTable("bl")
+      (0L until 1000L).map(i => (i, i * 2.0)).toDF("k", "rv")
+        .write.bucketBy(8, "k").sortBy("k").saveAsTable("br")
+      val joined = spark.table("bl").join(spark.table("br"), "k")
+      assert(joined.count() === 1000)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n${p.take(3000)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bl")
+      spark.sql("DROP TABLE IF EXISTS br")
+    }
+  }
+
   test("as-of join is a single keyed window, not a join (ev4)") {
     val p = planOf("ev4_asof_join")
     assert(p.contains("Window"), p.take(2000))
