@@ -91,6 +91,26 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(array_join(slice(sort_array(collect_list(col("h"))), 1, 3), "").as("fingerprint"))
 
+  /** Deterministic train/val/test assignment: the first 16 hex chars of
+    * md5(salt || ':' || id) are a uniform 64-bit draw, and comparing the
+    * HEX STRING against precomputed hex thresholds (0.8→'cccc…',
+    * 0.9→'e666…') assigns fractions without any integer parsing — the
+    * same expression runs unchanged in any md5-capable engine. Stable
+    * under reshuffling/re-partitioning (pure function of the id), which
+    * is the property a 100 TB split must have: membership never depends
+    * on row order, task count, or retries.
+    */
+  def trainSplit(docs: DataFrame, idCol: String, salt: String,
+                 trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
+    def hexThreshold(f: Double): String =
+      f"${(f * math.pow(2, 63)).toLong * 2}%016x" // 2*floor(f*2^63) ≈ f*2^64
+    val h = substring(md5(concat(lit(salt + ":"), col(idCol).cast(StringType))), 1, 16)
+    docs.withColumn("split",
+      when(h < lit(hexThreshold(trainFrac)), "train")
+        .when(h < lit(hexThreshold(trainFrac + valFrac)), "val")
+        .otherwise("test"))
+  }
+
   /** Corpus-level n-gram frequency: top-k word n-grams across ALL
     * documents (boilerplate detection, contamination screening, corpus
     * drift dashboards). One map-side-combined groupBy on the n-gram, then

@@ -118,6 +118,28 @@ object TextQueries {
       TextAnalysis.topNgrams(Tables.load(s, d, "documents"), "text", n = 2, k = 50)
     },
 
+    // Deterministic hash split: md5-hex draws against precomputed hex
+    // thresholds (0.8 → 0xcccc…, 0.9 → 0xe666…) — stable membership,
+    // identical expression in both engines.
+    QueryDef("tx7_train_split", {
+      def th(f: Double) = f"${(f * math.pow(2, 63)).toLong * 2}%016x"
+      s"""WITH s AS (SELECT doc_id,
+         |  CASE WHEN substr(md5('graft:'||CAST(doc_id AS VARCHAR)), 1, 16) < '${th(0.8)}' THEN 'train'
+         |       WHEN substr(md5('graft:'||CAST(doc_id AS VARCHAR)), 1, 16) < '${th(0.9)}' THEN 'val'
+         |       ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT split, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(MIN(doc_id) AS BIGINT) AS min_id, CAST(MAX(doc_id) AS BIGINT) AS max_id
+         |FROM s GROUP BY split ORDER BY split""".stripMargin
+    }) { (s, d) =>
+      TextAnalysis.trainSplit(Tables.load(s, d, "documents"), "doc_id", "graft")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"),
+          min(col("doc_id")).cast("long").as("min_id"),
+          max(col("doc_id")).cast("long").as("max_id"))
+        .orderBy("split")
+    },
+
     // Frame sampling over binary payloads: every 64-byte stride yields a
     // 16-byte frame, fingerprinted as md5(lowercase hex) — the hex hop
     // keeps the spec portable (DuckDB has no blob substring).
