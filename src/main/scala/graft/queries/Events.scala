@@ -74,6 +74,29 @@ object Events {
         .select(unix_micros(col("window.start")).as("win_start_us"),
           col("event_type"), col("n"), col("total_value"))
         .orderBy("win_start_us", "event_type")
+    },
+
+    // top-k per time window: the standard "who dominated each hour"
+    // analytics shape — windowed aggregate then per-window rank. One
+    // groupBy shuffle + one rank window, both keyed on the hour.
+    QueryDef("ev6_topk_per_window",
+      """WITH h AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |             user_id, CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY hour_start ORDER BY n DESC, user_id) AS rnk FROM h)
+        |SELECT hour_start, CAST(user_id AS BIGINT) AS user_id, n, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 2 ORDER BY hour_start, rnk""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("hour_start").orderBy(col("n").desc, col("user_id"))
+      ev(s, d)
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rnk", row_number().over(w).cast(LongType))
+        .filter(col("rnk") <= 2)
+        .select(col("hour_start"), col("user_id").cast(LongType).as("user_id"),
+          col("n"), col("rnk"))
+        .orderBy("hour_start", "rnk")
     }
   )
 }
