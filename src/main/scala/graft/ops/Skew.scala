@@ -36,4 +36,22 @@ object Skew {
     saltedAgg(df, keyCols, saltBuckets, Seq(
       ("n", count(lit(1)), (c: String) => sum(col(c))),
       ("total", sum(col(valueCol)), (c: String) => sum(col(c)))))
+
+  /** Salted equi-join for a skewed big side: big rows scatter across
+    * `saltBuckets` sub-keys, the small side replicates once per salt, and
+    * the join key becomes (key, salt) — a hot key's rows now land on
+    * `saltBuckets` reducers instead of one. Inner/left semantics match
+    * the plain join exactly (every big row meets every matching small row
+    * exactly once, at its own salt). Cost: small side × saltBuckets —
+    * use when the small side is modest but above the broadcast threshold
+    * and the big side's key histogram is spiked.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 saltBuckets: Int = 16, joinType: String = "inner"): DataFrame = {
+    val bigS = big.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val smallS = small
+      .withColumn("__salt", explode(sequence(lit(0L), lit(saltBuckets - 1L))))
+    bigS.join(smallS, Seq(key, "__salt"), joinType).drop("__salt")
+  }
 }

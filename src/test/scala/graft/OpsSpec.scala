@@ -22,6 +22,20 @@ class OpsSpec extends SparkSpec {
     assert(salted.toSeq === plain.toSeq)
   }
 
+  test("salted join matches plain join on skewed keys") {
+    import spark.implicits._
+    // 90% of big rows share one hot key
+    val big = (0 until 1000).map(i => (if (i < 900) "hot" else s"k${i % 7}", i.toLong))
+      .toDF("k", "v")
+    val small = Seq(("hot", 1.0), ("k0", 2.0), ("k3", 3.0)).toDF("k", "w")
+    val plain = big.join(small, Seq("k"), "inner")
+      .select("k", "v", "w").collect().map(_.toSeq).toSet
+    val salted = ops.Skew.saltedJoin(big, small, "k", saltBuckets = 8)
+      .select("k", "v", "w").collect().map(_.toSeq).toSet
+    assert(salted === plain)
+    assert(salted.count(_.head == "hot") === 900) // the hot key fully joined
+  }
+
   test("stateful streaming sessionization closes sessions on gaps") {
     implicit val s = spark
     val inDir = tmpDir("graft-sess-in")
