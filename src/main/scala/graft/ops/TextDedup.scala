@@ -159,18 +159,25 @@ object TextDedup {
     * Entirely expression-generated: 64 conditional-sum aggregates in one
     * hash aggregation, all codegen'd.
     */
+  /** Project the 16 nibble values of a 16-hex-char column once, so the
+    * 64 per-bit aggregates read a small int column instead of each
+    * re-running instr+substring (4 bits share every nibble). */
+  private def withNibbles(df: DataFrame, hexCol: String): DataFrame =
+    df.select(df.columns.map(col) ++ (0 until 16).map { d =>
+      expr(s"instr('0123456789abcdef', substring($hexCol, ${d + 1}, 1)) - 1").as(s"nib$d")
+    }: _*)
+
+  private def nibbleBit(b: Int): Column =
+    (shiftright(col(s"nib${b / 4}"), 3 - b % 4) bitwiseAND lit(1)).cast(IntegerType)
+
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val words = docs
+    val words = withNibbles(docs
       .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("word"))
       .distinct()
-      .withColumn("wh", substring(md5(col("word")), 1, 16))
+      .withColumn("wh", substring(md5(col("word")), 1, 16)), "wh")
     // bit b lives in hex digit (b/4), bit position (3 - b%4) from LSB of
     // the nibble; nibble value via instr on the hex alphabet (portable).
-    def bitExpr(b: Int): Column = {
-      val nib = expr(s"instr('0123456789abcdef', substring(wh, ${b / 4 + 1}, 1)) - 1")
-      (shiftright(nib, 3 - b % 4) bitwiseAND lit(1)).cast(IntegerType)
-    }
-    val sums = (0 until 64).map(b => sum(bitExpr(b) * 2 - 1).as(s"s$b"))
+    val sums = (0 until 64).map(b => sum(nibbleBit(b) * 2 - 1).as(s"s$b"))
     val bits = words.groupBy("doc_id").agg(sums.head, sums.tail: _*)
     val nibbles = (0 until 16).map { j =>
       val v = (0 until 4).map { r =>
@@ -240,15 +247,11 @@ object TextDedup {
     * groupBy(doc_id) for the 64 weighted sums.
     */
   def simhashWeighted(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val words = docs
+    val words = withNibbles(docs
       .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-      .withColumn("wh", substring(md5(col("word")), 1, 16))
-    def bitExpr(b: Int): Column = {
-      val nib = expr(s"instr('0123456789abcdef', substring(wh, ${b / 4 + 1}, 1)) - 1")
-      (shiftright(nib, 3 - b % 4) bitwiseAND lit(1)).cast(IntegerType)
-    }
-    val sums = (0 until 64).map(b => sum((bitExpr(b) * 2 - 1) * col("tf")).as(s"s$b"))
+      .withColumn("wh", substring(md5(col("word")), 1, 16)), "wh")
+    val sums = (0 until 64).map(b => sum((nibbleBit(b) * 2 - 1) * col("tf")).as(s"s$b"))
     val bits = words.groupBy("doc_id").agg(sums.head, sums.tail: _*)
     val nibbles = (0 until 16).map { j =>
       val v = (0 until 4).map { r =>
