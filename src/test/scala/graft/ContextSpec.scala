@@ -137,6 +137,20 @@ class ContextSpec extends SparkSpec {
     assert(c.execute("SELECT COUNT(*) AS n FROM staging.ext").collect().head.getLong(0) === 2L)
   }
 
+  test("OPTIMIZE statements: compaction, range cluster, zorder") {
+    val c = ctx()
+    c.execute("CREATE TABLE ot (x BIGINT, y BIGINT)")
+    (0 until 3).foreach(i =>
+      c.execute(s"INSERT INTO ot VALUES (${i * 10}, ${i * 5}), (${i * 10 + 100}, ${i * 5 + 50})"))
+    val before = c.table("public", "ot").latestManifest.files.size
+    assert(before >= 3)
+    c.execute("OPTIMIZE TABLE ot") // small-file compaction
+    assert(c.table("public", "ot").latestManifest.files.size < before)
+    c.execute("OPTIMIZE TABLE ot CLUSTER BY (x)")
+    c.execute("OPTIMIZE TABLE ot ZORDER BY (x, y)")
+    assert(c.execute("SELECT COUNT(*) AS n FROM ot").collect().head.getLong(0) === 6L)
+  }
+
   test("USE switches databases; tables are db-scoped") {
     val c = ctx()
     c.execute("CREATE TABLE shared_name (a BIGINT)")
