@@ -41,10 +41,17 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * time from manifest min/max, before parquet footers are touched. */
   def read(version: Option[Long] = None): DataFrame = {
     val m = version.map(Manifest.read(root, _)).getOrElse(latestManifest)
-    val sch = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     org.apache.spark.sql.GraftRelations.parquetScan(
-      spark, new GraftFileIndex(root, m), sch)
+      spark, new GraftFileIndex(root, m), schemaOf(m))
   }
+
+  private def schemaOf(m: TableManifest): StructType =
+    DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+
+  /** Raw parquet scan over an explicit manifest file subset (DML/
+    * maintenance rewrites — no pruning index involved). */
+  private def readFiles(files: Seq[FileEntry], sch: StructType): DataFrame =
+    spark.read.schema(sch).parquet(files.map(f => s"$root/${f.path}"): _*)
 
   def readAsOf(tsMs: Long): DataFrame = {
     val v = Manifest.versionAsOf(root, tsMs).getOrElse(
@@ -135,7 +142,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
   /** INSERT/CTAS append; returns the new version. */
   def append(df: DataFrame, maxRecordsPerFile: Long = GraftTable.DefaultMaxRecordsPerFile): Long = {
     val m = latestManifest
-    val sch = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    val sch = schemaOf(m)
     val entries = writeFiles(align(df, sch), maxRecordsPerFile)
     commitNext(m.files ++ entries, m.schemaJson)
   }
@@ -144,13 +151,13 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * are fused and rewritten; untouched files inherited. */
   def update(assignments: Seq[(String, String)], predSql: Option[String]): Long = {
     val m = latestManifest
-    val sch = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    val sch = schemaOf(m)
     val (affected, untouched) = predSql match {
       case Some(p) => Pruning.partition(m.files, p, sch)
       case None => (m.files, Seq.empty[FileEntry])
     }
     if (affected.isEmpty) return commitNext(m.files, m.schemaJson)
-    val src = spark.read.schema(sch).parquet(affected.map(f => s"$root/${f.path}"): _*)
+    val src = readFiles(affected, sch)
     val pred = predSql.map(expr).getOrElse(lit(true))
     val assignMap = assignments.map { case (c, e) => c.toLowerCase -> expr(e) }.toMap
     val updated = src.select(sch.fields.map { f =>
@@ -170,10 +177,10 @@ class GraftTable(val spark: SparkSession, val root: String) {
     predSql match {
       case None => commitNext(Seq.empty, m.schemaJson)
       case Some(p) =>
-        val sch = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+        val sch = schemaOf(m)
         val (affected, untouched) = Pruning.partition(m.files, p, sch)
         if (affected.isEmpty) return commitNext(m.files, m.schemaJson)
-        val src = spark.read.schema(sch).parquet(affected.map(f => s"$root/${f.path}"): _*)
+        val src = readFiles(affected, sch)
         val kept = src.filter(!coalesce(expr(p), lit(false)))
         val entries = writeFiles(kept, GraftTable.DefaultMaxRecordsPerFile)
         commitNext(untouched ++ entries, m.schemaJson)
@@ -186,7 +193,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
   def replaceFiles(affected: Seq[FileEntry], untouched: Seq[FileEntry],
                    replacement: DataFrame): Long = {
     val m = latestManifest
-    val sch = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    val sch = schemaOf(m)
     val entries = writeFiles(align(replacement, sch), GraftTable.DefaultMaxRecordsPerFile)
     commitNext(untouched ++ entries, m.schemaJson)
   }
@@ -209,10 +216,9 @@ class GraftTable(val spark: SparkSession, val root: String) {
     val m = latestManifest
     val (small, big) = m.files.partition(_.size < smallBytes)
     if (small.size <= 1) return commitNext(m.files, m.schemaJson)
-    val sch = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
-    val src = spark.read.schema(sch).parquet(small.map(f => s"$root/${f.path}"): _*)
-    val entries = writeFiles(src.coalesce(
-      math.max(1, (small.map(_.numRecords).sum / maxRecordsPerFile).toInt + 1)), maxRecordsPerFile)
+    val src = readFiles(small, schemaOf(m))
+    val entries = writeFiles(
+      src.coalesce(ceilDiv(small.map(_.numRecords).sum, maxRecordsPerFile)), maxRecordsPerFile)
     commitNext(big ++ entries, m.schemaJson)
   }
 
@@ -226,18 +232,25 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * right default for one dominant key). One full-table shuffle.
     */
   def cluster(cols: Seq[String],
-              maxRecordsPerFile: Long = GraftTable.DefaultMaxRecordsPerFile): Long = {
+              maxRecordsPerFile: Long = GraftTable.DefaultMaxRecordsPerFile): Long =
+    rewriteClustered(cols.map(col), maxRecordsPerFile, Nil)(identity)
+
+  private def ceilDiv(records: Long, perFile: Long): Int =
+    math.max(1, ((records + perFile - 1) / perFile).toInt)
+
+  /** Shared tail of the clustering rewrites: range-partition + sort the
+    * whole table on `sortCols` (after an optional column prep step), drop
+    * any helper columns, and commit the rewritten file set. */
+  private def rewriteClustered(sortCols: Seq[Column], maxRecordsPerFile: Long,
+                               dropAfter: Seq[String])
+                              (prep: DataFrame => DataFrame): Long = {
     val m = latestManifest
     if (m.files.isEmpty) return commitNext(m.files, m.schemaJson)
-    val sch = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
-    val src = spark.read.schema(sch).parquet(m.files.map(f => s"$root/${f.path}"): _*)
-    val totalRecords = m.files.map(_.numRecords).sum
-    val nParts = math.max(1, (totalRecords / maxRecordsPerFile).toInt +
-      (if (totalRecords % maxRecordsPerFile == 0) 0 else 1))
-    val keyCols = cols.map(col)
-    val clustered = src.repartitionByRange(nParts, keyCols: _*)
-      .sortWithinPartitions(keyCols: _*)
-    val entries = writeFiles(clustered, maxRecordsPerFile)
+    val nParts = ceilDiv(m.files.map(_.numRecords).sum, maxRecordsPerFile)
+    val clustered = prep(readFiles(m.files, schemaOf(m)))
+      .repartitionByRange(nParts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val entries = writeFiles(dropAfter.foldLeft(clustered)(_ drop _), maxRecordsPerFile)
     commitNext(entries, m.schemaJson)
   }
 
@@ -257,12 +270,10 @@ class GraftTable(val spark: SparkSession, val root: String) {
     require(cols.size >= 2 && cols.size <= 3, "zcluster takes 2-3 columns")
     val m = latestManifest
     if (m.files.isEmpty) return commitNext(m.files, m.schemaJson)
-    val sch = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
-    val src = spark.read.schema(sch).parquet(m.files.map(f => s"$root/${f.path}"): _*)
     val mmAggs = cols.flatMap(c => Seq(
       min(col(c).cast(DoubleType)).as(s"mn_$c"),
       max(col(c).cast(DoubleType)).as(s"mx_$c")))
-    val mm = src.agg(mmAggs.head, mmAggs.tail: _*).collect()(0)
+    val mm = readFiles(m.files, schemaOf(m)).agg(mmAggs.head, mmAggs.tail: _*).collect()(0)
     cols.zipWithIndex.foreach { case (c, i) =>
       require(!mm.isNullAt(2 * i),
         s"zcluster column '$c' has no numeric values (non-numeric or all-NULL) — " +
@@ -281,14 +292,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
         shiftleft(shiftright(v, b).bitwiseAND(lit(1L)), b * d + dim)
       }
     }.reduce[Column](_ bitwiseOR _)
-    val totalRecords = m.files.map(_.numRecords).sum
-    val nParts = math.max(1, ((totalRecords + maxRecordsPerFile - 1) / maxRecordsPerFile).toInt)
-    val clustered = src.withColumn("__z", zkey)
-      .repartitionByRange(nParts, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
-    val entries = writeFiles(clustered, maxRecordsPerFile)
-    commitNext(entries, m.schemaJson)
+    rewriteClustered(Seq(col("__z")), maxRecordsPerFile, Seq("__z"))(_.withColumn("__z", zkey))
   }
 
   /** Delete data files not referenced by the latest version and all

@@ -50,7 +50,8 @@ object Manifest {
     case c => c.toString
   }
 
-  private def jstr(s: String): String = "\"" + esc(s) + "\""
+  /** JSON string literal with full escaping (shared: manifests, HTTP). */
+  def jstr(s: String): String = "\"" + esc(s) + "\""
   private def jopt(o: Option[String]): String = o.map(jstr).getOrElse("null")
 
   def toJson(m: TableManifest): String = {

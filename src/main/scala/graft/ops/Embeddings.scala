@@ -126,6 +126,10 @@ object Embeddings {
       .select(col("vec_id").as("cell"), col("qe").as("cent"))
     for (_ <- 0 until lloydIters)
       cents = recomputeCentroids(assignCells(p, cents))
+    // the trained centroids are referenced by the index build, the probe
+    // side, and their n2 projection — cache the K rows once instead of
+    // re-executing the whole Lloyd chain per reference
+    cents = cents.cache()
     val index = assignCells(p, cents) // the inverted file
     val cd = cents.withColumn("c_n2", dotQ(col("cent"), col("cent")))
     val queries = p.filter(queryPred)

@@ -60,7 +60,7 @@ class HttpFrontend(ctx: GraftContext, port: Int,
         else {
           // per-origin durable sequence watermarks
           val body = ctx.catalog.syncProgress.toSeq.sortBy(_._1)
-            .map { case (o, s) => jsonStr(o) + ":" + s }.mkString("{", ",", "}")
+            .map { case (o, s) => graft.lake.Manifest.jstr(o) + ":" + s }.mkString("{", ",", "}")
           respond(ex, 200, body + "\n")
         }
       } else if (ex.getRequestMethod == "POST") sync(ex)
@@ -207,7 +207,7 @@ class HttpFrontend(ctx: GraftContext, port: Int,
       (origin, seq) match {
         case (Some(o), Some(n)) if ctx.catalog.syncProgress.get(o).exists(_ >= n) =>
           return respond(ex, 200,
-            s"""{"skipped":true,"origin":${jsonStr(o)},"durable_seq":${ctx.catalog.syncProgress(o)}}""" + "\n")
+            s"""{"skipped":true,"origin":${graft.lake.Manifest.jstr(o)},"durable_seq":${ctx.catalog.syncProgress(o)}}""" + "\n")
         case _ =>
       }
       val changes = ctx.spark.read.json(
@@ -221,7 +221,7 @@ class HttpFrontend(ctx: GraftContext, port: Int,
       (origin, seq) match {
         case (Some(o), Some(n)) =>
           ctx.catalog.advanceSyncSeq(o, n)
-          respond(ex, 200, s"""{"version":$version,"origin":${jsonStr(o)},"durable_seq":$n}""" + "\n")
+          respond(ex, 200, s"""{"version":$version,"origin":${graft.lake.Manifest.jstr(o)},"durable_seq":$n}""" + "\n")
         case _ =>
           respond(ex, 200, s"""{"version":$version}""" + "\n")
       }
@@ -258,17 +258,6 @@ class HttpFrontend(ctx: GraftContext, port: Int,
     JsonLines.write(df, bos)
     bos.toByteArray
   }
-
-  /** JSON string literal with full escaping (origins are client input). */
-  private def jsonStr(s: String): String = "\"" + s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
 
   private def sha256Hex(bytes: Array[Byte]): String =
     MessageDigest.getInstance("SHA-256").digest(bytes).map(b => f"$b%02x").mkString
