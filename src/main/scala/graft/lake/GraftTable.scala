@@ -363,12 +363,15 @@ object GraftTable {
 
   /** CONVERT: register an existing directory of plain parquet files as a
     * graft table without rewriting them (reference
-    * `src/context/physical.rs:580-594`). */
+    * `src/context/physical.rs:580-594`). Idempotent: converting again
+    * refreshes the file set as a NEW version instead of failing
+    * (reference `tests/statements/convert.rs:168`). */
   def convert(spark: SparkSession, root: String): GraftTable = {
     val df = spark.read.parquet(root)
     val t = new GraftTable(spark, root)
     val entries = t.collectStats(root, "", df.schema)
-    Manifest.commit(root, TableManifest(0L, System.currentTimeMillis, df.schema.json, entries))
+    val next = Manifest.latestVersion(root).map(_ + 1).getOrElse(0L)
+    Manifest.commit(root, TableManifest(next, System.currentTimeMillis, df.schema.json, entries))
     t
   }
 }

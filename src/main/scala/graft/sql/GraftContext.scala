@@ -1,6 +1,6 @@
 package graft.sql
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.time.Instant
 
 import graft.catalog.Catalog
@@ -294,6 +294,7 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
       emptyResult
     case reCreateTableAs(qname, query) =>
       val (sch, name) = splitName(qname)
+      requireNotStaging(sch)
       registerAll()
       val df = spark.sql(rewriteQuery(query))
       val uuid = catalog.createTable(currentDb, sch, name)
@@ -301,6 +302,7 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
       emptyResult
     case reCreateTable(qname, cols) =>
       val (sch, name) = splitName(qname)
+      requireNotStaging(sch)
       val schema = parseColumns(cols)
       val uuid = catalog.createTable(currentDb, sch, name)
       GraftTable.create(spark, catalog.tableRoot(uuid), schema)
@@ -349,6 +351,7 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
       spark.catalog.dropTempView(if (sch == "public") name else s"${sch}__$name")
       emptyResult
     case reDropSchema(schName) =>
+      requireNotStaging(clean(schName))
       catalog.dropSchema(currentDb, clean(schName)); emptyResult
     case reRename(from, to) =>
       val (fs, fn) = splitName(from); val (ts, tn) = splitName(to)
@@ -376,15 +379,19 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
       table(sch, name).compact(); emptyResult
     case reConvert(loc, qname) =>
       val (sch, name) = splitName(qname)
-      val uuid = catalog.createTable(currentDb, sch, name)
+      // idempotent: CONVERT of an already-converted table refreshes it
+      // (reference tests/statements/convert.rs:168)
+      val uuid = catalog.getTable(currentDb, sch, name)
+        .getOrElse(catalog.createTable(currentDb, sch, name))
       val root = catalog.tableRoot(uuid)
       // register in place: copy the parquet files into the table dir, then
-      // build the initial manifest over them (no rewrite of row data)
+      // build the manifest over them (no rewrite of row data)
       Files.createDirectories(Paths.get(root))
       import scala.jdk.CollectionConverters._
       Files.list(Paths.get(loc)).iterator.asScala
         .filter(p => p.getFileName.toString.endsWith(".parquet"))
-        .foreach(p => Files.copy(p, Paths.get(root, p.getFileName.toString)))
+        .foreach(p => Files.copy(p, Paths.get(root, p.getFileName.toString),
+          StandardCopyOption.REPLACE_EXISTING))
       GraftTable.convert(spark, root)
       emptyResult
     case reCreateFn(orReplace, name, json) =>
@@ -437,6 +444,13 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
     }
 
   private def clean(s: String) = s.replace("\"", "")
+
+  /** The transient staging schema holds external tables only (reference
+    * `src/context/mod.rs:124-148`, error text parity with
+    * `tests/statements/ddl.rs:496`). */
+  private def requireNotStaging(sch: String): Unit =
+    require(sch != "staging",
+      "The staging schema can only be referenced via CREATE EXTERNAL TABLE")
 
   /** Split "assignments [WHERE pred]" at the first top-level (outside
     * quotes/parens) WHERE keyword. */

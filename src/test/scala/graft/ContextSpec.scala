@@ -211,6 +211,19 @@ class ContextSpec extends SparkSpec {
     Seq((1L, "x"), (2L, "y")).toDF("id", "v").write.mode("overwrite").parquet(dir)
     c.execute(s"CONVERT '$dir' TO GRAFT converted")
     assert(c.execute("SELECT COUNT(*) AS n FROM converted").collect().head.getLong(0) === 2L)
+    // converting twice doesn't error and the table stays queryable
+    // (reference tests/statements/convert.rs:168)
+    c.execute(s"CONVERT '$dir' TO GRAFT converted")
+    assert(c.execute("SELECT COUNT(*) AS n FROM converted").collect().head.getLong(0) === 2L)
+  }
+
+  test("staging schema is reserved for external tables") {
+    val c = ctx()
+    val e1 = intercept[IllegalArgumentException](
+      c.execute("CREATE TABLE staging.some_table (k INT)"))
+    assert(e1.getMessage.contains("staging schema can only be referenced via CREATE EXTERNAL TABLE"))
+    val e2 = intercept[IllegalArgumentException](c.execute("DROP SCHEMA staging"))
+    assert(e2.getMessage.contains("staging schema can only be referenced via CREATE EXTERNAL TABLE"))
   }
 
   test("UPDATE with WHERE inside a string literal; builtin call not hijacked by time travel") {
