@@ -73,6 +73,10 @@ class ContextSpec extends SparkSpec {
     c.execute("INSERT INTO tt VALUES (2)")
     assert(c.execute("SELECT COUNT(*) AS n FROM tt").collect().head.getLong(0) === 2L)
     assert(c.execute(s"SELECT COUNT(*) AS n FROM tt('$mid')").collect().head.getLong(0) === 1L)
+    // writes FROM a time-travel reference (reference
+    // tests/statements/time_travel.rs:225 — CTAS over version diffs)
+    c.execute(s"CREATE TABLE tt_diff AS (SELECT v FROM tt EXCEPT SELECT v FROM tt('$mid'))")
+    assert(c.execute("SELECT v FROM tt_diff").collect().map(_.getLong(0)).toSeq === Seq(2L))
   }
 
   test("system tables and information_schema") {
