@@ -111,6 +111,31 @@ object TextAnalysis {
         .otherwise("test"))
   }
 
+  /** Eval-contamination check between a train and a test split: for every
+    * test document, the fraction of its distinct word n-grams that also
+    * appear anywhere in the train split. High overlap means the test doc
+    * (or its source) leaked into training data — the standard benchmark-
+    * decontamination screen. One shuffle keyed on the shingle (test
+    * shingles left-semi-counted against the distinct train shingle set);
+    * no pairwise doc×doc work, so cost is corpus-shingle-sized regardless
+    * of split sizes.
+    */
+  def contaminationCheck(docs: DataFrame, idCol: String, textCol: String,
+                         splitCol: String, n: Int,
+                         threshold: Double): DataFrame = {
+    val sh = TextDedup.docShingles(
+      docs.select(col(idCol), col(textCol), col(splitCol)), idCol, textCol, n)
+      .join(docs.select(col(idCol).as("doc_id"), col(splitCol)), "doc_id")
+    val trainShingles = sh.filter(col(splitCol) === "train")
+      .select("shingle").distinct().withColumn("__in_train", lit(1))
+    sh.filter(col(splitCol) === "test")
+      .join(trainShingles, Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"), sum(coalesce(col("__in_train"), lit(0))).as("n_overlap"))
+      .withColumn("overlap_frac", col("n_overlap").cast(DoubleType) / col("n_sh"))
+      .withColumn("contaminated", col("overlap_frac") >= threshold)
+  }
+
   /** Corpus-level n-gram frequency: top-k word n-grams across ALL
     * documents (boilerplate detection, contamination screening, corpus
     * drift dashboards). One map-side-combined groupBy on the n-gram, then

@@ -140,6 +140,32 @@ object TextQueries {
         .orderBy("split")
     },
 
+    // Eval-contamination screen: per test-split doc, the fraction of its
+    // distinct 5-gram shingles that occur anywhere in the train split.
+    QueryDef("tx8_contamination", {
+      def th(f: Double) = f"${(f * math.pow(2, 63)).toLong * 2}%016x"
+      s"""WITH s AS (SELECT doc_id, text,
+         |  CASE WHEN substr(md5('graft:'||CAST(doc_id AS VARCHAR)), 1, 16) < '${th(0.8)}' THEN 'train'
+         |       WHEN substr(md5('graft:'||CAST(doc_id AS VARCHAR)), 1, 16) < '${th(0.9)}' THEN 'val'
+         |       ELSE 'test' END AS split
+         |  FROM documents),
+         |words AS (SELECT doc_id, split, string_split(text, ' ') AS w FROM s),
+         |sh AS (SELECT DISTINCT doc_id, split, w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS shingle
+         |       FROM words, UNNEST(range(1, len(w)-3)) AS t(i)),
+         |tr AS (SELECT DISTINCT shingle FROM sh WHERE split = 'train'),
+         |te AS (SELECT sh.doc_id, CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |       FROM sh LEFT JOIN tr ON sh.shingle = tr.shingle WHERE sh.split = 'test')
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh, CAST(SUM(hit) AS BIGINT) AS n_overlap,
+         |  CAST(SUM(hit) AS DOUBLE)/COUNT(*) AS overlap_frac,
+         |  CAST(SUM(hit) AS DOUBLE)/COUNT(*) >= 0.5 AS contaminated
+         |FROM te GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      TextAnalysis.contaminationCheck(
+          TextAnalysis.trainSplit(Tables.load(s, d, "documents"), "doc_id", "graft"),
+          "doc_id", "text", "split", n = 5, threshold = 0.5)
+        .orderBy("doc_id")
+    },
+
     // Frame sampling over binary payloads: every 64-byte stride yields a
     // 16-byte frame, fingerprinted as md5(lowercase hex) — the hex hop
     // keeps the spec portable (DuckDB has no blob substring).
