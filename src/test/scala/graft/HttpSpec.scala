@@ -140,6 +140,27 @@ class HttpSpec extends SparkSpec {
     assert(miss.statusCode() != 200)
   }
 
+  test("concurrent db-prefixed requests never cross-contaminate") {
+    post("/q", "CREATE DATABASE cc1; CREATE TABLE marker (v BIGINT); INSERT INTO marker VALUES (0)", auth)
+    post("/q/cc1", "CREATE TABLE marker (v BIGINT); INSERT INTO marker VALUES (1)", auth)
+    // hammer both scopes from parallel threads; every response must carry
+    // its own database's marker value
+    import java.util.concurrent.Executors
+    val pool = Executors.newFixedThreadPool(8)
+    val futures = (0 until 40).map { i =>
+      val db = if (i % 2 == 0) "" else "/cc1"
+      val want = if (i % 2 == 0) "0" else "1"
+      pool.submit(new java.util.concurrent.Callable[Boolean] {
+        def call(): Boolean = {
+          val r = post(s"/q$db", "SELECT v FROM marker", auth)
+          r.statusCode() == 200 && r.body().trim == s"""{"v":$want}"""
+        }
+      })
+    }
+    pool.shutdown()
+    assert(futures.forall(_.get()), "a request observed another database's data")
+  }
+
   test("CDC origin sequence watermarks make redelivery idempotent") {
     post("/q", "CREATE TABLE seqd (id BIGINT, v DOUBLE)", auth)
     val b1 = """{"old_id":null,"new_id":1,"v":1.0,"_seq":1}"""
