@@ -39,6 +39,20 @@ object ProbeScale {
     t(s"tx5 winnow x$mult")(
       graft.ops.TextAnalysis.winnowFingerprints(docs, "doc_id", "text", 4, 8)
         .write.mode("overwrite").format("noop").save())
+    // embeddings: replicate with shifted ids; queries stay 10 vectors
+    val em0 = graft.Tables.load(spark, sfDir, "embeddings")
+    val em = spark.range(mult).crossJoin(em0)
+      .select((col("vec_id") + col("id") * 1000000L).as("vec_id"), col("embedding"))
+      .cache()
+    println(s"vectors: ${em.count()}")
+    t(s"sim2 lsh-ann x$mult")(
+      graft.ops.Embeddings.annTopK(em, "vec_id", "embedding",
+          col("vec_id") < 10, k = 3, planes = 6, dim = 64)
+        .write.mode("overwrite").format("noop").save())
+    t(s"sim3 ivf x$mult")(
+      graft.ops.Embeddings.ivfTopK(em, "vec_id", "embedding",
+          col("vec_id") < 10, k = 3, numCells = 8, nprobe = 2)
+        .write.mode("overwrite").format("noop").save())
     spark.stop()
   }
 }
