@@ -175,6 +175,41 @@ class LakeSpec extends SparkSpec {
       Pruning.parsePredicate("v >= 100"), f, t.schema)))
   }
 
+  test("pruned scans agree with unpruned scans across many predicates") {
+    import spark.implicits._
+    val root = tmpDir("graft-prop")
+    val t = GraftTable.create(spark, root,
+      StructType(Seq(StructField("k", LongType), StructField("s", StringType),
+        StructField("d", DoubleType), StructField("dt", DateType))))
+    val rng = new scala.util.Random(42)
+    // several appends with overlapping ranges + nulls → many files,
+    // varied stats
+    (0 until 5).foreach { b =>
+      val rows = (0 until 40).map { _ =>
+        val k = rng.nextInt(100).toLong
+        (k, if (rng.nextBoolean()) s"s$k" else null,
+          rng.nextDouble() * 100, f"2024-0${rng.nextInt(8) + 1}%s-15")
+      }
+      t.append(rows.toDF("k", "s", "d", "dt")
+        .select(col("k"), col("s"), col("d"), to_date(col("dt")).as("dt"))
+        .coalesce(1), 16)
+    }
+    val full = spark.read.schema(t.schema)
+      .parquet(t.latestManifest.files.map(f => s"$root/${f.path}"): _*)
+    val preds = Seq(
+      "k = 17", "k >= 90", "k < 5", "k BETWEEN 40 AND 60",
+      "s = 's7'", "s IS NULL", "s IS NOT NULL", "s > 's5'",
+      "d < 1.5", "d >= 99.0", "k = 17 AND d < 50.0", "k = 3 OR k = 97",
+      "dt = DATE '2024-03-15'", "dt >= DATE '2024-06-01'",
+      "dt >= TIMESTAMP '2024-06-01 00:00:00'", // coerced cast: no unwrap
+      "CAST(k AS DOUBLE) > 50.5", "k != 17")
+    preds.foreach { p =>
+      val pruned = t.read().filter(expr(p)).count()
+      val exact = full.filter(expr(p)).count()
+      assert(pruned === exact, s"pruned scan diverged for predicate: $p")
+    }
+  }
+
   test("compact fuses small files and inherits large ones") {
     val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0),
       (4L, "d", 4.0), (5L, "e", 5.0))) // maxPerFile=2 → 3 small files
