@@ -1,10 +1,11 @@
 package graft.catalog
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.UUID
 
+import graft.lake.LakeIO
 import graft.lake.Manifest.Json
 import graft.lake.Manifest.Json._
+import org.apache.hadoop.fs.{Path => HPath}
 
 /** File-backed metastore mirroring the reference's SQL-database catalog
   * (`src/repository/`, `migrations/sqlite/20220728071524_create_tables.up.sql`):
@@ -31,7 +32,7 @@ class Catalog(val dataDir: String) {
       // CDC origin -> highest applied sequence number (durable watermark)
       syncSeq: Map[String, Long] = Map.empty)
 
-  private val file: Path = Paths.get(dataDir, "_catalog.json")
+  private val file: HPath = LakeIO.path(dataDir, "_catalog.json")
 
   def tableRoot(uuid: String): String = s"$dataDir/$uuid"
 
@@ -46,9 +47,9 @@ class Catalog(val dataDir: String) {
   private def q(s: String) = "\"" + esc(s) + "\""
 
   def load(): State = {
-    if (!Files.exists(file))
+    if (!LakeIO.exists(file))
       return State(Map("default" -> Map("public" -> Map.empty)), Map.empty, Seq.empty)
-    val o = Json.parse(Files.readString(file)).asInstanceOf[O].m
+    val o = Json.parse(LakeIO.readString(file)).asInstanceOf[O].m
     val dbs = o("dbs").asInstanceOf[O].m.map { case (db, sv) =>
       db -> sv.asInstanceOf[O].m.map { case (sch, tv) =>
         sch -> tv.asInstanceOf[O].m.map { case (t, ev) =>
@@ -85,12 +86,12 @@ class Catalog(val dataDir: String) {
     val dropped = s.dropped.map { d =>
       s"""{"schema":${q(d.schema)},"name":${q(d.name)},"uuid":${q(d.uuid)},"dropTimeMs":${d.dropTimeMs}}"""
     }.mkString("[", ",", "]")
-    Files.createDirectories(file.getParent)
-    val tmp = Files.createTempFile(file.getParent, ".catalog-", ".tmp")
     val sseq = s.syncSeq.toSeq.sortBy(_._1).map { case (k, v) => q(k) + ":" + v }
       .mkString("{", ",", "}")
-    Files.writeString(tmp, s"""{"dbs":$dbs,"functions":$fns,"dropped":$dropped,"syncSeq":$sseq}""")
-    Files.move(tmp, file, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val ok = LakeIO.writeAtomic(file,
+      s"""{"dbs":$dbs,"functions":$fns,"dropped":$dropped,"syncSeq":$sseq}""",
+      failIfExists = false)
+    require(ok, s"catalog save failed at $file")
   }
 
   private def mutate[T](f: State => (State, T)): T = synchronized {
@@ -198,13 +199,7 @@ class Catalog(val dataDir: String) {
     * reference `src/utils.rs:50` gc_databases). Returns purged uuids. */
   def gcDropped(): Seq[String] = mutate { s =>
     s.dropped.foreach { d =>
-      val p = Paths.get(tableRoot(d.uuid))
-      if (Files.isDirectory(p)) {
-        import scala.jdk.CollectionConverters._
-        val stream = Files.walk(p)
-        val paths = try stream.iterator.asScala.toSeq finally stream.close()
-        paths.reverse.foreach(Files.deleteIfExists)
-      }
+      LakeIO.delete(new HPath(tableRoot(d.uuid)), recursive = true)
     }
     (s.copy(dropped = Seq.empty), s.dropped.map(_.uuid))
   }

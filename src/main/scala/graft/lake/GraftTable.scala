@@ -1,10 +1,9 @@
 package graft.lake
 
-import java.nio.file.{Files, Path, Paths}
 import java.util.UUID
-import scala.jdk.CollectionConverters._
 
 import graft.lake.Manifest._
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -118,11 +117,17 @@ class GraftTable(val spark: SparkSession, val root: String) {
       .groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
+    // file sizes from ONE directory listing (object-store friendly: a LIST
+    // per batch dir instead of a HEAD per file)
+    val sizes: Map[String, Long] =
+      LakeIO.listStatus(new HPath(dir))
+        .filter(_.isFile)
+        .map(s => s.getPath.getName -> s.getLen).toMap
     rows.toIndexedSeq.map { r =>
       val uri = r.getAs[String]("__file")
       val fileName = uri.substring(uri.lastIndexOf('/') + 1)
       val rel = if (relPrefix.isEmpty) fileName else s"$relPrefix/$fileName"
-      val size = Files.size(Paths.get(root, rel))
+      val size = sizes.getOrElse(fileName, LakeIO.size(LakeIO.path(root, rel)))
       val stats = statable.map { f =>
         f.name -> ColStats(
           Option(r.getAs[String](s"min__${f.name}")),
@@ -302,36 +307,34 @@ class GraftTable(val spark: SparkSession, val root: String) {
     val keep = latest.files.map(_.path).toSet
     val dataFiles = listDataFiles()
     val toDelete = dataFiles.filterNot(keep.contains)
-    toDelete.foreach(p => Files.deleteIfExists(Paths.get(root, p)))
+    toDelete.foreach(p => LakeIO.delete(LakeIO.path(root, p)))
     val oldVersions = Manifest.listVersions(root).filter(_ != latest.version)
-    oldVersions.foreach(v => Files.deleteIfExists(Manifest.versionPath(root, v)))
-    // drop now-empty batch dirs (close every directory stream — fd leaks
-    // starve a long-lived server)
-    val rootStream = Files.list(Paths.get(root))
-    try {
-      rootStream.iterator.asScala
-        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("data-"))
-        .toSeq
-        .foreach { p =>
-          val inner = Files.list(p)
-          val empty = try !inner.iterator.asScala.hasNext finally inner.close()
-          if (empty) Files.deleteIfExists(p)
-        }
-    } finally rootStream.close()
+    oldVersions.foreach(v => LakeIO.delete(Manifest.versionPath(root, v)))
+    // drop now-empty batch dirs
+    LakeIO.listStatus(new HPath(root))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("data-"))
+      .foreach { s => if (LakeIO.listStatus(s.getPath).isEmpty) LakeIO.delete(s.getPath) }
     (toDelete.size, oldVersions.size)
   }
 
+  /** Paths (relative to root) of every parquet data file under the table —
+    * one recursive listing, which on object stores is a flat LIST rather
+    * than a directory walk. */
   private def listDataFiles(): Seq[String] = {
-    val rootP = Paths.get(root)
-    if (!Files.isDirectory(rootP)) return Seq.empty
-    val stream = Files.walk(rootP)
-    try
-      stream.iterator.asScala
-        .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
-        .map(p => rootP.relativize(p).toString)
-        .filterNot(_.startsWith("_log"))
-        .toSeq
-    finally stream.close()
+    val rootP = fsQualifiedRoot
+    val rootStr = rootP.toString
+    LakeIO.listFilesRecursive(rootP)
+      .map(_.getPath.toString)
+      .filter(_.endsWith(".parquet"))
+      .map(_.stripPrefix(rootStr).stripPrefix("/"))
+      .filterNot(_.startsWith("_log"))
+  }
+
+  /** Root as the FileSystem reports it (scheme-qualified), so listing
+    * results can be relativized by string prefix. */
+  private def fsQualifiedRoot: HPath = {
+    val p = new HPath(root)
+    p.getFileSystem(LakeIO.conf).makeQualified(p)
   }
 
   /** (version, timestampMs, numFiles, numRecords) per version. */
@@ -349,7 +352,7 @@ object GraftTable {
 
   /** Create a new empty table directory with schema (version 0). */
   def create(spark: SparkSession, root: String, schema: StructType): GraftTable = {
-    Files.createDirectories(Paths.get(root))
+    LakeIO.mkdirs(new org.apache.hadoop.fs.Path(root))
     Manifest.commit(root, TableManifest(0L, System.currentTimeMillis, schema.json, Seq.empty))
     new GraftTable(spark, root)
   }

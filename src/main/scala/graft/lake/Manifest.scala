@@ -1,7 +1,6 @@
 package graft.lake
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.fs.Path
 
 /** Versioned-manifest table format ("graft table"): a table is a directory
   * of parquet files plus `_log/v<N>.json` manifests, each listing the live
@@ -11,10 +10,10 @@ import scala.jdk.CollectionConverters._
   * file pruning, time travel, and ETag caching need.
   *
   * Commit protocol: a manifest is staged to a temp file and atomically
-  * renamed to `v<N>.json` with `ATOMIC_MOVE`; a pre-existing `v<N>.json`
-  * means a concurrent writer won that version — the commit fails and the
-  * caller may retry against the new latest (optimistic concurrency,
-  * mirroring Delta's protocol in spirit).
+  * renamed to `v<N>.json` (LakeIO.writeAtomic over the Hadoop FileSystem
+  * API); a pre-existing `v<N>.json` means a concurrent writer won that
+  * version — the commit fails and the caller may retry against the new
+  * latest (optimistic concurrency, mirroring Delta's protocol in spirit).
   *
   * Manifests are metadata-only (file lists + stats), so driver-side JSON
   * is fine at scale: 100 TB at 1 GiB/file is ~100k entries per version.
@@ -159,27 +158,21 @@ object Manifest {
 
   // --- log directory operations ------------------------------------------
 
-  def logDir(tableRoot: String): Path = Paths.get(tableRoot, "_log")
+  def logDir(tableRoot: String): Path = LakeIO.path(tableRoot, "_log")
 
-  def versionPath(tableRoot: String, v: Long): Path = logDir(tableRoot).resolve(f"v$v%020d.json")
+  def versionPath(tableRoot: String, v: Long): Path = new Path(logDir(tableRoot), f"v$v%020d.json")
 
-  def listVersions(tableRoot: String): Seq[Long] = {
-    val dir = logDir(tableRoot)
-    if (!Files.isDirectory(dir)) return Seq.empty
-    val stream = Files.list(dir)
-    try
-      stream.iterator.asScala
-        .map(_.getFileName.toString)
-        .filter(n => n.startsWith("v") && n.endsWith(".json"))
-        .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
-        .toSeq.sorted
-    finally stream.close() // leaked directory fds starve a long-lived server
-  }
+  def listVersions(tableRoot: String): Seq[Long] =
+    LakeIO.listStatus(logDir(tableRoot))
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
+      .sorted
 
   def latestVersion(tableRoot: String): Option[Long] = listVersions(tableRoot).lastOption
 
   def read(tableRoot: String, v: Long): TableManifest =
-    fromJson(Files.readString(versionPath(tableRoot, v)))
+    fromJson(LakeIO.readString(versionPath(tableRoot, v)))
 
   def readLatest(tableRoot: String): Option[TableManifest] =
     latestVersion(tableRoot).map(read(tableRoot, _))
@@ -193,18 +186,9 @@ object Manifest {
 
   /** Atomic commit; throws if the version already exists (lost race). */
   def commit(tableRoot: String, m: TableManifest): Unit = {
-    val dir = logDir(tableRoot)
-    Files.createDirectories(dir)
     val target = versionPath(tableRoot, m.version)
-    if (Files.exists(target))
+    if (!LakeIO.writeAtomic(target, toJson(m), failIfExists = true))
       throw new IllegalStateException(
         s"concurrent commit: version ${m.version} already exists at $target")
-    val tmp = Files.createTempFile(dir, s".v${m.version}-", ".tmp")
-    Files.writeString(tmp, toJson(m))
-    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-    catch { case e: java.nio.file.FileAlreadyExistsException =>
-      Files.deleteIfExists(tmp)
-      throw new IllegalStateException(s"concurrent commit: lost race for version ${m.version}", e)
-    }
   }
 }

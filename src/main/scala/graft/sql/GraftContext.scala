@@ -1,10 +1,10 @@
 package graft.sql
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.time.Instant
 
 import graft.catalog.Catalog
-import graft.lake.{GraftTable, Manifest}
+import graft.lake.{GraftTable, LakeIO, Manifest}
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -33,7 +33,7 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
   /** Current database (reference: default db "default", re-scoped per
     * request by a URL prefix or switched with USE — src/context/mod.rs:45-63). */
   @volatile var currentDb: String = "default"
-  Files.createDirectories(Paths.get(dataDir))
+  LakeIO.mkdirs(new HPath(dataDir))
   // engine-native function extensions available to every SQL surface
   graft.functions.VectorFunctions.register(spark)
   // DataFusion-dialect function-name aliases (reference-compat)
@@ -386,12 +386,10 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
       val root = catalog.tableRoot(uuid)
       // register in place: copy the parquet files into the table dir, then
       // build the manifest over them (no rewrite of row data)
-      Files.createDirectories(Paths.get(root))
-      import scala.jdk.CollectionConverters._
-      Files.list(Paths.get(loc)).iterator.asScala
-        .filter(p => p.getFileName.toString.endsWith(".parquet"))
-        .foreach(p => Files.copy(p, Paths.get(root, p.getFileName.toString),
-          StandardCopyOption.REPLACE_EXISTING))
+      LakeIO.mkdirs(new HPath(root))
+      LakeIO.listStatus(new HPath(loc))
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .foreach(s => LakeIO.copyFile(s.getPath, LakeIO.path(root, s.getPath.getName)))
       GraftTable.convert(spark, root)
       emptyResult
     case reCreateFn(orReplace, name, json) =>

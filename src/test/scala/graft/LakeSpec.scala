@@ -280,4 +280,28 @@ class LakeSpec extends SparkSpec {
     assert(t.read().count() === 2)
     assert(t.latestManifest.files.nonEmpty)
   }
+
+  test("full table lifecycle on a non-default FileSystem scheme (mockfs)") {
+    // lake I/O must resolve storage through the Hadoop FileSystem API:
+    // register a custom scheme and run create/append/update/delete/time
+    // travel/vacuum against it — nothing may fall back to local java.io
+    spark.sparkContext.hadoopConfiguration.set("fs.mockfs.impl", classOf[MockFs].getName)
+    val root = "mockfs://" + tmpDir("graft-mockfs") + "/tbl"
+    val t = GraftTable.create(spark, root,
+      StructType(Seq(StructField("id", LongType), StructField("name", StringType))))
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name")
+      .coalesce(1).sortWithinPartitions("id"), maxRecordsPerFile = 2)
+    assert(t.read().count() === 3)
+    t.update(Seq("name" -> "'z'"), Some("id = 2"))
+    assert(t.read().filter("name = 'z'").count() === 1)
+    val v1 = t.latestManifest.version
+    t.delete(Some("id = 1"))
+    assert(t.read().count() === 2)
+    assert(t.read(Some(v1)).count() === 3) // time travel on mockfs
+    val (files, versions) = t.vacuum()
+    assert(versions > 0)
+    assert(t.read().count() === 2)
+    // manifests really live behind the mockfs scheme
+    assert(Manifest.listVersions(root).nonEmpty)
+  }
 }
