@@ -12,9 +12,11 @@ import org.apache.hadoop.fs.{Path => HPath}
   * database → schema → table (with storage UUID) plus persisted functions
   * and a dropped-tables ledger for VACUUM / system.dropped_tables.
   *
-  * State lives in one JSON file under the data directory, rewritten
-  * atomically (temp + rename) on every mutation; reads re-load the file —
-  * the analog of the reference reloading the catalog before every query
+  * State lives as a versioned JSON log under `_catalog/` (fail-if-exists
+  * commits, latest version wins on load — the same protocol as table
+  * manifests, so the catalog survives crashes and concurrent committers on
+  * any Hadoop FileSystem); reads re-load the latest version — the analog
+  * of the reference reloading the catalog before every query
   * (`src/context/mod.rs:89-112`). At multi-writer scale this component is
   * the one you swap for a real SQL metastore; the interface stays.
   */
@@ -32,7 +34,16 @@ class Catalog(val dataDir: String) {
       // CDC origin -> highest applied sequence number (durable watermark)
       syncSeq: Map[String, Long] = Map.empty)
 
-  private val file: HPath = LakeIO.path(dataDir, "_catalog.json")
+  // Catalog state is VERSIONED like table manifests (`_catalog/v<N>.json`,
+  // fail-if-exists commits, latest wins on load) rather than overwritten in
+  // place: HDFS's two-arg rename refuses an existing destination, so an
+  // in-place overwrite there degrades to delete+rename — a window where
+  // readers see no catalog at all and a crash loses it permanently. A
+  // versioned commit never removes the previous state until the next one
+  // is durably visible. Old versions are pruned best-effort (keep last 8).
+  private val dir: HPath = LakeIO.path(dataDir, "_catalog")
+  // pre-round-4 single-file layout, read once as a migration fallback
+  private val legacyFile: HPath = LakeIO.path(dataDir, "_catalog.json")
 
   def tableRoot(uuid: String): String = s"$dataDir/$uuid"
 
@@ -46,10 +57,30 @@ class Catalog(val dataDir: String) {
   }
   private def q(s: String) = "\"" + esc(s) + "\""
 
-  def load(): State = {
-    if (!LakeIO.exists(file))
-      return State(Map("default" -> Map("public" -> Map.empty)), Map.empty, Seq.empty)
-    val o = Json.parse(LakeIO.readString(file)).asInstanceOf[O].m
+  private def versionFile(v: Long): HPath = new HPath(dir, f"v$v%020d.json")
+
+  private def listStateVersions: Seq[Long] =
+    LakeIO.listStatus(dir)
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
+      .sorted
+
+  /** Latest state plus the version it was read at (-1 = no versioned state
+    * yet: fresh data dir or pre-versioned layout). */
+  private def loadVersioned(): (State, Long) =
+    listStateVersions.lastOption match {
+      case Some(v) => (parseState(LakeIO.readString(versionFile(v))), v)
+      case None if LakeIO.exists(legacyFile) =>
+        (parseState(LakeIO.readString(legacyFile)), -1L)
+      case None =>
+        (State(Map("default" -> Map("public" -> Map.empty)), Map.empty, Seq.empty), -1L)
+    }
+
+  def load(): State = loadVersioned()._1
+
+  private def parseState(json: String): State = {
+    val o = Json.parse(json).asInstanceOf[O].m
     val dbs = o("dbs").asInstanceOf[O].m.map { case (db, sv) =>
       db -> sv.asInstanceOf[O].m.map { case (sch, tv) =>
         sch -> tv.asInstanceOf[O].m.map { case (t, ev) =>
@@ -72,7 +103,9 @@ class Catalog(val dataDir: String) {
     State(dbs, fns, dropped, sseq)
   }
 
-  private def save(s: State): Unit = {
+  /** Commit `s` as version base+1; false = lost an optimistic race with a
+    * concurrent committer (another process on the same data dir). */
+  private def save(s: State, base: Long): Boolean = {
     val dbs = s.dbs.toSeq.sortBy(_._1).map { case (db, schemas) =>
       q(db) + ":" + schemas.toSeq.sortBy(_._1).map { case (sch, tables) =>
         q(sch) + ":" + tables.toSeq.sortBy(_._1).map { case (t, e) =>
@@ -88,16 +121,30 @@ class Catalog(val dataDir: String) {
     }.mkString("[", ",", "]")
     val sseq = s.syncSeq.toSeq.sortBy(_._1).map { case (k, v) => q(k) + ":" + v }
       .mkString("{", ",", "}")
-    val ok = LakeIO.writeAtomic(file,
+    val next = base + 1
+    val ok = LakeIO.writeAtomic(versionFile(next),
       s"""{"dbs":$dbs,"functions":$fns,"dropped":$dropped,"syncSeq":$sseq}""",
-      failIfExists = false)
-    require(ok, s"catalog save failed at $file")
+      failIfExists = true)
+    if (ok) {
+      // prune superseded versions best-effort; latest is never touched, so
+      // a concurrent reader always finds a complete state
+      listStateVersions.filter(_ <= next - 8)
+        .foreach(v => LakeIO.delete(versionFile(v)))
+      if (LakeIO.exists(legacyFile)) LakeIO.delete(legacyFile)
+    }
+    ok
   }
 
   private def mutate[T](f: State => (State, T)): T = synchronized {
-    val (next, r) = f(load())
-    save(next)
-    r
+    var attempts = 0
+    while (attempts < 16) {
+      val (s, base) = loadVersioned()
+      val (next, r) = f(s)
+      if (save(next, base)) return r
+      attempts += 1 // lost to a concurrent committer: reload and replay
+    }
+    throw new IllegalStateException(
+      s"catalog commit lost ${16} consecutive optimistic races at $dir")
   }
 
   // --- namespace ops ------------------------------------------------------

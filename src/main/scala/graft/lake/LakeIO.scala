@@ -1,7 +1,9 @@
 package graft.lake
 
+import java.io.{FileNotFoundException, IOException}
 import java.nio.charset.StandardCharsets
 import java.util.UUID
+import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileStatus, FileSystem, FileUtil, Path}
@@ -19,6 +21,11 @@ import org.apache.spark.sql.SparkSession
   * `spark.hadoop.fs.*` settings (credentials, custom scheme impls) apply to
   * manifest/catalog I/O exactly as they do to Spark's own parquet I/O —
   * metadata and data always resolve the same store.
+  *
+  * Call-count economy: every helper issues exactly ONE metadata round trip
+  * (getFileStatus / listStatus and catch FileNotFoundException) rather than
+  * an exists() pre-check plus the real call — on object stores each
+  * avoided round trip is a billable request and ~10-100 ms of latency.
   */
 object LakeIO {
 
@@ -27,6 +34,11 @@ object LakeIO {
   /** Test/embedding hook: force a specific Hadoop configuration. */
   def setConf(c: Configuration): Unit = confOverride = Some(c)
   def clearConf(): Unit = confOverride = None
+
+  /** I/O telemetry (specs assert call-count bounds on metadata-resolution
+    * paths; negligible overhead in production). */
+  val fileReads = new AtomicLong
+  val listCalls = new AtomicLong
 
   def conf: Configuration = confOverride.getOrElse(
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
@@ -38,12 +50,14 @@ object LakeIO {
   def path(root: String, rel: String*): Path =
     rel.foldLeft(new Path(root))((p, r) => new Path(p, r))
 
-  def exists(p: Path): Boolean = fs(p).exists(p)
+  /** Single-round-trip stat; None for a missing path. */
+  def statusOpt(p: Path): Option[FileStatus] =
+    try Some(fs(p).getFileStatus(p))
+    catch { case _: FileNotFoundException => None }
 
-  def isDirectory(p: Path): Boolean = {
-    val f = fs(p)
-    f.exists(p) && f.getFileStatus(p).isDirectory
-  }
+  def exists(p: Path): Boolean = statusOpt(p).isDefined
+
+  def isDirectory(p: Path): Boolean = statusOpt(p).exists(_.isDirectory)
 
   def mkdirs(p: Path): Unit = fs(p).mkdirs(p)
 
@@ -53,23 +67,27 @@ object LakeIO {
 
   def size(p: Path): Long = fs(p).getFileStatus(p).getLen
 
+  /** One LIST call; empty for a missing directory. */
   def listStatus(p: Path): Seq[FileStatus] = {
-    val f = fs(p)
-    if (!f.exists(p)) Seq.empty else f.listStatus(p).toIndexedSeq
+    listCalls.incrementAndGet()
+    try fs(p).listStatus(p).toIndexedSeq
+    catch { case _: FileNotFoundException => Seq.empty }
   }
 
   /** Recursive file listing — one round trip on object stores (S3 LIST)
-    * instead of a per-directory walk. */
+    * instead of a per-directory walk; empty for a missing directory. */
   def listFilesRecursive(p: Path): Seq[FileStatus] = {
-    val f = fs(p)
-    if (!f.exists(p)) return Seq.empty
-    val it = f.listFiles(p, true)
-    val b = Seq.newBuilder[FileStatus]
-    while (it.hasNext) b += it.next()
-    b.result()
+    listCalls.incrementAndGet()
+    try {
+      val it = fs(p).listFiles(p, true)
+      val b = Seq.newBuilder[FileStatus]
+      while (it.hasNext) b += it.next()
+      b.result()
+    } catch { case _: FileNotFoundException => Seq.empty }
   }
 
   def readString(p: Path): String = {
+    fileReads.incrementAndGet()
     val in = fs(p).open(p)
     try new String(in.readAllBytes(), StandardCharsets.UTF_8)
     finally in.close()
@@ -84,26 +102,57 @@ object LakeIO {
   }
 
   /** Write `content` to a same-directory temp file and rename onto
-    * `target`, so readers only ever observe complete content. With
-    * `failIfExists`, an existing target (or a rename lost to a concurrent
-    * committer) returns false and leaves the target untouched — the
-    * optimistic-concurrency primitive manifest commits rely on. On HDFS
-    * and local FS the rename is atomic; object-store deployments would
-    * swap this for a conditional put, behind this same call. */
+    * `target`, so readers only ever observe complete content.
+    *
+    * With `failIfExists` — the optimistic-concurrency primitive manifest
+    * and catalog commits rely on — the guarantee is per-FileSystem:
+    *
+    *  - HDFS: the two-arg rename fails when the destination exists, so a
+    *    lost race is detected by the rename itself (true atomicity).
+    *  - local / Checksum FS: rename(2) silently REPLACES an existing
+    *    destination, so we narrow the window by (a) a pre-rename exists
+    *    check and (b) re-reading the target after a successful rename and
+    *    verifying it holds OUR content — two racing committers can then
+    *    both rename, but at most one sees its own bytes and reports
+    *    success (the reference documents the same caveat for its wrapped
+    *    store, `src/object_store/wrapped.rs` rename_if_not_exists).
+    *  - S3A/GCS: rename is copy+delete (not atomic); deployments there
+    *    should layer a conditional-put/DynamoDB-style commit service
+    *    behind this same call.
+    *
+    * Returns false ONLY for a detected lost race (target exists with other
+    * content); genuine I/O failures propagate as IOException so callers
+    * don't misreport them as concurrent commits. */
   def writeAtomic(target: Path, content: String, failIfExists: Boolean): Boolean = {
     val f = fs(target)
     f.mkdirs(target.getParent)
-    if (failIfExists && f.exists(target)) return false
     val tmp = new Path(target.getParent, s".${target.getName}.${UUID.randomUUID.toString.take(8)}.tmp")
     val out = f.create(tmp, false)
     try out.write(content.getBytes(StandardCharsets.UTF_8))
     finally out.close()
     if (failIfExists) {
-      if (f.exists(target) || !f.rename(tmp, target)) { f.delete(tmp, false); false }
-      else true
+      if (f.exists(target)) { f.delete(tmp, false); return false }
+      val renamed =
+        try f.rename(tmp, target)
+        catch { case e: IOException => f.delete(tmp, false); throw e }
+      if (!renamed) {
+        f.delete(tmp, false)
+        // distinguish a lost race from a real I/O failure (permissions,
+        // quota, transient store error): only the former returns false
+        if (f.exists(target)) false
+        else throw new IOException(s"rename $tmp -> $target failed with no concurrent commit present")
+      } else {
+        // local-FS rename clobbers silently: winning the rename doesn't
+        // prove we won the race — verify the target holds our bytes
+        val won = try readString(target) == content catch { case _: FileNotFoundException => false }
+        won
+      }
     } else {
-      // local/HDFS rename replaces an existing target atomically; fall back
-      // to delete+rename for FileSystems that refuse to clobber
+      // overwrite mode: local rename replaces the target atomically; HDFS
+      // two-arg rename refuses a live destination, so fall back to
+      // delete+rename there. Callers needing crash-safe overwrite under
+      // concurrency should version files and resolve latest instead
+      // (Catalog does exactly that).
       if (f.rename(tmp, target)) true
       else { f.delete(target, false); val ok = f.rename(tmp, target); if (!ok) f.delete(tmp, false); ok }
     }

@@ -162,6 +162,13 @@ object Manifest {
 
   def versionPath(tableRoot: String, v: Long): Path = new Path(logDir(tableRoot), f"v$v%020d.json")
 
+  /** Latest-version checkpoint hint (Delta's `_last_checkpoint` pattern):
+    * written best-effort after every commit so latest-version resolution is
+    * O(1) file reads instead of a directory LIST whose cost grows with the
+    * version count. The hint may LAG (a crash between commit and hint
+    * update) but never leads — readers probe forward from it. */
+  private def hintPath(tableRoot: String): Path = new Path(logDir(tableRoot), "_latest.hint")
+
   def listVersions(tableRoot: String): Seq[Long] =
     LakeIO.listStatus(logDir(tableRoot))
       .map(_.getPath.getName)
@@ -169,7 +176,24 @@ object Manifest {
       .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
       .sorted
 
-  def latestVersion(tableRoot: String): Option[Long] = listVersions(tableRoot).lastOption
+  /** O(1 + commit lag) resolution via the hint; falls back to a LIST when
+    * the hint is missing or stale (e.g. a freshly converted table). */
+  def latestVersion(tableRoot: String): Option[Long] = {
+    val hinted =
+      try {
+        if (LakeIO.exists(hintPath(tableRoot)))
+          Some(LakeIO.readString(hintPath(tableRoot)).trim.toLong)
+        else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    hinted.filter(h => LakeIO.exists(versionPath(tableRoot, h))) match {
+      case Some(h) =>
+        // probe forward: a commit whose hint write was lost sits just past it
+        var v = h
+        while (LakeIO.exists(versionPath(tableRoot, v + 1))) v += 1
+        Some(v)
+      case None => listVersions(tableRoot).lastOption
+    }
+  }
 
   def read(tableRoot: String, v: Long): TableManifest =
     fromJson(LakeIO.readString(versionPath(tableRoot, v)))
@@ -178,10 +202,20 @@ object Manifest {
     latestVersion(tableRoot).map(read(tableRoot, _))
 
   /** Version pinned as of an epoch-millis timestamp (latest manifest with
-    * timestampMs <= ts) — the time-travel resolution rule. */
+    * timestampMs <= ts) — the time-travel resolution rule. Binary search
+    * over the version list (manifest timestamps are non-decreasing in
+    * version order — single-committer monotone clock, the same assumption
+    * Delta's timestamp-based time travel makes): one LIST + O(log n)
+    * manifest reads instead of reading every manifest. */
   def versionAsOf(tableRoot: String, tsMs: Long): Option[Long] = {
     val vs = listVersions(tableRoot)
-    vs.map(read(tableRoot, _)).filter(_.timestampMs <= tsMs).map(_.version).lastOption
+    var lo = 0; var hi = vs.length - 1; var ans = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (read(tableRoot, vs(mid)).timestampMs <= tsMs) { ans = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    if (ans < 0) None else Some(vs(ans))
   }
 
   /** Atomic commit; throws if the version already exists (lost race). */
@@ -190,5 +224,8 @@ object Manifest {
     if (!LakeIO.writeAtomic(target, toJson(m), failIfExists = true))
       throw new IllegalStateException(
         s"concurrent commit: version ${m.version} already exists at $target")
+    // best-effort checkpoint: readers fall back to a LIST if this is lost
+    try LakeIO.writeAtomic(hintPath(tableRoot), m.version.toString, failIfExists = false)
+    catch { case scala.util.control.NonFatal(_) => () }
   }
 }

@@ -304,4 +304,66 @@ class LakeSpec extends SparkSpec {
     // manifests really live behind the mockfs scheme
     assert(Manifest.listVersions(root).nonEmpty)
   }
+
+  test("latest/as-of resolution reads O(1)/O(log n) manifests on a 200-version log") {
+    import graft.lake.LakeIO
+    val root = tmpDir("graft-versions") + "/tbl"
+    val schema = StructType(Seq(StructField("id", LongType)))
+    // 200 metadata-only commits, strictly increasing timestamps
+    (0 until 200).foreach { v =>
+      Manifest.commit(root, Manifest.TableManifest(v, 1000L * v, schema.json, Seq.empty))
+    }
+    LakeIO.fileReads.set(0); LakeIO.listCalls.set(0)
+    assert(Manifest.latestVersion(root).contains(199L))
+    assert(LakeIO.fileReads.get <= 2,
+      s"latest-version resolution must be O(1) reads, did ${LakeIO.fileReads.get}")
+    assert(LakeIO.listCalls.get === 0, "hinted resolution must not LIST the log dir")
+    LakeIO.fileReads.set(0); LakeIO.listCalls.set(0)
+    assert(Manifest.versionAsOf(root, 1000L * 137 + 1).contains(137L))
+    assert(LakeIO.fileReads.get <= 9, // ceil(log2 200) = 8 probes
+      s"as-of resolution must be O(log n) reads, did ${LakeIO.fileReads.get}")
+    assert(LakeIO.listCalls.get === 1)
+    // exact boundaries: before the first commit, and exactly on one
+    assert(Manifest.versionAsOf(root, -1L).isEmpty)
+    assert(Manifest.versionAsOf(root, 1000L * 42).contains(42L))
+    // a lost/stale hint degrades to the LIST fallback, never to a wrong answer
+    LakeIO.delete(LakeIO.path(root, "_log", "_latest.hint"))
+    assert(Manifest.latestVersion(root).contains(199L))
+    LakeIO.writeString(LakeIO.path(root, "_log", "_latest.hint"), "180")
+    assert(Manifest.latestVersion(root).contains(199L), "lagging hint must probe forward")
+    LakeIO.writeString(LakeIO.path(root, "_log", "_latest.hint"), "not-a-number")
+    assert(Manifest.latestVersion(root).contains(199L), "corrupt hint must fall back")
+  }
+
+  test("writeAtomic failIfExists detects a lost race and leaves the winner intact") {
+    import graft.lake.LakeIO
+    val p = LakeIO.path(tmpDir("graft-atomic"), "v1.json")
+    assert(LakeIO.writeAtomic(p, "winner", failIfExists = true))
+    assert(!LakeIO.writeAtomic(p, "loser", failIfExists = true))
+    assert(LakeIO.readString(p) === "winner")
+    // overwrite mode still replaces
+    assert(LakeIO.writeAtomic(p, "v2", failIfExists = false))
+    assert(LakeIO.readString(p) === "v2")
+  }
+
+  test("catalog state is versioned; pre-versioned single-file layout migrates") {
+    val dataDir = tmpDir("graft-cat")
+    // fabricate the old single-file layout
+    graft.lake.LakeIO.writeString(graft.lake.LakeIO.path(dataDir, "_catalog.json"),
+      """{"dbs":{"default":{"public":{"legacy_t":{"uuid":"u-123"}}}},"functions":{},"dropped":[],"syncSeq":{}}""")
+    val cat = new graft.catalog.Catalog(dataDir)
+    assert(cat.getTable("default", "public", "legacy_t").contains("u-123"))
+    // first mutation commits the versioned layout and retires the legacy file
+    cat.createTable("default", "public", "t2")
+    assert(!graft.lake.LakeIO.exists(graft.lake.LakeIO.path(dataDir, "_catalog.json")))
+    assert(graft.lake.LakeIO.listStatus(graft.lake.LakeIO.path(dataDir, "_catalog")).nonEmpty)
+    assert(cat.getTable("default", "public", "legacy_t").contains("u-123"))
+    assert(cat.getTable("default", "public", "t2").isDefined)
+    // repeated mutations prune old versions (keep a bounded tail)
+    (0 until 20).foreach(i => cat.createTable("default", "public", s"t_$i"))
+    val versions = graft.lake.LakeIO.listStatus(graft.lake.LakeIO.path(dataDir, "_catalog"))
+      .map(_.getPath.getName).filter(_.endsWith(".json"))
+    assert(versions.size <= 8, s"catalog log must stay bounded, has ${versions.size}")
+    assert(cat.listTables("default").size === 22)
+  }
 }
