@@ -29,6 +29,12 @@ class GraftFileIndex(
   private val schema: StructType =
     DataType.fromJson(manifest.schemaJson).asInstanceOf[StructType]
 
+  /** Table identity for plan-based cache fingerprints: the storage UUID
+    * (root's last path segment, `Catalog.tableRoot` layout) plus the
+    * manifest version this scan is pinned to. */
+  def tableUuid: String = root.substring(root.lastIndexOf('/') + 1)
+  def version: Long = manifest.version
+
   override def rootPaths: Seq[Path] = Seq(new Path(root))
 
   override def partitionSchema: StructType = StructType(Nil)

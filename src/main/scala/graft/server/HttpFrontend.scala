@@ -38,7 +38,8 @@ class HttpFrontend(ctx: GraftContext, port: Int,
                    maxUploadBytes: Long = 256L << 20) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+  private val handlerPool = java.util.concurrent.Executors.newFixedThreadPool(8)
+  server.setExecutor(handlerPool)
 
   def boundPort: Int = server.getAddress.getPort
 
@@ -72,7 +73,7 @@ class HttpFrontend(ctx: GraftContext, port: Int,
     server.start()
   }
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); handlerPool.shutdown() }
 
   // --- handlers -----------------------------------------------------------
 
@@ -91,15 +92,21 @@ class HttpFrontend(ctx: GraftContext, port: Int,
     if (reads.size > 1 || reads.exists(_._2 != stmts.size - 1))
       return respond(ex, 400, "a read statement must be the only or last statement\n")
     val t0 = System.nanoTime()
-    // hold the context lock through execute + render: currentDb and the
-    // registered-view set are session-global across the handler pool
-    val body = ctx.locked {
-      def runAll() = stmts.map(ctx.execute).last
-      render(dbPrefix match {
-        case Some(db) => ctx.withDb(db)(runAll())
-        case None => runAll()
-      })
-    }
+    val body =
+      if (stmts.size == 1 && ctx.isReadOnly(stmts.head))
+        // pure read: runs lock-free on the current catalog snapshot —
+        // one slow analytical POST never blocks other clients
+        render(ctx.executeRead(stmts.head, dbPrefix))
+      else ctx.locked {
+        // writes (or write+read batches) hold the context lock through
+        // execute + render: currentDb and the main session's registered
+        // views are shared across the handler pool
+        def runAll() = stmts.map(ctx.execute).last
+        render(dbPrefix match {
+          case Some(db) => ctx.withDb(db)(runAll())
+          case None => runAll()
+        })
+      }
     ex.getResponseHeaders.add("Content-Type", "application/json")
     ex.getResponseHeaders.add("X-Graft-Query-Time", ((System.nanoTime() - t0) / 1e9).toString)
     respondBytes(ex, 200, body)
@@ -120,8 +127,12 @@ class HttpFrontend(ctx: GraftContext, port: Int,
       } else decoded
     if (!ctx.isReadOnly(sql)) return respond(ex, 405, "NOT_READ_ONLY_QUERY\n")
 
+    // lock-free: analyze on the current catalog snapshot (no job runs),
+    // fingerprint the pinned (uuid, version) scans in the plan, and only
+    // execute if the client's cached entity is stale
+    val df = ctx.executeRead(sql)
     val etag = "\"" + sha256Hex(
-      ctx.versionFingerprint(sql).sorted.map { case (u, v) => s"$u:$v" }
+      ctx.versionFingerprint(df).sorted.map { case (u, v) => s"$u:$v" }
         .mkString(";").getBytes(UTF_8)) + "\""
     val inm = Option(ex.getRequestHeaders.getFirst("If-None-Match"))
     ex.getResponseHeaders.add("ETag", etag)
@@ -129,7 +140,7 @@ class HttpFrontend(ctx: GraftContext, port: Int,
     ex.getResponseHeaders.add("Vary", "Authorization, X-Graft-Query")
     if (inm.exists(_.split(",").map(_.trim).contains(etag)))
       return respondBytes(ex, 304, Array.emptyByteArray) // not executed
-    val body = ctx.locked(render(ctx.execute(sql)))
+    val body = render(df)
     ex.getResponseHeaders.add("Content-Type", "application/json")
     respondBytes(ex, 200, body)
   }

@@ -34,11 +34,15 @@ object Functions {
     val d = parse(detailsJson) // validate before persisting
     require(d.returnType.nonEmpty, "function details need a return_type")
     ctx.catalog.createFunction(name, detailsJson, orReplace)
-    register(ctx, name, d)
+    register(ctx.spark, name, d)
   }
 
-  def registerAll(ctx: GraftContext): Unit =
-    ctx.catalog.functions.foreach { case (n, j) => register(ctx, n, parse(j)) }
+  def registerAll(ctx: GraftContext): Unit = registerInto(ctx, ctx.spark)
+
+  /** Register every persisted function into an arbitrary session (the
+    * concurrent read path registers per catalog snapshot). */
+  def registerInto(ctx: GraftContext, s: org.apache.spark.sql.SparkSession): Unit =
+    ctx.catalog.functions.foreach { case (n, j) => register(s, n, parse(j)) }
 
   private def sqlTypeName(t: String): String = t.toUpperCase match {
     case "INT" | "INTEGER" | "INT4" => "INT"
@@ -53,14 +57,15 @@ object Functions {
     case other => other
   }
 
-  private def register(ctx: GraftContext, name: String, d: Details): Unit = d.language match {
+  private def register(spark: org.apache.spark.sql.SparkSession, name: String,
+                       d: Details): Unit = d.language match {
     case "sql" =>
       val params = d.inputTypes.zipWithIndex
         .map { case (t, i) => s"p${i + 1} ${sqlTypeName(t)}" }.mkString(", ")
       val body = (1 to d.inputTypes.size).foldLeft(d.data) { (b, i) =>
         b.replace(s"$$$i", s"p$i")
       }
-      ctx.spark.sql(
+      spark.sql(
         s"CREATE OR REPLACE TEMPORARY FUNCTION $name($params) RETURNS ${sqlTypeName(d.returnType)} RETURN $body")
     case "wasm" | "wasmMessagePack" =>
       // persisted but not executable here; register a stub with the
@@ -77,7 +82,7 @@ object Functions {
         case 4 => udf((_: Any, _: Any, _: Any, _: Any) => fail[Long])
         case _ => udf((_: Any, _: Any, _: Any, _: Any, _: Any) => fail[Long])
       }
-      ctx.spark.udf.register(name, stub)
+      spark.udf.register(name, stub)
     case other =>
       throw new IllegalArgumentException(s"unsupported function language: $other")
   }

@@ -39,12 +39,13 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
   // DataFusion-dialect function-name aliases (reference-compat)
   org.apache.spark.sql.GraftCompatFunctions.register(spark)
 
-  /** Serialize a whole request's statement processing on the context.
-    * The HTTP frontend runs handlers on a thread pool; currentDb,
-    * catalogDirty, and the registered-view set are session-global, so
-    * every handler wraps its execute+render in `locked` — the analog of
-    * the reference re-loading the catalog per statement on one session.
-    * Distributed execution inside Spark still parallelizes fully. */
+  /** Serialize WRITE statement processing on the context: currentDb,
+    * catalogDirty, and the main session's registered-view set are shared,
+    * so DDL/DML/upload/sync handlers wrap execute+render in `locked`.
+    * READS do not take this lock — they run on immutable per-generation
+    * snapshot sessions (`executeRead`), so one slow analytical query never
+    * blocks other clients (the reference serves requests concurrently on
+    * tokio, `src/frontend/http.rs:158-233`). */
   def locked[T](f: => T): T = synchronized(f)
 
   /** Run `f` scoped to another database, restoring the previous scope
@@ -147,9 +148,61 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
   // the hot path costs O(total history) per query.
   @volatile private var catalogDirty = true
 
+  // Monotone catalog generation: bumped on every mutation; keys the
+  // read-snapshot cache so reads after a write see the new version while
+  // in-flight reads keep their pinned snapshot.
+  private val generation = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Callers that mutate tables outside `execute` (upload/sync endpoints)
     * must invalidate the registered views. */
-  def markDirty(): Unit = catalogDirty = true
+  def markDirty(): Unit = { catalogDirty = true; generation.incrementAndGet() }
+
+  // --- concurrent read path ----------------------------------------------
+
+  // (db, generation) -> a session clone with exactly that database's
+  // catalog registered. Sessions share the SparkContext (executors, data
+  // cache) but have isolated temp views, so N readers + 1 writer never
+  // contend: readers resolve against an immutable snapshot, the writer
+  // bumps the generation and the NEXT read builds a fresh one.
+  private val readSessions =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), SparkSession]
+
+  private def buildSnapshot(db: String): SparkSession = {
+    val s = org.apache.spark.sql.GraftSessions.cloneSession(spark)
+    // the clone inherits the parent's temp views; it must expose exactly
+    // `db`'s tables (a leaked view from another database would serve that
+    // database's data — the cross-contamination the spec hammers on)
+    org.apache.spark.sql.GraftSessions.clearTempViews(s)
+    catalog.listTables(db).foreach { case (sch, name, uuid) =>
+      val view = if (sch == "public") name else s"${sch}__$name"
+      new GraftTable(s, catalog.tableRoot(uuid)).read().createOrReplaceTempView(view)
+    }
+    SystemTables.registerInto(this, s, db)
+    Functions.registerInto(this, s)
+    s
+  }
+
+  /** The current read snapshot for `db`: built at most once per (db,
+    * generation) — concurrent readers share it lock-free. Stale
+    * generations are evicted from the cache; in-flight queries keep
+    * their session object alive regardless. */
+  private def snapshotSession(db: String): SparkSession = {
+    require(catalog.listDatabases.contains(db), s"unknown database $db")
+    val gen = generation.get()
+    val s = readSessions.computeIfAbsent((db, gen), _ => buildSnapshot(db))
+    readSessions.keySet.removeIf(_._2 < gen)
+    s
+  }
+
+  /** Run a read-only statement WITHOUT the context lock, on the current
+    * catalog snapshot for `db` (default: the session's current database).
+    * Returns a lazy DataFrame — analysis happens here (so ETags can be
+    * computed plan-based without executing), jobs run when consumed. */
+  def executeRead(sql: String, db: Option[String] = None): DataFrame = {
+    val d = db.getOrElse(currentDb)
+    val s = snapshotSession(d)
+    s.sql(rewriteQuery(sql, s, d))
+  }
 
   // views registered by the previous registerAll — dropped when they
   // disappear from the catalog (or the session switches database), so a
@@ -175,7 +228,10 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
 
   /** Backtick-quote qualified names of known non-public tables + rewrite
     * time travel `t('<ts>')` to a version-pinned registered view. */
-  private[sql] def rewriteQuery(sql0: String): String = {
+  private[sql] def rewriteQuery(sql0: String): String =
+    rewriteQuery(sql0, spark, currentDb)
+
+  private[sql] def rewriteQuery(sql0: String, session: SparkSession, db: String): String = {
     var sql = sql0
     // time travel: <table>('<ISO timestamp>')
     val tt = """(\b[\w."]+)\s*\(\s*'([^']+)'\s*\)""".r
@@ -185,20 +241,21 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
       // otherwise a builtin call like date('2020-01-01') whose name
       // collides with a table would be hijacked and fail
       val instant = scala.util.Try(Instant.parse(m.group(2))).toOption
-      (catalog.getTable(currentDb, sch, name), instant) match {
+      (catalog.getTable(db, sch, name), instant) match {
         case (Some(uuid), Some(ts)) =>
           val tsMs = ts.toEpochMilli
           val root = catalog.tableRoot(uuid)
           val v = Manifest.versionAsOf(root, tsMs).getOrElse(
             throw new IllegalArgumentException(s"no version of $sch.$name at or before ${m.group(2)}"))
           val viewName = if (sch == "public") s"${name}__v$v" else s"${sch}__${name}__v$v"
-          new GraftTable(spark, root).read(Some(v)).createOrReplaceTempView(viewName)
+          // version-pinned by name, so concurrent registration is idempotent
+          new GraftTable(session, root).read(Some(v)).createOrReplaceTempView(viewName)
           java.util.regex.Matcher.quoteReplacement(viewName)
         case _ => java.util.regex.Matcher.quoteReplacement(m.group(0))
       }
     })
     // qualified non-public names -> backticked flat view names
-    val nonPublic = catalog.listTables(currentDb).filter(_._1 != "public") ++
+    val nonPublic = catalog.listTables(db).filter(_._1 != "public") ++
       Seq(("system", "table_versions", ""), ("system", "dropped_tables", ""),
         ("information_schema", "tables", ""), ("information_schema", "columns", ""),
         ("information_schema", "routines", ""), ("information_schema", "df_settings", ""),
@@ -430,16 +487,17 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
     Seq("SELECT", "WITH", "VALUES", "SHOW", "EXPLAIN", "DESCRIBE").exists(up.startsWith)
   }
 
-  /** (table uuid, version) pairs for every graft table referenced by a
-    * query — the ETag input (reference ETagBuilderVisitor,
-    * `src/frontend/http.rs:63-105`). Conservative textual match. */
-  def versionFingerprint(sql: String): Seq[(String, Long)] =
-    catalog.listTables(currentDb).flatMap { case (sch, name, uuid) =>
-      val ref = if (sch == "public") s"(?i)(?<![\\w`])$name(?![\\w`])" else s"(?i)$sch\\.$name"
-      if (ref.r.findFirstIn(sql).isDefined) {
-        Manifest.latestVersion(catalog.tableRoot(uuid)).map(v => (uuid, v))
-      } else None
-    }
+  /** (table uuid, version) pairs for every graft table the query's
+    * ANALYZED plan actually scans — the ETag input (reference
+    * ETagBuilderVisitor, `src/frontend/http.rs:63-105`). Plan-based, so a
+    * table name inside a string literal doesn't pollute the fingerprint,
+    * same-named tables in other schemas/databases can't collide (the UUID
+    * is the identity), and a time-travel read pins its as-of version.
+    * Analysis only — no job runs. */
+  def versionFingerprint(df: DataFrame): Seq[(String, Long)] =
+    org.apache.spark.sql.GraftRelations.fileIndexes(df).collect {
+      case g: graft.lake.GraftFileIndex => (g.tableUuid, g.version)
+    }.distinct
 
   private def clean(s: String) = s.replace("\"", "")
 

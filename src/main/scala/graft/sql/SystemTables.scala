@@ -9,11 +9,15 @@ import org.apache.spark.sql.functions._
   */
 object SystemTables {
 
-  def registerAll(ctx: GraftContext): Unit = {
-    val spark = ctx.spark
+  def registerAll(ctx: GraftContext): Unit =
+    registerInto(ctx, ctx.spark, ctx.currentDb)
+
+  /** Register the system views into an arbitrary session (the concurrent
+    * read path materializes them per catalog snapshot, not per context). */
+  def registerInto(ctx: GraftContext, spark: org.apache.spark.sql.SparkSession,
+                   db: String): Unit = {
     import spark.implicits._
 
-    val db = ctx.currentDb
     val tables = ctx.catalog.listTables(db)
 
     // system.table_versions: one row per (table, version)

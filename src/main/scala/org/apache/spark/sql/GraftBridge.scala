@@ -29,6 +29,35 @@ object GraftRelations {
       new ParquetFileFormat, Map.empty[String, String])(cs)
     classic.Dataset.ofRows(cs, LogicalRelation(rel, isStreaming = false))
   }
+
+  /** Every FileIndex behind a file-source relation in the ANALYZED plan —
+    * analysis expands temp views, so this sees through them to the actual
+    * pinned scans. Input to the plan-based ETag (the analog of the
+    * reference's ETagBuilderVisitor walking the logical plan,
+    * `src/frontend/http.rs:63-105`). Runs no job: analysis only. */
+  def fileIndexes(df: DataFrame): Seq[FileIndex] =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed.collect {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => Some(h.location)
+        case _ => None
+      }
+    }.flatten
+}
+
+/** Session cloning for the concurrent read path. `cloneSession` copies the
+  * whole SessionState (SQL conf, function registry incl. graft extensions
+  * and persisted SQL UDFs, temp views) while sharing the SparkContext and
+  * data cache — the standard way to give each request an isolated catalog
+  * view without re-paying driver startup.
+  */
+object GraftSessions {
+  def cloneSession(s: SparkSession): SparkSession =
+    s.asInstanceOf[classic.SparkSession].cloneSession()
+
+  /** Drop every local temp view (the clone must expose exactly the target
+    * database's tables, not whatever the parent had registered). */
+  def clearTempViews(s: SparkSession): Unit =
+    s.asInstanceOf[classic.SparkSession].sessionState.catalog.clearTempTables()
 }
 
 /** DataFusion-dialect function-name aliases (SURVEY §2.8 compat shim):

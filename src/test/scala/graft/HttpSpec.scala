@@ -161,6 +161,65 @@ class HttpSpec extends SparkSpec {
     assert(futures.forall(_.get()), "a request observed another database's data")
   }
 
+  test("concurrent reads overlap: no global serving lock on the read path") {
+    // a wall-clock-bound (CPU-free) slow function makes the overlap
+    // measurement deterministic: CPU-bound probes fluctuate 2x on this
+    // box, sleeps don't. Registered on the root session BEFORE the next
+    // catalog generation so read snapshots inherit it.
+    import org.apache.spark.sql.functions.udf
+    spark.udf.register("sleepy",
+      udf((ms: Long) => { Thread.sleep(ms); ms }).asNondeterministic())
+    post("/q", "CREATE TABLE poke_gen (a BIGINT)", auth) // bump generation
+    val q = "/q/" + java.net.URLEncoder.encode("SELECT sleepy(1200) AS s", UTF_8)
+    assert(get(q).statusCode() === 200) // warm: snapshot build + plan
+    val t0 = System.nanoTime()
+    assert(get(q).statusCode() === 200)
+    val single = (System.nanoTime() - t0) / 1e9
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val t1 = System.nanoTime()
+    val fs = (0 until 2).map(_ => pool.submit(new java.util.concurrent.Callable[Int] {
+      def call(): Int = get(q).statusCode()
+    }))
+    assert(fs.forall(_.get() == 200))
+    val both = (System.nanoTime() - t1) / 1e9
+    pool.shutdown()
+    // a globally-locked server serializes the two 1.2 s sleeps (both ≥
+    // 2.4 s); concurrent serving runs them together (both ≈ single)
+    assert(both < single + 0.8,
+      f"two concurrent reads took $both%.2f s vs $single%.2f s single — reads are serialized")
+  }
+
+  test("plan-based ETag: string literals don't pollute the fingerprint") {
+    post("/q", "CREATE TABLE ett (a BIGINT); INSERT INTO ett VALUES (1)", auth)
+    // the table name appears ONLY inside a string literal — the regex
+    // fingerprint would tie this query's cache entry to ett's version
+    val q = "/q/" + java.net.URLEncoder.encode("SELECT 'ett' AS s", UTF_8)
+    val e1 = get(q).headers().firstValue("ETag").get
+    post("/q", "INSERT INTO ett VALUES (2)", auth)
+    assert(get(q).headers().firstValue("ETag").get === e1,
+      "a write to ett moved the ETag of a query that never scans ett")
+    assert(get(q, "If-None-Match" -> e1).statusCode() === 304)
+  }
+
+  test("plan-based ETag: time travel pins its as-of version across writes") {
+    post("/q", "CREATE TABLE tt_pin (a BIGINT); INSERT INTO tt_pin VALUES (1)", auth)
+    Thread.sleep(5) // commit timestamps have ms granularity
+    val ts = java.time.Instant.now().toString
+    val q = "/q/" + java.net.URLEncoder.encode(
+      s"SELECT count(*) AS n FROM tt_pin('$ts')", UTF_8)
+    val r1 = get(q)
+    val e1 = r1.headers().firstValue("ETag").get
+    assert(r1.body() === "{\"n\":1}\n")
+    post("/q", "INSERT INTO tt_pin VALUES (2)", auth)
+    // the pinned version didn't move, so the cache entry is still fresh
+    val r2 = get(q, "If-None-Match" -> e1)
+    assert(r2.statusCode() === 304,
+      s"time-travel read must keep its as-of ETag across later writes, got ${r2.statusCode()}")
+    // while an un-pinned read of the same table DID move
+    val live = "/q/" + java.net.URLEncoder.encode("SELECT count(*) AS n FROM tt_pin", UTF_8)
+    assert(get(live).body() === "{\"n\":2}\n")
+  }
+
   test("CDC origin sequence watermarks make redelivery idempotent") {
     post("/q", "CREATE TABLE seqd (id BIGINT, v DOUBLE)", auth)
     val b1 = """{"old_id":null,"new_id":1,"v":1.0,"_seq":1}"""
