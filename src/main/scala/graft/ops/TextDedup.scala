@@ -26,7 +26,7 @@ object TextDedup {
     * codegen'd element_at indexing over an exploded start-index range.
     */
   def docShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs
+    spreadSmallInput(docs)
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
       .filter(size(col("w")) >= n)
       .select(col("doc_id"), col("w"),
@@ -34,6 +34,15 @@ object TextDedup {
       .select(col("doc_id"),
         concat_ws(" ", (0 until n).map(k => element_at(col("w"), col("i") + k)): _*).as("shingle"))
       .distinct()
+
+  /** A corpus smaller than the core count arrives in fewer partitions
+    * than cores (a 100-doc parquet file is ONE split), so every shingle/
+    * hash projection above it runs single-threaded. Spread it once —
+    * a no-op at scale, where file splits already exceed parallelism. */
+  private def spreadSmallInput(docs: DataFrame): DataFrame = {
+    val target = docs.sparkSession.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions < target) docs.repartition(target) else docs
+  }
 
   /** Exact duplicate groups by md5 of the raw text: one row per duplicated
     * digest with the surviving (minimum) id and the victim count.
@@ -60,22 +69,34 @@ object TextDedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double, maxShingleDf: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // Annotate each (doc, shingle) row with the doc's shingle-set size and
-    // the shingle's document frequency via two window passes instead of
-    // groupBy+join lookups: same semantics, 2 shuffles fewer, and the
-    // final window leaves the data partitioned by shingle — exactly the
-    // distribution the self-join needs, so Catalyst reuses it.
-    val ds = docShingles(docs, idCol, textCol, n)
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
-    val dsr = ds.filter(col("df") <= maxShingleDf)
-    dsr.as("a")
-      .join(dsr.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .agg(count(lit(1)).as("inter"),
-        first(col("a.sz")).as("sz1"), first(col("b.sz")).as("sz2"))
+    // Doc sizes and the stop-shingle cap come from groupBy aggregates
+    // over the cached shingle rows (map-side partial agg), not count
+    // windows: a window would sort the full shingle set twice just to
+    // tag counts along every row.
+    val ds = docShingles(docs, idCol, textCol, n).cache()
+    val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // Stop-shingle cap as a COUNT pre-pass + anti-join (the hot list is
+    // tiny, so the anti-join broadcasts) — NOT a post-filter on the
+    // collected doc lists below: a boilerplate shingle present in
+    // millions of documents would make its collect_set key unbounded.
+    val hot = ds.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf).select("shingle")
+    // Inverted index: docs sharing a shingle, pairs exploded from the
+    // per-shingle doc list (bounded by the df cap, so ≤ cap²/2 pairs per
+    // shingle) — one shuffle where a self-join would shuffle the shingle
+    // set twice and sort both sides.
+    val bySh = ds.join(hot, Seq("shingle"), "left_anti")
+      .groupBy("shingle").agg(collect_set(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    bySh
+      .select(col("ids"), explode(col("ids")).as("id1"))
+      .select(col("id1"), explode(col("ids")).as("id2"))
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id"), col("sz").as("sz1")), col("id1") === col("doc_id"))
+      .drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("sz").as("sz2")), col("id2") === col("doc_id"))
       .withColumn("jaccard",
         col("inter").cast(DoubleType) / (col("sz1") + col("sz2") - col("inter")))
       .filter(col("jaccard") >= threshold)
