@@ -35,11 +35,26 @@ class HttpFrontend(ctx: GraftContext, port: Int,
                    cacheControl: String = "max-age=43200, public",
                    // reference upload_data_max_length default (256 MiB,
                    // src/config/schema.rs:251,262)
-                   maxUploadBytes: Long = 256L << 20) {
+                   maxUploadBytes: Long = 256L << 20,
+                   // CDC buffering thresholds (reference writer defaults,
+                   // src/sync/writer.rs:27-68); syncMaxBatches = 1 merges
+                   // every POST immediately (no buffering)
+                   syncMaxRows: Long = 65536,
+                   syncMaxBatches: Int = 64,
+                   syncMaxAgeMs: Long = 1000) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   private val handlerPool = java.util.concurrent.Executors.newFixedThreadPool(8)
   server.setExecutor(handlerPool)
+
+  private val syncBuffer =
+    new graft.sync.SyncBuffer(ctx, syncMaxRows, syncMaxBatches, syncMaxAgeMs)
+  // age-based flush sweep (the reference's flush task, src/sync/mod.rs:90-109)
+  private val flusher = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+    (r: Runnable) => { val t = new Thread(r, "graft-sync-flush"); t.setDaemon(true); t })
+
+  /** Commit every buffered sync batch now (shutdown / test hook). */
+  def flushSync(): Unit = syncBuffer.flushAll()
 
   def boundPort: Int = server.getAddress.getPort
 
@@ -59,9 +74,17 @@ class HttpFrontend(ctx: GraftContext, port: Int,
       if (ex.getRequestMethod == "GET" && ex.getRequestURI.getPath == "/sync/progress") {
         if (!authorized(ex, write = false)) respond(ex, 401, "unauthorized\n")
         else {
-          // per-origin durable sequence watermarks
-          val body = ctx.catalog.syncProgress.toSeq.sortBy(_._1)
-            .map { case (o, s) => graft.lake.Manifest.jstr(o) + ":" + s }.mkString("{", ",", "}")
+          // per-origin watermarks: durable (flushed to the lake) vs
+          // memory (acknowledged into the buffer) — the reference's
+          // volatile/durable sequence pair
+          val durable = ctx.catalog.syncProgress
+          val mem = syncBuffer.memoryProgress
+          val body = (durable.keySet ++ mem.keySet).toSeq.sorted.map { o =>
+            val d = durable.get(o)
+            val m = math.max(mem.getOrElse(o, Long.MinValue), d.getOrElse(Long.MinValue))
+            graft.lake.Manifest.jstr(o) +
+              s""":{"durable":${d.getOrElse(-1L)},"memory":$m}"""
+          }.mkString("{", ",", "}")
           respond(ex, 200, body + "\n")
         }
       } else if (ex.getRequestMethod == "POST") sync(ex)
@@ -70,10 +93,19 @@ class HttpFrontend(ctx: GraftContext, port: Int,
     server.createContext("/healthz", (ex: HttpExchange) => safely(ex) {
       respond(ex, 200, "ok\n")
     })
+    val sweep = math.max(syncMaxAgeMs / 2, 100L)
+    flusher.scheduleWithFixedDelay(
+      () => try syncBuffer.flushAged() catch { case _: Throwable => () },
+      sweep, sweep, java.util.concurrent.TimeUnit.MILLISECONDS)
     server.start()
   }
 
-  def stop(): Unit = { server.stop(0); handlerPool.shutdown() }
+  def stop(): Unit = {
+    flusher.shutdown()
+    try syncBuffer.flushAll() catch { case _: Throwable => () }
+    server.stop(0)
+    handlerPool.shutdown()
+  }
 
   // --- handlers -----------------------------------------------------------
 
@@ -211,31 +243,28 @@ class HttpFrontend(ctx: GraftContext, port: Int,
     val origin = params.get("origin")
     val seq = params.get("seq").map(_.toLong)
     val lines = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-    // watermark check + merge + advance are atomic under the context
-    // lock: without it, a redelivered stale batch racing a newer one
-    // could pass the pre-check concurrently and commit out of order
-    ctx.locked {
-      (origin, seq) match {
-        case (Some(o), Some(n)) if ctx.catalog.syncProgress.get(o).exists(_ >= n) =>
-          return respond(ex, 200,
-            s"""{"skipped":true,"origin":${graft.lake.Manifest.jstr(o)},"durable_seq":${ctx.catalog.syncProgress(o)}}""" + "\n")
-        case _ =>
-      }
-      val changes = ctx.spark.read.json(
-        ctx.spark.createDataset(lines.split("\n").toSeq.filter(_.nonEmpty))(
-          org.apache.spark.sql.Encoders.STRING))
-      val table = ctx.table(parts(0), parts(1))
-      val version = graft.sync.SyncMerge.merge(table, changes, pkCols, valueCols)
-      ctx.markDirty()
-      // advance the durable watermark only AFTER the merge committed, so
-      // a failed merge is retried rather than silently skipped
-      (origin, seq) match {
-        case (Some(o), Some(n)) =>
-          ctx.catalog.advanceSyncSeq(o, n)
-          respond(ex, 200, s"""{"version":$version,"origin":${graft.lake.Manifest.jstr(o)},"durable_seq":$n}""" + "\n")
-        case _ =>
-          respond(ex, 200, s"""{"version":$version}""" + "\n")
-      }
+      .split("\n").filter(_.nonEmpty)
+    val (schema, table) = (parts(0), parts(1))
+    val db = ctx.currentDb
+    // fail unknown tables at ingest time, before the batch is acknowledged
+    if (ctx.catalog.getTable(db, schema, table).isEmpty)
+      return respond(ex, 400, s"unknown table $schema.$table\n")
+    import graft.lake.Manifest.jstr
+    // watermark check + enqueue (+ any triggered flush) are atomic on the
+    // buffer: a redelivered stale batch racing a newer one can't pass the
+    // pre-check concurrently and apply out of order
+    syncBuffer.add(db, schema, table, lines, pkCols, valueCols, origin, seq) match {
+      case r: syncBuffer.Skipped =>
+        respond(ex, 200,
+          s"""{"skipped":true,"origin":${jstr(r.origin)},"acknowledged_seq":${r.seq}}""" + "\n")
+      case r: syncBuffer.Flushed =>
+        val tail = r.origin.zip(r.seq)
+          .map { case (o, n) => s""","origin":${jstr(o)},"durable_seq":$n""" }.getOrElse("")
+        respond(ex, 200, s"""{"version":${r.version}$tail}""" + "\n")
+      case r: syncBuffer.Buffered =>
+        val tail = r.origin.zip(r.seq)
+          .map { case (o, n) => s""","origin":${jstr(o)},"memory_seq":$n""" }.getOrElse("")
+        respond(ex, 200, s"""{"buffered":true$tail}""" + "\n")
     }
   }
 

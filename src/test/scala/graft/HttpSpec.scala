@@ -16,7 +16,10 @@ import graft.sql.GraftContext
 class HttpSpec extends SparkSpec {
 
   private lazy val ctx = new GraftContext(spark, tmpDir("graft-http"))
-  private lazy val fe = new HttpFrontend(ctx, 0, writeToken = Some("w0bble"))
+  // syncMaxBatches = 1: merge every sync POST immediately, so the CDC
+  // tests below read their own writes; buffering is exercised separately
+  private lazy val fe = new HttpFrontend(ctx, 0, writeToken = Some("w0bble"),
+    syncMaxBatches = 1)
   private lazy val base: String = { fe.start(); s"http://127.0.0.1:${fe.boundPort}" }
   private val client = HttpClient.newHttpClient()
 
@@ -236,6 +239,59 @@ class HttpSpec extends SparkSpec {
     val r3 = post("/sync/public/seqd?pk=id&values=v&origin=cdc1&seq=11", b2, auth)
     assert(r3.body().contains("\"durable_seq\":11"), r3.body())
     val prog = get("/sync/progress")
-    assert(prog.body().contains("\"cdc1\":11"), prog.body())
+    assert(prog.body().contains("\"cdc1\":{\"durable\":11,\"memory\":11}"), prog.body())
+  }
+
+  test("CDC buffering: 50 small syncs coalesce into a handful of versions") {
+    post("/q", "CREATE TABLE buf_t (id BIGINT, bal DOUBLE)", auth)
+    // 16-batch flush threshold, age flush effectively off: 50 POSTs must
+    // trigger exactly 3 count-flushes (at 16/32/48) + 1 shutdown flush
+    val bfe = new HttpFrontend(ctx, 0, writeToken = Some("w0bble"),
+      syncMaxRows = 1000000, syncMaxBatches = 16, syncMaxAgeMs = 600000)
+    bfe.start()
+    val bbase = s"http://127.0.0.1:${bfe.boundPort}"
+    def bpost(path: String, body: String): HttpResponse[String] = {
+      val b = HttpRequest.newBuilder(URI.create(bbase + path))
+        .POST(HttpRequest.BodyPublishers.ofString(body, UTF_8))
+        .header("Authorization", "Bearer w0bble")
+      client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    }
+    def bget(path: String): HttpResponse[String] =
+      client.send(HttpRequest.newBuilder(URI.create(bbase + path)).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+    val root = ctx.catalog.tableRoot(ctx.catalog.getTable("default", "public", "buf_t").get)
+    val v0 = graft.lake.Manifest.listVersions(root).size
+    // overlapping PKs (i % 10) make the cross-batch squash observable:
+    // the final value for pk j must come from the LAST batch touching it
+    (1 to 50).foreach { i =>
+      val pk = i % 10
+      val r = bpost(s"/sync/public/buf_t?pk=id&values=bal&origin=cdcbuf&seq=$i",
+        s"""{"old_id":$pk,"new_id":$pk,"bal":$i.0,"_seq":1}""")
+      assert(r.statusCode() === 200, r.body())
+      if (i % 16 == 0) assert(r.body().contains("\"version\""), s"POST $i should flush: ${r.body()}")
+      else assert(r.body().contains("\"buffered\":true"), s"POST $i should buffer: ${r.body()}")
+    }
+    assert(graft.lake.Manifest.listVersions(root).size === v0 + 3,
+      "50 POSTs must commit exactly 3 versions before shutdown")
+    // memory watermark leads the durable one while batches 49-50 sit
+    // queued (asked of the buffering frontend — watermarks in memory are
+    // per-buffer, durable ones shared via the catalog)
+    val prog = bget("/sync/progress").body()
+    assert(prog.contains("\"cdcbuf\":{\"durable\":48,\"memory\":50}"), prog)
+    // redelivery of a buffered-but-unflushed batch is acknowledged, not re-applied
+    val dup = bpost("/sync/public/buf_t?pk=id&values=bal&origin=cdcbuf&seq=50",
+      """{"old_id":0,"new_id":0,"bal":999.0,"_seq":1}""")
+    assert(dup.body().contains("\"skipped\":true"), dup.body())
+    bfe.stop() // shutdown flushes the tail
+    assert(graft.lake.Manifest.listVersions(root).size === v0 + 4)
+    assert(get("/sync/progress").body().contains("\"cdcbuf\":{\"durable\":50,\"memory\":50}"))
+    // last write per pk: pk j was last touched by i = 40 + j (j > 0) or 50 (j = 0)
+    val q = get("/q/" + java.net.URLEncoder.encode(
+      "SELECT id, bal FROM buf_t ORDER BY id", UTF_8))
+    val want = (0 to 9).map { j =>
+      val last = if (j == 0) 50 else 40 + j
+      s"""{"id":$j,"bal":$last.0}"""
+    }.mkString("", "\n", "\n")
+    assert(q.body() === want, q.body())
   }
 }
