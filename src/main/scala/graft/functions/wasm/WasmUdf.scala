@@ -1,0 +1,129 @@
+package graft.functions.wasm
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.api.java.{UDF0, UDF1, UDF2, UDF3, UDF4, UDF5}
+import org.apache.spark.sql.types._
+
+/** CREATE FUNCTION ... language 'wasm' execution: the raw-numeric ABI
+  * (reference `src/wasm_udf/wasm.rs:243-354`) — the entrypoint must be an
+  * exported function over I32/I64/F32/F64 (DDL names SMALLINT/INT/BIGINT/
+  * FLOAT/REAL/DOUBLE map onto those lanes, `src/wasm_udf/data_types.rs:
+  * 11-29`). Registered as a Java UDF with an explicit return DataType;
+  * NULL in any argument yields NULL (Arrow kernels skip nulls the same
+  * way). Modules parse once per content hash; each executor thread gets
+  * its own instance (linear memory is mutable state).
+  */
+object WasmUdf {
+
+  private val modules = new ConcurrentHashMap[String, Wasm.Module]
+
+  /** Lane type: how a JVM value crosses the WASM boundary. */
+  private sealed trait Lane { def dataType: DataType }
+  private case object LI32 extends Lane { val dataType: DataType = IntegerType }
+  private case object LI64 extends Lane { val dataType: DataType = LongType }
+  private case object LF32 extends Lane { val dataType: DataType = FloatType }
+  private case object LF64 extends Lane { val dataType: DataType = DoubleType }
+
+  private def lane(t: String): Lane = t.trim.toLowerCase match {
+    case "i32" | "int" | "integer" | "int4" | "smallint" | "int2" => LI32
+    case "i64" | "bigint" | "int8" => LI64
+    case "f32" | "float" | "real" | "float4" => LF32
+    case "f64" | "double" | "float8" => LF64
+    case other => throw new IllegalArgumentException(
+      s"UDFs with language 'wasm' do not support data type $other")
+  }
+
+  // WASM valtype bytes for signature checking
+  private def valType(l: Lane): Byte = l match {
+    case LI32 => 0x7f; case LI64 => 0x7e; case LF32 => 0x7d; case LF64 => 0x7c
+  }
+
+  private def toLaneBits(l: Lane, v: AnyRef): Long = l match {
+    case LI32 => v.asInstanceOf[Number].intValue.toLong
+    case LI64 => v.asInstanceOf[Number].longValue
+    case LF32 => java.lang.Float.floatToRawIntBits(v.asInstanceOf[Number].floatValue).toLong
+    case LF64 => java.lang.Double.doubleToRawLongBits(v.asInstanceOf[Number].doubleValue)
+  }
+
+  private def fromLaneBits(l: Lane, bits: Long): AnyRef = l match {
+    case LI32 => java.lang.Integer.valueOf(bits.toInt)
+    case LI64 => java.lang.Long.valueOf(bits)
+    case LF32 => java.lang.Float.valueOf(java.lang.Float.intBitsToFloat(bits.toInt))
+    case LF64 => java.lang.Double.valueOf(java.lang.Double.longBitsToDouble(bits))
+  }
+
+  /** Serializable per-function callable; the module parses lazily on each
+    * JVM/thread that evaluates it. */
+  private class Callable(bytes: Array[Byte], entry: String,
+                         inLanes: Seq[Lane], outLane: Lane) extends Serializable {
+    @transient private lazy val module: Wasm.Module = {
+      val key = java.util.Base64.getEncoder.encodeToString(
+        java.security.MessageDigest.getInstance("SHA-256").digest(bytes))
+      modules.computeIfAbsent(key, _ => new Wasm.Module(bytes))
+    }
+    @transient private lazy val funcIdx: Int = module.exportedFunc(entry)
+    @transient private lazy val inst = new ThreadLocal[Wasm.Instance] {
+      override def initialValue(): Wasm.Instance = new Wasm.Instance(module)
+    }
+
+    /** Validate module + export + signature eagerly (CREATE FUNCTION time). */
+    def validate(): Unit = {
+      val ft = module.funcType(funcIdx)
+      val want = inLanes.map(valType)
+      if (ft.params != want || ft.results != Seq(valType(outLane)))
+        throw new IllegalArgumentException(
+          s"WASM export '$entry' has signature (${ft.params.mkString(",")}) -> " +
+            s"(${ft.results.mkString(",")}), but the function was declared " +
+            s"(${want.mkString(",")}) -> (${valType(outLane)})")
+    }
+
+    def call(args: Array[AnyRef]): AnyRef = {
+      if (args.exists(_ == null)) return null
+      val lanes = new Array[Long](args.length)
+      var i = 0
+      while (i < args.length) { lanes(i) = toLaneBits(inLanes(i), args(i)); i += 1 }
+      fromLaneBits(outLane, inst.get().invoke(funcIdx, lanes))
+    }
+  }
+
+  /** Register `name` in `spark` from persisted CREATE FUNCTION details.
+    * `data` is the base64-encoded module (DDL convention). Throws on an
+    * undecodable module, missing export, or signature mismatch. */
+  def register(spark: SparkSession, name: String, entrypoint: String,
+               inputTypes: Seq[String], returnType: String, data: String): Unit = {
+    val bytes =
+      try java.util.Base64.getDecoder.decode(data.replaceAll("\\s", ""))
+      catch {
+        case _: IllegalArgumentException => throw new IllegalArgumentException(
+          "function data must be the base64-encoded WASM module")
+      }
+    val inLanes = inputTypes.map(lane)
+    val outLane = lane(returnType)
+    val c = new Callable(bytes, entrypoint, inLanes, outLane)
+    c.validate()
+    val f: AnyRef = inLanes.size match {
+      case 0 => new UDF0[AnyRef] { def call(): AnyRef = c.call(Array.empty) }
+      case 1 => new UDF1[AnyRef, AnyRef] { def call(a: AnyRef): AnyRef = c.call(Array(a)) }
+      case 2 => new UDF2[AnyRef, AnyRef, AnyRef] {
+        def call(a: AnyRef, b: AnyRef): AnyRef = c.call(Array(a, b)) }
+      case 3 => new UDF3[AnyRef, AnyRef, AnyRef, AnyRef] {
+        def call(a: AnyRef, b: AnyRef, d: AnyRef): AnyRef = c.call(Array(a, b, d)) }
+      case 4 => new UDF4[AnyRef, AnyRef, AnyRef, AnyRef, AnyRef] {
+        def call(a: AnyRef, b: AnyRef, d: AnyRef, e: AnyRef): AnyRef = c.call(Array(a, b, d, e)) }
+      case 5 => new UDF5[AnyRef, AnyRef, AnyRef, AnyRef, AnyRef, AnyRef] {
+        def call(a: AnyRef, b: AnyRef, d: AnyRef, e: AnyRef, g: AnyRef): AnyRef =
+          c.call(Array(a, b, d, e, g)) }
+      case n => throw new IllegalArgumentException(s"WASM UDFs support at most 5 arguments, got $n")
+    }
+    f match {
+      case u: UDF0[_] => spark.udf.register(name, u.asInstanceOf[UDF0[Any]], outLane.dataType)
+      case u: UDF1[_, _] => spark.udf.register(name, u.asInstanceOf[UDF1[Any, Any]], outLane.dataType)
+      case u: UDF2[_, _, _] => spark.udf.register(name, u.asInstanceOf[UDF2[Any, Any, Any]], outLane.dataType)
+      case u: UDF3[_, _, _, _] => spark.udf.register(name, u.asInstanceOf[UDF3[Any, Any, Any, Any]], outLane.dataType)
+      case u: UDF4[_, _, _, _, _] => spark.udf.register(name, u.asInstanceOf[UDF4[Any, Any, Any, Any, Any]], outLane.dataType)
+      case u: UDF5[_, _, _, _, _, _] => spark.udf.register(name, u.asInstanceOf[UDF5[Any, Any, Any, Any, Any, Any]], outLane.dataType)
+    }
+  }
+}

@@ -11,14 +11,18 @@ import graft.lake.Manifest.Json._
   * Languages:
   *  - `sql`: `data` is a SQL expression over `$1..$n` — registered as a
   *    native Spark SQL UDF (codegen'd, no interpretation overhead).
-  *  - `wasm` / `wasmMessagePack`: accepted + persisted for DDL parity;
-  *    execution is unsupported in this offline JVM (no WASM runtime on the
-  *    classpath) — calling one raises a clear error.
+  *  - `wasm`: `data` is the base64-encoded module; executed by the
+  *    embedded raw-numeric-ABI interpreter (graft.functions.wasm),
+  *    matching the reference's I32/I64/F32/F64 surface
+  *    (`src/wasm_udf/wasm.rs:243-354`).
+  *  - `wasmMessagePack`: accepted + persisted for DDL parity; execution
+  *    needs WASI (stdio + allocator exports) and stays unsupported in
+  *    this offline JVM — calling one raises a clear error.
   */
 object Functions {
 
-  case class Details(language: String, inputTypes: Seq[String], returnType: String,
-                     data: String, volatility: String)
+  case class Details(language: String, entrypoint: String, inputTypes: Seq[String],
+                     returnType: String, data: String, volatility: String)
 
   def parse(json: String): Details = {
     val o = Json.parse(json).asInstanceOf[O].m
@@ -26,15 +30,19 @@ object Functions {
       o.get(k).collect { case S(s) => s }.getOrElse(dflt)
     val inputs = o.get("input_types").collect { case A(xs) => xs.collect { case S(s) => s } }
       .getOrElse(Vector.empty)
-    Details(str("language", "wasm"), inputs, str("return_type"), str("data"),
-      str("volatility", "volatile"))
+    Details(str("language", "wasm"), str("entrypoint"), inputs, str("return_type"),
+      str("data"), str("volatility", "volatile"))
   }
 
   def create(ctx: GraftContext, name: String, detailsJson: String, orReplace: Boolean): Unit = {
-    val d = parse(detailsJson) // validate before persisting
+    val d = parse(detailsJson)
     require(d.returnType.nonEmpty, "function details need a return_type")
-    ctx.catalog.createFunction(name, detailsJson, orReplace)
+    require(orReplace || !ctx.catalog.functions.contains(name),
+      s"function $name already exists")
+    // register FIRST: a module that fails to parse/validate must not be
+    // persisted, or every later statement would trip over it on re-register
     register(ctx.spark, name, d)
+    ctx.catalog.createFunction(name, detailsJson, orReplace)
   }
 
   def registerAll(ctx: GraftContext): Unit = registerInto(ctx, ctx.spark)
@@ -67,11 +75,16 @@ object Functions {
       }
       spark.sql(
         s"CREATE OR REPLACE TEMPORARY FUNCTION $name($params) RETURNS ${sqlTypeName(d.returnType)} RETURN $body")
-    case "wasm" | "wasmMessagePack" =>
+    case "wasm" =>
+      // the entrypoint names the module export; defaults to the SQL name
+      val entry = if (d.entrypoint.nonEmpty) d.entrypoint else name
+      graft.functions.wasm.WasmUdf.register(spark, name, entry,
+        d.inputTypes, d.returnType, d.data)
+    case "wasmMessagePack" =>
       // persisted but not executable here; register a stub with the
       // DECLARED arity so calls reach the clear error (a fixed-arity stub
       // would fail analysis with a confusing arity mismatch instead)
-      val msg = s"function $name: WASM execution is not supported in this build"
+      val msg = s"function $name: wasmMessagePack execution is not supported in this build"
       def fail[T]: T = throw new UnsupportedOperationException(msg)
       import org.apache.spark.sql.functions.udf
       val stub = d.inputTypes.size match {

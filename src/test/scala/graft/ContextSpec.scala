@@ -243,14 +243,21 @@ class ContextSpec extends SparkSpec {
     assert(r.head.getString(0) === "2020-01-01")
   }
 
-  test("wasm function stub matches declared arity and raises a clear error") {
+  test("wasm rejects non-numeric types at CREATE; wasmMessagePack stays stubbed") {
     val c = ctx()
+    // raw-numeric ABI: text types rejected with the reference's error
+    // shape (src/wasm_udf/data_types.rs get_wasm_type), nothing persisted
+    val bad = intercept[Exception](c.execute(
+      """CREATE FUNCTION wfn AS '{"entrypoint":"wfn","language":"wasm","input_types":["text","text"],"return_type":"text","data":"AA=="}'"""))
+    assert(bad.getMessage.contains("do not support data type text"), bad.getMessage)
+    assert(!c.catalog.functions.contains("wfn"), "rejected function must not persist")
+    // the WASI-dependent MessagePack ABI is persisted but not executable
     c.execute(
-      """CREATE FUNCTION wfn AS '{"entrypoint":"wfn","language":"wasm","input_types":["text","text"],"return_type":"text","data":"AA=="}'""")
-    val e = intercept[Exception](c.execute("SELECT wfn('a', 'b') AS r").collect())
+      """CREATE FUNCTION mpfn AS '{"entrypoint":"mpfn","language":"wasmMessagePack","input_types":["text"],"return_type":"text","data":"AA=="}'""")
+    val e = intercept[Exception](c.execute("SELECT mpfn('a') AS r").collect())
     def rootMessages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ rootMessages(x.getCause))
-    assert(rootMessages(e).exists(_.contains("WASM execution is not supported")), e.getMessage)
+    assert(rootMessages(e).exists(_.contains("wasmMessagePack execution is not supported")), e.getMessage)
   }
 
   test("multi-statement execution returns the last result") {
