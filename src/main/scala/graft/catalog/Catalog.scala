@@ -170,6 +170,9 @@ class Catalog(val dataDir: String) {
 
   def listDatabases: Seq[String] = load().dbs.keys.toSeq.sorted
 
+  def listSchemas(db: String): Seq[String] =
+    load().dbs.getOrElse(db, Map.empty).keys.toSeq.sorted
+
   def getTable(db: String, schema: String, name: String): Option[String] =
     load().dbs.get(db).flatMap(_.get(schema)).flatMap(_.get(name)).map(_.uuid)
 

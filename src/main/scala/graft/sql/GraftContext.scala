@@ -259,6 +259,8 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
       Seq(("system", "table_versions", ""), ("system", "dropped_tables", ""),
         ("information_schema", "tables", ""), ("information_schema", "columns", ""),
         ("information_schema", "routines", ""), ("information_schema", "df_settings", ""),
+        ("information_schema", "parameters", ""), ("information_schema", "schemata", ""),
+        ("information_schema", "views", ""),
         ("staging", "", ""))
     nonPublic.foreach { case (sch, name, _) =>
       if (name.nonEmpty)

@@ -36,10 +36,15 @@ object SystemTables {
       .toDF("table_schema", "table_name", "uuid", "deletion_status", "drop_time")
       .createOrReplaceTempView("system__dropped_tables")
 
-    // information_schema.tables / columns
+    // information_schema.tables / columns — the reference lists its own
+    // information_schema views alongside base tables (golden layout
+    // tests/statements/query.rs:15-31, ddl.rs:192-206)
+    val infoViews = Seq("columns", "df_settings", "parameters", "routines",
+      "schemata", "tables", "views")
     val infoTables = tables.map { case (sch, name, _) => (db, sch, name, "BASE TABLE") } ++
       Seq((db, "system", "table_versions", "VIEW"),
-        (db, "system", "dropped_tables", "VIEW"))
+        (db, "system", "dropped_tables", "VIEW")) ++
+      infoViews.map(v => (db, "information_schema", v, "VIEW"))
     infoTables.toDF("table_catalog", "table_schema", "table_name", "table_type")
       .createOrReplaceTempView("information_schema__tables")
 
@@ -63,6 +68,31 @@ object SystemTables {
       .toDF("routine_catalog", "routine_schema", "routine_name", "routine_type",
         "routine_definition")
       .createOrReplaceTempView("information_schema__routines")
+
+    // information_schema.parameters: one row per routine input (IN, by
+    // position) plus the result row (OUT) — the reference exposes its
+    // function catalog through the standard layout
+    val params = ctx.catalog.functions.toSeq.sortBy(_._1).flatMap { case (n, json) =>
+      val d = Functions.parse(json)
+      d.inputTypes.zipWithIndex.map { case (t, i) =>
+        (db, "public", n, i + 1L, "IN", t.toUpperCase)
+      } :+ ((db, "public", n, 0L, "OUT", d.returnType.toUpperCase))
+    }
+    params.toDF("specific_catalog", "specific_schema", "specific_name",
+        "ordinal_position", "parameter_mode", "data_type")
+      .createOrReplaceTempView("information_schema__parameters")
+
+    // information_schema.schemata: catalog schemas + the synthesized ones
+    val schemata = (ctx.catalog.listSchemas(db) ++ Seq("information_schema", "system"))
+      .distinct.sorted.map(s => (db, s, null.asInstanceOf[String]))
+    schemata.toDF("catalog_name", "schema_name", "owner")
+      .createOrReplaceTempView("information_schema__schemata")
+
+    // information_schema.views: CREATE VIEW is rejected for parity, so
+    // the relation is always empty — but present, with the standard shape
+    Seq.empty[(String, String, String, String)]
+      .toDF("table_catalog", "table_schema", "table_name", "definition")
+      .createOrReplaceTempView("information_schema__views")
 
     // information_schema.df_settings analog: the session's SQL settings
     spark.conf.getAll.toSeq.sortBy(_._1).toDF("name", "value")

@@ -105,6 +105,49 @@ class ContextSpec extends SparkSpec {
     assert(settings.map(_.getString(0)).toSeq === Seq("UTC"))
   }
 
+  test("information_schema golden layout: all seven views present") {
+    val c = ctx()
+    c.execute("CREATE TABLE gt (a BIGINT)")
+    c.execute("CREATE SCHEMA extra")
+    c.execute("""CREATE FUNCTION gfn AS '{"language": "sql", "input_types": ["BIGINT", "DOUBLE"], "return_type": "DOUBLE", "data": "$1 + $2"}'""")
+    // tables: information_schema's own views listed as VIEW rows, like the
+    // reference golden layout (tests/statements/query.rs:15-31)
+    val infoRows = c.execute(
+      """SELECT table_schema, table_name, table_type FROM information_schema.tables
+        |WHERE table_schema IN ('information_schema', 'system') ORDER BY table_schema, table_name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(infoRows === Seq(
+      ("information_schema", "columns", "VIEW"),
+      ("information_schema", "df_settings", "VIEW"),
+      ("information_schema", "parameters", "VIEW"),
+      ("information_schema", "routines", "VIEW"),
+      ("information_schema", "schemata", "VIEW"),
+      ("information_schema", "tables", "VIEW"),
+      ("information_schema", "views", "VIEW"),
+      ("system", "dropped_tables", "VIEW"),
+      ("system", "table_versions", "VIEW")))
+    assert(c.execute(
+      "SELECT table_name FROM information_schema.tables WHERE table_type = 'BASE TABLE'")
+      .collect().map(_.getString(0)).toSeq === Seq("gt"))
+    // schemata: catalog schemas plus the synthesized ones
+    val schemas = c.execute(
+      "SELECT catalog_name, schema_name FROM information_schema.schemata ORDER BY schema_name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(schemas === Seq(("default", "extra"), ("default", "information_schema"),
+      ("default", "public"), ("default", "system")))
+    // parameters: IN rows by position + the OUT result row per routine
+    val params = c.execute(
+      """SELECT specific_name, ordinal_position, parameter_mode, data_type
+        |FROM information_schema.parameters ORDER BY ordinal_position""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3))).toSeq
+    assert(params === Seq(
+      ("gfn", 0L, "OUT", "DOUBLE"), ("gfn", 1L, "IN", "BIGINT"), ("gfn", 2L, "IN", "DOUBLE")))
+    // views: empty (CREATE VIEW rejected for parity) but well-formed
+    val v = c.execute("SELECT * FROM information_schema.views")
+    assert(v.columns.toSeq === Seq("table_catalog", "table_schema", "table_name", "definition"))
+    assert(v.count() === 0L)
+  }
+
   test("vacuum database GCs dropped table storage") {
     val c = ctx()
     c.execute("CREATE TABLE gone (a BIGINT)")
