@@ -148,7 +148,7 @@ class HttpFrontend(ctx: GraftContext, port: Int,
     if (!authorized(ex, write = false)) return respond(ex, 401, "unauthorized\n")
     val path = ex.getRequestURI.getRawPath.stripPrefix("/q/")
     val decoded = java.net.URLDecoder.decode(path, UTF_8)
-    val sql =
+    val sqlRaw =
       if (decoded.matches("[0-9a-f]{64}")) {
         val q = Option(ex.getRequestHeaders.getFirst("X-Graft-Query"))
           .map(extractQuery)
@@ -157,6 +157,11 @@ class HttpFrontend(ctx: GraftContext, port: Int,
           return respond(ex, 400, "query hash mismatch\n")
         q
       } else decoded
+    // normalize through the splitter: strips comments so a leading
+    // `-- note` can't misclassify the statement
+    val stmts = ctx.splitStatements(sqlRaw)
+    if (stmts.size != 1) return respond(ex, 400, "GET accepts exactly one statement\n")
+    val sql = stmts.head
     if (!ctx.isReadOnly(sql)) return respond(ex, 405, "NOT_READ_ONLY_QUERY\n")
 
     // lock-free: analyze on the current catalog snapshot (no job runs),
@@ -187,20 +192,29 @@ class HttpFrontend(ctx: GraftContext, port: Int,
     val declared = Option(ex.getRequestHeaders.getFirst("Content-Length")).map(_.toLong)
     if (declared.exists(_ > maxUploadBytes))
       return respond(ex, 413, s"upload exceeds $maxUploadBytes bytes\n")
-    val bos = new ByteArrayOutputStream()
-    val in = ex.getRequestBody
-    val buf = new Array[Byte](64 << 10)
-    var n = in.read(buf)
-    while (n >= 0) {
-      bos.write(buf, 0, n)
-      if (bos.size() > maxUploadBytes)
-        return respond(ex, 413, s"upload exceeds $maxUploadBytes bytes\n")
-      n = in.read(buf)
-    }
-    val bytes = bos.toByteArray
+    // stream the body straight to the temp file the reader will scan —
+    // never the full payload on-heap (256 MiB x 8 handler threads would
+    // be 2 GiB of transient heap); the cap is enforced mid-stream
     val isCsv = Option(ex.getRequestHeaders.getFirst("Content-Type")).exists(_.contains("csv"))
     val tmp = java.nio.file.Files.createTempFile("graft-upload", if (isCsv) ".csv" else ".parquet")
-    java.nio.file.Files.write(tmp, bytes)
+    val in = ex.getRequestBody
+    val out = java.nio.file.Files.newOutputStream(tmp)
+    var total = 0L
+    try {
+      val buf = new Array[Byte](64 << 10)
+      var n = in.read(buf)
+      while (n >= 0) {
+        total += n
+        if (total > maxUploadBytes) {
+          return respond(ex, 413, s"upload exceeds $maxUploadBytes bytes\n")
+        }
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+    } finally {
+      out.close()
+      if (total > maxUploadBytes) java.nio.file.Files.deleteIfExists(tmp)
+    }
     val df =
       if (isCsv)
         ctx.spark.read.option("header", "true").option("inferSchema", "true").csv(tmp.toString)

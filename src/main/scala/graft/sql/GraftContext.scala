@@ -69,19 +69,38 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
       StructType(Seq(StructField("ok", BooleanType))))
 
-  // --- statement splitting (quote-aware) ---------------------------------
+  // --- statement splitting (quote- and comment-aware) ---------------------
 
+  /** Split on top-level semicolons. `--` line comments and (nested)
+    * `/* */` block comments are stripped — a semicolon inside a comment
+    * is not a statement boundary, and a leading comment must not defeat
+    * the dispatch regexes, which anchor at the statement start. Comment
+    * markers inside string literals are content, not comments. */
   def splitStatements(sql: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var i = 0; var inS = false; var inD = false
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (c == '\'' && !inD) inS = !inS
-      else if (c == '"' && !inS) inD = !inD
-      if (c == ';' && !inS && !inD) { out += cur.result(); cur.clear() }
-      else cur += c
-      i += 1
+      if (!inS && !inD && c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
+        while (i < sql.length && sql.charAt(i) != '\n') i += 1
+        cur += ' '
+      } else if (!inS && !inD && c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+        var depth = 1
+        i += 2
+        while (i < sql.length && depth > 0) {
+          if (sql.startsWith("/*", i)) { depth += 1; i += 2 }
+          else if (sql.startsWith("*/", i)) { depth -= 1; i += 2 }
+          else i += 1
+        }
+        cur += ' '
+      } else {
+        if (c == '\'' && !inD) inS = !inS
+        else if (c == '"' && !inS) inD = !inD
+        if (c == ';' && !inS && !inD) { out += cur.result(); cur.clear() }
+        else cur += c
+        i += 1
+      }
     }
     out += cur.result()
     out.result().map(_.trim).filter(_.nonEmpty)

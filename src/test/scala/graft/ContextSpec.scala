@@ -303,6 +303,24 @@ class ContextSpec extends SparkSpec {
     assert(rootMessages(e).exists(_.contains("wasmMessagePack execution is not supported")), e.getMessage)
   }
 
+  test("comments: semicolons inside comments don't split; leading comments dispatch") {
+    val c = ctx()
+    // leading block comment before CREATE, line comment with a semicolon,
+    // nested block comment, and a comment marker inside a string literal
+    val df = c.executeAll(
+      """/* provisioning; step one */ CREATE TABLE cmt (a BIGINT, note VARCHAR);
+        |INSERT INTO cmt VALUES (1, 'semi; -- not a comment'); -- trailing; note
+        |/* outer /* nested; */ still out */ INSERT INTO cmt VALUES (2, '/* literal */');
+        |SELECT a, note FROM cmt ORDER BY a -- tail comment; with semicolon""".stripMargin)
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows === Seq((1L, "semi; -- not a comment"), (2L, "/* literal */")))
+    // a commented statement splits to nothing
+    assert(c.splitStatements("-- just a note; nothing to run").isEmpty)
+    // dispatch: leading comment on a graft-owned statement still matches
+    c.executeAll("/* cleanup */ DROP TABLE cmt")
+    assert(c.catalog.getTable("default", "public", "cmt").isEmpty)
+  }
+
   test("multi-statement execution returns the last result") {
     val c = ctx()
     val df = c.executeAll(
