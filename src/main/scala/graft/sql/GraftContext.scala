@@ -355,10 +355,18 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
             case _ => throw new IllegalArgumentException(s"bad OPTIONS entry: $kv")
           }
         }.toMap
+      // http(s) locations download to a local temp file first (the
+      // reference's object_store/http.rs reads over HTTP with range
+      // requests; a one-shot download is the minimum slice — SURVEY §2.1).
+      // Scheme-specific: JDBC "locations" are connection URLs, not files.
+      def fileLoc: String =
+        if (loc.startsWith("http://") || loc.startsWith("https://"))
+          downloadToTmp(loc, fmt.toLowerCase)
+        else loc
       val df = fmt.toUpperCase match {
-        case "PARQUET" => spark.read.parquet(loc)
-        case "CSV" => spark.read.option("header", "true").option("inferSchema", "true").csv(loc)
-        case "JSON" | "NDJSON" => spark.read.json(loc)
+        case "PARQUET" => spark.read.parquet(fileLoc)
+        case "CSV" => spark.read.option("header", "true").option("inferSchema", "true").csv(fileLoc)
+        case "JSON" | "NDJSON" => spark.read.json(fileLoc)
         case "JDBC" =>
           // remote tables (reference datafusion_remote_tables): a live
           // federated scan through Spark's JDBC source, which pushes
@@ -519,6 +527,26 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
     org.apache.spark.sql.GraftRelations.fileIndexes(df).collect {
       case g: graft.lake.GraftFileIndex => (g.tableUuid, g.version)
     }.distinct
+
+  /** Fetch an http(s) object into a local temp file and return its path.
+    * Non-2xx responses fail the DDL with the status line. */
+  private def downloadToTmp(url: String, ext: String): String = {
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val tmp = java.nio.file.Files.createTempFile("graft-external", s".$ext")
+    val client = HttpClient.newBuilder()
+      .followRedirects(HttpClient.Redirect.NORMAL).build()
+    val resp = client.send(
+      HttpRequest.newBuilder(java.net.URI.create(url)).GET().build(),
+      HttpResponse.BodyHandlers.ofFile(tmp,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING))
+    if (resp.statusCode() / 100 != 2) {
+      java.nio.file.Files.deleteIfExists(tmp)
+      throw new IllegalArgumentException(
+        s"external table location $url returned HTTP ${resp.statusCode()}")
+    }
+    tmp.toString
+  }
 
   private def clean(s: String) = s.replace("\"", "")
 

@@ -184,6 +184,35 @@ class ContextSpec extends SparkSpec {
     assert(c.execute("SELECT COUNT(*) AS n FROM staging.ext").collect().head.getLong(0) === 2L)
   }
 
+  test("HTTP(S) external tables download to tmp and register in staging") {
+    val c = ctx()
+    // local HTTP fixture server serving a CSV document
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val csv = "id,name\n1,ann\n2,bo\n3,cy\n"
+    server.createContext("/data.csv", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val b = csv.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    })
+    server.createContext("/missing.csv", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.sendResponseHeaders(404, -1); ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      c.execute(s"CREATE EXTERNAL TABLE web STORED AS CSV LOCATION '$base/data.csv'")
+      val rows = c.execute("SELECT id, name FROM staging.web ORDER BY id")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      assert(rows === Seq((1, "ann"), (2, "bo"), (3, "cy")))
+      // a non-2xx location fails the DDL with the status in the message
+      val e = intercept[Exception](
+        c.execute(s"CREATE EXTERNAL TABLE nope STORED AS CSV LOCATION '$base/missing.csv'"))
+      assert(e.getMessage.contains("HTTP 404"), e.getMessage)
+    } finally server.stop(0)
+  }
+
   test("OPTIMIZE statements: compaction, range cluster, zorder") {
     val c = ctx()
     c.execute("CREATE TABLE ot (x BIGINT, y BIGINT)")
