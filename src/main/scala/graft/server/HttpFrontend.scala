@@ -353,9 +353,15 @@ object ServerMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fe = new HttpFrontend(new GraftContext(spark, dataDir), port,
+    val ctx = new GraftContext(spark, dataDir)
+    val fe = new HttpFrontend(ctx, port,
       writeToken = sys.env.get("GRAFT_WRITE_TOKEN"), readToken = sys.env.get("GRAFT_READ_TOKEN"))
     fe.start()
+    // optional PostgreSQL wire frontend (psql/BI tools)
+    sys.env.get("GRAFT_PG_PORT").map(_.toInt).foreach { pgPort =>
+      new PgFrontend(ctx, pgPort).start()
+      System.err.println(s"graft pg wire listening on :$pgPort")
+    }
     System.err.println(s"graft server listening on :$port, data dir $dataDir")
     Thread.currentThread.join()
   }

@@ -38,9 +38,13 @@ object JsonLines {
     case (x: scala.math.BigDecimal, _) => x.bigDecimal.toPlainString
     case (x: Double, _) if x.isNaN || x.isInfinite => "\"" + x.toString + "\""
     case (x: Float, _) if x.isNaN || x.isInfinite => "\"" + x.toString + "\""
-    case (x: Seq[_], ArrayType(et, _)) => x.map(value(_, et)).mkString("[", ",", "]")
+    // collection.Seq, not the default immutable.Seq: Spark rows surface
+    // arrays as mutable.ArraySeq, which the immutable pattern silently
+    // misses (falling through to toString)
+    case (x: scala.collection.Seq[_], ArrayType(et, _)) =>
+      x.map(value(_, et)).mkString("[", ",", "]")
     case (x: Row, st: StructType) => row(x, st)
-    case (x: Map[_, _], MapType(_, vt, _)) =>
+    case (x: scala.collection.Map[_, _], MapType(_, vt, _)) =>
       x.map { case (k, mv) => "\"" + esc(String.valueOf(k)) + "\":" + value(mv, vt) }
         .mkString("{", ",", "}")
     case (x, _) => String.valueOf(x) // numbers, booleans

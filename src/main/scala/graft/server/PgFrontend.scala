@@ -1,0 +1,238 @@
+package graft.server
+
+import java.io.{DataInputStream, DataOutputStream, EOFException}
+import java.net.{ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.sql.GraftContext
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+/** Minimal PostgreSQL wire-protocol (v3) frontend — what lets psql and
+  * BI tools connect (reference `src/frontend/postgres.rs:49-94`, which
+  * delegates to the `convergence` pgwire implementation; this is the
+  * equivalent minimum: trust auth + simple-query protocol, text format).
+  *
+  *  - startup: SSLRequest answered 'N' (no TLS), StartupMessage →
+  *    AuthenticationOk, ParameterStatus, BackendKeyData, ReadyForQuery
+  *  - 'Q' simple query: splits statements, runs each through the
+  *    context (reads on the lock-free snapshot path, writes under the
+  *    context lock), streams RowDescription + DataRows in text format
+  *  - errors → ErrorResponse + ReadyForQuery (connection survives)
+  *  - extended-protocol messages are answered with a clear error (the
+  *    reference's convergence engine implements them; simple query is
+  *    the psql path and the minimum slice)
+  */
+class PgFrontend(ctx: GraftContext, port: Int) {
+
+  private val server = new ServerSocket(port)
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+  @volatile private var running = false
+
+  def boundPort: Int = server.getLocalPort
+
+  def start(): Unit = {
+    running = true
+    val acceptor = new Thread(() => {
+      while (running) {
+        try {
+          val sock = server.accept()
+          pool.execute(() => serve(sock))
+        } catch { case _: Throwable if !running => () case _: Throwable => () }
+      }
+    }, "graft-pg-accept")
+    acceptor.setDaemon(true)
+    acceptor.start()
+  }
+
+  def stop(): Unit = { running = false; server.close(); pool.shutdown() }
+
+  // --- connection loop ------------------------------------------------------
+
+  private def serve(sock: Socket): Unit = {
+    val in = new DataInputStream(sock.getInputStream)
+    val out = new DataOutputStream(new java.io.BufferedOutputStream(sock.getOutputStream))
+    try {
+      if (!handshake(in, out)) return
+      var open = true
+      while (open) {
+        val tpe = try in.readByte() catch { case _: EOFException => return }
+        val len = in.readInt() - 4
+        val payload = new Array[Byte](len)
+        in.readFully(payload)
+        tpe.toChar match {
+          case 'Q' =>
+            val sql = new String(payload, 0, math.max(0, len - 1), UTF_8) // NUL-terminated
+            simpleQuery(sql, out)
+            readyForQuery(out)
+          case 'X' => open = false
+          case 'H' => out.flush() // Flush
+          case 'S' => readyForQuery(out) // Sync (extended); keep the session usable
+          case other =>
+            sendError(out, "0A000",
+              s"message '$other' not supported: this server speaks the simple query protocol")
+            readyForQuery(out)
+        }
+      }
+    } catch { case _: Throwable => () }
+    finally sock.close()
+  }
+
+  /** Returns false if the client went away (e.g. after SSL refusal). */
+  private def handshake(in: DataInputStream, out: DataOutputStream): Boolean = {
+    var len = in.readInt() - 4
+    var code = in.readInt()
+    if (code == 80877103) { // SSLRequest → no TLS
+      out.writeByte('N'); out.flush()
+      len = in.readInt() - 4
+      code = in.readInt()
+    }
+    if (code == 80877102) return false // CancelRequest: nothing to cancel
+    require(code == 196608, s"unsupported protocol version $code")
+    in.skipBytes(len - 4) // startup parameters (user/database) — trust auth
+    msg(out, 'R')(_.writeInt(0)) // AuthenticationOk
+    Seq("server_version" -> "15.0 (graft)", "server_encoding" -> "UTF8",
+      "client_encoding" -> "UTF8", "DateStyle" -> "ISO", "integer_datetimes" -> "on")
+      .foreach { case (k, v) => msg(out, 'S') { d => cstr(d, k); cstr(d, v) } }
+    msg(out, 'K') { d => d.writeInt(0); d.writeInt(0) } // BackendKeyData
+    readyForQuery(out)
+    true
+  }
+
+  // --- query execution ------------------------------------------------------
+
+  private def simpleQuery(sql: String, out: DataOutputStream): Unit = {
+    val stmts = try ctx.splitStatements(sql) catch {
+      case e: Throwable => sendError(out, "42601", String.valueOf(e.getMessage)); return
+    }
+    if (stmts.isEmpty) { msg(out, 'I')(_ => ()); return } // EmptyQueryResponse
+    stmts.foreach { stmt =>
+      try {
+        if (ctx.isReadOnly(stmt)) sendRows(ctx.executeRead(stmt), out)
+        else {
+          ctx.locked(ctx.execute(stmt))
+          commandComplete(out, tagFor(stmt))
+        }
+      } catch {
+        case e: Throwable =>
+          sendError(out, "XX000", Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+          return // per-protocol: abort the rest of the query string
+      }
+    }
+  }
+
+  private def sendRows(df: DataFrame, out: DataOutputStream): Unit = {
+    val schema = df.schema
+    msg(out, 'T') { d =>
+      d.writeShort(schema.fields.length)
+      schema.fields.foreach { f =>
+        cstr(d, f.name)
+        d.writeInt(0); d.writeShort(0) // table oid / attnum
+        d.writeInt(pgOid(f.dataType))
+        d.writeShort(-1); d.writeInt(-1); d.writeShort(0) // typlen / typmod / text fmt
+      }
+    }
+    val it = df.toLocalIterator()
+    var n = 0L
+    while (it.hasNext) {
+      val row = it.next()
+      msg(out, 'D') { d =>
+        d.writeShort(schema.fields.length)
+        var i = 0
+        while (i < schema.fields.length) {
+          if (row.isNullAt(i)) d.writeInt(-1)
+          else {
+            val bytes = pgText(row.get(i), schema.fields(i).dataType).getBytes(UTF_8)
+            d.writeInt(bytes.length); d.write(bytes)
+          }
+          i += 1
+        }
+      }
+      n += 1
+    }
+    commandComplete(out, s"SELECT $n")
+  }
+
+  // --- pg text encoding -----------------------------------------------------
+
+  private val tsFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS").withZone(java.time.ZoneOffset.UTC)
+
+  private def pgText(v: Any, dt: DataType): String = (v, dt) match {
+    case (b: Boolean, _) => if (b) "t" else "f"
+    case (x: java.sql.Timestamp, _) => tsFmt.format(x.toInstant)
+    case (x: java.time.Instant, _) => tsFmt.format(x)
+    case (x: java.math.BigDecimal, _) => x.toPlainString
+    case (x: scala.math.BigDecimal, _) => x.bigDecimal.toPlainString
+    case (x: Array[Byte], _) => "\\x" + x.map(b => f"$b%02x").mkString
+    // collection.Seq, not the default immutable.Seq: Spark rows surface
+    // arrays as mutable.ArraySeq
+    case (x: scala.collection.Seq[_], ArrayType(et, _)) => // pg array literal
+      x.map {
+        case null => "NULL"
+        case e =>
+          val s = pgText(e, et)
+          if (s.exists(c => c == ',' || c == '"' || c == '{' || c == '}' || c == ' '))
+            "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+          else s
+      }.mkString("{", ",", "}")
+    case (x: org.apache.spark.sql.Row, st: StructType) => JsonLines.row(x, st) // JSON text
+    case (x: scala.collection.Map[_, _], mt: MapType) => JsonLines.value(x, mt)
+    case (x, _) => String.valueOf(x) // numbers, strings, dates
+  }
+
+  private def pgOid(dt: DataType): Int = dt match {
+    case BooleanType => 16
+    case ByteType | ShortType => 21
+    case IntegerType => 23
+    case LongType => 20
+    case FloatType => 700
+    case DoubleType => 701
+    case _: DecimalType => 1700
+    case DateType => 1082
+    case TimestampType | TimestampNTZType => 1114
+    case BinaryType => 17
+    case _ => 25 // text (incl. arrays/structs rendered as text)
+  }
+
+  private def tagFor(stmt: String): String = {
+    val up = stmt.trim.toUpperCase
+    if (up.startsWith("INSERT")) "INSERT 0 0"
+    else if (up.startsWith("UPDATE")) "UPDATE 0"
+    else if (up.startsWith("DELETE")) "DELETE 0"
+    else up.split("\\s+").take(2).mkString(" ").take(32)
+  }
+
+  // --- wire helpers ---------------------------------------------------------
+
+  private def msg(out: DataOutputStream, tpe: Char)(body: DataOutputStream => Unit): Unit = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val d = new DataOutputStream(bos)
+    body(d)
+    out.writeByte(tpe)
+    out.writeInt(4 + bos.size())
+    bos.writeTo(out)
+  }
+
+  private def cstr(d: DataOutputStream, s: String): Unit = {
+    d.write(s.getBytes(UTF_8)); d.writeByte(0)
+  }
+
+  private def readyForQuery(out: DataOutputStream): Unit = {
+    msg(out, 'Z')(_.writeByte('I'))
+    out.flush()
+  }
+
+  private def commandComplete(out: DataOutputStream, tag: String): Unit =
+    msg(out, 'C')(cstr(_, tag))
+
+  private def sendError(out: DataOutputStream, sqlState: String, message: String): Unit = {
+    msg(out, 'E') { d =>
+      d.writeByte('S'); cstr(d, "ERROR")
+      d.writeByte('C'); cstr(d, sqlState)
+      d.writeByte('M'); cstr(d, message)
+      d.writeByte(0)
+    }
+    out.flush()
+  }
+}

@@ -1,0 +1,148 @@
+package graft
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.Socket
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.server.PgFrontend
+import graft.sql.GraftContext
+
+/** PostgreSQL wire protocol e2e with a minimal in-test pgwire v3 client:
+  * startup handshake, simple query round-trips (types, NULLs, multi-
+  * statement, writes), error recovery on the same connection.
+  */
+class PgSpec extends SparkSpec {
+
+  private lazy val ctx = new GraftContext(spark, tmpDir("graft-pg"))
+  private lazy val fe = { val f = new PgFrontend(ctx, 0); f.start(); f }
+
+  /** Tiny pgwire client: connect + startup, then simple queries. */
+  private class Client {
+    private val sock = new Socket("127.0.0.1", fe.boundPort)
+    private val in = new DataInputStream(sock.getInputStream)
+    private val out = new DataOutputStream(sock.getOutputStream)
+    // StartupMessage: protocol 3.0 + user/database params
+    private val params = "user\u0000graft\u0000database\u0000default\u0000\u0000".getBytes(UTF_8)
+    out.writeInt(8 + params.length)
+    out.writeInt(196608)
+    out.write(params)
+    out.flush()
+    drainUntilReady() // AuthenticationOk .. ReadyForQuery
+
+    private def readMsg(): (Char, Array[Byte]) = {
+      val tpe = in.readByte().toChar
+      val len = in.readInt() - 4
+      val payload = new Array[Byte](len)
+      in.readFully(payload)
+      (tpe, payload)
+    }
+
+    private def drainUntilReady(): Seq[(Char, Array[Byte])] = {
+      val msgs = Seq.newBuilder[(Char, Array[Byte])]
+      var done = false
+      while (!done) {
+        val m = readMsg()
+        msgs += m
+        if (m._1 == 'Z') done = true
+      }
+      msgs.result()
+    }
+
+    /** Send a simple query; returns (columnNames, rows-as-text, tags, errors). */
+    def query(sql: String): (Seq[String], Seq[Seq[String]], Seq[String], Seq[String]) = {
+      val body = sql.getBytes(UTF_8)
+      out.writeByte('Q')
+      out.writeInt(4 + body.length + 1)
+      out.write(body)
+      out.writeByte(0)
+      out.flush()
+      var cols = Seq.empty[String]
+      val rows = Seq.newBuilder[Seq[String]]
+      val tags = Seq.newBuilder[String]
+      val errs = Seq.newBuilder[String]
+      drainUntilReady().foreach {
+        case ('T', p) =>
+          val b = java.nio.ByteBuffer.wrap(p)
+          val n = b.getShort
+          cols = (0 until n).map { _ =>
+            val s = new StringBuilder
+            var c = b.get
+            while (c != 0) { s += c.toChar; c = b.get }
+            b.getInt; b.getShort; b.getInt; b.getShort; b.getInt; b.getShort
+            s.result()
+          }
+        case ('D', p) =>
+          val b = java.nio.ByteBuffer.wrap(p)
+          val n = b.getShort
+          rows += (0 until n).map { _ =>
+            val len = b.getInt
+            if (len < 0) null
+            else { val bs = new Array[Byte](len); b.get(bs); new String(bs, UTF_8) }
+          }
+        case ('C', p) => tags += new String(p, 0, p.length - 1, UTF_8)
+        case ('E', p) =>
+          // fields: code byte + cstring, terminated by a zero byte
+          val b = java.nio.ByteBuffer.wrap(p)
+          var code = b.get
+          while (code != 0) {
+            val s = new StringBuilder
+            var c = b.get
+            while (c != 0) { s += c.toChar; c = b.get }
+            if (code == 'M') errs += s.result()
+            code = b.get
+          }
+        case _ => ()
+      }
+      (cols, rows.result(), tags.result(), errs.result())
+    }
+
+    def close(): Unit = {
+      out.writeByte('X'); out.writeInt(4); out.flush(); sock.close()
+    }
+  }
+
+  test("startup + typed simple query round-trip") {
+    val c = new Client
+    try {
+      val (cols, rows, tags, errs) = c.query(
+        "SELECT CAST(1 AS INT) AS i, CAST(2 AS BIGINT) AS l, CAST(2.5 AS DOUBLE) AS d, " +
+          "'hi' AS s, true AS b, CAST(NULL AS BIGINT) AS n, DATE '2023-05-01' AS dt")
+      assert(errs.isEmpty, errs)
+      assert(cols === Seq("i", "l", "d", "s", "b", "n", "dt"))
+      assert(rows === Seq(Seq("1", "2", "2.5", "hi", "t", null, "2023-05-01")))
+      assert(tags === Seq("SELECT 1"))
+    } finally c.close()
+  }
+
+  test("writes execute and are visible to later reads on the same connection") {
+    val c = new Client
+    try {
+      val (_, _, tags, errs) = c.query(
+        "CREATE TABLE pgt (a BIGINT, s VARCHAR); INSERT INTO pgt VALUES (1, 'x'), (2, NULL); " +
+          "SELECT a, s FROM pgt ORDER BY a")
+      assert(errs.isEmpty, errs)
+      assert(tags.exists(_.startsWith("SELECT 2")), tags)
+      val (_, rows, _, _) = c.query("SELECT COUNT(*) AS n FROM pgt")
+      assert(rows === Seq(Seq("2")))
+    } finally c.close()
+  }
+
+  test("an error keeps the connection usable") {
+    val c = new Client
+    try {
+      val (_, _, _, errs) = c.query("SELECT * FROM no_such_table_pg")
+      assert(errs.nonEmpty)
+      val (_, rows, _, errs2) = c.query("SELECT 41 + 1 AS v")
+      assert(errs2.isEmpty && rows === Seq(Seq("42")))
+    } finally c.close()
+  }
+
+  test("arrays render as pg array literals") {
+    val c = new Client
+    try {
+      val (_, rows, _, errs) = c.query("SELECT array(1, 2, 3) AS xs, array('a b', 'c') AS ss")
+      assert(errs.isEmpty, errs)
+      assert(rows === Seq(Seq("{1,2,3}", "{\"a b\",c}")))
+    } finally c.close()
+  }
+}
