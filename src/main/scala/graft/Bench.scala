@@ -26,6 +26,10 @@ object Bench {
       // few tasks instead of 32, big ones keep full parallelism
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", (8L << 20).toString)
+      // 57 queries x several codegen'd stages each overflow the default
+      // 100-entry generated-class cache, so every rep re-pays Janino
+      // compilation for every query; size the cache to the workload
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

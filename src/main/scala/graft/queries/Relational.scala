@@ -513,8 +513,11 @@ object Relational {
           approx_count_distinct(col("l_partkey")).as("acd"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("amed"),
           expr("percentile(l_extendedprice, 0.5)").as("emed"))
-      val exact = li(s, d).groupBy("l_returnflag")
-        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      // distinct-then-count beats the planner's two-phase countDistinct:
+      // the pre-aggregated (flag, partkey) shuffle is smaller and fully
+      // map-side-combined
+      val exact = li(s, d).select(col("l_returnflag"), col("l_partkey")).distinct()
+        .groupBy("l_returnflag").agg(count(lit(1)).as("exact_parts"))
       exact.join(sketches, "l_returnflag")
         .select(col("l_returnflag"), col("exact_parts"),
           (abs(col("acd") - col("exact_parts")) <= col("exact_parts") * 0.10).as("cd_ok"),
