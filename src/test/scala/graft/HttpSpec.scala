@@ -223,6 +223,31 @@ class HttpSpec extends SparkSpec {
     assert(get(live).body() === "{\"n\":2}\n")
   }
 
+  test("CDC buffering: an aged batch flushes without further traffic") {
+    post("/q", "CREATE TABLE age_t (id BIGINT, v DOUBLE)", auth)
+    val afe = new HttpFrontend(ctx, 0, writeToken = Some("w0bble"),
+      syncMaxRows = 1000000, syncMaxBatches = 64, syncMaxAgeMs = 300)
+    afe.start()
+    try {
+      val b = HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${afe.boundPort}/sync/public/age_t?pk=id&values=v"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"old_id":null,"new_id":1,"v":7.0,"_seq":1}""", UTF_8))
+        .header("Authorization", "Bearer w0bble")
+      val r = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      assert(r.body().contains("\"buffered\":true"), r.body())
+      // the periodic sweep (every maxAgeMs/2) must commit it unprompted
+      val deadline = System.currentTimeMillis + 10000
+      var rows = Seq.empty[String]
+      while (rows.isEmpty && System.currentTimeMillis < deadline) {
+        Thread.sleep(200)
+        rows = get("/q/" + java.net.URLEncoder.encode("SELECT v FROM age_t", UTF_8))
+          .body().linesIterator.toSeq.filter(_.nonEmpty)
+      }
+      assert(rows === Seq("{\"v\":7.0}"), s"aged batch never flushed: $rows")
+    } finally afe.stop()
+  }
+
   test("CDC origin sequence watermarks make redelivery idempotent") {
     post("/q", "CREATE TABLE seqd (id BIGINT, v DOUBLE)", auth)
     val b1 = """{"old_id":null,"new_id":1,"v":1.0,"_seq":1}"""

@@ -77,6 +77,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p.take(3000))
   }
 
+  test("n-gram Jaccard never sorts the shingle set (dd2: no windows, hot list broadcasts)") {
+    val p = planOf("dd2_dedup_ngram_jaccard")
+    // doc sizes and the df cap are groupBy aggregates, candidate pairs an
+    // inverted-index explode — a count window here would re-sort the full
+    // shingle set per annotation pass
+    assert(!p.contains("Window"), "dd2 must not use window functions:\n" + p.take(3000))
+    // the hot-shingle anti-join must broadcast its (tiny) right side
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "hot-shingle anti-join should broadcast:\n" + p.take(3000))
+  }
+
   test("minhash signatures compute in one aggregate pass (dd3)") {
     val p = planOf("dd3_dedup_minhash_lsh")
     // the 16-seed signature is ONE ObjectHashAggregate (single buffer),
