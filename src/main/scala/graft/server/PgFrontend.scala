@@ -18,10 +18,12 @@ import org.apache.spark.sql.types._
   *  - 'Q' simple query: splits statements, runs each through the
   *    context (reads on the lock-free snapshot path, writes under the
   *    context lock), streams RowDescription + DataRows in text format
-  *  - errors → ErrorResponse + ReadyForQuery (connection survives)
-  *  - extended-protocol messages are answered with a clear error (the
-  *    reference's convergence engine implements them; simple query is
-  *    the psql path and the minimum slice)
+  *  - errors → ErrorResponse + ReadyForQuery (connection survives);
+  *    in the extended protocol, messages after an error are discarded
+  *    until Sync, per the protocol's error-recovery rule
+  *  - extended protocol: Parse/Bind/Describe/Execute/Close for
+  *    parameterless statements (what the reference's convergence engine
+  *    serves; bound parameters are answered with a clear error)
   */
 class PgFrontend(ctx: GraftContext, port: Int) {
 
@@ -54,24 +56,105 @@ class PgFrontend(ctx: GraftContext, port: Int) {
     val out = new DataOutputStream(new java.io.BufferedOutputStream(sock.getOutputStream))
     try {
       if (!handshake(in, out)) return
+      // extended-protocol session state
+      val prepared = scala.collection.mutable.Map.empty[String, String] // name -> sql
+      val portals = scala.collection.mutable.Map.empty[String, String]
+      var failed = false // after an error: discard until Sync
       var open = true
       while (open) {
         val tpe = try in.readByte() catch { case _: EOFException => return }
         val len = in.readInt() - 4
         val payload = new Array[Byte](len)
         in.readFully(payload)
+        val b = java.nio.ByteBuffer.wrap(payload)
+        def cstrIn(): String = {
+          val s = new StringBuilder
+          var c = b.get
+          while (c != 0) { s += c.toChar; c = b.get }
+          s.result()
+        }
         tpe.toChar match {
           case 'Q' =>
+            failed = false
             val sql = new String(payload, 0, math.max(0, len - 1), UTF_8) // NUL-terminated
             simpleQuery(sql, out)
             readyForQuery(out)
           case 'X' => open = false
           case 'H' => out.flush() // Flush
-          case 'S' => readyForQuery(out) // Sync (extended); keep the session usable
-          case other =>
-            sendError(out, "0A000",
-              s"message '$other' not supported: this server speaks the simple query protocol")
+          case 'S' => // Sync: end of the extended batch, clear error state
+            failed = false
             readyForQuery(out)
+          case 'P' if !failed => // Parse
+            val name = cstrIn()
+            val sql = cstrIn()
+            val nParamTypes = b.getShort
+            (0 until nParamTypes).foreach(_ => b.getInt)
+            val stmts = ctx.splitStatements(sql)
+            if (stmts.size > 1) {
+              sendError(out, "42601", "cannot insert multiple commands into a prepared statement")
+              failed = true
+            } else {
+              prepared(name) = stmts.headOption.getOrElse("")
+              msg(out, '1')(_ => ()) // ParseComplete
+            }
+          case 'B' if !failed => // Bind
+            val portal = cstrIn()
+            val stmt = cstrIn()
+            val nFmt = b.getShort; (0 until nFmt).foreach(_ => b.getShort)
+            val nParams = b.getShort
+            if (nParams > 0) {
+              sendError(out, "0A000", "bound parameters are not supported; inline literals instead")
+              failed = true
+            } else prepared.get(stmt) match {
+              case None => sendError(out, "26000", s"prepared statement \"$stmt\" does not exist"); failed = true
+              case Some(sql) =>
+                portals(portal) = sql
+                msg(out, '2')(_ => ()) // BindComplete
+            }
+          case 'D' if !failed => // Describe
+            val kind = b.get.toChar
+            val name = cstrIn()
+            val sqlOpt = if (kind == 'S') prepared.get(name) else portals.get(name)
+            sqlOpt match {
+              case None =>
+                sendError(out, "26000", s"statement or portal \"$name\" does not exist"); failed = true
+              case Some("") => msg(out, 'n')(_ => ()) // NoData (empty statement)
+              case Some(sql) if ctx.isReadOnly(sql) =>
+                try {
+                  if (kind == 'S') msg(out, 't')(_.writeShort(0)) // ParameterDescription
+                  rowDescription(ctx.executeRead(sql).schema, out) // analysis only
+                } catch { case e: Throwable =>
+                  sendError(out, "XX000", String.valueOf(e.getMessage)); failed = true
+                }
+              case Some(_) =>
+                if (kind == 'S') msg(out, 't')(_.writeShort(0))
+                msg(out, 'n')(_ => ()) // NoData (DDL/DML)
+            }
+          case 'E' if !failed => // Execute (maxRows ignored: all rows, no suspend)
+            val portal = cstrIn()
+            portals.get(portal) match {
+              case None =>
+                sendError(out, "34000", s"portal \"$portal\" does not exist"); failed = true
+              case Some("") => msg(out, 'I')(_ => ()) // EmptyQueryResponse
+              case Some(sql) =>
+                try {
+                  if (ctx.isReadOnly(sql)) sendRows(ctx.executeRead(sql), out, withDescription = false)
+                  else { ctx.locked(ctx.execute(sql)); commandComplete(out, tagFor(sql)) }
+                } catch { case e: Throwable =>
+                  sendError(out, "XX000",
+                    Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+                  failed = true
+                }
+            }
+          case 'C' if !failed => // Close
+            val kind = b.get.toChar
+            val name = cstrIn()
+            if (kind == 'S') prepared.remove(name) else portals.remove(name)
+            msg(out, '3')(_ => ()) // CloseComplete
+          case _ if failed => () // discarded until Sync
+          case other =>
+            sendError(out, "0A000", s"message '$other' not supported")
+            failed = true
         }
       }
     } catch { case _: Throwable => () }
@@ -121,8 +204,7 @@ class PgFrontend(ctx: GraftContext, port: Int) {
     }
   }
 
-  private def sendRows(df: DataFrame, out: DataOutputStream): Unit = {
-    val schema = df.schema
+  private def rowDescription(schema: StructType, out: DataOutputStream): Unit =
     msg(out, 'T') { d =>
       d.writeShort(schema.fields.length)
       schema.fields.foreach { f =>
@@ -132,6 +214,11 @@ class PgFrontend(ctx: GraftContext, port: Int) {
         d.writeShort(-1); d.writeInt(-1); d.writeShort(0) // typlen / typmod / text fmt
       }
     }
+
+  private def sendRows(df: DataFrame, out: DataOutputStream,
+                       withDescription: Boolean = true): Unit = {
+    val schema = df.schema
+    if (withDescription) rowDescription(schema, out) // Execute relies on Describe's
     val it = df.toLocalIterator()
     var n = 0L
     while (it.hasNext) {

