@@ -577,12 +577,19 @@ object Wasm {
         case 0xfc05 => st.push(satI64(pf(st.pop()).toDouble, signed = false))
         case 0xfc06 => st.push(satI64(pd(st.pop()), signed = true))
         case 0xfc07 => st.push(satI64(pd(st.pop()), signed = false))
-        case 0xfc0a =>
-          val len = st.pop().toInt; val src = st.pop().toInt; val dst = st.pop().toInt
-          System.arraycopy(mem, src, mem, dst, len)
+        case 0xfc0a => // memory.copy: same bounds/trap discipline as loads
+          val len = st.pop().toInt.toLong & 0xffffffffL
+          val src = addr(st.pop(), 0, 0); val dst = addr(st.pop(), 0, 0)
+          if (src + len > mem.length || dst + len > mem.length)
+            throw new Trap(s"out-of-bounds memory.copy of $len bytes")
+          System.arraycopy(mem, src, mem, dst, len.toInt)
         case 0xfc0b =>
-          val len = st.pop().toInt; val v = st.pop().toByte; val dst = st.pop().toInt
-          java.util.Arrays.fill(mem, dst, dst + len, v)
+          val len = st.pop().toInt.toLong & 0xffffffffL
+          val v = st.pop().toByte
+          val dst = addr(st.pop(), 0, 0)
+          if (dst + len > mem.length)
+            throw new Trap(s"out-of-bounds memory.fill of $len bytes")
+          java.util.Arrays.fill(mem, dst, dst + len.toInt, v)
         case other =>
           throw new UnsupportedOperationException(f"WASM opcode 0x$other%02x not supported")
       }

@@ -110,12 +110,15 @@ object LakeIO {
     *  - HDFS: the two-arg rename fails when the destination exists, so a
     *    lost race is detected by the rename itself (true atomicity).
     *  - local / Checksum FS: rename(2) silently REPLACES an existing
-    *    destination, so we narrow the window by (a) a pre-rename exists
+    *    destination, so we narrow the window with (a) a pre-rename exists
     *    check and (b) re-reading the target after a successful rename and
-    *    verifying it holds OUR content — two racing committers can then
-    *    both rename, but at most one sees its own bytes and reports
-    *    success (the reference documents the same caveat for its wrapped
-    *    store, `src/object_store/wrapped.rs` rename_if_not_exists).
+    *    verifying it holds OUR content. This narrows but does NOT close
+    *    the race: a sequential rename-verify / rename-verify interleaving
+    *    lets both committers observe their own bytes. Local-FS
+    *    deployments therefore rely on the in-process locks (Catalog/
+    *    GraftTable serialize per JVM); cross-PROCESS local-FS writers are
+    *    out of scope (the reference documents the same caveat for its
+    *    wrapped store, `src/object_store/wrapped.rs` rename_if_not_exists).
     *  - S3A/GCS: rename is copy+delete (not atomic); deployments there
     *    should layer a conditional-put/DynamoDB-style commit service
     *    behind this same call.

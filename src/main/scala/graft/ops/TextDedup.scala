@@ -70,10 +70,14 @@ object TextDedup {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double, maxShingleDf: Int): DataFrame = {
     // Doc sizes and the stop-shingle cap come from groupBy aggregates
-    // over the cached shingle rows (map-side partial agg), not count
-    // windows: a window would sort the full shingle set twice just to
-    // tag counts along every row.
-    val ds = docShingles(docs, idCol, textCol, n).cache()
+    // over the shingle rows (map-side partial agg), not count windows: a
+    // window would sort the full shingle set twice just to tag counts
+    // along every row. NOT cached: the three consumers live in ONE query
+    // DAG, so Spark's ReuseExchange dedupes the identical shuffle
+    // subtrees — and a cache() here could never be unpersisted (the
+    // function returns a lazy frame), leaking executor storage on a
+    // long-running server.
+    val ds = docShingles(docs, idCol, textCol, n)
     val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     // Stop-shingle cap as a COUNT pre-pass + anti-join (the hot list is
     // tiny, so the anti-join broadcasts) — NOT a post-filter on the
@@ -149,7 +153,10 @@ object TextDedup {
     */
   def minhashDedupPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
-    val ds = docShingles(docs, idCol, textCol, n).cache()
+    // not cached (same reasoning as jaccardPairs: ReuseExchange dedupes
+    // the shared shingle subtree inside the one DAG, and a cache here
+    // could never be unpersisted)
+    val ds = docShingles(docs, idCol, textCol, n)
     // shingle-set sizes as a groupBy (map-side partial agg → doc-count-
     // sized shuffle), NOT a window: a count window would sort every
     // shingle row inside each doc partition just to tag sizes along

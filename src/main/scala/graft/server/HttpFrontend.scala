@@ -102,8 +102,11 @@ class HttpFrontend(ctx: GraftContext, port: Int,
 
   def stop(): Unit = {
     flusher.shutdown()
+    // stop accepting (and drain in-flight exchanges, up to 1 s) BEFORE the
+    // final flush — a sync batch accepted after flushAll would be
+    // acknowledged and then dropped on JVM exit
+    server.stop(1)
     try syncBuffer.flushAll() catch { case _: Throwable => () }
-    server.stop(0)
     handlerPool.shutdown()
   }
 
@@ -259,7 +262,9 @@ class HttpFrontend(ctx: GraftContext, port: Int,
     val lines = new String(ex.getRequestBody.readAllBytes(), UTF_8)
       .split("\n").filter(_.nonEmpty)
     val (schema, table) = (parts(0), parts(1))
-    val db = ctx.currentDb
+    // consistent read of the session database (a concurrent USE holds the
+    // same lock while switching)
+    val db = ctx.locked(ctx.currentDb)
     // fail unknown tables at ingest time, before the batch is acknowledged
     if (ctx.catalog.getTable(db, schema, table).isEmpty)
       return respond(ex, 400, s"unknown table $schema.$table\n")

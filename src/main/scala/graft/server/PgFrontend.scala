@@ -28,7 +28,10 @@ import org.apache.spark.sql.types._
 class PgFrontend(ctx: GraftContext, port: Int) {
 
   private val server = new ServerSocket(port)
-  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+  // one thread per LIVE connection (pg sessions are long-lived and spend
+  // their time blocked on read — a fixed pool would wedge the N+1th
+  // client behind idle sessions forever)
+  private val pool = java.util.concurrent.Executors.newCachedThreadPool()
   @volatile private var running = false
 
   def boundPort: Int = server.getLocalPort
@@ -68,10 +71,12 @@ class PgFrontend(ctx: GraftContext, port: Int) {
         in.readFully(payload)
         val b = java.nio.ByteBuffer.wrap(payload)
         def cstrIn(): String = {
-          val s = new StringBuilder
+          // collect the raw bytes and decode once: byte-wise toChar would
+          // mangle multi-byte UTF-8 (e.g. a literal 'héllo' in a Parse)
+          val bos = new java.io.ByteArrayOutputStream()
           var c = b.get
-          while (c != 0) { s += c.toChar; c = b.get }
-          s.result()
+          while (c != 0) { bos.write(c.toInt); c = b.get }
+          new String(bos.toByteArray, UTF_8)
         }
         tpe.toChar match {
           case 'Q' =>

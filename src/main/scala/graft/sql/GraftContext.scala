@@ -186,6 +186,25 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
   private val readSessions =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), SparkSession]
 
+  // staging external tables: name -> (format, resolved location, options).
+  // Temp views are per-session, so the recipe (not the view) is the source
+  // of truth — snapshots rebuild the reader from it.
+  private val stagingTables =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String, Map[String, String])]
+
+  private[sql] def readExternal(s: SparkSession, fmt: String, loc: String,
+                                options: Map[String, String]): DataFrame = fmt match {
+    case "PARQUET" => s.read.parquet(loc)
+    case "CSV" => s.read.option("header", "true").option("inferSchema", "true").csv(loc)
+    case "JSON" | "NDJSON" => s.read.json(loc)
+    case "JDBC" =>
+      // remote tables (reference datafusion_remote_tables): a live
+      // federated scan through Spark's JDBC source, which pushes
+      // column pruning, filters, and LIMIT to the remote database
+      s.read.format("jdbc").option("url", loc).options(options).load()
+    case other => throw new IllegalArgumentException(s"unsupported external format $other")
+  }
+
   private def buildSnapshot(db: String): SparkSession = {
     val s = org.apache.spark.sql.GraftSessions.cloneSession(spark)
     // the clone inherits the parent's temp views; it must expose exactly
@@ -195,6 +214,10 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
     catalog.listTables(db).foreach { case (sch, name, uuid) =>
       val view = if (sch == "public") name else s"${sch}__$name"
       new GraftTable(s, catalog.tableRoot(uuid)).read().createOrReplaceTempView(view)
+    }
+    // staging external tables are session-global (transient, not per-db)
+    stagingTables.foreach { case (name, (fmt, loc, opts)) =>
+      readExternal(s, fmt, loc, opts).createOrReplaceTempView(s"staging__$name")
     }
     SystemTables.registerInto(this, s, db)
     Functions.registerInto(this, s)
@@ -355,28 +378,21 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
             case _ => throw new IllegalArgumentException(s"bad OPTIONS entry: $kv")
           }
         }.toMap
-      // http(s) locations download to a local temp file first (the
+      // http(s) locations download to a local temp file ONCE (the
       // reference's object_store/http.rs reads over HTTP with range
       // requests; a one-shot download is the minimum slice — SURVEY §2.1).
       // Scheme-specific: JDBC "locations" are connection URLs, not files.
-      def fileLoc: String =
-        if (loc.startsWith("http://") || loc.startsWith("https://"))
+      val fmtUp = fmt.toUpperCase
+      val resolvedLoc =
+        if (fmtUp != "JDBC" && (loc.startsWith("http://") || loc.startsWith("https://")))
           downloadToTmp(loc, fmt.toLowerCase)
         else loc
-      val df = fmt.toUpperCase match {
-        case "PARQUET" => spark.read.parquet(fileLoc)
-        case "CSV" => spark.read.option("header", "true").option("inferSchema", "true").csv(fileLoc)
-        case "JSON" | "NDJSON" => spark.read.json(fileLoc)
-        case "JDBC" =>
-          // remote tables (reference datafusion_remote_tables): a live
-          // federated scan through Spark's JDBC source, which pushes
-          // column pruning, filters, and LIMIT to the remote database
-          spark.read.format("jdbc").option("url", loc).options(options).load()
-        case other => throw new IllegalArgumentException(s"unsupported external format $other")
-      }
-      // external tables land in the transient `staging` schema only
-      // (reference src/context/mod.rs:124-148)
-      df.createOrReplaceTempView(s"staging__$name")
+      // validate eagerly on the main session, then record the recipe so
+      // read snapshots (buildSnapshot) re-register the same view — a
+      // staging table must stay visible to the lock-free read path
+      readExternal(spark, fmtUp, resolvedLoc, options)
+        .createOrReplaceTempView(s"staging__$name")
+      stagingTables(name) = (fmtUp, resolvedLoc, options)
       emptyResult
     case reCreateTableAs(qname, query) =>
       val (sch, name) = splitName(qname)

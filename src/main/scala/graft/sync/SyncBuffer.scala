@@ -3,7 +3,6 @@ package graft.sync
 import scala.collection.mutable
 
 import graft.sql.GraftContext
-import org.apache.spark.sql.functions.lit
 
 /** Buffering CDC writer: the in-memory stage between the sync endpoint and
   * the lake (reference `src/sync/writer.rs:27-129,336-387` + flush task
@@ -17,11 +16,16 @@ import org.apache.spark.sql.functions.lit
   *     task sweeps ages), or
   *   - shutdown (`flushAll`).
   *
-  * Cross-batch squash happens inside the single merge: batches are
-  * unioned with a `__batch` ordinal, and SyncMerge's last-write-per-PK
-  * squash orders by (batch, _seq) — so 50 small POSTs touching the same
-  * keys produce one rewritten file set, not 50 versions of manifest churn
-  * and small files.
+  * Cross-batch squash happens driver-side before the single merge, by
+  * FOLDING the buffered changes in arrival order into PK chains (the
+  * reference's physical squash, `src/sync/utils.rs` squash_batches):
+  * insert→update collapses to one insert carrying the resolved values
+  * (Changed=false keeps the earlier write, not a placeholder), A→B→C PK
+  * moves collapse to A→C (no stale intermediate row), insert→delete
+  * vanishes. SyncMerge's own last-write-per-PK squash would corrupt
+  * exactly these chains — its contract is one hop per batch — so the
+  * buffer must hand it chain-free rows. 50 small POSTs still produce one
+  * rewritten file set, not 50 versions of manifest churn.
   *
   * Watermarks: an origin's MEMORY sequence advances on enqueue (the batch
   * is acknowledged and will not be re-applied on redelivery); its DURABLE
@@ -100,23 +104,29 @@ class SyncBuffer(ctx: GraftContext,
     try {
       val spark = ctx.spark
       import org.apache.spark.sql.Encoders
-      // one DataFrame over every queued batch; the batch ordinal breaks
-      // _seq ties across batches so the merge's squash keeps the LAST
-      // write per PK in arrival order (cross-batch squash)
-      val all = batches.zipWithIndex.map { case (b, i) =>
-        spark.read.json(spark.createDataset(b.lines.toIndexedSeq)(Encoders.STRING))
-          .withColumn("__batch", lit(i))
-      }.reduce(_.unionByName(_, allowMissingColumns = true))
+      val pkCols = batches.head.pkCols
+      val valueCols = batches.head.valueCols
+      val squashed = squashChains(batches.iterator.flatMap(_.lines), pkCols, valueCols)
+      val all = spark.read.json(spark.createDataset(squashed)(Encoders.STRING))
       ctx.locked {
         val uuid = ctx.catalog.getTable(key.db, key.schema, key.table).getOrElse(
           throw new IllegalArgumentException(s"unknown table ${key.schema}.${key.table}"))
         val table = new graft.lake.GraftTable(spark, ctx.catalog.tableRoot(uuid))
-        val version = SyncMerge.merge(table, all, batches.head.pkCols, batches.head.valueCols)
+        val version = SyncMerge.merge(table, all, pkCols, valueCols)
         ctx.markDirty()
-        // durable watermarks advance only AFTER the merge committed
+        // durable watermarks advance only AFTER the merge committed, and
+        // never past a LOWER sequence from the same origin still buffered
+        // for another table — overshooting would tell the source not to
+        // redeliver data a crash could still lose
+        val stillBuffered = queues.values.flatten
+          .flatMap(b => b.origin.zip(b.seq)).toSeq.groupBy(_._1)
         batches.flatMap(b => b.origin.zip(b.seq))
           .groupBy(_._1).map { case (o, xs) => o -> xs.map(_._2).max }
-          .foreach { case (o, n) => ctx.catalog.advanceSyncSeq(o, n) }
+          .foreach { case (o, n) =>
+            val cap = stillBuffered.get(o).map(_.map(_._2).min - 1).getOrElse(n)
+            val adv = math.min(n, cap)
+            if (adv > Long.MinValue) ctx.catalog.advanceSyncSeq(o, adv)
+          }
         version
       }
     } catch {
@@ -128,5 +138,92 @@ class SyncBuffer(ctx: GraftContext,
         q.prependAll(batches)
         throw e
     }
+  }
+
+  // --- chain-following squash ----------------------------------------------
+
+  import graft.lake.Manifest.Json
+  import graft.lake.Manifest.jstr
+
+  private def unparse(v: Json.V): String = v match {
+    case Json.S(s) => jstr(s)
+    case Json.N(n) =>
+      // integral doubles re-emit as integers so PK/BIGINT columns keep
+      // their JSON-inferred type through the rebuild
+      if (n.isWhole && math.abs(n) < 9.007199254740992e15) n.toLong.toString else n.toString
+    case Json.B(b) => b.toString
+    case Json.Null => "null"
+    case Json.A(xs) => xs.map(unparse).mkString("[", ",", "]")
+    case Json.O(m) => m.map { case (k, x) => jstr(k) + ":" + unparse(x) }.mkString("{", ",", "}")
+  }
+
+  /** Fold change rows (in arrival order) into one chain-free row per
+    * affected key: old PK = the chain's ORIGINAL identity, new PK = its
+    * final one, each value column = the last write with Changed=true (or
+    * untouched, keeping the base's). Emits JSON lines SyncMerge can
+    * squash trivially (every key appears once, no multi-hop chains). */
+  private[sync] def squashChains(lines: Iterator[String],
+                                 pkCols: Seq[String], valueCols: Seq[String]): Seq[String] = {
+    final class Chain(val origOld: Option[Seq[Json.V]],
+                      var curNew: Option[Seq[Json.V]],
+                      val vals: mutable.LinkedHashMap[String, (Json.V, Boolean)])
+    def keyOf(pks: Seq[Json.V]): String = pks.map(unparse).mkString("\u0000")
+    // chains are looked up by their CURRENT new-pk (the next hop's old-pk)
+    val byNew = mutable.LinkedHashMap.empty[String, Chain]
+    val deletes = mutable.ArrayBuffer.empty[Chain]
+    lines.foreach { line =>
+      val row = Json.parse(line).asInstanceOf[Json.O].m
+      def pkSide(prefix: String): Option[Seq[Json.V]] = {
+        val vs = pkCols.map(c => row.getOrElse(s"$prefix$c", Json.Null))
+        if (vs.forall(_ == Json.Null)) None else Some(vs)
+      }
+      val oldPk = pkSide("old_")
+      val newPk = pkSide("new_")
+      def rowVals: Seq[(String, (Json.V, Boolean))] = valueCols.map { c =>
+        val changed = row.get(s"changed_$c") match {
+          case Some(Json.B(false)) => false
+          case _ => true // no flag = the batch's value applies
+        }
+        c -> ((row.getOrElse(c, Json.Null), changed))
+      }
+      val chain = oldPk.map(keyOf).flatMap(byNew.remove) match {
+        case Some(ch) => // continues an existing chain: merge values
+          ch.curNew = newPk
+          rowVals.foreach { case (c, (v, changed)) => if (changed) ch.vals(c) = (v, true) }
+          ch
+        case None =>
+          new Chain(oldPk, newPk, mutable.LinkedHashMap(rowVals: _*))
+      }
+      newPk match {
+        case Some(n) =>
+          // a chain already ending at this key loses the race (last write
+          // wins) — but its original row was still consumed: keep a delete
+          byNew.put(keyOf(n), chain).foreach { displaced =>
+            if (displaced.origOld.isDefined) deletes += displaced
+          }
+        case None => // delete: an insert+delete chain is a no-op
+          if (chain.origOld.isDefined) deletes += chain
+      }
+    }
+    def emit(ch: Chain, asDelete: Boolean, seq: Int): String = {
+      val olds = pkCols.zipWithIndex.map { case (c, i) =>
+        jstr(s"old_$c") + ":" + ch.origOld.map(o => unparse(o(i))).getOrElse("null")
+      }
+      val news = pkCols.zipWithIndex.map { case (c, i) =>
+        jstr(s"new_$c") + ":" + (if (asDelete) "null"
+          else ch.curNew.map(n => unparse(n(i))).getOrElse("null"))
+      }
+      val vals =
+        if (asDelete) Seq.empty
+        else ch.vals.toSeq.flatMap { case (c, (v, changed)) =>
+          Seq(jstr(c) + ":" + unparse(v), jstr(s"changed_$c") + ":" + changed)
+        }
+      (olds ++ news ++ vals :+ (jstr("_seq") + ":" + seq)).mkString("{", ",", "}")
+    }
+    val out = Seq.newBuilder[String]
+    var i = 0
+    deletes.foreach { ch => out += emit(ch, asDelete = true, i); i += 1 }
+    byNew.values.foreach { ch => out += emit(ch, asDelete = false, i); i += 1 }
+    out.result()
   }
 }

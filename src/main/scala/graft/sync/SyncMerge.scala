@@ -44,20 +44,13 @@ object SyncMerge {
     val anyOld = pkCols.map(oldPk(_).isNotNull).reduce(_ || _)
     val anyNew = pkCols.map(newPk(_).isNotNull).reduce(_ || _)
 
-    // 1. squash: last change per affected PK wins. A buffered flush
-    // (SyncBuffer) tags rows with a `__batch` ordinal — ordering by
-    // (batch, _seq) makes the squash CROSS-batch: per-batch sequence
-    // numbers may restart, but arrival order across batches still decides
-    // the surviving write.
+    // 1. squash: last change per affected PK wins
     val keyed = changes.withColumn("__key",
       struct(pkCols.map(c => coalesce(oldPk(c), newPk(c))): _*))
     val seqCol = if (changes.columns.contains("_seq")) col("_seq") else monotonically_increasing_id()
-    val ordering =
-      if (changes.columns.contains("__batch")) Seq(col("__batch").desc, seqCol.desc)
-      else Seq(seqCol.desc)
     val squashed = keyed
       .withColumn("__rn", row_number().over(
-        Window.partitionBy("__key").orderBy(ordering: _*)))
+        Window.partitionBy("__key").orderBy(seqCol.desc)))
       .filter(col("__rn") === 1)
       .drop("__rn", "__key")
       .cache()

@@ -192,6 +192,16 @@ class HttpSpec extends SparkSpec {
       f"two concurrent reads took $both%.2f s vs $single%.2f s single — reads are serialized")
   }
 
+  test("staging external tables are visible to the lock-free read path") {
+    val f = java.nio.file.Files.createTempFile("graft-staging", ".csv")
+    java.nio.file.Files.writeString(f, "k,v\n1,a\n2,b\n")
+    val r = post("/q", s"CREATE EXTERNAL TABLE sx STORED AS CSV LOCATION '$f'", auth)
+    assert(r.statusCode() === 200, r.body())
+    // GET runs on a snapshot session — the staging view must be there too
+    val q = get("/q/" + java.net.URLEncoder.encode("SELECT COUNT(*) AS n FROM staging.sx", UTF_8))
+    assert(q.statusCode() === 200 && q.body() === "{\"n\":2}\n", q.body())
+  }
+
   test("plan-based ETag: string literals don't pollute the fingerprint") {
     post("/q", "CREATE TABLE ett (a BIGINT); INSERT INTO ett VALUES (1)", auth)
     // the table name appears ONLY inside a string literal — the regex
@@ -221,6 +231,46 @@ class HttpSpec extends SparkSpec {
     // while an un-pinned read of the same table DID move
     val live = "/q/" + java.net.URLEncoder.encode("SELECT count(*) AS n FROM tt_pin", UTF_8)
     assert(get(live).body() === "{\"n\":2}\n")
+  }
+
+  test("CDC buffering: chained changes across buffered batches squash correctly") {
+    post("/q", "CREATE TABLE cht (id BIGINT, v DOUBLE, tag VARCHAR)", auth)
+    val cfe = new HttpFrontend(ctx, 0, writeToken = Some("w0bble"),
+      syncMaxRows = 1000000, syncMaxBatches = 64, syncMaxAgeMs = 600000)
+    cfe.start()
+    val cbase = s"http://127.0.0.1:${cfe.boundPort}"
+    def cpost(body: String): Unit = {
+      val b = HttpRequest.newBuilder(URI.create(cbase + "/sync/public/cht?pk=id&values=v,tag"))
+        .POST(HttpRequest.BodyPublishers.ofString(body, UTF_8))
+        .header("Authorization", "Bearer w0bble")
+      assert(client.send(b.build(), HttpResponse.BodyHandlers.ofString()).statusCode() === 200)
+    }
+    try {
+      val root = ctx.catalog.tableRoot(ctx.catalog.getTable("default", "public", "cht").get)
+      val v0 = graft.lake.Manifest.listVersions(root).size
+      // chain A: insert then update with changed_tag=false — the resolved
+      // row must keep the INSERT's tag, not the update's placeholder
+      cpost("""{"old_id":null,"new_id":1,"v":1.0,"tag":"a","_seq":1}""")
+      cpost("""{"old_id":1,"new_id":1,"v":2.0,"tag":"JUNK","changed_v":true,"changed_tag":false,"_seq":1}""")
+      // chain B: PK moves 10 -> 11 -> 12 across three batches — only the
+      // final identity may exist
+      cpost("""{"old_id":null,"new_id":10,"v":5.0,"tag":"m","_seq":1}""")
+      cpost("""{"old_id":10,"new_id":11,"v":6.0,"tag":"m","_seq":1}""")
+      cpost("""{"old_id":11,"new_id":12,"v":7.0,"tag":"m","_seq":1}""")
+      // chain C: insert then delete — a no-op
+      cpost("""{"old_id":null,"new_id":20,"v":9.0,"tag":"x","_seq":1}""")
+      cpost("""{"old_id":20,"new_id":null,"v":null,"tag":null,"_seq":1}""")
+      cfe.flushSync()
+      assert(graft.lake.Manifest.listVersions(root).size === v0 + 1, "one commit for the queue")
+      val got = get("/q/" + java.net.URLEncoder.encode("SELECT id, v, tag FROM cht ORDER BY id", UTF_8))
+      assert(got.body() ===
+        "{\"id\":1,\"v\":2.0,\"tag\":\"a\"}\n{\"id\":12,\"v\":7.0,\"tag\":\"m\"}\n", got.body())
+      // changed=false against a FLUSHED base row keeps the base's value
+      cpost("""{"old_id":12,"new_id":12,"v":8.0,"tag":"IGNORED","changed_v":true,"changed_tag":false,"_seq":1}""")
+      cfe.flushSync()
+      val got2 = get("/q/" + java.net.URLEncoder.encode("SELECT v, tag FROM cht WHERE id = 12", UTF_8))
+      assert(got2.body() === "{\"v\":8.0,\"tag\":\"m\"}\n", got2.body())
+    } finally cfe.stop()
   }
 
   test("CDC buffering: an aged batch flushes without further traffic") {
