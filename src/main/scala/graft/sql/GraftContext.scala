@@ -296,7 +296,9 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
         case _ => java.util.regex.Matcher.quoteReplacement(m.group(0))
       }
     })
-    // qualified non-public names -> backticked flat view names
+    // qualified non-public names -> backticked flat view names. Applied
+    // OUTSIDE string literals only: a literal mentioning
+    // 'system.table_versions' is content, not a table reference.
     val nonPublic = catalog.listTables(db).filter(_._1 != "public") ++
       Seq(("system", "table_versions", ""), ("system", "dropped_tables", ""),
         ("information_schema", "tables", ""), ("information_schema", "columns", ""),
@@ -304,13 +306,31 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
         ("information_schema", "parameters", ""), ("information_schema", "schemata", ""),
         ("information_schema", "views", ""),
         ("staging", "", ""))
-    nonPublic.foreach { case (sch, name, _) =>
-      if (name.nonEmpty)
-        sql = sql.replaceAll(s"(?i)(?<![`\\w])$sch\\.$name(?![`\\w])", s"${sch}__$name")
+    mapOutsideLiterals(sql) { seg0 =>
+      var seg = seg0
+      nonPublic.foreach { case (sch, name, _) =>
+        if (name.nonEmpty)
+          seg = seg.replaceAll(s"(?i)(?<![`\\w])$sch\\.$name(?![`\\w])", s"${sch}__$name")
+      }
+      // staging external tables are registered on creation with flat names
+      seg.replaceAll("(?i)(?<![`\\w])staging\\.(\\w+)(?![`\\w])", "staging__$1")
     }
-    // staging external tables are registered on creation with flat names
-    sql = sql.replaceAll("(?i)(?<![`\\w])staging\\.(\\w+)(?![`\\w])", "staging__$1")
-    sql
+  }
+
+  /** Apply `f` to the spans of `sql` OUTSIDE single-quoted string
+    * literals, preserving the literals verbatim. Doubled quotes ('') form
+    * adjacent literals, so escaped content never leaks into `f`. */
+  private def mapOutsideLiterals(sql: String)(f: String => String): String = {
+    val out = new StringBuilder
+    val seg = new StringBuilder
+    var inS = false
+    sql.foreach { c =>
+      if (!inS && c == '\'') { out.append(f(seg.result())); seg.clear(); inS = true; out.append(c) }
+      else if (inS) { if (c == '\'') inS = false; out.append(c) }
+      else seg.append(c)
+    }
+    out.append(f(seg.result()))
+    out.result()
   }
 
   /** Run a read-only (or Spark-handled) statement through Catalyst. */

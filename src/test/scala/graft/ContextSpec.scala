@@ -332,6 +332,20 @@ class ContextSpec extends SparkSpec {
     assert(rootMessages(e).exists(_.contains("wasmMessagePack execution is not supported")), e.getMessage)
   }
 
+  test("qualified names inside string literals are not rewritten") {
+    val c = ctx()
+    val r = c.execute(
+      "SELECT 'see system.table_versions and staging.foo' AS s").collect()
+    assert(r.head.getString(0) === "see system.table_versions and staging.foo")
+    // while a real reference right next to a literal still rewrites
+    c.execute("CREATE TABLE litref (a BIGINT)")
+    c.execute("INSERT INTO litref VALUES (4)")
+    val r2 = c.execute(
+      "SELECT 'system.table_versions' AS s, COUNT(*) AS n FROM system.table_versions WHERE table_name = 'litref'")
+      .collect().head
+    assert(r2.getString(0) === "system.table_versions" && r2.getLong(1) === 2L)
+  }
+
   test("comments: semicolons inside comments don't split; leading comments dispatch") {
     val c = ctx()
     // leading block comment before CREATE, line comment with a semicolon,
