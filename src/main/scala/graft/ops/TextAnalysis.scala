@@ -83,13 +83,19 @@ object TextAnalysis {
         .cast(LongType).as("re_tokens"))
 
   /** Document fingerprint: concatenation of the 3 lexicographically
-    * smallest md5(5-gram shingle) digests — a compact content signature
-    * robust to local edits (winnowing-style min-selection). */
+    * smallest DISTINCT md5(5-gram shingle) digests — a compact content
+    * signature robust to local edits (winnowing-style min-selection).
+    *
+    * One bounded-state aggregate over NON-distinct shingle rows
+    * (MinKMd5Aggregate dedupes inside its ≤3-digest buffer), so the
+    * pipeline is a single shuffle whose map-side partials carry at most 3
+    * digests per (doc, partition) — vs. the declarative form's distinct
+    * exchange + collect_list of every digest + per-group sort. */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    TextDedup.docShingles(docs, idCol, textCol, 5)
-      .select(col("doc_id"), md5(col("shingle")).as("h"))
+    TextDedup.docShingleRows(docs, idCol, textCol, 5)
       .groupBy("doc_id")
-      .agg(array_join(slice(sort_array(collect_list(col("h"))), 1, 3), "").as("fingerprint"))
+      .agg(array_join(
+        graft.functions.MinKMd5Aggregate.min_k_md5(col("shingle"), 3), "").as("fingerprint"))
 
   /** Deterministic train/val/test assignment: the first 16 hex chars of
     * md5(salt || ':' || id) are a uniform 64-bit draw, and comparing the
@@ -123,15 +129,34 @@ object TextAnalysis {
   def contaminationCheck(docs: DataFrame, idCol: String, textCol: String,
                          splitCol: String, n: Int,
                          threshold: Double): DataFrame = {
-    val sh = TextDedup.docShingles(
-      docs.select(col(idCol), col(textCol), col(splitCol)), idCol, textCol, n)
-      .join(docs.select(col(idCol).as("doc_id"), col(splitCol)), "doc_id")
-    val trainShingles = sh.filter(col(splitCol) === "train")
-      .select("shingle").distinct().withColumn("__in_train", lit(1))
-    sh.filter(col(splitCol) === "test")
-      .join(trainShingles, Seq("shingle"), "left")
+    // Shingles are keyed by their 64-bit xxhash, not the raw n-gram string:
+    // every exchange then moves 8-byte longs instead of ~6-word strings,
+    // and distinctness/overlap are computed on the hash (a cross-shingle
+    // collision — 2^-64 per pair — is the standard dedup-pipeline trade).
+    // 'val'-split docs can't contribute to either side, so they're dropped
+    // before the (expensive) shingle explosion.
+    val sh = TextDedup.spreadSmallInput(
+        docs.filter(col(splitCol).isin("train", "test")))
+      .select(col(idCol).as("doc_id"), col(splitCol).as("__split"),
+        split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), col("__split"), col("w"),
+        explode(sequence(lit(1), size(col("w")) - (n - 1))).as("i"))
+      .select(col("doc_id"), col("__split"),
+        xxhash64(concat_ws(" ",
+          (0 until n).map(k => element_at(col("w"), col("i") + k)): _*)).as("sh64"))
+    // ONE shuffle keyed on the shingle hash resolves train-membership and
+    // the distinct test-doc set per shingle together (collect_set dedupes
+    // repeat occurrences; its per-key state is bounded by the shingle's
+    // TEST-split document frequency — the eval set, tiny next to the
+    // corpus, so no unbounded hot-key state at scale); then one small
+    // shuffle on doc_id aggregates the per-doc overlap.
+    sh.groupBy("sh64")
+      .agg(max(when(col("__split") === "train", 1).otherwise(0)).as("in_train"),
+        collect_set(when(col("__split") === "test", col("doc_id"))).as("test_ids"))
+      .select(col("in_train"), explode(col("test_ids")).as("doc_id"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_sh"), sum(coalesce(col("__in_train"), lit(0))).as("n_overlap"))
+      .agg(count(lit(1)).as("n_sh"), sum(col("in_train")).cast(LongType).as("n_overlap"))
       .withColumn("overlap_frac", col("n_overlap").cast(DoubleType) / col("n_sh"))
       .withColumn("contaminated", col("overlap_frac") >= threshold)
   }
@@ -184,9 +209,13 @@ object TextAnalysis {
         concat(col("h"), lpad((lit(99999999) - col("i")).cast(StringType), 8, "0")))
       .withColumn("sel", min("key").over(win))
       .filter(col("i") >= w) // complete windows only (positions are 1-based)
+      // dedup on (doc_id, sel) BEFORE projecting pos/fp: the aggregation
+      // reuses the window's doc_id partitioning (no new exchange), and the
+      // pos/fp substrings run once per selected fingerprint instead of
+      // once per window row
+      .groupBy("doc_id", "sel").agg(lit(1).as("__one"))
       .select(col("doc_id"),
         (lit(99999999L) - substring(col("sel"), 17, 8).cast(LongType)).as("pos"),
         substring(col("sel"), 1, 16).as("fp"))
-      .distinct()
   }
 }

@@ -26,6 +26,13 @@ object TextDedup {
     * codegen'd element_at indexing over an exploded start-index range.
     */
   def docShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docShingleRows(docs, idCol, textCol, n).distinct()
+
+  /** Positional (id, shingle) rows WITHOUT the distinct pass — one row per
+    * shingle occurrence. For consumers whose aggregate dedupes internally
+    * (e.g. the bounded min-k fingerprint), skipping the distinct exchange
+    * removes the largest shuffle of the pipeline. */
+  def docShingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     spreadSmallInput(docs)
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
       .filter(size(col("w")) >= n)
@@ -33,13 +40,12 @@ object TextDedup {
         explode(sequence(lit(1), size(col("w")) - (n - 1))).as("i"))
       .select(col("doc_id"),
         concat_ws(" ", (0 until n).map(k => element_at(col("w"), col("i") + k)): _*).as("shingle"))
-      .distinct()
 
   /** A corpus smaller than the core count arrives in fewer partitions
     * than cores (a 100-doc parquet file is ONE split), so every shingle/
     * hash projection above it runs single-threaded. Spread it once —
     * a no-op at scale, where file splits already exceed parallelism. */
-  private def spreadSmallInput(docs: DataFrame): DataFrame = {
+  private[ops] def spreadSmallInput(docs: DataFrame): DataFrame = {
     val target = docs.sparkSession.sparkContext.defaultParallelism
     if (docs.rdd.getNumPartitions < target) docs.repartition(target) else docs
   }

@@ -507,17 +507,20 @@ object Relational {
       // two aggregation passes joined on the tiny group key: mixing a
       // DISTINCT aggregate with sketch/percentile aggregates in one agg
       // forces an Expand plan that multiplies the input rows per
-      // aggregate — 4x the data through the shuffle for no reason
+      // aggregate — 4x the data through the shuffle for no reason.
+      // The HLL sketch rides the exact-distinct pass: HLL registers are
+      // duplicate-insensitive (max over hashes), so sketching the distinct
+      // (flag, partkey) set yields the identical estimate while reading a
+      // third of the rows; the remaining sketch pass carries only the two
+      // percentile aggregates (no Expand, one ObjectHashAggregate).
+      val exact = li(s, d).select(col("l_returnflag"), col("l_partkey")).distinct()
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("exact_parts"),
+          approx_count_distinct(col("l_partkey")).as("acd"))
       val sketches = li(s, d).groupBy("l_returnflag")
         .agg(
-          approx_count_distinct(col("l_partkey")).as("acd"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("amed"),
           expr("percentile(l_extendedprice, 0.5)").as("emed"))
-      // distinct-then-count beats the planner's two-phase countDistinct:
-      // the pre-aggregated (flag, partkey) shuffle is smaller and fully
-      // map-side-combined
-      val exact = li(s, d).select(col("l_returnflag"), col("l_partkey")).distinct()
-        .groupBy("l_returnflag").agg(count(lit(1)).as("exact_parts"))
       exact.join(sketches, "l_returnflag")
         .select(col("l_returnflag"), col("exact_parts"),
           (abs(col("acd") - col("exact_parts")) <= col("exact_parts") * 0.10).as("cd_ok"),
