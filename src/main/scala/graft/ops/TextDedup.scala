@@ -83,20 +83,26 @@ object TextDedup {
     // subtrees — and a cache() here could never be unpersisted (the
     // function returns a lazy frame), leaking executor storage on a
     // long-running server.
-    val ds = docShingles(docs, idCol, textCol, n)
+    // Shingles are keyed by their 64-bit xxhash from here on: every
+    // exchange and join moves 8-byte longs instead of n-word strings
+    // (a cross-shingle collision — 2^-64 per pair — is the standard
+    // dedup-pipeline trade; the declared jaccard output is unchanged).
+    val ds = docShingleRows(docs, idCol, textCol, n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh64"))
+      .distinct()
     val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     // Stop-shingle cap as a COUNT pre-pass + anti-join (the hot list is
     // tiny, so the anti-join broadcasts) — NOT a post-filter on the
     // collected doc lists below: a boilerplate shingle present in
     // millions of documents would make its collect_set key unbounded.
-    val hot = ds.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxShingleDf).select("shingle")
+    val hot = ds.groupBy("sh64").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf).select("sh64")
     // Inverted index: docs sharing a shingle, pairs exploded from the
     // per-shingle doc list (bounded by the df cap, so ≤ cap²/2 pairs per
     // shingle) — one shuffle where a self-join would shuffle the shingle
     // set twice and sort both sides.
-    val bySh = ds.join(hot, Seq("shingle"), "left_anti")
-      .groupBy("shingle").agg(collect_set(col("doc_id")).as("ids"))
+    val bySh = ds.join(hot, Seq("sh64"), "left_anti")
+      .groupBy("sh64").agg(collect_set(col("doc_id")).as("ids"))
       .filter(size(col("ids")) >= 2)
     bySh
       .select(col("ids"), explode(col("ids")).as("id1"))
@@ -162,19 +168,26 @@ object TextDedup {
     // not cached (same reasoning as jaccardPairs: ReuseExchange dedupes
     // the shared shingle subtree inside the one DAG, and a cache here
     // could never be unpersisted)
-    val ds = docShingles(docs, idCol, textCol, n)
+    val rows = docShingleRows(docs, idCol, textCol, n)
+    // the signature aggregate consumes POSITIONAL shingle rows: MIN is
+    // duplicate-insensitive, so the distinct exchange the declarative
+    // spec implies is pure overhead for the signature path
+    val sigs = minhashSignatures(rows, k)
+    // sizes + exact verification work on the distinct (doc, shingle-hash)
+    // set — 8-byte longs through every downstream exchange/join instead
+    // of n-word strings (2^-64 collision trade, declared output unchanged)
+    val ds = rows.select(col("doc_id"), xxhash64(col("shingle")).as("sh64")).distinct()
     // shingle-set sizes as a groupBy (map-side partial agg → doc-count-
     // sized shuffle), NOT a window: a count window would sort every
     // shingle row inside each doc partition just to tag sizes along
     val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val sigs = minhashSignatures(ds, k)
     val cands = lshCandidates(lshBuckets(sigs, bands, k / bands))
     // exact-Jaccard verification of the candidates: shingle-set
     // intersection via two keyed joins; sizes join the (small) verified
     // pair set at the end
     cands
       .join(ds.as("sa"), col("id1") === col("sa.doc_id"))
-      .join(ds.as("sb"), col("id2") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .join(ds.as("sb"), col("id2") === col("sb.doc_id") && col("sa.sh64") === col("sb.sh64"))
       .groupBy("id1", "id2")
       .agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("doc_id"), col("sz").as("sz1")), col("id1") === col("doc_id"))
