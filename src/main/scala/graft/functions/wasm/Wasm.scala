@@ -35,8 +35,13 @@ object Wasm {
   class Module(bytes: Array[Byte]) {
     private val in = new Reader(bytes)
     var types: Vector[FuncType] = Vector.empty
-    var funcTypeIdx: Vector[Int] = Vector.empty
-    var funcs: Vector[FuncDef] = Vector.empty
+    var funcTypeIdx: Vector[Int] = Vector.empty // GLOBAL function index space
+    var funcs: Vector[FuncDef] = Vector.empty // module-defined funcs only
+    /** (module, name) of imported functions; they occupy indices
+      * 0..numImports-1 of the function index space (WASM spec) and are
+      * dispatched to host stubs (the WASI surface a Rust `wasm32-wasi`
+      * module links even when unused). */
+    var importedFuncs: Vector[(String, String)] = Vector.empty
     var exports: Map[String, (Int, Int)] = Map.empty // name -> (kind, idx)
     var memPages: Int = 0
     var globalsInit: Vector[Long] = Vector.empty
@@ -44,6 +49,8 @@ object Wasm {
     var data: Vector[(Int, Array[Byte])] = Vector.empty
     var startFunc: Option[Int] = None
     parse()
+
+    def numImports: Int = importedFuncs.size
 
     def funcType(f: Int): FuncType = types(funcTypeIdx(f))
 
@@ -68,11 +75,20 @@ object Wasm {
               val rs = Seq.fill(in.uleb32())(in.byte())
               FuncType(ps, rs)
             }
-          case 2 => // imports: the raw-numeric ABI has none (no WASI)
-            val n = in.uleb32()
-            if (n > 0) throw new UnsupportedOperationException(
-              "WASM module declares imports (WASI?): only self-contained raw-numeric modules are supported")
-          case 3 => funcTypeIdx = Vector.fill(in.uleb32())(in.uleb32())
+          case 2 => // imports: function imports become host stubs (WASI);
+            // memory/table/global imports stay unsupported
+            (0 until in.uleb32()).foreach { _ =>
+              val mod = new String(in.bytes(in.uleb32()), "UTF-8")
+              val name = new String(in.bytes(in.uleb32()), "UTF-8")
+              in.byte() match {
+                case 0 =>
+                  importedFuncs :+= (mod, name)
+                  funcTypeIdx :+= in.uleb32()
+                case kind => throw new UnsupportedOperationException(
+                  s"WASM import $mod.$name of kind $kind (non-function) is not supported")
+              }
+            }
+          case 3 => funcTypeIdx = funcTypeIdx ++ Vector.fill(in.uleb32())(in.uleb32())
           case 4 => // tables: single funcref table
             (0 until in.uleb32()).foreach { _ =>
               in.byte() // elem type (0x70 funcref)
@@ -86,6 +102,9 @@ object Wasm {
               val flags = in.byte()
               val min = in.uleb32()
               if ((flags & 1) == 1) in.uleb32()
+              if (min > MaxPages) throw new UnsupportedOperationException(
+                s"WASM module declares $min min memory pages, exceeding the " +
+                  s"$MaxPages-page (${MaxPages / 16} MiB) cap")
               memPages = min
             }
           case 6 => // globals: init exprs are const (or prior global.get)
@@ -122,7 +141,7 @@ object Wasm {
               }
               val body = parseInstrs(stopOnElse = false)._1
               require(in.pos == bodyEnd, s"function $i body mis-parsed")
-              FuncDef(funcTypeIdx(i), nLocals, body)
+              FuncDef(funcTypeIdx(numImports + i), nLocals, body)
             }
           case 11 => // data segments (active, memory 0)
             data = Vector.fill(in.uleb32()) {
@@ -267,7 +286,8 @@ object Wasm {
     /** Call function `idx` with raw-lane args; returns the raw result lane
       * (0 for void). */
     def invoke(idx: Int, args: Array[Long]): Long = {
-      val fd = module.funcs(idx)
+      if (idx < module.numImports) return hostCall(idx, args)
+      val fd = module.funcs(idx - module.numImports)
       val ft = module.funcType(idx)
       if (args.length != ft.params.size)
         throw new IllegalArgumentException(
@@ -277,6 +297,61 @@ object Wasm {
       val st = new Stack
       exec(fd.body, locals, st)
       if (ft.results.nonEmpty) st.pop() else 0L
+    }
+
+    /** Bounds-checked guest-memory access for host-side ABIs (msgpack). */
+    def readMemory(ptr: Int, len: Int): Array[Byte] = {
+      if (ptr < 0 || len < 0 || ptr.toLong + len > mem.length)
+        throw new Trap(s"out-of-bounds host read of $len bytes at $ptr")
+      java.util.Arrays.copyOfRange(mem, ptr, ptr + len)
+    }
+    def writeMemory(ptr: Int, bytes: Array[Byte]): Unit = {
+      if (ptr < 0 || ptr.toLong + bytes.length > mem.length)
+        throw new Trap(s"out-of-bounds host write of ${bytes.length} bytes at $ptr")
+      System.arraycopy(bytes, 0, mem, ptr, bytes.length)
+    }
+    def readI32(ptr: Int): Int = {
+      if (ptr < 0 || ptr + 4 > mem.length)
+        throw new Trap(s"out-of-bounds host read of 4 bytes at $ptr")
+      mb.getInt(ptr)
+    }
+    def writeI32(ptr: Int, v: Int): Unit = {
+      if (ptr < 0 || ptr + 4 > mem.length)
+        throw new Trap(s"out-of-bounds host write of 4 bytes at $ptr")
+      mb.putInt(ptr, v)
+    }
+
+    /** Minimal WASI-preview1 stubs: enough for a `wasm32-wasi` Rust module
+      * that never actually does I/O (the reference links full WASI; its
+      * msgpack test module only touches fd_write/environ/proc_exit on the
+      * panic path). Everything else traps by name. */
+    private def hostCall(idx: Int, a: Array[Long]): Long = {
+      val (m, name) = module.importedFuncs(idx)
+      if (m != "wasi_snapshot_preview1" && m != "wasi_unstable")
+        throw new Trap(s"call to unlinked import $m.$name")
+      name match {
+        case "fd_write" => // discard bytes, report them all written
+          val iovs = a(1).toInt
+          val n = a(2).toInt
+          var total = 0
+          var i = 0
+          while (i < n) { total += readI32(iovs + 8 * i + 4); i += 1 }
+          writeI32(a(3).toInt, total)
+          0L
+        case "environ_sizes_get" | "args_sizes_get" =>
+          writeI32(a(0).toInt, 0); writeI32(a(1).toInt, 0); 0L
+        case "environ_get" | "args_get" => 0L
+        case "random_get" => // deterministic: zero-fill
+          val p = a(0).toInt
+          val len = a(1).toInt
+          if (p < 0 || len < 0 || p.toLong + len > mem.length)
+            throw new Trap(s"out-of-bounds random_get of $len bytes at $p")
+          java.util.Arrays.fill(mem, p, p + len, 0.toByte)
+          0L
+        case "clock_time_get" => writeI32(a(2).toInt, 0); writeI32(a(2).toInt + 4, 0); 0L
+        case "proc_exit" => throw new Trap(s"proc_exit(${a(0)})")
+        case other => throw new Trap(s"WASI function $other is not supported")
+      }
     }
 
     private final class Stack {

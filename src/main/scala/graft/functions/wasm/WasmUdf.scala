@@ -17,7 +17,31 @@ import org.apache.spark.sql.types._
   */
 object WasmUdf {
 
-  private val modules = new ConcurrentHashMap[String, Wasm.Module]
+  /** Parsed modules keyed by content hash, bounded LRU: DROP/REPLACE
+    * FUNCTION leaves no handle to evict by name (several functions may
+    * share one module), so unreferenced entries age out instead of
+    * pinning module bytes in driver/executor memory forever. Live
+    * Callables keep their own strong reference — eviction never breaks
+    * an already-registered function, it just re-parses on a later miss. */
+  private val MaxCachedModules = 64
+  private val modules = new java.util.LinkedHashMap[String, Wasm.Module](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, Wasm.Module]): Boolean =
+      size() > MaxCachedModules
+  }
+
+  private[wasm] def moduleFor(bytes: Array[Byte]): Wasm.Module = {
+    val key = java.util.Base64.getEncoder.encodeToString(
+      java.security.MessageDigest.getInstance("SHA-256").digest(bytes))
+    modules.synchronized {
+      val cached = modules.get(key)
+      if (cached != null) cached
+      else {
+        val m = new Wasm.Module(bytes)
+        modules.put(key, m)
+        m
+      }
+    }
+  }
 
   /** Lane type: how a JVM value crosses the WASM boundary. */
   private sealed trait Lane { def dataType: DataType }
@@ -58,11 +82,7 @@ object WasmUdf {
     * JVM/thread that evaluates it. */
   private class Callable(bytes: Array[Byte], entry: String,
                          inLanes: Seq[Lane], outLane: Lane) extends Serializable {
-    @transient private lazy val module: Wasm.Module = {
-      val key = java.util.Base64.getEncoder.encodeToString(
-        java.security.MessageDigest.getInstance("SHA-256").digest(bytes))
-      modules.computeIfAbsent(key, _ => new Wasm.Module(bytes))
-    }
+    @transient private lazy val module: Wasm.Module = moduleFor(bytes)
     @transient private lazy val funcIdx: Int = module.exportedFunc(entry)
     @transient private lazy val inst = new ThreadLocal[Wasm.Instance] {
       override def initialValue(): Wasm.Instance = new Wasm.Instance(module)
