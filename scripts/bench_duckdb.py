@@ -1,12 +1,14 @@
 #!/usr/bin/env python3
 """DuckDB stand-in bench: times every oracle_sql.json query against a
 parquet sf directory, min-of-N, mirroring the judge's same-machine
-comparison method (and graft.Bench's min-of-3). Per-query wall timeout;
-a query that exceeds it records the elapsed time and "dnf": true.
+comparison method (and graft.Bench's min-of-3). The per-query wall
+timeout is enforced by a watchdog thread calling con.interrupt(), so a
+hung query cannot block the run; queries that error are listed in
+"errors" (and excluded from the total LOUDLY, not silently).
 
 Usage: bench_duckdb.py <sfDir> <oracle_sql.json> [reps=3] [timeoutSec=300]
 """
-import sys, os, json, time
+import sys, os, json, time, threading
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -25,29 +27,42 @@ def main():
         if os.path.isdir(path):
             path = f"{path}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
-    best, dnf = {}, {}
+    best, dnf, errors = {}, {}, {}
     for name in sorted(oracle):
         sql = oracle[name]
         times = []
         for _ in range(reps):
+            fired = threading.Event()
+            def interrupt():
+                fired.set()
+                con.interrupt()
+            watchdog = threading.Timer(timeout, interrupt)
+            watchdog.start()
             t0 = time.time()
             try:
                 con.execute(sql).fetchall()
             except Exception as e:
-                print(f"ERR {name}: {e}", file=sys.stderr)
-                times.append(float("inf"))
+                elapsed = time.time() - t0
+                if fired.is_set():
+                    dnf[name] = True
+                    times.append(elapsed)
+                else:
+                    print(f"ERR {name}: {e}", file=sys.stderr)
+                    errors[name] = str(e)
                 break
+            finally:
+                watchdog.cancel()
             times.append(time.time() - t0)
-            if times[-1] > timeout:
-                dnf[name] = True
-                break
-        best[name] = min(times)
-        print(f"{name:30s} {best[name]:8.2f}{'  DNF' if name in dnf else ''}",
+        if times:
+            best[name] = min(times)
+        flag = "  DNF" if name in dnf else ("  ERR" if name in errors else "")
+        print(f"{name:30s} {best.get(name, float('nan')):8.2f}{flag}",
               file=sys.stderr)
-    total = sum(v for v in best.values() if v != float("inf"))
+    total = sum(best.values())
     out = {"metric": "duckdb_total", "value": total, "unit": "sec",
            "queries": best, "sf": sf_dir, "reps": reps,
-           "dnf": sorted(dnf)}
+           "dnf": sorted(dnf), "errors": errors,
+           "complete": not errors and not dnf}
     print(json.dumps(out))
 
 if __name__ == "__main__":

@@ -101,9 +101,9 @@ case class MinKMd5Aggregate(
     })
 
   override def serialize(buf: java.util.ArrayList[Array[Byte]]): Array[Byte] = {
-    val bos = new ByteArrayOutputStream(1 + 16 * buf.size())
+    val bos = new ByteArrayOutputStream(4 + 16 * buf.size())
     val out = new DataOutputStream(bos)
-    out.writeByte(buf.size())
+    out.writeInt(buf.size()) // full int: k > 127 must survive the shuffle
     var i = 0
     while (i < buf.size()) { out.write(buf.get(i)); i += 1 }
     out.flush(); bos.toByteArray
@@ -111,7 +111,7 @@ case class MinKMd5Aggregate(
 
   override def deserialize(bytes: Array[Byte]): java.util.ArrayList[Array[Byte]] = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val n = in.readByte().toInt
+    val n = in.readInt()
     val buf = new java.util.ArrayList[Array[Byte]](k)
     var i = 0
     while (i < n) {

@@ -158,7 +158,16 @@ object MsgPack {
           f"unsupported messagepack type byte 0x$other%02x")
       }
     }
-    private def arr(n: Int): VArr = VArr(Vector.fill(n)(value()))
-    private def map(n: Int): VMap = VMap(Vector.fill(n)((value(), value())))
+    private def arr(n: Int): VArr = {
+      // arr32/map32 lengths >= 2^31 arrive negative after .toInt; without
+      // this check Vector.fill(negative) silently yields an EMPTY value
+      // instead of failing loudly on the malformed buffer
+      if (n < 0) throw new MalformedException(s"invalid container length $n")
+      VArr(Vector.fill(n)(value()))
+    }
+    private def map(n: Int): VMap = {
+      if (n < 0) throw new MalformedException(s"invalid container length $n")
+      VMap(Vector.fill(n)((value(), value())))
+    }
   }
 }

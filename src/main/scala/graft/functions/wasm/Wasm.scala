@@ -8,9 +8,10 @@ import java.nio.{ByteBuffer, ByteOrder}
   * I32/I64/F32/F64 with linear memory, globals, tables and the full MVP
   * numeric/control instruction set — enough to execute real compiled
   * modules (the reference's own test functions are hand-written or
-  * clang-compiled WASM). No WASI: modules with imports are rejected, which
-  * is exactly the raw-ABI subset (the wasmMessagePack variant needs WASI
-  * and stays unsupported offline).
+  * clang-compiled WASM). WASI preview1 imports resolve to no-op stubs
+  * (enough for Rust `wasm32-wasi` modules that never actually do I/O),
+  * which is what the wasmMessagePack ABI's compiled guests link against;
+  * any other import traps by name at call time.
   *
   * Values are type-erased to raw 64-bit lanes (f32 as float bits, i32 as
   * sign-extended low 32) — the classic interpreter representation; module
@@ -311,12 +312,12 @@ object Wasm {
       System.arraycopy(bytes, 0, mem, ptr, bytes.length)
     }
     def readI32(ptr: Int): Int = {
-      if (ptr < 0 || ptr + 4 > mem.length)
+      if (ptr < 0 || ptr.toLong + 4 > mem.length)
         throw new Trap(s"out-of-bounds host read of 4 bytes at $ptr")
       mb.getInt(ptr)
     }
     def writeI32(ptr: Int, v: Int): Unit = {
-      if (ptr < 0 || ptr + 4 > mem.length)
+      if (ptr < 0 || ptr.toLong + 4 > mem.length)
         throw new Trap(s"out-of-bounds host write of 4 bytes at $ptr")
       mb.putInt(ptr, v)
     }

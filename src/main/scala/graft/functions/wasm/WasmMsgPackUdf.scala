@@ -154,8 +154,16 @@ object WasmMsgPackUdf {
         if (gotS != s) fail(s"Expected to receive a decimal with scale $s, got $gotS instead.")
         val high = asI64(hv, "i64")
         val low = asI64(lv, "i64")
-        // mirror: (low as i128) + (high << 64) — low sign-extends
-        val unscaled = BigInteger.valueOf(high).shiftLeft(64).add(BigInteger.valueOf(low))
+        // two's-complement reconstruction: low is the UNSIGNED low half of
+        // the truncating split both the host encode (wasm.rs:333-343) and
+        // any natural guest produce. (The reference decode at wasm.rs:524
+        // sign-extends low instead, which corrupts negatives with low < 0;
+        // its own tests only cover positive decimals. We deviate to the
+        // consistent reconstruction, which matches every reference test
+        // vector AND round-trips negatives.)
+        val mask64 = BigInteger.ONE.shiftLeft(64).subtract(BigInteger.ONE)
+        val unscaled = BigInteger.valueOf(high).shiftLeft(64)
+          .add(BigInteger.valueOf(low).and(mask64))
         new JBigDecimal(unscaled, s)
       case VArr(xs) => fail(s"DECIMAL UDF result array should have 4 elements, found ${xs.size} instead.")
       case other => fail(s"Expected to find array containing decimal parts, received ${describe(other)} instead")
@@ -164,7 +172,10 @@ object WasmMsgPackUdf {
 
   // --- per-thread instance + the buffer protocol ---------------------------
 
-  private class Callable(bytes: Array[Byte], entry: String,
+  // `bytes` MUST be a real field (`val`): referenced only from @transient
+  // lazy initializers it would be nulled out by the compiler once
+  // validate() forces them on the driver, serializing null to executors
+  private class Callable(val bytes: Array[Byte], entry: String,
                          inTypes: Seq[MpType], outType: MpType) extends Serializable {
     @transient private lazy val module: Wasm.Module = WasmUdf.moduleFor(bytes)
     @transient private lazy val entryIdx: Int = module.exportedFunc(entry)

@@ -80,7 +80,10 @@ object WasmUdf {
 
   /** Serializable per-function callable; the module parses lazily on each
     * JVM/thread that evaluates it. */
-  private class Callable(bytes: Array[Byte], entry: String,
+  // `bytes` MUST be a real field (`val`): referenced only from @transient
+  // lazy initializers it would be nulled out by the compiler once
+  // validate() forces them on the driver, serializing null to executors
+  private class Callable(val bytes: Array[Byte], entry: String,
                          inLanes: Seq[Lane], outLane: Lane) extends Serializable {
     @transient private lazy val module: Wasm.Module = moduleFor(bytes)
     @transient private lazy val funcIdx: Int = module.exportedFunc(entry)

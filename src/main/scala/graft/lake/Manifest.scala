@@ -195,8 +195,31 @@ object Manifest {
     }
   }
 
-  def read(tableRoot: String, v: Long): TableManifest =
-    fromJson(LakeIO.readString(versionPath(tableRoot, v)))
+  /** Committed manifests are immutable (create-only atomic rename, and
+    * versions are never reused — table roots are uuid-keyed), so parsed
+    * manifests cache process-wide by path. Bounded LRU: without it, every
+    * catalog-generation rebuild of `system.table_versions` re-reads the
+    * FULL version history of every table — O(total versions) small-file
+    * round trips per write on a long-lived table; with it, a rebuild
+    * re-reads only manifests this process has never seen (LakeSpec
+    * asserts the read-count bound). VACUUM may delete cached versions'
+    * files, but a cached parse of an immutable file is never stale. */
+  private val MaxCachedManifests = 256
+  private val manifestCache = new java.util.LinkedHashMap[String, TableManifest](64, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, TableManifest]): Boolean =
+      size() > MaxCachedManifests
+  }
+
+  def read(tableRoot: String, v: Long): TableManifest = {
+    val key = versionPath(tableRoot, v).toString
+    val cached = manifestCache.synchronized(manifestCache.get(key))
+    if (cached != null) cached
+    else {
+      val m = fromJson(LakeIO.readString(versionPath(tableRoot, v)))
+      manifestCache.synchronized(manifestCache.put(key, m))
+      m
+    }
+  }
 
   def readLatest(tableRoot: String): Option[TableManifest] =
     latestVersion(tableRoot).map(read(tableRoot, _))
@@ -224,6 +247,9 @@ object Manifest {
     if (!LakeIO.writeAtomic(target, toJson(m), failIfExists = true))
       throw new IllegalStateException(
         s"concurrent commit: version ${m.version} already exists at $target")
+    // the committed manifest is immutable from here — seed the cache so
+    // the first post-write snapshot rebuild reads zero manifests
+    manifestCache.synchronized(manifestCache.put(target.toString, m))
     // best-effort checkpoint: readers fall back to a LIST if this is lost
     try LakeIO.writeAtomic(hintPath(tableRoot), m.version.toString, failIfExists = false)
     catch { case scala.util.control.NonFatal(_) => () }

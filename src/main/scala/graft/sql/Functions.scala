@@ -15,9 +15,12 @@ import graft.lake.Manifest.Json._
   *    embedded raw-numeric-ABI interpreter (graft.functions.wasm),
   *    matching the reference's I32/I64/F32/F64 surface
   *    (`src/wasm_udf/wasm.rs:243-354`).
-  *  - `wasmMessagePack`: accepted + persisted for DDL parity; execution
-  *    needs WASI (stdio + allocator exports) and stays unsupported in
-  *    this offline JVM — calling one raises a clear error.
+  *  - `wasmMessagePack`: `data` is the base64-encoded module exporting
+  *    `alloc`/`dealloc`/`memory` + the entrypoint; arguments are msgpack-
+  *    coded into guest memory per row (reference `src/wasm_udf/wasm.rs:
+  *    84-241`), widening the type surface to TEXT/BOOLEAN/DATE/TIMESTAMP/
+  *    DECIMAL. Runs on the same embedded interpreter (WASI preview1 no-op
+  *    stubs cover the imports Rust `wasm32-wasi` modules link).
   */
 object Functions {
 
@@ -81,21 +84,9 @@ object Functions {
       graft.functions.wasm.WasmUdf.register(spark, name, entry,
         d.inputTypes, d.returnType, d.data)
     case "wasmMessagePack" =>
-      // persisted but not executable here; register a stub with the
-      // DECLARED arity so calls reach the clear error (a fixed-arity stub
-      // would fail analysis with a confusing arity mismatch instead)
-      val msg = s"function $name: wasmMessagePack execution is not supported in this build"
-      def fail[T]: T = throw new UnsupportedOperationException(msg)
-      import org.apache.spark.sql.functions.udf
-      val stub = d.inputTypes.size match {
-        case 0 => udf(() => fail[Long])
-        case 1 => udf((_: Any) => fail[Long])
-        case 2 => udf((_: Any, _: Any) => fail[Long])
-        case 3 => udf((_: Any, _: Any, _: Any) => fail[Long])
-        case 4 => udf((_: Any, _: Any, _: Any, _: Any) => fail[Long])
-        case _ => udf((_: Any, _: Any, _: Any, _: Any, _: Any) => fail[Long])
-      }
-      spark.udf.register(name, stub)
+      val entry = if (d.entrypoint.nonEmpty) d.entrypoint else name
+      graft.functions.wasm.WasmMsgPackUdf.register(spark, name, entry,
+        d.inputTypes, d.returnType, d.data)
     case other =>
       throw new IllegalArgumentException(s"unsupported function language: $other")
   }

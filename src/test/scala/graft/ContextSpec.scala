@@ -315,7 +315,7 @@ class ContextSpec extends SparkSpec {
     assert(r.head.getString(0) === "2020-01-01")
   }
 
-  test("wasm rejects non-numeric types at CREATE; wasmMessagePack stays stubbed") {
+  test("wasm rejects non-numeric types at CREATE; wasmMessagePack validates eagerly") {
     val c = ctx()
     // raw-numeric ABI: text types rejected with the reference's error
     // shape (src/wasm_udf/data_types.rs get_wasm_type), nothing persisted
@@ -323,13 +323,16 @@ class ContextSpec extends SparkSpec {
       """CREATE FUNCTION wfn AS '{"entrypoint":"wfn","language":"wasm","input_types":["text","text"],"return_type":"text","data":"AA=="}'"""))
     assert(bad.getMessage.contains("do not support data type text"), bad.getMessage)
     assert(!c.catalog.functions.contains("wfn"), "rejected function must not persist")
-    // the WASI-dependent MessagePack ABI is persisted but not executable
+    // the MessagePack ABI now executes (WasmMsgPackSpec); an invalid
+    // module must fail at CREATE time and never persist
+    intercept[Exception](c.execute(
+      """CREATE FUNCTION mpfn AS '{"entrypoint":"mpfn","language":"wasmMessagePack","input_types":["text"],"return_type":"text","data":"AA=="}'"""))
+    assert(!c.catalog.functions.contains("mpfn"), "invalid module must not persist")
+    // a valid msgpack-ABI module round-trips through DDL + execution
     c.execute(
-      """CREATE FUNCTION mpfn AS '{"entrypoint":"mpfn","language":"wasmMessagePack","input_types":["text"],"return_type":"text","data":"AA=="}'""")
-    val e = intercept[Exception](c.execute("SELECT mpfn('a') AS r").collect())
-    def rootMessages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ rootMessages(x.getCause))
-    assert(rootMessages(e).exists(_.contains("wasmMessagePack execution is not supported")), e.getMessage)
+      s"""CREATE FUNCTION mprev AS '{"entrypoint":"rev","language":"wasmMessagePack","input_types":["text"],"return_type":"text","data":"${WasmMsgPackSpec.moduleB64}"}'""")
+    val r = c.execute("SELECT mprev('graft') AS r").collect()(0).getString(0)
+    assert(r === "tfarg")
   }
 
   test("qualified names inside string literals are not rewritten") {

@@ -366,4 +366,31 @@ class LakeSpec extends SparkSpec {
     assert(versions.size <= 8, s"catalog log must stay bounded, has ${versions.size}")
     assert(cat.listTables("default").size === 22)
   }
+
+  test("post-write snapshot rebuild reads O(new) manifests, not the version history") {
+    import graft.lake.LakeIO
+    val c = new graft.sql.GraftContext(spark, tmpDir("graft-mcache"))
+    c.execute("CREATE TABLE vh (id BIGINT)")
+    (1 to 30).foreach(i => c.execute(s"INSERT INTO vh VALUES ($i)"))
+    // warm: the first read builds this generation's snapshot (and the
+    // manifest cache now holds every version this process committed)
+    assert(c.execute("SELECT count(*) AS n FROM vh").collect()(0).getLong(0) === 30)
+    LakeIO.fileReads.set(0)
+    c.execute("INSERT INTO vh VALUES (31)")
+    assert(c.execute("SELECT count(*) AS n FROM vh").collect()(0).getLong(0) === 31)
+    val readsAt31 = LakeIO.fileReads.get
+    // double the history: the same write+read cycle must cost the same —
+    // without the (uuid, version) manifest cache, each rebuild re-parses
+    // the FULL version history for system.table_versions alone
+    (32 to 62).foreach(i => c.execute(s"INSERT INTO vh VALUES ($i)"))
+    c.execute("SELECT count(*) AS n FROM vh").collect()
+    LakeIO.fileReads.set(0)
+    c.execute("INSERT INTO vh VALUES (63)")
+    assert(c.execute("SELECT count(*) AS n FROM vh").collect()(0).getLong(0) === 63)
+    val readsAt63 = LakeIO.fileReads.get
+    assert(readsAt63 <= readsAt31,
+      s"post-write rebuild cost must not grow with version history ($readsAt31 reads at v31, $readsAt63 at v63)")
+    assert(readsAt63 <= 20,
+      s"post-write rebuild must re-read only generation metadata, did $readsAt63")
+  }
 }
