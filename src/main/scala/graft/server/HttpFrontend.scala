@@ -120,7 +120,23 @@ class HttpFrontend(ctx: GraftContext, port: Int,
       case "" => None
       case db => Some(db)
     }
-    val sql = extractQuery(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val rawBody = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    // inline metastore (reference InlineMetastoreCommandStatementQuery,
+    // clade/proto/schema.proto): the JSON body ships its own catalog —
+    // the query runs scoped to exactly those tables, read-only, lock-free
+    extractInline(rawBody) match {
+      case Some((sql, schemas, stores)) =>
+        val stmts = ctx.splitStatements(sql)
+        if (stmts.size != 1 || !ctx.isReadOnly(stmts.head))
+          return respond(ex, 400, "inline-metastore queries must be a single read statement\n")
+        val t0 = System.nanoTime()
+        val body = render(ctx.executeInline(stmts.head, schemas, stores))
+        ex.getResponseHeaders.add("Content-Type", "application/json")
+        ex.getResponseHeaders.add("X-Graft-Query-Time", ((System.nanoTime() - t0) / 1e9).toString)
+        return respondBytes(ex, 200, body)
+      case None => ()
+    }
+    val sql = extractQuery(rawBody)
     val stmts = ctx.splitStatements(sql)
     if (stmts.isEmpty) return respond(ex, 400, "empty statement\n")
     val reads = stmts.zipWithIndex.filter { case (s, _) => ctx.isReadOnly(s) }
@@ -302,6 +318,56 @@ class HttpFrontend(ctx: GraftContext, port: Int,
         case _ => throw new IllegalArgumentException("bad JSON body")
       }
     } else trimmed
+  }
+
+  /** Parse an inline-metastore body: `{"query": ..., "schemas":
+    * {"schemas": [{"name", "tables": [{"name","path","store","format"}]}],
+    * "stores": [{"name","location"}]}}` — the JSON rendering of the
+    * reference's ListSchemaResponse. Returns None when the body carries
+    * no "schemas" key (plain query path). */
+  private def extractInline(body: String)
+      : Option[(String, Seq[GraftContext.InlineSchema], Seq[GraftContext.InlineStore])] = {
+    val trimmed = body.trim
+    if (!trimmed.startsWith("{")) return None
+    import graft.lake.Manifest.Json
+    val top = Json.parse(trimmed) match {
+      case Json.O(m) => m
+      case _ => return None
+    }
+    val resp = top.get("schemas") match {
+      case Some(Json.O(m)) => m
+      case _ => return None
+    }
+    val query = top.get("query") match {
+      case Some(Json.S(q)) => q
+      case _ => throw new IllegalArgumentException("JSON body needs a \"query\" key")
+    }
+    def str(m: Map[String, Json.V], k: String, dflt: String = ""): String =
+      m.get(k) match { case Some(Json.S(s)) => s; case _ => dflt }
+    val schemas = resp.get("schemas") match {
+      case Some(Json.A(xs)) => xs.map {
+        case Json.O(sm) =>
+          val tables = sm.get("tables") match {
+            case Some(Json.A(ts)) => ts.map {
+              case Json.O(tm) => GraftContext.InlineTable(str(tm, "name"), str(tm, "path"),
+                Some(str(tm, "store")).filter(_.nonEmpty), str(tm, "format"))
+              case _ => throw new IllegalArgumentException("bad inline table entry")
+            }
+            case _ => Vector.empty
+          }
+          GraftContext.InlineSchema(str(sm, "name"), tables)
+        case _ => throw new IllegalArgumentException("bad inline schema entry")
+      }
+      case _ => Vector.empty
+    }
+    val stores = resp.get("stores") match {
+      case Some(Json.A(xs)) => xs.map {
+        case Json.O(sm) => GraftContext.InlineStore(str(sm, "name"), str(sm, "location"))
+        case _ => throw new IllegalArgumentException("bad inline store entry")
+      }
+      case _ => Vector.empty
+    }
+    Some((query, schemas, stores))
   }
 
   private def authorized(ex: HttpExchange, write: Boolean): Boolean = {

@@ -21,9 +21,13 @@ import org.apache.spark.sql.types._
   *  - errors → ErrorResponse + ReadyForQuery (connection survives);
   *    in the extended protocol, messages after an error are discarded
   *    until Sync, per the protocol's error-recovery rule
-  *  - extended protocol: Parse/Bind/Describe/Execute/Close for
-  *    parameterless statements (what the reference's convergence engine
-  *    serves; bound parameters are answered with a clear error)
+  *  - extended protocol: Parse/Bind/Describe/Execute/Close, including
+  *    text-format bound parameters ($1..$n, what JDBC/psycopg send):
+  *    values are substituted as typed literals (by the Parse-declared
+  *    parameter OID) with a literal-aware scanner, so a `$1` inside a
+  *    string literal is never rewritten; ParameterDescription reports
+  *    the declared OIDs. Binary-format binds are answered with a clear
+  *    error (drivers fall back to or default to text).
   */
 class PgFrontend(ctx: GraftContext, port: Int) {
 
@@ -60,8 +64,8 @@ class PgFrontend(ctx: GraftContext, port: Int) {
     try {
       if (!handshake(in, out)) return
       // extended-protocol session state
-      val prepared = scala.collection.mutable.Map.empty[String, String] // name -> sql
-      val portals = scala.collection.mutable.Map.empty[String, String]
+      val prepared = scala.collection.mutable.Map.empty[String, Prepared] // name -> stmt
+      val portals = scala.collection.mutable.Map.empty[String, String] // name -> bound sql
       var failed = false // after an error: discard until Sync
       var open = true
       while (open) {
@@ -93,46 +97,69 @@ class PgFrontend(ctx: GraftContext, port: Int) {
             val name = cstrIn()
             val sql = cstrIn()
             val nParamTypes = b.getShort
-            (0 until nParamTypes).foreach(_ => b.getInt)
+            val declaredOids = (0 until nParamTypes.toInt).map(_ => b.getInt)
             val stmts = ctx.splitStatements(sql)
             if (stmts.size > 1) {
               sendError(out, "42601", "cannot insert multiple commands into a prepared statement")
               failed = true
             } else {
-              prepared(name) = stmts.headOption.getOrElse("")
+              val one = stmts.headOption.getOrElse("")
+              // undeclared trailing parameters get oid 0 (unknown → text)
+              val oids = declaredOids.padTo(maxParamIndex(one), 0)
+              prepared(name) = Prepared(one, oids)
               msg(out, '1')(_ => ()) // ParseComplete
             }
           case 'B' if !failed => // Bind
             val portal = cstrIn()
             val stmt = cstrIn()
-            val nFmt = b.getShort; (0 until nFmt).foreach(_ => b.getShort)
+            val nFmt = b.getShort
+            val fmts = (0 until nFmt.toInt).map(_ => b.getShort.toInt)
             val nParams = b.getShort
-            if (nParams > 0) {
-              sendError(out, "0A000", "bound parameters are not supported; inline literals instead")
+            // format-code rule: none → all text; one → applies to all
+            def fmtOf(i: Int): Int =
+              if (fmts.isEmpty) 0 else if (fmts.size == 1) fmts.head else fmts(i)
+            val values = (0 until nParams.toInt).map { i =>
+              val len = b.getInt
+              if (len < 0) None
+              else { val bs = new Array[Byte](len); b.get(bs); Some(new String(bs, UTF_8)) }
+            }
+            if ((0 until nParams.toInt).exists(i => fmtOf(i) != 0)) {
+              sendError(out, "0A000", "binary-format parameters are not supported; use text format")
               failed = true
             } else prepared.get(stmt) match {
               case None => sendError(out, "26000", s"prepared statement \"$stmt\" does not exist"); failed = true
-              case Some(sql) =>
-                portals(portal) = sql
-                msg(out, '2')(_ => ()) // BindComplete
+              case Some(p) =>
+                try {
+                  portals(portal) = bindParams(p, values)
+                  msg(out, '2')(_ => ()) // BindComplete
+                } catch { case e: Throwable =>
+                  sendError(out, "22P02", String.valueOf(e.getMessage)); failed = true
+                }
             }
           case 'D' if !failed => // Describe
             val kind = b.get.toChar
             val name = cstrIn()
-            val sqlOpt = if (kind == 'S') prepared.get(name) else portals.get(name)
+            val sqlOpt =
+              if (kind == 'S') prepared.get(name).map(p => describeSql(p))
+              else portals.get(name)
+            def paramDescription(): Unit = if (kind == 'S') msg(out, 't') { d =>
+              val oids = prepared(name).paramOids
+              d.writeShort(oids.size)
+              oids.foreach(o => d.writeInt(if (o == 0) 25 else o)) // unknown → text
+            }
             sqlOpt match {
               case None =>
                 sendError(out, "26000", s"statement or portal \"$name\" does not exist"); failed = true
               case Some("") => msg(out, 'n')(_ => ()) // NoData (empty statement)
               case Some(sql) if ctx.isReadOnly(sql) =>
                 try {
-                  if (kind == 'S') msg(out, 't')(_.writeShort(0)) // ParameterDescription
+                  paramDescription()
                   rowDescription(ctx.executeRead(sql).schema, out) // analysis only
                 } catch { case e: Throwable =>
                   sendError(out, "XX000", String.valueOf(e.getMessage)); failed = true
                 }
               case Some(_) =>
-                if (kind == 'S') msg(out, 't')(_.writeShort(0))
+                paramDescription()
                 msg(out, 'n')(_ => ()) // NoData (DDL/DML)
             }
           case 'E' if !failed => // Execute (maxRows ignored: all rows, no suspend)
@@ -186,6 +213,97 @@ class PgFrontend(ctx: GraftContext, port: Int) {
     readyForQuery(out)
     true
   }
+
+  // --- bound parameters -----------------------------------------------------
+
+  private case class Prepared(sql: String, paramOids: Seq[Int])
+
+  /** Rewrite `$n` placeholders via `repl`, skipping string literals,
+    * quoted identifiers, and `$$`-style dollar signs without digits. */
+  private def rewriteParams(sql: String, repl: Int => String): String = {
+    val sb = new StringBuilder(sql.length + 16)
+    var i = 0
+    while (i < sql.length) {
+      sql.charAt(i) match {
+        case '\'' => // string literal: copy verbatim incl. \x and '' escapes
+          sb += '\''; i += 1
+          var done = false
+          while (i < sql.length && !done) {
+            val ch = sql.charAt(i)
+            sb += ch
+            if (ch == '\\' && i + 1 < sql.length) { sb += sql.charAt(i + 1); i += 1 }
+            else if (ch == '\'') {
+              if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') { sb += '\''; i += 1 }
+              else done = true
+            }
+            i += 1
+          }
+        case '"' => // quoted identifier
+          sb += '"'; i += 1
+          while (i < sql.length && sql.charAt(i) != '"') { sb += sql.charAt(i); i += 1 }
+          if (i < sql.length) { sb += '"'; i += 1 }
+        case '$' if i + 1 < sql.length && sql.charAt(i + 1).isDigit =>
+          var j = i + 1
+          while (j < sql.length && sql.charAt(j).isDigit) j += 1
+          sb ++= repl(sql.substring(i + 1, j).toInt)
+          i = j
+        case c => sb += c; i += 1
+      }
+    }
+    sb.result()
+  }
+
+  private def maxParamIndex(sql: String): Int = {
+    var max = 0
+    rewriteParams(sql, { n => if (n > max) max = n; "" })
+    max
+  }
+
+  private def sqlEscape(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "\\'")
+
+  /** Text-format wire value → SQL literal, typed by the parameter OID. */
+  private def literalFor(oid: Int, v: Option[String]): String = v match {
+    case None => "NULL"
+    case Some(s) => oid match {
+      case 16 => // bool: t/f/true/false/1/0
+        if (Set("t", "true", "1", "y", "yes", "on")(s.toLowerCase)) "TRUE" else "FALSE"
+      case 20 | 21 | 23 | 26 | 700 | 701 | 1700 =>
+        require(s.nonEmpty && s.matches("[-+0-9.eE]+"), s"invalid numeric parameter: $s")
+        s
+      case 1082 => s"DATE '${sqlEscape(s)}'"
+      case 1114 | 1184 => s"TIMESTAMP '${sqlEscape(s)}'"
+      case _ => s"'${sqlEscape(s)}'" // text/varchar/unknown: quoted string
+    }
+  }
+
+  private def bindParams(p: Prepared, values: Seq[Option[String]]): String = {
+    require(values.size >= maxParamIndex(p.sql),
+      s"bind supplies ${values.size} parameters but statement uses ${maxParamIndex(p.sql)}")
+    rewriteParams(p.sql, { n =>
+      require(n >= 1 && n <= values.size, s"parameter $$$n out of range")
+      literalFor(p.paramOids.lift(n - 1).getOrElse(0), values(n - 1))
+    })
+  }
+
+  /** For Describe on an unbound statement: typed NULLs stand in for the
+    * parameters so analysis can produce the row shape. */
+  private def describeSql(p: Prepared): String =
+    rewriteParams(p.sql, { n =>
+      val t = p.paramOids.lift(n - 1).getOrElse(0) match {
+        case 16 => "BOOLEAN"
+        case 21 => "SMALLINT"
+        case 23 | 26 => "INT"
+        case 20 => "BIGINT"
+        case 700 => "FLOAT"
+        case 701 => "DOUBLE"
+        case 1700 => "DECIMAL(38,18)"
+        case 1082 => "DATE"
+        case 1114 | 1184 => "TIMESTAMP"
+        case _ => "STRING"
+      }
+      s"CAST(NULL AS $t)"
+    })
 
   // --- query execution ------------------------------------------------------
 

@@ -246,6 +246,49 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
     s.sql(rewriteQuery(sql, s, d))
   }
 
+  /** Inline-metastore read (Arrow Flight SQL parity where gRPC can't go —
+    * reference `clade/proto/schema.proto` InlineMetastoreCommandStatement
+    * Query + `src/frontend/flight/handler.rs:66-121`): the request ships
+    * its OWN catalog — schemas of tables resolved against named storage
+    * locations — and the query runs scoped to exactly that catalog on an
+    * isolated session clone; the persistent catalog is never consulted,
+    * and nothing the request registers leaks into other sessions. */
+  def executeInline(sql: String, schemas: Seq[GraftContext.InlineSchema],
+                    stores: Seq[GraftContext.InlineStore]): DataFrame = {
+    val s = org.apache.spark.sql.GraftSessions.cloneSession(spark)
+    org.apache.spark.sql.GraftSessions.clearTempViews(s)
+    val storeByName = stores.map(st => st.name -> st.location).toMap
+    val registered = schemas.flatMap { sch =>
+      sch.tables.map { t =>
+        val loc = t.store match {
+          case Some(name) => storeByName.getOrElse(name,
+            throw new IllegalArgumentException(s"table ${t.name} references unknown store $name"))
+            .stripSuffix("/") + "/" + t.path
+          case None => t.path // already a full location
+        }
+        val df = t.format.toUpperCase match {
+          // DELTA is the reference's native lake format; ours is the graft
+          // manifest layout — same role, so it rides the same enum value
+          case "" | "DELTA" | "GRAFT" => new GraftTable(s, loc).read()
+          case "PARQUET" => s.read.parquet(loc)
+          case other => throw new IllegalArgumentException(
+            s"unsupported inline table format $other")
+        }
+        df.createOrReplaceTempView(s"${sch.name}__${t.name}")
+        if (sch.name == "public") df.createOrReplaceTempView(t.name)
+        (sch.name, t.name)
+      }
+    }
+    val rewritten = mapOutsideLiterals(sql) { seg0 =>
+      var seg = seg0
+      registered.foreach { case (sch, t) =>
+        seg = seg.replaceAll(s"(?i)(?<![`\\w])$sch\\.$t(?![`\\w])", s"${sch}__$t")
+      }
+      seg
+    }
+    s.sql(rewritten)
+  }
+
   // views registered by the previous registerAll — dropped when they
   // disappear from the catalog (or the session switches database), so a
   // stale view can't serve another database's data
@@ -565,7 +608,11 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
     }.distinct
 
   /** Fetch an http(s) object into a local temp file and return its path.
-    * Non-2xx responses fail the DDL with the status line. */
+    * Non-2xx responses fail the DDL with the status line. The size cap is
+    * enforced both on a declared Content-Length and mid-stream (chunked or
+    * lying servers), mirroring the upload path — an arbitrarily large
+    * remote object must not fill local disk. */
+  private[graft] var maxExternalDownloadBytes: Long = 256L << 20
   private def downloadToTmp(url: String, ext: String): String = {
     import java.net.http.{HttpClient, HttpRequest, HttpResponse}
     val tmp = java.nio.file.Files.createTempFile("graft-external", s".$ext")
@@ -573,13 +620,37 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
       .followRedirects(HttpClient.Redirect.NORMAL).build()
     val resp = client.send(
       HttpRequest.newBuilder(java.net.URI.create(url)).GET().build(),
-      HttpResponse.BodyHandlers.ofFile(tmp,
-        java.nio.file.StandardOpenOption.WRITE,
-        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING))
-    if (resp.statusCode() / 100 != 2) {
+      HttpResponse.BodyHandlers.ofInputStream())
+    def fail(msg: String): Nothing = {
       java.nio.file.Files.deleteIfExists(tmp)
-      throw new IllegalArgumentException(
-        s"external table location $url returned HTTP ${resp.statusCode()}")
+      throw new IllegalArgumentException(msg)
+    }
+    try {
+      if (resp.statusCode() / 100 != 2)
+        fail(s"external table location $url returned HTTP ${resp.statusCode()}")
+      if (resp.headers().firstValueAsLong("Content-Length").orElse(0L) > maxExternalDownloadBytes)
+        fail(s"external table location $url exceeds $maxExternalDownloadBytes bytes")
+      val in = resp.body()
+      val out = java.nio.file.Files.newOutputStream(tmp,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+      try {
+        val buf = new Array[Byte](64 << 10)
+        var total = 0L
+        var n = in.read(buf)
+        while (n >= 0) {
+          total += n
+          if (total > maxExternalDownloadBytes)
+            fail(s"external table location $url exceeds $maxExternalDownloadBytes bytes")
+          out.write(buf, 0, n)
+          n = in.read(buf)
+        }
+      } finally { out.close(); in.close() }
+    } catch {
+      case e: IllegalArgumentException => throw e
+      case scala.util.control.NonFatal(e) =>
+        java.nio.file.Files.deleteIfExists(tmp)
+        throw e
     }
     tmp.toString
   }
@@ -627,4 +698,12 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
     parts += cur.result()
     parts.result().map(_.trim).filter(_.nonEmpty)
   }
+}
+
+/** Inline-metastore request model (reference `clade/proto/schema.proto`:
+  * SchemaObject / TableObject / StorageLocation). */
+object GraftContext {
+  case class InlineTable(name: String, path: String, store: Option[String], format: String)
+  case class InlineSchema(name: String, tables: Seq[InlineTable])
+  case class InlineStore(name: String, location: String)
 }

@@ -210,6 +210,28 @@ class ContextSpec extends SparkSpec {
       val e = intercept[Exception](
         c.execute(s"CREATE EXTERNAL TABLE nope STORED AS CSV LOCATION '$base/missing.csv'"))
       assert(e.getMessage.contains("HTTP 404"), e.getMessage)
+      // the size cap rejects an over-cap object: declared (Content-Length)
+      // and mid-stream (chunked — no declared length), no tmp-file residue
+      server.createContext("/big.csv", (ex: com.sun.net.httpserver.HttpExchange) => {
+        val b = ("id\n" + "1\n" * 4096).getBytes("UTF-8")
+        ex.sendResponseHeaders(200, b.length)
+        ex.getResponseBody.write(b)
+        ex.close()
+      })
+      server.createContext("/big_chunked.csv", (ex: com.sun.net.httpserver.HttpExchange) => {
+        ex.sendResponseHeaders(200, 0) // 0 = chunked, no Content-Length
+        ex.getResponseBody.write(("id\n" + "1\n" * 4096).getBytes("UTF-8"))
+        ex.close()
+      })
+      c.maxExternalDownloadBytes = 1024
+      try {
+        val e2 = intercept[IllegalArgumentException](
+          c.execute(s"CREATE EXTERNAL TABLE big STORED AS CSV LOCATION '$base/big.csv'"))
+        assert(e2.getMessage.contains("exceeds 1024 bytes"), e2.getMessage)
+        val e3 = intercept[IllegalArgumentException](
+          c.execute(s"CREATE EXTERNAL TABLE big2 STORED AS CSV LOCATION '$base/big_chunked.csv'"))
+        assert(e3.getMessage.contains("exceeds 1024 bytes"), e3.getMessage)
+      } finally c.maxExternalDownloadBytes = 256L << 20
     } finally server.stop(0)
   }
 

@@ -369,4 +369,38 @@ class HttpSpec extends SparkSpec {
     }.mkString("", "\n", "\n")
     assert(q.body() === want, q.body())
   }
+
+  test("inline metastore: the request ships its own catalog") {
+    import org.apache.spark.sql.functions.lit
+    // a graft-format table that is NEVER registered in the persistent
+    // catalog — only reachable through the request's inline schema
+    val storeRoot = tmpDir("graft-inline")
+    graft.lake.GraftTable.createAs(spark, storeRoot + "/ships/t1",
+      spark.range(5).toDF("id").withColumn("tag", lit("inline")))
+    val body =
+      s"""{"query": "SELECT COUNT(*) AS n, MAX(id) AS m FROM shipped.t1",
+         | "schemas": {
+         |   "schemas": [{"name": "shipped", "tables": [
+         |     {"name": "t1", "path": "ships/t1", "store": "local", "format": "DELTA"}]}],
+         |   "stores": [{"name": "local", "location": "$storeRoot"}]}}""".stripMargin
+    val r = post("/q", body, auth)
+    assert(r.statusCode() === 200, r.body())
+    assert(r.body() === "{\"n\":5,\"m\":4}\n")
+    // the shipped catalog does not leak: the table stays unknown to the
+    // persistent catalog and later plain queries
+    val r2 = post("/q", "SELECT COUNT(*) AS n FROM shipped.t1", auth)
+    assert(r2.statusCode() != 200)
+    // writes are rejected on the inline channel
+    val w = post("/q",
+      s"""{"query": "CREATE TABLE x (a BIGINT)", "schemas": {"schemas": [], "stores": []}}""", auth)
+    assert(w.statusCode() === 400)
+    assert(w.body().contains("single read statement"), w.body())
+    // a table referencing an unknown store fails loudly
+    val bad =
+      s"""{"query": "SELECT 1 AS one",
+         | "schemas": {"schemas": [{"name": "s", "tables": [
+         |   {"name": "t", "path": "p", "store": "nope", "format": "DELTA"}]}], "stores": []}}""".stripMargin
+    val rb = post("/q", bad, auth)
+    assert(rb.statusCode() === 400 && rb.body().contains("unknown store"), rb.body())
+  }
 }

@@ -119,6 +119,33 @@ class PgSpec extends SparkSpec {
       sendMsg('C') { d => d.writeByte('P'); cs(d, "p1") }
       sendMsg('S')(_ => ())
       out.flush()
+      collectExtended()
+    }
+
+    /** Like extendedQuery, but binding $1..$n as text-format parameters
+      * with Parse-declared type OIDs (what JDBC/psycopg send). */
+    def extendedQueryParams(sql: String, oids: Seq[Int],
+                            params: Seq[Option[String]]): (Seq[Char], Seq[Seq[String]], Seq[String]) = {
+      sendMsg('P') { d => cs(d, "s2"); cs(d, sql); d.writeShort(oids.size); oids.foreach(d.writeInt) }
+      sendMsg('B') { d =>
+        cs(d, "p2"); cs(d, "s2")
+        d.writeShort(0) // no format codes → all text
+        d.writeShort(params.size)
+        params.foreach {
+          case None => d.writeInt(-1)
+          case Some(v) => val bs = v.getBytes(UTF_8); d.writeInt(bs.length); d.write(bs)
+        }
+        d.writeShort(0) // result format codes
+      }
+      sendMsg('D') { d => d.writeByte('S'); cs(d, "s2") }
+      sendMsg('E') { d => cs(d, "p2"); d.writeInt(0) }
+      sendMsg('C') { d => d.writeByte('P'); cs(d, "p2") }
+      sendMsg('S')(_ => ())
+      out.flush()
+      collectExtended()
+    }
+
+    private def collectExtended(): (Seq[Char], Seq[Seq[String]], Seq[String]) = {
       val types = Seq.newBuilder[Char]
       val rows = Seq.newBuilder[Seq[String]]
       val errs = Seq.newBuilder[String]
@@ -197,6 +224,49 @@ class PgSpec extends SparkSpec {
       // connection recovers after Sync
       val (_, _, errs2) = c.extendedQuery("SELECT 1 AS one") // still usable
       assert(errs2.isEmpty)
+    } finally c.close()
+  }
+
+  test("extended protocol: $1/$2 text-format binds substitute as typed literals") {
+    val c = new Client
+    try {
+      // int8 + text params; quote-needing string round-trips escaped
+      val (types, rows, errs) = c.extendedQueryParams(
+        "SELECT $1 + 1 AS v, $2 AS s", Seq(20, 25), Seq(Some("41"), Some("it's")))
+      assert(errs.isEmpty, errs)
+      // 't' = ParameterDescription from Describe-statement
+      assert(types.containsSlice(Seq('1', '2', 't', 'T', 'D', 'C', '3', 'Z')), types)
+      assert(rows === Seq(Seq("42", "it's")))
+      // $1 inside a string literal is NOT rewritten; NULL binds as NULL
+      val (_, rows2, errs2) = c.extendedQueryParams(
+        "SELECT '$1 stays' AS lit, $1 AS p", Seq(25), Seq(None))
+      assert(errs2.isEmpty, errs2)
+      assert(rows2 === Seq(Seq("$1 stays", null)))
+      // date/timestamp/bool OIDs produce typed literals usable in predicates
+      val (_, rows3, errs3) = c.extendedQueryParams(
+        "SELECT CAST($1 AS STRING) AS d, $2 AS b", Seq(1082, 16),
+        Seq(Some("2024-02-29"), Some("t")))
+      assert(errs3.isEmpty, errs3)
+      assert(rows3 === Seq(Seq("2024-02-29", "t")))
+    } finally c.close()
+  }
+
+  test("extended protocol: binds drive predicates against a real table") {
+    val c = new Client
+    try {
+      c.query("CREATE TABLE pgp (a BIGINT, s VARCHAR); " +
+        "INSERT INTO pgp VALUES (1, 'x'), (2, 'y'), (3, 'z')")
+      val (_, rows, errs) = c.extendedQueryParams(
+        "SELECT s FROM pgp WHERE a >= $1 ORDER BY a", Seq(20), Seq(Some("2")))
+      assert(errs.isEmpty, errs)
+      assert(rows === Seq(Seq("y"), Seq("z")))
+      // numeric parameter validation rejects an injection-shaped value
+      val (_, _, errs2) = c.extendedQueryParams(
+        "SELECT s FROM pgp WHERE a = $1", Seq(20), Seq(Some("1 OR 1=1")))
+      assert(errs2.exists(_.contains("invalid numeric parameter")), errs2)
+      // connection recovers after Sync
+      val (_, rows3, errs3) = c.extendedQuery("SELECT 1 AS one")
+      assert(errs3.isEmpty && rows3 === Seq(Seq("1")))
     } finally c.close()
   }
 
