@@ -93,6 +93,13 @@ object LakeIO {
     finally in.close()
   }
 
+  def readBytes(p: Path): Array[Byte] = {
+    fileReads.incrementAndGet()
+    val in = fs(p).open(p)
+    try in.readAllBytes()
+    finally in.close()
+  }
+
   /** Plain overwrite write (non-atomic; use writeAtomic for metadata that
     * concurrent readers may load). */
   def writeString(p: Path, content: String): Unit = {

@@ -195,6 +195,10 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
   private[sql] def readExternal(s: SparkSession, fmt: String, loc: String,
                                 options: Map[String, String]): DataFrame = fmt match {
     case "PARQUET" => s.read.parquet(loc)
+    case "ICEBERG" =>
+      // read-only iceberg scan via the spec's JSON+Avro metadata layer
+      // (reference src/catalog/metastore.rs:237-246)
+      graft.sources.IcebergScan.read(s, loc)
     case "CSV" => s.read.option("header", "true").option("inferSchema", "true").csv(loc)
     case "JSON" | "NDJSON" => s.read.json(loc)
     case "JDBC" =>
