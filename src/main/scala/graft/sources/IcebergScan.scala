@@ -43,7 +43,7 @@ object IcebergScan {
           case _ => throw new IllegalArgumentException(
             "iceberg snapshot has no manifest-list (v1 'manifests' inline lists are not supported)")
         }
-        val files = dataFiles(listPath)
+        val files = dataFiles(reroute(listPath)).map(reroute)
         if (files.isEmpty)
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             schemaOf(meta))
@@ -99,7 +99,7 @@ object IcebergScan {
       String.valueOf(r.get("manifest_path"))
     }
     manifests.flatMap { mp =>
-      readAvro(new Path(mp)).flatMap { entry =>
+      readAvro(new Path(reroute(mp))).flatMap { entry =>
         // status: 0 EXISTING, 1 ADDED, 2 DELETED
         val status = longField(entry, "status").getOrElse(0L)
         if (status == 2L) None
@@ -117,6 +117,10 @@ object IcebergScan {
       }
     }
   }
+
+  /** Iceberg metadata stores absolute file URLs; http(s) ones must flow
+    * through the Range-request filesystem like the root metadata did. */
+  private def reroute(p: String): String = HttpRangeFileSystem.rewriteScheme(p)
 
   private def longField(r: GenericRecord, name: String): Option[Long] =
     if (r.getSchema.getField(name) == null) None

@@ -445,13 +445,19 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
             case _ => throw new IllegalArgumentException(s"bad OPTIONS entry: $kv")
           }
         }.toMap
-      // http(s) locations download to a local temp file ONCE (the
-      // reference's object_store/http.rs reads over HTTP with range
-      // requests; a one-shot download is the minimum slice — SURVEY §2.1).
+      // http(s) PARQUET (and ICEBERG metadata) streams with Range requests
+      // through HttpRangeFileSystem — footer + touched row groups only,
+      // like the reference's object_store/http.rs. Row-oriented formats
+      // (CSV/NDJSON) are read whole anyway, so those download to a local
+      // temp file ONCE, under the size cap.
       // Scheme-specific: JDBC "locations" are connection URLs, not files.
       val fmtUp = fmt.toUpperCase
+      val isHttp = loc.startsWith("http://") || loc.startsWith("https://")
       val resolvedLoc =
-        if (fmtUp != "JDBC" && (loc.startsWith("http://") || loc.startsWith("https://")))
+        if (isHttp && (fmtUp == "PARQUET" || fmtUp == "ICEBERG")) {
+          graft.sources.HttpRangeFileSystem.register(spark.sparkContext.hadoopConfiguration)
+          graft.sources.HttpRangeFileSystem.rewriteScheme(loc)
+        } else if (isHttp && fmtUp != "JDBC")
           downloadToTmp(loc, fmt.toLowerCase)
         else loc
       // validate eagerly on the main session, then record the recipe so

@@ -6,9 +6,13 @@ import org.apache.spark.sql.SparkSession
   * SparkSession via spark.sql.extensions — no GraftContext involved. */
 class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("spark.sql.extensions=graft.GraftExtensions exposes dot_q in SQL") {
-    // clear the default session so the builder constructs a NEW session
-    // (with extensions applied) over the JVM's shared SparkContext —
-    // and do NOT stop() it, which would kill the context other suites use
+    // spark.sql.extensions is a STATIC conf: it only takes effect when the
+    // SparkContext itself is created with it. Stop any context a previous
+    // suite left running so the builder constructs a fresh one; stop ours
+    // afterwards so later suites likewise build fresh (suites run
+    // sequentially in the forked test JVM).
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(_.sparkContext.stop())
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val spark = SparkSession.builder()
@@ -22,6 +26,7 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
         .collect().head.getLong(0)
       assert(r === 32L)
     } finally {
+      spark.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
     }
