@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact distributed median via histogram + refine — the scale path for
+  * exact order statistics.
+  *
+  * Spark's built-in exact `percentile` is an ObjectHashAggregate that
+  * materializes a value→count map per group (all distinct values of the
+  * group on one executor), and a sort-based median shuffles the full
+  * column. Neither survives a 100 TB column. This operator computes the
+  * same answer with two codegen'd hash-aggregation passes over bounded
+  * state:
+  *
+  *   1. histogram: count rows per (key, value-bucket) — bucket width is a
+  *      power of two on the integer value domain, so state per key is
+  *      (domain span / width) counters regardless of row count;
+  *   2. a running sum over the tiny histogram locates the bucket(s)
+  *      holding the median rank(s);
+  *   3. refine: rescan filtered to those buckets (a broadcast semi-join
+  *      against ≤2 bucket ids per key) and take the exact in-bucket rank
+  *      with one small per-key sort.
+  *
+  * Every shuffle moves either histogram rows (bounded) or one bucket's
+  * worth of values (rows/buckets on average); nothing is collected to the
+  * driver. Even-count groups return the mean of the two middle values
+  * (DuckDB `median` / Spark `percentile(0.5)` interpolation).
+  */
+object ExactQuantile {
+
+  /** Exact per-key median of `value` (an integral column — scale decimals
+    * up front, e.g. dollars → cents). `bucketShift` sets bucket width to
+    * `2^bucketShift` value units. Returns (key, median: double, n: bigint).
+    */
+  def medianByKey(df: DataFrame, key: Column, value: Column,
+                  bucketShift: Int = 14): DataFrame = {
+    val hist = df
+      .select(key.as("__k"), value.as("__v"))
+      // arithmetic shift: bucket ids stay value-ordered on signed domains
+      .groupBy(col("__k"), shiftright(col("__v"), bucketShift).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+
+    // running count over each key's histogram (histogram rows are bounded
+    // by the value span, so this window is over a tiny relation)
+    val cum = hist
+      .withColumn("__n", sum("__c").over(Window.partitionBy("__k")))
+      .withColumn("__cum", sum("__c").over(
+        Window.partitionBy("__k").orderBy("__b")))
+      .withColumn("__lo", col("__cum") - col("__c")) // rows in earlier buckets
+    // 1-based median ranks: k1 = floor((n+1)/2), k2 = floor(n/2)+1
+    // (Column./ is DOUBLE division — ranks must use integer DIV)
+    val k1 = expr("(__n + 1) DIV 2")
+    val k2 = expr("__n DIV 2 + 1")
+    val target = cum
+      .filter(col("__cum") >= k1 && col("__lo") < k2)
+      .select(col("__k"), col("__b"), col("__lo"), col("__n"))
+
+    // refine: only rows landing in a median bucket survive the join
+    // (≤2 buckets per key, broadcast), then exact in-bucket ranking over
+    // the reduced (key, value) counts
+    val cand = df
+      .select(key.as("__k"), value.as("__v"))
+      .withColumn("__b", shiftright(col("__v"), bucketShift))
+      .join(broadcast(target), Seq("__k", "__b"))
+      .groupBy(col("__k"), col("__b"), col("__v"), col("__lo"), col("__n"))
+      .agg(count(lit(1)).as("__c"))
+      // per-BUCKET running sum: each bucket carries its own row-count
+      // offset (__lo), so global rank = __lo + rank within the bucket
+      .withColumn("__cum", col("__lo") + sum("__c").over(
+        Window.partitionBy("__k", "__b").orderBy("__v")))
+      .withColumn("__vlo", col("__cum") - col("__c")) // global rank before __v
+
+    cand
+      .filter(col("__cum") >= k1 && col("__vlo") < k2)
+      .groupBy(col("__k"))
+      // k1 == k2 (odd n) leaves one row; even n averages the two straddling
+      // values (one row if both ranks fall in the same value's run)
+      .agg(sum(col("__v") *
+          (least(col("__cum"), k2) - greatest(col("__vlo"), k1 - 1))).as("__wsum"),
+        first(col("__n")).as("n"))
+      .select(col("__k"),
+        (col("__wsum").cast("double") /
+          expr("n DIV 2 + 1 - (n + 1) DIV 2 + 1").cast("double")).as("median"),
+        col("n"))
+  }
+}

@@ -18,6 +18,24 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** Lowercase hex of a byte array. A lookup-table loop, NOT per-byte
+    * `f"%02x"` formatting — `java.util.Formatter` allocation per byte costs
+    * ~50x and dominates a frame-sampling pass that hexes millions of tiny
+    * frames. */
+  private[ops] def toHex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val v = bytes(i) & 0xff
+      out(i * 2) = HexChars(v >> 4)
+      out(i * 2 + 1) = HexChars(v & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
   /** Extracted features for one media payload. */
   case class MediaFeatures(
       doc_id: Long,
@@ -31,7 +49,7 @@ object Multimodal {
     * function body (signature and batch shape stay). */
   def decodeStub(id: Long, payload: Array[Byte]): MediaFeatures = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(payload).map(b => f"$b%02x").mkString
+    val hex = toHex(md.digest(payload))
     val checksum = payload.take(4).map(b => (b & 0xffL)).sum
     MediaFeatures(id, payload.length.toLong, checksum, hex)
   }
@@ -82,9 +100,9 @@ object Multimodal {
             .map { j =>
               val start = j * strideBytes
               val frame = payload.slice(start, math.min(start + frameBytes, payload.length))
-              val hex = frame.map(b => f"$b%02x").mkString
+              val hex = toHex(frame)
               md.reset()
-              val digest = md.digest(hex.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+              val digest = toHex(md.digest(hex.getBytes("UTF-8")))
               Frame(id, j.toLong, digest)
             }
         }

@@ -57,19 +57,41 @@ object Relational {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
-      val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      // Exact long-unit accumulation instead of Decimal sums: price/
+      // discount/tax all carry exactly 2 decimals, so cents×(100−d)×(100+t)
+      // is the EXACT 6-decimal product as an int64 — the same value the
+      // oracle's per-row CAST(... AS DECIMAL(25,6)) produces — while the
+      // hot aggregation loop runs codegen'd long adds instead of 128-bit
+      // decimal arithmetic. The final (6-row) rescale runs through Decimal
+      // division so the double conversion rounds once, like the oracle's
+      // CAST(decimal-sum AS DOUBLE). Headroom: |sum| < 2^63 up to ~sf30;
+      // past that the per-group partial sums need Decimal(25,0) again.
+      val epC = round(col("l_extendedprice") * 100).cast(LongType)
+      val disc100 = round(col("l_discount") * 100).cast(LongType)
+      val tax100 = round(col("l_tax") * 100).cast(LongType)
+      val discU = epC * (lit(100L) - disc100) // 1e-4 dollars, exact
+      val chargeU = discU * (lit(100L) + tax100) // 1e-6 dollars, exact
+      def rescale(c: Column, unitsPerDollar: Long): Column =
+        (c.cast(DecimalType(38, 6)) / lit(unitsPerDollar)).cast(DoubleType)
       li(s, d)
         .filter(col("l_shipdate") <= t("1998-09-02 00:00:00"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum("l_quantity").as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_base_price"),
-          xsum(discPrice).as("sum_disc_price"),
-          xsum(discPrice * (lit(1.0) + col("l_tax"))).as("sum_charge"),
-          (sum("l_quantity") / count(lit(1))).as("avg_qty"),
-          (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
-          (sum(col("l_discount").cast(DecimalType(18, 6))).cast(DoubleType) / count(lit(1))).as("avg_disc"),
+          sum(epC).as("__base_c"),
+          sum(discU).as("__disc_u"),
+          sum(chargeU).as("__charge_u"),
+          sum(disc100).as("__d100"),
           count(lit(1)).as("count_order"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("sum_qty"),
+          rescale(col("__base_c"), 100L).as("sum_base_price"),
+          rescale(col("__disc_u"), 10000L).as("sum_disc_price"),
+          rescale(col("__charge_u"), 1000000L).as("sum_charge"),
+          (col("sum_qty") / col("count_order")).as("avg_qty"),
+          (rescale(col("__base_c"), 100L) / col("count_order")).as("avg_price"),
+          (rescale(col("__d100"), 100L) / col("count_order")).as("avg_disc"),
+          col("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
 
@@ -100,14 +122,22 @@ object Relational {
         |  MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-      li(s, d).groupBy("l_returnflag")
-        .agg(
-          countDistinct(col("l_partkey")).as("distinct_parts"),
-          countDistinct(col("l_suppkey")).as("distinct_supps"),
-          sum_distinct(col("l_quantity")).as("sum_distinct_qty"),
+      // Three DISTINCT aggregates over different columns in one agg force
+      // an Expand that pushes 4x the input through the shuffle. Narrow
+      // per-column distinct passes (map-side partial dedup, tiny
+      // exchanges) joined on the 3-row group key run concurrently and
+      // move less data in total.
+      val l = li(s, d)
+      def distinctAgg(c: String, agg: Column, as: String) =
+        l.select(col("l_returnflag"), col(c)).distinct()
+          .groupBy("l_returnflag").agg(agg.as(as))
+      distinctAgg("l_partkey", count(lit(1)), "distinct_parts")
+        .join(distinctAgg("l_suppkey", count(lit(1)), "distinct_supps"), "l_returnflag")
+        .join(distinctAgg("l_quantity", sum("l_quantity"), "sum_distinct_qty"), "l_returnflag")
+        .join(l.groupBy("l_returnflag").agg(
           min("l_extendedprice").as("min_price"),
           max("l_extendedprice").as("max_price"),
-          count(lit(1)).as("n"))
+          count(lit(1)).as("n")), "l_returnflag")
         .orderBy("l_returnflag")
     },
 
@@ -504,24 +534,31 @@ object Relational {
         |  abs(approx_quantile(l_extendedprice, 0.5) - median(l_extendedprice))
         |    <= 0.05 * median(l_extendedprice) AS med_ok
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      // two aggregation passes joined on the tiny group key: mixing a
+      // three narrow passes joined on the tiny group key: mixing a
       // DISTINCT aggregate with sketch/percentile aggregates in one agg
       // forces an Expand plan that multiplies the input rows per
       // aggregate — 4x the data through the shuffle for no reason.
       // The HLL sketch rides the exact-distinct pass: HLL registers are
       // duplicate-insensitive (max over hashes), so sketching the distinct
       // (flag, partkey) set yields the identical estimate while reading a
-      // third of the rows; the remaining sketch pass carries only the two
-      // percentile aggregates (no Expand, one ObjectHashAggregate).
+      // third of the rows. The exact median uses the distributed
+      // histogram+refine operator (two codegen'd hash aggregations)
+      // instead of built-in `percentile`, whose ObjectHashAggregate
+      // materializes every distinct price per group on one executor —
+      // the piece that wouldn't survive a 100 TB column.
       val exact = li(s, d).select(col("l_returnflag"), col("l_partkey")).distinct()
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("exact_parts"),
           approx_count_distinct(col("l_partkey")).as("acd"))
-      val sketches = li(s, d).groupBy("l_returnflag")
-        .agg(
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("amed"),
-          expr("percentile(l_extendedprice, 0.5)").as("emed"))
-      exact.join(sketches, "l_returnflag")
+      val approxMed = li(s, d).groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("amed"))
+      // prices carry 2 decimals: scale to exact long cents for bucketing
+      val exactMed = graft.ops.ExactQuantile.medianByKey(
+          li(s, d).select(col("l_returnflag"),
+            round(col("l_extendedprice") * 100).cast("long").as("cents")),
+          col("l_returnflag"), col("cents"))
+        .select(col("__k").as("l_returnflag"), (col("median") / 100.0).as("emed"))
+      exact.join(approxMed, "l_returnflag").join(exactMed, "l_returnflag")
         .select(col("l_returnflag"), col("exact_parts"),
           (abs(col("acd") - col("exact_parts")) <= col("exact_parts") * 0.10).as("cd_ok"),
           (abs(col("amed") - col("emed")) <= col("emed") * 0.05).as("med_ok"))

@@ -36,6 +36,34 @@ class OpsSpec extends SparkSpec {
     assert(salted.count(_.head == "hot") === 900) // the hot key fully joined
   }
 
+  test("histogram+refine exact median matches built-in percentile") {
+    // adversarial shapes: odd/even counts, heavy ties, values straddling
+    // bucket boundaries (shift 4 → bucket width 16), negatives, and a
+    // single-row group
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.newBuilder[(String, Long)]
+    for (g <- 0 until 7; _ <- 0 until (if (g == 6) 1 else 500 + g)) {
+      val v = g match {
+        case 0 => rnd.nextInt(1000).toLong           // dense, many ties
+        case 1 => rnd.nextInt(40).toLong             // extreme ties
+        case 2 => rnd.nextInt(100000).toLong - 50000 // negatives
+        case 3 => (rnd.nextInt(8) * 16).toLong       // exactly on boundaries
+        case 4 => rnd.nextLong() % 1000000
+        case 5 => 17L                                // constant group
+        case _ => 99L
+      }
+      rows += ((s"g$g", v))
+    }
+    val df = rows.result().toDF("k", "v")
+    val got = graft.ops.ExactQuantile.medianByKey(df, col("k"), col("v"), bucketShift = 4)
+      .select(col("__k").as("k"), col("median")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = df.groupBy("k").agg(expr("percentile(v, 0.5)").as("m")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === want.keySet)
+    for ((k, w) <- want) assert(got(k) === w, s"group $k")
+  }
+
   test("stateful streaming sessionization closes sessions on gaps") {
     implicit val s = spark
     val inDir = tmpDir("graft-sess-in")
