@@ -218,9 +218,13 @@ object TextDedup {
     (shiftright(col(s"nib${b / 4}"), 3 - b % 4) bitwiseAND lit(1)).cast(IntegerType)
 
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // "distinct words per doc" needs NO shuffle: all of a doc's words sit
+    // in its own row (doc_id is the table key), so array_distinct before
+    // the explode replaces a full (doc, word)-string distinct exchange
+    // with a per-row dedup — and the md5s run on the reduced set
     val words = withNibbles(docs
-      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("word"))
-      .distinct()
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(split(col(textCol), " "))).as("word"))
       .withColumn("wh", substring(md5(col("word")), 1, 16)), "wh")
     // bit b lives in hex digit (b/4), bit position (3 - b%4) from LSB of
     // the nibble; nibble value via instr on the hex alphabet (portable).
