@@ -563,6 +563,36 @@ object Relational {
           (abs(col("acd") - col("exact_parts")) <= col("exact_parts") * 0.10).as("cd_ok"),
           (abs(col("amed") - col("emed")) <= col("emed") * 0.05).as("med_ok"))
         .orderBy("l_returnflag")
+    },
+
+    // ---- GROUPS window frames --------------------------------------------
+    // Spark's engine implements only ROWS and RANGE frames; the GROUPS
+    // frame (SQL:2011, supported by the reference through DataFusion) is
+    // recovered by composition — dense_rank numbers the peer groups, and a
+    // RANGE frame over that index IS the GROUPS frame (ops/WindowCompat).
+    // The oracle states the same identity in portable SQL (this DuckDB
+    // build rejects native GROUPS mode: "not implemented yet"), so DuckDB
+    // evaluates it with its own window machinery.
+    QueryDef("q32_window_groups_frame",
+      """WITH t AS (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag, l_shipdate, l_quantity,
+        |    DENSE_RANK() OVER (PARTITION BY l_returnflag ORDER BY l_shipdate) AS grp
+        |  FROM lineitem
+        |  WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00' AND TIMESTAMP '1995-01-31 23:59:59')
+        |SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
+        |  SUM(l_quantity) OVER (PARTITION BY l_returnflag ORDER BY grp
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS grp_qty
+        |FROM t ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      graft.ops.WindowCompat.withGroupsFrameAgg(
+          li(s, d).filter(col("l_shipdate").between(
+            t("1995-01-01 00:00:00"), t("1995-01-31 23:59:59"))),
+          Seq(col("l_returnflag")), col("l_shipdate"),
+          sum("l_quantity"), 1L, 1L, "grp_qty")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"),
+          col("grp_qty"))
+        .orderBy("l_orderkey", "l_linenumber")
     }
   )
 }
