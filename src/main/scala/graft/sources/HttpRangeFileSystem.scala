@@ -38,6 +38,7 @@ class HttpRangeFileSystem extends FileSystem {
     setConf(conf)
     fsUri = URI.create(s"${uri.getScheme}://${uri.getAuthority}")
     chunkBytes = conf.getInt("graft.http.chunk.bytes", HttpRangeFileSystem.DefaultChunkBytes)
+    HttpRangeFileSystem.configureCache(conf)
   }
 
   override def getScheme: String = if (fsUri == null) "ghttp" else fsUri.getScheme
@@ -131,6 +132,60 @@ object HttpRangeFileSystem {
     HttpClient.newBuilder().followRedirects(HttpClient.Redirect.NORMAL).build()
   val requests = new AtomicLong(0L)
   val bytesFetched = new AtomicLong(0L)
+  val cacheHits = new AtomicLong(0L)
+
+  /** Executor-local byte-range cache over fetch windows — the Spark-world
+    * analog of the reference's on-disk object-store cache
+    * (`src/object_store/cache.rs:33-35`: 1 GiB capacity, 180 s TTL,
+    * 1 MiB min fetch chunk). JVM-heap LRU keyed (url, start, len): every
+    * executor caches the windows its own tasks touch, so a re-read of a
+    * remote table's footer or hot columns never re-crosses the network
+    * within the TTL. Sized/expired via `graft.http.cache.bytes` /
+    * `graft.http.cache.ttl.ms` (0 disables). */
+  private val DefaultCacheBytes: Long = 1L << 30
+  private val DefaultTtlMs: Long = 180000L
+  @volatile private[sources] var cacheBytes: Long = DefaultCacheBytes
+  @volatile private[sources] var cacheTtlMs: Long = DefaultTtlMs
+  private case class Window(data: Array[Byte], bornMs: Long)
+  private val cacheSize = new AtomicLong(0L)
+  private val cache = new java.util.LinkedHashMap[(String, Long, Int), Window](64, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(String, Long, Int), Window]): Boolean = {
+      val over = cacheSize.get() > cacheBytes
+      if (over) cacheSize.addAndGet(-e.getValue.data.length.toLong)
+      over
+    }
+  }
+
+  private[sources] def configureCache(conf: Configuration): Unit = {
+    cacheBytes = conf.getLong("graft.http.cache.bytes", DefaultCacheBytes)
+    cacheTtlMs = conf.getLong("graft.http.cache.ttl.ms", DefaultTtlMs)
+  }
+
+  private[sources] def cached(url: String, start: Long, len: Int)
+                             (fetch: => Array[Byte]): Array[Byte] = {
+    if (cacheBytes <= 0 || cacheTtlMs <= 0) return fetch
+    val key = (url, start, len)
+    val now = System.currentTimeMillis()
+    cache.synchronized {
+      val hit = cache.get(key)
+      if (hit != null) {
+        if (now - hit.bornMs <= cacheTtlMs) { cacheHits.incrementAndGet(); return hit.data }
+        cacheSize.addAndGet(-hit.data.length.toLong)
+        cache.remove(key)
+      }
+    }
+    val data = fetch
+    cache.synchronized {
+      if (cache.put((url, start, len), Window(data, now)) == null)
+        cacheSize.addAndGet(data.length.toLong)
+    }
+    data
+  }
+
+  private[sources] def clearCache(): Unit = cache.synchronized {
+    cache.clear(); cacheSize.set(0L)
+  }
 
   private[sources] def send[T](req: HttpRequest,
                                handler: HttpResponse.BodyHandler[T]): HttpResponse[T] = {
@@ -193,27 +248,33 @@ private[sources] class HttpRangeInputStream(url: String, len: Long, chunkBytes: 
   private def fetchWindow(at: Long): Unit = {
     val start = at - (at % chunkBytes) // align so sequential reads re-use windows
     val end = math.min(start + chunkBytes, len) - 1
+    buf = HttpRangeFileSystem.cached(url, start, (end - start + 1).toInt) {
+      httpFetch(start, end)
+    }
+    bufStart = start
+    if (buf.isEmpty && at < len)
+      throw new EOFException(s"$url returned an empty range body at $at (len $len)")
+  }
+
+  private def httpFetch(start: Long, end: Long): Array[Byte] = {
     val resp = HttpRangeFileSystem.send(
       HttpRequest.newBuilder(URI.create(url)).GET()
         .header("Range", s"bytes=$start-$end").build(),
       HttpResponse.BodyHandlers.ofByteArray())
-    resp.statusCode() match {
-      case 206 =>
-        buf = resp.body(); bufStart = start
+    val window = resp.statusCode() match {
+      case 206 => resp.body()
       case 200 =>
         // server ignored Range: the body is the whole object — keep only
         // the requested window so memory stays bounded by chunk size
         val whole = resp.body()
         val from = math.min(start, whole.length.toLong).toInt
         val until = math.min(end + 1, whole.length.toLong).toInt
-        buf = java.util.Arrays.copyOfRange(whole, from, until)
-        bufStart = start
+        java.util.Arrays.copyOfRange(whole, from, until)
       case other =>
         throw new IOException(s"$url range [$start,$end] returned HTTP $other")
     }
-    HttpRangeFileSystem.bytesFetched.addAndGet(buf.length.toLong)
-    if (buf.isEmpty && at < len)
-      throw new EOFException(s"$url returned an empty range body at $at (len $len)")
+    HttpRangeFileSystem.bytesFetched.addAndGet(window.length.toLong)
+    window
   }
 
   override def close(): Unit = { closed = true; buf = Array.emptyByteArray }

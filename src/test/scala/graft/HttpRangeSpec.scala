@@ -104,6 +104,19 @@ class HttpRangeSpec extends SparkSpec {
     }
   }
 
+  test("byte-range cache serves repeat reads without re-crossing the network") {
+    withTable(honorRange = true) { (c, fetched) =>
+      val q = "SELECT sum(id) AS s FROM staging.wp"
+      val first = c.execute(q).collect().head.getLong(0)
+      val afterFirst = fetched.get()
+      val hitsBefore = HttpRangeFileSystem.cacheHits.get()
+      assert(c.execute(q).collect().head.getLong(0) === first)
+      assert(fetched.get() === afterFirst,
+        "second execution re-fetched ranges the cache should have served")
+      assert(HttpRangeFileSystem.cacheHits.get() > hitsBefore)
+    }
+  }
+
   test("missing objects fail the DDL loudly") {
     val server = serve(parquetBytes, honorRange = true)
     try {
