@@ -36,8 +36,11 @@ object ExactQuantile {
     */
   def medianByKey(df: DataFrame, key: Column, value: Column,
                   bucketShift: Int = 14): DataFrame = {
-    val hist = df
-      .select(key.as("__k"), value.as("__v"))
+    // null values don't participate in order statistics (percentile/median
+    // semantics); without this filter they'd form a null bucket that sorts
+    // first and corrupts every rank offset
+    val vals = df.select(key.as("__k"), value.as("__v")).filter(col("__v").isNotNull)
+    val hist = vals
       // arithmetic shift: bucket ids stay value-ordered on signed domains
       .groupBy(col("__k"), shiftright(col("__v"), bucketShift).as("__b"))
       .agg(count(lit(1)).as("__c"))
@@ -60,8 +63,7 @@ object ExactQuantile {
     // refine: only rows landing in a median bucket survive the join
     // (≤2 buckets per key, broadcast), then exact in-bucket ranking over
     // the reduced (key, value) counts
-    val cand = df
-      .select(key.as("__k"), value.as("__v"))
+    val cand = vals
       .withColumn("__b", shiftright(col("__v"), bucketShift))
       .join(broadcast(target), Seq("__k", "__b"))
       .groupBy(col("__k"), col("__b"), col("__v"), col("__lo"), col("__n"))

@@ -54,7 +54,10 @@ class OpsSpec extends SparkSpec {
       }
       rows += ((s"g$g", v))
     }
-    val df = rows.result().toDF("k", "v")
+    // null values must be ignored, exactly like built-in percentile
+    val data = rows.result().map { case (k, v) => (k, java.lang.Long.valueOf(v)) } ++
+      Seq(("g0", null: java.lang.Long), ("g2", null: java.lang.Long))
+    val df = data.toDF("k", "v")
     val got = graft.ops.ExactQuantile.medianByKey(df, col("k"), col("v"), bucketShift = 4)
       .select(col("__k").as("k"), col("median")).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap

@@ -144,4 +144,37 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"),
       "as-of must not degrade to a join:\n" + p.take(3000))
   }
+
+  test("multi-distinct aggregation avoids Expand (q09 narrow passes)") {
+    val p = planOf("q09_distinct_aggs")
+    assert(!p.contains("Expand"),
+      "q09 must not multiply shuffle volume through an Expand:\n" + p.take(3000))
+  }
+
+  test("exact median runs as hash aggregation, not an object-hash percentile (q26)") {
+    val p = planOf("q26_approx_aggs")
+    assert(!p.contains("percentile("),
+      "q26's exact median must use histogram+refine, not built-in percentile:\n" + p.take(3000))
+    // percentile_approx (the sketch under test) is the ONLY object-hash agg
+    val objAggs = p.linesIterator.count(_.matches("""\(\d+\) ObjectHashAggregate\s*"""))
+    assert(objAggs <= 2, // partial+final of the percentile_approx pass
+      s"expected only the sketch pass's ObjectHashAggregate pair, got $objAggs:\n${p.take(3000)}")
+  }
+
+  test("simhash dedupes words per-row, no distinct exchange before the signature agg (dd4)") {
+    val p = planOf("dd4_dedup_simhash")
+    // one exchange for the 64-sum rollup, one for the presentation orderBy
+    val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange\s*"""))
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n${p.take(3000)}")
+  }
+
+  test("GROUPS frame composition shares one sort across both windows (q32)") {
+    val p = planOf("q32_window_groups_frame")
+    // dense_rank + RANGE-frame agg: same partitioning/order → ONE exchange
+    // (plus the presentation orderBy's) and no second sort between windows
+    val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange\s*"""))
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n${p.take(3000)}")
+    val windows = p.linesIterator.count(_.matches("""\(\d+\) Window\s*"""))
+    assert(windows == 2, s"expected exactly 2 Window operators:\n${p.take(3000)}")
+  }
 }
