@@ -1,0 +1,356 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native per-document text-shingling expressions: the whole per-row
+  * computation (tokenize → window → hash → dedup) runs as ONE tight JVM
+  * loop over the string's UTF-8 bytes, where the equivalent declarative
+  * pipeline (split + explode + concat_ws + xxhash64 + distinct) pays a
+  * per-element expression-eval or a per-shingle row through an exchange.
+  * Used by the dedup/fingerprint operators whose only consumer of the
+  * intermediate shingle rows is an aggregation — fewer stages, zero
+  * interpreted-lambda overhead.
+  */
+object TextExprs {
+
+  /** Distinct xxhash64 (seed 42, Spark's xxhash64) values of the word
+    * n-gram shingles of `text` (single-space tokenization). Hash input
+    * bytes are exactly `concat_ws(" ", words i..i+n-1)`: because words
+    * are the between-space byte runs, that join equals the original
+    * text's byte range from word i's start to word i+n-1's end — so the
+    * window is hashed in place, no substring materialization. Documents
+    * with fewer than n words yield an empty array. Result order is
+    * ascending (sort-based dedup), which downstream set consumers are
+    * insensitive to.
+    */
+  case class ShingleHashSet(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "shingle_hash_set"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[UTF8String].getBytes
+      val len = bytes.length
+      // word i spans [starts(i), starts(i+1) - 1); the last spans to len
+      var nWords = 1
+      var j = 0
+      while (j < len) { if (bytes(j) == ' ') nWords += 1; j += 1 }
+      val nShingles = nWords - (n - 1)
+      if (len == 0 || nShingles <= 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+      val starts = new Array[Int](nWords + 1)
+      var w = 1
+      j = 0
+      while (j < len) { if (bytes(j) == ' ') { starts(w) = j + 1; w += 1 }; j += 1 }
+      starts(nWords) = len + 1 // virtual space after the last word
+      val hashes = new Array[Long](nShingles)
+      var i = 0
+      while (i < nShingles) {
+        val from = starts(i)
+        val until = starts(i + n) - 1 // end of word i+n-1
+        hashes(i) = XXH64.hashUnsafeBytes(
+          bytes, Platform.BYTE_ARRAY_OFFSET + from, until - from, 42L)
+        i += 1
+      }
+      java.util.Arrays.sort(hashes)
+      var uniq = 1
+      i = 1
+      while (i < nShingles) { if (hashes(i) != hashes(i - 1)) uniq += 1; i += 1 }
+      if (uniq == nShingles) return UnsafeArrayData.fromPrimitiveArray(hashes)
+      val out = new Array[Long](uniq)
+      out(0) = hashes(0)
+      var o = 1
+      i = 1
+      while (i < nShingles) {
+        if (hashes(i) != hashes(i - 1)) { out(o) = hashes(i); o += 1 }
+        i += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): ShingleHashSet =
+      copy(child = newChild)
+  }
+
+  /** Column API: distinct 64-bit shingle hashes of a text column. */
+  def shingle_hash_set(text: Column, n: Int): Column =
+    GraftBridge.column(ShingleHashSet(GraftBridge.expression(text), n))
+
+  /** A byte range of a backing array usable as an exact hash key —
+    * word-distinctness and term frequencies are computed on the raw
+    * UTF-8 bytes (no String decode, so invalid sequences round-trip). */
+  private final class ByteSlice(val bytes: Array[Byte], val from: Int, val len: Int) {
+    override def hashCode(): Int = {
+      var h = 1
+      var i = from
+      while (i < from + len) { h = 31 * h + bytes(i); i += 1 }
+      h
+    }
+    override def equals(o: Any): Boolean = o match {
+      case s: ByteSlice =>
+        s.len == len && {
+          var i = 0
+          while (i < len) {
+            if (bytes(from + i) != s.bytes(s.from + i)) return false
+            i += 1
+          }
+          true
+        }
+      case _ => false
+    }
+  }
+
+  /** Word start offsets of single-space-tokenized `bytes`, with a
+    * sentinel start at len+1 (the "virtual space" after the last word):
+    * word i spans [starts(i), starts(i+1) - 1). */
+  private def wordStarts(bytes: Array[Byte]): Array[Int] = {
+    val len = bytes.length
+    var nWords = 1
+    var j = 0
+    while (j < len) { if (bytes(j) == ' ') nWords += 1; j += 1 }
+    val starts = new Array[Int](nWords + 1)
+    var w = 1
+    j = 0
+    while (j < len) { if (bytes(j) == ' ') { starts(w) = j + 1; w += 1 }; j += 1 }
+    starts(nWords) = len + 1
+    starts
+  }
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  /** 64-bit SimHash of the document as a 16-hex-char string — the whole
+    * Charikar construction in one pass per row: tokenize, count distinct
+    * words (term frequencies if `weighted`), vote ±weight per bit of each
+    * word's md5-prefix hash, render the sign vector. Bit spec matches the
+    * portable SQL formulation (word hash = first 16 hex chars of
+    * md5(word); bit b = bit (3 - b%4) of hex digit b/4), so outputs are
+    * bit-identical to the declarative pipeline and the DuckDB oracle.
+    * Replaces an explode + 64 conditional-sum aggregate columns + one
+    * doc-keyed exchange with a zero-shuffle projection.
+    */
+  case class SimHash64(child: Expression, weighted: Boolean)
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = StringType
+    override def prettyName: String = if (weighted) "simhash64_weighted" else "simhash64"
+
+    @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[UTF8String].getBytes
+      val starts = wordStarts(bytes)
+      val nWords = starts.length - 1
+      val counts = new java.util.HashMap[ByteSlice, Int]()
+      var i = 0
+      while (i < nWords) {
+        val s = new ByteSlice(bytes, starts(i), starts(i + 1) - 1 - starts(i))
+        counts.merge(s, 1, (a, b) => a + b)
+        i += 1
+      }
+      val sums = new Array[Long](64)
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val s = e.getKey
+        val weight = if (weighted) e.getValue.longValue() else 1L
+        md.reset()
+        md.update(s.bytes, s.from, s.len)
+        val d = md.digest()
+        var b = 0
+        while (b < 64) {
+          val nib = if ((b & 4) == 0) (d(b >> 3) >> 4) & 0xf else d(b >> 3) & 0xf
+          sums(b) += (if (((nib >> (3 - (b & 3))) & 1) == 1) weight else -weight)
+          b += 1
+        }
+      }
+      val out = new Array[Char](16)
+      var j = 0
+      while (j < 16) {
+        var v = 0
+        var r = 0
+        while (r < 4) { if (sums(4 * j + r) > 0) v |= 1 << (3 - r); r += 1 }
+        out(j) = hexChars(v)
+        j += 1
+      }
+      UTF8String.fromString(new String(out))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+      copy(child = newChild)
+  }
+
+  /** Column API: 64-bit SimHash (16 hex chars) of a text column. */
+  def simhash64(text: Column, weighted: Boolean): Column =
+    GraftBridge.column(SimHash64(GraftBridge.expression(text), weighted))
+
+  /** Document fingerprint: concatenation of the `k` lexicographically
+    * smallest DISTINCT md5 hex digests over the document's word n-gram
+    * shingles — MinKMd5Aggregate's selection computed entirely inside the
+    * row (shingle windows hashed in place over the text bytes, bounded
+    * ≤k-digest buffer), so the fingerprint pass is a pure projection with
+    * NO shuffle at all. NULL for documents with fewer than n words (the
+    * aggregate formulation produced no group for those).
+    */
+  case class MinKFingerprint(child: Expression, n: Int, k: Int)
+    extends UnaryExpression with CodegenFallback {
+    require(n >= 1 && k >= 1)
+
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "min_k_fingerprint"
+
+    @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+
+    private def compareBytes(a: Array[Byte], b: Array[Byte]): Int = {
+      var i = 0
+      while (i < 16) {
+        val c = (a(i) & 0xff) - (b(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      0
+    }
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[UTF8String].getBytes
+      val starts = wordStarts(bytes)
+      val nShingles = starts.length - 1 - (n - 1)
+      if (nShingles <= 0) return null
+      val buf = new java.util.ArrayList[Array[Byte]](k)
+      var i = 0
+      while (i < nShingles) {
+        md.reset()
+        md.update(bytes, starts(i), starts(i + n) - 1 - starts(i))
+        val d = md.digest()
+        // insert into the sorted ≤k buffer unless duplicate or too large
+        var lo = 0
+        var hi = buf.size()
+        var dup = false
+        while (lo < hi && !dup) {
+          val mid = (lo + hi) >>> 1
+          val c = compareBytes(d, buf.get(mid))
+          if (c == 0) dup = true
+          else if (c < 0) hi = mid
+          else lo = mid + 1
+        }
+        if (!dup && lo < k) {
+          buf.add(lo, d)
+          if (buf.size() > k) buf.remove(k)
+        }
+        i += 1
+      }
+      val out = new Array[Char](32 * buf.size())
+      var o = 0
+      i = 0
+      while (i < buf.size()) {
+        val d = buf.get(i)
+        var j = 0
+        while (j < 16) {
+          out(o) = hexChars((d(j) >> 4) & 0xf); o += 1
+          out(o) = hexChars(d(j) & 0xf); o += 1
+          j += 1
+        }
+        i += 1
+      }
+      UTF8String.fromString(new String(out))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): MinKFingerprint =
+      copy(child = newChild)
+  }
+
+  /** Column API: min-k-md5 shingle fingerprint of a text column. */
+  def min_k_fingerprint(text: Column, n: Int, k: Int): Column =
+    GraftBridge.column(MinKFingerprint(GraftBridge.expression(text), n, k))
+
+  /** Robust winnowing selection (Schleimer et al., SIGMOD'03) computed
+    * per row in O(positions) with a monotonic deque: word k-gram hashes
+    * (first 16 hex chars of md5, compared as unsigned 64-bit prefixes =
+    * lexicographic hex order), every window of `w` consecutive k-grams
+    * selects its minimum with rightmost-position tie-breaking, and the
+    * result is the distinct selected (pos, fp) set, ascending by pos —
+    * exactly the windowed string-MIN formulation
+    * (min(h || lpad(99999999 - pos)) over ROWS -(w-1)..0, complete
+    * windows only), but with NO doc-keyed sort/exchange and O(n) instead
+    * of O(n·w) work. Documents with fewer than w+k-1 words (no complete
+    * window) yield an empty array.
+    */
+  case class WinnowSelect(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+    require(k >= 1 && w >= 1)
+
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(StructField("pos", LongType), StructField("fp", StringType))),
+      containsNull = false)
+    override def prettyName: String = "winnow_select"
+
+    @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[UTF8String].getBytes
+      val starts = wordStarts(bytes)
+      val nKg = starts.length - 1 - (k - 1)
+      if (nKg < w) return new GenericArrayData(Array.empty[Any])
+      // first 8 digest bytes as a big-endian u64: unsigned compare ==
+      // lexicographic compare of the 16-hex rendering
+      val h = new Array[Long](nKg + 1) // 1-based positions
+      var i = 1
+      while (i <= nKg) {
+        md.reset()
+        md.update(bytes, starts(i - 1), starts(i - 1 + k) - 1 - starts(i - 1))
+        val d = md.digest()
+        var v = 0L
+        var j = 0
+        while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+        h(i) = v
+        i += 1
+      }
+      // monotonic deque of candidate positions (increasing pos, strictly
+      // increasing key): a newer equal-or-smaller hash displaces older
+      // entries (rightmost tie-break)
+      val deque = new Array[Int](nKg + 1)
+      var head = 0
+      var tail = 0 // exclusive
+      val sel = new scala.collection.mutable.ArrayBuffer[Any]()
+      var lastEmitted = 0
+      i = 1
+      while (i <= nKg) {
+        while (tail > head && java.lang.Long.compareUnsigned(h(deque(tail - 1)), h(i)) >= 0)
+          tail -= 1
+        deque(tail) = i; tail += 1
+        if (i >= w) {
+          while (deque(head) <= i - w) head += 1
+          val p = deque(head)
+          if (p != lastEmitted) {
+            val out = new Array[Char](16)
+            var j = 0
+            while (j < 16) {
+              out(j) = hexChars(((h(p) >>> (60 - 4 * j)) & 0xf).toInt)
+              j += 1
+            }
+            sel += new GenericInternalRow(
+              Array[Any](p.toLong, UTF8String.fromString(new String(out))))
+            lastEmitted = p
+          }
+        }
+        i += 1
+      }
+      new GenericArrayData(sel.toArray)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): WinnowSelect =
+      copy(child = newChild)
+  }
+
+  /** Column API: winnowing fingerprint selection of a text column. */
+  def winnow_select(text: Column, k: Int, w: Int): Column =
+    GraftBridge.column(WinnowSelect(GraftBridge.expression(text), k, w))
+}

@@ -86,16 +86,16 @@ object TextAnalysis {
     * smallest DISTINCT md5(5-gram shingle) digests — a compact content
     * signature robust to local edits (winnowing-style min-selection).
     *
-    * One bounded-state aggregate over NON-distinct shingle rows
-    * (MinKMd5Aggregate dedupes inside its ≤3-digest buffer), so the
-    * pipeline is a single shuffle whose map-side partials carry at most 3
-    * digests per (doc, partition) — vs. the declarative form's distinct
-    * exchange + collect_list of every digest + per-group sort. */
+    * The min-3 selection runs entirely inside the row (native
+    * MinKFingerprint expression: shingle windows hashed in place over
+    * the text bytes, bounded ≤3-digest buffer), so the fingerprint pass
+    * is a pure projection — NO shuffle, no shingle explosion. The
+    * aggregate form (MinKMd5Aggregate) remains for grouped callers. */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    TextDedup.docShingleRows(docs, idCol, textCol, 5)
-      .groupBy("doc_id")
-      .agg(array_join(
-        graft.functions.MinKMd5Aggregate.min_k_md5(col("shingle"), 3), "").as("fingerprint"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        graft.functions.TextExprs.min_k_fingerprint(col(textCol), 5, 3).as("fingerprint"))
+      .filter(col("fingerprint").isNotNull)
 
   /** Deterministic train/val/test assignment: the first 16 hex chars of
     * md5(salt || ':' || id) are a uniform 64-bit draw, and comparing the
@@ -138,13 +138,8 @@ object TextAnalysis {
     val sh = TextDedup.spreadSmallInput(
         docs.filter(col(splitCol).isin("train", "test")))
       .select(col(idCol).as("doc_id"), col(splitCol).as("__split"),
-        split(col(textCol), " ").as("w"))
-      .filter(size(col("w")) >= n)
-      .select(col("doc_id"), col("__split"), col("w"),
-        explode(sequence(lit(1), size(col("w")) - (n - 1))).as("i"))
-      .select(col("doc_id"), col("__split"),
-        xxhash64(concat_ws(" ",
-          (0 until n).map(k => element_at(col("w"), col("i") + k)): _*)).as("sh64"))
+        explode(graft.functions.TextExprs
+          .shingle_hash_set(col(textCol), n)).as("sh64"))
     // ONE shuffle keyed on the shingle hash resolves train-membership and
     // the distinct test-doc set per shingle together (collect_set dedupes
     // repeat occurrences; its per-key state is bounded by the shingle's
@@ -192,30 +187,14 @@ object TextAnalysis {
     * shuffle on doc_id; selection density is 2/(w+1).
     */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
-                         k: Int = 4, w: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val kg = docs
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("wd"))
-      .filter(size(col("wd")) >= k)
-      .select(col("doc_id"),
-        explode(sequence(lit(1), size(col("wd")) - (k - 1))).as("i"),
-        col("wd"))
-      .select(col("doc_id"), col("i"),
-        substring(md5(concat_ws(" ",
-          (0 until k).map(j => element_at(col("wd"), col("i") + j)): _*)), 1, 16).as("h"))
-    val win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-(w - 1), 0)
-    kg
-      .withColumn("key",
-        concat(col("h"), lpad((lit(99999999) - col("i")).cast(StringType), 8, "0")))
-      .withColumn("sel", min("key").over(win))
-      .filter(col("i") >= w) // complete windows only (positions are 1-based)
-      // dedup on (doc_id, sel) BEFORE projecting pos/fp: the aggregation
-      // reuses the window's doc_id partitioning (no new exchange), and the
-      // pos/fp substrings run once per selected fingerprint instead of
-      // once per window row
-      .groupBy("doc_id", "sel").agg(lit(1).as("__one"))
-      .select(col("doc_id"),
-        (lit(99999999L) - substring(col("sel"), 17, 8).cast(LongType)).as("pos"),
-        substring(col("sel"), 1, 16).as("fp"))
-  }
+                         k: Int = 4, w: Int = 8): DataFrame =
+    // the selection runs per row in O(positions) with a monotonic deque
+    // (native WinnowSelect expression) — same distinct (pos, fp) set as
+    // the windowed string-MIN formulation, with NO doc-keyed window
+    // sort/exchange and no O(n·w) re-scans; explode drops the empty
+    // selections of documents without a complete window
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.TextExprs.winnow_select(col(textCol), k, w)).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
 }

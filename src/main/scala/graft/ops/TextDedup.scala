@@ -66,53 +66,47 @@ object TextDedup {
       .groupBy("text_hash").agg(min("doc_id").as("doc_id"))
 
   /** All-pairs exact n-gram Jaccard >= threshold via the shingle inverted
-    * index: pairs can only have jaccard > 0 if they share a shingle, so the
-    * self-join on shingle enumerates exactly the candidate space.
+    * index: pairs can only have jaccard > 0 if they share a shingle, so
+    * grouping by shingle enumerates exactly the candidate space.
     * `maxShingleDf` drops shingles occurring in more than that many docs
-    * (stop-shingles): bounds the per-key join fan-out at scale. Note the
+    * (stop-shingles): bounds the per-key fan-out at scale. Note the
     * df-cap slightly changes semantics (capped shingles count for sizes but
     * not intersections) — the oracle applies the same cap.
+    *
+    * TWO data shuffles total. Each document's distinct shingle-hash set
+    * and its size are computed INSIDE the row (split → per-position
+    * xxhash64 → array_distinct), so the pipeline needs no distinct()
+    * exchange and no doc-keyed size aggregation; the size rides the
+    * exploded rows into the inverted index, so no size join either.
+    * Shingles are keyed by their 64-bit xxhash: every exchange moves
+    * 8-byte longs instead of n-word strings (a cross-shingle collision —
+    * 2^-64 per pair — is the standard dedup-pipeline trade; the declared
+    * jaccard output is unchanged). The stop-shingle cap is enforced IN
+    * the collect aggregate (BoundedDocSetAggregate): per-key state and
+    * shuffle traffic stay ≤ cap+1 entries even for a boilerplate shingle
+    * present in millions of documents — the property a collect_set +
+    * post-filter would lose and a count pre-pass + anti-join would buy
+    * back only at the cost of a full extra shuffle over the shingle set.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double, maxShingleDf: Int): DataFrame = {
-    // Doc sizes and the stop-shingle cap come from groupBy aggregates
-    // over the shingle rows (map-side partial agg), not count windows: a
-    // window would sort the full shingle set twice just to tag counts
-    // along every row. NOT cached: the three consumers live in ONE query
-    // DAG, so Spark's ReuseExchange dedupes the identical shuffle
-    // subtrees — and a cache() here could never be unpersisted (the
-    // function returns a lazy frame), leaking executor storage on a
-    // long-running server.
-    // Shingles are keyed by their 64-bit xxhash from here on: every
-    // exchange and join moves 8-byte longs instead of n-word strings
-    // (a cross-shingle collision — 2^-64 per pair — is the standard
-    // dedup-pipeline trade; the declared jaccard output is unchanged).
-    val ds = docShingleRows(docs, idCol, textCol, n)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("sh64"))
-      .distinct()
-    val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    // Stop-shingle cap as a COUNT pre-pass + anti-join (the hot list is
-    // tiny, so the anti-join broadcasts) — NOT a post-filter on the
-    // collected doc lists below: a boilerplate shingle present in
-    // millions of documents would make its collect_set key unbounded.
-    val hot = ds.groupBy("sh64").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxShingleDf).select("sh64")
-    // Inverted index: docs sharing a shingle, pairs exploded from the
-    // per-shingle doc list (bounded by the df cap, so ≤ cap²/2 pairs per
-    // shingle) — one shuffle where a self-join would shuffle the shingle
-    // set twice and sort both sides.
-    val bySh = ds.join(hot, Seq("sh64"), "left_anti")
-      .groupBy("sh64").agg(collect_set(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) >= 2)
+    val indexRows = spreadSmallInput(docs)
+      .select(col(idCol).cast(LongType).as("doc_id"),
+        graft.functions.TextExprs.shingle_hash_set(col(textCol), n).as("shs"))
+      .select(col("doc_id"), size(col("shs")).cast(LongType).as("sz"),
+        explode(col("shs")).as("sh64"))
+    val bySh = indexRows
+      .groupBy("sh64")
+      .agg(graft.functions.BoundedDocSetAggregate
+        .bounded_doc_set(col("doc_id"), col("sz"), maxShingleDf).as("ids"))
+      .filter(size(col("ids")).between(2, maxShingleDf))
     bySh
-      .select(col("ids"), explode(col("ids")).as("id1"))
-      .select(col("id1"), explode(col("ids")).as("id2"))
-      .filter(col("id1") < col("id2"))
-      .groupBy("id1", "id2")
+      .select(col("ids"), explode(col("ids")).as("d1"))
+      .select(col("d1"), explode(col("ids")).as("d2"))
+      .filter(col("d1.id") < col("d2.id"))
+      .groupBy(col("d1.id").as("id1"), col("d2.id").as("id2"),
+        col("d1.sz").as("sz1"), col("d2.sz").as("sz2"))
       .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id"), col("sz").as("sz1")), col("id1") === col("doc_id"))
-      .drop("doc_id")
-      .join(sizes.select(col("doc_id"), col("sz").as("sz2")), col("id2") === col("doc_id"))
       .withColumn("jaccard",
         col("inter").cast(DoubleType) / (col("sz1") + col("sz2") - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -206,38 +200,16 @@ object TextDedup {
     * Entirely expression-generated: 64 conditional-sum aggregates in one
     * hash aggregation, all codegen'd.
     */
-  /** Project the 16 nibble values of a 16-hex-char column once, so the
-    * 64 per-bit aggregates read a small int column instead of each
-    * re-running instr+substring (4 bits share every nibble). */
-  private def withNibbles(df: DataFrame, hexCol: String): DataFrame =
-    df.select(df.columns.map(col) ++ (0 until 16).map { d =>
-      expr(s"instr('0123456789abcdef', substring($hexCol, ${d + 1}, 1)) - 1").as(s"nib$d")
-    }: _*)
-
-  private def nibbleBit(b: Int): Column =
-    (shiftright(col(s"nib${b / 4}"), 3 - b % 4) bitwiseAND lit(1)).cast(IntegerType)
-
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // "distinct words per doc" needs NO shuffle: all of a doc's words sit
-    // in its own row (doc_id is the table key), so array_distinct before
-    // the explode replaces a full (doc, word)-string distinct exchange
-    // with a per-row dedup — and the md5s run on the reduced set
-    val words = withNibbles(docs
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    // the whole construction (tokenize → distinct → md5 bit votes → sign
+    // vector) runs inside the row as ONE native expression: zero
+    // shuffles, zero exploded word rows — where the declarative form
+    // paid an explode + 64 conditional-sum aggregate columns + one
+    // doc-keyed exchange (the null filter mirrors that form, whose
+    // explode dropped null-text docs)
+    docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
-        explode(array_distinct(split(col(textCol), " "))).as("word"))
-      .withColumn("wh", substring(md5(col("word")), 1, 16)), "wh")
-    // bit b lives in hex digit (b/4), bit position (3 - b%4) from LSB of
-    // the nibble; nibble value via instr on the hex alphabet (portable).
-    val sums = (0 until 64).map(b => sum(nibbleBit(b) * 2 - 1).as(s"s$b"))
-    val bits = words.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-    val nibbles = (0 until 16).map { j =>
-      val v = (0 until 4).map { r =>
-        when(col(s"s${j * 4 + r}") > 0, lit(1 << (3 - r))).otherwise(lit(0))
-      }.reduce(_ + _)
-      lit("0123456789abcdef").substr(v + 1, lit(1))
-    }
-    bits.select(col("doc_id"), concat(nibbles: _*).as("simhash"))
-  }
+        graft.functions.TextExprs.simhash64(col(textCol), weighted = false).as("simhash"))
 
   /** Duplicate GROUPS from a near-dup pair list: connected components of
     * the (id1, id2) graph, every member labeled with its component's
@@ -294,24 +266,15 @@ object TextDedup {
     * term-frequency weights): each distinct word votes ±tf on every bit
     * instead of ±1, so frequent terms dominate the signature — more robust
     * to boilerplate insertions than the unweighted variant. Same portable
-    * bit spec as `simhash`; one groupBy(doc_id, word) for tf, one
-    * groupBy(doc_id) for the 64 weighted sums.
+    * bit spec as `simhash`; term frequencies and votes are computed
+    * inside the row (native SimHash64 expression), replacing the
+    * (doc, word) tf exchange + 64-column aggregation with a zero-shuffle
+    * projection.
     */
-  def simhashWeighted(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val words = withNibbles(docs
-      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("word"))
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-      .withColumn("wh", substring(md5(col("word")), 1, 16)), "wh")
-    val sums = (0 until 64).map(b => sum((nibbleBit(b) * 2 - 1) * col("tf")).as(s"s$b"))
-    val bits = words.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-    val nibbles = (0 until 16).map { j =>
-      val v = (0 until 4).map { r =>
-        when(col(s"s${j * 4 + r}") > 0, lit(1 << (3 - r))).otherwise(lit(0))
-      }.reduce(_ + _)
-      lit("0123456789abcdef").substr(v + 1, lit(1))
-    }
-    bits.select(col("doc_id"), concat(nibbles: _*).as("simhash"))
-  }
+  def simhashWeighted(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        graft.functions.TextExprs.simhash64(col(textCol), weighted = true).as("simhash"))
 
   /** Hamming distance between two 16-hex-char simhash columns (given by
     * name; portable: per-nibble popcount of xor). */

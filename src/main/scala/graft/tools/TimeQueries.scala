@@ -2,22 +2,25 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Perf probe: time individual SparkEntry queries under configurable
-  * session settings (iterate on shuffle sizing / AQE without touching
-  * Bench).
+/** Perf probe: time individual SparkEntry queries under the SAME session
+  * configuration Bench uses (so numbers transfer 1:1), min-of-N reps.
   *
-  *   scripts/run.sh graft.tools.TimeQueries <sfDir> <shufflePartitions> \
-  *     <aqe:true|false> <query> [query ...]
+  *   scripts/run.sh graft.tools.TimeQueries <sfDir> <reps> <query> [query ...]
   */
 object TimeQueries {
   def main(args: Array[String]): Unit = {
-    val Seq(sfDir, parts, aqe, rest @ _*) = args.toSeq: @unchecked
+    val Seq(sfDir, repsS, rest @ _*) = args.toSeq: @unchecked
+    val reps = repsS.toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", parts)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", aqe)
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", (8L << 20).toString)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -25,9 +28,14 @@ object TimeQueries {
     graft.SparkEntry.queries("q02_filter_predicates")(spark, sfDir)
       .write.mode("overwrite").format("noop").save() // warm session
     rest.foreach { q =>
-      val t0 = System.nanoTime()
-      graft.SparkEntry.queries(q)(spark, sfDir).write.mode("overwrite").format("noop").save()
-      println(f"$q ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      var best = Double.MaxValue
+      for (_ <- 0 until reps) {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(q)(spark, sfDir).write.mode("overwrite").format("noop").save()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      println(f"$q $best%.3f s")
     }
     spark.stop()
   }

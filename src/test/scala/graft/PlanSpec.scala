@@ -77,15 +77,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p.take(3000))
   }
 
-  test("n-gram Jaccard never sorts the shingle set (dd2: no windows, hot list broadcasts)") {
+  test("n-gram Jaccard is two data shuffles, no windows, no joins (dd2)") {
     val p = planOf("dd2_dedup_ngram_jaccard")
-    // doc sizes and the df cap are groupBy aggregates, candidate pairs an
-    // inverted-index explode — a count window here would re-sort the full
-    // shingle set per annotation pass
+    // per-doc shingle sets and sizes are computed inside the row
+    // (ShingleHashSet) and the df cap inside the collect aggregate
+    // (BoundedDocSetAggregate), so the whole pipeline is: inverted-index
+    // groupBy(sh64) + pair groupBy — no distinct exchange, no size join,
+    // no hot-shingle anti-join, and never a window sort
     assert(!p.contains("Window"), "dd2 must not use window functions:\n" + p.take(3000))
-    // the hot-shingle anti-join must broadcast its (tiny) right side
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
-      "hot-shingle anti-join should broadcast:\n" + p.take(3000))
+    assert(!p.contains("Join"), "dd2 must not join at all:\n" + p.take(3000))
+    assert(p.contains("shingle_hash_set"),
+      "dd2 should shingle inside the row:\n" + p.take(3000))
+    // exchanges: small-input spread + two aggregation shuffles (+ the
+    // presentation orderBy) — anything more means a lost fusion
+    val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange\s*"""))
+    assert(exchanges <= 4, s"expected <=4 exchanges, got $exchanges:\n${p.take(3000)}")
   }
 
   test("minhash signatures compute in one aggregate pass (dd3)") {
@@ -97,10 +103,16 @@ class PlanSpec extends SparkSpec {
       p.take(3000))
   }
 
-  test("winnowing is one window shuffle over doc_id (tx5)") {
+  test("winnowing selects per-row: zero windows, zero data shuffles (tx5)") {
     val p = planOf("tx5_winnow")
+    // the O(n) deque selection runs inside the row (WinnowSelect); the
+    // only exchange left is the presentation orderBy
     val windows = p.linesIterator.count(_.matches("""\(\d+\) Window\s*"""))
-    assert(windows == 1, s"expected exactly 1 Window, got $windows:\n${p.take(3000)}")
+    assert(windows == 0, s"expected no Window, got $windows:\n${p.take(3000)}")
+    assert(p.contains("winnow_select"),
+      "tx5 should select fingerprints inside the row:\n" + p.take(3000))
+    val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange\s*"""))
+    assert(exchanges <= 1, s"expected <=1 exchange, got $exchanges:\n${p.take(3000)}")
   }
 
   test("frame sampling plans no shuffle before the sample (mm2)") {
@@ -161,11 +173,14 @@ class PlanSpec extends SparkSpec {
       s"expected only the sketch pass's ObjectHashAggregate pair, got $objAggs:\n${p.take(3000)}")
   }
 
-  test("simhash dedupes words per-row, no distinct exchange before the signature agg (dd4)") {
+  test("simhash computes entirely inside the row: zero data shuffles (dd4)") {
     val p = planOf("dd4_dedup_simhash")
-    // one exchange for the 64-sum rollup, one for the presentation orderBy
+    // the whole construction is one native expression (SimHash64); the
+    // only exchange left is the presentation orderBy
+    assert(p.contains("simhash64"),
+      "dd4 should simhash inside the row:\n" + p.take(3000))
     val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange\s*"""))
-    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n${p.take(3000)}")
+    assert(exchanges <= 1, s"expected <=1 exchange, got $exchanges:\n${p.take(3000)}")
   }
 
   test("GROUPS frame composition shares one sort across both windows (q32)") {

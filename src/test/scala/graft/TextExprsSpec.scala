@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native text expressions (ShingleHashSet, SimHash64,
+  * MinKFingerprint, WinnowSelect) must be value-identical to the
+  * declarative Spark formulations they replaced — checked over a
+  * randomized corpus that includes repeated shingles, duplicate words,
+  * empty/short docs, multi-space runs, and unicode.
+  */
+class TextExprsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def corpus() = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("the", "cat", "sat", "on", "a", "mat", "und", "naïve",
+      "東京", "x1", "", "zz")
+    val docs = (1L to 60L).map { id =>
+      val nw = rnd.nextInt(30)
+      val words = Seq.fill(nw)(vocab(rnd.nextInt(vocab.size)))
+      (id, words.mkString(" "))
+    } ++ Seq((100L, ""), (101L, "one two three four five one two three four five"),
+      (102L, "a  b   c a  b"))
+    docs.toDF("doc_id", "text")
+  }
+
+  test("ShingleHashSet == split+transform+xxhash64+array_distinct") {
+    val docs = corpus()
+    val n = 3
+    val legacy = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"),
+        array_sort(array_distinct(transform(sequence(lit(1), size(col("w")) - (n - 1)),
+          i => xxhash64(concat_ws(" ",
+            (0 until n).map(k => element_at(col("w"), i + k)): _*))))).as("shs"))
+    val native = docs
+      .select(col("doc_id"),
+        graft.functions.TextExprs.shingle_hash_set(col("text"), n).as("shs"))
+      .filter(size(col("shs")) > 0)
+    assert(legacy.exceptAll(native).isEmpty && native.exceptAll(legacy).isEmpty)
+  }
+
+  test("SimHash64 (unweighted + weighted) == 64-conditional-sum pipelines") {
+    val docs = corpus().filter(col("text").isNotNull)
+    def nib(hexCol: String, d: Int) =
+      expr(s"instr('0123456789abcdef', substring($hexCol, ${d + 1}, 1)) - 1")
+    def legacy(weighted: Boolean) = {
+      val words =
+        if (weighted)
+          docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+            .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        else
+          docs.select(col("doc_id"),
+              explode(array_distinct(split(col("text"), " "))).as("word"))
+            .withColumn("tf", lit(1L))
+      val wh = words.withColumn("wh", substring(md5(col("word")), 1, 16))
+      val sums = (0 until 64).map { b =>
+        val bit = (shiftright(nib("wh", b / 4), 3 - b % 4) bitwiseAND lit(1))
+          .cast("int")
+        sum((bit * 2 - 1) * col("tf")).as(s"s$b")
+      }
+      val bits = wh.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      val nibbles = (0 until 16).map { j =>
+        val v = (0 until 4).map { r =>
+          when(col(s"s${j * 4 + r}") > 0, lit(1 << (3 - r))).otherwise(lit(0))
+        }.reduce(_ + _)
+        lit("0123456789abcdef").substr(v + 1, lit(1))
+      }
+      bits.select(col("doc_id"), concat(nibbles: _*).as("simhash"))
+    }
+    for (weighted <- Seq(false, true)) {
+      val native = docs.select(col("doc_id"),
+        graft.functions.TextExprs.simhash64(col("text"), weighted).as("simhash"))
+      val l = legacy(weighted)
+      assert(l.exceptAll(native).isEmpty && native.exceptAll(l).isEmpty,
+        s"weighted=$weighted")
+    }
+  }
+
+  test("MinKFingerprint == min_k_md5 aggregate over shingle rows") {
+    val docs = corpus()
+    val legacy = graft.ops.TextDedup.docShingleRows(docs, "doc_id", "text", 5)
+      .groupBy("doc_id")
+      .agg(array_join(
+        graft.functions.MinKMd5Aggregate.min_k_md5(col("shingle"), 3), "").as("fp"))
+    val native = docs.select(col("doc_id"),
+        graft.functions.TextExprs.min_k_fingerprint(col("text"), 5, 3).as("fp"))
+      .filter(col("fp").isNotNull)
+    assert(legacy.exceptAll(native).isEmpty && native.exceptAll(legacy).isEmpty)
+  }
+
+  test("WinnowSelect == windowed string-MIN selection") {
+    import org.apache.spark.sql.expressions.Window
+    val (k, w) = (4, 8)
+    val docs = corpus()
+    val kg = docs
+      .select(col("doc_id"), split(col("text"), " ").as("wd"))
+      .filter(size(col("wd")) >= k)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("wd")) - (k - 1))).as("i"),
+        col("wd"))
+      .select(col("doc_id"), col("i"),
+        substring(md5(concat_ws(" ",
+          (0 until k).map(j => element_at(col("wd"), col("i") + j)): _*)), 1, 16).as("h"))
+    val win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-(w - 1), 0)
+    val legacy = kg
+      .withColumn("key",
+        concat(col("h"), lpad((lit(99999999) - col("i")).cast(StringType), 8, "0")))
+      .withColumn("sel", min("key").over(win))
+      .filter(col("i") >= w)
+      .groupBy("doc_id", "sel").agg(lit(1).as("__one"))
+      .select(col("doc_id"),
+        (lit(99999999L) - substring(col("sel"), 17, 8).cast(LongType)).as("pos"),
+        substring(col("sel"), 1, 16).as("fp"))
+    val native = docs
+      .select(col("doc_id"),
+        explode(graft.functions.TextExprs.winnow_select(col("text"), k, w)).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
+    assert(legacy.exceptAll(native).isEmpty && native.exceptAll(legacy).isEmpty)
+  }
+
+  test("BoundedDocSetAggregate caps per-key state and matches collect_set under the cap") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 10L, 3L), (1L, 11L, 4L), (1L, 10L, 3L), // key 1: 2 distinct
+      (2L, 20L, 1L), (2L, 21L, 1L), (2L, 22L, 1L), (2L, 23L, 1L) // key 2: 4 > cap
+    ).toDF("key", "id", "sz")
+    val out = rows.groupBy("key")
+      .agg(graft.functions.BoundedDocSetAggregate
+        .bounded_doc_set(col("id"), col("sz"), 3).as("ids"))
+      .select(col("key"), size(col("ids")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out(1L) == 2)
+    assert(out(2L) == 4, "over-cap key keeps exactly cap+1 entries as proof") // 3+1
+  }
+}
