@@ -353,4 +353,137 @@ object TextExprs {
   /** Column API: winnowing fingerprint selection of a text column. */
   def winnow_select(text: Column, k: Int, w: Int): Column =
     GraftBridge.column(WinnowSelect(GraftBridge.expression(text), k, w))
+
+  /** Per-language marker-word hit counts in one tokenization pass:
+    * output is [count(set_0), ..., count(set_{m-1}), count(any set),
+    * n_tokens] as ARRAY<BIGINT>. Tokens are the single-space splits
+    * (empty tokens included, exactly like split(text, ' ')); membership
+    * is exact byte equality. Replaces m interpreted
+    * size(filter(tokens, λ)) higher-order passes — the language-ID and
+    * quality operators become single codegen-friendly projections.
+    */
+  case class MarkerCounts(child: Expression, markerSets: Seq[Seq[String]])
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "marker_counts"
+
+    // word → bitmask of the marker sets containing it
+    @transient private lazy val masks: java.util.HashMap[ByteSlice, java.lang.Integer] = {
+      val m = new java.util.HashMap[ByteSlice, java.lang.Integer]()
+      markerSets.zipWithIndex.foreach { case (set, i) =>
+        set.foreach { word =>
+          val b = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val s = new ByteSlice(b, 0, b.length)
+          m.merge(s, Int.box(1 << i), (a, x) => Int.box(a.intValue() | x.intValue()))
+        }
+      }
+      m
+    }
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[UTF8String].getBytes
+      val starts = wordStarts(bytes)
+      val nWords = starts.length - 1
+      val counts = new Array[Long](markerSets.size + 2)
+      counts(markerSets.size + 1) = nWords
+      var i = 0
+      while (i < nWords) {
+        val mask = masks.get(new ByteSlice(bytes, starts(i), starts(i + 1) - 1 - starts(i)))
+        if (mask != null) {
+          val m = mask.intValue()
+          var s = 0
+          while (s < markerSets.size) {
+            if (((m >> s) & 1) == 1) counts(s) += 1
+            s += 1
+          }
+          counts(markerSets.size) += 1
+        }
+        i += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(counts)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): MarkerCounts =
+      copy(child = newChild)
+  }
+
+  /** Column API: marker-set hit counts + any-marker count + token count. */
+  def marker_counts(text: Column, markerSets: Seq[Seq[String]]): Column =
+    GraftBridge.column(MarkerCounts(GraftBridge.expression(text), markerSets))
+
+  /** MinHash-LSH band bucket keys of a document, computed entirely inside
+    * the row: distinct word n-gram shingles (64-bit-hash dedup, the
+    * pipeline's standard 2^-64 collision trade), k minhashes
+    * h_j = MIN over shingles of the first 8 md5("j:" || shingle) digest
+    * bytes as an unsigned 64-bit value (== lexicographic MIN of the
+    * 16-hex-char prefix), then one 64-bit key per band hashing the band
+    * index with its rowsPerBand signature values. Documents with no
+    * shingle evaluate to NULL (the aggregate formulation produced no
+    * group). Band-key equality is equivalent to band equality up to a
+    * 2^-64 hash collision, and candidates are exact-Jaccard-verified
+    * downstream, so the declared pair output is unchanged.
+    */
+  case class MinHashBandKeys(child: Expression, n: Int, k: Int, bands: Int)
+    extends UnaryExpression with CodegenFallback {
+    require(n >= 1 && k >= 1 && bands >= 1 && k % bands == 0,
+      s"k ($k) must be a multiple of bands ($bands)")
+    private val rowsPerBand = k / bands
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "minhash_band_keys"
+
+    @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+    @transient private lazy val seedPrefixes: Array[Array[Byte]] =
+      Array.tabulate(k)(j => s"$j:".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[UTF8String].getBytes
+      val starts = wordStarts(bytes)
+      val nShingles = starts.length - 1 - (n - 1)
+      if (bytes.length == 0 || nShingles <= 0) return null
+      val seen = new java.util.HashSet[java.lang.Long]()
+      val mins = new Array[Long](k)
+      java.util.Arrays.fill(mins, -1L) // unsigned max
+      var i = 0
+      while (i < nShingles) {
+        val from = starts(i)
+        val len = starts(i + n) - 1 - from
+        val h = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + from, len, 42L)
+        if (seen.add(h)) {
+          var j = 0
+          while (j < k) {
+            md.reset()
+            md.update(seedPrefixes(j))
+            md.update(bytes, from, len)
+            val d = md.digest()
+            var v = 0L
+            var b = 0
+            while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+            if (java.lang.Long.compareUnsigned(v, mins(j)) < 0) mins(j) = v
+            j += 1
+          }
+        }
+        i += 1
+      }
+      val keys = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var h = XXH64.hashLong(b.toLong, 42L)
+        var r = 0
+        while (r < rowsPerBand) { h = XXH64.hashLong(mins(b * rowsPerBand + r), h); r += 1 }
+        keys(b) = h
+        b += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(keys)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): MinHashBandKeys =
+      copy(child = newChild)
+  }
+
+  /** Column API: LSH band bucket keys (`bands` longs) of a text column. */
+  def minhash_band_keys(text: Column, n: Int, k: Int, bands: Int): Column =
+    GraftBridge.column(MinHashBandKeys(GraftBridge.expression(text), n, k, bands))
 }

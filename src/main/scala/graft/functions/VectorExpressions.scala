@@ -59,10 +59,71 @@ case class DotProductLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** The `nprobe` nearest centroids of a quantized vector, as an array of
+  * cell ids ordered by (squared-L2 distance, cell id) — the IVF
+  * assignment/probe step evaluated per row against a PLAN-BAKED centroid
+  * table (K×dim, driver-collected between Lloyd iterations exactly like
+  * Spark MLlib's KMeans: bounded by the cell-count parameter, never
+  * data-sized). Distance ordering uses c_n2 - 2·dot(qe, cent), which
+  * orders identically to the full |qe|² - 2·dot + c_n2 since |qe|² is
+  * constant per row; all arithmetic is exact Int64, matching the
+  * portable quantized spec the oracle replicates.
+  */
+case class NearestCells(
+    child: Expression,
+    cents: Array[(Long, Array[Long], Long)], // (cellId, centroid, |cent|²)
+    nprobe: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(nprobe >= 1 && cents.nonEmpty)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "nearest_cells"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val qe = input.asInstanceOf[ArrayData].toLongArray()
+    val m = math.min(nprobe, cents.length)
+    val bestCell = new Array[Long](m)
+    val bestDist = new Array[Long](m)
+    var filled = 0
+    var c = 0
+    while (c < cents.length) {
+      val (cellId, cent, cn2) = cents(c)
+      val n = math.min(qe.length, cent.length)
+      var dot = 0L
+      var i = 0
+      while (i < n) { dot += qe(i) * cent(i); i += 1 }
+      val d = cn2 - 2L * dot
+      // insertion into the ≤m best list, ties to the lower cell id
+      var pos = filled
+      while (pos > 0 && (bestDist(pos - 1) > d ||
+          (bestDist(pos - 1) == d && bestCell(pos - 1) > cellId))) pos -= 1
+      if (pos < m) {
+        val last = math.min(filled, m - 1)
+        var j = last
+        while (j > pos) { bestCell(j) = bestCell(j - 1); bestDist(j) = bestDist(j - 1); j -= 1 }
+        bestCell(pos) = cellId; bestDist(pos) = d
+        if (filled < m) filled += 1
+      }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(bestCell, filled))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCells =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API for DotProductLong. */
   def dot_q(a: Column, b: Column): Column =
     GraftBridge.column(DotProductLong(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Column API for NearestCells: `nprobe` nearest centroid cell ids. */
+  def nearest_cells(qe: Column, cents: Array[(Long, Array[Long])], nprobe: Int): Column =
+    GraftBridge.column(NearestCells(GraftBridge.expression(qe),
+      cents.map { case (id, v) => (id, v, v.map(x => x * x).sum) }, nprobe))
 
   /** Register `dot_q` for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

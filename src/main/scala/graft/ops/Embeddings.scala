@@ -72,23 +72,6 @@ object Embeddings {
       .filter(col("rnk") <= k)
   }
 
-  /** Assign every vector of `p` (vec_id, qe, n2) to its nearest centroid
-    * in `cents` (cell, cent): exact Int64 squared-L2 via the algebraic
-    * form n2 - 2·dot + cent_n2, ties to the lowest cell id. Centroids are
-    * broadcast (K rows); the argmin is one window shuffle on vec_id.
-    */
-  private def assignCells(p: DataFrame, cents: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cd = cents.withColumn("c_n2", dotQ(col("cent"), col("cent")))
-    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cell"))
-    p.crossJoin(broadcast(cd))
-      .withColumn("dist",
-        col("n2") - lit(2L) * dotQ(col("qe"), col("cent")) + col("c_n2"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
-      .select(col("vec_id"), col("qe"), col("n2"), col("cell"))
-  }
-
   /** Element-wise integer mean of each cell's vectors (truncating DIV —
     * matches DuckDB's `//`): posexplode → per-(cell,pos) sum/count →
     * re-assembled in pos order. All shuffles keyed on (cell, pos)/cell.
@@ -122,27 +105,28 @@ object Embeddings {
               lloydIters: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val p = prepared(vecs, idCol, vecCol)
-    var cents = p.orderBy("vec_id").limit(numCells)
-      .select(col("vec_id").as("cell"), col("qe").as("cent"))
+    def collectCents(df: DataFrame): Array[(Long, Array[Long])] =
+      df.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    // Centroids live on the DRIVER between Lloyd rounds (K×dim values,
+    // bounded by the cell-count parameter — the Spark MLlib KMeans
+    // pattern, never data-sized), so every assignment/probe is a per-row
+    // NearestCells evaluation against plan-baked literals: NO crossJoin,
+    // NO per-vector argmin window, no shuffle anywhere in assignment.
+    var cents = collectCents(p.orderBy("vec_id").limit(numCells)
+      .select(col("vec_id").as("cell"), col("qe").as("cent")))
+    def assign(df: DataFrame): DataFrame = df.withColumn("cell",
+      element_at(graft.functions.VectorFunctions.nearest_cells(col("qe"), cents, 1), 1))
     for (_ <- 0 until lloydIters)
-      cents = recomputeCentroids(assignCells(p, cents))
-    // the trained centroids are referenced by the index build, the probe
-    // side, and their n2 projection — cache the K rows once instead of
-    // re-executing the whole Lloyd chain per reference
-    cents = cents.cache()
-    val index = assignCells(p, cents) // the inverted file
-    val cd = cents.withColumn("c_n2", dotQ(col("cent"), col("cent")))
+      cents = collectCents(recomputeCentroids(assign(p)))
+    val index = assign(p) // the inverted file
+    // probe side: nprobe nearest trained cells per query, exploded —
+    // queries are a filtered subset, broadcast into the candidate join
     val queries = p.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("qe").as("q_qe"), col("n2").as("q_n2"))
-    val wProbe = Window.partitionBy("query_id").orderBy(col("dist"), col("cell"))
-    val probes = queries.crossJoin(broadcast(cd))
-      .withColumn("dist",
-        col("q_n2") - lit(2L) * dotQ(col("q_qe"), col("cent")) + col("c_n2"))
-      .withColumn("prnk", row_number().over(wProbe))
-      .filter(col("prnk") <= nprobe)
-      .select(col("query_id"), col("q_qe"), col("q_n2"), col("cell"))
+      .withColumn("cell", explode_outer(
+        graft.functions.VectorFunctions.nearest_cells(col("q_qe"), cents, nprobe)))
     val wRank = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    index.join(probes, "cell")
+    index.join(broadcast(queries), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(dotQ(col("qe"), col("q_qe")), col("n2"), col("q_n2")).as("cos"))

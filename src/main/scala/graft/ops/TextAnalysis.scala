@@ -21,19 +21,20 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "las", "y", "es", "un"),
     "fr" -> Seq("le", "les", "et", "est", "une", "dans"))
 
-  private def inList(c: Column, xs: Seq[String]): Column =
-    xs.map(c === _).reduce(_ || _)
-
   /** Per-language marker ratio columns `score_<lang>` + argmax
     * `pred_lang` ('zh' if any CJK character is present, 'und' when no
     * marker hits). */
   def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // marker hits for all languages come from ONE tokenization pass
+    // (native MarkerCounts) instead of one interpreted filter() lambda
+    // per language per token
     val withTok = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("n_tok", size(col("toks")))
-    val scored = markers.foldLeft(withTok) { case (df, (lang, words)) =>
+      .withColumn("mc",
+        graft.functions.TextExprs.marker_counts(col("text"), markers.map(_._2)))
+      .withColumn("n_tok", element_at(col("mc"), markers.size + 2))
+    val scored = markers.zipWithIndex.foldLeft(withTok) { case (df, ((lang, _), i)) =>
       df.withColumn(s"score_$lang",
-        size(filter(col("toks"), t => inList(t, words))).cast(DoubleType) / col("n_tok"))
+        element_at(col("mc"), i + 1).cast(DoubleType) / col("n_tok"))
     }
     // Argmax with a fixed tie-break priority (fr > es > en > de), mirrored
     // verbatim by the oracle: first language whose score equals the max.
@@ -55,10 +56,12 @@ object TextAnalysis {
   /** Heuristic quality features + composite score. Single-division doubles
     * only (deterministic). */
   def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val nTok = size(toks).cast(LongType)
+    // token and stopword counts from the same single-pass MarkerCounts
+    // expression languageId uses (any-marker count = stopword count)
+    val mc = graft.functions.TextExprs.marker_counts(col(textCol), markers.map(_._2))
+    val nTok = element_at(mc, markers.size + 2)
     val nChars = length(col(textCol)).cast(LongType)
-    val stops = size(filter(toks, t => inList(t, markers.flatMap(_._2)))).cast(LongType)
+    val stops = element_at(mc, markers.size + 1)
     val punct = (nChars - length(regexp_replace(col(textCol), "[.,!?;:]", ""))).cast(LongType)
     docs.select(
       col(idCol).as("doc_id"),
@@ -92,10 +95,13 @@ object TextAnalysis {
     * is a pure projection — NO shuffle, no shingle explosion. The
     * aggregate form (MinKMd5Aggregate) remains for grouped callers. */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    // the no-shingle docs are dropped by the CHEAP word-count predicate
+    // (a filter on the fingerprint itself would push below the scan
+    // projection and evaluate the md5 loop twice per row)
     docs
+      .filter(size(split(col(textCol), " ")) >= 5)
       .select(col(idCol).as("doc_id"),
         graft.functions.TextExprs.min_k_fingerprint(col(textCol), 5, 3).as("fingerprint"))
-      .filter(col("fingerprint").isNotNull)
 
   /** Deterministic train/val/test assignment: the first 16 hex chars of
     * md5(salt || ':' || id) are a uniform 64-bit draw, and comparing the
@@ -138,8 +144,9 @@ object TextAnalysis {
     val sh = TextDedup.spreadSmallInput(
         docs.filter(col(splitCol).isin("train", "test")))
       .select(col(idCol).as("doc_id"), col(splitCol).as("__split"),
-        explode(graft.functions.TextExprs
+        explode_outer(graft.functions.TextExprs
           .shingle_hash_set(col(textCol), n)).as("sh64"))
+      .filter(col("sh64").isNotNull)
     // ONE shuffle keyed on the shingle hash resolves train-membership and
     // the distinct test-doc set per shingle together (collect_set dedupes
     // repeat occurrences; its per-key state is bounded by the shingle's
@@ -193,8 +200,12 @@ object TextAnalysis {
     // the windowed string-MIN formulation, with NO doc-keyed window
     // sort/exchange and no O(n·w) re-scans; explode drops the empty
     // selections of documents without a complete window
+    // explode_OUTER so InferFiltersFromGenerate cannot push an inferred
+    // size(winnow_select(text)) > 0 predicate into the single-partition
+    // scan (which would run the whole selection once more, single-threaded)
     docs
       .select(col(idCol).as("doc_id"),
-        explode(graft.functions.TextExprs.winnow_select(col(textCol), k, w)).as("s"))
+        explode_outer(graft.functions.TextExprs.winnow_select(col(textCol), k, w)).as("s"))
+      .filter(col("s").isNotNull)
       .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
 }

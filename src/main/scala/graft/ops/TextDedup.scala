@@ -93,8 +93,14 @@ object TextDedup {
     val indexRows = spreadSmallInput(docs)
       .select(col(idCol).cast(LongType).as("doc_id"),
         graft.functions.TextExprs.shingle_hash_set(col(textCol), n).as("shs"))
+      // explode_OUTER: a plain explode makes InferFiltersFromGenerate
+      // push an inferred size(shingle_hash_set(text)) > 0 predicate all
+      // the way into the (single-partition) scan, evaluating the whole
+      // shingle expression once more single-threaded; the null rows an
+      // outer explode emits for shingle-less docs are dropped right here
       .select(col("doc_id"), size(col("shs")).cast(LongType).as("sz"),
-        explode(col("shs")).as("sh64"))
+        explode_outer(col("shs")).as("sh64"))
+      .filter(col("sh64").isNotNull)
     val bySh = indexRows
       .groupBy("sh64")
       .agg(graft.functions.BoundedDocSetAggregate
@@ -155,38 +161,53 @@ object TextDedup {
 
   /** Full MinHash-LSH near-dup pipeline with exact-Jaccard verification of
     * the candidates: shingle → k minhashes → band buckets → bucket
-    * self-join → exact jaccard filter. Output (id1, id2, jaccard).
+    * grouping → exact jaccard filter. Output (id1, id2, jaccard).
+    *
+    * Signatures, band keys, AND each document's distinct shingle-hash set
+    * are all computed inside the row (MinHashBandKeys / ShingleHashSet),
+    * so the data shuffles are exactly: the band-bucket grouping and the
+    * candidate-pair distinct. Verification intersects the two in-row
+    * shingle sets per candidate pair (sorted-array intersect) against the
+    * doc-set side, which joins by doc id — broadcast when small, hash
+    * otherwise; either way it moves each doc's set once, where the
+    * exploded formulation shuffled every (doc, shingle) row through two
+    * joins and re-aggregated.
     */
   def minhashDedupPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
-    // not cached (same reasoning as jaccardPairs: ReuseExchange dedupes
-    // the shared shingle subtree inside the one DAG, and a cache here
-    // could never be unpersisted)
-    val rows = docShingleRows(docs, idCol, textCol, n)
-    // the signature aggregate consumes POSITIONAL shingle rows: MIN is
-    // duplicate-insensitive, so the distinct exchange the declarative
-    // spec implies is pure overhead for the signature path
-    val sigs = minhashSignatures(rows, k)
-    // sizes + exact verification work on the distinct (doc, shingle-hash)
-    // set — 8-byte longs through every downstream exchange/join instead
-    // of n-word strings (2^-64 collision trade, declared output unchanged)
-    val ds = rows.select(col("doc_id"), xxhash64(col("shingle")).as("sh64")).distinct()
-    // shingle-set sizes as a groupBy (map-side partial agg → doc-count-
-    // sized shuffle), NOT a window: a count window would sort every
-    // shingle row inside each doc partition just to tag sizes along
-    val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val cands = lshCandidates(lshBuckets(sigs, bands, k / bands))
-    // exact-Jaccard verification of the candidates: shingle-set
-    // intersection via two keyed joins; sizes join the (small) verified
-    // pair set at the end
+    // Filter on the CHEAP no-shingle predicate (word count < n), never on
+    // the expression outputs: a filter over bks/shs would be pushed below
+    // the spread exchange and evaluate the whole k×md5 projection inside
+    // the single-partition scan. With shingles guaranteed non-empty, bks
+    // and shs are non-null by construction. The doc_id repartition then
+    // pins ONE evaluation of the signature projection behind an exchange
+    // that every consumer branch — bucket grouping and both verification
+    // joins — shares via ReuseExchange. (NOT cache(): a returned lazy
+    // frame could never be unpersisted.)
+    val withSets = spreadSmallInput(
+        docs.filter(size(split(col(textCol), " ")) >= n))
+      .select(col(idCol).cast(LongType).as("doc_id"),
+        graft.functions.TextExprs.minhash_band_keys(col(textCol), n, k, bands).as("bks"),
+        graft.functions.TextExprs.shingle_hash_set(col(textCol), n).as("shs"))
+    val docSets = withSets.select(col("doc_id"), col("shs"))
+    val cands = withSets
+      // explode_OUTER for the same InferFiltersFromGenerate reason as in
+      // jaccardPairs: never re-evaluate the k×md5 signature inside the scan
+      .select(col("doc_id"), explode_outer(col("bks")).as("bucket"))
+      .filter(col("bucket").isNotNull)
+      .groupBy("bucket").agg(collect_set(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(col("ids"), explode(col("ids")).as("id1"))
+      .select(col("id1"), explode(col("ids")).as("id2"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
     cands
-      .join(ds.as("sa"), col("id1") === col("sa.doc_id"))
-      .join(ds.as("sb"), col("id2") === col("sb.doc_id") && col("sa.sh64") === col("sb.sh64"))
-      .groupBy("id1", "id2")
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id"), col("sz").as("sz1")), col("id1") === col("doc_id"))
+      .join(docSets.select(col("doc_id"), col("shs").as("shs1")), col("id1") === col("doc_id"))
       .drop("doc_id")
-      .join(sizes.select(col("doc_id"), col("sz").as("sz2")), col("id2") === col("doc_id"))
+      .join(docSets.select(col("doc_id"), col("shs").as("shs2")), col("id2") === col("doc_id"))
+      .select(col("id1"), col("id2"),
+        size(array_intersect(col("shs1"), col("shs2"))).cast(LongType).as("inter"),
+        size(col("shs1")).cast(LongType).as("sz1"), size(col("shs2")).cast(LongType).as("sz2"))
       .withColumn("jaccard",
         col("inter").cast(DoubleType) / (col("sz1") + col("sz2") - col("inter")))
       .filter(col("jaccard") >= threshold)

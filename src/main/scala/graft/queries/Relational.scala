@@ -551,7 +551,10 @@ object Relational {
         .agg(count(lit(1)).as("exact_parts"),
           approx_count_distinct(col("l_partkey")).as("acd"))
       val approxMed = li(s, d).groupBy("l_returnflag")
-        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("amed"))
+        // accuracy 2000 → ≤0.05% rank error: far inside the 5% value
+        // bound the query asserts, at a fraction of the 10000-bucket
+        // sketch's update cost
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(2000)).as("amed"))
       // prices carry 2 decimals: scale to exact long cents for bucketing
       val exactMed = graft.ops.ExactQuantile.medianByKey(
           li(s, d).select(col("l_returnflag"),

@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev probe: stage-by-stage cost of the rewritten dd2 pipeline. */
+/** Dev probe: stage-by-stage cost of the rewritten dd3 pipeline. */
 object ProbeStage {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -27,25 +27,25 @@ object ProbeStage {
 
     for (rep <- 1 to 3) {
       println(s"--- rep $rep")
-      t("shingle expr only")(noop(docs.select(col("doc_id"),
-        graft.functions.TextExprs.shingle_hash_set(col("text"), 5).as("shs"))))
-      val indexRows = docs.repartition(32)
+      val withSets = docs.repartition(32)
         .select(col("doc_id"),
+          graft.functions.TextExprs.minhash_band_keys(col("text"), 5, 16, 8).as("bks"),
           graft.functions.TextExprs.shingle_hash_set(col("text"), 5).as("shs"))
-        .select(col("doc_id"), size(col("shs")).cast("long").as("sz"),
-          explode(col("shs")).as("sh64"))
-      t("explode rows")(noop(indexRows))
-      t("agg count only")(noop(indexRows.groupBy("sh64").agg(count(lit(1)).as("c"))))
-      t("agg collect_set")(noop(indexRows.groupBy("sh64")
-        .agg(collect_set(struct(col("doc_id"), col("sz"))).as("ids"))
-        .filter(size(col("ids")).between(2, 100))))
-      val bySh = indexRows.groupBy("sh64")
-        .agg(graft.functions.BoundedDocSetAggregate
-          .bounded_doc_set(col("doc_id"), col("sz"), 100).as("ids"))
-        .filter(size(col("ids")).between(2, 100))
-      t("agg bySh")(noop(bySh))
-      t("full dd2")(noop(
-        graft.ops.TextDedup.jaccardPairs(docs, "doc_id", "text", 5, 0.8, 100)))
+        .filter(col("bks").isNotNull)
+      t("bandkeys only")(noop(docs.repartition(32).select(col("doc_id"),
+        graft.functions.TextExprs.minhash_band_keys(col("text"), 5, 16, 8).as("bks"))))
+      t("withSets")(noop(withSets))
+      val cands = withSets
+        .select(col("doc_id"), explode(col("bks")).as("bucket"))
+        .groupBy("bucket").agg(collect_set(col("doc_id")).as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(col("ids"), explode(col("ids")).as("id1"))
+        .select(col("id1"), explode(col("ids")).as("id2"))
+        .filter(col("id1") < col("id2"))
+        .select("id1", "id2").distinct()
+      t("cands")(noop(cands))
+      t("full dd3")(noop(
+        graft.ops.TextDedup.minhashDedupPairs(docs, "doc_id", "text", 5, 16, 8, 0.8)))
     }
     spark.stop()
   }

@@ -94,13 +94,20 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 4, s"expected <=4 exchanges, got $exchanges:\n${p.take(3000)}")
   }
 
-  test("minhash signatures compute in one aggregate pass (dd3)") {
+  test("minhash signatures and band keys compute inside the row (dd3)") {
     val p = planOf("dd3_dedup_minhash_lsh")
-    // the 16-seed signature is ONE ObjectHashAggregate (single buffer),
-    // not 16 separate aggregate expressions
-    assert(p.contains("ObjectHashAggregate"), p.take(3000))
-    assert(p.contains("minhashaggregate") || p.contains("MinHashAggregate"),
-      p.take(3000))
+    // the 16-seed signature + banding is ONE native expression per row
+    // (no signature aggregate at all), and candidate verification
+    // intersects in-row shingle sets instead of re-exploding shingles
+    assert(p.contains("minhash_band_keys"),
+      "dd3 should compute band keys inside the row:\n" + p.take(3000))
+    assert(p.contains("array_intersect"),
+      "dd3 should verify candidates by set intersection:\n" + p.take(3000))
+    // the scan must never evaluate the signature expression (an inferred
+    // generator filter would push it below the spread exchange)
+    val scanLines = p.linesIterator.filter(_.contains("DataFilters")).mkString("\n")
+    assert(!scanLines.contains("minhash_band_keys"),
+      "signature expression leaked into the scan filters:\n" + scanLines)
   }
 
   test("winnowing selects per-row: zero windows, zero data shuffles (tx5)") {
