@@ -486,4 +486,48 @@ object TextExprs {
   /** Column API: LSH band bucket keys (`bands` longs) of a text column. */
   def minhash_band_keys(text: Column, n: Int, k: Int, bands: Int): Column =
     GraftBridge.column(MinHashBandKeys(GraftBridge.expression(text), n, k, bands))
+
+  /** Whitespace and BPE-ish token counts in one byte scan:
+    * [ws_tokens, re_tokens] where ws_tokens = single-space split count and
+    * re_tokens counts the regex segmentation
+    * `[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]` — letter runs, digit runs, and one
+    * token per remaining code point (UTF-8 lead bytes start a code point;
+    * both Java regex and RE2 match char classes per code point, so the
+    * byte scan is value-identical on valid UTF-8 input). Replaces a
+    * regexp_extract_all that materializes every token just to count them.
+    */
+  case class TokenCounts(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "token_counts"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[UTF8String].getBytes
+      var ws = 1L
+      var re = 0L
+      var state = 0 // 0 none, 1 letter run, 2 digit run
+      var i = 0
+      while (i < bytes.length) {
+        val b = bytes(i)
+        if (b == ' ') { ws += 1; state = 0 }
+        else if ((b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')) {
+          if (state != 1) { re += 1; state = 1 }
+        } else if (b >= '0' && b <= '9') {
+          if (state != 2) { re += 1; state = 2 }
+        } else if ((b & 0xc0) != 0x80) { // ASCII other / non-ASCII lead byte
+          re += 1; state = 0
+        }
+        i += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(Array(ws, re))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): TokenCounts =
+      copy(child = newChild)
+  }
+
+  /** Column API: [whitespace tokens, regex tokens] of a text column. */
+  def token_counts(text: Column): Column =
+    GraftBridge.column(TokenCounts(GraftBridge.expression(text)))
 }

@@ -54,6 +54,21 @@ object Embeddings {
       .filter(col("cos") >= threshold)
   }
 
+  /** Rank candidate (query_id, neighbor_id, cos) rows to their per-query
+    * top-k via the bounded TopKScoredAggregate — map-side partials carry
+    * at most k rows per (query, partition), and nothing is sorted beyond
+    * the k-length insertion buffer, where a row_number window would
+    * shuffle and sort EVERY candidate. Ordering (cos DESC, id ASC) is the
+    * same total order the window used; `rnk` is the 1-based position.
+    */
+  private def rankTopK(cands: DataFrame, k: Int): DataFrame =
+    cands.groupBy("query_id")
+      .agg(graft.functions.TopKScoredAggregate
+        .top_k_scored(col("neighbor_id"), col("cos"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("query_id"), col("s.id").as("neighbor_id"),
+        col("s.score").as("cos"), (col("i") + 1).as("rnk"))
+
   /** Brute-force top-k cosine neighbors for a query subset: broadcast the
     * (small) query side against the full corpus, rank per query. The
     * baseline ANN answer — O(|Q| * N) dots, embarrassingly parallel.
@@ -63,13 +78,11 @@ object Embeddings {
     val p = prepared(vecs, idCol, vecCol)
     val queries = p.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("qe").as("q_qe"), col("n2").as("q_n2"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    p.join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(dotQ(col("qe"), col("q_qe")), col("n2"), col("q_n2")).as("cos"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    rankTopK(
+      p.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosine(dotQ(col("qe"), col("q_qe")), col("n2"), col("q_n2")).as("cos")),
+      k)
   }
 
   /** Element-wise integer mean of each cell's vectors (truncating DIV —
@@ -103,7 +116,6 @@ object Embeddings {
   def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String,
               queryPred: Column, k: Int, numCells: Int, nprobe: Int,
               lloydIters: Int = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val p = prepared(vecs, idCol, vecCol)
     def collectCents(df: DataFrame): Array[(Long, Array[Long])] =
       df.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
@@ -125,13 +137,12 @@ object Embeddings {
       .select(col("vec_id").as("query_id"), col("qe").as("q_qe"), col("n2").as("q_n2"))
       .withColumn("cell", explode_outer(
         graft.functions.VectorFunctions.nearest_cells(col("q_qe"), cents, nprobe)))
-    val wRank = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    index.join(broadcast(queries), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(dotQ(col("qe"), col("q_qe")), col("n2"), col("q_n2")).as("cos"))
-      .withColumn("rnk", row_number().over(wRank))
-      .filter(col("rnk") <= k)
+    rankTopK(
+      index.join(broadcast(queries), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosine(dotQ(col("qe"), col("q_qe")), col("n2"), col("q_n2")).as("cos")),
+      k)
   }
 
   /** Deterministic ±1 hyperplane components: sign(p,d) = +1 iff the first
@@ -169,12 +180,10 @@ object Embeddings {
     val queries = p.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("qe").as("q_qe"),
         col("n2").as("q_n2"), col("sig").as("q_sig"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    p.join(broadcast(queries), col("sig") === col("q_sig") && col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(dotQ(col("qe"), col("q_qe")), col("n2"), col("q_n2")).as("cos"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    rankTopK(
+      p.join(broadcast(queries), col("sig") === col("q_sig") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosine(dotQ(col("qe"), col("q_qe")), col("n2"), col("q_n2")).as("cos")),
+      k)
   }
 }

@@ -77,13 +77,15 @@ object TextAnalysis {
 
   /** Whitespace and regex token counts. The regex segmentation
     * (letter-runs | digit-runs | single other non-space) approximates a
-    * byte-pair-style pre-tokenizer. */
-  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    * byte-pair-style pre-tokenizer; both counts come from ONE byte scan
+    * (native TokenCounts — no token materialization, no regex engine). */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tc = graft.functions.TextExprs.token_counts(col(textCol))
     docs.select(
       col(idCol).as("doc_id"),
-      size(split(col(textCol), " ")).cast(LongType).as("ws_tokens"),
-      size(regexp_extract_all(col(textCol), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
-        .cast(LongType).as("re_tokens"))
+      element_at(tc, 1).as("ws_tokens"),
+      element_at(tc, 2).as("re_tokens"))
+  }
 
   /** Document fingerprint: concatenation of the 3 lexicographically
     * smallest DISTINCT md5(5-gram shingle) digests — a compact content

@@ -129,6 +129,25 @@ class TextExprsSpec extends AnyFunSuite {
     assert(legacy.exceptAll(native).isEmpty && native.exceptAll(legacy).isEmpty)
   }
 
+  test("TopKScoredAggregate == row_number window over (score DESC, id ASC)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 2000).map { _ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(5000).toLong, rnd.nextInt(50) / 10.0)
+    }.distinct
+    val df = rows.toDF("g", "id", "score")
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+    val legacy = df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .select(col("g"), col("id"), col("score"), col("rnk").cast("int").as("rnk"))
+    val native = df.groupBy("g")
+      .agg(graft.functions.TopKScoredAggregate.top_k_scored(col("id"), col("score"), 5).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("g"), col("s.id").as("id"), col("s.score").as("score"),
+        (col("i") + 1).as("rnk"))
+    assert(legacy.exceptAll(native).isEmpty && native.exceptAll(legacy).isEmpty)
+  }
+
   test("BoundedDocSetAggregate caps per-key state and matches collect_set under the cap") {
     import spark.implicits._
     val rows = Seq(
