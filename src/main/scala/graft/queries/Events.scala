@@ -86,16 +86,20 @@ object Events {
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY hour_start ORDER BY n DESC, user_id) AS rnk FROM h)
         |SELECT hour_start, CAST(user_id AS BIGINT) AS user_id, n, CAST(rnk AS BIGINT) AS rnk
         |FROM r WHERE rnk <= 2 ORDER BY hour_start, rnk""".stripMargin) { (s, d) =>
-      val w = Window.partitionBy("hour_start").orderBy(col("n").desc, col("user_id"))
+      // per-window leaders via the bounded top-k aggregate (map-side ≤k
+      // partials; counts < 2^53 are exact as double scores) instead of a
+      // row_number window that sorts every (window, user) row
       ev(s, d)
         .groupBy(
           date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
           col("user_id"))
         .agg(count(lit(1)).as("n"))
-        .withColumn("rnk", row_number().over(w).cast(LongType))
-        .filter(col("rnk") <= 2)
-        .select(col("hour_start"), col("user_id").cast(LongType).as("user_id"),
-          col("n"), col("rnk"))
+        .groupBy("hour_start")
+        .agg(graft.functions.TopKScoredAggregate
+          .top_k_scored(col("user_id").cast(LongType), col("n").cast("double"), 2).as("top"))
+        .select(col("hour_start"), posexplode(col("top")).as(Seq("i", "s")))
+        .select(col("hour_start"), col("s.id").as("user_id"),
+          col("s.score").cast(LongType).as("n"), (col("i") + 1).cast(LongType).as("rnk"))
         .orderBy("hour_start", "rnk")
     }
   )

@@ -34,8 +34,13 @@ class PgFrontend(ctx: GraftContext, port: Int) {
   private val server = new ServerSocket(port)
   // one thread per LIVE connection (pg sessions are long-lived and spend
   // their time blocked on read — a fixed pool would wedge the N+1th
-  // client behind idle sessions forever)
-  private val pool = java.util.concurrent.Executors.newCachedThreadPool()
+  // client behind idle sessions forever), but CAPPED like postgres's
+  // max_connections: above the cap new connections are refused outright
+  // instead of growing threads without bound
+  private val maxConnections = 200
+  private val pool = new java.util.concurrent.ThreadPoolExecutor(
+    0, maxConnections, 60L, java.util.concurrent.TimeUnit.SECONDS,
+    new java.util.concurrent.SynchronousQueue[Runnable]())
   @volatile private var running = false
 
   def boundPort: Int = server.getLocalPort
@@ -46,7 +51,13 @@ class PgFrontend(ctx: GraftContext, port: Int) {
       while (running) {
         try {
           val sock = server.accept()
-          pool.execute(() => serve(sock))
+          try pool.execute(() => serve(sock))
+          catch {
+            case _: java.util.concurrent.RejectedExecutionException =>
+              // connection cap reached — refuse, never queue behind
+              // long-lived idle sessions
+              try sock.close() catch { case _: Throwable => () }
+          }
         } catch { case _: Throwable if !running => () case _: Throwable => () }
       }
     }, "graft-pg-accept")
