@@ -30,6 +30,36 @@ import org.apache.spark.sql.functions._
   */
 object ExactQuantile {
 
+  /** Exact per-key median for integral value columns with a MODEST value
+    * domain, in ONE scan: a (key, value) frequency histogram — state
+    * bounded by the value DOMAIN, not the row count — and a per-key
+    * running-sum window over that (tiny, bounded) histogram. The default
+    * `medianByKey` below stays the choice for wide or unknown domains:
+    * its bucketed state is domain-independent, at the cost of a second
+    * (refine) scan. Same interpolation semantics, same output schema.
+    */
+  def medianByKeyValues(df: DataFrame, key: Column, value: Column): DataFrame = {
+    val vals = df.select(key.as("__k"), value.as("__v")).filter(col("__v").isNotNull)
+    val hist = vals.groupBy(col("__k"), col("__v")).agg(count(lit(1)).as("__c"))
+    val cum = hist
+      .withColumn("__n", sum("__c").over(Window.partitionBy("__k")))
+      .withColumn("__cum", sum("__c").over(
+        Window.partitionBy("__k").orderBy("__v")))
+      .withColumn("__vlo", col("__cum") - col("__c"))
+    val k1 = expr("(__n + 1) DIV 2")
+    val k2 = expr("__n DIV 2 + 1")
+    cum
+      .filter(col("__cum") >= k1 && col("__vlo") < k2)
+      .groupBy(col("__k"))
+      .agg(sum(col("__v") *
+          (least(col("__cum"), k2) - greatest(col("__vlo"), k1 - 1))).as("__wsum"),
+        first(col("__n")).as("n"))
+      .select(col("__k"),
+        (col("__wsum").cast("double") /
+          expr("n DIV 2 + 1 - (n + 1) DIV 2 + 1").cast("double")).as("median"),
+        col("n"))
+  }
+
   /** Exact per-key median of `value` (an integral column — scale decimals
     * up front, e.g. dollars → cents). `bucketShift` sets bucket width to
     * `2^bucketShift` value units. Returns (key, median: double, n: bigint).

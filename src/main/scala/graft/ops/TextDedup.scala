@@ -244,7 +244,8 @@ object TextDedup {
     * re-execute rounds 1..N-1. Fixpoint detected by the monotone label
     * sum. Returns (doc_id, group_id) for every node of the graph.
     */
-  def duplicateGroups(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def duplicateGroups(pairs: DataFrame, maxIters: Int = 20,
+                      localEdgeLimit: Int = 1000000): DataFrame = {
     // symmetrize in ONE pass over pairs (a union of two selects would
     // execute the upstream pair pipeline twice — no CSE across branches)
     val edges = pairs
@@ -253,6 +254,36 @@ object TextDedup {
         struct(col("id2").as("a"), col("id1").as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct().cache()
+    // Near-dup pair graphs are usually MINUSCULE next to the corpus (the
+    // pair generators bound candidates hard), so when the edge list fits
+    // comfortably on the driver, one collect + union-find answers
+    // exactly in O(E α(E)) with zero iterative jobs. The distributed
+    // min-label loop below stays the scale path for graphs above the
+    // bound — the decision reads one cheap count off the cached edges.
+    val nEdges = edges.count()
+    if (nEdges <= localEdgeLimit) {
+      val spark = pairs.sparkSession
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      es.foreach { case (x, y) =>
+        parent.putIfAbsent(x, x); parent.putIfAbsent(y, y)
+        val rx = find(x); val ry = find(y)
+        // union by MIN id so every root IS its component's group id
+        if (rx != ry) { if (rx < ry) parent.put(ry, rx) else parent.put(rx, ry) }
+      }
+      val out = parent.keySet().toArray(Array.empty[java.lang.Long])
+        .map(id => (id.longValue(), find(id.longValue())))
+      import spark.implicits._
+      return out.toSeq.toDF("doc_id", "group_id")
+    }
     // iteration 0 baked in: every node starts from min(self, neighbors)
     var labels = edges
       .groupBy(col("a").as("id")).agg(least(first(col("a")), min(col("b"))).as("lbl"))

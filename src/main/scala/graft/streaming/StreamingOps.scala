@@ -55,6 +55,51 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming NEAR-duplicate suppression — the streaming twin of the
+    * batch dd3 candidate generator, using the same in-row
+    * MinHashBandKeys signature expression. Every document contributes
+    * one row per LSH band bucket; a `flatMapGroupsWithState` keyed on
+    * the bucket assigns each bucket a deterministic OWNER (the earliest
+    * (event time, doc id) to touch it, held in watermark-bounded state
+    * with an event-time timeout), and a document survives iff it owns
+    * every one of its buckets. Suppression is therefore "some band of
+    * mine belongs to an earlier document" — deterministic under
+    * intra-batch reordering (ownership follows the (ts, id) total
+    * order, so two near-dups can never suppress each other both ways),
+    * and state is exactly one long per live bucket. Emits surviving
+    * (doc id, event time) rows once the watermark closes their window.
+    */
+  def nearDupDedupStream(docs: DataFrame, idCol: String, textCol: String,
+                         tsCol: String, watermark: String,
+                         n: Int = 5, k: Int = 16, bands: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.OutputMode
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val withBands = docs
+      .withWatermark(tsCol, watermark)
+      .withColumn("__bks",
+        graft.functions.TextExprs.minhash_band_keys(col(textCol), n, k, bands))
+      .filter(col("__bks").isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"), col(tsCol).as("__ts"),
+        explode_outer(col("__bks")).as("__bucket"))
+      .filter(col("__bucket").isNotNull)
+      .as[(Long, java.sql.Timestamp, Long)]
+    // transformWithState (requires the RocksDB state store provider) with
+    // the event-time-column overload: the operator re-declares "__ts" as
+    // event time downstream, which is what makes a stateful aggregation
+    // AFTER custom state legal — flatMapGroupsWithState cannot chain.
+    val owned = withBands
+      .groupByKey(_._3)
+      .transformWithState(new BucketOwnerProcessor(), "_2", OutputMode.Append())
+      .toDF("doc_id", "__ts", "__own")
+    owned
+      .groupBy(col("doc_id"), window(col("__ts"), "1 second").as("__w"))
+      .agg(min(col("__own")).as("__all_own"))
+      .filter(col("__all_own"))
+      .select(col("doc_id"), col("__w.start").as("ts"))
+  }
+
   /** Watermarked stream-stream interval join: each left event picks up
     * the right-side rows with the same key whose timestamp lies in
     * [left.ts - lookback, left.ts]. Both sides buffer only up to their
@@ -108,4 +153,47 @@ object StreamingOps {
         if (!batch.isEmpty) SyncMerge.merge(table, batch, pkCols, valueCols): Unit
       }
       .start()
+}
+
+/** transformWithState processor for nearDupDedupStream: each LSH bucket's
+  * immutable OWNER is the earliest (event time, doc id) row to ever touch
+  * it (ties inside a batch resolved by sorting, so ownership is
+  * deterministic under intra-batch reordering). Every input row is
+  * re-emitted tagged with "is my doc the owner". One long of state per
+  * live bucket, reclaimed by an event-time timer registered at first
+  * touch (TTL configs are processing-time-only and rejected in
+  * event-time mode).
+  */
+private[streaming] class BucketOwnerProcessor(stateTtlMs: Long = 24 * 3600 * 1000L)
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, java.sql.Timestamp, Long), (Long, java.sql.Timestamp, Boolean)] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var owner: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    owner = getHandle.getValueState[Long]("owner",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, java.sql.Timestamp, Long)],
+      timerValues: TimerValues): Iterator[(Long, java.sql.Timestamp, Boolean)] = {
+    val sorted = rows.toVector.sortBy(r => (r._2.getTime, r._1))
+    val own =
+      if (owner.exists()) owner.get()
+      else {
+        owner.update(sorted.head._1)
+        getHandle.registerTimer(sorted.map(_._2.getTime).max + stateTtlMs)
+        sorted.head._1
+      }
+    sorted.iterator.map(r => (r._1, r._2, r._1 == own))
+  }
+
+  override def handleExpiredTimer(
+      key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, java.sql.Timestamp, Boolean)] = {
+    owner.clear()
+    Iterator.empty
+  }
 }

@@ -61,10 +61,17 @@ class OpsSpec extends SparkSpec {
     val got = graft.ops.ExactQuantile.medianByKey(df, col("k"), col("v"), bucketShift = 4)
       .select(col("__k").as("k"), col("median")).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val gotValues = graft.ops.ExactQuantile.medianByKeyValues(df, col("k"), col("v"))
+      .select(col("__k").as("k"), col("median")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
     val want = df.groupBy("k").agg(expr("percentile(v, 0.5)").as("m")).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(got.keySet === want.keySet)
-    for ((k, w) <- want) assert(got(k) === w, s"group $k")
+    assert(gotValues.keySet === want.keySet)
+    for ((k, w) <- want) {
+      assert(got(k) === w, s"group $k (bucketed)")
+      assert(gotValues(k) === w, s"group $k (single-scan values)")
+    }
   }
 
   test("stateful streaming sessionization closes sessions on gaps") {

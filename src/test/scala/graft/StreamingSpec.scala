@@ -77,6 +77,43 @@ class StreamingSpec extends SparkSpec {
     assert(Set(1.0, 2.0).contains(rows.head._2) && rows(1)._2 === 3.0)
   }
 
+  test("streaming near-dup suppression drops band-sharing documents") {
+    val dir = tmpDir("graft-neardup")
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    Seq(
+      (10L, base, "2024-01-01 00:00:00"),
+      (11L, base + "tail words changed slightly here", "2024-01-01 00:00:05"), // near-dup of 10
+      (12L, "completely different content with many distinct words " +
+        "one two three four five six seven eight nine ten", "2024-01-01 00:00:10"))
+      .toDF("doc_id", "text", "s")
+      .select(col("doc_id"), col("text"), to_timestamp(col("s")).as("ts"))
+      .write.parquet(dir + "/b1")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("ts", TimestampType)))
+    // transformWithState requires the RocksDB state store provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = StreamingOps.parquetStream(spark, schema, dir + "/b*")
+    val out = StreamingOps.nearDupDedupStream(stream, "doc_id", "text", "ts", "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("neardupout").start()
+    q.processAllAvailable()
+    // append-mode aggregation only emits once the watermark passes a
+    // window: a later flush batch advances event time beyond 10 minutes
+    Seq((99L, "late flush document advancing the watermark", "2024-01-01 01:00:00"))
+      .toDF("doc_id", "text", "s")
+      .select(col("doc_id"), col("text"), to_timestamp(col("s")).as("ts"))
+      .write.parquet(dir + "/b2")
+    q.processAllAvailable(); q.stop()
+    val survivors = spark.sql("SELECT doc_id FROM neardupout WHERE doc_id < 90 ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    // doc 11 shares LSH bands with doc 10 (identical long prefix); the
+    // earlier (ts, id) doc owns the shared buckets, so 11 is suppressed
+    // while 10 (owner) and 12 (unique) survive — deterministically
+    assert(survivors === Seq(10L, 12L))
+  }
+
   test("watermarked stream-stream interval join is state-bounded") {
     val ldir = tmpDir("graft-ssj-l"); val rdir = tmpDir("graft-ssj-r")
     Seq(("2024-01-01 00:10:00", "u1", 1.0))

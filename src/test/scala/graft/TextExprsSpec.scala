@@ -148,6 +148,23 @@ class TextExprsSpec extends AnyFunSuite {
     assert(legacy.exceptAll(native).isEmpty && native.exceptAll(legacy).isEmpty)
   }
 
+  test("duplicateGroups: union-find fast path == distributed label-propagation loop") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // random sparse graph incl. chains (multi-hop components)
+    val pairs = ((1 to 120).map { _ =>
+      val a = rnd.nextInt(60).toLong; val b = a + 1 + rnd.nextInt(8)
+      (math.min(a, b), math.max(a, b))
+    } ++ Seq((200L, 201L), (201L, 202L), (202L, 203L), (203L, 204L))) // chain
+      .distinct.filter(p => p._1 != p._2)
+    val df = pairs.toDF("id1", "id2")
+    val fast = graft.ops.TextDedup.duplicateGroups(df)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val loop = graft.ops.TextDedup.duplicateGroups(df, localEdgeLimit = 0)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fast.sameElements(loop))
+  }
+
   test("BoundedDocSetAggregate caps per-key state and matches collect_set under the cap") {
     import spark.implicits._
     val rows = Seq(
