@@ -530,4 +530,48 @@ object TextExprs {
   /** Column API: [whitespace tokens, regex tokens] of a text column. */
   def token_counts(text: Column): Column =
     GraftBridge.column(TokenCounts(GraftBridge.expression(text)))
+
+  private def litInt(e: Expression, fn: String, arg: String): Int = {
+    require(e.foldable, s"$fn: $arg must be a literal integer")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be a literal integer, got $other")
+    }
+  }
+
+  /** SQL builders for the engine text functions, shared by
+    * GraftContext's function registry and the GraftExtensions
+    * injectFunction hook — so `SELECT simhash64(text) ...` works over the
+    * HTTP/pg frontends and in plain spark-sql sessions alike. Integer
+    * parameters must be literals (they are baked into the expression).
+    */
+  def sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    def str(e: Expression) =
+      if (e.dataType == StringType) e else Cast(e, StringType)
+    def lng(e: Expression) =
+      if (e.dataType == LongType) e else Cast(e, LongType)
+    def dbl(e: Expression) =
+      if (e.dataType == DoubleType) e else Cast(e, DoubleType)
+    Seq(
+      "shingle_hash_set" -> (es => ShingleHashSet(str(es(0)), litInt(es(1), "shingle_hash_set", "n"))),
+      "simhash64" -> (es => SimHash64(str(es(0)), weighted = false)),
+      "simhash64_weighted" -> (es => SimHash64(str(es(0)), weighted = true)),
+      "min_k_fingerprint" -> (es => MinKFingerprint(str(es(0)),
+        litInt(es(1), "min_k_fingerprint", "n"), litInt(es(2), "min_k_fingerprint", "k"))),
+      "winnow_select" -> (es => WinnowSelect(str(es(0)),
+        litInt(es(1), "winnow_select", "k"), litInt(es(2), "winnow_select", "w"))),
+      "token_counts" -> (es => TokenCounts(str(es(0)))),
+      "minhash_band_keys" -> (es => MinHashBandKeys(str(es(0)),
+        litInt(es(1), "minhash_band_keys", "n"), litInt(es(2), "minhash_band_keys", "k"),
+        litInt(es(3), "minhash_band_keys", "bands"))),
+      "top_k_scored" -> (es => TopKScoredAggregate(lng(es(0)), dbl(es(1)),
+        litInt(es(2), "top_k_scored", "k")).toAggregateExpression()),
+      "bounded_doc_set" -> (es => BoundedDocSetAggregate(lng(es(0)), lng(es(1)),
+        litInt(es(2), "bounded_doc_set", "cap")).toAggregateExpression()))
+  }
 }

@@ -125,8 +125,13 @@ object VectorFunctions {
     GraftBridge.column(NearestCells(GraftBridge.expression(qe),
       cents.map { case (id, v) => (id, v, v.map(x => x * x).sum) }, nprobe))
 
-  /** Register `dot_q` for SQL use. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Register `dot_q` + every engine text function for SQL use. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_q", exprs => DotProductLong(exprs(0), exprs(1)), "scala_udf")
+    TextExprs.sqlBuilders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
+  }
 }

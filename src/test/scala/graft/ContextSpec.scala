@@ -302,6 +302,25 @@ class ContextSpec extends SparkSpec {
     assert(r.getInt(3) === 3)
   }
 
+  test("engine text/vector functions are SQL-callable") {
+    val c = ctx()
+    val r = c.execute(
+      "SELECT token_counts('ab 12 ab!')[0] AS ws, token_counts('ab 12 ab!')[1] AS re, " +
+        "simhash64('the quick fox') AS sh, " +
+        "size(shingle_hash_set('a b c d e f', 5)) AS ns, " +
+        "min_k_fingerprint('a b c d e f', 5, 3) AS fp")
+      .collect().head
+    assert(r.getLong(0) === 3L && r.getLong(1) === 4L)
+    assert(r.getString(2).length === 16)
+    assert(r.getInt(3) === 2)
+    assert(r.getString(4).length === 64) // 2 distinct shingles -> 2 digests
+    val agg = c.execute(
+      "SELECT size(top_k_scored(id, s, 2)) AS n FROM " +
+        "(VALUES (1, 0.5), (2, 0.9), (3, 0.7)) AS t(id, s)")
+      .collect().head
+    assert(agg.getInt(0) === 2)
+  }
+
   test("convert existing parquet directory to a graft table") {
     import spark.implicits._
     val c = ctx()
