@@ -214,6 +214,32 @@ object TextDedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Near-dup suppression SURVIVORS — the batch twin of
+    * `streaming.StreamingOps.nearDupDedupStream`: every document emits
+    * one row per LSH band bucket (in-row MinHashBandKeys), each bucket
+    * is owned by its minimum doc id, and a document survives iff it owns
+    * ALL its buckets ("some band of mine belongs to an earlier document"
+    * suppresses). Ownership follows a total order, so two near-dups can
+    * never suppress each other both ways. Two shuffles: the bucket
+    * grouping and the per-doc verdict. The per-bucket collect is bounded
+    * in practice by LSH bucket sizes; exact-dedup first (dd1) is the
+    * standard pipeline order that keeps degenerate buckets away.
+    */
+  def nearDupSurvivors(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, k: Int, bands: Int): DataFrame =
+    spreadSmallInput(docs.filter(size(split(col(textCol), " ")) >= n))
+      .select(col(idCol).cast(LongType).as("doc_id"),
+        explode_outer(graft.functions.TextExprs
+          .minhash_band_keys(col(textCol), n, k, bands)).as("bucket"))
+      .filter(col("bucket").isNotNull)
+      .groupBy("bucket")
+      .agg(min("doc_id").as("owner"), collect_set(col("doc_id")).as("ids"))
+      .select(col("owner"), explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id")
+      .agg(min(when(col("owner") === col("doc_id"), 1).otherwise(0)).as("all_own"))
+      .filter(col("all_own") === 1)
+      .select(col("doc_id"))
+
   /** 64-bit SimHash over the document's distinct words, returned as a
     * 16-hex-char string (portable: no int64 sign issues). Word hash =
     * first 16 hex chars of md5(word); bit b of the simhash is 1 iff the

@@ -101,6 +101,29 @@ object PipelinesDedup {
     // member of a transitive duplicate cluster gets the cluster's MIN doc
     // id. The oracle computes the closure with a recursive CTE; Spark
     // runs the distributed min-label-propagation loop.
+    // Near-dup suppression survivors: every doc emits its LSH band
+    // buckets, a bucket is owned by its MIN doc id, survivors own all
+    // their buckets — the batch twin of the streaming
+    // nearDupDedupStream operator (same band keys, same ownership rule).
+    QueryDef("dd7_neardup_survivors",
+      s"""WITH $shingleCte,
+         |sig AS (SELECT doc_id,
+         |    $sigSelect
+         |  FROM sh GROUP BY doc_id),
+         |buckets AS (
+         |  $bandUnion),
+         |owners AS (SELECT bucket, MIN(doc_id) AS owner FROM buckets GROUP BY bucket),
+         |flags AS (SELECT b.doc_id,
+         |            MIN(CASE WHEN o.owner = b.doc_id THEN 1 ELSE 0 END) AS all_own
+         |          FROM buckets b JOIN owners o ON o.bucket = b.bucket
+         |          GROUP BY b.doc_id)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id
+         |FROM flags WHERE all_own = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextDedup.nearDupSurvivors(Tables.load(s, d, "documents"), "doc_id", "text",
+          n = 5, k = K, bands = BANDS)
+        .orderBy("doc_id")
+    },
+
     QueryDef("dd6_dedup_groups",
       s"""WITH RECURSIVE $minhashPairCtes,
          |edges AS (SELECT id1 AS a, id2 AS b FROM pairs

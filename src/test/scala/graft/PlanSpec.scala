@@ -110,6 +110,16 @@ class PlanSpec extends SparkSpec {
       "signature expression leaked into the scan filters:\n" + scanLines)
   }
 
+  test("near-dup survivors: two data shuffles, signatures never in the scan (dd7)") {
+    val p = planOf("dd7_neardup_survivors")
+    assert(!p.contains("Window"), "dd7 must not use window functions:\n" + p.take(3000))
+    assert(p.contains("minhash_band_keys"),
+      "dd7 should compute band keys inside the row:\n" + p.take(3000))
+    val scanLines = p.linesIterator.filter(_.contains("DataFilters")).mkString("\n")
+    assert(!scanLines.contains("minhash_band_keys"),
+      "signature expression leaked into the scan filters:\n" + scanLines)
+  }
+
   test("winnowing selects per-row: zero windows, zero data shuffles (tx5)") {
     val p = planOf("tx5_winnow")
     // the O(n) deque selection runs inside the row (WinnowSelect); the
