@@ -105,6 +105,27 @@ object TextAnalysis {
       .select(col(idCol).as("doc_id"),
         graft.functions.TextExprs.min_k_fingerprint(col(textCol), 5, 3).as("fingerprint"))
 
+  /** Repetition screening (the Gopher-style duplicate-n-gram filter):
+    * the fraction of a document's word n-gram windows that repeat an
+    * earlier window — high values flag boilerplate, looping generations,
+    * and template spam. Distinct windows come from the native
+    * ShingleHashSet (the 2^-64 per-pair hash-collision trade shared by
+    * the whole dedup family); totals are plain word counts — a pure
+    * zero-shuffle projection. */
+  def repetitionScores(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 5, threshold: Double = 0.3): DataFrame = {
+    val total = (size(split(col(textCol), " ")) - (n - 1)).cast(LongType)
+    val distinctSh =
+      size(graft.functions.TextExprs.shingle_hash_set(col(textCol), n)).cast(LongType)
+    docs
+      .filter(size(split(col(textCol), " ")) >= n)
+      .select(col(idCol).as("doc_id"),
+        total.as("n_windows"),
+        (total - distinctSh).as("n_dup"),
+        ((total - distinctSh).cast(DoubleType) / total).as("dup_frac"))
+      .withColumn("repetitive", col("dup_frac") >= threshold)
+  }
+
   /** Deterministic train/val/test assignment: the first 16 hex chars of
     * md5(salt || ':' || id) are a uniform 64-bit draw, and comparing the
     * HEX STRING against precomputed hex thresholds (0.8→'cccc…',

@@ -166,6 +166,25 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Repetition screening: duplicate word-5-gram fraction per document
+    // (the Gopher-style boilerplate/looping filter) — a zero-shuffle
+    // projection off the in-row distinct shingle set.
+    QueryDef("tx9_repetition",
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |t AS (SELECT doc_id, w, CAST(len(w) - 4 AS BIGINT) AS n_windows
+        |      FROM words WHERE len(w) >= 5),
+        |sh AS (SELECT doc_id, w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS shingle
+        |       FROM t, UNNEST(range(1, len(w)-3)) AS u(i)),
+        |d AS (SELECT doc_id, CAST(COUNT(DISTINCT shingle) AS BIGINT) AS dis
+        |      FROM sh GROUP BY doc_id)
+        |SELECT t.doc_id, n_windows, n_windows - dis AS n_dup,
+        |  CAST(n_windows - dis AS DOUBLE) / n_windows AS dup_frac,
+        |  CAST(n_windows - dis AS DOUBLE) / n_windows >= 0.3 AS repetitive
+        |FROM t JOIN d ON d.doc_id = t.doc_id ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.repetitionScores(Tables.load(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // Frame sampling over binary payloads: every 64-byte stride yields a
     // 16-byte frame, fingerprinted as md5(lowercase hex) — the hex hop
     // keeps the spec portable (DuckDB has no blob substring).
