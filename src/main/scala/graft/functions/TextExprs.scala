@@ -39,18 +39,10 @@ object TextExprs {
 
     override protected def nullSafeEval(input: Any): Any = {
       val bytes = input.asInstanceOf[UTF8String].getBytes
-      val len = bytes.length
-      // word i spans [starts(i), starts(i+1) - 1); the last spans to len
-      var nWords = 1
-      var j = 0
-      while (j < len) { if (bytes(j) == ' ') nWords += 1; j += 1 }
-      val nShingles = nWords - (n - 1)
-      if (len == 0 || nShingles <= 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
-      val starts = new Array[Int](nWords + 1)
-      var w = 1
-      j = 0
-      while (j < len) { if (bytes(j) == ' ') { starts(w) = j + 1; w += 1 }; j += 1 }
-      starts(nWords) = len + 1 // virtual space after the last word
+      val starts = wordStarts(bytes)
+      val nShingles = starts.length - 1 - (n - 1)
+      if (bytes.length == 0 || nShingles <= 0)
+        return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
       val hashes = new Array[Long](nShingles)
       var i = 0
       while (i < nShingles) {

@@ -43,11 +43,20 @@ case class TopKScoredAggregate(
   override def createAggregationBuffer(): TopKScoredAggregate.Buf =
     new TopKScoredAggregate.Buf(new Array[Long](k), new Array[Double](k), 0)
 
-  /** score DESC, id ASC: true iff (s1, i1) ranks strictly before (s2, i2). */
-  private def before(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 > s2 || (s1 == s2 && i1 < i2)
+  /** score DESC, id ASC: true iff (s1, i1) ranks strictly before (s2, i2).
+    * Double.compare gives Spark's SQL sort order for specials — NaN ranks
+    * above +Inf on DESC, exactly like the row_number window this replaces
+    * (plain > / == would treat NaN rows as incomparable and make results
+    * partition-order dependent). */
+  private def before(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c > 0 || (c == 0 && i1 < i2)
+  }
 
-  private def insert(b: TopKScoredAggregate.Buf, i: Long, s: Double): Unit = {
+  private def insert(b: TopKScoredAggregate.Buf, i: Long, s0: Double): Unit = {
+    // -0.0 == 0.0 in Spark's sort (NormalizeNaNAndZero); normalize so the
+    // id tie-break applies instead of Double.compare's -0.0 < 0.0
+    val s = if (s0 == 0.0) 0.0 else s0
     if (b.n == k && !before(s, i, b.scores(k - 1), b.ids(k - 1))) return
     var pos = math.min(b.n, k - 1)
     while (pos > 0 && before(s, i, b.scores(pos - 1), b.ids(pos - 1))) {

@@ -126,6 +126,12 @@ object Embeddings {
     // NO per-vector argmin window, no shuffle anywhere in assignment.
     var cents = collectCents(p.orderBy("vec_id").limit(numCells)
       .select(col("vec_id").as("cell"), col("qe").as("cent")))
+    // empty corpus → no centroids: answer the empty result with the right
+    // schema instead of handing NearestCells an empty centroid table
+    if (cents.isEmpty)
+      return rankTopK(p.limit(0)
+        .select(col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+          lit(0.0).as("cos")), k)
     def assign(df: DataFrame): DataFrame = df.withColumn("cell",
       element_at(graft.functions.VectorFunctions.nearest_cells(col("qe"), cents, 1), 1))
     for (_ <- 0 until lloydIters)

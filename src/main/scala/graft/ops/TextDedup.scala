@@ -50,6 +50,16 @@ object TextDedup {
     if (docs.rdd.getNumPartitions < target) docs.repartition(target) else docs
   }
 
+  /** Ids flow through bounded Long-keyed aggregates and the union-find
+    * fast path, so the id column must be integral — checked loudly here
+    * (a silent cast would null every id and return empty results). */
+  private def longId(docs: DataFrame, idCol: String, fn: String): Column = {
+    val dt = docs.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"$fn requires an integral id column; '$idCol' is ${dt.simpleString}")
+    col(idCol).cast(LongType)
+  }
+
   /** Exact duplicate groups by md5 of the raw text: one row per duplicated
     * digest with the surviving (minimum) id and the victim count.
     * Scale: single hash-shuffle on the 32-char digest.
@@ -91,7 +101,7 @@ object TextDedup {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double, maxShingleDf: Int): DataFrame = {
     val indexRows = spreadSmallInput(docs)
-      .select(col(idCol).cast(LongType).as("doc_id"),
+      .select(longId(docs, idCol, "jaccardPairs").as("doc_id"),
         graft.functions.TextExprs.shingle_hash_set(col(textCol), n).as("shs"))
       // explode_OUTER: a plain explode makes InferFiltersFromGenerate
       // push an inferred size(shingle_hash_set(text)) > 0 predicate all
@@ -186,7 +196,7 @@ object TextDedup {
     // frame could never be unpersisted.)
     val withSets = spreadSmallInput(
         docs.filter(size(split(col(textCol), " ")) >= n))
-      .select(col(idCol).cast(LongType).as("doc_id"),
+      .select(longId(docs, idCol, "minhashDedupPairs").as("doc_id"),
         graft.functions.TextExprs.minhash_band_keys(col(textCol), n, k, bands).as("bks"),
         graft.functions.TextExprs.shingle_hash_set(col(textCol), n).as("shs"))
     val docSets = withSets.select(col("doc_id"), col("shs"))
@@ -228,7 +238,7 @@ object TextDedup {
   def nearDupSurvivors(docs: DataFrame, idCol: String, textCol: String,
                        n: Int, k: Int, bands: Int): DataFrame =
     spreadSmallInput(docs.filter(size(split(col(textCol), " ")) >= n))
-      .select(col(idCol).cast(LongType).as("doc_id"),
+      .select(longId(docs, idCol, "nearDupSurvivors").as("doc_id"),
         explode_outer(graft.functions.TextExprs
           .minhash_band_keys(col(textCol), n, k, bands)).as("bucket"))
       .filter(col("bucket").isNotNull)
@@ -276,8 +286,10 @@ object TextDedup {
     // execute the upstream pair pipeline twice — no CSE across branches)
     val edges = pairs
       .select(explode(array(
-        struct(col("id1").as("a"), col("id2").as("b")),
-        struct(col("id2").as("a"), col("id1").as("b")))).as("e"))
+        struct(longId(pairs, "id1", "duplicateGroups").as("a"),
+          longId(pairs, "id2", "duplicateGroups").as("b")),
+        struct(longId(pairs, "id2", "duplicateGroups").as("a"),
+          longId(pairs, "id1", "duplicateGroups").as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct().cache()
     // Near-dup pair graphs are usually MINUSCULE next to the corpus (the

@@ -56,18 +56,21 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark(keyCols)
 
   /** Streaming NEAR-duplicate suppression — the streaming twin of the
-    * batch dd3 candidate generator, using the same in-row
-    * MinHashBandKeys signature expression. Every document contributes
-    * one row per LSH band bucket; a `flatMapGroupsWithState` keyed on
-    * the bucket assigns each bucket a deterministic OWNER (the earliest
-    * (event time, doc id) to touch it, held in watermark-bounded state
-    * with an event-time timeout), and a document survives iff it owns
-    * every one of its buckets. Suppression is therefore "some band of
-    * mine belongs to an earlier document" — deterministic under
-    * intra-batch reordering (ownership follows the (ts, id) total
-    * order, so two near-dups can never suppress each other both ways),
-    * and state is exactly one long per live bucket. Emits surviving
-    * (doc id, event time) rows once the watermark closes their window.
+    * batch dd3 candidate generator / `TextDedup.nearDupSurvivors`, using
+    * the same in-row MinHashBandKeys signature expression. Every
+    * document contributes one row per LSH band bucket; a
+    * transformWithState processor keyed on the bucket assigns each
+    * bucket an OWNER — the first micro-batch to touch the bucket wins,
+    * with ties INSIDE a batch resolved by the (event time, doc id)
+    * total order — and a document survives iff it owns every one of its
+    * buckets. Ownership is deterministic given a batch sequence and
+    * two near-dups can never suppress each other both ways; but unlike
+    * the batch twin (global MIN doc id per bucket), a LATE-arriving
+    * earlier-timestamped document cannot reclaim a bucket an earlier
+    * batch already assigned — append-mode streams cannot retract, so
+    * arrival order is the honest streaming semantic. State is one long
+    * per live bucket. Emits surviving (doc id, event time) rows once
+    * the watermark closes their window.
     */
   def nearDupDedupStream(docs: DataFrame, idCol: String, textCol: String,
                          tsCol: String, watermark: String,
@@ -76,11 +79,15 @@ object StreamingOps {
     import org.apache.spark.sql.streaming.OutputMode
     val spark = docs.sparkSession
     import spark.implicits._
+    // cheap word-count predicate, never a filter on the signature output
+    // (that would re-evaluate the whole k-by-md5 projection inside the
+    // scan — same reasoning as the batch pipelines); the bucket null
+    // filter after explode_outer drops any residual null-signature rows
     val withBands = docs
+      .filter(size(split(col(textCol), " ")) >= n)
       .withWatermark(tsCol, watermark)
       .withColumn("__bks",
         graft.functions.TextExprs.minhash_band_keys(col(textCol), n, k, bands))
-      .filter(col("__bks").isNotNull)
       .select(col(idCol).cast("long").as("doc_id"), col(tsCol).as("__ts"),
         explode_outer(col("__bks")).as("__bucket"))
       .filter(col("__bucket").isNotNull)
@@ -156,13 +163,14 @@ object StreamingOps {
 }
 
 /** transformWithState processor for nearDupDedupStream: each LSH bucket's
-  * immutable OWNER is the earliest (event time, doc id) row to ever touch
-  * it (ties inside a batch resolved by sorting, so ownership is
-  * deterministic under intra-batch reordering). Every input row is
-  * re-emitted tagged with "is my doc the owner". One long of state per
-  * live bucket, reclaimed by an event-time timer registered at first
-  * touch (TTL configs are processing-time-only and rejected in
-  * event-time mode).
+  * immutable OWNER is fixed by the first micro-batch that touches the
+  * bucket — the batch's earliest (event time, doc id) row, so ownership
+  * is deterministic under intra-batch reordering; rows in LATER batches
+  * can never reclaim it (append-mode output cannot retract earlier
+  * emissions). Every input row is re-emitted tagged with "is my doc the
+  * owner". One long of state per live bucket, reclaimed by an
+  * event-time timer registered at first touch (TTL configs are
+  * processing-time-only and rejected in event-time mode).
   */
 private[streaming] class BucketOwnerProcessor(stateTtlMs: Long = 24 * 3600 * 1000L)
   extends org.apache.spark.sql.streaming.StatefulProcessor[

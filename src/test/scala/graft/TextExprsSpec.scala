@@ -129,12 +129,73 @@ class TextExprsSpec extends AnyFunSuite {
     assert(legacy.exceptAll(native).isEmpty && native.exceptAll(legacy).isEmpty)
   }
 
+  test("TokenCounts == split-size + regexp_extract_all count") {
+    val docs = corpus()
+    val legacy = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast(LongType).as("ws"),
+      size(regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
+        .cast(LongType).as("re"))
+    val tc = graft.functions.TextExprs.token_counts(col("text"))
+    val native = docs.select(col("doc_id"),
+      element_at(tc, 1).as("ws"), element_at(tc, 2).as("re"))
+    assert(legacy.exceptAll(native).isEmpty && native.exceptAll(legacy).isEmpty)
+  }
+
+  test("MarkerCounts == per-set interpreted filter() counts") {
+    val docs = corpus()
+    val sets = graft.ops.TextAnalysis.markers.map(_._2)
+    def inList(c: org.apache.spark.sql.Column, xs: Seq[String]) =
+      xs.map(c === _).reduce(_ || _)
+    val toks = split(col("text"), " ")
+    val legacy = docs.select(Seq(col("doc_id")) ++
+      sets.zipWithIndex.map { case (set, i) =>
+        size(filter(toks, t => inList(t, set))).cast(LongType).as(s"c$i")
+      } ++ Seq(
+        size(filter(toks, t => inList(t, sets.flatten))).cast(LongType).as("stop"),
+        size(toks).cast(LongType).as("ntok")): _*)
+    val mc = graft.functions.TextExprs.marker_counts(col("text"), sets)
+    val native = docs.select(Seq(col("doc_id")) ++
+      sets.indices.map(i => element_at(mc, i + 1).as(s"c$i")) ++ Seq(
+        element_at(mc, sets.size + 1).as("stop"),
+        element_at(mc, sets.size + 2).as("ntok")): _*)
+    assert(legacy.exceptAll(native).isEmpty && native.exceptAll(legacy).isEmpty)
+  }
+
+  test("MinHashBandKeys induces the same candidate pairs as the declarative banding") {
+    val docs = corpus()
+    val (n, k, bands) = (3, 8, 4)
+    // legacy: md5-seeded signature aggregate -> string band buckets -> join
+    val sigs = graft.ops.TextDedup.minhashSignatures(
+      graft.ops.TextDedup.docShingleRows(docs, "doc_id", "text", n), k)
+    val legacy = graft.ops.TextDedup.lshCandidates(
+      graft.ops.TextDedup.lshBuckets(sigs, bands, k / bands))
+    // native: in-row band keys -> bucket grouping (band equality classes
+    // are identical up to a 2^-64 key-hash collision)
+    val native = docs
+      .select(col("doc_id"),
+        explode_outer(graft.functions.TextExprs
+          .minhash_band_keys(col("text"), n, k, bands)).as("bucket"))
+      .filter(col("bucket").isNotNull)
+      .groupBy("bucket").agg(collect_set(col("doc_id")).as("ids"))
+      .select(col("ids"), explode(col("ids")).as("id1"))
+      .select(col("id1"), explode(col("ids")).as("id2"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    assert(legacy.exceptAll(native).isEmpty && native.exceptAll(legacy).isEmpty)
+  }
+
   test("TopKScoredAggregate == row_number window over (score DESC, id ASC)") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val rnd = new scala.util.Random(11)
+    // includes NaN / infinities / signed zeros: Spark's DESC sort ranks
+    // NaN above +Inf and treats -0.0 == 0.0 — the aggregate must agree
+    val specials = Array(Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, 0.0, -0.0)
     val rows = (1 to 2000).map { _ =>
-      (rnd.nextInt(20).toLong, rnd.nextInt(5000).toLong, rnd.nextInt(50) / 10.0)
+      val s = if (rnd.nextInt(10) == 0) specials(rnd.nextInt(specials.length))
+              else rnd.nextInt(50) / 10.0
+      (rnd.nextInt(20).toLong, rnd.nextInt(5000).toLong, s)
     }.distinct
     val df = rows.toDF("g", "id", "score")
     val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
