@@ -126,6 +126,55 @@ object TextAnalysis {
       .withColumn("repetitive", col("dup_frac") >= threshold)
   }
 
+  /** Fixed-size document chunking with overlap — the tokenize-and-window
+    * step every LLM training/RAG pipeline runs before embedding or
+    * packing. Chunk c covers words [c·stride+1, c·stride+size] (stride =
+    * size − overlap); the last chunk may be shorter, and a document with
+    * ≤ size words is one chunk. Pure per-row explode over a computed
+    * chunk count: no shuffle, chunk boundaries are a function of the row
+    * alone (stable under repartitioning — the property a resumable
+    * 100 TB chunking job needs). */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+            size: Int, overlap: Int): DataFrame = {
+    require(size >= 1 && overlap >= 0 && overlap < size,
+      s"need 1 <= size ($size) and 0 <= overlap ($overlap) < size")
+    val stride = size - overlap
+    val w = split(col(textCol), " ")
+    val nW = org.apache.spark.sql.functions.size(w).cast(LongType)
+    val nChunks = when(nW <= size, lit(1L))
+      .otherwise(ceil((nW - size).cast(DoubleType) / stride).cast(LongType) + 1L)
+    docs
+      .select(col(idCol).as("doc_id"), w.as("__w"), nW.as("__n"), nChunks.as("__nc"))
+      .select(col("doc_id"), col("__w"), col("__n"),
+        explode(sequence(lit(0L), col("__nc") - 1L)).as("chunk_no"))
+      .select(col("doc_id"), col("chunk_no"),
+        concat_ws(" ", slice(col("__w"), (col("chunk_no") * stride + 1L).cast("int"),
+          lit(size))).as("chunk_text"),
+        least(lit(size.toLong), col("__n") - col("chunk_no") * stride).as("n_tokens"))
+  }
+
+  /** Heuristic PII redaction: emails, phone-number-shaped digit runs, and
+    * long bare digit runs are replaced with typed placeholders, with
+    * per-document match counts for audit dashboards. The regexes are
+    * deliberately RE2-safe (no backrefs/lookaround) so the same patterns
+    * run in any engine; replacement order is fixed (emails first, so
+    * their digits are never double-counted as phones). */
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+    val idrun = "[0-9]{9,}"
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, email, "<EMAIL>")
+    val t2 = regexp_replace(t1, phone, "<PHONE>")
+    val t3 = regexp_replace(t2, idrun, "<ID>")
+    docs.select(
+      col(idCol).as("doc_id"),
+      t3.as("redacted"),
+      size(regexp_extract_all(t0, lit(email), lit(0))).cast(LongType).as("n_emails"),
+      size(regexp_extract_all(t1, lit(phone), lit(0))).cast(LongType).as("n_phones"),
+      size(regexp_extract_all(t2, lit(idrun), lit(0))).cast(LongType).as("n_ids"))
+  }
+
   /** Deterministic train/val/test assignment: the first 16 hex chars of
     * md5(salt || ':' || id) are a uniform 64-bit draw, and comparing the
     * HEX STRING against precomputed hex thresholds (0.8→'cccc…',

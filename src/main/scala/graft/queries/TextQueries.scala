@@ -185,6 +185,49 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Fixed-size chunking with overlap (size 40 words, overlap 8):
+    // chunk c = words[c*32+1 .. c*32+40], last chunk short, <=40-word
+    // docs are one chunk.
+    QueryDef("tx10_chunking",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |           FROM documents),
+        |c AS (SELECT doc_id, w, n,
+        |        CASE WHEN n <= 40 THEN 1
+        |             ELSE CAST(CEIL((n - 40) / 32.0) AS BIGINT) + 1 END AS nc
+        |      FROM w),
+        |e AS (SELECT doc_id, w, n, CAST(i AS BIGINT) AS chunk_no
+        |      FROM c, UNNEST(range(0, nc)) AS t(i))
+        |SELECT doc_id, chunk_no,
+        |  array_to_string(w[(chunk_no*32 + 1):(chunk_no*32 + 40)], ' ') AS chunk_text,
+        |  LEAST(40, n - chunk_no*32) AS n_tokens
+        |FROM e ORDER BY doc_id, chunk_no""".stripMargin) { (s, d) =>
+      TextAnalysis.chunk(Tables.load(s, d, "documents"), "doc_id", "text",
+          size = 40, overlap = 8)
+        .orderBy("doc_id", "chunk_no")
+    },
+
+    // Heuristic PII redaction (emails → phones → long digit runs, fixed
+    // order so counts never double-report) with per-doc audit counts.
+    QueryDef("tx11_pii_redaction",
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g'),
+        |    '[0-9]{9,}', '<ID>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9()\- ]{7,}[0-9]')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g'),
+        |    '[0-9]{9,}')) AS BIGINT) AS n_ids
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.redactPii(Tables.load(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // Frame sampling over binary payloads: every 64-byte stride yields a
     // 16-byte frame, fingerprinted as md5(lowercase hex) — the hex hop
     // keeps the spec portable (DuckDB has no blob substring).
