@@ -195,6 +195,28 @@ object TextAnalysis {
         .otherwise("test"))
   }
 
+  /** Deterministic stratified sampling — the data-mixing primitive: keep
+    * each stratum (source, language, ...) at its own fraction, decided by
+    * comparing the md5 hex draw of (salt, id) against the stratum's
+    * precomputed hex threshold. Unlike Spark's sampleBy (seeded RNG over
+    * row order), membership is a pure function of the id: stable under
+    * repartitioning, retries, AND incremental reruns over a growing
+    * corpus — rows never flip in or out when data around them changes.
+    * Strata missing from `fractions` default to 0.0 (dropped). */
+  def sampleStratified(docs: DataFrame, idCol: String, strataCol: String,
+                       salt: String, fractions: Map[String, Double]): DataFrame = {
+    require(fractions.values.forall(f => f >= 0.0 && f <= 1.0),
+      "fractions must be in [0, 1]")
+    def hexThreshold(f: Double): String =
+      f"${(f * math.pow(2, 63)).toLong * 2}%016x"
+    val h = substring(md5(concat(lit(salt + ":"), col(idCol).cast(StringType))), 1, 16)
+    val threshold = fractions.foldLeft(lit("0000000000000000")) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum, lit(hexThreshold(f))).otherwise(acc)
+    }
+    docs.filter(h < threshold)
+  }
+
   /** Eval-contamination check between a train and a test split: for every
     * test document, the fraction of its distinct word n-grams that also
     * appear anywhere in the train split. High overlap means the test doc

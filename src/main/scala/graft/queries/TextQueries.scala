@@ -185,6 +185,29 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Deterministic stratified sampling: per-source keep fractions via
+    // the md5 hex draw of (salt, id) — membership is a pure function of
+    // the id (stable under repartitioning/retries), unlike seeded-RNG
+    // sampleBy. Unlisted strata drop to 0.
+    QueryDef("tx12_stratified_sample", {
+      def th(f: Double) = f"${(f * math.pow(2, 63)).toLong * 2}%016x"
+      s"""SELECT doc_id, source
+         |FROM documents
+         |WHERE substr(md5('mix:'||CAST(doc_id AS VARCHAR)), 1, 16) <
+         |  CASE source WHEN 'src0' THEN '${th(1.0)}'
+         |              WHEN 'src1' THEN '${th(0.5)}'
+         |              WHEN 'src2' THEN '${th(0.25)}'
+         |              ELSE '${th(0.1)}' END
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val fractions = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25) ++
+        (3 until 20).map(i => s"src$i" -> 0.1)
+      TextAnalysis.sampleStratified(docs, "doc_id", "source", "mix", fractions)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
+
     // Fixed-size chunking with overlap (size 40 words, overlap 8):
     // chunk c = words[c*32+1 .. c*32+40], last chunk short, <=40-word
     // docs are one chunk.
