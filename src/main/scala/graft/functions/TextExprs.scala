@@ -523,6 +523,57 @@ object TextExprs {
   def token_counts(text: Column): Column =
     GraftBridge.column(TokenCounts(GraftBridge.expression(text)))
 
+  /** PII redaction in one matcher pass per pattern: each pattern's count
+    * AND replacement come from the same scan (vs regexp_replace +
+    * regexp_extract_all doing two), patterns applied in fixed order so
+    * later ones run over the previous replacement. Same java-regex
+    * semantics as the declarative formulation. Output:
+    * struct(redacted, n_emails, n_phones, n_ids).
+    */
+  case class PiiRedact(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = StructType(Seq(
+      StructField("redacted", StringType),
+      StructField("n_emails", LongType),
+      StructField("n_phones", LongType),
+      StructField("n_ids", LongType)))
+    override def prettyName: String = "pii_redact"
+
+    @transient private lazy val patterns = Array(
+      java.util.regex.Pattern.compile("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}") -> "<EMAIL>",
+      java.util.regex.Pattern.compile("\\+?[0-9][0-9()\\- ]{7,}[0-9]") -> "<PHONE>",
+      java.util.regex.Pattern.compile("[0-9]{9,}") -> "<ID>")
+
+    override protected def nullSafeEval(input: Any): Any = {
+      var text: String = input.asInstanceOf[UTF8String].toString
+      val counts = new Array[Long](patterns.length)
+      var p = 0
+      while (p < patterns.length) {
+        val (pat, repl) = patterns(p)
+        val m = pat.matcher(text)
+        if (m.find()) {
+          val sb = new java.lang.StringBuilder(text.length)
+          var n = 0L
+          do { n += 1; m.appendReplacement(sb, repl) } while (m.find())
+          m.appendTail(sb)
+          text = sb.toString
+          counts(p) = n
+        }
+        p += 1
+      }
+      new GenericInternalRow(Array[Any](
+        UTF8String.fromString(text), counts(0), counts(1), counts(2)))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): PiiRedact =
+      copy(child = newChild)
+  }
+
+  /** Column API: struct(redacted, n_emails, n_phones, n_ids). */
+  def pii_redact(text: Column): Column =
+    GraftBridge.column(PiiRedact(GraftBridge.expression(text)))
+
   private def litInt(e: Expression, fn: String, arg: String): Int = {
     require(e.foldable, s"$fn: $arg must be a literal integer")
     e.eval() match {
@@ -558,6 +609,7 @@ object TextExprs {
       "winnow_select" -> (es => WinnowSelect(str(es(0)),
         litInt(es(1), "winnow_select", "k"), litInt(es(2), "winnow_select", "w"))),
       "token_counts" -> (es => TokenCounts(str(es(0)))),
+      "pii_redact" -> (es => PiiRedact(str(es(0)))),
       "minhash_band_keys" -> (es => MinHashBandKeys(str(es(0)),
         litInt(es(1), "minhash_band_keys", "n"), litInt(es(2), "minhash_band_keys", "k"),
         litInt(es(3), "minhash_band_keys", "bands"))),

@@ -159,21 +159,16 @@ object TextAnalysis {
     * deliberately RE2-safe (no backrefs/lookaround) so the same patterns
     * run in any engine; replacement order is fixed (emails first, so
     * their digits are never double-counted as phones). */
-  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val phone = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
-    val idrun = "[0-9]{9,}"
-    val t0 = col(textCol)
-    val t1 = regexp_replace(t0, email, "<EMAIL>")
-    val t2 = regexp_replace(t1, phone, "<PHONE>")
-    val t3 = regexp_replace(t2, idrun, "<ID>")
-    docs.select(
-      col(idCol).as("doc_id"),
-      t3.as("redacted"),
-      size(regexp_extract_all(t0, lit(email), lit(0))).cast(LongType).as("n_emails"),
-      size(regexp_extract_all(t1, lit(phone), lit(0))).cast(LongType).as("n_phones"),
-      size(regexp_extract_all(t2, lit(idrun), lit(0))).cast(LongType).as("n_ids"))
-  }
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    // one matcher pass per pattern computes the count AND the replacement
+    // (native PiiRedact) — half the regex traversals of the declarative
+    // regexp_replace + regexp_extract_all formulation, same semantics
+    docs
+      .select(col(idCol).as("doc_id"),
+        graft.functions.TextExprs.pii_redact(col(textCol)).as("__r"))
+      .select(col("doc_id"), col("__r.redacted").as("redacted"),
+        col("__r.n_emails").as("n_emails"), col("__r.n_phones").as("n_phones"),
+        col("__r.n_ids").as("n_ids"))
 
   /** Deterministic train/val/test assignment: the first 16 hex chars of
     * md5(salt || ':' || id) are a uniform 64-bit draw, and comparing the

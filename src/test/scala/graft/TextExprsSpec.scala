@@ -184,6 +184,28 @@ class TextExprsSpec extends AnyFunSuite {
     assert(legacy.exceptAll(native).isEmpty && native.exceptAll(legacy).isEmpty)
   }
 
+  test("PiiRedact == sequential regexp_replace + regexp_extract_all counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail me at a.b+c@ex-ample.org or x@y.io thanks"),
+      (2L, "call +1 (555) 123-4567 or 08 123 456 789 now"),
+      (3L, "ssn-ish 123456789012 and code 987654321"),
+      (4L, "overlap: bob@site.com 123456789 +44 20 7946 0958"),
+      (5L, ""), (6L, "no pii here at all")).toDF("doc_id", "text")
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+    val idrun = "[0-9]{9,}"
+    val t1 = regexp_replace(col("text"), email, "<EMAIL>")
+    val t2 = regexp_replace(t1, phone, "<PHONE>")
+    val legacy = docs.select(col("doc_id"),
+      regexp_replace(t2, idrun, "<ID>").as("redacted"),
+      size(regexp_extract_all(col("text"), lit(email), lit(0))).cast(LongType).as("n_emails"),
+      size(regexp_extract_all(t1, lit(phone), lit(0))).cast(LongType).as("n_phones"),
+      size(regexp_extract_all(t2, lit(idrun), lit(0))).cast(LongType).as("n_ids"))
+    val native = graft.ops.TextAnalysis.redactPii(docs, "doc_id", "text")
+    assert(legacy.exceptAll(native).isEmpty && native.exceptAll(legacy).isEmpty)
+  }
+
   test("TopKScoredAggregate == row_number window over (score DESC, id ASC)") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
