@@ -556,9 +556,10 @@ object Relational {
         // sketch's update cost
         .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(2000)).as("amed"))
       // prices carry 2 decimals: scale to exact long cents for bucketing.
-      // (Measured: the single-scan value-histogram variant is SLOWER here
-      // — ~300k distinct cents per flag make its window sort cost more
-      // than the bucketed histogram's second scan.)
+      // (Measured against both one-scan value-histogram variants: ~300k
+      // distinct cents make their histogram shuffles cost more than this
+      // design's second SCAN — tiny-shuffle-twice beats big-shuffle-once
+      // here.)
       val exactMed = graft.ops.ExactQuantile.medianByKey(
           li(s, d).select(col("l_returnflag"),
             round(col("l_extendedprice") * 100).cast("long").as("cents")),
