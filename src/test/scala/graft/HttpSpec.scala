@@ -46,6 +46,21 @@ class HttpSpec extends SparkSpec {
     assert(r.headers().firstValue("X-Graft-Query-Time").isPresent)
   }
 
+  test("engine text functions execute over POST /q") {
+    val r = post("/q",
+      "SELECT simhash64('the quick fox') AS sh, token_counts('ab 12 cd!')[1] AS re", auth)
+    assert(r.statusCode() === 200)
+    val body = r.body()
+    assert(body.contains("\"re\":4"), body)
+    assert("\"sh\":\"[0-9a-f]{16}\"".r.findFirstIn(body).isDefined, body)
+    // and on the GET path, whose reads run on per-generation SNAPSHOT
+    // sessions — function registration must survive the session clone
+    val g = get("/q/" + java.net.URLEncoder.encode(
+      "SELECT token_counts('ab 12 cd!')[1] AS re", UTF_8))
+    assert(g.statusCode() === 200, g.body())
+    assert(g.body().contains("\"re\":4"), g.body())
+  }
+
   test("write without token is 401; read path is anonymous") {
     assert(post("/q", "CREATE TABLE nope (a BIGINT)").statusCode() === 401)
     val r = get("/q/" + java.net.URLEncoder.encode("SELECT 1 AS one", UTF_8))
