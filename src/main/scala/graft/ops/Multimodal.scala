@@ -109,4 +109,36 @@ object Multimodal {
       }
       .toDF()
   }
+
+  /** One resampled payload. */
+  case class Resampled(doc_id: Long, orig_len: Long, new_len: Long, res_digest: String)
+
+  /** Resize/resample over binary payloads — the image-thumbnail/audio-
+    * downsample access pattern: keep every `stride`-th byte of the
+    * payload (STUB for a real scaler: a decoder would interpolate pixels/
+    * PCM; the strided byte view keeps the plumbing — batch shape, output
+    * schema, digest verification — identical). Fingerprint is md5 of the
+    * resampled bytes' lowercase hex (portable across engines, like
+    * sampleFrames). Iterator-to-iterator per partition, zero shuffle;
+    * empty payloads are dropped (nothing to resample).
+    */
+  def resample(spark: SparkSession, media: DataFrame, stride: Int = 4): DataFrame = {
+    import spark.implicits._
+    require(stride >= 1)
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.filter(_._2.nonEmpty).map { case (id, payload) =>
+          val n = (payload.length + stride - 1) / stride
+          val out = new Array[Byte](n)
+          var i = 0
+          while (i < n) { out(i) = payload(i * stride); i += 1 }
+          md.reset()
+          Resampled(id, payload.length.toLong, n.toLong,
+            toHex(md.digest(toHex(out).getBytes("UTF-8"))))
+        }
+      }
+      .toDF()
+  }
 }

@@ -251,6 +251,27 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Resize/resample over binary payloads: every 4th byte survives,
+    // fingerprinted as md5(lowercase hex of the resampled bytes) — the
+    // stub for an image-thumbnail/audio-downsample stage with the real
+    // batch shape and digest verification.
+    QueryDef("mm3_resample",
+      """WITH b AS (SELECT doc_id, lower(hex(CAST(text AS BLOB))) AS hx,
+        |             octet_length(CAST(text AS BLOB)) AS len FROM documents
+        |           WHERE octet_length(CAST(text AS BLOB)) > 0),
+        |r AS (SELECT doc_id, len,
+        |        string_agg(substr(hx, CAST(j*8 + 1 AS BIGINT), 2), '' ORDER BY j) AS rhx,
+        |        CAST(COUNT(*) AS BIGINT) AS new_len
+        |      FROM b, UNNEST(range(0, CAST(ceil(len / 4.0) AS BIGINT))) AS t(j)
+        |      GROUP BY doc_id, len)
+        |SELECT doc_id, CAST(len AS BIGINT) AS orig_len, new_len, md5(rhx) AS res_digest
+        |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Multimodal.resample(s,
+          Multimodal.asBinaryTable(Tables.load(s, d, "documents"), "doc_id", "text"),
+          stride = 4)
+        .orderBy("doc_id")
+    },
+
     // Frame sampling over binary payloads: every 64-byte stride yields a
     // 16-byte frame, fingerprinted as md5(lowercase hex) — the hex hop
     // keeps the spec portable (DuckDB has no blob substring).
