@@ -526,9 +526,12 @@ object TextExprs {
   /** PII redaction in one matcher pass per pattern: each pattern's count
     * AND replacement come from the same scan (vs regexp_replace +
     * regexp_extract_all doing two), patterns applied in fixed order so
-    * later ones run over the previous replacement. Same java-regex
-    * semantics as the declarative formulation. Output:
-    * struct(redacted, n_emails, n_phones, n_ids).
+    * later ones run over the previous replacement: emails, then long
+    * BARE digit runs (ids), then phone-shaped runs — ids before phones,
+    * because the phone pattern also matches any 9+-digit run and would
+    * otherwise make the id stage unreachable. Same java-regex semantics
+    * as the equivalent declarative chain. Output:
+    * struct(redacted, n_emails, n_ids, n_phones).
     */
   case class PiiRedact(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -536,14 +539,14 @@ object TextExprs {
     override def dataType: DataType = StructType(Seq(
       StructField("redacted", StringType),
       StructField("n_emails", LongType),
-      StructField("n_phones", LongType),
-      StructField("n_ids", LongType)))
+      StructField("n_ids", LongType),
+      StructField("n_phones", LongType)))
     override def prettyName: String = "pii_redact"
 
     @transient private lazy val patterns = Array(
       java.util.regex.Pattern.compile("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}") -> "<EMAIL>",
-      java.util.regex.Pattern.compile("\\+?[0-9][0-9()\\- ]{7,}[0-9]") -> "<PHONE>",
-      java.util.regex.Pattern.compile("[0-9]{9,}") -> "<ID>")
+      java.util.regex.Pattern.compile("[0-9]{9,}") -> "<ID>",
+      java.util.regex.Pattern.compile("\\+?[0-9][0-9()\\- ]{7,}[0-9]") -> "<PHONE>")
 
     override protected def nullSafeEval(input: Any): Any = {
       var text: String = input.asInstanceOf[UTF8String].toString

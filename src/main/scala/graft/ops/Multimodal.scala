@@ -57,7 +57,9 @@ object Multimodal {
   /** Wrap a text column as a binary payload column (UTF-8), the shape a
     * real media table would have (`payload binary, meta struct<...>`). */
   def asBinaryTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(
+    // null media rows carry nothing to decode/sample/resample — drop them
+    // here so no downstream mapPartitions ever dereferences a null payload
+    docs.filter(col(textCol).isNotNull).select(
       col(idCol).cast(LongType).as("doc_id"),
       encode(col(textCol), "UTF-8").as("payload"),
       struct(

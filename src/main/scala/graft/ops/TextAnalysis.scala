@@ -162,13 +162,17 @@ object TextAnalysis {
   def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     // one matcher pass per pattern computes the count AND the replacement
     // (native PiiRedact) — half the regex traversals of the declarative
-    // regexp_replace + regexp_extract_all formulation, same semantics
+    // regexp_replace + regexp_extract_all formulation, same semantics.
+    // Order matters and is fixed: emails, then long BARE digit runs
+    // (ids), then phone-shaped runs — ids must run before phones, whose
+    // pattern would otherwise swallow every 9+-digit run and make the
+    // <ID> stage unreachable
     docs
       .select(col(idCol).as("doc_id"),
         graft.functions.TextExprs.pii_redact(col(textCol)).as("__r"))
       .select(col("doc_id"), col("__r.redacted").as("redacted"),
-        col("__r.n_emails").as("n_emails"), col("__r.n_phones").as("n_phones"),
-        col("__r.n_ids").as("n_ids"))
+        col("__r.n_emails").as("n_emails"), col("__r.n_ids").as("n_ids"),
+        col("__r.n_phones").as("n_phones"))
 
   /** Deterministic train/val/test assignment: the first 16 hex chars of
     * md5(salt || ':' || id) are a uniform 64-bit draw, and comparing the
@@ -181,8 +185,6 @@ object TextAnalysis {
     */
   def trainSplit(docs: DataFrame, idCol: String, salt: String,
                  trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
-    def hexThreshold(f: Double): String =
-      f"${(f * math.pow(2, 63)).toLong * 2}%016x" // 2*floor(f*2^63) ≈ f*2^64
     val h = substring(md5(concat(lit(salt + ":"), col(idCol).cast(StringType))), 1, 16)
     docs.withColumn("split",
       when(h < lit(hexThreshold(trainFrac)), "train")
@@ -199,18 +201,27 @@ object TextAnalysis {
     * corpus — rows never flip in or out when data around them changes.
     * Strata missing from `fractions` default to 0.0 (dropped). */
   def sampleStratified(docs: DataFrame, idCol: String, strataCol: String,
-                       salt: String, fractions: Map[String, Double]): DataFrame = {
-    require(fractions.values.forall(f => f >= 0.0 && f <= 1.0),
+                       salt: String, fractions: Map[String, Double],
+                       defaultFraction: Double = 0.0): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0.0 && f <= 1.0),
       "fractions must be in [0, 1]")
-    def hexThreshold(f: Double): String =
-      f"${(f * math.pow(2, 63)).toLong * 2}%016x"
     val h = substring(md5(concat(lit(salt + ":"), col(idCol).cast(StringType))), 1, 16)
-    val threshold = fractions.foldLeft(lit("0000000000000000")) {
+    val threshold = fractions.foldLeft(lit(hexThreshold(defaultFraction))) {
       case (acc, (stratum, f)) =>
         when(col(strataCol) === stratum, lit(hexThreshold(f))).otherwise(acc)
     }
     docs.filter(h < threshold)
   }
+
+  /** Hex keep-threshold for a fraction: the first 16 md5 hex chars are a
+    * uniform 64-bit draw, kept iff below this string. f >= 1.0 returns
+    * "g" (lexicographically above every hex string) because
+    * (1.0·2^63).toLong saturates and would otherwise silently drop the
+    * two highest draws from a keep-everything stratum. ONE shared
+    * definition: trainSplit, sampleStratified, and their oracles must
+    * stay bit-identical. */
+  def hexThreshold(f: Double): String =
+    if (f >= 1.0) "g" else f"${(f * math.pow(2, 63)).toLong * 2}%016x"
 
   /** Eval-contamination check between a train and a test split: for every
     * test document, the fraction of its distinct word n-grams that also

@@ -122,7 +122,7 @@ object TextQueries {
     // thresholds (0.8 → 0xcccc…, 0.9 → 0xe666…) — stable membership,
     // identical expression in both engines.
     QueryDef("tx7_train_split", {
-      def th(f: Double) = f"${(f * math.pow(2, 63)).toLong * 2}%016x"
+      def th(f: Double) = TextAnalysis.hexThreshold(f)
       s"""WITH s AS (SELECT doc_id,
          |  CASE WHEN substr(md5('graft:'||CAST(doc_id AS VARCHAR)), 1, 16) < '${th(0.8)}' THEN 'train'
          |       WHEN substr(md5('graft:'||CAST(doc_id AS VARCHAR)), 1, 16) < '${th(0.9)}' THEN 'val'
@@ -143,7 +143,7 @@ object TextQueries {
     // Eval-contamination screen: per test-split doc, the fraction of its
     // distinct 5-gram shingles that occur anywhere in the train split.
     QueryDef("tx8_contamination", {
-      def th(f: Double) = f"${(f * math.pow(2, 63)).toLong * 2}%016x"
+      def th(f: Double) = TextAnalysis.hexThreshold(f)
       s"""WITH s AS (SELECT doc_id, text,
          |  CASE WHEN substr(md5('graft:'||CAST(doc_id AS VARCHAR)), 1, 16) < '${th(0.8)}' THEN 'train'
          |       WHEN substr(md5('graft:'||CAST(doc_id AS VARCHAR)), 1, 16) < '${th(0.9)}' THEN 'val'
@@ -190,7 +190,7 @@ object TextQueries {
     // the id (stable under repartitioning/retries), unlike seeded-RNG
     // sampleBy. Unlisted strata drop to 0.
     QueryDef("tx12_stratified_sample", {
-      def th(f: Double) = f"${(f * math.pow(2, 63)).toLong * 2}%016x"
+      def th(f: Double) = TextAnalysis.hexThreshold(f)
       s"""SELECT doc_id, source
          |FROM documents
          |WHERE substr(md5('mix:'||CAST(doc_id AS VARCHAR)), 1, 16) <
@@ -201,9 +201,8 @@ object TextQueries {
          |ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
       val docs = Tables.load(s, d, "documents")
-      val fractions = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25) ++
-        (3 until 20).map(i => s"src$i" -> 0.1)
-      TextAnalysis.sampleStratified(docs, "doc_id", "source", "mix", fractions)
+      TextAnalysis.sampleStratified(docs, "doc_id", "source", "mix",
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), defaultFraction = 0.1)
         .select("doc_id", "source")
         .orderBy("doc_id")
     },
@@ -235,17 +234,17 @@ object TextQueries {
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(text,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g'),
-        |    '[0-9]{9,}', '<ID>', 'g') AS redacted,
+        |    '[0-9]{9,}', '<ID>', 'g'),
+        |    '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS redacted,
         |  CAST(len(regexp_extract_all(text,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
         |  CAST(len(regexp_extract_all(regexp_replace(text,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\+?[0-9][0-9()\- ]{7,}[0-9]')) AS BIGINT) AS n_phones,
+        |    '[0-9]{9,}')) AS BIGINT) AS n_ids,
         |  CAST(len(regexp_extract_all(regexp_replace(regexp_replace(text,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g'),
-        |    '[0-9]{9,}')) AS BIGINT) AS n_ids
+        |    '[0-9]{9,}', '<ID>', 'g'),
+        |    '\+?[0-9][0-9()\- ]{7,}[0-9]')) AS BIGINT) AS n_phones
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       TextAnalysis.redactPii(Tables.load(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")

@@ -196,14 +196,17 @@ class TextExprsSpec extends AnyFunSuite {
     val phone = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
     val idrun = "[0-9]{9,}"
     val t1 = regexp_replace(col("text"), email, "<EMAIL>")
-    val t2 = regexp_replace(t1, phone, "<PHONE>")
+    val t2 = regexp_replace(t1, idrun, "<ID>")
     val legacy = docs.select(col("doc_id"),
-      regexp_replace(t2, idrun, "<ID>").as("redacted"),
+      regexp_replace(t2, phone, "<PHONE>").as("redacted"),
       size(regexp_extract_all(col("text"), lit(email), lit(0))).cast(LongType).as("n_emails"),
-      size(regexp_extract_all(t1, lit(phone), lit(0))).cast(LongType).as("n_phones"),
-      size(regexp_extract_all(t2, lit(idrun), lit(0))).cast(LongType).as("n_ids"))
+      size(regexp_extract_all(t1, lit(idrun), lit(0))).cast(LongType).as("n_ids"),
+      size(regexp_extract_all(t2, lit(phone), lit(0))).cast(LongType).as("n_phones"))
     val native = graft.ops.TextAnalysis.redactPii(docs, "doc_id", "text")
     assert(legacy.exceptAll(native).isEmpty && native.exceptAll(legacy).isEmpty)
+    // the <ID> stage must actually fire (it is unreachable when phones
+    // run first — their pattern also matches bare 9+-digit runs)
+    assert(native.filter(col("n_ids") > 0).count() > 0)
   }
 
   test("TopKScoredAggregate == row_number window over (score DESC, id ASC)") {
