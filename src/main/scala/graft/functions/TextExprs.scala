@@ -356,6 +356,9 @@ object TextExprs {
     */
   case class MarkerCounts(child: Expression, markerSets: Seq[Seq[String]])
     extends UnaryExpression with CodegenFallback {
+    // membership packs into an Int bitmask (1 << i) below
+    require(markerSets.size <= 32,
+      s"marker_counts supports at most 32 marker sets, got ${markerSets.size}")
 
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "marker_counts"
@@ -573,7 +576,7 @@ object TextExprs {
       copy(child = newChild)
   }
 
-  /** Column API: struct(redacted, n_emails, n_phones, n_ids). */
+  /** Column API: struct(redacted, n_emails, n_ids, n_phones). */
   def pii_redact(text: Column): Column =
     GraftBridge.column(PiiRedact(GraftBridge.expression(text)))
 
@@ -603,22 +606,32 @@ object TextExprs {
       if (e.dataType == LongType) e else Cast(e, LongType)
     def dbl(e: Expression) =
       if (e.dataType == DoubleType) e else Cast(e, DoubleType)
+    // arity-checked so a mis-called SQL function surfaces as an analysis
+    // error naming the signature, not an IndexOutOfBoundsException
+    def sig(name: String, usage: String, n: Int)(
+        build: Seq[Expression] => Expression): (String, Seq[Expression] => Expression) =
+      name -> { es =>
+        if (es.length != n) throw new IllegalArgumentException(
+          s"$name expects $n argument(s): $usage; got ${es.length}")
+        build(es)
+      }
     Seq(
-      "shingle_hash_set" -> (es => ShingleHashSet(str(es(0)), litInt(es(1), "shingle_hash_set", "n"))),
-      "simhash64" -> (es => SimHash64(str(es(0)), weighted = false)),
-      "simhash64_weighted" -> (es => SimHash64(str(es(0)), weighted = true)),
-      "min_k_fingerprint" -> (es => MinKFingerprint(str(es(0)),
+      sig("shingle_hash_set", "(text, n)", 2)(es =>
+        ShingleHashSet(str(es(0)), litInt(es(1), "shingle_hash_set", "n"))),
+      sig("simhash64", "(text)", 1)(es => SimHash64(str(es(0)), weighted = false)),
+      sig("simhash64_weighted", "(text)", 1)(es => SimHash64(str(es(0)), weighted = true)),
+      sig("min_k_fingerprint", "(text, n, k)", 3)(es => MinKFingerprint(str(es(0)),
         litInt(es(1), "min_k_fingerprint", "n"), litInt(es(2), "min_k_fingerprint", "k"))),
-      "winnow_select" -> (es => WinnowSelect(str(es(0)),
+      sig("winnow_select", "(text, k, w)", 3)(es => WinnowSelect(str(es(0)),
         litInt(es(1), "winnow_select", "k"), litInt(es(2), "winnow_select", "w"))),
-      "token_counts" -> (es => TokenCounts(str(es(0)))),
-      "pii_redact" -> (es => PiiRedact(str(es(0)))),
-      "minhash_band_keys" -> (es => MinHashBandKeys(str(es(0)),
+      sig("token_counts", "(text)", 1)(es => TokenCounts(str(es(0)))),
+      sig("pii_redact", "(text)", 1)(es => PiiRedact(str(es(0)))),
+      sig("minhash_band_keys", "(text, n, k, bands)", 4)(es => MinHashBandKeys(str(es(0)),
         litInt(es(1), "minhash_band_keys", "n"), litInt(es(2), "minhash_band_keys", "k"),
         litInt(es(3), "minhash_band_keys", "bands"))),
-      "top_k_scored" -> (es => TopKScoredAggregate(lng(es(0)), dbl(es(1)),
+      sig("top_k_scored", "(id, score, k)", 3)(es => TopKScoredAggregate(lng(es(0)), dbl(es(1)),
         litInt(es(2), "top_k_scored", "k")).toAggregateExpression()),
-      "bounded_doc_set" -> (es => BoundedDocSetAggregate(lng(es(0)), lng(es(1)),
+      sig("bounded_doc_set", "(key, doc_id, cap)", 3)(es => BoundedDocSetAggregate(lng(es(0)), lng(es(1)),
         litInt(es(2), "bounded_doc_set", "cap")).toAggregateExpression()))
   }
 }

@@ -71,7 +71,10 @@ case class DotProductLong(left: Expression, right: Expression)
   */
 case class NearestCells(
     child: Expression,
-    cents: Array[(Long, Array[Long], Long)], // (cellId, centroid, |cent|²)
+    // (cellId, centroid, |cent|²) — IndexedSeq (not Array) so case-class
+    // equality is structural and semanticEquals/CSE/exchange reuse see
+    // two identical centroid bakes as equal
+    cents: IndexedSeq[(Long, IndexedSeq[Long], Long)],
     nprobe: Int)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
   with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
@@ -80,8 +83,13 @@ case class NearestCells(
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "nearest_cells"
 
+  // hot-loop view of the centroids, materialized once per task
+  @transient private lazy val centArr: Array[(Long, Array[Long], Long)] =
+    cents.map { case (id, v, n2) => (id, v.toArray, n2) }.toArray
+
   override protected def nullSafeEval(input: Any): Any = {
     val qe = input.asInstanceOf[ArrayData].toLongArray()
+    val cents = centArr
     val m = math.min(nprobe, cents.length)
     val bestCell = new Array[Long](m)
     val bestDist = new Array[Long](m)
@@ -123,7 +131,8 @@ object VectorFunctions {
   /** Column API for NearestCells: `nprobe` nearest centroid cell ids. */
   def nearest_cells(qe: Column, cents: Array[(Long, Array[Long])], nprobe: Int): Column =
     GraftBridge.column(NearestCells(GraftBridge.expression(qe),
-      cents.map { case (id, v) => (id, v, v.map(x => x * x).sum) }, nprobe))
+      cents.map { case (id, v) => (id, v.toIndexedSeq, v.map(x => x * x).sum) }.toIndexedSeq,
+      nprobe))
 
   /** Register `dot_q` + every engine text function for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -228,8 +228,10 @@ object TextQueries {
         .orderBy("doc_id", "chunk_no")
     },
 
-    // Heuristic PII redaction (emails → phones → long digit runs, fixed
-    // order so counts never double-report) with per-doc audit counts.
+    // Heuristic PII redaction (emails → long BARE digit runs (ids) →
+    // phone-shaped runs, fixed order so counts never double-report; ids
+    // before phones because the phone pattern also matches 9+-digit
+    // runs) with per-doc audit counts.
     QueryDef("tx11_pii_redaction",
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(text,

@@ -54,8 +54,19 @@ class PgFrontend(ctx: GraftContext, port: Int) {
           try pool.execute(() => serve(sock))
           catch {
             case _: java.util.concurrent.RejectedExecutionException =>
-              // connection cap reached — refuse, never queue behind
-              // long-lived idle sessions
+              // connection cap reached — refuse with a proper FATAL
+              // 53300 (too_many_connections) so clients see an error,
+              // not a bare reset; never queue behind idle sessions
+              try {
+                val out = new DataOutputStream(sock.getOutputStream)
+                msg(out, 'E') { d =>
+                  d.writeByte('S'); cstr(d, "FATAL")
+                  d.writeByte('C'); cstr(d, "53300")
+                  d.writeByte('M'); cstr(d, s"sorry, too many clients already (max $maxConnections)")
+                  d.writeByte(0)
+                }
+                out.flush()
+              } catch { case _: Throwable => () }
               try sock.close() catch { case _: Throwable => () }
           }
         } catch { case _: Throwable if !running => () case _: Throwable => () }
