@@ -113,30 +113,41 @@ object Embeddings {
     * corpus, bound the per-query candidate set (expected k·N/K·nprobe
     * dots instead of N).
     */
+  /** K seed centroids (the lowest `numCells` vec_ids) refined by
+    * `lloydIters` exact-integer Lloyd rounds. Centroids live on the
+    * DRIVER between rounds (K×dim values, bounded by the cell-count
+    * parameter — the Spark MLlib KMeans pattern, never data-sized), so
+    * every assignment is a per-row NearestCells evaluation against
+    * plan-baked literals: NO crossJoin, NO per-vector argmin window, no
+    * shuffle anywhere in assignment. Empty corpus → empty array. */
+  private def trainCentroids(p: DataFrame, numCells: Int,
+                             lloydIters: Int): Array[(Long, Array[Long])] = {
+    def collectCents(df: DataFrame): Array[(Long, Array[Long])] =
+      df.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    var cents = collectCents(p.orderBy("vec_id").limit(numCells)
+      .select(col("vec_id").as("cell"), col("qe").as("cent")))
+    for (_ <- 0 until lloydIters if cents.nonEmpty)
+      cents = collectCents(recomputeCentroids(assignCells(p, cents)))
+    cents
+  }
+
+  /** Nearest-trained-cell id per vector, evaluated in-row. */
+  private def assignCells(df: DataFrame, cents: Array[(Long, Array[Long])]): DataFrame =
+    df.withColumn("cell",
+      element_at(graft.functions.VectorFunctions.nearest_cells(col("qe"), cents, 1), 1))
+
   def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String,
               queryPred: Column, k: Int, numCells: Int, nprobe: Int,
               lloydIters: Int = 1): DataFrame = {
     val p = prepared(vecs, idCol, vecCol)
-    def collectCents(df: DataFrame): Array[(Long, Array[Long])] =
-      df.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-    // Centroids live on the DRIVER between Lloyd rounds (K×dim values,
-    // bounded by the cell-count parameter — the Spark MLlib KMeans
-    // pattern, never data-sized), so every assignment/probe is a per-row
-    // NearestCells evaluation against plan-baked literals: NO crossJoin,
-    // NO per-vector argmin window, no shuffle anywhere in assignment.
-    var cents = collectCents(p.orderBy("vec_id").limit(numCells)
-      .select(col("vec_id").as("cell"), col("qe").as("cent")))
+    val cents = trainCentroids(p, numCells, lloydIters)
     // empty corpus → no centroids: answer the empty result with the right
     // schema instead of handing NearestCells an empty centroid table
     if (cents.isEmpty)
       return rankTopK(p.limit(0)
         .select(col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
           lit(0.0).as("cos")), k)
-    def assign(df: DataFrame): DataFrame = df.withColumn("cell",
-      element_at(graft.functions.VectorFunctions.nearest_cells(col("qe"), cents, 1), 1))
-    for (_ <- 0 until lloydIters)
-      cents = collectCents(recomputeCentroids(assign(p)))
-    val index = assign(p) // the inverted file
+    val index = assignCells(p, cents) // the inverted file
     // probe side: nprobe nearest trained cells per query, exploded —
     // queries are a filtered subset, broadcast into the candidate join
     val queries = p.filter(queryPred)
@@ -149,6 +160,42 @@ object Embeddings {
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           cosine(dotQ(col("qe"), col("q_qe")), col("n2"), col("q_n2")).as("cos")),
       k)
+  }
+
+  /** Semantic deduplication (SemDeDup-style, Abbas et al. 2023): cluster
+    * the corpus with trained IVF centroids, then within each cluster mark
+    * every vector that has a LOWER-id cluster-mate with cosine >=
+    * `threshold` as a duplicate — the keep-one-per-near-identical-set
+    * policy that pruned LAION/C4 training sets. Output: (vec_id, cell,
+    * kept 1/0), every input vector accounted for.
+    *
+    * Scale shape: the quadratic pairwise NEVER leaves a cluster — one
+    * shuffle on the cell id, candidate count bounded by (N/K)² per cell,
+    * and at 100 TB you raise `numCells` so N/K stays constant (the same
+    * knob as ivfTopK). Assignment itself is a zero-shuffle in-row
+    * projection against plan-baked centroids; the duplicate set comes
+    * back as a broadcast-able id list (bounded by the duplicate count,
+    * not the corpus).
+    */
+  def semDedup(vecs: DataFrame, idCol: String, vecCol: String,
+               numCells: Int, threshold: Double,
+               lloydIters: Int = 1): DataFrame = {
+    val p = prepared(vecs, idCol, vecCol)
+    val cents = trainCentroids(p, numCells, lloydIters)
+    if (cents.isEmpty)
+      return p.limit(0).select(col("vec_id"), col("vec_id").as("cell"),
+        lit(1L).as("kept"))
+    val index = assignCells(p, cents)
+    val pruned = index.as("a").join(index.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(cosine(dotQ(col("a.qe"), col("b.qe")),
+        col("a.n2"), col("b.n2")) >= threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .withColumn("__dup", lit(1))
+    index.select(col("vec_id"), col("cell"))
+      .join(pruned, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("__dup").isNull, 1L).otherwise(0L).as("kept"))
   }
 
   /** Deterministic ±1 hyperplane components: sign(p,d) = +1 iff the first

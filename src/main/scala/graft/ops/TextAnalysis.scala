@@ -281,6 +281,105 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("ngram"))
       .limit(k)
 
+  /** Training-sequence packing (the concat-and-chunk layout GPT-style
+    * pipelines run before batching): documents are laid end-to-end in
+    * doc-id order on one global token axis, which is cut every `seqLen`
+    * tokens into training sequences; each output row says which span of
+    * which sequence a document fills (docs longer than a sequence span
+    * several; sequence boundaries ignore document boundaries, exactly
+    * like the standard packed-LM data layout).
+    *
+    * The global token offset is a distributed prefix sum — NOT a global
+    * single-task window: doc ids are coarsely bucketed (`id DIV
+    * bucketSize`), the cumsum runs per bucket (bounded window state, one
+    * data shuffle on the bucket key), and bucket base offsets come from a
+    * bucket-totals side table that is corpus/bucketSize rows — tiny — so
+    * its own running total is a one-partition window over counters, never
+    * over data. Offsets join back by bucket as a broadcast. Every number
+    * is a pure function of (id, token count): stable under
+    * repartitioning, retries, and task count, which is what makes the
+    * layout reproducible at 100 TB.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    seqLen: Int, bucketSize: Long = 65536L): DataFrame = {
+    require(seqLen >= 1 && bucketSize >= 1, "need seqLen >= 1 and bucketSize >= 1")
+    val L = lit(seqLen.toLong)
+    val d = docs.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), " ")).cast(LongType).as("__n"))
+      .withColumn("__bkt", expr(s"doc_id DIV $bucketSize"))
+    // per-bucket running totals (bounded by bucketSize rows of state)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__bkt").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = d.withColumn("__cum", sum(col("__n")).over(w))
+    // bucket base offsets: totals per bucket, then a running total over
+    // the (tiny, one-row-per-bucket) totals table — single-partition
+    // window over counters by construction, never over corpus rows
+    val wb = org.apache.spark.sql.expressions.Window.orderBy("__bkt")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = d.groupBy("__bkt").agg(sum("__n").as("__tot"))
+      .withColumn("__off", coalesce(sum(col("__tot")).over(wb), lit(0L)))
+      .select(col("__bkt"), col("__off"))
+    cum.join(broadcast(offsets), Seq("__bkt"))
+      .withColumn("__start", col("__off") + col("__cum") - col("__n"))
+      .withColumn("seq_id", explode(sequence(
+        expr(s"__start DIV $seqLen"), expr(s"(__start + __n - 1) DIV $seqLen"))))
+      .select(col("doc_id"), col("seq_id"),
+        (greatest(col("__start"), col("seq_id") * L) - col("seq_id") * L).as("tok_lo"),
+        (least(col("__start") + col("__n"), (col("seq_id") + 1L) * L) -
+          greatest(col("__start"), col("seq_id") * L)).as("n_toks"))
+  }
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much more likely its tokens are under a hashed
+    * unigram model of a TARGET subset (e.g. a trusted/high-quality slice)
+    * than under the raw-corpus model. Tokens hash into 256 buckets (first
+    * two md5 hex chars — portable to any md5-capable engine); each
+    * bucket's weight is the add-one-smoothed log probability ratio,
+    * quantized to integer micro-nats so the per-document sum is exact
+    * Int64 — order-independent across engines, like the embedding ops'
+    * micro-unit quantization.
+    *
+    * Scale shape: bucket counts are ONE map-side-combined groupBy on a
+    * 256-value key; the 256 weights collect to the driver and bake into
+    * the plan as a literal map, so scoring is a zero-shuffle projection
+    * (per-token md5 + map lookup + exact sum, all inside the row). At
+    * 100 TB nothing data-sized moves except the one bounded-key count
+    * exchange.
+    */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+                        targetPred: Column): DataFrame = {
+    val B = 256 // 2 hex chars
+    val toks = docs.select(targetPred.as("__t"),
+        explode(split(col(textCol), " ")).as("__w"))
+      .select(col("__t"), substring(md5(col("__w")), 1, 2).as("__b"))
+    val counts = toks.groupBy("__b")
+      .agg(count(lit(1)).as("raw"), sum(when(col("__t"), 1L).otherwise(0L)).as("tgt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val totRaw = counts.map(_._2).sum
+    val totTgt = counts.map(_._3).sum
+    // micro-nat weight per bucket; the double expression is kept
+    // OPERATION-FOR-OPERATION identical to the oracle SQL so IEEE
+    // rounding agrees: ((tgt+1)*(totRaw+B)) / ((raw+1)*(totTgt+B)), ln,
+    // floor(x+0.5) — products/quotient are correctly-rounded doubles,
+    // exact integers up to 2^53; floor(x+0.5) (NOT round()) because
+    // round-half semantics differ across engines on negative values
+    val weights: Map[String, Long] = counts.map { case (b, raw, tgt) =>
+      b -> math.floor(1000000.0 * math.log(
+        ((tgt + 1.0) * (totRaw + B.toDouble)) / ((raw + 1.0) * (totTgt + B.toDouble)))
+        + 0.5).toLong
+    }.toMap
+    val wMap = typedLit(weights)
+    val tokArr = split(col(textCol), " ")
+    docs.select(col(idCol).as("doc_id"),
+        size(tokArr).cast(LongType).as("n_tokens"),
+        aggregate(tokArr, lit(0L),
+          (acc, t) => acc + element_at(wMap, substring(md5(t), 1, 2))).as("score"))
+      .withColumn("avg_logratio",
+        col("score").cast(DoubleType) / 1000000.0 / col("n_tokens"))
+  }
+
   /** Robust winnowing (Schleimer et al., SIGMOD'03): positional word
     * k-gram hashes (16-hex md5 prefix); every window of `w` consecutive
     * hashes selects its minimum, rightmost position on ties; the document

@@ -122,6 +122,40 @@ object Similarity {
           "vec_id", "embedding", col("vec_id") < 10, k = 3, numCells = 8, nprobe = 2)
         .withColumn("rnk", col("rnk").cast("long"))
         .orderBy("query_id", "rnk")
+    },
+
+    // SemDeDup: same trained-centroid clustering as sim3, then inside
+    // each cluster every vector with a lower-id cluster-mate at cosine
+    // >= 0.4 is pruned (kept = 0). The oracle replays the identical
+    // integer Lloyd training and pairwise check.
+    QueryDef("dd8_dedup_semantic", {
+      def dot(a: String, b: String) =
+        s"CAST(list_sum([$a[i]*$b[i] FOR i IN range(1, 65)]) AS BIGINT)"
+      def n2(a: String) = dot(a, a)
+      s"""WITH $quantCte,
+         |seeds AS (SELECT vec_id AS cell, qe AS cent FROM q ORDER BY vec_id LIMIT 8),
+         |sd AS (SELECT cell, cent, ${n2("cent")} AS c_n2 FROM seeds),
+         |a0 AS (SELECT q.vec_id, q.qe, q.n2, sd.cell FROM q, sd
+         |       QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |         ORDER BY q.n2 - 2*${dot("q.qe", "sd.cent")} + sd.c_n2, sd.cell) = 1),
+         |cm AS (SELECT cell, i, SUM(qe[i]) AS s, COUNT(*) AS c
+         |       FROM a0, range(1, 65) t(i) GROUP BY cell, i),
+         |cent AS (SELECT cell, list(s // c ORDER BY i) AS cent FROM cm GROUP BY cell),
+         |cd AS (SELECT cell, cent, ${n2("cent")} AS c_n2 FROM cent),
+         |a1 AS (SELECT q.vec_id, q.qe, q.n2, cd.cell FROM q, cd
+         |       QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |         ORDER BY q.n2 - 2*${dot("q.qe", "cd.cent")} + cd.c_n2, cd.cell) = 1),
+         |pr AS (SELECT DISTINCT b.vec_id
+         |       FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |       WHERE ${cosSql(dot("a.qe", "b.qe"), "a.n2", "b.n2")} >= 0.4)
+         |SELECT a1.vec_id, CAST(a1.cell AS BIGINT) AS cell,
+         |  CAST(CASE WHEN pr.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM a1 LEFT JOIN pr ON a1.vec_id = pr.vec_id
+         |ORDER BY a1.vec_id""".stripMargin
+    }) { (s, d) =>
+      Embeddings.semDedup(Tables.load(s, d, "embeddings"),
+          "vec_id", "embedding", numCells = 8, threshold = 0.4)
+        .orderBy("vec_id")
     }
   )
 }

@@ -287,6 +287,52 @@ object TextQueries {
       Multimodal.sampleFrames(s,
           Multimodal.asBinaryTable(Tables.load(s, d, "documents"), "doc_id", "text"))
         .orderBy("doc_id", "frame_no")
+    },
+
+    // Training-sequence packing: documents laid end-to-end in doc-id
+    // order, cut every 512 tokens; each row is the span of one sequence a
+    // document fills. The oracle's single global window cumsum is the
+    // single-node formulation of the engine's distributed prefix sum.
+    QueryDef("tx13_seq_packing",
+      """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |           FROM documents),
+        |c AS (SELECT doc_id, n,
+        |        CAST(SUM(n) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n AS s
+        |      FROM t),
+        |e AS (SELECT doc_id, n, s, CAST(q AS BIGINT) AS seq_id
+        |      FROM c, UNNEST(range(s // 512, (s + n - 1) // 512 + 1)) AS u(q))
+        |SELECT doc_id, seq_id,
+        |  GREATEST(s, seq_id*512) - seq_id*512 AS tok_lo,
+        |  LEAST(s + n, (seq_id+1)*512) - GREATEST(s, seq_id*512) AS n_toks
+        |FROM e ORDER BY doc_id, seq_id""".stripMargin) { (s, d) =>
+      TextAnalysis.packSequences(Tables.load(s, d, "documents"), "doc_id", "text",
+          seqLen = 512)
+        .orderBy("doc_id", "seq_id")
+    },
+
+    // DSIR-style importance weights: hashed-unigram (256 md5 buckets)
+    // log-likelihood ratio of the lang='en' target slice vs the raw
+    // corpus, in exact integer micro-nats per document.
+    QueryDef("tx14_importance_weights",
+      """WITH tok AS (SELECT doc_id, lang, substr(md5(u.w), 1, 2) AS b
+        |             FROM documents, UNNEST(string_split(text, ' ')) AS u(w)),
+        |cnt AS (SELECT b, COUNT(*) AS raw,
+        |          CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tgt
+        |        FROM tok GROUP BY b),
+        |tot AS (SELECT CAST(SUM(raw) AS BIGINT) AS tr, CAST(SUM(tgt) AS BIGINT) AS tt
+        |        FROM cnt),
+        |w AS (SELECT b, CAST(FLOOR(1000000.0 * ln(((tgt + 1.0) * (tr + 256.0)) /
+        |         ((raw + 1.0) * (tt + 256.0))) + 0.5) AS BIGINT) AS wt
+        |      FROM cnt, tot),
+        |sc AS (SELECT t.doc_id, COUNT(*) AS n_tokens, CAST(SUM(w.wt) AS BIGINT) AS score
+        |       FROM tok t JOIN w ON t.b = w.b GROUP BY t.doc_id)
+        |SELECT doc_id, n_tokens, score,
+        |  CAST(score AS DOUBLE) / 1000000.0 / n_tokens AS avg_logratio
+        |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.importanceWeights(Tables.load(s, d, "documents"), "doc_id", "text",
+          col("lang") === "en")
+        .orderBy("doc_id")
     }
   )
 }

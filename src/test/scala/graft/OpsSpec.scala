@@ -97,4 +97,90 @@ class OpsSpec extends SparkSpec {
       .as[Session].collect().toSeq
     assert(emitted === Seq(Session(1L, 0L, 60_000_000L, 2L, 3.0)))
   }
+
+  test("sequence packing tiles the token axis and is repartition-stable") {
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 300).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(40))("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      ops.TextAnalysis.packSequences(df, "doc_id", "text", seqLen = 64, bucketSize = 32)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(x => (x._1, x._2)).toSeq
+    val out = run(docs)
+    // layout is a pure function of (id, token count): any partitioning
+    // of the input produces the identical packing
+    assert(run(docs.repartition(13)) === out)
+    assert(run(docs.coalesce(1)) === out)
+    // per-doc spans sum to the doc's token count
+    val wantN = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotN = out.groupBy(_._1).map { case (id, rs) => id -> rs.map(_._4).sum }
+    assert(gotN === wantN)
+    // the token axis tiles exactly: per sequence, spans start at 0 (or
+    // continue a carried doc), are contiguous, and never exceed seqLen
+    out.groupBy(_._2).foreach { case (_, rs) =>
+      val spans = rs.sortBy(_._3)
+      spans.foldLeft(-1L) { case (prevEnd, (_, _, lo, n)) =>
+        assert(prevEnd == -1L || lo == prevEnd); assert(n >= 1); lo + n
+      }
+      assert(spans.map(_._4).sum <= 64)
+    }
+    // every sequence except the last is exactly full
+    val perSeq = out.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    val lastSeq = perSeq.keys.max
+    perSeq.foreach { case (s, tot) => if (s != lastSeq) assert(tot === 64L) }
+  }
+
+  test("semantic dedup prunes exactly the vectors with a lower-id near-twin") {
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(8)(Array.fill(16)(rnd.nextGaussian()))
+    // 80 vectors in 8 loose clusters; every 10th is a near-copy of the
+    // previous vector (tiny perturbation → cosine ~1)
+    val vecs = (0 until 80).map { i =>
+      val b = base(i % 8)
+      val v = if (i % 10 == 9) ((i - 1).toLong, b)
+        else (i.toLong, b.map(x => x + 0.3 * rnd.nextGaussian()))
+      (i.toLong, v._2.map(x => (x + 0.001 * i).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = ops.Embeddings.semDedup(vecs, "vec_id", "embedding",
+        numCells = 4, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === 80) // every vector accounted for exactly once
+    assert(out.map(_._1).distinct.length === 80)
+    // reconstruct ground truth from the op's own cell assignment: kept=0
+    // iff a lower-id cluster-mate with cosine >= threshold exists
+    val byCell = out.groupBy(_._2)
+    val q = vecs.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(x => math.round(x * 1e6).toLong).toArray).toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    for ((_, members) <- byCell; (id, _, kept) <- members) {
+      val hasTwin = members.exists { case (o, _, _) => o < id && cos(q(o), q(id)) >= 0.9 }
+      assert(kept === (if (hasTwin) 0L else 1L), s"vec $id")
+    }
+    // and the construction really produced duplicates to prune
+    assert(out.count(_._3 == 0L) >= 4)
+  }
+
+  test("importance weights separate target-like from off-target documents") {
+    val en = Seq("the", "cat", "sat", "on", "the", "mat").mkString(" ")
+    val de = Seq("der", "hund", "lief", "durch", "den", "wald").mkString(" ")
+    val docs = ((0 until 50).map(i => (i.toLong, en + " extra" + (i % 3), "en")) ++
+      (50 until 100).map(i => (i.toLong, de + " mehr" + (i % 3), "de")))
+      .toDF("doc_id", "text", "lang")
+    val out = ops.TextAnalysis.importanceWeights(docs, "doc_id", "text",
+        col("lang") === "en")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(out.length === 100)
+    val enAvg = out.filter(_._1 < 50).map(_._3).sum / 50
+    val deAvg = out.filter(_._1 >= 50).map(_._3).sum / 50
+    // target-slice documents must score strictly higher under the
+    // target-vs-raw likelihood ratio
+    assert(enAvg > deAvg)
+    assert(out.filter(_._1 < 50).map(_._3).min > out.filter(_._1 >= 50).map(_._3).max)
+  }
 }
