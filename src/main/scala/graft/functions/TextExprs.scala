@@ -407,6 +407,53 @@ object TextExprs {
   def marker_counts(text: Column, markerSets: Seq[Seq[String]]): Column =
     GraftBridge.column(MarkerCounts(GraftBridge.expression(text), markerSets))
 
+  /** Per-document hashed-bucket weight sum in one tokenization pass:
+    * each single-space token's md5 leading byte picks one of 256
+    * plan-baked weights, summed exactly in Int64 — the scoring half of
+    * DSIR-style importance weighting as a zero-shuffle projection.
+    * Output is struct(n_tokens BIGINT, score BIGINT). The bucket id
+    * (digest byte 0, 0..255) equals the first two md5 hex chars, so the
+    * weights line up 1:1 with the declarative
+    * element_at(map, substring(md5(tok), 1, 2)) formulation — which runs
+    * every token through an interpreted lambda + map probe, where this
+    * loop is one digest and one array index. Weights are an IndexedSeq
+    * so expression equality stays structural (CSE/exchange reuse).
+    */
+  case class BucketWeightSum(child: Expression, weights: IndexedSeq[Long])
+    extends UnaryExpression with CodegenFallback {
+    require(weights.length == 256, s"need 256 bucket weights, got ${weights.length}")
+
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("score", LongType, nullable = false)))
+    override def prettyName: String = "bucket_weight_sum"
+
+    @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+    @transient private lazy val wArr: Array[Long] = weights.toArray
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[UTF8String].getBytes
+      val starts = wordStarts(bytes)
+      val nWords = starts.length - 1
+      var score = 0L
+      var i = 0
+      while (i < nWords) {
+        md.reset()
+        md.update(bytes, starts(i), starts(i + 1) - 1 - starts(i))
+        score += wArr(md.digest()(0) & 0xff)
+        i += 1
+      }
+      new GenericInternalRow(Array[Any](nWords.toLong, score))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): BucketWeightSum =
+      copy(child = newChild)
+  }
+
+  /** Column API: struct(n_tokens, score) of md5-bucketed weight sums. */
+  def bucket_weight_sum(text: Column, weights: IndexedSeq[Long]): Column =
+    GraftBridge.column(BucketWeightSum(GraftBridge.expression(text), weights))
+
   /** MinHash-LSH band bucket keys of a document, computed entirely inside
     * the row: distinct word n-gram shingles (64-bit-hash dedup, the
     * pipeline's standard 2^-64 collision trade), k minhashes

@@ -365,17 +365,22 @@ object TextAnalysis {
     // floor(x+0.5) — products/quotient are correctly-rounded doubles,
     // exact integers up to 2^53; floor(x+0.5) (NOT round()) because
     // round-half semantics differ across engines on negative values
-    val weights: Map[String, Long] = counts.map { case (b, raw, tgt) =>
-      b -> math.floor(1000000.0 * math.log(
+    // weights indexed by the digest's leading byte (== the 2-hex-char
+    // bucket); buckets absent from the corpus counts are unreachable by
+    // construction (same corpus scores itself) and stay 0
+    val wArr = new Array[Long](B)
+    counts.foreach { case (b, raw, tgt) =>
+      wArr(Integer.parseInt(b, 16)) = math.floor(1000000.0 * math.log(
         ((tgt + 1.0) * (totRaw + B.toDouble)) / ((raw + 1.0) * (totTgt + B.toDouble)))
         + 0.5).toLong
-    }.toMap
-    val wMap = typedLit(weights)
-    val tokArr = split(col(textCol), " ")
-    docs.select(col(idCol).as("doc_id"),
-        size(tokArr).cast(LongType).as("n_tokens"),
-        aggregate(tokArr, lit(0L),
-          (acc, t) => acc + element_at(wMap, substring(md5(t), 1, 2))).as("score"))
+    }
+    // scoring is one native byte-scan per row (md5 + array index per
+    // token) — no token array materialization, no interpreted lambda
+    val bs = graft.functions.TextExprs.bucket_weight_sum(
+      col(textCol), wArr.toIndexedSeq)
+    docs.select(col(idCol).as("doc_id"), bs.as("__s"))
+      .select(col("doc_id"), col("__s.n_tokens").as("n_tokens"),
+        col("__s.score").as("score"))
       .withColumn("avg_logratio",
         col("score").cast(DoubleType) / 1000000.0 / col("n_tokens"))
   }

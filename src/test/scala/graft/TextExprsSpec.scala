@@ -161,6 +161,22 @@ class TextExprsSpec extends AnyFunSuite {
     assert(legacy.exceptAll(native).isEmpty && native.exceptAll(legacy).isEmpty)
   }
 
+  test("BucketWeightSum == interpreted per-token md5-bucket map lookup sum") {
+    val docs = corpus()
+    val rnd = new scala.util.Random(13)
+    val weights = IndexedSeq.fill(256)(rnd.nextLong() % 1000000L)
+    val wMap = typedLit((0 until 256).map(b => f"$b%02x" -> weights(b)).toMap)
+    val toks = split(col("text"), " ")
+    val legacy = docs.select(col("doc_id"),
+      size(toks).cast(LongType).as("n_tokens"),
+      aggregate(toks, lit(0L),
+        (acc, t) => acc + element_at(wMap, substring(md5(t), 1, 2))).as("score"))
+    val bs = graft.functions.TextExprs.bucket_weight_sum(col("text"), weights)
+    val native = docs.select(col("doc_id"),
+      bs.getField("n_tokens").as("n_tokens"), bs.getField("score").as("score"))
+    assert(legacy.exceptAll(native).isEmpty && native.exceptAll(legacy).isEmpty)
+  }
+
   test("MinHashBandKeys induces the same candidate pairs as the declarative banding") {
     val docs = corpus()
     val (n, k, bands) = (3, 8, 4)
