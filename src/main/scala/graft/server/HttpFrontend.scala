@@ -41,7 +41,11 @@ class HttpFrontend(ctx: GraftContext, port: Int,
                    // every POST immediately (no buffering)
                    syncMaxRows: Long = 65536,
                    syncMaxBatches: Int = 64,
-                   syncMaxAgeMs: Long = 1000) {
+                   syncMaxAgeMs: Long = 1000,
+                   // background GC sweep interval (reference
+                   // `misc.gc_interval`, hours there, ms here; 0 = off —
+                   // the reference default, src/config/schema.rs:273,284)
+                   gcIntervalMs: Long = 0) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   private val handlerPool = java.util.concurrent.Executors.newFixedThreadPool(8)
@@ -97,6 +101,10 @@ class HttpFrontend(ctx: GraftContext, port: Int,
     flusher.scheduleWithFixedDelay(
       () => try syncBuffer.flushAged() catch { case _: Throwable => () },
       sweep, sweep, java.util.concurrent.TimeUnit.MILLISECONDS)
+    if (gcIntervalMs > 0)
+      flusher.scheduleWithFixedDelay(
+        () => try ctx.gcSweep() catch { case _: Throwable => () },
+        gcIntervalMs, gcIntervalMs, java.util.concurrent.TimeUnit.MILLISECONDS)
     server.start()
   }
 

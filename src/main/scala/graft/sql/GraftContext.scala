@@ -65,6 +65,25 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
     new GraftTable(spark, catalog.tableRoot(uuid))
   }
 
+  /** One background GC sweep (the reference's `misc.gc_interval` loop —
+    * src/config/schema.rs:273,284, `gc_databases` src/utils.rs:50):
+    * purge the dropped-tables ledger, then vacuum EVERY table of every
+    * database (delete files unreferenced by the latest version + all
+    * non-latest manifests — the same work as VACUUM TABLE). Runs under
+    * the context write lock so a sweep never races a committing writer;
+    * latest-version reads are unaffected, while a time-travel read of a
+    * vacuumed old version fails exactly as after an explicit VACUUM.
+    * Returns (tables swept, data files deleted, old versions deleted). */
+  def gcSweep(): (Int, Int, Int) = locked {
+    catalog.gcDropped()
+    var tables = 0; var files = 0; var versions = 0
+    for (db <- catalog.listDatabases; (_, _, uuid) <- catalog.listTables(db)) {
+      val (f, v) = new GraftTable(spark, catalog.tableRoot(uuid)).vacuum()
+      tables += 1; files += f; versions += v
+    }
+    (tables, files, versions)
+  }
+
   private def emptyResult: DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
       StructType(Seq(StructField("ok", BooleanType))))

@@ -313,6 +313,28 @@ class HttpSpec extends SparkSpec {
     } finally afe.stop()
   }
 
+  test("background GC sweep vacuums old versions on the configured interval") {
+    post("/q", "CREATE TABLE gc_t (id BIGINT)", auth)
+    post("/q", "INSERT INTO gc_t VALUES (1); INSERT INTO gc_t VALUES (2)", auth)
+    val root = ctx.catalog.tableRoot(
+      ctx.catalog.getTable("default", "public", "gc_t").get)
+    assert(graft.lake.Manifest.listVersions(root).size >= 3) // v0 + 2 inserts
+    val gfe = new HttpFrontend(ctx, 0, writeToken = Some("w0bble"),
+      gcIntervalMs = 200)
+    gfe.start()
+    try {
+      val deadline = System.currentTimeMillis + 10000
+      while (graft.lake.Manifest.listVersions(root).size > 1 &&
+          System.currentTimeMillis < deadline) Thread.sleep(100)
+      // the sweep ran unprompted: only the latest manifest survives, and
+      // the table still reads correctly
+      assert(graft.lake.Manifest.listVersions(root).size === 1)
+      val rows = get("/q/" + java.net.URLEncoder.encode(
+        "SELECT count(*) AS n FROM gc_t", UTF_8)).body()
+      assert(rows.contains("\"n\":2"), rows)
+    } finally gfe.stop()
+  }
+
   test("CDC origin sequence watermarks make redelivery idempotent") {
     post("/q", "CREATE TABLE seqd (id BIGINT, v DOUBLE)", auth)
     val b1 = """{"old_id":null,"new_id":1,"v":1.0,"_seq":1}"""
