@@ -51,7 +51,10 @@ object Bench {
     // rep re-materializes its own cache()s — minima are over honest
     // end-to-end runs, only warmup noise is removed.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // dev knob: comma-separated query-name substrings to bench a subset
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSeq)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.contains)) }
     val best = scala.collection.mutable.LinkedHashMap(names.map(_._1 -> Double.MaxValue): _*)
     for (_ <- 0 until reps) {
       spark.catalog.clearCache()

@@ -42,6 +42,13 @@ object ProbeScale {
     t(s"tx5 winnow x$mult")(
       graft.ops.TextAnalysis.winnowFingerprints(docs, "doc_id", "text", 4, 8)
         .write.mode("overwrite").format("noop").save())
+    t(s"tx13 seq-packing x$mult")(
+      graft.ops.TextAnalysis.packSequences(docs, "doc_id", "text", 512)
+        .write.mode("overwrite").format("noop").save())
+    t(s"tx14 importance-weights x$mult")(
+      graft.ops.TextAnalysis.importanceWeights(docs, "doc_id", "text",
+          col("doc_id") % 7 === 0)
+        .write.mode("overwrite").format("noop").save())
     // embeddings: replicate with shifted ids; queries stay 10 vectors
     val em0 = graft.Tables.load(spark, sfDir, "embeddings")
     val em = spark.range(mult).crossJoin(em0)
@@ -55,6 +62,17 @@ object ProbeScale {
     t(s"sim3 ivf x$mult")(
       graft.ops.Embeddings.ivfTopK(em, "vec_id", "embedding",
           col("vec_id") < 10, k = 3, numCells = 8, nprobe = 2)
+        .write.mode("overwrite").format("noop").save())
+    // SemDeDup's scale knob: cells grow with the corpus so the per-cell
+    // quadratic (N/K)² stays constant — probe both the fixed-cell
+    // (deliberately quadratic) and scaled-cell (the 100 TB shape) plans
+    t(s"dd8 semdedup x$mult cells=8 (fixed: quadratic)")(
+      graft.ops.Embeddings.semDedup(em, "vec_id", "embedding",
+          numCells = 8, threshold = 0.4)
+        .write.mode("overwrite").format("noop").save())
+    t(s"dd8 semdedup x$mult cells=${8 * mult} (scaled: linear)")(
+      graft.ops.Embeddings.semDedup(em, "vec_id", "embedding",
+          numCells = 8 * mult, threshold = 0.4)
         .write.mode("overwrite").format("noop").save())
     spark.stop()
   }
