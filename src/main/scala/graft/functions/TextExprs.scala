@@ -346,6 +346,53 @@ object TextExprs {
   def winnow_select(text: Column, k: Int, w: Int): Column =
     GraftBridge.column(WinnowSelect(GraftBridge.expression(text), k, w))
 
+  /** ALL positional word n-gram hashes of a document, in position order
+    * (element i = window starting at word i+1): first 8 md5 digest bytes
+    * as a big-endian 64-bit value, so equality matches the 16-hex-char
+    * md5 prefix any engine computes. The positional sibling of
+    * ShingleHashSet (which dedups and sorts) — used where downstream
+    * needs to know WHERE a window sits, e.g. repeated-span extraction.
+    * Windows are hashed in place over the text bytes (the n-gram join
+    * equals the original byte range); fewer than n words → empty array.
+    */
+  case class WindowHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+    require(n >= 1, s"window width must be >= 1, got $n")
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "window_hashes"
+
+    @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[UTF8String].getBytes
+      val starts = wordStarts(bytes)
+      val nWindows = starts.length - 1 - (n - 1)
+      if (bytes.length == 0 || nWindows <= 0)
+        return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+      val out = new Array[Long](nWindows)
+      var i = 0
+      while (i < nWindows) {
+        md.reset()
+        md.update(bytes, starts(i), starts(i + n) - 1 - starts(i))
+        val d = md.digest()
+        var v = 0L
+        var j = 0
+        while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+        out(i) = v
+        i += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): WindowHashes =
+      copy(child = newChild)
+  }
+
+  /** Column API: positional md5-prefix hashes of every word n-gram. */
+  def window_hashes(text: Column, n: Int): Column =
+    GraftBridge.column(WindowHashes(GraftBridge.expression(text), n))
+
   /** Per-language marker-word hit counts in one tokenization pass:
     * output is [count(set_0), ..., count(set_{m-1}), count(any set),
     * n_tokens] as ARRAY<BIGINT>. Tokens are the single-space splits
@@ -665,6 +712,8 @@ object TextExprs {
     Seq(
       sig("shingle_hash_set", "(text, n)", 2)(es =>
         ShingleHashSet(str(es(0)), litInt(es(1), "shingle_hash_set", "n"))),
+      sig("window_hashes", "(text, n)", 2)(es =>
+        WindowHashes(str(es(0)), litInt(es(1), "window_hashes", "n"))),
       sig("simhash64", "(text)", 1)(es => SimHash64(str(es(0)), weighted = false)),
       sig("simhash64_weighted", "(text)", 1)(es => SimHash64(str(es(0)), weighted = true)),
       sig("min_k_fingerprint", "(text, n, k)", 3)(es => MinKFingerprint(str(es(0)),

@@ -385,6 +385,45 @@ object TextAnalysis {
         col("score").cast(DoubleType) / 1000000.0 / col("n_tokens"))
   }
 
+  /** Cross-document repeated n-gram spans (the exact-substring-dedup
+    * primitive of Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): every word position whose n-gram window
+    * occurs >= 2 times ANYWHERE in the corpus (other documents or
+    * elsewhere in the same one) is "repeated"; adjacent repeated
+    * positions merge into maximal spans — the ranges an exact-substring
+    * dedup pass would cut out of the training set.
+    *
+    * Scale shape: positional window hashes come from ONE native byte
+    * scan per row (no n-gram string materialization); corpus frequencies
+    * are a map-side-combined groupBy on the 64-bit hash (one long of
+    * state per distinct window — never a position list, so hot
+    * boilerplate n-grams cannot blow up aggregation state); occurrences
+    * keep only >=2-frequency hashes via a semi join on the same key; and
+    * the gaps-and-islands merge is one window keyed on doc_id. Two
+    * hash-keyed exchanges + one doc-keyed window, all on fixed-width
+    * longs — corpus-token-sized but never quadratic.
+    */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int): DataFrame = {
+    val ph = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode_outer(graft.functions.TextExprs.window_hashes(col(textCol), n))
+          .as(Seq("__p0", "h")))
+      .filter(col("h").isNotNull)
+      .select(col("doc_id"), (col("__p0") + 1L).as("pos"), col("h"))
+    val hot = ph.groupBy("h").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2).select("h")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    ph.join(hot, Seq("h"), "left_semi")
+      .withColumn("__isl", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(min("pos").as("span_lo"),
+        (max("pos") + (n - 1).toLong).as("span_hi"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "span_lo", "span_hi", "n_windows")
+  }
+
   /** Robust winnowing (Schleimer et al., SIGMOD'03): positional word
     * k-gram hashes (16-hex md5 prefix); every window of `w` consecutive
     * hashes selects its minimum, rightmost position on ties; the document

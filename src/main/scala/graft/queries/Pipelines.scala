@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.ops.TextDedup
+import graft.ops.{TextAnalysis, TextDedup}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators over the `documents` table
@@ -165,6 +165,29 @@ object PipelinesDedup {
          |FROM bits ORDER BY doc_id""".stripMargin) { (s, d) =>
       TextDedup.simhashWeighted(Tables.load(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")
+    },
+
+    // Cross-document repeated n-gram spans (Lee et al. 2022 exact
+    // substring dedup): positions whose 8-gram window occurs >= 2 times
+    // anywhere in the corpus, merged into maximal spans per document via
+    // gaps-and-islands. 16-hex md5 prefixes == the engine's big-endian
+    // first-8-digest-bytes longs, so both engines form identical groups.
+    QueryDef("dd9_repeated_spans",
+      """WITH wd AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+        |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |        substr(md5(array_to_string(w[i:i+7], ' ')), 1, 16) AS h
+        |      FROM wd, UNNEST(range(1, n - 8 + 2)) AS t(i)),
+        |hot AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+        |r AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM hot)),
+        |s AS (SELECT doc_id, pos,
+        |        pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |      FROM r)
+        |SELECT doc_id, MIN(pos) AS span_lo, MAX(pos) + 7 AS span_hi,
+        |  COUNT(*) AS n_windows
+        |FROM s GROUP BY doc_id, isl ORDER BY doc_id, span_lo""".stripMargin) { (s, d) =>
+      TextAnalysis.repeatedSpans(Tables.load(s, d, "documents"), "doc_id", "text", n = 8)
+        .orderBy("doc_id", "span_lo")
     }
   )
 }

@@ -161,6 +161,28 @@ class TextExprsSpec extends AnyFunSuite {
     assert(legacy.exceptAll(native).isEmpty && native.exceptAll(legacy).isEmpty)
   }
 
+  test("WindowHashes == positional slice+md5-prefix pipeline") {
+    val docs = corpus()
+    val n = 3
+    val wd = split(col("text"), " ")
+    // declarative: positional n-gram, first 16 md5 hex chars
+    val legacy = docs
+      .select(col("doc_id"), wd.as("w"), size(wd).as("nw"))
+      .filter(col("nw") >= n)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), col("nw") - (n - 1))).as("pos"))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+        substring(md5(concat_ws(" ",
+          (0 until n).map(j => element_at(col("w"), col("pos") + j)): _*)), 1, 16).as("hx"))
+    val native = docs
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextExprs.window_hashes(col("text"), n))
+          .as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).cast(LongType).as("pos"),
+        lpad(lower(hex(col("h"))), 16, "0").as("hx"))
+    assert(legacy.exceptAll(native).isEmpty && native.exceptAll(legacy).isEmpty)
+  }
+
   test("BucketWeightSum == interpreted per-token md5-bucket map lookup sum") {
     val docs = corpus()
     val rnd = new scala.util.Random(13)
