@@ -138,8 +138,8 @@ class HttpFrontend(ctx: GraftContext, port: Int,
         if (stmts.size != 1 || !ctx.isReadOnly(stmts.head))
           return respond(ex, 400, "inline-metastore queries must be a single read statement\n")
         val t0 = System.nanoTime()
-        val body = render(ctx.executeInline(stmts.head, schemas, stores))
-        ex.getResponseHeaders.add("Content-Type", "application/json")
+        val (body, mime) = renderWith(ex, ctx.executeInline(stmts.head, schemas, stores))
+        ex.getResponseHeaders.add("Content-Type", mime)
         ex.getResponseHeaders.add("X-Graft-Query-Time", ((System.nanoTime() - t0) / 1e9).toString)
         return respondBytes(ex, 200, body)
       case None => ()
@@ -151,22 +151,22 @@ class HttpFrontend(ctx: GraftContext, port: Int,
     if (reads.size > 1 || reads.exists(_._2 != stmts.size - 1))
       return respond(ex, 400, "a read statement must be the only or last statement\n")
     val t0 = System.nanoTime()
-    val body =
+    val (body, mime) =
       if (stmts.size == 1 && ctx.isReadOnly(stmts.head))
         // pure read: runs lock-free on the current catalog snapshot —
         // one slow analytical POST never blocks other clients
-        render(ctx.executeRead(stmts.head, dbPrefix))
+        renderWith(ex, ctx.executeRead(stmts.head, dbPrefix))
       else ctx.locked {
         // writes (or write+read batches) hold the context lock through
         // execute + render: currentDb and the main session's registered
         // views are shared across the handler pool
         def runAll() = stmts.map(ctx.execute).last
-        render(dbPrefix match {
+        renderWith(ex, dbPrefix match {
           case Some(db) => ctx.withDb(db)(runAll())
           case None => runAll()
         })
       }
-    ex.getResponseHeaders.add("Content-Type", "application/json")
+    ex.getResponseHeaders.add("Content-Type", mime)
     ex.getResponseHeaders.add("X-Graft-Query-Time", ((System.nanoTime() - t0) / 1e9).toString)
     respondBytes(ex, 200, body)
   }
@@ -201,11 +201,11 @@ class HttpFrontend(ctx: GraftContext, port: Int,
     val inm = Option(ex.getRequestHeaders.getFirst("If-None-Match"))
     ex.getResponseHeaders.add("ETag", etag)
     ex.getResponseHeaders.add("Cache-Control", cacheControl)
-    ex.getResponseHeaders.add("Vary", "Authorization, X-Graft-Query")
+    ex.getResponseHeaders.add("Vary", "Authorization, X-Graft-Query, Accept")
     if (inm.exists(_.split(",").map(_.trim).contains(etag)))
       return respondBytes(ex, 304, Array.emptyByteArray) // not executed
-    val body = render(df)
-    ex.getResponseHeaders.add("Content-Type", "application/json")
+    val (body, mime) = renderWith(ex, df)
+    ex.getResponseHeaders.add("Content-Type", mime)
     respondBytes(ex, 200, body)
   }
 
@@ -391,6 +391,20 @@ class HttpFrontend(ctx: GraftContext, port: Int,
     JsonLines.write(df, bos)
     bos.toByteArray
   }
+
+  /** Arrow Flight parity where gRPC can't go: `Accept:
+    * application/vnd.apache.arrow.stream` returns the result as one
+    * standard Arrow IPC stream (schema + record batches — what pyarrow/
+    * ADBC read natively) instead of JSON-lines. */
+  private val ArrowMime = "application/vnd.apache.arrow.stream"
+  private def wantsArrow(ex: HttpExchange): Boolean =
+    Option(ex.getRequestHeaders.getFirst("Accept")).exists(_.contains(ArrowMime))
+  private def renderWith(ex: HttpExchange, df: DataFrame): (Array[Byte], String) =
+    if (wantsArrow(ex)) {
+      val bos = new ByteArrayOutputStream()
+      org.apache.spark.sql.GraftArrow.writeIpcStream(df, bos)
+      (bos.toByteArray, ArrowMime)
+    } else (render(df), "application/json")
 
   private def sha256Hex(bytes: Array[Byte]): String =
     MessageDigest.getInstance("SHA-256").digest(bytes).map(b => f"$b%02x").mkString

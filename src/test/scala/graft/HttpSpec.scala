@@ -313,6 +313,42 @@ class HttpSpec extends SparkSpec {
     } finally afe.stop()
   }
 
+  test("Accept: arrow.stream returns a readable Arrow IPC stream") {
+    post("/q", "CREATE TABLE arrow_t (id BIGINT, name TEXT, score DOUBLE)", auth)
+    post("/q", "INSERT INTO arrow_t VALUES (1, 'a', 1.5), (2, 'b', NULL), (3, NULL, 2.5)", auth)
+    val mime = "application/vnd.apache.arrow.stream"
+    val r = get("/q/" + java.net.URLEncoder.encode(
+      "SELECT id, name, score FROM arrow_t ORDER BY id", UTF_8), "Accept" -> mime)
+    assert(r.statusCode() === 200)
+    assert(r.headers().firstValue("Content-Type").orElse("") === mime)
+    // decode with the classpath arrow-vector reader — the same library
+    // pyarrow/ADBC clients use
+    val bytes = client.send(HttpRequest.newBuilder(URI.create(base + "/q/" +
+        java.net.URLEncoder.encode("SELECT id, name, score FROM arrow_t ORDER BY id", UTF_8)))
+      .GET().header("Accept", mime).build(),
+      HttpResponse.BodyHandlers.ofByteArray()).body()
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+      new java.io.ByteArrayInputStream(bytes), alloc)
+    try {
+      val rows = scala.collection.mutable.ArrayBuffer[(Long, String, Option[Double])]()
+      while (reader.loadNextBatch()) {
+        val root = reader.getVectorSchemaRoot
+        val id = root.getVector("id").asInstanceOf[org.apache.arrow.vector.BigIntVector]
+        val nm = root.getVector("name").asInstanceOf[org.apache.arrow.vector.VarCharVector]
+        val sc = root.getVector("score").asInstanceOf[org.apache.arrow.vector.Float8Vector]
+        for (i <- 0 until root.getRowCount)
+          rows += ((id.get(i),
+            if (nm.isNull(i)) null else new String(nm.get(i), UTF_8),
+            if (sc.isNull(i)) None else Some(sc.get(i))))
+      }
+      assert(rows.toSeq === Seq((1L, "a", Some(1.5)), (2L, "b", None), (3L, null, Some(2.5))))
+    } finally { reader.close(); alloc.close() }
+    // JSON stays the default representation
+    val j = get("/q/" + java.net.URLEncoder.encode("SELECT id FROM arrow_t WHERE id = 1", UTF_8))
+    assert(j.headers().firstValue("Content-Type").orElse("").contains("application/json"))
+  }
+
   test("background GC sweep vacuums old versions on the configured interval") {
     post("/q", "CREATE TABLE gc_t (id BIGINT)", auth)
     post("/q", "INSERT INTO gc_t VALUES (1); INSERT INTO gc_t VALUES (2)", auth)
