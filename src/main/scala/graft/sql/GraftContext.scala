@@ -218,6 +218,11 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
       // read-only iceberg scan via the spec's JSON+Avro metadata layer
       // (reference src/catalog/metastore.rs:237-246)
       graft.sources.IcebergScan.read(s, loc)
+    case "DELTA" | "DELTATABLE" =>
+      // read-only interop scan of a real Delta Lake (_delta_log) table —
+      // what the reference's delta-rs storage layer itself writes
+      // (reference src/catalog/metastore.rs:176-207)
+      graft.sources.DeltaScan.read(s, loc)
     case "CSV" => s.read.option("header", "true").option("inferSchema", "true").csv(loc)
     case "JSON" | "NDJSON" => s.read.json(loc)
     case "JDBC" =>
