@@ -222,8 +222,11 @@ class HttpFrontend(ctx: GraftContext, port: Int,
     // stream the body straight to the temp file the reader will scan —
     // never the full payload on-heap (256 MiB x 8 handler threads would
     // be 2 GiB of transient heap); the cap is enforced mid-stream
-    val isCsv = Option(ex.getRequestHeaders.getFirst("Content-Type")).exists(_.contains("csv"))
-    val tmp = java.nio.file.Files.createTempFile("graft-upload", if (isCsv) ".csv" else ".parquet")
+    val contentType = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+    val isCsv = contentType.contains("csv")
+    val isArrow = contentType.contains(ArrowMime)
+    val tmp = java.nio.file.Files.createTempFile("graft-upload",
+      if (isCsv) ".csv" else if (isArrow) ".arrow" else ".parquet")
     val in = ex.getRequestBody
     val out = java.nio.file.Files.newOutputStream(tmp)
     var total = 0L
@@ -245,6 +248,12 @@ class HttpFrontend(ctx: GraftContext, port: Int,
     val df =
       if (isCsv)
         ctx.spark.read.option("header", "true").option("inferSchema", "true").csv(tmp.toString)
+      else if (isArrow)
+        // Flight do_put parity: the body IS an Arrow IPC stream; its own
+        // schema drives the (possibly new) table, like the reference's
+        // Arrow-native upload channel
+        org.apache.spark.sql.GraftArrow.readIpcStream(ctx.spark,
+          java.nio.file.Files.readAllBytes(tmp))
       else ctx.spark.read.parquet(tmp.toString)
     ctx.locked {
       ctx.catalog.getTable(ctx.currentDb, schema, table) match {

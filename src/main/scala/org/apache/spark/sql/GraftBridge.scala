@@ -91,6 +91,23 @@ object GraftArrow {
       n
     } finally { root.close(); allocator.close() }
   }
+
+  /** Decode one Arrow IPC stream into a DataFrame — the ingest half of
+    * the Flight parity story (reference `do_put`,
+    * `src/frontend/flight/handler.rs:136-237`): schema comes from the
+    * stream itself, rows land driver-side (callers cap the payload — the
+    * upload path enforces the reference's 256 MiB bound mid-stream). */
+  def readIpcStream(spark: SparkSession, bytes: Array[Byte]): DataFrame = {
+    val (iter, schema) =
+      org.apache.spark.sql.execution.arrow.ArrowConverters.fromIPCStream(bytes)
+    try {
+      import scala.jdk.CollectionConverters._
+      val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToScalaConverter(schema)
+      val rows = iter.map(r => conv(r).asInstanceOf[Row]).toList
+      spark.createDataFrame(rows.asJava, schema)
+    } finally iter.close()
+  }
 }
 
 /** Session cloning for the concurrent read path. `cloneSession` copies the

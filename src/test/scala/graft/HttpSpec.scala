@@ -349,6 +349,29 @@ class HttpSpec extends SparkSpec {
     assert(j.headers().firstValue("Content-Type").orElse("").contains("application/json"))
   }
 
+  test("Arrow IPC upload creates and appends a table (do_put parity)") {
+    import spark.implicits._
+    val mime = "application/vnd.apache.arrow.stream"
+    // produce a standard IPC stream via the serving encoder (round-trip:
+    // what a pyarrow client would send)
+    val bos = new java.io.ByteArrayOutputStream()
+    org.apache.spark.sql.GraftArrow.writeIpcStream(
+      Seq((10L, "x"), (11L, "y")).toDF("id", "name"), bos)
+    def put(): HttpResponse[String] = client.send(
+      HttpRequest.newBuilder(URI.create(base + "/upload/public/arrow_up"))
+        .POST(HttpRequest.BodyPublishers.ofByteArray(bos.toByteArray))
+        .header("Authorization", "Bearer w0bble").header("Content-Type", mime).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(put().statusCode() === 200) // creates the table from the stream schema
+    assert(put().statusCode() === 200) // appends
+    val rows = get("/q/" + java.net.URLEncoder.encode(
+      "SELECT id, name FROM arrow_up ORDER BY id, name", UTF_8)).body()
+      .linesIterator.toSeq.filter(_.nonEmpty)
+    assert(rows === Seq(
+      "{\"id\":10,\"name\":\"x\"}", "{\"id\":10,\"name\":\"x\"}",
+      "{\"id\":11,\"name\":\"y\"}", "{\"id\":11,\"name\":\"y\"}"), rows)
+  }
+
   test("background GC sweep vacuums old versions on the configured interval") {
     post("/q", "CREATE TABLE gc_t (id BIGINT)", auth)
     post("/q", "INSERT INTO gc_t VALUES (1); INSERT INTO gc_t VALUES (2)", auth)
