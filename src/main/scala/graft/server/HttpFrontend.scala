@@ -292,8 +292,17 @@ class HttpFrontend(ctx: GraftContext, port: Int,
     // without re-applying)
     val origin = params.get("origin")
     val seq = params.get("seq").map(_.toLong)
-    val lines = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-      .split("\n").filter(_.nonEmpty)
+    // body: JSON-lines of change rows, or (do_put parity — the
+    // reference's CDC channel IS Arrow-native) an Arrow IPC stream with
+    // the same old_/new_/changed_ column contract, normalized here into
+    // the one buffered representation
+    val rawBytes = ex.getRequestBody.readAllBytes()
+    val lines =
+      if (Option(ex.getRequestHeaders.getFirst("Content-Type")).exists(_.contains(ArrowMime))) {
+        val df = org.apache.spark.sql.GraftArrow.readIpcStream(ctx.spark, rawBytes)
+        val sch = df.schema
+        df.collect().map(r => JsonLines.row(r, sch))
+      } else new String(rawBytes, UTF_8).split("\n").filter(_.nonEmpty)
     val (schema, table) = (parts(0), parts(1))
     // consistent read of the session database (a concurrent USE holds the
     // same lock while switching)

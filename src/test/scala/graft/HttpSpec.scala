@@ -372,6 +372,31 @@ class HttpSpec extends SparkSpec {
       "{\"id\":11,\"name\":\"y\"}", "{\"id\":11,\"name\":\"y\"}"), rows)
   }
 
+  test("CDC sync accepts Arrow IPC change batches (do_put parity)") {
+    post("/q", "CREATE TABLE arrsync_t (id BIGINT, v DOUBLE)", auth)
+    val mime = "application/vnd.apache.arrow.stream"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("old_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("new_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType)))
+    val batch = spark.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row(null, java.lang.Long.valueOf(1L), java.lang.Double.valueOf(5.0)),
+      org.apache.spark.sql.Row(null, java.lang.Long.valueOf(2L), java.lang.Double.valueOf(6.0))),
+      schema)
+    val bos = new java.io.ByteArrayOutputStream()
+    org.apache.spark.sql.GraftArrow.writeIpcStream(batch, bos)
+    val r = client.send(HttpRequest.newBuilder(
+        URI.create(base + "/sync/public/arrsync_t?pk=id&values=v"))
+      .POST(HttpRequest.BodyPublishers.ofByteArray(bos.toByteArray))
+      .header("Authorization", "Bearer w0bble").header("Content-Type", mime).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() === 200, r.body())
+    val rows = get("/q/" + java.net.URLEncoder.encode(
+      "SELECT id, v FROM arrsync_t ORDER BY id", UTF_8)).body()
+      .linesIterator.toSeq.filter(_.nonEmpty)
+    assert(rows === Seq("{\"id\":1,\"v\":5.0}", "{\"id\":2,\"v\":6.0}"), rows)
+  }
+
   test("background GC sweep vacuums old versions on the configured interval") {
     post("/q", "CREATE TABLE gc_t (id BIGINT)", auth)
     post("/q", "INSERT INTO gc_t VALUES (1); INSERT INTO gc_t VALUES (2)", auth)
