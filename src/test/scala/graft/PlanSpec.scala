@@ -209,4 +209,57 @@ class PlanSpec extends SparkSpec {
     val windows = p.linesIterator.count(_.matches("""\(\d+\) Window\s*"""))
     assert(windows == 2, s"expected exactly 2 Window operators:\n${p.take(3000)}")
   }
+
+  test("sequence packing never runs a global data window (tx13)") {
+    val df = SparkEntry.queries("tx13_seq_packing")(spark, dir)
+    // the DATA-side cumsum must be keyed on the id bucket — a partition-
+    // less window over corpus rows would serialize the whole table
+    // through one task. The only partition-less window allowed is the
+    // bucket-OFFSETS scan, whose input is the per-bucket aggregate
+    // (corpus/bucketSize counters), never raw rows.
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    val global = windows.filter(_.partitionSpec.isEmpty)
+    assert(global.size == 1, s"expected exactly 1 partition-less window (offsets), got ${global.size}")
+    assert(global.head.collectFirst {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }.nonEmpty, "the partition-less window must consume the bucket-totals aggregate, not data rows")
+    assert(windows.exists(_.partitionSpec.nonEmpty), "data cumsum must be bucket-keyed")
+  }
+
+  test("semantic dedup joins stay cell-keyed: no cartesian, no data broadcast (dd8)") {
+    val p = planOf("dd8_dedup_semantic")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the pairwise join must be keyed on the cell id, not nested-loop
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("repeated-span frequencies aggregate counts, not position lists (dd9)") {
+    val p = planOf("dd9_repeated_spans")
+    // hot-window detection is a count-only hash aggregate: no
+    // ObjectHashAggregate (collect_list/set state) anywhere
+    assert(!p.contains("ObjectHashAggregate"), p.take(3000))
+    assert(p.contains("HashAggregate"), p.take(3000))
+    // span merge is one doc-keyed window
+    val windows = p.linesIterator.count(_.matches("""\(\d+\) Window\s*"""))
+    assert(windows == 1, s"expected exactly 1 window:\n${p.take(3000)}")
+  }
+
+  test("importance scoring is a zero-shuffle projection (tx14)") {
+    // the SCORING pass (weights already trained) must not exchange: one
+    // scan, one native projection. Build it directly so the count-pass
+    // jobs (which legitimately shuffle) are not in this plan.
+    val docs = Tables.load(spark, dir, "documents")
+    val scored = ops.TextAnalysis.importanceWeights(docs, "doc_id", "text",
+      org.apache.spark.sql.functions.col("lang") === "en")
+    val p = scored.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), p.take(3000))
+    assert(p.contains("bucket_weight_sum"), p.take(3000))
+  }
 }
