@@ -501,6 +501,52 @@ object TextExprs {
   def bucket_weight_sum(text: Column, weights: IndexedSeq[Long]): Column =
     GraftBridge.column(BucketWeightSum(GraftBridge.expression(text), weights))
 
+  /** Word n-gram generalization of BucketWeightSum: every n-gram window
+    * (the in-place byte ranges WindowHashes uses) hashes into one of 4096
+    * buckets — the first THREE md5 hex chars, i.e. the digest's top 12
+    * bits — and the plan-baked bucket weights are summed exactly in
+    * Int64. Output struct(n_windows BIGINT, score BIGINT); documents
+    * with fewer than n words score 0 over 0 windows. The scoring half of
+    * hashed n-gram language models (perplexity-style quality filters) as
+    * a zero-shuffle projection.
+    */
+  case class NgramBucketWeightSum(child: Expression, n: Int, weights: IndexedSeq[Long])
+    extends UnaryExpression with CodegenFallback {
+    require(n >= 1, s"n-gram width must be >= 1, got $n")
+    require(weights.length == 4096, s"need 4096 bucket weights, got ${weights.length}")
+
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_windows", LongType, nullable = false),
+      StructField("score", LongType, nullable = false)))
+    override def prettyName: String = "ngram_bucket_weight_sum"
+
+    @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+    @transient private lazy val wArr: Array[Long] = weights.toArray
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[UTF8String].getBytes
+      val starts = wordStarts(bytes)
+      val nWindows = math.max(starts.length - 1 - (n - 1), 0)
+      var score = 0L
+      var i = 0
+      while (i < nWindows) {
+        md.reset()
+        md.update(bytes, starts(i), starts(i + n) - 1 - starts(i))
+        val d = md.digest()
+        score += wArr(((d(0) & 0xff) << 4) | ((d(1) & 0xff) >>> 4))
+        i += 1
+      }
+      new GenericInternalRow(Array[Any](nWindows.toLong, score))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): NgramBucketWeightSum =
+      copy(child = newChild)
+  }
+
+  /** Column API: struct(n_windows, score) of n-gram bucket weight sums. */
+  def ngram_bucket_weight_sum(text: Column, n: Int, weights: IndexedSeq[Long]): Column =
+    GraftBridge.column(NgramBucketWeightSum(GraftBridge.expression(text), n, weights))
+
   /** MinHash-LSH band bucket keys of a document, computed entirely inside
     * the row: distinct word n-gram shingles (64-bit-hash dedup, the
     * pipeline's standard 2^-64 collision trade), k minhashes

@@ -385,6 +385,62 @@ object TextAnalysis {
         col("score").cast(DoubleType) / 1000000.0 / col("n_tokens"))
   }
 
+  /** Hashed-bigram LM quality scoring (the CCNet/Wenzek et al. 2020
+    * perplexity-filter shape): a bigram language model with 4096-bucket
+    * hashing is trained on the corpus itself in one pass, and every
+    * document is scored by its average bigram log-likelihood minus the
+    * unigram baseline — low `ppl_proxy` ≈ fluent in-domain text, high ≈
+    * gibberish/boilerplate that a perplexity filter would cut. All
+    * likelihoods are exact integer micro-nats (the tx14 quantization),
+    * so cross-engine sums agree bit-for-bit.
+    *
+    * Scale shape: two map-side-combined groupBys on 4096-value keys
+    * train the model; both weight tables collect to the driver (4096
+    * longs each) and bake into ONE zero-shuffle scoring projection (two
+    * native n-gram byte scans per row).
+    */
+  def lmQualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val B = 4096 // 3 hex chars
+    val toks = split(col(textCol), " ")
+    val uni = docs.select(explode(toks).as("__w"))
+      .select(substring(md5(col("__w")), 1, 3).as("__b"))
+      .groupBy("__b").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val big = docs.select(toks.as("__wd"), size(toks).as("__n"))
+      .filter(col("__n") >= 2)
+      .select(explode(sequence(lit(1), col("__n") - 1)).as("__i"), col("__wd"))
+      .select(substring(md5(concat(element_at(col("__wd"), col("__i")), lit(" "),
+        element_at(col("__wd"), col("__i") + 1))), 1, 3).as("__b"))
+      .groupBy("__b").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val tu = uni.map(_._2).sum
+    val tb = big.map(_._2).sum
+    // add-one-smoothed log probabilities in micro-nats; same
+    // floor(x+0.5) rounding and operation order as the oracle. Buckets
+    // with no corpus hits are unreachable when the corpus scores itself
+    // (they still get the smoothed c=0 weight for definedness).
+    def bake(counts: Seq[(String, Long)], tot: Long): IndexedSeq[Long] = {
+      val w = Array.fill(B)(
+        math.floor(1000000.0 * math.log(1.0 / (tot + B.toDouble)) + 0.5).toLong)
+      counts.foreach { case (k, c) =>
+        w(Integer.parseInt(k, 16)) = math.floor(1000000.0 * math.log(
+          (c + 1.0) / (tot + B.toDouble)) + 0.5).toLong
+      }
+      w.toIndexedSeq
+    }
+    val us = graft.functions.TextExprs.ngram_bucket_weight_sum(col(textCol), 1, bake(uni, tu))
+    val bs = graft.functions.TextExprs.ngram_bucket_weight_sum(col(textCol), 2, bake(big, tb))
+    docs.select(col(idCol).as("doc_id"), us.as("__u"), bs.as("__g"))
+      .select(col("doc_id"), col("__g.n_windows").as("n_bigrams"),
+        (col("__g.score") - col("__u.score")).as("score"))
+      // avg log-likelihood, NOT exp(-x) perplexity: divisions are
+      // correctly-rounded IEEE (cross-engine exact) where exp differs in
+      // the last ulp between libm implementations; the ranking (what a
+      // filter thresholds on) is identical since exp is monotone
+      .withColumn("avg_logprob", col("score").cast(DoubleType) / 1000000.0 /
+        greatest(col("n_bigrams"), lit(1L)))
+  }
+
   /** Cross-document repeated n-gram spans (the exact-substring-dedup
     * primitive of Lee et al. 2022, "Deduplicating Training Data Makes
     * Language Models Better"): every word position whose n-gram window

@@ -333,6 +333,39 @@ object TextQueries {
       TextAnalysis.importanceWeights(Tables.load(s, d, "documents"), "doc_id", "text",
           col("lang") === "en")
         .orderBy("doc_id")
+    },
+
+    // Hashed-bigram LM quality scoring (CCNet-style perplexity filter):
+    // 4096-bucket bigram/unigram models trained on the corpus, every doc
+    // scored by exact micro-nat log-likelihood sums.
+    QueryDef("tx15_lm_quality",
+      """WITH wd AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+        |uni AS (SELECT doc_id, substr(md5(u.x), 1, 3) AS b
+        |        FROM documents, UNNEST(string_split(text, ' ')) u(x)),
+        |big AS (SELECT doc_id, substr(md5(w[i] || ' ' || w[i+1]), 1, 3) AS b
+        |        FROM wd, UNNEST(range(1, n)) t(i) WHERE n >= 2),
+        |cu AS (SELECT b, COUNT(*) AS c FROM uni GROUP BY b),
+        |cb AS (SELECT b, COUNT(*) AS c FROM big GROUP BY b),
+        |tu AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cu),
+        |tb AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS t FROM cb),
+        |wu AS (SELECT b, CAST(FLOOR(1000000.0 * ln((c + 1.0) / (t + 4096.0)) + 0.5) AS BIGINT) AS wt
+        |       FROM cu, tu),
+        |wb AS (SELECT b, CAST(FLOOR(1000000.0 * ln((c + 1.0) / (t + 4096.0)) + 0.5) AS BIGINT) AS wt
+        |       FROM cb, tb),
+        |su AS (SELECT u.doc_id, CAST(SUM(wu.wt) AS BIGINT) AS s
+        |       FROM uni u JOIN wu ON u.b = wu.b GROUP BY u.doc_id),
+        |sb AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS nb, CAST(SUM(wb.wt) AS BIGINT) AS s
+        |       FROM big g JOIN wb ON g.b = wb.b GROUP BY g.doc_id)
+        |SELECT wd.doc_id, COALESCE(sb.nb, 0) AS n_bigrams,
+        |  CAST(COALESCE(sb.s, 0) - su.s AS BIGINT) AS score,
+        |  CAST(COALESCE(sb.s, 0) - su.s AS DOUBLE) / 1000000.0 /
+        |    GREATEST(COALESCE(sb.nb, 0), 1) AS avg_logprob
+        |FROM wd JOIN su ON wd.doc_id = su.doc_id
+        |LEFT JOIN sb ON wd.doc_id = sb.doc_id
+        |ORDER BY wd.doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.lmQualityScore(Tables.load(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
     }
   )
 }

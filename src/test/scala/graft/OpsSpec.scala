@@ -166,6 +166,26 @@ class OpsSpec extends SparkSpec {
     assert(out.count(_._3 == 0L) >= 4)
   }
 
+  test("LM quality scoring ranks fluent text above shuffled gibberish") {
+    val rnd = new scala.util.Random(3)
+    val vocab = Vector("the", "cat", "sat", "on", "mat", "dog", "ran", "to", "park")
+    // fluent docs: repeated common bigram patterns; gibberish: the SAME
+    // unigram distribution but shuffled order (bigram structure destroyed)
+    val fluent = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(8)("the cat sat on the mat").mkString(" "))
+    }
+    val gibberish = (40 until 80).map { i =>
+      (i.toLong, rnd.shuffle(Seq.fill(48)(vocab(rnd.nextInt(vocab.size)))).mkString(" "))
+    }
+    val docs = (fluent ++ gibberish).toDF("doc_id", "text")
+    val out = ops.TextAnalysis.lmQualityScore(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    val fAvg = out.filter(_._1 < 40).map(_._2).sum / 40
+    val gAvg = out.filter(_._1 >= 40).map(_._2).sum / 40
+    assert(fAvg > gAvg,
+      s"fluent docs must out-score shuffled gibberish: $fAvg vs $gAvg")
+  }
+
   test("importance weights separate target-like from off-target documents") {
     val en = Seq("the", "cat", "sat", "on", "the", "mat").mkString(" ")
     val de = Seq("der", "hund", "lief", "durch", "den", "wald").mkString(" ")

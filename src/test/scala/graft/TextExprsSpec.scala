@@ -199,6 +199,29 @@ class TextExprsSpec extends AnyFunSuite {
     assert(legacy.exceptAll(native).isEmpty && native.exceptAll(legacy).isEmpty)
   }
 
+  test("NgramBucketWeightSum == exploded md5-3hex bucket join sum") {
+    val docs = corpus()
+    val rnd = new scala.util.Random(29)
+    val weights = IndexedSeq.fill(4096)(rnd.nextLong() % 1000000L)
+    val wMap = typedLit((0 until 4096).map(b => f"$b%03x" -> weights(b)).toMap)
+    for (n <- Seq(1, 2, 3)) {
+      val wd = split(col("text"), " ")
+      val legacy = docs
+        .select(col("doc_id"), wd.as("w"),
+          greatest(size(wd) - (n - 1), lit(0)).cast(LongType).as("n_windows"))
+        .withColumn("score", when(size(col("w")) < n, 0L).otherwise(aggregate(
+          sequence(lit(1), size(col("w")) - (n - 1)),
+          lit(0L),
+          (acc, i) => acc + element_at(wMap, substring(md5(concat_ws(" ",
+            (0 until n).map(j => element_at(col("w"), i + j)): _*)), 1, 3)))))
+        .select(col("doc_id"), col("n_windows"), col("score"))
+      val e = graft.functions.TextExprs.ngram_bucket_weight_sum(col("text"), n, weights)
+      val native = docs.select(col("doc_id"),
+        e.getField("n_windows").as("n_windows"), e.getField("score").as("score"))
+      assert(legacy.exceptAll(native).isEmpty && native.exceptAll(legacy).isEmpty, s"n=$n")
+    }
+  }
+
   test("MinHashBandKeys induces the same candidate pairs as the declarative banding") {
     val docs = corpus()
     val (n, k, bands) = (3, 8, 4)
