@@ -402,17 +402,22 @@ object TextAnalysis {
   def lmQualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val B = 4096 // 3 hex chars
     val toks = split(col(textCol), " ")
-    val uni = docs.select(explode(toks).as("__w"))
-      .select(substring(md5(col("__w")), 1, 3).as("__b"))
-      .groupBy("__b").agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    val big = docs.select(toks.as("__wd"), size(toks).as("__n"))
+    // BOTH model's bucket counts in ONE job: tagged union of the unigram
+    // and bigram bucket streams through a single (tag, bucket)-keyed
+    // map-side-combined aggregation, one driver collect (≤2·4096 rows)
+    val uniBuckets = docs.select(explode(toks).as("__w"))
+      .select(lit("u").as("__t"), substring(md5(col("__w")), 1, 3).as("__b"))
+    val bigBuckets = docs.select(toks.as("__wd"), size(toks).as("__n"))
       .filter(col("__n") >= 2)
       .select(explode(sequence(lit(1), col("__n") - 1)).as("__i"), col("__wd"))
-      .select(substring(md5(concat(element_at(col("__wd"), col("__i")), lit(" "),
-        element_at(col("__wd"), col("__i") + 1))), 1, 3).as("__b"))
-      .groupBy("__b").agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .select(lit("g").as("__t"),
+        substring(md5(concat(element_at(col("__wd"), col("__i")), lit(" "),
+          element_at(col("__wd"), col("__i") + 1))), 1, 3).as("__b"))
+    val counts = uniBuckets.unionAll(bigBuckets)
+      .groupBy("__t", "__b").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val uni = counts.collect { case ("u", b, c) => (b, c) }
+    val big = counts.collect { case ("g", b, c) => (b, c) }
     val tu = uni.map(_._2).sum
     val tb = big.map(_._2).sum
     // add-one-smoothed log probabilities in micro-nats; same
