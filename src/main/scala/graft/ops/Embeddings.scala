@@ -120,8 +120,8 @@ object Embeddings {
     * every assignment is a per-row NearestCells evaluation against
     * plan-baked literals: NO crossJoin, NO per-vector argmin window, no
     * shuffle anywhere in assignment. Empty corpus → empty array. */
-  private def trainCentroids(p: DataFrame, numCells: Int,
-                             lloydIters: Int): Array[(Long, Array[Long])] = {
+  private[graft] def trainCentroids(p: DataFrame, numCells: Int,
+                                    lloydIters: Int): Array[(Long, Array[Long])] = {
     def collectCents(df: DataFrame): Array[(Long, Array[Long])] =
       df.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
     var cents = collectCents(p.orderBy("vec_id").limit(numCells)
@@ -161,6 +161,14 @@ object Embeddings {
           cosine(dotQ(col("qe"), col("q_qe")), col("n2"), col("q_n2")).as("cos")),
       k)
   }
+
+  /** Train an IVF centroid index on a batch corpus for reuse — e.g. by
+    * the STREAMING semantic dedup, which assigns arriving vectors
+    * against a fixed trained index (the offline-train / online-serve
+    * split every production ANN system runs). K×dim longs, driver-held. */
+  def trainIndex(vecs: DataFrame, idCol: String, vecCol: String,
+                 numCells: Int, lloydIters: Int = 1): Array[(Long, Array[Long])] =
+    trainCentroids(prepared(vecs, idCol, vecCol), numCells, lloydIters)
 
   /** Semantic deduplication (SemDeDup-style, Abbas et al. 2023): cluster
     * the corpus with trained IVF centroids, then within each cluster mark

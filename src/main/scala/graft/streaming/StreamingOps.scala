@@ -107,6 +107,45 @@ object StreamingOps {
       .select(col("doc_id"), col("__w.start").as("ts"))
   }
 
+  /** Streaming SEMANTIC dedup — the online twin of the batch SemDeDup
+    * (dd8), in the offline-train / online-serve split production ANN
+    * systems run: cells come from a FIXED pre-trained IVF index
+    * (`Embeddings.trainIndex`), each arriving vector is assigned in-row
+    * against the plan-baked centroids (zero shuffle), and a
+    * transformWithState processor keyed on the cell holds up to
+    * `maxReps` representative vectors — a new arrival is suppressed
+    * (kept = false) iff its exact quantized cosine against ANY stored
+    * representative reaches `threshold`, else it becomes a
+    * representative itself while capacity remains. State is bounded by
+    * maxReps × dim longs per cell NO MATTER the stream length — the
+    * property that keeps an online dedup index feasible at 100 TB/day;
+    * once a cell is full, novel vectors still pass through (kept = true)
+    * but stop enrolling, the documented bounded-state trade. Arrival
+    * order decides survivors (append-mode streams cannot retract), ties
+    * inside a batch by (event time, vec id). Emits (vec_id, ts, kept).
+    */
+  def semanticDedupStream(vecs: DataFrame, idCol: String, vecCol: String,
+                          tsCol: String, watermark: String,
+                          cents: Array[(Long, Array[Long])],
+                          threshold: Double, maxReps: Int = 128): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val assigned = vecs
+      .withWatermark(tsCol, watermark)
+      .withColumn("__qe", graft.ops.Embeddings.quantize(col(vecCol)))
+      .withColumn("__cell", element_at(
+        graft.functions.VectorFunctions.nearest_cells(col("__qe"), cents, 1), 1))
+      .select(col("__cell"), col(idCol).cast("long").as("vec_id"),
+        col(tsCol).as("__ts"), col("__qe"))
+      .as[(Long, Long, java.sql.Timestamp, Array[Long])]
+    assigned
+      .groupByKey(_._1)
+      .transformWithState(new CellRepsProcessor(threshold, maxReps),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF("vec_id", "ts", "kept")
+  }
+
   /** Watermarked stream-stream interval join: each left event picks up
     * the right-side rows with the same key whose timestamp lies in
     * [left.ts - lookback, left.ts]. Both sides buffer only up to their
@@ -172,6 +211,68 @@ object StreamingOps {
   * event-time timer registered at first touch (TTL configs are
   * processing-time-only and rejected in event-time mode).
   */
+/** transformWithState processor for semanticDedupStream: per IVF cell,
+  * up to `maxReps` representative (id, quantized vector, |v|²) triples;
+  * an arriving vector is a duplicate iff its exact Int64-quantized
+  * cosine against any stored representative reaches the threshold.
+  * Rows inside a batch process in (event time, vec id) order so results
+  * are deterministic under intra-batch reordering. State reclaimed by an
+  * event-time timer `stateTtlMs` past the first batch's max event time.
+  */
+private[streaming] class CellRepsProcessor(threshold: Double, maxReps: Int,
+                                           stateTtlMs: Long = 24 * 3600 * 1000L)
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, Long, java.sql.Timestamp, Array[Long]), (Long, java.sql.Timestamp, Boolean)] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, TimeMode, TimerValues, TTLConfig}
+
+  @transient private var reps: ListState[(Long, Array[Long], Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    reps = getHandle.getListState[(Long, Array[Long], Long)]("reps",
+      org.apache.spark.sql.Encoders.product[(Long, Array[Long], Long)], TTLConfig.NONE)
+
+  private def dot(a: Array[Long], b: Array[Long]): Long = {
+    val n = math.min(a.length, b.length)
+    var s = 0L; var i = 0
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, Long, java.sql.Timestamp, Array[Long])],
+      timerValues: TimerValues): Iterator[(Long, java.sql.Timestamp, Boolean)] = {
+    val sorted = rows.toVector.sortBy(r => (r._3.getTime, r._2))
+    if (sorted.isEmpty) return Iterator.empty
+    var cur = {
+      val b = Vector.newBuilder[(Long, Array[Long], Long)]
+      val it = reps.get()
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+    if (cur.isEmpty)
+      getHandle.registerTimer(sorted.map(_._3.getTime).max + stateTtlMs)
+    var changed = false // only rewrite state if a representative enrolled
+    val out = sorted.map { case (_, id, ts, qe) =>
+      val n2 = dot(qe, qe)
+      val dup = n2 > 0 && cur.exists { case (_, rqe, rn2) =>
+        dot(qe, rqe).toDouble / (math.sqrt(n2.toDouble) * math.sqrt(rn2.toDouble)) >= threshold
+      }
+      if (!dup && cur.size < maxReps) { cur :+= ((id, qe, n2)); changed = true }
+      (id, ts, !dup)
+    }
+    if (changed) reps.put(cur.toArray)
+    out.iterator
+  }
+
+  override def handleExpiredTimer(
+      key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, java.sql.Timestamp, Boolean)] = {
+    reps.clear()
+    Iterator.empty
+  }
+}
+
 private[streaming] class BucketOwnerProcessor(stateTtlMs: Long = 24 * 3600 * 1000L)
   extends org.apache.spark.sql.streaming.StatefulProcessor[
     Long, (Long, java.sql.Timestamp, Long), (Long, java.sql.Timestamp, Boolean)] {

@@ -114,6 +114,55 @@ class StreamingSpec extends SparkSpec {
     assert(survivors === Seq(10L, 12L))
   }
 
+  test("streaming semantic dedup suppresses near-identical vectors per trained cell") {
+    val dir = tmpDir("graft-semdedup")
+    val rnd = new scala.util.Random(5)
+    // train a 2-cell index on two well-separated batch clusters
+    val axisA = Array.fill(16)(rnd.nextGaussian())
+    val axisB = Array.fill(16)(rnd.nextGaussian())
+    val trainVecs = (0 until 20).map { i =>
+      val b = if (i % 2 == 0) axisA else axisB
+      (i.toLong, b.map(x => (x + 0.1 * rnd.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cents = ops.Embeddings.trainIndex(trainVecs, "vec_id", "embedding", numCells = 2)
+    // stream: 100 enrolls in cluster A; 101 is a near-copy of 100
+    // (duplicate); 102 is cluster B (unique, different cell)
+    val v100 = axisA.map(x => (x + 0.01).toFloat)
+    Seq(
+      (100L, v100, "2024-01-01 00:00:00"),
+      (101L, v100.map(x => x + 1e-4f), "2024-01-01 00:00:05"),
+      (102L, axisB.map(_.toFloat), "2024-01-01 00:00:10"))
+      .toDF("vec_id", "embedding", "s")
+      .select(col("vec_id"), col("embedding"), to_timestamp(col("s")).as("ts"))
+      .write.parquet(dir + "/b1")
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("ts", TimestampType)))
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = StreamingOps.parquetStream(spark, schema, dir + "/b*")
+    val out = StreamingOps.semanticDedupStream(stream, "vec_id", "embedding",
+      "ts", "10 minutes", cents, threshold = 0.95)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("semdedupout").start()
+    q.processAllAvailable()
+    // a second batch: 103 duplicates 102 ACROSS micro-batches (state
+    // must remember 102's enrollment), 104 is novel in cluster A but
+    // far from 100
+    Seq(
+      (103L, axisB.map(x => (x + 1e-4).toFloat), "2024-01-01 00:01:00"),
+      (104L, axisA.map(x => (-x).toFloat), "2024-01-01 00:01:05"))
+      .toDF("vec_id", "embedding", "s")
+      .select(col("vec_id"), col("embedding"), to_timestamp(col("s")).as("ts"))
+      .write.parquet(dir + "/b2")
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT vec_id, kept FROM semdedupout ORDER BY vec_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(got === Seq((100L, true), (101L, false), (102L, true),
+      (103L, false), (104L, true)), got.toString)
+  }
+
   test("watermarked stream-stream interval join is state-bounded") {
     val ldir = tmpDir("graft-ssj-l"); val rdir = tmpDir("graft-ssj-r")
     Seq(("2024-01-01 00:10:00", "u1", 1.0))
