@@ -38,7 +38,13 @@ object DeltaScan {
   def read(spark: SparkSession, location: String): DataFrame = {
     val root = new Path(location)
     val logDir = new Path(root, "_delta_log")
-    if (!LakeIO.exists(logDir))
+    val isHttpish = logDir.toUri.getScheme match {
+      case "ghttp" | "ghttps" => true
+      case _ => false
+    }
+    // a directory is not an object on HTTP stores — only probe it on
+    // filesystems that can answer
+    if (!isHttpish && !LakeIO.exists(logDir))
       throw new IllegalArgumentException(s"no _delta_log under $location")
 
     // checkpoint base (if the log has been compacted), then JSON commits
@@ -48,10 +54,20 @@ object DeltaScan {
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Seq.empty
 
-    val commits = LakeIO.listStatus(logDir).map(_.getPath.getName)
-      .filter(_.matches("\\d{20}\\.json"))
-      .filter(n => cpVersion.forall(v => n.stripSuffix(".json").toLong > v))
-      .sorted
+    val commits: Seq[String] =
+      if (isHttpish) {
+        // HTTP object stores cannot LIST; Delta versions are contiguous,
+        // so probe sequentially from the checkpoint (or 0) until the
+        // first gap — the standard listing alternative on such stores
+        val start = cpVersion.map(_ + 1).getOrElse(0L)
+        Iterator.iterate(start)(_ + 1)
+          .takeWhile(v => LakeIO.exists(new Path(logDir, f"$v%020d.json")))
+          .map(v => f"$v%020d.json").toSeq
+      } else
+        LakeIO.listStatus(logDir).map(_.getPath.getName)
+          .filter(_.matches("\\d{20}\\.json"))
+          .filter(n => cpVersion.forall(v => n.stripSuffix(".json").toLong > v))
+          .sorted.toSeq
     if (cpVersion.isEmpty && commits.isEmpty)
       throw new IllegalArgumentException(s"empty delta log under $location")
 

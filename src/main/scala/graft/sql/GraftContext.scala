@@ -478,7 +478,8 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
       val fmtUp = fmt.toUpperCase
       val isHttp = loc.startsWith("http://") || loc.startsWith("https://")
       val resolvedLoc =
-        if (isHttp && (fmtUp == "PARQUET" || fmtUp == "ICEBERG")) {
+        if (isHttp && (fmtUp == "PARQUET" || fmtUp == "ICEBERG" ||
+            fmtUp == "DELTA" || fmtUp == "DELTATABLE")) {
           graft.sources.HttpRangeFileSystem.register(spark.sparkContext.hadoopConfiguration)
           graft.sources.HttpRangeFileSystem.rewriteScheme(loc)
         } else if (isHttp && fmtUp != "JDBC")

@@ -121,6 +121,55 @@ class DeltaSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, "a"), (3L, "c")))
   }
 
+  test("http(s) delta tables read via Range requests and version probing") {
+    // build a small 2-commit table on disk, then serve the directory
+    // over HTTP (no LIST — the reader must probe versions sequentially)
+    val root = tmpDir("graft-delta-http")
+    val s = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))
+    val f1 = writeParquet(root, Seq(Row(1L, "a")), s)
+    val f2 = writeParquet(root, Seq(Row(2L, "b")), s)
+    writeLines(s"$root/_delta_log/00000000000000000000.json", Seq(
+      protocolV1, metaAction(),
+      s"""{"add":{"path":"$f1","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    writeLines(s"$root/_delta_log/00000000000000000001.json", Seq(
+      s"""{"add":{"path":"$f2","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true}}"""))
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val p = Paths.get(root, ex.getRequestURI.getPath.stripPrefix("/"))
+      if (!Files.exists(p) || Files.isDirectory(p)) {
+        ex.sendResponseHeaders(404, -1); ex.close()
+      } else {
+        val bytes = Files.readAllBytes(p)
+        if (ex.getRequestMethod == "HEAD") {
+          ex.getResponseHeaders.set("Content-Length", bytes.length.toString)
+          ex.sendResponseHeaders(200, -1)
+        } else Option(ex.getRequestHeaders.getFirst("Range")) match {
+          case Some(r) if r.startsWith("bytes=") =>
+            val Array(a, b) = r.stripPrefix("bytes=").split('-')
+            val from = a.toLong.toInt
+            val to = math.min(b.toLong, bytes.length - 1L).toInt
+            val body = java.util.Arrays.copyOfRange(bytes, from, to + 1)
+            ex.getResponseHeaders.set("Content-Range", s"bytes $from-$to/${bytes.length}")
+            ex.sendResponseHeaders(206, body.length)
+            ex.getResponseBody.write(body)
+          case _ =>
+            ex.sendResponseHeaders(200, bytes.length)
+            ex.getResponseBody.write(bytes)
+        }
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}"
+      ctx.execute(s"CREATE EXTERNAL TABLE ext_delta_http STORED AS DELTA LOCATION '$url'")
+      val got = ctx.execute("SELECT id, name FROM staging.ext_delta_http ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(got.toSeq === Seq((1L, "a"), (2L, "b")))
+    } finally server.stop(0)
+  }
+
   test("unsupported reader features fail loudly; CREATE EXTERNAL TABLE wires in") {
     val root = tmpDir("graft-delta-t4")
     val s = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))
