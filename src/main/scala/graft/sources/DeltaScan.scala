@@ -141,6 +141,35 @@ object DeltaScan {
     }
   }
 
+  /** Export a DataFrame as a NEW Delta Lake table (one version-0 commit:
+    * protocol v1 + metaData + adds) — the write half of the interop
+    * story: a table the reference's delta-rs (or delta-spark / any Delta
+    * reader) opens directly. Unpartitioned, overwrite semantics; the
+    * schemaString is Spark's own schema JSON, which Delta inherited, so
+    * types round-trip exactly. */
+  def write(df: DataFrame, location: String): Unit = {
+    df.write.mode("overwrite").parquet(location)
+    val root = new Path(location)
+    val files = LakeIO.listStatus(root)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    val now = System.currentTimeMillis()
+    val schemaJson = Manifest.jstr(df.schema.json)
+    val actions = Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":${Manifest.jstr(java.util.UUID.randomUUID().toString)},""" +
+        s""""format":{"provider":"parquet","options":{}},"schemaString":$schemaJson,""" +
+        s""""partitionColumns":[],"configuration":{},"createdTime":$now}}""") ++
+      files.map { s =>
+        s"""{"add":{"path":${Manifest.jstr(s.getPath.getName)},"partitionValues":{},""" +
+          s""""size":${s.getLen},"modificationTime":${s.getModificationTime},""" +
+          s""""dataChange":true}}"""
+      }
+    LakeIO.writeString(
+      new Path(new Path(root, "_delta_log"), f"${0L}%020d.json"),
+      actions.mkString("\n"))
+  }
+
   /** `_last_checkpoint` → the checkpoint parquet's add/remove state and
     * its version, or (None, empty) for uncompacted logs. */
   private def readCheckpoint(spark: SparkSession,

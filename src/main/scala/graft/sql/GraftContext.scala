@@ -608,6 +608,9 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
       format match {
         case "parquet" => df.write.mode("overwrite").parquet(path)
         case "csv" => df.write.mode("overwrite").option("header", "true").csv(path)
+        // interop export: a real Delta Lake table (protocol v1 commit)
+        // any delta-rs / delta-spark reader opens directly
+        case "delta" => graft.sources.DeltaScan.write(df, path)
         case other => throw new IllegalArgumentException(s"unsupported COPY format $other")
       }
       emptyResult

@@ -170,6 +170,27 @@ class DeltaSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("COPY TO delta exports a log any Delta reader opens (round-trip)") {
+    ctx.execute("CREATE TABLE cp_src (id BIGINT, name TEXT)")
+    ctx.execute("INSERT INTO cp_src VALUES (1, 'a'), (2, 'b'), (3, NULL)")
+    val out = tmpDir("graft-delta-export")
+    ctx.execute(s"COPY cp_src TO '$out' WITH (FORMAT delta)")
+    // structural: protocol v1 + metaData + one add per parquet file
+    val log = new String(Files.readAllBytes(
+      Paths.get(out, "_delta_log", "00000000000000000000.json")), StandardCharsets.UTF_8)
+    assert(log.contains("\"minReaderVersion\":1"))
+    assert(log.contains("\"schemaString\""))
+    val nFiles = new java.io.File(out).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(log.split("\n").count(_.contains("\"add\"")) === nFiles)
+    // round-trip through the delta READER (our interop scan of the spec
+    // layout) — schema and values intact, including the NULL
+    val back = graft.sources.DeltaScan.read(spark, out)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+    assert(back.toSeq === Seq((1L, "a"), (2L, "b"), (3L, null)))
+  }
+
   test("unsupported reader features fail loudly; CREATE EXTERNAL TABLE wires in") {
     val root = tmpDir("graft-delta-t4")
     val s = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))
