@@ -49,6 +49,12 @@ object ProbeScale {
       graft.ops.TextAnalysis.importanceWeights(docs, "doc_id", "text",
           col("doc_id") % 7 === 0)
         .write.mode("overwrite").format("noop").save())
+    t(s"tx15 lm-quality x$mult")(
+      graft.ops.TextAnalysis.lmQualityScore(docs, "doc_id", "text")
+        .write.mode("overwrite").format("noop").save())
+    t(s"dd9 repeated-spans x$mult")(
+      graft.ops.TextAnalysis.repeatedSpans(docs, "doc_id", "text", 8)
+        .write.mode("overwrite").format("noop").save())
     // embeddings: replicate with shifted ids; queries stay 10 vectors
     val em0 = graft.Tables.load(spark, sfDir, "embeddings")
     val em = spark.range(mult).crossJoin(em0)
