@@ -367,8 +367,12 @@ object TextExprs {
     override protected def nullSafeEval(input: Any): Any = {
       val bytes = input.asInstanceOf[UTF8String].getBytes
       val starts = wordStarts(bytes)
+      // NO empty-text special case: split('', ' ') is one empty token,
+      // so n=1 over '' has one window (md5('')) — exactly what the
+      // declarative positional-slice formulation and the sibling
+      // NgramBucketWeightSum produce
       val nWindows = starts.length - 1 - (n - 1)
-      if (bytes.length == 0 || nWindows <= 0)
+      if (nWindows <= 0)
         return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
       val out = new Array[Long](nWindows)
       var i = 0

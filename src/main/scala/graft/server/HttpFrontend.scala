@@ -45,7 +45,12 @@ class HttpFrontend(ctx: GraftContext, port: Int,
                    // background GC sweep interval (reference
                    // `misc.gc_interval`, hours there, ms here; 0 = off —
                    // the reference default, src/config/schema.rs:273,284)
-                   gcIntervalMs: Long = 0) {
+                   gcIntervalMs: Long = 0,
+                   // only vacuum tables whose latest version is at least
+                   // this old: an in-flight lock-free reader pinned to
+                   // the PREVIOUS version finishes inside the grace
+                   // window, so the sweep never deletes files under it
+                   gcGraceMs: Long = 10 * 60 * 1000L) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   private val handlerPool = java.util.concurrent.Executors.newFixedThreadPool(8)
@@ -56,6 +61,8 @@ class HttpFrontend(ctx: GraftContext, port: Int,
   // age-based flush sweep (the reference's flush task, src/sync/mod.rs:90-109)
   private val flusher = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
     (r: Runnable) => { val t = new Thread(r, "graft-sync-flush"); t.setDaemon(true); t })
+  private val gc = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+    (r: Runnable) => { val t = new Thread(r, "graft-gc"); t.setDaemon(true); t })
 
   /** Commit every buffered sync batch now (shutdown / test hook). */
   def flushSync(): Unit = syncBuffer.flushAll()
@@ -102,14 +109,18 @@ class HttpFrontend(ctx: GraftContext, port: Int,
       () => try syncBuffer.flushAged() catch { case _: Throwable => () },
       sweep, sweep, java.util.concurrent.TimeUnit.MILLISECONDS)
     if (gcIntervalMs > 0)
-      flusher.scheduleWithFixedDelay(
-        () => try ctx.gcSweep() catch { case _: Throwable => () },
+      // OWN scheduler thread: a long sweep (listings + deletes over
+      // every table) must never delay the CDC age-flush sweep — GC
+      // latency and sync durability are unrelated bounds
+      gc.scheduleWithFixedDelay(
+        () => try ctx.gcSweep(gcGraceMs) catch { case _: Throwable => () },
         gcIntervalMs, gcIntervalMs, java.util.concurrent.TimeUnit.MILLISECONDS)
     server.start()
   }
 
   def stop(): Unit = {
     flusher.shutdown()
+    gc.shutdown()
     // stop accepting (and drain in-flight exchanges, up to 1 s) BEFORE the
     // final flush — a sync batch accepted after flushAll would be
     // acknowledged and then dropped on JVM exit
@@ -195,9 +206,13 @@ class HttpFrontend(ctx: GraftContext, port: Int,
     // fingerprint the pinned (uuid, version) scans in the plan, and only
     // execute if the client's cached entity is stale
     val df = ctx.executeRead(sql)
+    // the representation (json vs arrow) is part of the entity: RFC 9110
+    // forbids one strong ETag across different representations of a
+    // resource, so fold the negotiated format into the fingerprint
+    val repr = if (wantsArrow(ex)) "arrow" else "json"
     val etag = "\"" + sha256Hex(
-      ctx.versionFingerprint(df).sorted.map { case (u, v) => s"$u:$v" }
-        .mkString(";").getBytes(UTF_8)) + "\""
+      (ctx.versionFingerprint(df).sorted.map { case (u, v) => s"$u:$v" }
+        .mkString(";") + "|" + repr).getBytes(UTF_8)) + "\""
     val inm = Option(ex.getRequestHeaders.getFirst("If-None-Match"))
     ex.getResponseHeaders.add("ETag", etag)
     ex.getResponseHeaders.add("Cache-Control", cacheControl)
@@ -245,15 +260,19 @@ class HttpFrontend(ctx: GraftContext, port: Int,
       out.close()
       if (total > maxUploadBytes) java.nio.file.Files.deleteIfExists(tmp)
     }
+    val arrowSpill =
+      if (isArrow) Some(java.nio.file.Files.createTempDirectory("graft-arrow-spill"))
+      else None
     val df =
       if (isCsv)
         ctx.spark.read.option("header", "true").option("inferSchema", "true").csv(tmp.toString)
       else if (isArrow)
         // Flight do_put parity: the body IS an Arrow IPC stream; its own
-        // schema drives the (possibly new) table, like the reference's
-        // Arrow-native upload channel
-        org.apache.spark.sql.GraftArrow.readIpcStream(ctx.spark,
-          java.nio.file.Files.readAllBytes(tmp))
+        // schema drives the (possibly new) table. Batches spill to
+        // chunked parquet so concurrent capped uploads cost chunks of
+        // heap, never whole decoded payloads
+        org.apache.spark.sql.GraftArrow.ipcFileToDataFrame(ctx.spark,
+          tmp.toString, arrowSpill.get.toString)
       else ctx.spark.read.parquet(tmp.toString)
     ctx.locked {
       ctx.catalog.getTable(ctx.currentDb, schema, table) match {
@@ -265,6 +284,11 @@ class HttpFrontend(ctx: GraftContext, port: Int,
       ctx.markDirty()
     }
     java.nio.file.Files.deleteIfExists(tmp)
+    arrowSpill.foreach { d =>
+      val dir = d.toFile
+      Option(dir.listFiles()).foreach(_.foreach(_.delete()))
+      dir.delete(): Unit
+    }
     respond(ex, 200, s"done\n")
   }
 

@@ -48,11 +48,14 @@ object DeltaScan {
       throw new IllegalArgumentException(s"no _delta_log under $location")
 
     // checkpoint base (if the log has been compacted), then JSON commits
-    val (cpVersion, fromCheckpoint) = readCheckpoint(spark, logDir)
+    val cp = readCheckpoint(spark, logDir)
+    val cpVersion = cp.version
     val live = new scala.collection.mutable.LinkedHashMap[String, AddFile]
-    fromCheckpoint.foreach(a => live(a.path) = a)
-    var schema: Option[StructType] = None
-    var partCols: Seq[String] = Seq.empty
+    cp.adds.foreach(a => live(a.path) = a)
+    // metaData usually lives ONLY in the checkpoint once the log is
+    // compacted (writers re-emit it on schema change, not per commit)
+    var schema: Option[StructType] = cp.schemaString.map(parseSchema)
+    var partCols: Seq[String] = cp.partitionColumns
 
     val commits: Seq[String] =
       if (isHttpish) {
@@ -86,7 +89,7 @@ object DeltaScan {
             throw new IllegalArgumentException("only parquet-format delta tables are supported")
         case _ => () }
         schema = m.get("schemaString").map {
-          case S(s) => DataType.fromJson(s).asInstanceOf[StructType]
+          case S(s) => parseSchema(s)
           case _ => throw new IllegalArgumentException("bad delta schemaString")
         }
         partCols = m.get("partitionColumns") match {
@@ -116,9 +119,13 @@ object DeltaScan {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], metaSchema)
 
-    def resolve(p: String): String =
+    // the spec defines add.path as a URL-encoded relative (or absolute)
+    // URI — decode before resolving (spaces/specials in partition dirs)
+    def resolve(p0: String): String = {
+      val p = java.net.URLDecoder.decode(p0, "UTF-8")
       if (p.contains("://") || p.startsWith("/")) HttpRangeFileSystem.rewriteScheme(p)
       else new Path(root, p).toString
+    }
 
     if (partCols.isEmpty)
       spark.read.schema(dataSchema).parquet(live.values.map(f => resolve(f.path)).toSeq: _*)
@@ -170,12 +177,20 @@ object DeltaScan {
       actions.mkString("\n"))
   }
 
-  /** `_last_checkpoint` → the checkpoint parquet's add/remove state and
-    * its version, or (None, empty) for uncompacted logs. */
-  private def readCheckpoint(spark: SparkSession,
-                             logDir: Path): (Option[Long], Seq[AddFile]) = {
+  private def parseSchema(s: String): StructType =
+    DataType.fromJson(s).asInstanceOf[StructType]
+
+  private case class Checkpoint(version: Option[Long], adds: Seq[AddFile],
+                                schemaString: Option[String],
+                                partitionColumns: Seq[String])
+
+  /** `_last_checkpoint` → the checkpoint parquet's add/remove state AND
+    * its metaData — once a log is compacted, metaData typically lives
+    * ONLY here (writers re-emit it on schema change, not per commit) —
+    * or an empty Checkpoint for uncompacted logs. */
+  private def readCheckpoint(spark: SparkSession, logDir: Path): Checkpoint = {
     val lc = new Path(logDir, "_last_checkpoint")
-    if (!LakeIO.exists(lc)) return (None, Seq.empty)
+    if (!LakeIO.exists(lc)) return Checkpoint(None, Seq.empty, None, Seq.empty)
     val m = Json.parse(LakeIO.readString(lc)).asInstanceOf[O].m
     val version = m("version") match { case N(n) => n.toLong; case _ => 0L }
     val parts = m.get("parts") match { case Some(N(n)) => Some(n.toInt); case _ => None }
@@ -193,6 +208,15 @@ object DeltaScan {
         throw new IllegalArgumentException(
           "delta reader protocol > 1 not supported (deletion vectors / column mapping)")
     }
+    val (schemaString, partColsCp) =
+      if (!cols.contains("metaData")) (None, Seq.empty[String])
+      else cp.filter(col("metaData").isNotNull)
+        .select(col("metaData.schemaString"), col("metaData.partitionColumns"))
+        .collect().headOption match {
+          case Some(r) => (Option(r.getString(0)),
+            Option(r.getSeq[String](1)).map(_.toSeq).getOrElse(Seq.empty))
+          case None => (None, Seq.empty[String])
+        }
     val adds =
       if (!cols.contains("add")) Seq.empty
       else cp.filter(col("add").isNotNull)
@@ -204,6 +228,7 @@ object DeltaScan {
       if (!cols.contains("remove")) Set.empty[String]
       else cp.filter(col("remove").isNotNull)
         .select(col("remove.path")).collect().map(_.getString(0)).toSet
-    (Some(version), adds.filterNot(a => removed.contains(a.path)))
+    Checkpoint(Some(version), adds.filterNot(a => removed.contains(a.path)),
+      schemaString, partColsCp)
   }
 }

@@ -70,16 +70,24 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
     * purge the dropped-tables ledger, then vacuum EVERY table of every
     * database (delete files unreferenced by the latest version + all
     * non-latest manifests — the same work as VACUUM TABLE). Runs under
-    * the context write lock so a sweep never races a committing writer;
-    * latest-version reads are unaffected, while a time-travel read of a
-    * vacuumed old version fails exactly as after an explicit VACUUM.
+    * the context write lock so a sweep never races a committing writer.
+    * `graceMs`: tables whose LATEST version is younger than this are
+    * skipped — a lock-free reader pinned to the previous version (it
+    * planned before the newest commit) finishes inside the grace window,
+    * so the background sweep never deletes files under an in-flight
+    * read; a time-travel read of an already-vacuumed old version fails
+    * exactly as after an explicit VACUUM.
     * Returns (tables swept, data files deleted, old versions deleted). */
-  def gcSweep(): (Int, Int, Int) = locked {
+  def gcSweep(graceMs: Long = 0L): (Int, Int, Int) = locked {
     catalog.gcDropped()
+    val cutoff = System.currentTimeMillis() - graceMs
     var tables = 0; var files = 0; var versions = 0
     for (db <- catalog.listDatabases; (_, _, uuid) <- catalog.listTables(db)) {
-      val (f, v) = new GraftTable(spark, catalog.tableRoot(uuid)).vacuum()
-      tables += 1; files += f; versions += v
+      val t = new GraftTable(spark, catalog.tableRoot(uuid))
+      if (t.latestManifest.timestampMs <= cutoff) {
+        val (f, v) = t.vacuum()
+        tables += 1; files += f; versions += v
+      }
     }
     (tables, files, versions)
   }

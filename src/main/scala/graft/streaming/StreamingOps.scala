@@ -129,6 +129,9 @@ object StreamingOps {
                           cents: Array[(Long, Array[Long])],
                           threshold: Double, maxReps: Int = 128): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    require(cents.nonEmpty,
+      "semanticDedupStream needs a non-empty trained index (Embeddings.trainIndex " +
+        "on an empty corpus returns no centroids)")
     val spark = vecs.sparkSession
     import spark.implicits._
     val assigned = vecs

@@ -92,11 +92,55 @@ object GraftArrow {
     } finally { root.close(); allocator.close() }
   }
 
+  /** Decode an Arrow IPC stream FILE into a DataFrame WITHOUT holding
+    * the whole payload's rows on the heap: record batches stream through
+    * a ColumnarBatch row view into chunked parquet part files under
+    * `spillDir`, and the returned frame is a plain scan of those parts —
+    * so N concurrent capped uploads cost N×chunk of heap, not N×payload.
+    * The upload endpoint's ingest half of the Flight do_put parity story
+    * (reference `src/frontend/flight/handler.rs:136-237`). */
+  def ipcFileToDataFrame(spark: SparkSession, path: String, spillDir: String,
+                         chunkRows: Int = 65536): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val allocator = org.apache.spark.sql.util.ArrowUtils.rootAllocator
+      .newChildAllocator(s"graft-ipc-in-${System.nanoTime()}", 0, Long.MaxValue)
+    val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
+    val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(in, allocator)
+    try {
+      val root = reader.getVectorSchemaRoot
+      val schema = org.apache.spark.sql.util.ArrowUtils.fromArrowSchema(root.getSchema)
+      val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToScalaConverter(schema)
+      val buf = new scala.collection.mutable.ArrayBuffer[Row]()
+      def flush(): Unit = if (buf.nonEmpty) {
+        spark.createDataFrame(buf.toList.asJava, schema)
+          .write.mode("append").parquet(spillDir)
+        buf.clear()
+      }
+      var any = false
+      while (reader.loadNextBatch()) {
+        any = true
+        val cols = (0 until root.getFieldVectors.size()).map(i =>
+          new org.apache.spark.sql.vectorized.ArrowColumnVector(root.getVector(i))
+            : org.apache.spark.sql.vectorized.ColumnVector).toArray
+        val batch = new org.apache.spark.sql.vectorized.ColumnarBatch(cols, root.getRowCount)
+        batch.rowIterator().asScala.foreach { ir =>
+          buf += conv(ir).asInstanceOf[Row]
+          if (buf.size >= chunkRows) flush()
+        }
+      }
+      flush()
+      if (!any || new java.io.File(spillDir).listFiles() == null ||
+          !new java.io.File(spillDir).listFiles().exists(_.getName.endsWith(".parquet")))
+        spark.createDataFrame(java.util.List.of[Row](), schema)
+      else spark.read.schema(schema).parquet(spillDir)
+    } finally { reader.close(); in.close(); allocator.close() }
+  }
+
   /** Decode one Arrow IPC stream into a DataFrame — the ingest half of
-    * the Flight parity story (reference `do_put`,
-    * `src/frontend/flight/handler.rs:136-237`): schema comes from the
-    * stream itself, rows land driver-side (callers cap the payload — the
-    * upload path enforces the reference's 256 MiB bound mid-stream). */
+    * the Flight parity story for SMALL payloads (the CDC sync channel,
+    * whose batches are bounded by the buffered-writer flush thresholds):
+    * schema comes from the stream itself, rows land driver-side. */
   def readIpcStream(spark: SparkSession, bytes: Array[Byte]): DataFrame = {
     val (iter, schema) =
       org.apache.spark.sql.execution.arrow.ArrowConverters.fromIPCStream(bytes)

@@ -46,14 +46,19 @@ class DeltaSpec extends SparkSpec {
     val s = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))
     val f1 = writeParquet(root, Seq(Row(1L, "a"), Row(2L, "b")), s)
     val f2 = writeParquet(root, Seq(Row(3L, "c")), s)
-    val f3 = writeParquet(root, Seq(Row(4L, "d")), s)
+    val f3raw = writeParquet(root, Seq(Row(4L, "d")), s)
+    // the spec defines add.path as URL-encoded: give f3 a space in its
+    // name and reference it percent-encoded
+    val f3 = "part with space.parquet"
+    Files.move(Paths.get(root, f3raw), Paths.get(root, f3))
+    val f3enc = "part%20with%20space.parquet"
     writeLines(s"$root/_delta_log/00000000000000000000.json", Seq(
       protocolV1, metaAction(),
       s"""{"add":{"path":"$f1","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""",
       s"""{"add":{"path":"$f2","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
     writeLines(s"$root/_delta_log/00000000000000000001.json", Seq(
       s"""{"remove":{"path":"$f2","deletionTimestamp":2,"dataChange":true}}""",
-      s"""{"add":{"path":"$f3","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true}}"""))
+      s"""{"add":{"path":"$f3enc","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true}}"""))
     val out = graft.sources.DeltaScan.read(spark, root)
       .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
     assert(out.toSeq === Seq((1L, "a"), (2L, "b"), (4L, "d"))) // f2 removed
@@ -85,21 +90,26 @@ class DeltaSpec extends SparkSpec {
     val f1 = writeParquet(root, Seq(Row(1L, "a")), s)
     val f2 = writeParquet(root, Seq(Row(2L, "b")), s)
     val f3 = writeParquet(root, Seq(Row(3L, "c")), s)
-    // metaData arrives ONLY via a post-checkpoint commit in this fixture;
-    // the checkpoint carries adds (f1 live, f2 added-then-removed)
+    // the REALISTIC compacted layout: metaData lives ONLY in the
+    // checkpoint (writers re-emit it on schema change, not per commit);
+    // the checkpoint also carries adds (f1 live, f2 added-then-removed)
     val addT = StructType(Seq(
       StructField("path", StringType),
       StructField("partitionValues", MapType(StringType, StringType))))
     val rmT = StructType(Seq(StructField("path", StringType)))
     val protoT = StructType(Seq(StructField("minReaderVersion", IntegerType)))
+    val metaT = StructType(Seq(
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType))))
     val cpS = StructType(Seq(
       StructField("add", addT), StructField("remove", rmT),
-      StructField("protocol", protoT)))
+      StructField("protocol", protoT), StructField("metaData", metaT)))
     val cpRows = Seq(
-      Row(Row(f1, Map.empty[String, String]), null, null),
-      Row(Row(f2, Map.empty[String, String]), null, null),
-      Row(null, Row(f2), null),
-      Row(null, null, Row(1)))
+      Row(Row(f1, Map.empty[String, String]), null, null, null),
+      Row(Row(f2, Map.empty[String, String]), null, null, null),
+      Row(null, Row(f2), null, null),
+      Row(null, null, Row(1), null),
+      Row(null, null, null, Row(schemaJson, Seq.empty[String])))
     val cpStage = tmpDir("graft-delta-cp")
     spark.createDataFrame(spark.sparkContext.parallelize(cpRows, 1), cpS)
       .coalesce(1).write.mode("overwrite").parquet(cpStage)
@@ -108,9 +118,10 @@ class DeltaSpec extends SparkSpec {
     Files.createDirectories(Paths.get(s"$root/_delta_log"))
     Files.copy(cpFile.toPath,
       Paths.get(s"$root/_delta_log/00000000000000000004.checkpoint.parquet"))
-    writeLines(s"$root/_delta_log/_last_checkpoint", Seq("""{"version":4,"size":4}"""))
+    writeLines(s"$root/_delta_log/_last_checkpoint", Seq("""{"version":4,"size":5}"""))
+    // post-checkpoint commit carries ONLY the add — schema must come
+    // from the checkpoint's metaData
     writeLines(s"$root/_delta_log/00000000000000000005.json", Seq(
-      metaAction(),
       s"""{"add":{"path":"$f3","partitionValues":{},"size":1,"modificationTime":5,"dataChange":true}}"""))
     // a PRE-checkpoint commit that must be ignored (its f1-remove would
     // otherwise corrupt the state)

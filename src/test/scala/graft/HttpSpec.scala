@@ -404,7 +404,7 @@ class HttpSpec extends SparkSpec {
       ctx.catalog.getTable("default", "public", "gc_t").get)
     assert(graft.lake.Manifest.listVersions(root).size >= 3) // v0 + 2 inserts
     val gfe = new HttpFrontend(ctx, 0, writeToken = Some("w0bble"),
-      gcIntervalMs = 200)
+      gcIntervalMs = 200, gcGraceMs = 0)
     gfe.start()
     try {
       val deadline = System.currentTimeMillis + 10000

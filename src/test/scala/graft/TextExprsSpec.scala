@@ -163,7 +163,9 @@ class TextExprsSpec extends AnyFunSuite {
 
   test("WindowHashes == positional slice+md5-prefix pipeline") {
     val docs = corpus()
-    val n = 3
+    for (n <- Seq(1, 3)) windowHashesCase(docs, n)
+  }
+  private def windowHashesCase(docs: org.apache.spark.sql.DataFrame, n: Int): Unit = {
     val wd = split(col("text"), " ")
     // declarative: positional n-gram, first 16 md5 hex chars
     val legacy = docs
