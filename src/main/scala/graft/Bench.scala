@@ -65,10 +65,24 @@ object Bench {
         if (dt < best(name)) best(name) = dt
       }
     }
-    val qs = best.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = best.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
+    // The driver captures only the LAST 2000 chars of output and parses the
+    // JSON line out of that tail (round 7's full-precision line outgrew the
+    // window -> parsed:null). Keep the line compact: 3-decimal seconds, and
+    // if the full-name form still risks truncation, fall back to the unique
+    // short prefix of each query name (q01, dd6, tx13, ...).
+    def fmt(v: Double): String = "%.3f".format(v)
+    def line(ks: Map[String, String]): String = {
+      val qs = best.map { case (k, v) => "\"" + ks(k) + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(best.values.sum)},"unit":"sec","queries":$qs,"sf":"${new java.io.File(sfDir).getName}","reps":$reps}"""
+    }
+    val full = line(best.keys.map(k => k -> k).toMap)
+    val shortKeys = best.keys.map(k => k -> k.takeWhile(_ != '_')).toMap
+    val out =
+      if (full.length <= 1800) full
+      else if (shortKeys.values.toSet.size == shortKeys.size) line(shortKeys)
+      else full
+    println(out)
     spark.stop()
   }
 }
