@@ -206,6 +206,93 @@ object Embeddings {
         when(col("__dup").isNull, 1L).otherwise(0L).as("kept"))
   }
 
+  /** Product-quantization ANN (Jégou et al. 2011 "Product quantization
+    * for nearest neighbor search"): the corpus is compressed to `numSub`
+    * codeword ids per vector — each subspace's codebook is
+    * `codebookSize` centroids over a `subDim`-dim slice, trained with
+    * the same exact-integer Lloyd as ivfTopK (seeds = lowest ids, one
+    * truncating-mean refinement, ALL subspaces refined in one job) —
+    * queries score every vector by asymmetric distance (exact query
+    * vector against the reconstructed codewords), and the top `candK`
+    * ADC candidates are re-ranked by exact cosine to the final k.
+    *
+    * Scale shape: codebooks are numSub×codebookSize×subDim longs,
+    * driver-trained and plan-baked like ivfTopK's centroids; encoding
+    * and ADC scoring are zero-shuffle in-row projections — at 100 TB the
+    * scan reads numSub small codes per vector instead of the full float
+    * array (the 8-32× scan-bytes reduction that is the point of PQ);
+    * candidate selection is the bounded top-k aggregate, and only
+    * candK rows per query ever touch full vectors again (broadcast
+    * re-rank join). All arithmetic is quantized Int64 (ADC sums stay
+    * below 2^53, so the Double top-k scores are exact).
+    */
+  def pqTopK(vecs: DataFrame, idCol: String, vecCol: String,
+             queryPred: Column, k: Int, numSub: Int, subDim: Int,
+             codebookSize: Int, candK: Int): DataFrame = {
+    val p = prepared(vecs, idCol, vecCol)
+    val seedRows = p.orderBy("vec_id").limit(codebookSize)
+      .select("vec_id", "qe").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    if (seedRows.isEmpty)
+      return rankTopK(p.limit(0).select(col("vec_id").as("query_id"),
+        col("vec_id").as("neighbor_id"), lit(0.0).as("cos")), k)
+    def subVec(v: Array[Long], s: Int) = v.slice(s * subDim, (s + 1) * subDim)
+    val seeds: Array[Array[(Long, Array[Long])]] =
+      Array.tabulate(numSub)(s => seedRows.map { case (id, v) => (id, subVec(v, s)) })
+
+    def subCol(s: Int) = slice(col("qe"), s * subDim + 1, subDim)
+    def assignAll(cbs: Array[Array[(Long, Array[Long])]]): DataFrame =
+      (0 until numSub).foldLeft(p) { (df, s) =>
+        df.withColumn(s"c$s", element_at(
+          graft.functions.VectorFunctions.nearest_cells(subCol(s), cbs(s), 1), 1))
+      }
+
+    // one Lloyd refinement across ALL subspaces in a single job: melt the
+    // assignment to (sub, cell, pos, v) rows, truncating-mean them back
+    // (same DIV semantics as ivfTopK's recompute, which the oracle's
+    // `//` replays), collect numSub×codebookSize×subDim values
+    val refinedRows = assignAll(seeds)
+      .select(explode(array((0 until numSub).map(s =>
+        struct(lit(s).as("sub"), col(s"c$s").as("cell"), subCol(s).as("sv"))): _*)).as("x"))
+      .select(col("x.sub").as("sub"), col("x.cell").as("cell"),
+        posexplode(col("x.sv")).as(Seq("pos", "v")))
+      .groupBy("sub", "cell", "pos")
+      .agg(sum("v").as("s"), count(lit(1)).as("c"))
+      .withColumn("comp", expr("s DIV c"))
+      .groupBy("sub", "cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("comp")))).as("pc"))
+      .select(col("sub"), col("cell"), expr("transform(pc, x -> x.comp)").as("cent"))
+      .collect()
+    val cbs: Array[Array[(Long, Array[Long])]] = Array.tabulate(numSub) { s =>
+      refinedRows.filter(_.getInt(0) == s)
+        .map(r => (r.getLong(1), r.getSeq[Long](2).toArray))
+        .sortBy(_._1)
+    }
+
+    // encode + reconstruct in-row: code -> codeword via plan-baked maps
+    val recon = concat((0 until numSub).map { s =>
+      element_at(typedLit(cbs(s).map { case (cell, cent) => cell -> cent.toSeq }.toMap),
+        col(s"c$s"))
+    }: _*)
+    val queries = p.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("qe").as("q_qe"), col("n2").as("q_n2"))
+    // ADC candidate scoring: integer dot against the reconstruction; the
+    // scores are exact in Double, ties go to the lower neighbor id
+    val cands = assignAll(cbs).withColumn("recon", recon)
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dotQ(col("recon"), col("q_qe")).cast(DoubleType).as("cos"))
+    val top = rankTopK(cands, candK).select("query_id", "neighbor_id")
+    // exact cosine re-rank of the tiny candidate set
+    val exact = broadcast(top)
+      .join(p.select(col("vec_id").as("neighbor_id"),
+        col("qe").as("n_qe"), col("n2").as("n_n2")), Seq("neighbor_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(dotQ(col("n_qe"), col("q_qe")), col("n_n2"), col("q_n2")).as("cos"))
+    rankTopK(exact, k)
+  }
+
   /** Deterministic ±1 hyperplane components: sign(p,d) = +1 iff the first
     * hex digit of md5("<p>_<d>") is even. Computed at plan-build time and
     * baked in as literals (the oracle recomputes the same md5 values). */

@@ -213,6 +213,32 @@ object TextAnalysis {
     docs.filter(h < threshold)
   }
 
+  /** Deterministic global shuffle + shard assignment — the training-data
+    * export primitive: every document gets a pseudorandom but fully
+    * reproducible (shard, pos). shard = first hex nibble of
+    * md5(salt || id) (16 shards); pos = rank of the full digest within
+    * the shard (ties broken by id). Like trainSplit/sampleStratified the
+    * placement is a pure function of the id — stable under
+    * repartitioning, retries, and incremental reruns — where an
+    * orderBy(rand()) would re-deal the corpus every run.
+    *
+    * Scale shape: ONE shuffle (hash on shard), each task ranking 1/16 of
+    * the corpus; the writer side repartitions on (shard, pos) and emits
+    * one file sequence per shard. No global sort — the global order is
+    * only ever needed per shard, which is the point of sharding.
+    */
+  def shardShuffle(docs: DataFrame, idCol: String, salt: String): DataFrame = {
+    val key = md5(concat(lit(salt + "_"), col(idCol).cast(StringType)))
+    docs
+      .select(col(idCol).as("doc_id"), key.as("k"))
+      .withColumn("shard",
+        (expr("instr('0123456789abcdef', substring(k, 1, 1))") - 1).cast(LongType))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))).cast(LongType))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
   /** Hex keep-threshold for a fraction: the first 16 md5 hex chars are a
     * uniform 64-bit draw, kept iff below this string. f >= 1.0 returns
     * "g" (lexicographically above every hex string) because

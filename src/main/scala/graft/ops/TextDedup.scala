@@ -366,6 +366,54 @@ object TextDedup {
       .select(col(idCol).as("doc_id"),
         graft.functions.TextExprs.simhash64(col(textCol), weighted = true).as("simhash"))
 
+  /** C4-style duplicate-span removal (Raffel et al. 2020 §2.2: of every
+    * span occurring more than once in the corpus, exactly ONE occurrence
+    * survives). Documents are cut into consecutive non-overlapping
+    * `chunkWords`-word chunks (C4's unit was three sentences; this corpus
+    * is unpunctuated so the unit is a fixed word window), each chunk is
+    * hashed, the occurrence with the lowest (doc_id, chunk_idx) wins, and
+    * documents are reassembled from their surviving chunks in order.
+    * Output: (doc_id, n_chunks, n_kept, clean_text) — every input doc
+    * present, fully-deduplicated docs with n_kept=0 and empty text.
+    *
+    * Scale shape: chunking is an in-row projection + explode (no
+    * shuffle); the global first-occurrence rule is one partial-aggregable
+    * groupBy on the 32-char digest (min-struct with map-side combine —
+    * NOT a window over all occurrences, which would sort every chunk);
+    * reassembly shuffles once on doc_id. Nothing data-sized ever reaches
+    * the driver.
+    */
+  def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
+                 chunkWords: Int): DataFrame = {
+    require(chunkWords >= 1, s"chunkWords must be >= 1, got $chunkWords")
+    val id = longId(docs, idCol, "chunkDedup")
+    val nChunksExpr =
+      expr(s"CAST((size(split($textCol, ' ')) + ${chunkWords - 1}) DIV $chunkWords AS BIGINT)")
+    val chunks = spreadSmallInput(docs)
+      .select(id.as("doc_id"), split(col(textCol), " ").as("w"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, (size(w) + ${chunkWords - 1}) DIV $chunkWords - 1), " +
+            s"i -> array_join(slice(w, i * $chunkWords + 1, $chunkWords), ' '))"))
+          .as(Seq("idx", "chunk")))
+    val first = chunks
+      .groupBy(md5(col("chunk")).as("h"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("keep"))
+      .select(col("h"), col("keep.doc_id").as("kdoc"), col("keep.idx").as("kidx"))
+    val kept = chunks.join(first,
+      md5(col("chunk")) === col("h") &&
+        col("doc_id") === col("kdoc") && col("idx") === col("kidx"))
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(struct(idx, chunk))), x -> x.chunk), ' ')")
+          .as("clean_text"))
+    docs.select(id.as("doc_id"), nChunksExpr.as("n_chunks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Hamming distance between two 16-hex-char simhash columns (given by
     * name; portable: per-nibble popcount of xor). */
   def simhashHamming(aCol: String, bCol: String): Column =

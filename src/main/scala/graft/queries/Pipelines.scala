@@ -188,6 +188,31 @@ object PipelinesDedup {
         |FROM s GROUP BY doc_id, isl ORDER BY doc_id, span_lo""".stripMargin) { (s, d) =>
       TextAnalysis.repeatedSpans(Tables.load(s, d, "documents"), "doc_id", "text", n = 8)
         .orderBy("doc_id", "span_lo")
+    },
+
+    // C4-style duplicate-span removal: 10-word chunks, one global
+    // occurrence of each chunk content survives (first by (doc_id, idx)),
+    // docs rebuilt from surviving chunks. The oracle's per-hash window is
+    // the single-node formulation of the engine's min-struct groupBy.
+    QueryDef("dd10_chunk_dedup",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |ch AS (SELECT doc_id, CAST(i AS BIGINT) AS idx,
+        |         array_to_string(ws[i*10+1:i*10+10], ' ') AS chunk
+        |       FROM w, UNNEST(range(0, (len(ws)+9)//10)) t(i)),
+        |keep AS (SELECT doc_id, idx, chunk,
+        |           ROW_NUMBER() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, idx) AS rn
+        |         FROM ch),
+        |rb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |         string_agg(chunk, ' ' ORDER BY idx) AS clean_text
+        |       FROM keep WHERE rn = 1 GROUP BY doc_id)
+        |SELECT w.doc_id, CAST((len(ws)+9)//10 AS BIGINT) AS n_chunks,
+        |  COALESCE(rb.n_kept, 0) AS n_kept,
+        |  COALESCE(rb.clean_text, '') AS clean_text
+        |FROM w LEFT JOIN rb ON w.doc_id = rb.doc_id
+        |ORDER BY w.doc_id""".stripMargin) { (s, d) =>
+      TextDedup.chunkDedup(Tables.load(s, d, "documents"), "doc_id", "text",
+          chunkWords = 10)
+        .orderBy("doc_id")
     }
   )
 }

@@ -366,6 +366,22 @@ object TextQueries {
         |ORDER BY wd.doc_id""".stripMargin) { (s, d) =>
       TextAnalysis.lmQualityScore(Tables.load(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")
+    },
+
+    // Deterministic global shuffle + shard assignment: shard = first hex
+    // nibble of md5('shuf_' || id), pos = rank of the digest within the
+    // shard — reproducible placement (pure function of the id), unlike an
+    // orderBy(rand()) re-deal.
+    QueryDef("tx16_shard_shuffle",
+      """WITH k AS (SELECT doc_id, md5('shuf_' || CAST(doc_id AS VARCHAR)) AS k
+        |           FROM documents)
+        |SELECT doc_id,
+        |  CAST(instr('0123456789abcdef', substr(k, 1, 1)) - 1 AS BIGINT) AS shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY substr(k, 1, 1)
+        |    ORDER BY k, doc_id) AS BIGINT) AS pos
+        |FROM k ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.shardShuffle(Tables.load(s, d, "documents"), "doc_id", salt = "shuf")
+        .orderBy("doc_id")
     }
   )
 }

@@ -166,6 +166,73 @@ class OpsSpec extends SparkSpec {
     assert(out.count(_._3 == 0L) >= 4)
   }
 
+  test("chunk dedup keeps exactly one occurrence of every chunk content") {
+    // doc 0: chunks A B; doc 1: chunks B C (B duplicated); doc 2 = doc 0
+    // exactly (both chunks duplicated); doc 3: unique partial tail chunk
+    def words(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val a = words("a", 10); val b = words("b", 10); val c = words("c", 10)
+    val docs = Seq(
+      (0L, s"$a $b"), (1L, s"$b $c"), (2L, s"$a $b"), (3L, words("t", 4)))
+      .toDF("doc_id", "text")
+    val out = ops.TextDedup.chunkDedup(docs, "doc_id", "text", chunkWords = 10)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.map(x => (x._1, x._2, x._3)).toSeq ===
+      Seq((0L, 2L, 2L), (1L, 2L, 1L), (2L, 2L, 0L), (3L, 1L, 1L)))
+    assert(out(0)._4 === s"$a $b") // first occurrences all survive
+    assert(out(1)._4 === c)        // B removed, C kept, order preserved
+    assert(out(2)._4 === "")       // exact duplicate fully deduplicated
+    assert(out(3)._4 === words("t", 4))
+    // global invariant: surviving chunks = distinct chunk contents
+    assert(out.map(_._3).sum === 4L)
+  }
+
+  test("shard shuffle is a stable dense permutation per shard") {
+    val docs = (0L until 1000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    def run() = ops.TextAnalysis.shardShuffle(docs.repartition(7), "doc_id", "s8")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val out = run()
+    assert(out.length === 1000 && out.map(_._1).distinct.length === 1000)
+    assert(out.forall(x => x._2 >= 0 && x._2 < 16))
+    // positions are dense 1..n within every shard
+    for ((shard, members) <- out.groupBy(_._2))
+      assert(members.map(_._3).sorted.toSeq === (1L to members.length).toSeq, s"shard $shard")
+    // pure function of the id: identical on re-run over different partitioning
+    assert(run().sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
+    // md5 nibble really spreads: no shard holds more than 3x its fair share
+    assert(out.groupBy(_._2).values.map(_.length).max <= 3 * 1000 / 16)
+  }
+
+  test("PQ ANN finds planted near-twins and re-ranks with exact cosines") {
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(6)(Array.fill(16)(rnd.nextGaussian()))
+    // 60 clustered vectors; ids 0..4 are queries, each with a planted
+    // near-twin at id+30: a tiny perturbation OF THE QUERY VECTOR itself
+    // (cosine ~1), while everything else is loose cluster noise
+    val raw = Array.tabulate(60)(i => base(i % 6).map(x => x + 0.4 * rnd.nextGaussian()))
+    for (q <- 0 until 5) raw(30 + q) = raw(q).map(x => x + 0.01 * rnd.nextGaussian())
+    val vecs = (0 until 60).map(i => (i.toLong, raw(i).map(_.toFloat)))
+      .toDF("vec_id", "embedding")
+    // twins share base(i % 6), so query i's twin is at 30 + ((i - 30) mod 6 alignment)
+    val pq = ops.Embeddings.pqTopK(vecs, "vec_id", "embedding",
+        col("vec_id") < 5, k = 3, numSub = 4, subDim = 4, codebookSize = 8, candK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val bf = ops.Embeddings.topKBruteForce(vecs, "vec_id", "embedding",
+        col("vec_id") < 5, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(pq.map(_._1).distinct.sorted.toSeq === Seq(0L, 1L, 2L, 3L, 4L))
+    // exact re-rank: any (query, neighbor) PQ shares with brute force
+    // carries the IDENTICAL exact cosine
+    val bfCos = bf.map(x => (x._1, x._2) -> x._3).toMap
+    for ((q, n, cos, _) <- pq; exact <- bfCos.get((q, n))) assert(cos === exact)
+    // query q (base cluster q) has its planted near-twin at id 30+q
+    // (30+q mod 6 == q): ADC must surface it, exact re-rank puts it first
+    for (q <- 0L until 5L) {
+      val top1 = pq.filter(x => x._1 == q && x._4 == 1).head._2
+      assert(top1 === 30L + q, s"query $q: expected planted twin ${30 + q}, got $top1")
+    }
+  }
+
   test("LM quality scoring ranks fluent text above shuffled gibberish") {
     val rnd = new scala.util.Random(3)
     val vocab = Vector("the", "cat", "sat", "on", "mat", "dog", "ran", "to", "park")
