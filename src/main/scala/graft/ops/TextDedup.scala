@@ -377,11 +377,15 @@ object TextDedup {
     * present, fully-deduplicated docs with n_kept=0 and empty text.
     *
     * Scale shape: chunking is an in-row projection + explode (no
-    * shuffle); the global first-occurrence rule is one partial-aggregable
-    * groupBy on the 32-char digest (min-struct with map-side combine —
-    * NOT a window over all occurrences, which would sort every chunk);
-    * reassembly shuffles once on doc_id. Nothing data-sized ever reaches
-    * the driver.
+    * shuffle); the global first-occurrence rule is one groupBy on the
+    * 32-char digest whose MIN runs over (doc_id, idx) PACKED into a
+    * single long — min(struct(...)) would fall out of HashAggregate into
+    * a per-partition SortAggregate, while the packed long keeps the
+    * whole stage codegen'd with map-side combine (NOT a window over all
+    * occurrences, which would sort every chunk); reassembly shuffles
+    * once on doc_id. Nothing data-sized ever reaches the driver. Packing
+    * bounds: idx < 2^21 (a 20M-word doc) raises loudly, doc ids above
+    * 2^42 would need a wider split.
     */
   def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
                  chunkWords: Int): DataFrame = {
@@ -396,10 +400,15 @@ object TextDedup {
           s"transform(sequence(0, (size(w) + ${chunkWords - 1}) DIV $chunkWords - 1), " +
             s"i -> array_join(slice(w, i * $chunkWords + 1, $chunkWords), ' '))"))
           .as(Seq("idx", "chunk")))
+    val packed = shiftleft(col("doc_id"), 21).bitwiseOR(
+      when(col("idx") >= (1 << 21) || col("doc_id") < 0,
+        expr("raise_error('chunkDedup: (doc_id, idx) outside the 42+21-bit pack range')"))
+        .otherwise(col("idx")).cast(LongType))
     val first = chunks
       .groupBy(md5(col("chunk")).as("h"))
-      .agg(min(struct(col("doc_id"), col("idx"))).as("keep"))
-      .select(col("h"), col("keep.doc_id").as("kdoc"), col("keep.idx").as("kidx"))
+      .agg(min(packed).as("keep"))
+      .select(col("h"), shiftright(col("keep"), 21).as("kdoc"),
+        col("keep").bitwiseAND((1L << 21) - 1).cast(IntegerType).as("kidx"))
     val kept = chunks.join(first,
       md5(col("chunk")) === col("h") &&
         col("doc_id") === col("kdoc") && col("idx") === col("kidx"))

@@ -251,6 +251,36 @@ class PlanSpec extends SparkSpec {
     assert(windows == 1, s"expected exactly 1 window:\n${p.take(3000)}")
   }
 
+  test("chunk dedup's first-occurrence rule is codegen'd hash aggregation (dd10)") {
+    val p = planOf("dd10_chunk_dedup")
+    // the packed-long MIN must stay in HashAggregate (a min-struct falls
+    // out into per-partition SortAggregate) and nothing may window over
+    // the chunk stream
+    assert(!p.contains("SortAggregate"), p.take(3000))
+    assert(p.contains("HashAggregate"), p.take(3000))
+    assert(!p.linesIterator.exists(_.matches("""\(\d+\) Window\s*""")), p.take(3000))
+  }
+
+  test("shard shuffle plans one data exchange: the shard hash (tx16)") {
+    val p = planOf("tx16_shard_shuffle")
+    // one hash exchange for the per-shard rank + the presentation sort;
+    // no join, no aggregation anywhere
+    val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange\s*"""))
+    assert(exchanges == 2, s"expected shard hash + output sort exchanges:\n${p.take(3000)}")
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("PQ ANN scores against plan-baked codebooks: no codebook join or shuffle before top-k (dd/sim4)") {
+    val p = planOf("sim4_ann_pq")
+    // ADC scoring: corpus scan x broadcast queries only — the codebooks
+    // live inside the projection (nearest_cells + map literals), so no
+    // extra exchange may appear between the scan and the bounded top-k
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("nearest_cells"), p.take(3000))
+    // bounded top-k aggregates, never a rank-everything window
+    assert(!p.linesIterator.exists(_.matches("""\(\d+\) Window\s*""")), p.take(3000))
+  }
+
   test("importance scoring is a zero-shuffle projection (tx14)") {
     // the SCORING pass (weights already trained) must not exchange: one
     // scan, one native projection. Build it directly so the count-pass
