@@ -229,10 +229,17 @@ object Embeddings {
   def pqTopK(vecs: DataFrame, idCol: String, vecCol: String,
              queryPred: Column, k: Int, numSub: Int, subDim: Int,
              codebookSize: Int, candK: Int): DataFrame = {
+    require(numSub >= 1 && subDim >= 1 && codebookSize >= 1 && k >= 1 && candK >= k,
+      s"need numSub/subDim/codebookSize >= 1 and candK ($candK) >= k ($k)")
     val p = prepared(vecs, idCol, vecCol)
     val seedRows = p.orderBy("vec_id").limit(codebookSize)
       .select("vec_id", "qe").collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    // a short vector would silently truncate every subspace slice
+    seedRows.find(_._2.length < numSub * subDim).foreach { case (id, v) =>
+      throw new IllegalArgumentException(
+        s"pqTopK needs $numSub x $subDim = ${numSub * subDim} dims; vec $id has ${v.length}")
+    }
     if (seedRows.isEmpty)
       return rankTopK(p.limit(0).select(col("vec_id").as("query_id"),
         col("vec_id").as("neighbor_id"), lit(0.0).as("cos")), k)

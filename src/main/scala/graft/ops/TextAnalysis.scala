@@ -260,19 +260,40 @@ object TextAnalysis {
     */
   def contaminationCheck(docs: DataFrame, idCol: String, textCol: String,
                          splitCol: String, n: Int,
-                         threshold: Double): DataFrame = {
+                         threshold: Double,
+                         bloomPrefilter: Boolean = false,
+                         bloomItems: Long = 1L << 22): DataFrame = {
     // Shingles are keyed by their 64-bit xxhash, not the raw n-gram string:
     // every exchange then moves 8-byte longs instead of ~6-word strings,
     // and distinctness/overlap are computed on the hash (a cross-shingle
     // collision — 2^-64 per pair — is the standard dedup-pipeline trade).
     // 'val'-split docs can't contribute to either side, so they're dropped
     // before the (expensive) shingle explosion.
-    val sh = TextDedup.spreadSmallInput(
+    val shAll = TextDedup.spreadSmallInput(
         docs.filter(col(splitCol).isin("train", "test")))
       .select(col(idCol).as("doc_id"), col(splitCol).as("__split"),
         explode_outer(graft.functions.TextExprs
           .shingle_hash_set(col(textCol), n)).as("sh64"))
       .filter(col("sh64").isNotNull)
+    // Scale path: the corpus (train) side dwarfs the eval (test) side,
+    // and almost none of its shingles match any eval shingle — so build a
+    // bloom sketch over the TEST hashes (one small aggregate; the sketch,
+    // never data, comes back), bake it into the plan, and drop train rows
+    // in-row BEFORE they reach the exchange. False positives pass through
+    // to the exact hash groupBy below, so results are bit-identical; the
+    // big shuffle shrinks from corpus-shingle-sized to ~eval-sized.
+    val sh = if (!bloomPrefilter) shAll else {
+      val test = shAll.filter(col("__split") === "test")
+      val bfBytes = test
+        .agg(graft.functions.BloomFunctions.bloom_filter_agg(col("sh64"), bloomItems).as("bf"))
+        .head.getAs[Array[Byte]]("bf")
+      val train = shAll.filter(col("__split") === "train")
+      val trainF =
+        if (bfBytes == null) train.limit(0) // no eval docs at all
+        else train.filter(graft.functions.BloomFunctions.might_contain(
+          lit(bfBytes), col("sh64")))
+      test.unionByName(trainF)
+    }
     // ONE shuffle keyed on the shingle hash resolves train-membership and
     // the distinct test-doc set per shingle together (collect_set dedupes
     // repeat occurrences; its per-key state is bounded by the shingle's

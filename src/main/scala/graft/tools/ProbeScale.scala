@@ -55,6 +55,20 @@ object ProbeScale {
     t(s"dd9 repeated-spans x$mult")(
       graft.ops.TextAnalysis.repeatedSpans(docs, "doc_id", "text", 8)
         .write.mode("overwrite").format("noop").save())
+    val split = graft.ops.TextAnalysis.trainSplit(docs, "doc_id", "graft")
+    t(s"tx8 contamination x$mult (exact)")(
+      graft.ops.TextAnalysis.contaminationCheck(split, "doc_id", "text", "split", 5, 0.5)
+        .write.mode("overwrite").format("noop").save())
+    t(s"tx8 contamination x$mult (bloom-prefiltered)")(
+      graft.ops.TextAnalysis.contaminationCheck(split, "doc_id", "text", "split", 5, 0.5,
+          bloomPrefilter = true)
+        .write.mode("overwrite").format("noop").save())
+    t(s"dd10 chunk-dedup x$mult")(
+      graft.ops.TextDedup.chunkDedup(docs, "doc_id", "text", 10)
+        .write.mode("overwrite").format("noop").save())
+    t(s"tx16 shard-shuffle x$mult")(
+      graft.ops.TextAnalysis.shardShuffle(docs, "doc_id", "shuf")
+        .write.mode("overwrite").format("noop").save())
     // embeddings: replicate with shifted ids; queries stay 10 vectors
     val em0 = graft.Tables.load(spark, sfDir, "embeddings")
     val em = spark.range(mult).crossJoin(em0)
@@ -68,6 +82,11 @@ object ProbeScale {
     t(s"sim3 ivf x$mult")(
       graft.ops.Embeddings.ivfTopK(em, "vec_id", "embedding",
           col("vec_id") < 10, k = 3, numCells = 8, nprobe = 2)
+        .write.mode("overwrite").format("noop").save())
+    t(s"sim4 pq x$mult")(
+      graft.ops.Embeddings.pqTopK(em, "vec_id", "embedding",
+          col("vec_id") < 10, k = 3, numSub = 4, subDim = 16,
+          codebookSize = 8, candK = 10)
         .write.mode("overwrite").format("noop").save())
     // SemDeDup's scale knob: cells grow with the corpus so the per-cell
     // quadratic (N/K)² stays constant — probe both the fixed-cell

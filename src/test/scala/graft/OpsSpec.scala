@@ -233,6 +233,24 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("bloom-prefiltered contamination screen is bit-identical to the exact one") {
+    val rnd = new scala.util.Random(5)
+    val vocab = Vector.tabulate(30)(i => s"w$i")
+    def doc() = Seq.fill(25)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val texts = Array.fill(120)(doc())
+    // plant contamination: some docs share full text across the split draw
+    for (i <- 60 until 80) texts(i) = texts(i - 60)
+    val docs = ops.TextAnalysis.trainSplit(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toSeq.toDF("doc_id", "text"),
+      "doc_id", "graft")
+    def run(bloom: Boolean) = ops.TextAnalysis.contaminationCheck(
+        docs, "doc_id", "text", "split", n = 5, threshold = 0.5, bloomPrefilter = bloom)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val exact = run(false)
+    assert(exact.nonEmpty && exact.exists(_._3 > 0)) // screen found overlap
+    assert(run(true) === exact)
+  }
+
   test("LM quality scoring ranks fluent text above shuffled gibberish") {
     val rnd = new scala.util.Random(3)
     val vocab = Vector("the", "cat", "sat", "on", "mat", "dog", "ran", "to", "park")
