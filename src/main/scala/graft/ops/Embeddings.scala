@@ -226,41 +226,28 @@ object Embeddings {
     * re-rank join). All arithmetic is quantized Int64 (ADC sums stay
     * below 2^53, so the Double top-k scores are exact).
     */
-  def pqTopK(vecs: DataFrame, idCol: String, vecCol: String,
-             queryPred: Column, k: Int, numSub: Int, subDim: Int,
-             codebookSize: Int, candK: Int): DataFrame = {
-    require(numSub >= 1 && subDim >= 1 && codebookSize >= 1 && k >= 1 && candK >= k,
-      s"need numSub/subDim/codebookSize >= 1 and candK ($candK) >= k ($k)")
-    val p = prepared(vecs, idCol, vecCol)
+  /** Per-subspace PQ codebooks: seeds = the lowest `codebookSize` ids'
+    * subvector slices, ONE exact-integer Lloyd refinement across ALL
+    * subspaces in a single job (melt to (sub, cell, pos, v), truncating
+    * DIV mean — the oracle's `//` replays it). Empty corpus → empty. */
+  private[graft] def trainPqCodebooks(p: DataFrame, numSub: Int, subDim: Int,
+                                      codebookSize: Int): Array[Array[(Long, Array[Long])]] = {
     val seedRows = p.orderBy("vec_id").limit(codebookSize)
       .select("vec_id", "qe").collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
     // a short vector would silently truncate every subspace slice
     seedRows.find(_._2.length < numSub * subDim).foreach { case (id, v) =>
       throw new IllegalArgumentException(
-        s"pqTopK needs $numSub x $subDim = ${numSub * subDim} dims; vec $id has ${v.length}")
+        s"PQ needs $numSub x $subDim = ${numSub * subDim} dims; vec $id has ${v.length}")
     }
-    if (seedRows.isEmpty)
-      return rankTopK(p.limit(0).select(col("vec_id").as("query_id"),
-        col("vec_id").as("neighbor_id"), lit(0.0).as("cos")), k)
+    if (seedRows.isEmpty) return Array.empty
     def subVec(v: Array[Long], s: Int) = v.slice(s * subDim, (s + 1) * subDim)
     val seeds: Array[Array[(Long, Array[Long])]] =
       Array.tabulate(numSub)(s => seedRows.map { case (id, v) => (id, subVec(v, s)) })
-
-    def subCol(s: Int) = slice(col("qe"), s * subDim + 1, subDim)
-    def assignAll(cbs: Array[Array[(Long, Array[Long])]]): DataFrame =
-      (0 until numSub).foldLeft(p) { (df, s) =>
-        df.withColumn(s"c$s", element_at(
-          graft.functions.VectorFunctions.nearest_cells(subCol(s), cbs(s), 1), 1))
-      }
-
-    // one Lloyd refinement across ALL subspaces in a single job: melt the
-    // assignment to (sub, cell, pos, v) rows, truncating-mean them back
-    // (same DIV semantics as ivfTopK's recompute, which the oracle's
-    // `//` replays), collect numSub×codebookSize×subDim values
-    val refinedRows = assignAll(seeds)
+    val refinedRows = pqAssign(p, seeds, subDim)
       .select(explode(array((0 until numSub).map(s =>
-        struct(lit(s).as("sub"), col(s"c$s").as("cell"), subCol(s).as("sv"))): _*)).as("x"))
+        struct(lit(s).as("sub"), col(s"c$s").as("cell"),
+          slice(col("qe"), s * subDim + 1, subDim).as("sv"))): _*)).as("x"))
       .select(col("x.sub").as("sub"), col("x.cell").as("cell"),
         posexplode(col("x.sv")).as(Seq("pos", "v")))
       .groupBy("sub", "cell", "pos")
@@ -270,27 +257,36 @@ object Embeddings {
       .agg(array_sort(collect_list(struct(col("pos"), col("comp")))).as("pc"))
       .select(col("sub"), col("cell"), expr("transform(pc, x -> x.comp)").as("cent"))
       .collect()
-    val cbs: Array[Array[(Long, Array[Long])]] = Array.tabulate(numSub) { s =>
+    Array.tabulate(numSub) { s =>
       refinedRows.filter(_.getInt(0) == s)
         .map(r => (r.getLong(1), r.getSeq[Long](2).toArray))
         .sortBy(_._1)
     }
+  }
 
-    // encode + reconstruct in-row: code -> codeword via plan-baked maps
-    val recon = concat((0 until numSub).map { s =>
+  /** Zero-shuffle in-row PQ encoding: code column c<s> per subspace. */
+  private def pqAssign(df: DataFrame, cbs: Array[Array[(Long, Array[Long])]],
+                       subDim: Int): DataFrame =
+    cbs.indices.foldLeft(df) { (d, s) =>
+      d.withColumn(s"c$s", element_at(
+        graft.functions.VectorFunctions.nearest_cells(
+          slice(col("qe"), s * subDim + 1, subDim), cbs(s), 1), 1))
+    }
+
+  /** In-row reconstruction from code columns via plan-baked code→codeword
+    * maps (the ADC lookup table in column form). */
+  private def pqRecon(cbs: Array[Array[(Long, Array[Long])]]): Column =
+    concat(cbs.indices.map { s =>
       element_at(typedLit(cbs(s).map { case (cell, cent) => cell -> cent.toSeq }.toMap),
         col(s"c$s"))
     }: _*)
-    val queries = p.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("qe").as("q_qe"), col("n2").as("q_n2"))
-    // ADC candidate scoring: integer dot against the reconstruction; the
-    // scores are exact in Double, ties go to the lower neighbor id
-    val cands = assignAll(cbs).withColumn("recon", recon)
-      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        dotQ(col("recon"), col("q_qe")).cast(DoubleType).as("cos"))
-    val top = rankTopK(cands, candK).select("query_id", "neighbor_id")
-    // exact cosine re-rank of the tiny candidate set
+
+  /** ADC top-candK then exact-cosine re-rank to k, shared by the PQ
+    * variants: `scored` carries (query_id, neighbor_id, cos=ADC). Only
+    * candK rows per query ever touch full vectors again. */
+  private def pqRerank(p: DataFrame, queries: DataFrame, scored: DataFrame,
+                       k: Int, candK: Int): DataFrame = {
+    val top = rankTopK(scored, candK).select("query_id", "neighbor_id")
     val exact = broadcast(top)
       .join(p.select(col("vec_id").as("neighbor_id"),
         col("qe").as("n_qe"), col("n2").as("n_n2")), Seq("neighbor_id"))
@@ -298,6 +294,68 @@ object Embeddings {
       .select(col("query_id"), col("neighbor_id"),
         cosine(dotQ(col("n_qe"), col("q_qe")), col("n_n2"), col("q_n2")).as("cos"))
     rankTopK(exact, k)
+  }
+
+  def pqTopK(vecs: DataFrame, idCol: String, vecCol: String,
+             queryPred: Column, k: Int, numSub: Int, subDim: Int,
+             codebookSize: Int, candK: Int): DataFrame = {
+    require(numSub >= 1 && subDim >= 1 && codebookSize >= 1 && k >= 1 && candK >= k,
+      s"need numSub/subDim/codebookSize >= 1 and candK ($candK) >= k ($k)")
+    val p = prepared(vecs, idCol, vecCol)
+    val cbs = trainPqCodebooks(p, numSub, subDim, codebookSize)
+    if (cbs.isEmpty)
+      return rankTopK(p.limit(0).select(col("vec_id").as("query_id"),
+        col("vec_id").as("neighbor_id"), lit(0.0).as("cos")), k)
+    val queries = p.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("qe").as("q_qe"), col("n2").as("q_n2"))
+    // ADC candidate scoring: integer dot against the reconstruction; the
+    // scores are exact in Double, ties go to the lower neighbor id
+    val cands = pqAssign(p, cbs, subDim).withColumn("recon", pqRecon(cbs))
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dotQ(col("recon"), col("q_qe")).cast(DoubleType).as("cos"))
+    pqRerank(p, queries, cands, k, candK)
+  }
+
+  /** IVF-PQ ANN — the production composition (FAISS's IVFPQ layout):
+    * IVF cells bound the CANDIDATE SET (nprobe cells per query instead
+    * of the corpus), PQ codes bound the SCAN BYTES (numSub codes per
+    * candidate instead of the float array), and only the top `candK`
+    * ADC-scored candidates per query are re-ranked on full vectors.
+    * Training = ivfTopK's integer Lloyd for the coarse cells + PQ's
+    * per-subspace codebooks, both driver-held and plan-baked.
+    *
+    * Scale shape: the inverted file shuffles once on the cell id (the
+    * sim3 probe-join shape) but moves (cell, codes) rows; the quadratic
+    * never exceeds cells×nprobe×(N/K) candidates; full vectors are
+    * touched for exactly candK ids per query via broadcast joins.
+    */
+  def ivfPqTopK(vecs: DataFrame, idCol: String, vecCol: String,
+                queryPred: Column, k: Int, numCells: Int, nprobe: Int,
+                numSub: Int, subDim: Int, codebookSize: Int, candK: Int,
+                lloydIters: Int = 1): DataFrame = {
+    require(numSub >= 1 && subDim >= 1 && codebookSize >= 1 && k >= 1 && candK >= k,
+      s"need numSub/subDim/codebookSize >= 1 and candK ($candK) >= k ($k)")
+    val p = prepared(vecs, idCol, vecCol)
+    val cents = trainCentroids(p, numCells, lloydIters)
+    val cbs = trainPqCodebooks(p, numSub, subDim, codebookSize)
+    if (cents.isEmpty || cbs.isEmpty)
+      return rankTopK(p.limit(0).select(col("vec_id").as("query_id"),
+        col("vec_id").as("neighbor_id"), lit(0.0).as("cos")), k)
+    // the inverted file: cell id + PQ reconstruction per vector (at scale
+    // this is the ONLY data-sized projection, and it carries codes, not
+    // full vectors)
+    val index = pqAssign(assignCells(p, cents), cbs, subDim)
+      .select(col("vec_id"), col("cell"), pqRecon(cbs).as("recon"))
+    val queries = p.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("qe").as("q_qe"), col("n2").as("q_n2"))
+    val probed = queries.withColumn("cell", explode_outer(
+      graft.functions.VectorFunctions.nearest_cells(col("q_qe"), cents, nprobe)))
+    val cands = index.join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dotQ(col("recon"), col("q_qe")).cast(DoubleType).as("cos"))
+    pqRerank(p, queries, cands, k, candK)
   }
 
   /** Deterministic ±1 hyperplane components: sign(p,d) = +1 iff the first

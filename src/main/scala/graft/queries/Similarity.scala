@@ -211,6 +211,77 @@ object Similarity {
           numSub = 4, subDim = 16, codebookSize = 8, candK = 10)
         .withColumn("rnk", col("rnk").cast("long"))
         .orderBy("query_id", "rnk")
+    },
+
+    // IVF-PQ: the production ANN composition — sim3's trained coarse
+    // cells bound the candidate set (2 probed cells per query), sim4's
+    // PQ codes bound the scan bytes (ADC against reconstructions inside
+    // the probed cells), exact re-rank of the top 10 to the final 3.
+    // The oracle chains both trainings verbatim.
+    QueryDef("sim5_ann_ivfpq", {
+      def sdot(a: String, b: String) =
+        s"CAST(list_sum([$a[i]*$b[i] FOR i IN range(1, 17)]) AS BIGINT)"
+      def fdot(a: String, b: String) =
+        s"CAST(list_sum([$a[i]*$b[i] FOR i IN range(1, 65)]) AS BIGINT)"
+      s"""WITH $quantCte,
+         |seeds AS (SELECT vec_id AS cell, qe AS cent FROM q ORDER BY vec_id LIMIT 8),
+         |isd AS (SELECT cell, cent, ${fdot("cent", "cent")} AS c_n2 FROM seeds),
+         |ia0 AS (SELECT q.vec_id, q.qe, q.n2, isd.cell FROM q, isd
+         |        QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |          ORDER BY q.n2 - 2*${fdot("q.qe", "isd.cent")} + isd.c_n2, isd.cell) = 1),
+         |icm AS (SELECT cell, i, SUM(qe[i]) AS s, COUNT(*) AS c
+         |        FROM ia0, range(1, 65) t(i) GROUP BY cell, i),
+         |icent AS (SELECT cell, list(s // c ORDER BY i) AS cent FROM icm GROUP BY cell),
+         |icd AS (SELECT cell, cent, ${fdot("cent", "cent")} AS c_n2 FROM icent),
+         |ia1 AS (SELECT q.vec_id, q.qe, q.n2, icd.cell FROM q, icd
+         |        QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |          ORDER BY q.n2 - 2*${fdot("q.qe", "icd.cent")} + icd.c_n2, icd.cell) = 1),
+         |sv AS (SELECT vec_id, CAST(s AS BIGINT) AS sub,
+         |         list_slice(qe, s*16+1, s*16+16) AS sv
+         |       FROM q, UNNEST(range(0, 4)) t(s)),
+         |sd AS (SELECT sv.sub, sv.vec_id AS cell, sv.sv AS cent,
+         |         ${sdot("sv.sv", "sv.sv")} AS c_n2
+         |       FROM sv JOIN (SELECT vec_id FROM q ORDER BY vec_id LIMIT 8) si USING (vec_id)),
+         |a0 AS (SELECT sv.vec_id, sv.sub, sv.sv, sd.cell
+         |       FROM sv JOIN sd ON sv.sub = sd.sub
+         |       QUALIFY ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.sub
+         |         ORDER BY sd.c_n2 - 2*${sdot("sv.sv", "sd.cent")}, sd.cell) = 1),
+         |cm AS (SELECT sub, cell, i, SUM(sv[i]) AS s, COUNT(*) AS c
+         |       FROM a0, UNNEST(range(1, 17)) t(i) GROUP BY sub, cell, i),
+         |cent AS (SELECT sub, cell, list(s // c ORDER BY i) AS cent
+         |         FROM cm GROUP BY sub, cell),
+         |cd AS (SELECT sub, cell, cent, ${sdot("cent", "cent")} AS c_n2 FROM cent),
+         |codes AS (SELECT sv.vec_id, sv.sub, cd.cell
+         |          FROM sv JOIN cd ON sv.sub = cd.sub
+         |          QUALIFY ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.sub
+         |            ORDER BY cd.c_n2 - 2*${sdot("sv.sv", "cd.cent")}, cd.cell) = 1),
+         |rv AS (SELECT codes.vec_id, flatten(list(cd.cent ORDER BY codes.sub)) AS r
+         |       FROM codes JOIN cd ON codes.sub = cd.sub AND codes.cell = cd.cell
+         |       GROUP BY codes.vec_id),
+         |qs AS (SELECT vec_id AS query_id, qe AS q_qe, n2 AS q_n2 FROM q WHERE vec_id < 10),
+         |pr AS (SELECT query_id, q_qe, q_n2, icd.cell FROM qs, icd
+         |       QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+         |         ORDER BY q_n2 - 2*${fdot("q_qe", "icd.cent")} + icd.c_n2, icd.cell) <= 2),
+         |cand AS (SELECT pr.query_id, ia1.vec_id AS neighbor_id
+         |         FROM ia1 JOIN pr ON ia1.cell = pr.cell AND ia1.vec_id <> pr.query_id
+         |         JOIN rv ON rv.vec_id = ia1.vec_id
+         |         QUALIFY ROW_NUMBER() OVER (PARTITION BY pr.query_id
+         |           ORDER BY ${fdot("pr.q_qe", "rv.r")} DESC, ia1.vec_id) <= 10),
+         |ex AS (SELECT cand.query_id, cand.neighbor_id,
+         |         ${cosSql(fdot("q.qe", "qs.q_qe"), "q.n2", "qs.q_n2")} AS cos
+         |       FROM cand JOIN q ON q.vec_id = cand.neighbor_id
+         |       JOIN qs ON qs.query_id = cand.query_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, neighbor_id) AS rnk FROM ex)
+         |SELECT query_id, neighbor_id, cos, CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+    }) { (s, d) =>
+      Embeddings.ivfPqTopK(Tables.load(s, d, "embeddings"),
+          "vec_id", "embedding", col("vec_id") < 10, k = 3,
+          numCells = 8, nprobe = 2, numSub = 4, subDim = 16,
+          codebookSize = 8, candK = 10)
+        .withColumn("rnk", col("rnk").cast("long"))
+        .orderBy("query_id", "rnk")
     }
   )
 }

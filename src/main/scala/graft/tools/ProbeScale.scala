@@ -88,6 +88,11 @@ object ProbeScale {
           col("vec_id") < 10, k = 3, numSub = 4, subDim = 16,
           codebookSize = 8, candK = 10)
         .write.mode("overwrite").format("noop").save())
+    t(s"sim5 ivfpq x$mult cells=${8 * mult} (scaled)")(
+      graft.ops.Embeddings.ivfPqTopK(em, "vec_id", "embedding",
+          col("vec_id") < 10, k = 3, numCells = 8 * mult, nprobe = 2,
+          numSub = 4, subDim = 16, codebookSize = 8, candK = 10)
+        .write.mode("overwrite").format("noop").save())
     // SemDeDup's scale knob: cells grow with the corpus so the per-cell
     // quadratic (N/K)² stays constant — probe both the fixed-cell
     // (deliberately quadratic) and scaled-cell (the 100 TB shape) plans

@@ -231,6 +231,18 @@ class OpsSpec extends SparkSpec {
       val top1 = pq.filter(x => x._1 == q && x._4 == 1).head._2
       assert(top1 === 30L + q, s"query $q: expected planted twin ${30 + q}, got $top1")
     }
+    // IVF-PQ: cells + codes composed must still surface the planted twin
+    // (the twin lands in the query's own coarse cell, which is probed
+    // first) and carry identical exact re-rank cosines
+    val ivfpq = ops.Embeddings.ivfPqTopK(vecs, "vec_id", "embedding",
+        col("vec_id") < 5, k = 3, numCells = 6, nprobe = 2,
+        numSub = 4, subDim = 4, codebookSize = 8, candK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    for (q <- 0L until 5L) {
+      val top1 = ivfpq.filter(x => x._1 == q && x._4 == 1).head._2
+      assert(top1 === 30L + q, s"ivfpq query $q: expected twin ${30 + q}, got $top1")
+    }
+    for ((q, n, cos, _) <- ivfpq; exact <- bfCos.get((q, n))) assert(cos === exact)
   }
 
   test("bloom-prefiltered contamination screen is bit-identical to the exact one") {

@@ -270,7 +270,7 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(3000))
   }
 
-  test("PQ ANN scores against plan-baked codebooks: no codebook join or shuffle before top-k (dd/sim4)") {
+  test("PQ ANN scores against plan-baked codebooks: no codebook join or shuffle before top-k (sim4)") {
     val p = planOf("sim4_ann_pq")
     // ADC scoring: corpus scan x broadcast queries only — the codebooks
     // live inside the projection (nearest_cells + map literals), so no
@@ -278,6 +278,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
     assert(p.contains("nearest_cells"), p.take(3000))
     // bounded top-k aggregates, never a rank-everything window
+    assert(!p.linesIterator.exists(_.matches("""\(\d+\) Window\s*""")), p.take(3000))
+  }
+
+  test("IVF-PQ probes cell-keyed, scores in-row, never nested-loops the corpus (sim5)") {
+    val p = planOf("sim5_ann_ivfpq")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the candidate join must be keyed on the probed cell, not nested-loop
+    // over the corpus (sim4's BNLJ shape is exactly what IVF removes)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("nearest_cells"), p.take(3000))
     assert(!p.linesIterator.exists(_.matches("""\(\d+\) Window\s*""")), p.take(3000))
   }
 
