@@ -70,7 +70,7 @@ object Bench {
     // window -> parsed:null). Keep the line compact: 3-decimal seconds, and
     // if the full-name form still risks truncation, fall back to the unique
     // short prefix of each query name (q01, dd6, tx13, ...).
-    def fmt(v: Double): String = "%.3f".format(v)
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def line(ks: Map[String, String]): String = {
       val qs = best.map { case (k, v) => "\"" + ks(k) + "\":" + fmt(v) }
         .mkString("{", ",", "}")

@@ -23,12 +23,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.DotProductLong].getName, "dot_q"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.DotProductLong(exprs(0), exprs(1))))
-    (graft.functions.TextExprs.sqlBuilders ++
-        graft.functions.BloomFunctions.sqlBuilders).foreach { case (name, builder) =>
-      ext.injectFunction((
-        FunctionIdentifier(name),
-        new ExpressionInfo("graft.functions.TextExprs", name),
-        builder))
-    }
+    (graft.functions.TextExprs.sqlBuilders.map((_, "graft.functions.TextExprs")) ++
+        graft.functions.BloomFunctions.sqlBuilders.map((_, "graft.functions.BloomFunctions")))
+      .foreach { case ((name, builder), cls) =>
+        ext.injectFunction((
+          FunctionIdentifier(name),
+          new ExpressionInfo(cls, name),
+          builder))
+      }
   }
 }

@@ -264,14 +264,23 @@ object Embeddings {
     }
   }
 
-  /** Zero-shuffle in-row PQ encoding: code column c<s> per subspace. */
+  /** Zero-shuffle in-row PQ encoding: code column c<s> per subspace. A
+    * vector shorter than numSub×subDim would silently truncate its slices
+    * (NearestCells/DotProductLong run over min length) — the driver-side
+    * seed check only sees the lowest ids, so guard EVERY row in-row. */
   private def pqAssign(df: DataFrame, cbs: Array[Array[(Long, Array[Long])]],
-                       subDim: Int): DataFrame =
-    cbs.indices.foldLeft(df) { (d, s) =>
+                       subDim: Int): DataFrame = {
+    val dims = cbs.length * subDim
+    val guarded = df.withColumn("qe",
+      when(size(col("qe")) < dims,
+        expr(s"raise_error(concat('PQ needs $dims dims; vec has ', size(qe)))"))
+        .otherwise(col("qe")))
+    cbs.indices.foldLeft(guarded) { (d, s) =>
       d.withColumn(s"c$s", element_at(
         graft.functions.VectorFunctions.nearest_cells(
           slice(col("qe"), s * subDim + 1, subDim), cbs(s), 1), 1))
     }
+  }
 
   /** In-row reconstruction from code columns via plan-baked code→codeword
     * maps (the ADC lookup table in column form). */

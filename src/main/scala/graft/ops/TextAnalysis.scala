@@ -283,7 +283,11 @@ object TextAnalysis {
     // to the exact hash groupBy below, so results are bit-identical; the
     // big shuffle shrinks from corpus-shingle-sized to ~eval-sized.
     val sh = if (!bloomPrefilter) shAll else {
+      // persist the eval-side shingles: the sketch aggregate below and
+      // the union into the main query both read them (without this the
+      // test-doc explosion runs twice)
       val test = shAll.filter(col("__split") === "test")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bfBytes = test
         .agg(graft.functions.BloomFunctions.bloom_filter_agg(col("sh64"), bloomItems).as("bf"))
         .head.getAs[Array[Byte]]("bf")

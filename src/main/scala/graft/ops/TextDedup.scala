@@ -391,8 +391,8 @@ object TextDedup {
                  chunkWords: Int): DataFrame = {
     require(chunkWords >= 1, s"chunkWords must be >= 1, got $chunkWords")
     val id = longId(docs, idCol, "chunkDedup")
-    val nChunksExpr =
-      expr(s"CAST((size(split($textCol, ' ')) + ${chunkWords - 1}) DIV $chunkWords AS BIGINT)")
+    val nChunksExpr = ((size(split(col(textCol), " ")) + (chunkWords - 1))
+      .cast(LongType) / chunkWords).cast(LongType)
     val chunks = spreadSmallInput(docs)
       .select(id.as("doc_id"), split(col(textCol), " ").as("w"))
       .select(col("doc_id"),
@@ -401,7 +401,7 @@ object TextDedup {
             s"i -> array_join(slice(w, i * $chunkWords + 1, $chunkWords), ' '))"))
           .as(Seq("idx", "chunk")))
     val packed = shiftleft(col("doc_id"), 21).bitwiseOR(
-      when(col("idx") >= (1 << 21) || col("doc_id") < 0,
+      when(col("idx") >= (1 << 21) || col("doc_id") < 0 || col("doc_id") >= (1L << 42),
         expr("raise_error('chunkDedup: (doc_id, idx) outside the 42+21-bit pack range')"))
         .otherwise(col("idx")).cast(LongType))
     val first = chunks
