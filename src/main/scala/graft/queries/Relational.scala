@@ -600,6 +600,29 @@ object Relational {
           date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"),
           col("grp_qty"))
         .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // PIVOT: per-nation quantity totals fanned out by return flag. Spark's
+    // relational pivot (explicit value list -> one partial/final agg pass,
+    // no per-value scans); the oracle is the portable CASE-sum expansion.
+    QueryDef("q33_pivot",
+      """SELECT n_name,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_a,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_n,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_r
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
+      li(s, d)
+        .join(Tables.load(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.load(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType))
+        .select(col("n_name"), col("A").as("qty_a"), col("N").as("qty_n"),
+          col("R").as("qty_r"))
+        .orderBy("n_name")
     }
   )
 }
