@@ -339,15 +339,63 @@ object Embeddings {
     * never exceeds cells×nprobe×(N/K) candidates; full vectors are
     * touched for exactly candK ids per query via broadcast joins.
     */
+  /** One-job joint training for IVF-PQ: BOTH the coarse-cell Lloyd
+    * refinement and every PQ subspace's refinement aggregate from the
+    * same scan, melted into tagged (layer, cell, pos, v) rows — sub = -1
+    * is the IVF layer, sub >= 0 the PQ subspaces. One seed collect (the
+    * lowest max(numCells, codebookSize) ids serve both layers) + one
+    * refine job, vs four sequential jobs for the two trainings run
+    * separately. The arithmetic is bit-identical to the separate paths
+    * (same seeds, same truncating-DIV means), so the oracle — which
+    * replays the two trainings independently — is unaffected.
+    */
+  private def trainIvfPqJoint(p: DataFrame, numCells: Int, numSub: Int,
+                              subDim: Int, codebookSize: Int)
+      : (Array[(Long, Array[Long])], Array[Array[(Long, Array[Long])]]) = {
+    val seedRows = p.orderBy("vec_id").limit(math.max(numCells, codebookSize))
+      .select("vec_id", "qe").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    if (seedRows.isEmpty) return (Array.empty, Array.empty)
+    seedRows.find(_._2.length < numSub * subDim).foreach { case (id, v) =>
+      throw new IllegalArgumentException(
+        s"PQ needs $numSub x $subDim = ${numSub * subDim} dims; vec $id has ${v.length}")
+    }
+    val ivfSeeds = seedRows.take(numCells)
+    val pqSeeds: Array[Array[(Long, Array[Long])]] = Array.tabulate(numSub)(s =>
+      seedRows.take(codebookSize).map { case (id, v) =>
+        (id, v.slice(s * subDim, (s + 1) * subDim))
+      })
+    val assigned = pqAssign(assignCells(p, ivfSeeds), pqSeeds, subDim)
+    val melted = assigned.select(explode(array(
+      struct(lit(-1).as("sub"), col("cell"), col("qe").as("sv")) +:
+        (0 until numSub).map(s => struct(lit(s).as("sub"), col(s"c$s").as("cell"),
+          slice(col("qe"), s * subDim + 1, subDim).as("sv"))): _*)).as("x"))
+      .select(col("x.sub").as("sub"), col("x.cell").as("cell"),
+        posexplode(col("x.sv")).as(Seq("pos", "v")))
+    val refined = melted
+      .groupBy("sub", "cell", "pos")
+      .agg(sum("v").as("s"), count(lit(1)).as("c"))
+      .withColumn("comp", expr("s DIV c"))
+      .groupBy("sub", "cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("comp")))).as("pc"))
+      .select(col("sub"), col("cell"), expr("transform(pc, x -> x.comp)").as("cent"))
+      .collect()
+    val cents = refined.filter(_.getInt(0) == -1)
+      .map(r => (r.getLong(1), r.getSeq[Long](2).toArray)).sortBy(_._1)
+    val cbs: Array[Array[(Long, Array[Long])]] = Array.tabulate(numSub) { s =>
+      refined.filter(_.getInt(0) == s)
+        .map(r => (r.getLong(1), r.getSeq[Long](2).toArray)).sortBy(_._1)
+    }
+    (cents, cbs)
+  }
+
   def ivfPqTopK(vecs: DataFrame, idCol: String, vecCol: String,
                 queryPred: Column, k: Int, numCells: Int, nprobe: Int,
-                numSub: Int, subDim: Int, codebookSize: Int, candK: Int,
-                lloydIters: Int = 1): DataFrame = {
+                numSub: Int, subDim: Int, codebookSize: Int, candK: Int): DataFrame = {
     require(numSub >= 1 && subDim >= 1 && codebookSize >= 1 && k >= 1 && candK >= k,
       s"need numSub/subDim/codebookSize >= 1 and candK ($candK) >= k ($k)")
     val p = prepared(vecs, idCol, vecCol)
-    val cents = trainCentroids(p, numCells, lloydIters)
-    val cbs = trainPqCodebooks(p, numSub, subDim, codebookSize)
+    val (cents, cbs) = trainIvfPqJoint(p, numCells, numSub, subDim, codebookSize)
     if (cents.isEmpty || cbs.isEmpty)
       return rankTopK(p.limit(0).select(col("vec_id").as("query_id"),
         col("vec_id").as("neighbor_id"), lit(0.0).as("cos")), k)
