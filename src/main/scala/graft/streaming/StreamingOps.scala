@@ -107,6 +107,54 @@ object StreamingOps {
       .select(col("doc_id"), col("__w.start").as("ts"))
   }
 
+  /** Streaming CHUNK-level exact dedup — the online twin of the batch C4
+    * duplicate-span removal (dd10): arriving documents are cut into
+    * non-overlapping `chunkWords`-word chunks in-row, each chunk's 64-bit
+    * content hash claims a first occurrence via per-digest
+    * transformWithState (state = ONE packed long per live digest,
+    * TTL-bounded), and a chunk survives iff this row IS the stored first
+    * occurrence — later arrivals of the same content, same batch or any
+    * later batch, are dropped. Documents are reassembled from surviving
+    * chunks per event-time window. Arrival order decides survivors
+    * (append streams cannot retract), ties inside a batch by
+    * (event time, doc id, chunk idx). Emits
+    * (doc_id, ts, n_chunks, n_kept, clean_text).
+    */
+  def chunkDedupStream(docs: DataFrame, idCol: String, textCol: String,
+                       tsCol: String, watermark: String,
+                       chunkWords: Int = 10): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.OutputMode
+    require(chunkWords >= 1, s"chunkWords must be >= 1, got $chunkWords")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val chunks = docs
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol).cast("long").as("doc_id"), col(tsCol).as("__ts"),
+        split(col(textCol), " ").as("w"))
+      .select(col("doc_id"), col("__ts"),
+        posexplode(expr(
+          s"transform(sequence(0, (size(w) + ${chunkWords - 1}) DIV $chunkWords - 1), " +
+            s"i -> array_join(slice(w, i * $chunkWords + 1, $chunkWords), ' '))"))
+          .as(Seq("idx", "chunk")))
+      .select(xxhash64(col("chunk")).as("__h"), col("doc_id"), col("__ts"),
+        col("idx"), col("chunk"))
+      .as[(Long, Long, java.sql.Timestamp, Int, String)]
+    val owned = chunks
+      .groupByKey(_._1)
+      .transformWithState(new ChunkOwnerProcessor(), "_2", OutputMode.Append())
+      .toDF("doc_id", "__ts", "idx", "chunk", "kept")
+    owned
+      .groupBy(col("doc_id"), window(col("__ts"), "1 second").as("__w"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(" +
+          "CASE WHEN kept THEN struct(idx, chunk) END)), x -> x.chunk), ' ')")
+          .as("clean_text"))
+      .select(col("doc_id"), col("__w.start").as("ts"),
+        col("n_chunks"), col("n_kept"), col("clean_text"))
+  }
+
   /** Streaming SEMANTIC dedup — the online twin of the batch SemDeDup
     * (dd8), in the offline-train / online-serve split production ANN
     * systems run: cells come from a FIXED pre-trained IVF index
@@ -272,6 +320,53 @@ private[streaming] class CellRepsProcessor(threshold: Double, maxReps: Int,
       key: Long, timerValues: TimerValues,
       expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, java.sql.Timestamp, Boolean)] = {
     reps.clear()
+    Iterator.empty
+  }
+}
+
+/** Per-digest first-occurrence ownership for streaming chunk dedup:
+  * state is the packed (doc_id << 21 | idx) of the first arrival (same
+  * packing and loud bounds as the batch chunkDedup), a row is kept iff
+  * it IS that first occurrence, and an event-time TTL timer bounds live
+  * state like BucketOwnerProcessor's. */
+private[streaming] class ChunkOwnerProcessor(stateTtlMs: Long = 24 * 3600 * 1000L)
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, Long, java.sql.Timestamp, Int, String),
+    (Long, java.sql.Timestamp, Int, String, Boolean)] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var owner: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    owner = getHandle.getValueState[Long]("owner",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  private def pack(docId: Long, idx: Int): Long = {
+    require(idx >= 0 && idx < (1 << 21) && docId >= 0 && docId < (1L << 42),
+      s"chunkDedupStream: (doc_id=$docId, idx=$idx) outside the 42+21-bit pack range")
+    (docId << 21) | idx
+  }
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, Long, java.sql.Timestamp, Int, String)],
+      timerValues: TimerValues): Iterator[(Long, java.sql.Timestamp, Int, String, Boolean)] = {
+    val sorted = rows.toVector.sortBy(r => (r._3.getTime, r._2, r._4))
+    val own =
+      if (owner.exists()) owner.get()
+      else {
+        val first = pack(sorted.head._2, sorted.head._4)
+        owner.update(first)
+        getHandle.registerTimer(sorted.map(_._3.getTime).max + stateTtlMs)
+        first
+      }
+    sorted.iterator.map(r => (r._2, r._3, r._4, r._5, pack(r._2, r._4) == own))
+  }
+
+  override def handleExpiredTimer(
+      key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, java.sql.Timestamp, Int, String, Boolean)] = {
+    owner.clear()
     Iterator.empty
   }
 }

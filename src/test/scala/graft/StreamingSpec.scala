@@ -114,6 +114,51 @@ class StreamingSpec extends SparkSpec {
     assert(survivors === Seq(10L, 12L))
   }
 
+  test("streaming chunk dedup drops repeated spans across micro-batches") {
+    val dir = tmpDir("graft-chunkdedup")
+    def words(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val a = words("a", 10); val b = words("b", 10)
+    val c = words("c", 10); val d = words("d", 10)
+    // batch 1: doc 1 owns chunks A B; doc 2 repeats B, adds C
+    Seq(
+      (1L, s"$a $b", "2024-01-01 00:00:00"),
+      (2L, s"$b $c", "2024-01-01 00:00:05"))
+      .toDF("doc_id", "text", "s")
+      .select(col("doc_id"), col("text"), to_timestamp(col("s")).as("ts"))
+      .write.parquet(dir + "/b1")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("ts", TimestampType)))
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = StreamingOps.parquetStream(spark, schema, dir + "/b*")
+    val out = StreamingOps.chunkDedupStream(stream, "doc_id", "text", "ts",
+      "10 minutes", chunkWords = 10)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("chunkdedupout").start()
+    q.processAllAvailable()
+    // batch 2: doc 3 repeats A from the PREVIOUS batch, adds D; doc 99
+    // later advances the watermark so every window flushes
+    Seq((3L, s"$a $d", "2024-01-01 00:00:10"))
+      .toDF("doc_id", "text", "s")
+      .select(col("doc_id"), col("text"), to_timestamp(col("s")).as("ts"))
+      .write.parquet(dir + "/b2")
+    q.processAllAvailable()
+    Seq((99L, "late flush document advancing the watermark", "2024-01-01 01:00:00"))
+      .toDF("doc_id", "text", "s")
+      .select(col("doc_id"), col("text"), to_timestamp(col("s")).as("ts"))
+      .write.parquet(dir + "/b3")
+    q.processAllAvailable(); q.stop()
+    val rows = spark.sql(
+      "SELECT doc_id, n_chunks, n_kept, clean_text FROM chunkdedupout WHERE doc_id < 90 ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.map(x => (x._1, x._2, x._3)).toSeq ===
+      Seq((1L, 2L, 2L), (2L, 2L, 1L), (3L, 2L, 1L)))
+    assert(rows(0)._4 === s"$a $b") // first owner keeps everything
+    assert(rows(1)._4 === c)        // B suppressed within the batch
+    assert(rows(2)._4 === d)        // A suppressed ACROSS batches
+  }
+
   test("streaming semantic dedup suppresses near-identical vectors per trained cell") {
     val dir = tmpDir("graft-semdedup")
     val rnd = new scala.util.Random(5)
