@@ -623,6 +623,23 @@ object Relational {
         .select(col("n_name"), col("A").as("qty_a"), col("N").as("qty_n"),
           col("R").as("qty_r"))
         .orderBy("n_name")
+    },
+
+    // Ordered string aggregation (listagg / string_agg): deterministic
+    // because the order and DISTINCT set are explicit. Spark 4's
+    // listagg ... WITHIN GROUP == DuckDB's string_agg(... ORDER BY).
+    QueryDef("q34_string_agg",
+      """SELECT o_orderpriority,
+        |  string_agg(DISTINCT l.l_returnflag, ',' ORDER BY l.l_returnflag) AS flags,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "orders").as("o")
+        .join(li(s, d).as("l"), col("o.o_orderkey") === col("l.l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(expr("listagg(DISTINCT l_returnflag, ',') WITHIN GROUP (ORDER BY l_returnflag)").as("flags"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
     }
   )
 }
