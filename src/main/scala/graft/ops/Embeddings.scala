@@ -230,38 +230,70 @@ object Embeddings {
     * subvector slices, ONE exact-integer Lloyd refinement across ALL
     * subspaces in a single job (melt to (sub, cell, pos, v), truncating
     * DIV mean — the oracle's `//` replays it). Empty corpus → empty. */
-  private[graft] def trainPqCodebooks(p: DataFrame, numSub: Int, subDim: Int,
-                                      codebookSize: Int): Array[Array[(Long, Array[Long])]] = {
-    val seedRows = p.orderBy("vec_id").limit(codebookSize)
+  /** Seed collect for PQ trainings, with the short-vector check (a short
+    * SEED would silently truncate every subspace slice; non-seed rows
+    * are guarded in-row by pqAssign). */
+  private def pqSeedRows(p: DataFrame, n: Int, numSub: Int,
+                         subDim: Int): Array[(Long, Array[Long])] = {
+    val rows = p.orderBy("vec_id").limit(n)
       .select("vec_id", "qe").collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-    // a short vector would silently truncate every subspace slice
-    seedRows.find(_._2.length < numSub * subDim).foreach { case (id, v) =>
+    rows.find(_._2.length < numSub * subDim).foreach { case (id, v) =>
       throw new IllegalArgumentException(
         s"PQ needs $numSub x $subDim = ${numSub * subDim} dims; vec $id has ${v.length}")
     }
-    if (seedRows.isEmpty) return Array.empty
-    def subVec(v: Array[Long], s: Int) = v.slice(s * subDim, (s + 1) * subDim)
-    val seeds: Array[Array[(Long, Array[Long])]] =
-      Array.tabulate(numSub)(s => seedRows.map { case (id, v) => (id, subVec(v, s)) })
-    val refinedRows = pqAssign(p, seeds, subDim)
-      .select(explode(array((0 until numSub).map(s =>
-        struct(lit(s).as("sub"), col(s"c$s").as("cell"),
-          slice(col("qe"), s * subDim + 1, subDim).as("sv"))): _*)).as("x"))
+    rows
+  }
+
+  /** Melt per-subspace assignments to tagged (sub, cell, pos, v) rows;
+    * `withIvfLayer` adds the full-vector coarse layer as sub = -1. */
+  private def meltSubspaces(assigned: DataFrame, numSub: Int, subDim: Int,
+                            withIvfLayer: Boolean): DataFrame = {
+    val entries =
+      (if (withIvfLayer) Seq(struct(lit(-1).as("sub"), col("cell"), col("qe").as("sv")))
+       else Nil) ++
+        (0 until numSub).map(s => struct(lit(s).as("sub"), col(s"c$s").as("cell"),
+          slice(col("qe"), s * subDim + 1, subDim).as("sv")))
+    assigned.select(explode(array(entries: _*)).as("x"))
       .select(col("x.sub").as("sub"), col("x.cell").as("cell"),
         posexplode(col("x.sv")).as(Seq("pos", "v")))
-      .groupBy("sub", "cell", "pos")
+  }
+
+  /** Truncating-DIV Lloyd mean over melted (sub, cell, pos, v) rows —
+    * the ONE copy of the refine aggregation every PQ/IVF-PQ training
+    * runs (bit-identical behavior across paths is load-bearing: the
+    * sim4/sim5 oracles replay exactly this arithmetic). */
+  private def refineMelted(melted: DataFrame): Array[org.apache.spark.sql.Row] =
+    melted.groupBy("sub", "cell", "pos")
       .agg(sum("v").as("s"), count(lit(1)).as("c"))
       .withColumn("comp", expr("s DIV c"))
       .groupBy("sub", "cell")
       .agg(array_sort(collect_list(struct(col("pos"), col("comp")))).as("pc"))
       .select(col("sub"), col("cell"), expr("transform(pc, x -> x.comp)").as("cent"))
       .collect()
+
+  private def codebooksOf(refined: Array[org.apache.spark.sql.Row],
+                          numSub: Int): Array[Array[(Long, Array[Long])]] =
     Array.tabulate(numSub) { s =>
-      refinedRows.filter(_.getInt(0) == s)
+      refined.filter(_.getInt(0) == s)
         .map(r => (r.getLong(1), r.getSeq[Long](2).toArray))
         .sortBy(_._1)
     }
+
+  private def pqSeedCodebooks(seedRows: Array[(Long, Array[Long])], numSub: Int,
+                              subDim: Int, codebookSize: Int): Array[Array[(Long, Array[Long])]] =
+    Array.tabulate(numSub)(s => seedRows.take(codebookSize).map { case (id, v) =>
+      (id, v.slice(s * subDim, (s + 1) * subDim))
+    })
+
+  private[graft] def trainPqCodebooks(p: DataFrame, numSub: Int, subDim: Int,
+                                      codebookSize: Int): Array[Array[(Long, Array[Long])]] = {
+    val seedRows = pqSeedRows(p, codebookSize, numSub, subDim)
+    if (seedRows.isEmpty) return Array.empty
+    val seeds = pqSeedCodebooks(seedRows, numSub, subDim, codebookSize)
+    codebooksOf(refineMelted(
+      meltSubspaces(pqAssign(p, seeds, subDim), numSub, subDim, withIvfLayer = false)),
+      numSub)
   }
 
   /** Zero-shuffle in-row PQ encoding: code column c<s> per subspace. A
@@ -352,41 +384,16 @@ object Embeddings {
   private def trainIvfPqJoint(p: DataFrame, numCells: Int, numSub: Int,
                               subDim: Int, codebookSize: Int)
       : (Array[(Long, Array[Long])], Array[Array[(Long, Array[Long])]]) = {
-    val seedRows = p.orderBy("vec_id").limit(math.max(numCells, codebookSize))
-      .select("vec_id", "qe").collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val seedRows = pqSeedRows(p, math.max(numCells, codebookSize), numSub, subDim)
     if (seedRows.isEmpty) return (Array.empty, Array.empty)
-    seedRows.find(_._2.length < numSub * subDim).foreach { case (id, v) =>
-      throw new IllegalArgumentException(
-        s"PQ needs $numSub x $subDim = ${numSub * subDim} dims; vec $id has ${v.length}")
-    }
     val ivfSeeds = seedRows.take(numCells)
-    val pqSeeds: Array[Array[(Long, Array[Long])]] = Array.tabulate(numSub)(s =>
-      seedRows.take(codebookSize).map { case (id, v) =>
-        (id, v.slice(s * subDim, (s + 1) * subDim))
-      })
-    val assigned = pqAssign(assignCells(p, ivfSeeds), pqSeeds, subDim)
-    val melted = assigned.select(explode(array(
-      struct(lit(-1).as("sub"), col("cell"), col("qe").as("sv")) +:
-        (0 until numSub).map(s => struct(lit(s).as("sub"), col(s"c$s").as("cell"),
-          slice(col("qe"), s * subDim + 1, subDim).as("sv"))): _*)).as("x"))
-      .select(col("x.sub").as("sub"), col("x.cell").as("cell"),
-        posexplode(col("x.sv")).as(Seq("pos", "v")))
-    val refined = melted
-      .groupBy("sub", "cell", "pos")
-      .agg(sum("v").as("s"), count(lit(1)).as("c"))
-      .withColumn("comp", expr("s DIV c"))
-      .groupBy("sub", "cell")
-      .agg(array_sort(collect_list(struct(col("pos"), col("comp")))).as("pc"))
-      .select(col("sub"), col("cell"), expr("transform(pc, x -> x.comp)").as("cent"))
-      .collect()
+    val pqSeeds = pqSeedCodebooks(seedRows, numSub, subDim, codebookSize)
+    val refined = refineMelted(meltSubspaces(
+      pqAssign(assignCells(p, ivfSeeds), pqSeeds, subDim),
+      numSub, subDim, withIvfLayer = true))
     val cents = refined.filter(_.getInt(0) == -1)
       .map(r => (r.getLong(1), r.getSeq[Long](2).toArray)).sortBy(_._1)
-    val cbs: Array[Array[(Long, Array[Long])]] = Array.tabulate(numSub) { s =>
-      refined.filter(_.getInt(0) == s)
-        .map(r => (r.getLong(1), r.getSeq[Long](2).toArray)).sortBy(_._1)
-    }
-    (cents, cbs)
+    (cents, codebooksOf(refined, numSub))
   }
 
   def ivfPqTopK(vecs: DataFrame, idCol: String, vecCol: String,
@@ -394,6 +401,8 @@ object Embeddings {
                 numSub: Int, subDim: Int, codebookSize: Int, candK: Int): DataFrame = {
     require(numSub >= 1 && subDim >= 1 && codebookSize >= 1 && k >= 1 && candK >= k,
       s"need numSub/subDim/codebookSize >= 1 and candK ($candK) >= k ($k)")
+    require(numCells >= 1 && nprobe >= 1,
+      s"need numCells ($numCells) >= 1 and nprobe ($nprobe) >= 1")
     val p = prepared(vecs, idCol, vecCol)
     val (cents, cbs) = trainIvfPqJoint(p, numCells, numSub, subDim, codebookSize)
     if (cents.isEmpty || cbs.isEmpty)

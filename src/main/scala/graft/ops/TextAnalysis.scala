@@ -283,11 +283,12 @@ object TextAnalysis {
     // to the exact hash groupBy below, so results are bit-identical; the
     // big shuffle shrinks from corpus-shingle-sized to ~eval-sized.
     val sh = if (!bloomPrefilter) shAll else {
-      // persist the eval-side shingles: the sketch aggregate below and
-      // the union into the main query both read them (without this the
-      // test-doc explosion runs twice)
+      // the eval-side shingle explosion runs twice (once for the sketch
+      // aggregate, once in the union) — deliberately NOT persisted:
+      // the eval set is the small side by construction, and a cached DF
+      // with no safe unpersist point would outlive the call in a
+      // long-lived serving session (the returned frame is lazy)
       val test = shAll.filter(col("__split") === "test")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bfBytes = test
         .agg(graft.functions.BloomFunctions.bloom_filter_agg(col("sh64"), bloomItems).as("bf"))
         .head.getAs[Array[Byte]]("bf")

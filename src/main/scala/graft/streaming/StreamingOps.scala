@@ -126,9 +126,20 @@ object StreamingOps {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.OutputMode
     require(chunkWords >= 1, s"chunkWords must be >= 1, got $chunkWords")
+    // loud type check like the batch twin's longId (a silent cast would
+    // null every id and crash the primitive tuple encoder downstream)
+    val idType = docs.schema(idCol).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+      .contains(idType),
+      s"chunkDedupStream requires an integral id column; '$idCol' is ${idType.simpleString}")
     val spark = docs.sparkSession
     import spark.implicits._
+    // null-text docs carry no chunks: dropped here explicitly (the batch
+    // twin keeps them as empty rows; an append stream row with no event
+    // content has nothing to window on)
     val chunks = docs
+      .filter(col(textCol).isNotNull)
       .withWatermark(tsCol, watermark)
       .select(col(idCol).cast("long").as("doc_id"), col(tsCol).as("__ts"),
         split(col(textCol), " ").as("w"))
@@ -327,8 +338,11 @@ private[streaming] class CellRepsProcessor(threshold: Double, maxReps: Int,
 /** Per-digest first-occurrence ownership for streaming chunk dedup:
   * state is the packed (doc_id << 21 | idx) of the first arrival (same
   * packing and loud bounds as the batch chunkDedup), a row is kept iff
-  * it IS that first occurrence, and an event-time TTL timer bounds live
-  * state like BucketOwnerProcessor's. */
+  * it IS that first occurrence. State expires a FIXED interval after
+  * the first occurrence (absolute TTL, the same policy as
+  * BucketOwnerProcessor — not idle-expiry: continued duplicates do not
+  * extend the window, so a span can be re-admitted once its first
+  * sighting ages out; the documented bounded-state trade). */
 private[streaming] class ChunkOwnerProcessor(stateTtlMs: Long = 24 * 3600 * 1000L)
   extends org.apache.spark.sql.streaming.StatefulProcessor[
     Long, (Long, Long, java.sql.Timestamp, Int, String),
