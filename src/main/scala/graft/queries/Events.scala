@@ -101,6 +101,34 @@ object Events {
         .select(col("hour_start"), col("s.id").as("user_id"),
           col("s.score").cast(LongType).as("n"), (col("i") + 1).cast(LongType).as("rnk"))
         .orderBy("hour_start", "rnk")
+    },
+
+    // OHLC downsampling: per (user, hour) the first/last/min/max value —
+    // the classic time-series compaction. open/close via min_by/max_by on
+    // a zero-padded (epoch-µs, event_id) string key: one deterministic
+    // partial-aggregable pass, where the window formulation would sort
+    // every event per key. The oracle's arg_min/arg_max uses the
+    // identical key, so ties are impossible (event_id is unique).
+    QueryDef("ev7_ohlc_downsample",
+      """WITH e AS (SELECT user_id,
+        |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start, value,
+        |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || ':' ||
+        |      lpad(CAST(event_id AS VARCHAR), 20, '0') AS k
+        |  FROM events)
+        |SELECT CAST(user_id AS BIGINT) AS user_id, hour_start,
+        |  arg_min(value, k) AS open, arg_max(value, k) AS close,
+        |  MIN(value) AS low, MAX(value) AS high, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM e GROUP BY 1, 2 ORDER BY user_id, hour_start""".stripMargin) { (s, d) =>
+      val k = concat(
+        lpad(unix_micros(col("ts")).cast(StringType), 20, "0"), lit(":"),
+        lpad(col("event_id").cast(StringType), 20, "0"))
+      ev(s, d)
+        .groupBy(col("user_id").cast(LongType).as("user_id"),
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_start"))
+        .agg(min_by(col("value"), k).as("open"), max_by(col("value"), k).as("close"),
+          min("value").as("low"), max("value").as("high"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id", "hour_start")
     }
   )
 }
