@@ -377,15 +377,23 @@ object TextDedup {
     * present, fully-deduplicated docs with n_kept=0 and empty text.
     *
     * Scale shape: chunking is an in-row projection + explode (no
-    * shuffle); the global first-occurrence rule is one groupBy on the
+    * shuffle); the global first-occurrence rule is ONE groupBy on the
     * 32-char digest whose MIN runs over (doc_id, idx) PACKED into a
     * single long — min(struct(...)) would fall out of HashAggregate into
     * a per-partition SortAggregate, while the packed long keeps the
     * whole stage codegen'd with map-side combine (NOT a window over all
-    * occurrences, which would sort every chunk); reassembly shuffles
-    * once on doc_id. Nothing data-sized ever reaches the driver. Packing
-    * bounds: idx < 2^21 (a 20M-word doc) raises loudly, doc ids above
-    * 2^42 would need a wider split.
+    * occurrences, which would sort every chunk). The group key is the
+    * chunk TEXT itself — equality is what the digest only proxied — so
+    * the winner's text rides out of the aggregate as its key: no join
+    * back to the chunk stream, no second explosion of the corpus, and
+    * the buffer stays a primitive long (a min(chunk) AGGREGATE would
+    * fall to SortAggregate; a string group KEY hash-aggregates fine).
+    * The exchange carries the chunk text instead of a 32-char digest —
+    * same order of bytes for word-window chunks. Reassembly shuffles
+    * once on the winning doc id. Nothing data-sized ever reaches the
+    * driver. Packing bounds:
+    * idx < 2^21 (a 20M-word doc) raises loudly, doc ids above 2^42 would
+    * need a wider split.
     */
   def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
                  chunkWords: Int): DataFrame = {
@@ -404,15 +412,13 @@ object TextDedup {
       when(col("idx") >= (1 << 21) || col("doc_id") < 0 || col("doc_id") >= (1L << 42),
         expr("raise_error('chunkDedup: (doc_id, idx) outside the 42+21-bit pack range')"))
         .otherwise(col("idx")).cast(LongType))
-    val first = chunks
-      .groupBy(md5(col("chunk")).as("h"))
+    val winners = chunks
+      .groupBy(col("chunk"))
       .agg(min(packed).as("keep"))
-      .select(col("h"), shiftright(col("keep"), 21).as("kdoc"),
-        col("keep").bitwiseAND((1L << 21) - 1).cast(IntegerType).as("kidx"))
-    val kept = chunks.join(first,
-      md5(col("chunk")) === col("h") &&
-        col("doc_id") === col("kdoc") && col("idx") === col("kidx"))
-    val rebuilt = kept.groupBy("doc_id")
+      .select(shiftright(col("keep"), 21).as("doc_id"),
+        col("keep").bitwiseAND((1L << 21) - 1).cast(IntegerType).as("idx"),
+        col("chunk"))
+    val rebuilt = winners.groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
         expr("array_join(transform(array_sort(collect_list(struct(idx, chunk))), x -> x.chunk), ' ')")
           .as("clean_text"))
