@@ -315,6 +315,42 @@ object TextAnalysis {
       .withColumn("contaminated", col("overlap_frac") >= threshold)
   }
 
+  /** Per-source corpus drift: KL divergence of each source's hashed-
+    * unigram distribution (256 md5 buckets, the tx14 hashing) from the
+    * corpus-wide distribution, in exact integer micro-nats — the
+    * data-mixing monitor that flags a source whose token distribution
+    * wanders from the blend. KL_s = Σ_b c_sb·w(s,b) with
+    * w = ⌊1e6·ln((c_sb·N)/(N_s·c_b)) + 0.5⌋; absent buckets contribute 0
+    * (c_sb = 0), so no smoothing is needed. Same determinism rules as
+    * tx14: the weights quantize to BIGINT micro-nats FIRST, the
+    * aggregation is exact integer.
+    *
+    * Scale shape: ONE corpus-sized shuffle — the (source, bucket) count,
+    * partial-aggregated map-side so the exchange carries ≤ sources×256
+    * rows per task. Everything downstream (bucket totals, source totals,
+    * the weight join) operates on the ≤ sources×256 count table via
+    * broadcasts. Output: (source, n_tokens, kl_micro, kl_nats).
+    */
+  def corpusDrift(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val csb = TextDedup.spreadSmallInput(docs)
+      .select(col(srcCol).as("source"), explode(split(col(textCol), " ")).as("w"))
+      .select(col("source"), substring(md5(col("w")), 1, 2).as("b"))
+      .groupBy("source", "b").agg(count(lit(1)).as("c_sb"))
+    val cb = csb.groupBy("b").agg(sum("c_sb").as("c_b"))
+    val ns = csb.groupBy("source").agg(sum("c_sb").as("n_s"))
+    val tot = csb.agg(sum("c_sb").as("n_tot"))
+    csb.join(broadcast(cb), Seq("b")).join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("w", floor(
+        lit(1e6) * log((col("c_sb") * col("n_tot")).cast(DoubleType) /
+          (col("n_s") * col("c_b")).cast(DoubleType)) + 0.5).cast(LongType))
+      .groupBy("source")
+      .agg(first(col("n_s")).as("n_tokens"),
+        sum(col("c_sb") * col("w")).as("kl_micro"))
+      .select(col("source"), col("n_tokens"), col("kl_micro"),
+        (col("kl_micro").cast(DoubleType) / 1000000.0 / col("n_tokens")).as("kl_nats"))
+  }
+
   /** Corpus-level n-gram frequency: top-k word n-grams across ALL
     * documents (boilerplate detection, contamination screening, corpus
     * drift dashboards). One map-side-combined groupBy on the n-gram, then

@@ -368,6 +368,28 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Per-source drift: KL divergence of each source's hashed-unigram
+    // distribution from the corpus blend, exact integer micro-nats
+    // (tx14's quantize-then-aggregate rule).
+    QueryDef("tx17_corpus_drift",
+      """WITH tok AS (SELECT source, substr(md5(u.w), 1, 2) AS b
+        |             FROM documents, UNNEST(string_split(text, ' ')) AS u(w)),
+        |csb AS (SELECT source, b, CAST(COUNT(*) AS BIGINT) AS c_sb FROM tok GROUP BY 1, 2),
+        |cb AS (SELECT b, CAST(SUM(c_sb) AS BIGINT) AS c_b FROM csb GROUP BY b),
+        |ns AS (SELECT source, CAST(SUM(c_sb) AS BIGINT) AS n_s FROM csb GROUP BY source),
+        |tot AS (SELECT CAST(SUM(c_sb) AS BIGINT) AS n_tot FROM csb),
+        |t AS (SELECT csb.source, csb.c_sb, ns.n_s,
+        |        CAST(FLOOR(1000000.0 * ln(CAST(csb.c_sb * n_tot AS DOUBLE) /
+        |          CAST(ns.n_s * cb.c_b AS DOUBLE)) + 0.5) AS BIGINT) AS w
+        |      FROM csb JOIN cb USING (b) JOIN ns USING (source), tot)
+        |SELECT source, MIN(n_s) AS n_tokens,
+        |  CAST(SUM(c_sb * w) AS BIGINT) AS kl_micro,
+        |  CAST(SUM(c_sb * w) AS DOUBLE) / 1000000.0 / MIN(n_s) AS kl_nats
+        |FROM t GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      TextAnalysis.corpusDrift(Tables.load(s, d, "documents"), "source", "text")
+        .orderBy("source")
+    },
+
     // Deterministic global shuffle + shard assignment: shard = first hex
     // nibble of md5('shuf_' || id), pos = rank of the digest within the
     // shard — reproducible placement (pure function of the id), unlike an

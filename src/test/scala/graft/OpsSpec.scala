@@ -283,6 +283,25 @@ class OpsSpec extends SparkSpec {
       s"fluent docs must out-score shuffled gibberish: $fAvg vs $gAvg")
   }
 
+  test("corpus drift flags the source whose vocabulary wanders from the blend") {
+    val rnd = new scala.util.Random(13)
+    val common = Vector("alpha", "beta", "gamma", "delta", "epsilon")
+    val weird = Vector("zorp", "quux", "flarn", "grum", "snee")
+    def doc(v: Vector[String]) = Seq.fill(30)(v(rnd.nextInt(v.size))).mkString(" ")
+    // sources s0..s3 share one vocabulary; s4 uses a disjoint one
+    val docs = (0 until 100).map { i =>
+      val src = s"s${i % 5}"
+      (i.toLong, if (src == "s4") doc(weird) else doc(common), src)
+    }.toDF("doc_id", "text", "source")
+    val out = ops.TextAnalysis.corpusDrift(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out.size === 5)
+    // the divergent source dominates; blended sources sit near zero
+    assert(out("s4") > 5 * (out - "s4").values.max,
+      s"s4 must stand out: $out")
+    assert((out - "s4").values.forall(_ >= 0.0)) // KL is non-negative
+  }
+
   test("importance weights separate target-like from off-target documents") {
     val en = Seq("the", "cat", "sat", "on", "the", "mat").mkString(" ")
     val de = Seq("der", "hund", "lief", "durch", "den", "wald").mkString(" ")
