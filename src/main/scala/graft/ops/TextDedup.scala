@@ -98,10 +98,13 @@ object TextDedup {
     * post-filter would lose and a count pre-pass + anti-join would buy
     * back only at the cost of a full extra shuffle over the shingle set.
     */
-  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int, threshold: Double, maxShingleDf: Int): DataFrame = {
+  /** Shared inverted-index pair pipeline behind the set-similarity
+    * dedups: (id1, id2, sz1, sz2, inter) for every doc pair sharing at
+    * least one rare shingle (df <= maxShingleDf). */
+  private def shinglePairCounts(docs: DataFrame, idCol: String, textCol: String,
+                                n: Int, maxShingleDf: Int, fn: String): DataFrame = {
     val indexRows = spreadSmallInput(docs)
-      .select(longId(docs, idCol, "jaccardPairs").as("doc_id"),
+      .select(longId(docs, idCol, fn).as("doc_id"),
         graft.functions.TextExprs.shingle_hash_set(col(textCol), n).as("shs"))
       // explode_OUTER: a plain explode makes InferFiltersFromGenerate
       // push an inferred size(shingle_hash_set(text)) > 0 predicate all
@@ -123,11 +126,29 @@ object TextDedup {
       .groupBy(col("d1.id").as("id1"), col("d2.id").as("id2"),
         col("d1.sz").as("sz1"), col("d2.sz").as("sz2"))
       .agg(count(lit(1)).as("inter"))
+  }
+
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int, threshold: Double, maxShingleDf: Int): DataFrame =
+    shinglePairCounts(docs, idCol, textCol, n, maxShingleDf, "jaccardPairs")
       .withColumn("jaccard",
         col("inter").cast(DoubleType) / (col("sz1") + col("sz2") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
-  }
+
+  /** Overlap-coefficient (containment) pairs: inter / min(|A|, |B|) —
+    * catches SUBSET duplication (a doc embedded inside a longer one)
+    * that symmetric Jaccard dilutes away: a 40-shingle doc fully
+    * contained in a 400-shingle doc has jaccard 0.1 but containment
+    * 1.0. Same inverted-index pipeline, same df cap, same scale shape.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double, maxShingleDf: Int): DataFrame =
+    shinglePairCounts(docs, idCol, textCol, n, maxShingleDf, "containmentPairs")
+      .withColumn("containment",
+        col("inter").cast(DoubleType) / least(col("sz1"), col("sz2")))
+      .filter(col("containment") >= threshold)
+      .select("id1", "id2", "containment")
 
   /** MinHash signature columns h0..h{k-1}: h_j = lexicographic MIN over
     * the doc's shingles of the first 16 hex chars of md5(j || ':' ||

@@ -190,6 +190,26 @@ object PipelinesDedup {
         .orderBy("doc_id", "span_lo")
     },
 
+    // Overlap-coefficient (containment) near-dup pairs: inter/min(szs)
+    // catches a short doc embedded inside a long one, which symmetric
+    // Jaccard dilutes below any usable threshold.
+    QueryDef("dd11_containment",
+      s"""WITH $shingleCte,
+         |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100),
+         |shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+         |          FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT id1, id2, CAST(i AS DOUBLE)/LEAST(sa.sz, sb.sz) AS containment
+         |FROM inter JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
+         |WHERE CAST(i AS DOUBLE)/LEAST(sa.sz, sb.sz) >= 0.8
+         |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      TextDedup.containmentPairs(Tables.load(s, d, "documents"), "doc_id", "text",
+          n = 5, threshold = 0.8, maxShingleDf = 100)
+        .orderBy("id1", "id2")
+    },
+
     // C4-style duplicate-span removal: 10-word chunks, one global
     // occurrence of each chunk content survives (first by (doc_id, idx)),
     // docs rebuilt from surviving chunks. The oracle's per-hash window is
