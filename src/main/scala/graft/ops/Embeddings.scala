@@ -139,6 +139,10 @@ object Embeddings {
   def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String,
               queryPred: Column, k: Int, numCells: Int, nprobe: Int,
               lloydIters: Int = 1): DataFrame = {
+    // same loud guard as ivfPqTopK: nprobe = 0 would silently return
+    // zero rows (empty probe array -> null cell -> joinless result)
+    require(numCells >= 1 && nprobe >= 1 && k >= 1,
+      s"need numCells ($numCells), nprobe ($nprobe) and k ($k) >= 1")
     val p = prepared(vecs, idCol, vecCol)
     val cents = trainCentroids(p, numCells, lloydIters)
     // empty corpus → no centroids: answer the empty result with the right
@@ -226,10 +230,6 @@ object Embeddings {
     * re-rank join). All arithmetic is quantized Int64 (ADC sums stay
     * below 2^53, so the Double top-k scores are exact).
     */
-  /** Per-subspace PQ codebooks: seeds = the lowest `codebookSize` ids'
-    * subvector slices, ONE exact-integer Lloyd refinement across ALL
-    * subspaces in a single job (melt to (sub, cell, pos, v), truncating
-    * DIV mean — the oracle's `//` replays it). Empty corpus → empty. */
   /** Seed collect for PQ trainings, with the short-vector check (a short
     * SEED would silently truncate every subspace slice; non-seed rows
     * are guarded in-row by pqAssign). */
@@ -286,6 +286,10 @@ object Embeddings {
       (id, v.slice(s * subDim, (s + 1) * subDim))
     })
 
+  /** Per-subspace PQ codebooks: seeds = the lowest `codebookSize` ids'
+    * subvector slices, ONE exact-integer Lloyd refinement across ALL
+    * subspaces in a single job (melt to (sub, cell, pos, v), truncating
+    * DIV mean — the oracle's `//` replays it). Empty corpus → empty. */
   private[graft] def trainPqCodebooks(p: DataFrame, numSub: Int, subDim: Int,
                                       codebookSize: Int): Array[Array[(Long, Array[Long])]] = {
     val seedRows = pqSeedRows(p, codebookSize, numSub, subDim)

@@ -341,9 +341,14 @@ object TextAnalysis {
     val tot = csb.agg(sum("c_sb").as("n_tot"))
     csb.join(broadcast(cb), Seq("b")).join(broadcast(ns), Seq("source"))
       .crossJoin(broadcast(tot))
+      // ratio-of-quotients, NOT cross-products: c_sb*n_tot overflows
+      // Int64 around 1e10 corpus tokens; each division is exact IEEE
+      // (deterministic), and the oracle divides identically
       .withColumn("w", floor(
-        lit(1e6) * log((col("c_sb") * col("n_tot")).cast(DoubleType) /
-          (col("n_s") * col("c_b")).cast(DoubleType)) + 0.5).cast(LongType))
+        lit(1e6) * log(
+          (col("c_sb").cast(DoubleType) / col("n_s").cast(DoubleType)) /
+            (col("c_b").cast(DoubleType) / col("n_tot").cast(DoubleType))) + 0.5)
+        .cast(LongType))
       .groupBy("source")
       .agg(first(col("n_s")).as("n_tokens"),
         sum(col("c_sb") * col("w")).as("kl_micro"))

@@ -52,8 +52,10 @@ object TextDedup {
 
   /** Ids flow through bounded Long-keyed aggregates and the union-find
     * fast path, so the id column must be integral — checked loudly here
-    * (a silent cast would null every id and return empty results). */
-  private def longId(docs: DataFrame, idCol: String, fn: String): Column = {
+    * (a silent cast would null every id and return empty results).
+    * Shared with the streaming twins, which crash their primitive tuple
+    * encoders on silently-nulled ids. */
+  private[graft] def longId(docs: DataFrame, idCol: String, fn: String): Column = {
     val dt = docs.schema(idCol).dataType
     require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
       s"$fn requires an integral id column; '$idCol' is ${dt.simpleString}")
@@ -75,13 +77,15 @@ object TextDedup {
     docs.select(md5(col(textCol)).as("text_hash"), col(idCol).as("doc_id"))
       .groupBy("text_hash").agg(min("doc_id").as("doc_id"))
 
-  /** All-pairs exact n-gram Jaccard >= threshold via the shingle inverted
-    * index: pairs can only have jaccard > 0 if they share a shingle, so
-    * grouping by shingle enumerates exactly the candidate space.
-    * `maxShingleDf` drops shingles occurring in more than that many docs
-    * (stop-shingles): bounds the per-key fan-out at scale. Note the
-    * df-cap slightly changes semantics (capped shingles count for sizes but
-    * not intersections) — the oracle applies the same cap.
+  /** Shared inverted-index pair pipeline behind the set-similarity
+    * dedups (jaccardPairs, containmentPairs): (id1, id2, sz1, sz2,
+    * inter) for every doc pair sharing at least one rare shingle —
+    * pairs can only score > 0 if they share a shingle, so grouping by
+    * shingle enumerates exactly the candidate space. `maxShingleDf`
+    * drops shingles occurring in more than that many docs
+    * (stop-shingles): bounds the per-key fan-out at scale. The df-cap
+    * slightly changes semantics (capped shingles count for sizes but
+    * not intersections) — the oracles apply the same cap.
     *
     * TWO data shuffles total. Each document's distinct shingle-hash set
     * and its size are computed INSIDE the row (split → per-position
@@ -91,16 +95,13 @@ object TextDedup {
     * Shingles are keyed by their 64-bit xxhash: every exchange moves
     * 8-byte longs instead of n-word strings (a cross-shingle collision —
     * 2^-64 per pair — is the standard dedup-pipeline trade; the declared
-    * jaccard output is unchanged). The stop-shingle cap is enforced IN
+    * score output is unchanged). The stop-shingle cap is enforced IN
     * the collect aggregate (BoundedDocSetAggregate): per-key state and
     * shuffle traffic stay ≤ cap+1 entries even for a boilerplate shingle
     * present in millions of documents — the property a collect_set +
     * post-filter would lose and a count pre-pass + anti-join would buy
     * back only at the cost of a full extra shuffle over the shingle set.
     */
-  /** Shared inverted-index pair pipeline behind the set-similarity
-    * dedups: (id1, id2, sz1, sz2, inter) for every doc pair sharing at
-    * least one rare shingle (df <= maxShingleDf). */
   private def shinglePairCounts(docs: DataFrame, idCol: String, textCol: String,
                                 n: Int, maxShingleDf: Int, fn: String): DataFrame = {
     val indexRows = spreadSmallInput(docs)
@@ -128,6 +129,9 @@ object TextDedup {
       .agg(count(lit(1)).as("inter"))
   }
 
+  /** All-pairs exact n-gram Jaccard >= threshold over the shared
+    * inverted-index pipeline (see shinglePairCounts for the scale
+    * shape). */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double, maxShingleDf: Int): DataFrame =
     shinglePairCounts(docs, idCol, textCol, n, maxShingleDf, "jaccardPairs")

@@ -379,8 +379,9 @@ object TextQueries {
         |ns AS (SELECT source, CAST(SUM(c_sb) AS BIGINT) AS n_s FROM csb GROUP BY source),
         |tot AS (SELECT CAST(SUM(c_sb) AS BIGINT) AS n_tot FROM csb),
         |t AS (SELECT csb.source, csb.c_sb, ns.n_s,
-        |        CAST(FLOOR(1000000.0 * ln(CAST(csb.c_sb * n_tot AS DOUBLE) /
-        |          CAST(ns.n_s * cb.c_b AS DOUBLE)) + 0.5) AS BIGINT) AS w
+        |        CAST(FLOOR(1000000.0 * ln(
+        |          (CAST(csb.c_sb AS DOUBLE) / CAST(ns.n_s AS DOUBLE)) /
+        |          (CAST(cb.c_b AS DOUBLE) / CAST(n_tot AS DOUBLE))) + 0.5) AS BIGINT) AS w
         |      FROM csb JOIN cb USING (b) JOIN ns USING (source), tot)
         |SELECT source, MIN(n_s) AS n_tokens,
         |  CAST(SUM(c_sb * w) AS BIGINT) AS kl_micro,

@@ -88,7 +88,8 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .withColumn("__bks",
         graft.functions.TextExprs.minhash_band_keys(col(textCol), n, k, bands))
-      .select(col(idCol).cast("long").as("doc_id"), col(tsCol).as("__ts"),
+      .select(graft.ops.TextDedup.longId(docs, idCol, "nearDupDedupStream").as("doc_id"),
+        col(tsCol).as("__ts"),
         explode_outer(col("__bks")).as("__bucket"))
       .filter(col("__bucket").isNotNull)
       .as[(Long, java.sql.Timestamp, Long)]
@@ -126,13 +127,7 @@ object StreamingOps {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.OutputMode
     require(chunkWords >= 1, s"chunkWords must be >= 1, got $chunkWords")
-    // loud type check like the batch twin's longId (a silent cast would
-    // null every id and crash the primitive tuple encoder downstream)
-    val idType = docs.schema(idCol).dataType
-    require(Seq(org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
-        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
-      .contains(idType),
-      s"chunkDedupStream requires an integral id column; '$idCol' is ${idType.simpleString}")
+    val docId = graft.ops.TextDedup.longId(docs, idCol, "chunkDedupStream")
     val spark = docs.sparkSession
     import spark.implicits._
     // null-text docs carry no chunks: dropped here explicitly (the batch
@@ -141,7 +136,7 @@ object StreamingOps {
     val chunks = docs
       .filter(col(textCol).isNotNull)
       .withWatermark(tsCol, watermark)
-      .select(col(idCol).cast("long").as("doc_id"), col(tsCol).as("__ts"),
+      .select(docId.as("doc_id"), col(tsCol).as("__ts"),
         split(col(textCol), " ").as("w"))
       .select(col("doc_id"), col("__ts"),
         posexplode(expr(
@@ -198,7 +193,8 @@ object StreamingOps {
       .withColumn("__qe", graft.ops.Embeddings.quantize(col(vecCol)))
       .withColumn("__cell", element_at(
         graft.functions.VectorFunctions.nearest_cells(col("__qe"), cents, 1), 1))
-      .select(col("__cell"), col(idCol).cast("long").as("vec_id"),
+      .select(col("__cell"),
+        graft.ops.TextDedup.longId(vecs, idCol, "semanticDedupStream").as("vec_id"),
         col(tsCol).as("__ts"), col("__qe"))
       .as[(Long, Long, java.sql.Timestamp, Array[Long])]
     assigned
