@@ -66,8 +66,15 @@ object ProbeScale {
     t(s"dd10 chunk-dedup x$mult")(
       graft.ops.TextDedup.chunkDedup(docs, "doc_id", "text", 10)
         .write.mode("overwrite").format("noop").save())
+    t(s"dd11 containment x$mult")(
+      graft.ops.TextDedup.containmentPairs(docs, "doc_id", "text", 5, 0.8, 100)
+        .write.mode("overwrite").format("noop").save())
     t(s"tx16 shard-shuffle x$mult")(
       graft.ops.TextAnalysis.shardShuffle(docs, "doc_id", "shuf")
+        .write.mode("overwrite").format("noop").save())
+    t(s"tx17 corpus-drift x$mult")(
+      graft.ops.TextAnalysis.corpusDrift(
+          docs.withColumn("source", concat(lit("s"), col("doc_id") % 20)), "source", "text")
         .write.mode("overwrite").format("noop").save())
     // embeddings: replicate with shifted ids; queries stay 10 vectors
     val em0 = graft.Tables.load(spark, sfDir, "embeddings")
