@@ -124,6 +124,37 @@ object Multimodal {
     * sampleFrames). Iterator-to-iterator per partition, zero shuffle;
     * empty payloads are dropped (nothing to resample).
     */
+  /** One energy window of a media payload. */
+  case class EnergyWindow(doc_id: Long, win: Long, n_bytes: Long, energy: Long)
+
+  /** Windowed byte-energy over binary payloads — the audio VAD/silence-
+    * detection access pattern: consecutive `window`-byte spans reduced to
+    * their unsigned-byte sum ("energy"). Like the other mm ops this is
+    * the batch plumbing around a STUB signal decoder (the real pipeline
+    * would decode samples first); the Spark shape — typed mapPartitions,
+    * zero shuffles, one row per (payload, window) — is the real thing.
+    */
+  def windowEnergy(spark: SparkSession, media: DataFrame, window: Int = 32): DataFrame = {
+    import spark.implicits._
+    require(window >= 1)
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.filter(_._2.nonEmpty).flatMap { case (id, payload) =>
+          val nWin = (payload.length + window - 1) / window
+          (0 until nWin).iterator.map { j =>
+            val lo = j * window
+            val hi = math.min(lo + window, payload.length)
+            var e = 0L
+            var i = lo
+            while (i < hi) { e += payload(i) & 0xff; i += 1 }
+            EnergyWindow(id, j.toLong, (hi - lo).toLong, e)
+          }
+        }
+      }
+      .toDF()
+  }
+
   def resample(spark: SparkSession, media: DataFrame, stride: Int = 4): DataFrame = {
     import spark.implicits._
     require(stride >= 1)

@@ -273,6 +273,27 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Windowed byte-energy over binary payloads (audio silence-detection
+    // plumbing): 32-byte windows reduced to unsigned-byte sums; the
+    // oracle parses the same windows from lowercase hex.
+    QueryDef("mm4_window_energy",
+      """WITH b AS (SELECT doc_id, lower(hex(CAST(text AS BLOB))) AS hx,
+        |             octet_length(CAST(text AS BLOB)) AS len FROM documents
+        |           WHERE octet_length(CAST(text AS BLOB)) > 0),
+        |w AS (SELECT doc_id, CAST(j AS BIGINT) AS win,
+        |        substr(hx, CAST(j*64 + 1 AS BIGINT), 64) AS whx
+        |      FROM b, UNNEST(range(0, (len+31)//32)) AS t(j))
+        |SELECT doc_id, win, CAST(len(whx)//2 AS BIGINT) AS n_bytes,
+        |  CAST(list_sum([(instr('0123456789abcdef', substr(whx, 2*i-1, 1)) - 1)*16
+        |                 + instr('0123456789abcdef', substr(whx, 2*i, 1)) - 1
+        |                 FOR i IN range(1, len(whx)//2 + 1)]) AS BIGINT) AS energy
+        |FROM w ORDER BY doc_id, win""".stripMargin) { (s, d) =>
+      Multimodal.windowEnergy(s,
+          Multimodal.asBinaryTable(Tables.load(s, d, "documents"), "doc_id", "text"),
+          window = 32)
+        .orderBy("doc_id", "win")
+    },
+
     // Frame sampling over binary payloads: every 64-byte stride yields a
     // 16-byte frame, fingerprinted as md5(lowercase hex) — the hex hop
     // keeps the spec portable (DuckDB has no blob substring).
