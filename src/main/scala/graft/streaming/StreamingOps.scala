@@ -27,6 +27,27 @@ object StreamingOps {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming OHLC downsampling — the continuous twin of batch ev7:
+    * per (key, tumbling window) first/last/min/max value, with open and
+    * close picked by min_by/max_by on the same zero-padded
+    * (epoch-µs, event id) string key the batch op uses (deterministic:
+    * event ids are unique; negative inputs raise there, and a stream's
+    * event time is bounded below by the watermark). One watermarked
+    * windowed aggregation — no per-key sort, no custom state. */
+  def ohlcStream(events: DataFrame, keyCol: String, idCol: String,
+                 window: String, watermark: String): DataFrame = {
+    val k = concat(
+      lpad(unix_micros(col("ts")).cast("string"), 20, "0"), lit(":"),
+      lpad(col(idCol).cast("string"), 20, "0"))
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col(keyCol))
+      .agg(min_by(col("value"), k).as("open"), max_by(col("value"), k).as("close"),
+        min("value").as("low"), max("value").as("high"), count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col(keyCol),
+        col("open"), col("close"), col("low"), col("high"), col("n"))
+  }
+
   /** Sliding-window counts/sums per event_type: windows of `window` width
     * every `slide`, watermarked. Each event lands in window/slide
     * overlapping windows — Spark expands them before the one keyed

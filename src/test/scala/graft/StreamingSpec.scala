@@ -35,6 +35,32 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Seq(("click", 2L, 3.0), ("view", 1L, 5.0)))
   }
 
+  test("streaming OHLC picks first/last values deterministically per window") {
+    val dir = tmpDir("graft-ohlc-in")
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_id", LongType),
+      StructField("key", StringType), StructField("value", DoubleType)))
+    Seq(
+      ("2024-01-01 00:01:00", 1L, "a", 5.0),  // open of a's window
+      ("2024-01-01 00:01:00", 2L, "a", 9.0),  // ts tie -> id breaks it
+      ("2024-01-01 00:04:00", 3L, "a", 2.0),  // close + low
+      ("2024-01-01 00:02:00", 4L, "b", 7.0))
+      .toDF("s", "event_id", "key", "value")
+      .select(to_timestamp(col("s")).as("ts"), col("event_id"), col("key"), col("value"))
+      .write.parquet(dir + "/b1")
+    val stream = StreamingOps.parquetStream(spark, schema, dir + "/b1")
+    val agg = StreamingOps.ohlcStream(stream, "key", "event_id", "5 minutes", "10 minutes")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("ohlcout").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.sql(
+      "SELECT key, open, close, low, high, n FROM ohlcout ORDER BY key")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5))).toSeq
+    // a: open = id-1 value (5.0, the lower id on the ts tie), close = 2.0
+    assert(rows === Seq(("a", 5.0, 2.0, 2.0, 9.0, 3L), ("b", 7.0, 7.0, 7.0, 7.0, 1L)))
+  }
+
   test("sliding window aggregation emits overlapping windows") {
     val dir = tmpDir("graft-slide-in")
     Seq(
