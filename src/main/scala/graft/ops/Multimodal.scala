@@ -124,6 +124,26 @@ object Multimodal {
     * sampleFrames). Iterator-to-iterator per partition, zero shuffle;
     * empty payloads are dropped (nothing to resample).
     */
+  def resample(spark: SparkSession, media: DataFrame, stride: Int = 4): DataFrame = {
+    import spark.implicits._
+    require(stride >= 1)
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.filter(_._2.nonEmpty).map { case (id, payload) =>
+          val n = (payload.length + stride - 1) / stride
+          val out = new Array[Byte](n)
+          var i = 0
+          while (i < n) { out(i) = payload(i * stride); i += 1 }
+          md.reset()
+          Resampled(id, payload.length.toLong, n.toLong,
+            toHex(md.digest(toHex(out).getBytes("UTF-8"))))
+        }
+      }
+      .toDF()
+  }
+
   /** One energy window of a media payload. */
   case class EnergyWindow(doc_id: Long, win: Long, n_bytes: Long, energy: Long)
 
@@ -150,26 +170,6 @@ object Multimodal {
             while (i < hi) { e += payload(i) & 0xff; i += 1 }
             EnergyWindow(id, j.toLong, (hi - lo).toLong, e)
           }
-        }
-      }
-      .toDF()
-  }
-
-  def resample(spark: SparkSession, media: DataFrame, stride: Int = 4): DataFrame = {
-    import spark.implicits._
-    require(stride >= 1)
-    media.select(col("doc_id"), col("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { rows =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        rows.filter(_._2.nonEmpty).map { case (id, payload) =>
-          val n = (payload.length + stride - 1) / stride
-          val out = new Array[Byte](n)
-          var i = 0
-          while (i < n) { out(i) = payload(i * stride); i += 1 }
-          md.reset()
-          Resampled(id, payload.length.toLong, n.toLong,
-            toHex(md.digest(toHex(out).getBytes("UTF-8"))))
         }
       }
       .toDF()

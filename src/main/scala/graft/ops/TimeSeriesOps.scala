@@ -18,6 +18,22 @@ import org.apache.spark.sql.types._
   */
 object TimeSeriesOps {
 
+  /** Zero-padded (epoch-µs, id) ordering key shared by the batch OHLC
+    * query (ev7) and the streaming ohlcStream: lexicographic order ==
+    * numeric order ONLY for non-negative values ('-' sorts below '0'
+    * and flips the order of negatives), so negative inputs raise loudly
+    * instead of silently picking a wrong open/close. The id must be
+    * integral (≤ 19 digits as a string), so the 20-char pad never
+    * truncates — callers route ids through an integral-type check. */
+  def ohlcKey(ts: Column, id: Column): Column = {
+    val tus = unix_micros(ts)
+    concat(
+      lpad(when(tus < 0 || id < 0,
+        expr("raise_error('ohlc: negative epoch-us or id breaks the padded key order')"))
+        .otherwise(tus).cast(StringType), 20, "0"), lit(":"),
+      lpad(id.cast(StringType), 20, "0"))
+  }
+
   /** For every left row, attach `valueCol` of the most recent right row
     * with right.ts <= left.ts within the same `keyCol` (classic as-of).
     * `right` must be unique per (key, ts) for deterministic results —

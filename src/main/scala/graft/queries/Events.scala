@@ -119,15 +119,8 @@ object Events {
         |  arg_min(value, k) AS open, arg_max(value, k) AS close,
         |  MIN(value) AS low, MAX(value) AS high, CAST(COUNT(*) AS BIGINT) AS n
         |FROM e GROUP BY 1, 2 ORDER BY user_id, hour_start""".stripMargin) { (s, d) =>
-      // zero-padded keys order lexicographically == numerically ONLY for
-      // non-negative values ('-' sorts below '0' and flips the order of
-      // negatives) — raise loudly rather than silently picking a wrong
-      // open/close on pre-1970 timestamps or negative ids
-      val k = concat(
-        lpad(when(unix_micros(col("ts")) < 0 || col("event_id") < 0,
-          expr("raise_error('ev7: negative epoch-us or event_id breaks the padded key order')"))
-          .otherwise(unix_micros(col("ts"))).cast(StringType), 20, "0"), lit(":"),
-        lpad(col("event_id").cast(StringType), 20, "0"))
+      // the shared guarded key builder (negatives raise loudly)
+      val k = graft.ops.TimeSeriesOps.ohlcKey(col("ts"), col("event_id"))
       ev(s, d)
         .groupBy(col("user_id").cast(LongType).as("user_id"),
           date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_start"))

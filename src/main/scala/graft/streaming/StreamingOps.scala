@@ -29,16 +29,15 @@ object StreamingOps {
 
   /** Streaming OHLC downsampling — the continuous twin of batch ev7:
     * per (key, tumbling window) first/last/min/max value, with open and
-    * close picked by min_by/max_by on the same zero-padded
-    * (epoch-µs, event id) string key the batch op uses (deterministic:
-    * event ids are unique; negative inputs raise there, and a stream's
-    * event time is bounded below by the watermark). One watermarked
-    * windowed aggregation — no per-key sort, no custom state. */
+    * close picked by min_by/max_by on the SHARED guarded key builder
+    * (TimeSeriesOps.ohlcKey — negative epoch-µs/id raise loudly instead
+    * of silently flipping the order; the id column must be integral so
+    * the pad never truncates). One watermarked windowed aggregation —
+    * no per-key sort, no custom state. */
   def ohlcStream(events: DataFrame, keyCol: String, idCol: String,
                  window: String, watermark: String): DataFrame = {
-    val k = concat(
-      lpad(unix_micros(col("ts")).cast("string"), 20, "0"), lit(":"),
-      lpad(col(idCol).cast("string"), 20, "0"))
+    val k = graft.ops.TimeSeriesOps.ohlcKey(col("ts"),
+      graft.ops.TextDedup.longId(events, idCol, "ohlcStream"))
     events
       .withWatermark("ts", watermark)
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col(keyCol))
