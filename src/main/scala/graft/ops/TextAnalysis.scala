@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -373,6 +374,41 @@ object TextAnalysis {
       .groupBy("ngram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("ngram"))
       .limit(k)
+
+  /** Top-k TF-IDF terms per document — the classic keyword-extraction /
+    * corpus-indexing primitive. Two hash aggregates (term frequency per
+    * (doc, word); document frequency per word), one equi-join on the
+    * word, one per-doc top-k. At scale: both aggregates are map-side
+    * combinable (the tf exchange is sized by distinct (doc, word) pairs,
+    * the df exchange by vocabulary), the join key is the word (vocab-
+    * sized build side — AQE broadcasts it when it fits), and the top-k
+    * window sorts only each doc's own terms.
+    *
+    * IDF is quantized to integer micro-nats (floor(1e6*ln((N+1)/(df+1))
+    * + 0.5)) so the score is exact BIGINT arithmetic — engine-portable
+    * despite ln()'s last-ulp libm differences (same convention as
+    * importanceWeights/lmQualityScore). */
+  def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String,
+                k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val words = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("word"))
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = words.groupBy("word").agg(countDistinct("doc_id").as("df"))
+    val n = docs.agg(count(lit(1)).cast(DoubleType).as("n_docs"))
+    val scored = tf.join(df, "word").crossJoin(n)
+      .withColumn("idf_micro",
+        floor(lit(1e6) * log((col("n_docs") + 1.0) / (col("df").cast(DoubleType) + 1.0)) + 0.5)
+          .cast(LongType))
+      .withColumn("score_micro", col("tf") * col("idf_micro"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_micro").desc, col("word"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .where(col("rnk") <= k)
+      .select(col("doc_id"), col("word"), col("tf"), col("df"),
+        col("score_micro"), col("rnk"))
+  }
 
   /** Training-sequence packing (the concat-and-chunk layout GPT-style
     * pipelines run before batching): documents are laid end-to-end in

@@ -128,6 +128,92 @@ object Events {
           min("value").as("low"), max("value").as("high"),
           count(lit(1)).as("n"))
         .orderBy("user_id", "hour_start")
+    },
+
+    // Ordered conversion funnel (view -> click -> purchase): each stage's
+    // first-hit time must FOLLOW the previous stage's — the standard
+    // product-analytics funnel, not three independent counts. Three
+    // chained (filter -> per-user MIN -> equi-join) stages: every shuffle
+    // is keyed on user_id so AQE reuses the partitioning, each stage's
+    // scan is pre-filtered to ONE event type (pushed to parquet), and the
+    // per-stage frames shrink monotonically. The final counts/averages
+    // are single-row aggregates over exact BIGINT micros.
+    QueryDef("ev8_funnel",
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+        |s1 AS (SELECT user_id, MIN(tus) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(s1.t1) AS t1, MIN(e.tus) AS t2
+        |       FROM e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.tus > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(s2.t1) AS t1, MIN(e.tus) AS t3
+        |       FROM e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.tus > s2.t2 GROUP BY 1)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_view,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_click,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_purchase,
+        |       (SELECT CAST(SUM(t3 - t1) AS DOUBLE) / COUNT(*) FROM s3) AS avg_convert_us""".stripMargin) { (s, d) =>
+      val e = ev(s, d).select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+      val s1 = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("tus").as("t1"))
+      val s2 = e.filter(col("event_type") === "click")
+        .join(s1, "user_id").where(col("tus") > col("t1"))
+        .groupBy("user_id").agg(min("t1").as("t1"), min("tus").as("t2"))
+      val s3 = e.filter(col("event_type") === "purchase")
+        .join(s2, "user_id").where(col("tus") > col("t2"))
+        .groupBy("user_id").agg(min("t1").as("t1"), min("tus").as("t3"))
+      s1.agg(count(lit(1)).as("n_view"))
+        .crossJoin(s2.agg(count(lit(1)).as("n_click")))
+        .crossJoin(s3.agg(count(lit(1)).as("n_purchase"),
+          (sum(col("t3") - col("t1")).cast(DoubleType) / count(lit(1))).as("avg_convert_us")))
+    },
+
+    // Cohort retention: users grouped by their first-activity day, the
+    // classic triangle of "how many came back on day k". One distinct
+    // (user, day) pass, one per-user MIN for the cohort day, one join
+    // back on user_id, one (cohort, offset) count — all hash shuffles on
+    // small keyspaces; COUNT(DISTINCT) runs as a two-phase partial
+    // aggregate, never a per-group collection.
+    QueryDef("ev9_retention",
+      """WITH a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        |f AS (SELECT user_id, MIN(day) AS cohort FROM a GROUP BY 1)
+        |SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+        |  CAST(date_diff('day', f.cohort, a.day) AS BIGINT) AS day_offset,
+        |  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM a JOIN f ON a.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val a = ev(s, d).select(col("user_id"), date_trunc("day", col("ts")).as("day")).distinct()
+      val f = a.groupBy("user_id").agg(min("day").as("cohort"))
+      a.join(f, "user_id")
+        .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+          datediff(to_date(col("day")), to_date(col("cohort"))).cast(LongType).as("day_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    },
+
+    // Event-sequence transition matrix (first-order Markov counts): for
+    // each user's time-ordered event stream, count prev->next type pairs
+    // and the exact total gap. One window (LAG) sorted within user
+    // partitions, then a tiny (5x5 keyspace) hash aggregate — at scale
+    // the sort is per-user-partition and the aggregate is map-side
+    // combinable down to ~25 rows.
+    QueryDef("ev10_transitions",
+      """WITH o AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events),
+        |l AS (SELECT event_type,
+        |        LAG(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev_type,
+        |        tus - LAG(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS gap_us
+        |      FROM o)
+        |SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(gap_us) AS BIGINT) AS total_gap_us
+        |FROM l WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      ev(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"), col("event_id"))
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .withColumn("gap_us", col("tus") - lag("tus", 1).over(w))
+        .where(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"), sum("gap_us").cast(LongType).as("total_gap_us"))
+        .orderBy("prev_type", "next_type")
     }
   )
 }

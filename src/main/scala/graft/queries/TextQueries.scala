@@ -426,6 +426,27 @@ object TextQueries {
         |FROM k ORDER BY doc_id""".stripMargin) { (s, d) =>
       TextAnalysis.shardShuffle(Tables.load(s, d, "documents"), "doc_id", salt = "shuf")
         .orderBy("doc_id")
+    },
+
+    // Top-k TF-IDF terms per document. IDF quantized to integer
+    // micro-nats (the tx14/tx15/tx17 convention) so scores are exact
+    // BIGINT arithmetic in both engines; ties broken on the word.
+    QueryDef("tx18_tfidf_topk",
+      """WITH w AS (SELECT doc_id, u.w AS word
+        |           FROM documents, UNNEST(string_split(text, ' ')) AS u(w)),
+        |tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2),
+        |df AS (SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM w GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+        |s AS (SELECT tf.doc_id, tf.word, tf.tf, df.df,
+        |        CAST(tf.tf * CAST(FLOOR(1000000.0 * ln((n.n_docs + 1.0) /
+        |          (CAST(df.df AS DOUBLE) + 1.0)) + 0.5) AS BIGINT) AS BIGINT) AS score_micro
+        |      FROM tf JOIN df USING (word), n)
+        |SELECT doc_id, word, tf, df, score_micro,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY score_micro DESC, word) AS BIGINT) AS rnk
+        |FROM s QUALIFY rnk <= 5 ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
+      TextAnalysis.tfIdfTopK(Tables.load(s, d, "documents"), "doc_id", "text", k = 5)
+        .orderBy("doc_id", "rnk")
     }
   )
 }
