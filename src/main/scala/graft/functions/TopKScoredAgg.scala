@@ -36,6 +36,7 @@ case class TopKScoredAggregate(
 
   override def children: Seq[Expression] = Seq(id, score)
   override def nullable: Boolean = false
+  override def prettyName: String = "top_k_scored"
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("id", LongType), StructField("score", DoubleType))),
     containsNull = false)

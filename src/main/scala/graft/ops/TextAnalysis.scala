@@ -410,6 +410,57 @@ object TextAnalysis {
         col("score_micro"), col("rnk"))
   }
 
+  /** BPE merge-candidate counting — the inner loop of byte-pair-encoding
+    * vocabulary induction: character-pair frequencies weighted by word
+    * frequency. The standard scaling trick applies: the corpus-sized
+    * shuffle happens ONCE (word counts, map-side combinable down to the
+    * vocabulary), and the pair explosion runs over the DISTINCT
+    * vocabulary only — at 100 TB the vocab is millions of rows where the
+    * corpus is trillions, so the quadratic-ish explode is off the big
+    * table. Single-char words carry no pairs and are filtered before the
+    * explode (Spark's sequence(1, 0) would descend, not return empty). */
+  def bpePairCounts(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val vocab = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .where(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+    vocab
+      .select(col("word"), col("wc"),
+        explode(sequence(lit(1), length(col("word")) - 1)).as("i"))
+      .select(col("word").substr(col("i"), lit(2)).as("pair"), col("wc"))
+      .groupBy("pair").agg(sum("wc").as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+  }
+
+  /** Deterministic per-key quota sampling — "keep at most `quota` docs
+    * per domain/source", the standard web-corpus balancing op. Selection
+    * priority is a pure function of the id (first 48 bits of
+    * md5("quota_" || id), negated into a DESC score), so the sample is
+    * reproducible under repartition/retry and stable as the corpus
+    * grows. Ranking runs in the bounded TopKScoredAggregate — map-side
+    * partials carry at most `quota` entries per key, nothing sorts more
+    * than the insertion buffer — where a row_number window would shuffle
+    * and fully sort every key's docs. 48 bits (not 64) so the priority
+    * is exact in the aggregate's Double score lane. */
+  def domainQuotaSample(docs: DataFrame, idCol: String, keyCol: String,
+                        quota: Int): DataFrame = {
+    require(quota >= 1, s"quota must be >= 1, got $quota")
+    val hash48 = conv(substring(
+      md5(concat(lit("quota_"), col(idCol).cast(StringType))), 1, 12), 16, 10)
+      .cast(LongType)
+    docs
+      .select(col(keyCol).as("key"), col(idCol).cast(LongType).as("id"),
+        (-hash48).cast(DoubleType).as("pri"))
+      .groupBy("key")
+      .agg(graft.functions.TopKScoredAggregate
+        .top_k_scored(col("id"), col("pri"), quota).as("top"))
+      .select(col("key"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("key"), col("s.id").as("doc_id"),
+        (col("i") + 1).cast(LongType).as("pos"))
+  }
+
   /** Training-sequence packing (the concat-and-chunk layout GPT-style
     * pipelines run before batching): documents are laid end-to-end in
     * doc-id order on one global token axis, which is cut every `seqLen`

@@ -214,6 +214,50 @@ object Events {
         .groupBy(col("prev_type"), col("event_type").as("next_type"))
         .agg(count(lit(1)).as("n"), sum("gap_us").cast(LongType).as("total_gap_us"))
         .orderBy("prev_type", "next_type")
+    },
+
+    // Time-weighted average (TWAP): each observation weighted by how long
+    // it was "current" — the duration to the next event in the same
+    // (user, day). All arithmetic exact until the final division: values
+    // quantize to integer micro-units (floor(v*1e6+0.5) — identical IEEE
+    // ops in both engines), gaps to whole seconds (integer division), and
+    // the weighted sum accumulates in DECIMAL(38,0). One keyed window +
+    // one hash aggregate, both partitioned on user_id.
+    QueryDef("ev11_twap",
+      """WITH o AS (SELECT user_id, date_trunc('day', ts) AS day, epoch_us(ts) AS tus,
+        |        CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS vmicro, event_id
+        |      FROM events),
+        |l AS (SELECT user_id, day, vmicro,
+        |        (LEAD(tus) OVER (PARTITION BY user_id, day ORDER BY tus, event_id) - tus)
+        |          // 1000000 AS gap_s
+        |      FROM o),
+        |g AS (SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        |        SUM(CAST(vmicro * gap_s AS DECIMAL(38,0))) AS sp,
+        |        CAST(SUM(gap_s) AS BIGINT) AS total_s,
+        |        CAST(COUNT(*) AS BIGINT) AS n_gaps
+        |      FROM l WHERE gap_s IS NOT NULL GROUP BY 1, 2)
+        |SELECT user_id, day,
+        |  CAST(sp AS DOUBLE) / CAST(total_s AS DOUBLE) / 1000000.0 AS twap,
+        |  total_s, n_gaps
+        |FROM g WHERE total_s > 0 ORDER BY user_id, day""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id", "day").orderBy("tus", "event_id")
+      ev(s, d)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"),
+          unix_micros(col("ts")).as("tus"),
+          floor(col("value") * lit(1000000.0) + 0.5).cast(LongType).as("vmicro"),
+          col("event_id"))
+        .withColumn("next_tus", lead("tus", 1).over(w))
+        .withColumn("gap_s", expr("(next_tus - tus) div 1000000"))
+        .where(col("gap_s").isNotNull)
+        .groupBy(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"))
+        .agg(sum((col("vmicro") * col("gap_s")).cast(DecimalType(38, 0))).as("sp"),
+          sum("gap_s").cast(LongType).as("total_s"),
+          count(lit(1)).as("n_gaps"))
+        .where(col("total_s") > 0)
+        .select(col("user_id"), col("day"),
+          (col("sp").cast(DoubleType) / col("total_s").cast(DoubleType) / lit(1000000.0)).as("twap"),
+          col("total_s"), col("n_gaps"))
+        .orderBy("user_id", "day")
     }
   )
 }

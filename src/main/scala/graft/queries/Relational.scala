@@ -640,6 +640,31 @@ object Relational {
         .agg(expr("listagg(DISTINCT l_returnflag, ',') WITHIN GROUP (ORDER BY l_returnflag)").as("flags"),
           count(lit(1)).as("n"))
         .orderBy("o_orderpriority")
+    },
+
+    // UNPIVOT (q33's inverse): wide per-nation measures rotated into
+    // (measure, value) rows. Spark's relational unpivot (one Expand
+    // node over the aggregated 25-row frame, no per-measure scans);
+    // the oracle is DuckDB's SQL-standard UNPIVOT clause.
+    QueryDef("q35_unpivot",
+      """WITH a AS (SELECT n_name,
+        |    CAST(COUNT(*) AS DOUBLE) AS n_cust,
+        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+        |    MAX(c_acctbal) AS max_bal
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name)
+        |SELECT n_name, measure, val
+        |FROM a UNPIVOT (val FOR measure IN (n_cust, total_bal, max_bal))
+        |ORDER BY n_name, measure""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "customer")
+        .join(Tables.load(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).cast(DoubleType).as("n_cust"),
+          sum(col("c_acctbal").cast(DecimalType(18, 2))).cast(DoubleType).as("total_bal"),
+          max("c_acctbal").as("max_bal"))
+        .unpivot(Array(col("n_name")),
+          Array(col("n_cust"), col("total_bal"), col("max_bal")), "measure", "val")
+        .orderBy("n_name", "measure")
     }
   )
 }

@@ -447,6 +447,38 @@ object TextQueries {
         |FROM s QUALIFY rnk <= 5 ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
       TextAnalysis.tfIdfTopK(Tables.load(s, d, "documents"), "doc_id", "text", k = 5)
         .orderBy("doc_id", "rnk")
+    },
+
+    // BPE merge-candidate counting: char-pair frequencies weighted by
+    // word frequency, the pair explosion over the DISTINCT vocab only.
+    QueryDef("tx19_bpe_pairs",
+      """WITH w AS (SELECT u.w AS word
+        |           FROM documents, UNNEST(string_split(text, ' ')) AS u(w)
+        |           WHERE length(u.w) >= 2),
+        |v AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wc FROM w GROUP BY 1),
+        |p AS (SELECT substr(word, CAST(g.i AS INT), 2) AS pair, wc
+        |      FROM v, UNNEST(generate_series(1, length(word) - 1)) AS g(i))
+        |SELECT pair, CAST(SUM(wc) AS BIGINT) AS n
+        |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 50""".stripMargin) { (s, d) =>
+      TextAnalysis.bpePairCounts(Tables.load(s, d, "documents"), "text", k = 50)
+    },
+
+    // Deterministic per-source quota sampling: at most 10 docs per
+    // source, priority = 48-bit md5 prefix of the id (reproducible under
+    // retry/rerun). The oracle ranks by the same 12-hex-char prefix.
+    QueryDef("tx20_domain_quota",
+      """WITH h AS (SELECT source, doc_id,
+        |             substr(md5('quota_' || CAST(doc_id AS VARCHAR)), 1, 12) AS h12
+        |           FROM documents),
+        |r AS (SELECT source AS key, doc_id,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |          ORDER BY h12, doc_id) AS BIGINT) AS pos
+        |      FROM h)
+        |SELECT key, doc_id, pos FROM r WHERE pos <= 10
+        |ORDER BY key, pos""".stripMargin) { (s, d) =>
+      TextAnalysis.domainQuotaSample(Tables.load(s, d, "documents"),
+          "doc_id", "source", quota = 10)
+        .orderBy("key", "pos")
     }
   )
 }

@@ -319,4 +319,29 @@ class OpsSpec extends SparkSpec {
     assert(enAvg > deAvg)
     assert(out.filter(_._1 < 50).map(_._3).min > out.filter(_._1 >= 50).map(_._3).max)
   }
+
+  test("BPE pair counts weight char pairs by word frequency") {
+    // "ab" x3 and "cd" x1 across docs; "aaa" contributes TWO "aa" pairs
+    // per occurrence (in-word multiplicity); 1-char words carry none
+    val docs = Seq((1L, "ab ab cd x"), (2L, "ab aaa")).toDF("doc_id", "text")
+    val out = ops.TextAnalysis.bpePairCounts(docs, "text", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out === Map("ab" -> 3L, "aa" -> 2L, "cd" -> 1L))
+  }
+
+  test("domain quota sample is capped, deterministic, and repartition-stable") {
+    val docs = (0 until 300).map(i => (i.toLong, s"src${i % 3}")).toDF("doc_id", "source")
+    def sample(df: org.apache.spark.sql.DataFrame) =
+      ops.TextAnalysis.domainQuotaSample(df, "doc_id", "source", quota = 7)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val a = sample(docs)
+    assert(a.groupBy(_._1).forall(_._2.size == 7), "every source capped at quota")
+    assert(a.map(_._3).forall(p => p >= 1 && p <= 7))
+    // stable under a different physical layout (retry/rerun shape)
+    assert(sample(docs.repartition(13)) === a)
+    // quota >= group size keeps everything
+    val all = ops.TextAnalysis.domainQuotaSample(docs, "doc_id", "source", quota = 100)
+      .count()
+    assert(all === 300)
+  }
 }

@@ -302,4 +302,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p.take(3000))
     assert(p.contains("bucket_weight_sum"), p.take(3000))
   }
+
+  test("quota sampling ranks in the bounded aggregate, never a window sort (tx20)") {
+    val p = planOf("tx20_domain_quota")
+    assert(p.contains("top_k_scored"),
+      "per-key selection must run in TopKScoredAggregate:\n" + p.take(3000))
+    assert(!p.contains("Window"),
+      "tx20 must not rank via a window (full per-key sort):\n" + p.take(3000))
+  }
+
+  test("BPE pairs explode the vocabulary, not the corpus (tx19)") {
+    val p = planOf("tx19_bpe_pairs")
+    // corpus-sized shuffle (word counts) + vocab-sized shuffle (pair
+    // counts) — nothing else; top-k via TakeOrdered, no global sort
+    val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange\s*"""))
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n" + p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("Window") && !p.contains("Join"), p.take(3000))
+  }
 }
