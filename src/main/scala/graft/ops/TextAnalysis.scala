@@ -394,7 +394,11 @@ object TextAnalysis {
     val words = docs.select(col(idCol).as("doc_id"),
       explode(split(col(textCol), " ")).as("word"))
     val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val df = words.groupBy("word").agg(countDistinct("doc_id").as("df"))
+    // df derives from tf (tf has one row per (doc, word)), so the corpus
+    // is exploded and shuffled ONCE; the df pass re-aggregates the much
+    // smaller (doc, word) frame instead of re-scanning the corpus, and
+    // countDistinct's Expand never appears
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).cast(DoubleType).as("n_docs"))
     val scored = tf.join(df, "word").crossJoin(n)
       .withColumn("idf_micro",
