@@ -224,6 +224,45 @@ object StreamingOps {
       .toDF("vec_id", "ts", "kept")
   }
 
+  /** Streaming event-transition matrix — the online twin of batch ev10:
+    * per-user last-event state turns an append stream into (prev_type →
+    * next_type, gap) transition rows, aggregated per event-time window.
+    * LAG does not exist in streaming; the equivalent is one small
+    * ValueState (last event's micros + type) per live user, processed in
+    * (event time, event id) order inside each micro-batch so results are
+    * deterministic under intra-batch reordering. A row REGRESSING behind
+    * the stored last event (late beyond the batch's own sort, i.e. past
+    * the watermark) is dropped rather than emitted out of order — the
+    * same append-mode no-retraction trade the dedup streams document.
+    * State expires a fixed TTL after the user's first event (absolute,
+    * not idle-extended — the bounded-state policy shared by every
+    * processor here). Emits (window_start, prev_type, next_type, n,
+    * total_gap_us).
+    */
+  def transitionMatrixStream(events: DataFrame, userCol: String,
+                             typeCol: String, tsCol: String, idCol: String,
+                             watermark: String,
+                             windowLen: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .withWatermark(tsCol, watermark)
+      .select(col(userCol).cast("long").as("u"), col(typeCol).as("t"),
+        col(tsCol).as("__ts"), col(idCol).cast("long").as("eid"))
+      .as[(Long, String, java.sql.Timestamp, Long)]
+    val trans = typed
+      .groupByKey(_._1)
+      .transformWithState(new LastEventProcessor(), "_4", OutputMode.Append())
+      .toDF("prev_type", "next_type", "gap_us", "__ts")
+    trans
+      .groupBy(window(col("__ts"), windowLen).as("__w"),
+        col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"), sum("gap_us").as("total_gap_us"))
+      .select(col("__w.start").as("window_start"), col("prev_type"),
+        col("next_type"), col("n"), col("total_gap_us"))
+  }
+
   /** Watermarked stream-stream interval join: each left event picks up
     * the right-side rows with the same key whose timestamp lies in
     * [left.ts - lookback, left.ts]. Both sides buffer only up to their
@@ -431,6 +470,64 @@ private[streaming] class BucketOwnerProcessor(stateTtlMs: Long = 24 * 3600 * 100
       key: Long, timerValues: TimerValues,
       expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, java.sql.Timestamp, Boolean)] = {
     owner.clear()
+    Iterator.empty
+  }
+}
+
+/** Per-user last-event state for transitionMatrixStream: ValueState =
+  * (micros, event_type) of the newest event seen; each arriving row in
+  * (event time, event id) order emits one (prev, next, gap_us, ts)
+  * transition against the stored last event, then becomes it. Rows
+  * older than the stored event (late past the watermark) are dropped —
+  * append output cannot retract the transition that already bridged
+  * them. Gap arithmetic is exact integer microseconds
+  * (epoch-seconds·1e6 + nanos/1e3, the same micros the batch twin's
+  * epoch_us computes). State expires stateTtlMs after the user's FIRST
+  * event (absolute TTL, the shared bounded-state policy): an idle-or-
+  * expired user simply starts a fresh chain. */
+private[streaming] class LastEventProcessor(stateTtlMs: Long = 24 * 3600 * 1000L)
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, String, java.sql.Timestamp, Long),
+    (String, String, Long, java.sql.Timestamp)] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var last: ValueState[(Long, String)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    last = getHandle.getValueState[(Long, String)]("last",
+      org.apache.spark.sql.Encoders.product[(Long, String)], TTLConfig.NONE)
+
+  private def micros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, String, java.sql.Timestamp, Long)],
+      timerValues: TimerValues): Iterator[(String, String, Long, java.sql.Timestamp)] = {
+    val sorted = rows.toVector.sortBy(r => (micros(r._3), r._4))
+    if (sorted.isEmpty) return Iterator.empty
+    if (!last.exists())
+      getHandle.registerTimer(sorted.map(_._3.getTime).max + stateTtlMs)
+    var cur = if (last.exists()) Some(last.get()) else None
+    val out = Vector.newBuilder[(String, String, Long, java.sql.Timestamp)]
+    sorted.foreach { case (_, typ, ts, _) =>
+      val tus = micros(ts)
+      cur match {
+        case Some((ptus, ptyp)) if tus >= ptus =>
+          out += ((ptyp, typ, tus - ptus, ts))
+          cur = Some((tus, typ))
+        case Some(_) => // regression past the watermark: drop, keep state
+        case None => cur = Some((tus, typ))
+      }
+    }
+    cur.foreach(last.update)
+    out.result().iterator
+  }
+
+  override def handleExpiredTimer(
+      key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[(String, String, Long, java.sql.Timestamp)] = {
+    last.clear()
     Iterator.empty
   }
 }

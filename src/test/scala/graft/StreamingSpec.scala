@@ -185,6 +185,49 @@ class StreamingSpec extends SparkSpec {
     assert(rows(2)._4 === d)        // A suppressed ACROSS batches
   }
 
+  test("streaming transition matrix chains events across micro-batches") {
+    val dir = tmpDir("graft-transitions")
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("ts", TimestampType), StructField("event_id", LongType)))
+    def write(sub: String, rows: Seq[(Long, String, String, Long)]): Unit =
+      rows.toDF("user_id", "event_type", "s", "event_id")
+        .select(col("user_id"), col("event_type"),
+          to_timestamp(col("s")).as("ts"), col("event_id"))
+        .write.parquet(dir + "/" + sub)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    write("b1", Seq(
+      (1L, "view", "2024-01-01 00:00:00", 1L),
+      (1L, "click", "2024-01-01 00:00:10", 2L),
+      (2L, "view", "2024-01-01 00:05:00", 3L)))
+    val stream = StreamingOps.parquetStream(spark, schema, dir + "/b*")
+    val out = StreamingOps.transitionMatrixStream(stream, "user_id",
+      "event_type", "ts", "event_id", "10 minutes", "1 hour")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("transout").start()
+    q.processAllAvailable()
+    // batch 2: u1 purchase chains ACROSS batches (click@10s -> 30s);
+    // u1's 00:00:05 event regressed behind the stored click -> dropped;
+    // u2's click lands in the next hour window
+    write("b2", Seq(
+      (1L, "purchase", "2024-01-01 00:00:30", 4L),
+      (1L, "view", "2024-01-01 00:00:05", 5L),
+      (2L, "click", "2024-01-01 01:00:00", 6L)))
+    q.processAllAvailable()
+    // watermark flush
+    write("b3", Seq((99L, "view", "2024-01-01 03:00:00", 7L)))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.sql(
+      "SELECT date_format(window_start, 'HH:mm') AS w, prev_type, next_type, n, total_gap_us " +
+        "FROM transout ORDER BY w, prev_type, next_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq === Seq(
+      ("00:00", "click", "purchase", 1L, 20000000L),
+      ("00:00", "view", "click", 1L, 10000000L),
+      ("01:00", "view", "click", 1L, 3300000000L)))
+  }
+
   test("streaming semantic dedup suppresses near-identical vectors per trained cell") {
     val dir = tmpDir("graft-semdedup")
     val rnd = new scala.util.Random(5)
