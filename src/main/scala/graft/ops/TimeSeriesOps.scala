@@ -34,6 +34,24 @@ object TimeSeriesOps {
       lpad(id.cast(StringType), 20, "0"))
   }
 
+  /** BIGINT ordering key for OHLC groups that are HOUR-ALIGNED (batch
+    * ev7): (µs offset within the hour) << 31 | id. Induces the same
+    * (ts, id) total order as `ohlcKey` inside any group whose rows share
+    * one hour — the hour base is constant there, so ordering by the
+    * offset equals ordering by epoch-µs — but the key stays a LONG, and
+    * min_by/max_by aggregate in a codegen'd HashAggregate where the
+    * string key's var-length buffer forces SortAggregate (a full sort of
+    * every event on both sides of the exchange). An hour is 3.6e9 µs
+    * (fits 32 bits), so offset<<31 + id stays under 2^63; ids outside
+    * [0, 2^31) raise loudly rather than corrupt the order. Streams keep
+    * `ohlcKey`: their windows need not align to hours. */
+  def ohlcKeyHourPacked(ts: Column, id: Column): Column = {
+    val off = unix_micros(ts) - unix_micros(date_trunc("hour", ts))
+    when(id < 0 || id >= (1L << 31) || off < 0,
+      expr("raise_error('ohlc: id outside [0, 2^31) or pre-epoch ts breaks the packed key order')"))
+      .otherwise(off * (1L << 31) + id)
+  }
+
   /** For every left row, attach `valueCol` of the most recent right row
     * with right.ts <= left.ts within the same `keyCol` (classic as-of).
     * `right` must be unique per (key, ts) for deterministic results —

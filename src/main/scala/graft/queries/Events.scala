@@ -105,22 +105,24 @@ object Events {
 
     // OHLC downsampling: per (user, hour) the first/last/min/max value —
     // the classic time-series compaction. open/close via min_by/max_by on
-    // a zero-padded (epoch-µs, event_id) string key: one deterministic
-    // partial-aggregable pass, where the window formulation would sort
-    // every event per key. The oracle's arg_min/arg_max uses the
-    // identical key, so ties are impossible (event_id is unique).
+    // a PACKED BIGINT (µs-offset-within-hour, event_id) key: within an
+    // hour-aligned group it induces the same (ts, id) order as the padded
+    // string key, but keeps the aggregation in a codegen'd HashAggregate
+    // (string keys force SortAggregate — a full sort of every event on
+    // both exchange sides). The oracle's arg_min/arg_max packs the
+    // identical key; ties are impossible (event_id is unique).
     QueryDef("ev7_ohlc_downsample",
       """WITH e AS (SELECT user_id,
         |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start, value,
-        |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || ':' ||
-        |      lpad(CAST(event_id AS VARCHAR), 20, '0') AS k
+        |    (epoch_us(ts) - epoch_us(date_trunc('hour', ts))) * 2147483648
+        |      + event_id AS k
         |  FROM events)
         |SELECT CAST(user_id AS BIGINT) AS user_id, hour_start,
         |  arg_min(value, k) AS open, arg_max(value, k) AS close,
         |  MIN(value) AS low, MAX(value) AS high, CAST(COUNT(*) AS BIGINT) AS n
         |FROM e GROUP BY 1, 2 ORDER BY user_id, hour_start""".stripMargin) { (s, d) =>
-      // the shared guarded key builder (negatives raise loudly)
-      val k = graft.ops.TimeSeriesOps.ohlcKey(col("ts"), col("event_id"))
+      // the shared guarded key builder (out-of-range ids raise loudly)
+      val k = graft.ops.TimeSeriesOps.ohlcKeyHourPacked(col("ts"), col("event_id"))
       ev(s, d)
         .groupBy(col("user_id").cast(LongType).as("user_id"),
           date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_start"))
