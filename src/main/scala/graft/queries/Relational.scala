@@ -572,6 +572,74 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // Equi-width histogram: 20 bins over l_extendedprice. Pass 1 is a
+    // single-row min/max aggregate (broadcast as a 1-row cross join),
+    // pass 2 one hash aggregate on the bin id — the standard two-scan
+    // histogram whose shuffles are bins-sized, never data-sized. Bin
+    // arithmetic is the same IEEE double ops in both engines
+    // (sub/div/floor are correctly rounded), so bin ids are exact.
+    QueryDef("q36_histogram",
+      """WITH mm AS (SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+        |            FROM lineitem),
+        |b AS (SELECT CAST(LEAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / 20.0)), 19) AS BIGINT) AS bin,
+        |             lo, hi
+        |      FROM lineitem, mm)
+        |SELECT bin, lo + bin * ((hi - lo) / 20.0) AS bin_lo,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM b GROUP BY bin, lo, hi ORDER BY bin""".stripMargin) { (s, d) =>
+      val mm = li(s, d).agg(min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"))
+      li(s, d).select(col("l_extendedprice")).crossJoin(mm)
+        .select(least(floor((col("l_extendedprice") - col("lo")) /
+          ((col("hi") - col("lo")) / 20.0)), lit(19)).cast(LongType).as("bin"),
+          col("lo"), col("hi"))
+        .groupBy("bin", "lo", "hi")
+        .agg(count(lit(1)).as("n"))
+        .select(col("bin"), (col("lo") + col("bin") * ((col("hi") - col("lo")) / 20.0)).as("bin_lo"),
+          col("n"))
+        .orderBy("bin")
+    },
+
+    // Correlation / covariance with engine-portable determinism: the
+    // built-in corr()/covar aggregates sum doubles in partition order
+    // (non-deterministic across engines), so the moments accumulate as
+    // exact DECIMAL sums of cent-scaled integers and the closed forms
+    // divide once at the end — one hash aggregate, same plan shape as
+    // the built-ins, bit-stable everywhere.
+    QueryDef("q37_corr_covar",
+      """WITH t AS (SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS x,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(x AS DECIMAL(38,0))) AS sx, SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+        |    SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+        |    SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+        |    SUM(CAST(y * y AS DECIMAL(38,0))) AS syy
+        |  FROM t GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / n / 10000.0 AS covar_pop,
+        |  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) /
+        |    sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) *
+        |         (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)) AS corr
+        |FROM m ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val t = li(s, d).select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast(LongType).as("x"),
+        round(col("l_quantity") * 100).cast(LongType).as("y"))
+      def dsum38(c: Column) = sum(c.cast(DecimalType(38, 0)))
+      t.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), dsum38(col("x")).as("sx"), dsum38(col("y")).as("sy"),
+          dsum38(col("x") * col("y")).as("sxy"), dsum38(col("x") * col("x")).as("sxx"),
+          dsum38(col("y") * col("y")).as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          ((col("sxy").cast(DoubleType) - col("sx").cast(DoubleType) * col("sy").cast(DoubleType) / col("n"))
+            / col("n") / 10000.0).as("covar_pop"),
+          ((col("sxy").cast(DoubleType) - col("sx").cast(DoubleType) * col("sy").cast(DoubleType) / col("n")) /
+            sqrt((col("sxx").cast(DoubleType) - col("sx").cast(DoubleType) * col("sx").cast(DoubleType) / col("n")) *
+              (col("syy").cast(DoubleType) - col("sy").cast(DoubleType) * col("sy").cast(DoubleType) / col("n"))))
+            .as("corr"))
+        .orderBy("l_returnflag")
+    },
+
     // ---- GROUPS window frames --------------------------------------------
     // Spark's engine implements only ROWS and RANGE frames; the GROUPS
     // frame (SQL:2011, supported by the reference through DataFusion) is
