@@ -76,6 +76,17 @@ object ProbeScale {
       graft.ops.TextAnalysis.corpusDrift(
           docs.withColumn("source", concat(lit("s"), col("doc_id") % 20)), "source", "text")
         .write.mode("overwrite").format("noop").save())
+    t(s"tx18 tfidf-topk x$mult")(
+      graft.ops.TextAnalysis.tfIdfTopK(docs, "doc_id", "text", 5)
+        .write.mode("overwrite").format("noop").save())
+    t(s"tx19 bpe-pairs x$mult")(
+      graft.ops.TextAnalysis.bpePairCounts(docs, "text", 50)
+        .write.mode("overwrite").format("noop").save())
+    t(s"tx20 domain-quota x$mult")(
+      graft.ops.TextAnalysis.domainQuotaSample(
+          docs.withColumn("source", concat(lit("s"), col("doc_id") % 20)),
+          "doc_id", "source", 10)
+        .write.mode("overwrite").format("noop").save())
     // embeddings: replicate with shifted ids; queries stay 10 vectors
     val em0 = graft.Tables.load(spark, sfDir, "embeddings")
     val em = spark.range(mult).crossJoin(em0)
