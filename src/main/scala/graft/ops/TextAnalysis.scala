@@ -465,6 +465,39 @@ object TextAnalysis {
         (col("i") + 1).cast(LongType).as("pos"))
   }
 
+  /** Corpus heavy hitters via a Misra–Gries sketch, cross-checked
+    * against exact counts. The exact groupBy shuffles the full distinct
+    * vocabulary; the sketch pass carries AT MOST `capacity` counters per
+    * partial/shuffle-row/final buffer regardless of corpus size or skew —
+    * the 100 TB shape for "what are the frequent tokens". Sketch
+    * estimates are merge-order-dependent (true of any MG), so the output
+    * compares them to the exact top-k through the sketch's guarantee
+    * booleans instead of emitting raw estimates: `found_ok` (an item
+    * with exact count > N/(capacity+1) must be in the summary) and
+    * `bound_ok` (estimates never exceed the exact count and undercount
+    * by at most N/(capacity+1)) — both provably true for a correct
+    * implementation under ANY merge order. */
+  def heavyHitters(docs: DataFrame, textCol: String, capacity: Int,
+                   k: Int): DataFrame = {
+    require(capacity >= 1 && k >= 1,
+      s"capacity ($capacity) and k ($k) must be >= 1")
+    val words = docs.select(explode(split(col(textCol), " ")).as("word"))
+    val topk = words.groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word")).limit(k)
+    val sk = words
+      .agg(graft.functions.MisraGriesAggregate.misra_gries(col("word"), capacity).as("mg"))
+      .select(explode(col("mg")).as("e"))
+      .select(col("e.item").as("word"), col("e.est").as("est"))
+    val tot = words.agg(count(lit(1)).as("n_tot"))
+    topk.join(sk, Seq("word"), "left").crossJoin(tot)
+      .select(col("word"), col("n"),
+        (col("est").isNotNull || col("n") <= col("n_tot") / (capacity + 1)).as("found_ok"),
+        (col("est").isNull ||
+          (col("est") <= col("n") &&
+            col("n") - col("est") <= col("n_tot") / (capacity + 1))).as("bound_ok"))
+      .orderBy(col("n").desc, col("word"))
+  }
+
   /** Training-sequence packing (the concat-and-chunk layout GPT-style
     * pipelines run before batching): documents are laid end-to-end in
     * doc-id order on one global token axis, which is cut every `seqLen`

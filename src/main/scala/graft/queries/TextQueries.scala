@@ -479,6 +479,20 @@ object TextQueries {
       TextAnalysis.domainQuotaSample(Tables.load(s, d, "documents"),
           "doc_id", "source", quota = 10)
         .orderBy("key", "pos")
+    },
+
+    // Heavy hitters: Misra-Gries sketch (bounded state, one pass)
+    // cross-checked against the exact top-20. The oracle asserts the
+    // sketch's guarantees as literal TRUE — the q26 pattern: each engine
+    // verifies its own sketch against the exact answer's error bound.
+    QueryDef("tx21_heavy_hitters",
+      """WITH w AS (SELECT u.w AS word
+        |           FROM documents, UNNEST(string_split(text, ' ')) AS u(w)),
+        |c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY 1)
+        |SELECT word, n, TRUE AS found_ok, TRUE AS bound_ok
+        |FROM c ORDER BY n DESC, word LIMIT 20""".stripMargin) { (s, d) =>
+      TextAnalysis.heavyHitters(Tables.load(s, d, "documents"), "text",
+        capacity = 512, k = 20)
     }
   )
 }

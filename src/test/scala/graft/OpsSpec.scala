@@ -320,6 +320,33 @@ class OpsSpec extends SparkSpec {
     assert(out.filter(_._1 < 50).map(_._3).min > out.filter(_._1 >= 50).map(_._3).max)
   }
 
+  test("Misra-Gries guarantees hold on skewed data under any partitioning") {
+    // zipf-ish: word w_i appears ~1000/i times; tiny capacity forces
+    // heavy decrementing so the bounds are actually exercised
+    val rnd = new scala.util.Random(7)
+    val tokens = rnd.shuffle(
+      (1 to 200).flatMap(i => Seq.fill(1000 / i)(s"w$i")).toVector)
+    val n = tokens.size.toLong
+    val capacity = 16
+    for (parts <- Seq(1, 7, 32)) {
+      val df = tokens.map(Tuple1(_)).toDF("word").repartition(parts)
+      val est = df.agg(functions.MisraGriesAggregate.misra_gries(col("word"), capacity).as("mg"))
+        .select(explode(col("mg")).as("e"))
+        .select(col("e.item"), col("e.est"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(est.size <= capacity)
+      val exact = tokens.groupBy(identity).map { case (w, g) => (w, g.size.toLong) }
+      val bound = n / (capacity + 1)
+      exact.foreach { case (w, c) =>
+        if (c > bound) assert(est.contains(w), s"$w (exact $c > $bound) missing at parts=$parts")
+        est.get(w).foreach { e =>
+          assert(e <= c, s"$w overestimated: $e > $c at parts=$parts")
+          assert(c - e <= bound, s"$w undercounted past the bound at parts=$parts")
+        }
+      }
+    }
+  }
+
   test("BPE pair counts weight char pairs by word frequency") {
     // "ab" x3 and "cd" x1 across docs; "aaa" contributes TWO "aa" pairs
     // per occurrence (in-word multiplicity); 1-char words carry none
