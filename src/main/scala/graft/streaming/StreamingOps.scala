@@ -224,6 +224,26 @@ object StreamingOps {
       .toDF("vec_id", "ts", "kept")
   }
 
+  /** Streaming heavy hitters — the online twin of tx21: per event-time
+    * window, the Misra–Gries frequent-items summary of the arriving
+    * corpus. The sketch is a mergeable TypedImperativeAggregate, so it
+    * runs INSIDE the ordinary watermarked windowed aggregation — no
+    * custom state processor; streaming state per live window is the
+    * serialized ≤capacity-counter buffer, not the vocabulary. When the
+    * window's distinct vocabulary stays ≤ capacity the counters are
+    * exact counts (no decrement ever fires); past it, the tx21
+    * guarantees apply per window. Emits (win_start,
+    * array<struct<item, est>>) once the watermark closes the window. */
+  def heavyHittersStream(docs: DataFrame, textCol: String, tsCol: String,
+                         watermark: String, windowLen: String,
+                         capacity: Int): DataFrame =
+    docs
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol).as("__ts"), explode(split(col(textCol), " ")).as("word"))
+      .groupBy(window(col("__ts"), windowLen))
+      .agg(graft.functions.MisraGriesAggregate.misra_gries(col("word"), capacity).as("top"))
+      .select(col("window.start").as("win_start"), col("top"))
+
   /** Streaming event-transition matrix — the online twin of batch ev10:
     * per-user last-event state turns an append stream into (prev_type →
     * next_type, gap) transition rows, aggregated per event-time window.

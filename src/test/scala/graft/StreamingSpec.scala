@@ -185,6 +185,34 @@ class StreamingSpec extends SparkSpec {
     assert(rows(2)._4 === d)        // A suppressed ACROSS batches
   }
 
+  test("streaming heavy hitters merge counters across micro-batches") {
+    val dir = tmpDir("graft-hh")
+    val schema = StructType(Seq(
+      StructField("text", StringType), StructField("ts", TimestampType)))
+    def write(sub: String, rows: Seq[(String, String)]): Unit =
+      rows.toDF("text", "s")
+        .select(col("text"), to_timestamp(col("s")).as("ts"))
+        .write.parquet(dir + "/" + sub)
+    write("b1", Seq(("a a a b", "2024-01-01 00:00:00"), ("b c", "2024-01-01 00:10:00")))
+    val stream = StreamingOps.parquetStream(spark, schema, dir + "/b*")
+    val out = StreamingOps.heavyHittersStream(stream, "text", "ts",
+      "10 minutes", "1 hour", capacity = 8)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("hhout").start()
+    q.processAllAvailable()
+    // same window, later batch: counters must MERGE (a: 3+2, b: 2+1)
+    write("b2", Seq(("a a b", "2024-01-01 00:20:00")))
+    q.processAllAvailable()
+    write("b3", Seq(("flush", "2024-01-01 03:00:00"))) // watermark flush
+    q.processAllAvailable(); q.stop()
+    val rows = spark.sql(
+      "SELECT win_start, top FROM hhout ORDER BY win_start LIMIT 1")
+      .collect().map(r => r.getSeq[org.apache.spark.sql.Row](1)
+        .map(e => (e.getString(0), e.getLong(1))))
+    // capacity > vocab => MG counters are exact: a=5, b=3, c=1
+    assert(rows.head === Seq(("a", 5L), ("b", 3L), ("c", 1L)))
+  }
+
   test("streaming transition matrix chains events across micro-batches") {
     val dir = tmpDir("graft-transitions")
     val schema = StructType(Seq(
