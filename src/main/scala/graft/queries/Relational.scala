@@ -581,16 +581,19 @@ object Relational {
     QueryDef("q36_histogram",
       """WITH mm AS (SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
         |            FROM lineitem),
-        |b AS (SELECT CAST(LEAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / 20.0)), 19) AS BIGINT) AS bin,
-        |             lo, hi
+        |b AS (SELECT CASE WHEN hi = lo THEN 0
+        |        ELSE CAST(LEAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / 20.0)), 19) AS BIGINT)
+        |        END AS bin, lo, hi
         |      FROM lineitem, mm)
         |SELECT bin, lo + bin * ((hi - lo) / 20.0) AS bin_lo,
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM b GROUP BY bin, lo, hi ORDER BY bin""".stripMargin) { (s, d) =>
       val mm = li(s, d).agg(min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"))
       li(s, d).select(col("l_extendedprice")).crossJoin(mm)
-        .select(least(floor((col("l_extendedprice") - col("lo")) /
-          ((col("hi") - col("lo")) / 20.0)), lit(19)).cast(LongType).as("bin"),
+        // hi == lo (degenerate single-value column) => one bin, not NaN
+        .select(when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(floor((col("l_extendedprice") - col("lo")) /
+            ((col("hi") - col("lo")) / 20.0)), lit(19)).cast(LongType)).as("bin"),
           col("lo"), col("hi"))
         .groupBy("bin", "lo", "hi")
         .agg(count(lit(1)).as("n"))
