@@ -123,10 +123,65 @@ case class NearestCells(
     copy(child = newChild)
 }
 
+/** Dense matrix × quantized-vector projection against a PLAN-BAKED
+  * row-major matrix (outDim × dim doubles) — the serving half of PCA:
+  * out_k = Σ_i (qe_i·scale − center_i)·mat_k_i. Zero shuffle, one tight
+  * loop per row; the matrix is bounded by the projection parameters
+  * (outDim·dim), never data-sized — the same bake-don't-join rule as
+  * NearestCells. IndexedSeq fields so expression equality is structural
+  * (CSE/exchange reuse see identical bakes as equal). Double arithmetic
+  * is the same correctly-rounded IEEE sequence on every engine/executor,
+  * so projections are deterministic given the trained matrix. */
+case class MatVecProject(child: Expression,
+                         mat: IndexedSeq[IndexedSeq[Double]],
+                         center: IndexedSeq[Double],
+                         scale: Double)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(mat.nonEmpty && mat.forall(_.length == center.length),
+    "matrix rows and center must share the input dimension")
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.DoubleType, containsNull = false)
+  override def prettyName: String = "matvec_project"
+
+  @transient private lazy val m: Array[Array[Double]] = mat.map(_.toArray).toArray
+  @transient private lazy val c: Array[Double] = center.toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val dim = math.min(arr.numElements(), c.length)
+    val x = new Array[Double](dim)
+    var i = 0
+    while (i < dim) { x(i) = arr.getLong(i) * scale - c(i); i += 1 }
+    val out = new Array[Double](m.length)
+    var k = 0
+    while (k < m.length) {
+      val row = m(k)
+      var s = 0.0
+      var j = 0
+      while (j < dim) { s += x(j) * row(j); j += 1 }
+      out(k) = s
+      k += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MatVecProject =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API for DotProductLong. */
   def dot_q(a: Column, b: Column): Column =
     GraftBridge.column(DotProductLong(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Column API for MatVecProject: centered projection of a quantized
+    * vector through a plan-baked (outDim × dim) matrix. */
+  def matvec_project(qe: Column, mat: Array[Array[Double]],
+                     center: Array[Double], scale: Double): Column =
+    GraftBridge.column(MatVecProject(GraftBridge.expression(qe),
+      mat.map(_.toIndexedSeq).toIndexedSeq, center.toIndexedSeq, scale))
 
   /** Column API for NearestCells: `nprobe` nearest centroid cell ids. */
   def nearest_cells(qe: Column, cents: Array[(Long, Array[Long])], nprobe: Int): Column =

@@ -469,4 +469,128 @@ object Embeddings {
           cosine(dotQ(col("qe"), col("q_qe")), col("n2"), col("q_n2")).as("cos")),
       k)
   }
+
+  /** Distributed PCA projection — the dimensionality-reduction step
+    * pipelines run before ANN indexing or clustering. Training is ONE
+    * fixed-state pass: `GramAggregate` accumulates [n, Σv, Σvvᵀ] with
+    * dim·(dim+3)/2+1 longs of state total (exact Int64 on
+    * gramScale-reduced components, so the moments — and therefore the
+    * eigenbasis — are independent of partitioning and merge order). The
+    * driver builds the dim×dim covariance from the one collected buffer
+    * and runs a cyclic Jacobi eigensolve (deterministic sweep order,
+    * canonical sign: each eigenvector's largest-|component| entry is
+    * positive); the top `outDim` eigenvectors bake into a zero-shuffle
+    * in-row `MatVecProject` serving pass — train-once/project-anywhere,
+    * the same collect-then-bake shape as the IVF centroids (bounded by
+    * dim², never data-sized).
+    *
+    * Output: (vec_id, proj array<double> of outDim centered
+    * coordinates). gramScale trades moment precision for overflow
+    * headroom: sums of (qe/gramScale)² × rows must stay inside 63 bits
+    * (defaults cover unit-normalized embeddings up to ~10¹² rows).
+    */
+  def pcaProject(vecs: DataFrame, idCol: String, vecCol: String,
+                 dim: Int, outDim: Int, gramScale: Long = 1000L): DataFrame = {
+    require(dim >= 1 && outDim >= 1 && outDim <= dim,
+      s"need 1 <= outDim ($outDim) <= dim ($dim)")
+    val p = prepared(vecs, idCol, vecCol)
+    val row = p.agg(graft.functions.GramAggregate
+      .gram_acc(col("qe"), dim, gramScale).as("g")).head()
+    val buf = row.getSeq[Long](0).toArray
+    val n = buf(0)
+    if (n == 0L)
+      return p.limit(0).select(col("vec_id"),
+        array().cast(ArrayType(DoubleType, containsNull = false)).as("proj"))
+    // covariance in (qe/gramScale) units; unit conversion only affects
+    // eigenVALUE scale, not the eigenbasis
+    val mean = Array.tabulate(dim)(i => buf(1 + i).toDouble / n)
+    val cov = Array.ofDim[Double](dim, dim)
+    var g = 1 + dim
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val c = buf(g).toDouble / n - mean(i) * mean(j)
+        cov(i)(j) = c; cov(j)(i) = c
+        j += 1; g += 1
+      }
+      i += 1
+    }
+    val (vals, vecsM) = jacobiEigen(cov)
+    val order = vals.zipWithIndex.sortBy { case (v, idx) => (-v, idx) }.map(_._2).take(outDim)
+    val mat = order.map { k =>
+      val v = Array.tabulate(dim)(r => vecsM(r)(k))
+      // canonical sign: largest-|component| entry positive
+      val piv = v.indices.maxBy(r => (math.abs(v(r)), -r))
+      if (v(piv) < 0) v.map(x => -x) else v
+    }
+    // center in VALUE units (qe = value·1e6; sums are qe/gramScale)
+    val center = mean.map(_ * gramScale / 1e6)
+    p.select(col("vec_id"),
+      graft.functions.VectorFunctions.matvec_project(
+        col("qe"), mat, center, 1e-6).as("proj"))
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: rotations
+    * sweep the upper triangle in fixed (p, q) order until the
+    * off-diagonal mass is negligible — deterministic for a given input,
+    * O(dim³) per sweep on the DRIVER (dim is the embedding width, not
+    * the corpus). Returns (eigenvalues, column-eigenvector matrix). */
+  private[graft] def jacobiEigen(a0: Array[Array[Double]],
+                                 maxSweeps: Int = 64): (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) { s += a(i)(j) * a(i)(j); j += 1 }
+        i += 1
+      }
+      s
+    }
+    val tol = 1e-20 * math.max(1.0, a.map(r => r.map(math.abs).max).max)
+    var sweep = 0
+    while (sweep < maxSweeps && off() > tol) {
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 0.0) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) match {
+              case 0.0 => 1.0 / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+              case sgn => sgn / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < n) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < n) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
 }

@@ -320,6 +320,39 @@ class OpsSpec extends SparkSpec {
     assert(out.filter(_._1 < 50).map(_._3).min > out.filter(_._1 >= 50).map(_._3).max)
   }
 
+  test("PCA projection captures planted low-rank structure deterministically") {
+    val dim = 16
+    val rnd = new scala.util.Random(11)
+    // two orthogonal planted directions + tiny isotropic noise
+    val u = Array.tabulate(dim)(i => if (i < 8) 0.35 else 0.0)
+    val w = Array.tabulate(dim)(i => if (i >= 8) 0.35 else 0.0)
+    val rows = (0 until 400).map { id =>
+      val a = rnd.nextGaussian() * 3.0
+      val b = rnd.nextGaussian() * 1.5
+      val x = Array.tabulate(dim)(i => a * u(i) + b * w(i) + rnd.nextGaussian() * 0.01)
+      (id.toLong, x.map(_.toFloat).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    def proj(d: org.apache.spark.sql.DataFrame) =
+      ops.Embeddings.pcaProject(d, "vec_id", "embedding", dim, 2)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toVector)).toMap
+    val out = proj(df)
+    assert(out.size === 400 && out.values.forall(_.length == 2))
+    // variance captured by the 2 projected dims vs total data variance
+    val data = rows.map(_._2.map(_.toDouble).toArray)
+    val means = Array.tabulate(dim)(i => data.map(_(i)).sum / data.size)
+    val totalVar = (0 until dim).map(i => data.map(x => math.pow(x(i) - means(i), 2)).sum).sum
+    val projVar = (0 until 2).map(k => {
+      val vs = out.values.map(_(k)).toSeq
+      val m = vs.sum / vs.size
+      vs.map(x => (x - m) * (x - m)).sum
+    }).sum
+    assert(projVar / totalVar > 0.95,
+      f"planted 2-dim structure must dominate: ${projVar / totalVar}%.3f")
+    // training + projection are exact-integer/fixed-order: repartition-stable
+    assert(proj(df.repartition(13)) === out)
+  }
+
   test("Misra-Gries guarantees hold on skewed data under any partitioning") {
     // zipf-ish: word w_i appears ~1000/i times; tiny capacity forces
     // heavy decrementing so the bounds are actually exercised
