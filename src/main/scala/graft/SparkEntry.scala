@@ -15,7 +15,8 @@ object SparkEntry {
       graft.queries.PipelinesDedup.defs ++
       graft.queries.Similarity.defs ++
       graft.queries.TextQueries.defs ++
-      graft.queries.Events.defs
+      graft.queries.Events.defs ++
+      graft.queries.GraphQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

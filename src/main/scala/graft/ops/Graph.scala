@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Distributed graph analytics over edge lists — the link-importance
+  * primitives a training-data pipeline uses to weight crawl sources
+  * (host/page authority) before sampling. Companion of the dedup
+  * family's connected components (TextDedup.duplicateGroups): same
+  * Pregel-by-DataFrame shape — a bounded per-iteration join+aggregate
+  * keyed on the vertex id, lineage truncated by lazy localCheckpoints,
+  * nothing ever collected to the driver.
+  */
+object Graph {
+
+  /** Weighted PageRank in EXACT Int64 arithmetic — rank mass is carried
+    * in integer `scale` units and every division is a truncating integer
+    * division, so the result is bit-identical regardless of
+    * partitioning, merge order, or engine (the DuckDB oracle replays
+    * the same formula).
+    *
+    * Per iteration:
+    *   rank'(v) = teleport + (dampNum · Σ_u floor(rank(u)·w(u,v) / W(u))) div dampDen
+    * with teleport = (dampDen − dampNum)·scale div dampDen, W(u) the
+    * total out-weight of u. Ranks start at `scale` (total mass N·scale;
+    * PageRank up to that constant factor). Dangling-node mass is dropped
+    * — deterministically, identically on every engine.
+    *
+    * Scale shape: each iteration is ONE join of the (checkpointed,
+    * out-weight-annotated) edge list with the current rank vector keyed
+    * on src, then ONE aggregation keyed on dst — the standard
+    * Pregel-on-shuffle layout; state per executor is bounded by the
+    * edge/vertex partitions, never the whole graph. 10 iterations on a
+    * 1000-executor cluster is 20 shuffles of edge-list size, with
+    * map-side combine shrinking the aggregate to vertex cardinality.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
+               iters: Int = 10, scale: Long = 1000000L,
+               dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(scale >= 1L && dampNum >= 0L && dampDen >= 1L && dampNum <= dampDen,
+      s"need scale >= 1 and 0 <= dampNum <= dampDen, got scale=$scale damp=$dampNum/$dampDen")
+    val e = edges.select(
+      edges(srcCol).cast(LongType).as("src"),
+      edges(dstCol).cast(LongType).as("dst"),
+      edges(wCol).cast(LongType).as("w"))
+    // out-weight annotated edges are loop-invariant: compute once,
+    // truncate lineage so 10 iterations don't replay the edge pipeline
+    val ew = e.join(e.groupBy("src").agg(sum("w").as("ow")), "src")
+      .select("src", "dst", "w", "ow")
+      .localCheckpoint(false)
+    val nodes = ew.select(col("src").as("node"))
+      .union(ew.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(false)
+    val teleport = (dampDen - dampNum) * scale / dampDen
+    var ranks = nodes.withColumn("rank", lit(scale))
+    var i = 0
+    while (i < iters) {
+      val contrib = ew.join(ranks, ew("src") === ranks("node"))
+        .select(col("dst"), expr("(rank * w) div ow").as("c"))
+        .groupBy("dst").agg(sum("c").as("s"))
+      ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(col("node"),
+          (lit(teleport) +
+            expr(s"($dampNum * coalesce(s, 0L)) div $dampDen")).as("rank"))
+        .localCheckpoint(false)
+      i += 1
+    }
+    ranks
+  }
+
+  /** The events-table item graph: consecutive items (props.k) per user in
+    * (ts, event_id) order become directed edges src→dst, self-loops
+    * dropped, multiplicity as the edge weight. One window shuffle keyed
+    * on user_id, one aggregation keyed on the edge. */
+  def itemTransitionEdges(events: DataFrame): DataFrame = {
+    val it = events.select(
+      col("user_id"),
+      unix_micros(col("ts")).as("tus"),
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast(LongType).as("item"))
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    it.withColumn("src", lag("item", 1).over(w))
+      .where(col("src").isNotNull && col("src") =!= col("item"))
+      .groupBy(col("src"), col("item").as("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+}

@@ -105,4 +105,41 @@ object TimeSeriesOps {
       .withColumn("filled", col("__v").isNull)
       .select(col(keyCol), col("__bucket").as("bucket_start_us"), col("value"), col("filled"))
   }
+
+  /** Binned interval join: all (interval, point) pairs with
+    * `point.tsCol ∈ [startCol, endCol)` — WITHOUT an equi key. A naive
+    * formulation is a broadcast-nested-loop / O(n·m) range join; this is
+    * the standard bin-bucketing rewrite (what Databricks' range-join hint
+    * does): intervals explode to the `binWidthUs` bins they overlap,
+    * points key to the single bin containing them, the join runs as a
+    * plain shuffled EQUI-join on the bin id, and the residual predicate
+    * re-checks the exact bounds. Each point lies in exactly one bin and
+    * an interval covers each of its bins once, so no dedup pass is
+    * needed — pair multiplicity is exact.
+    *
+    * Pick `binWidthUs` ≈ the typical interval length: fan-out per
+    * interval is then ~2 bins, and each bin-bucket pairs only co-binned
+    * rows — at 100 TB the shuffle carries ~2× the interval rows instead
+    * of replicating either side in full. Degenerate/empty intervals
+    * (end <= start) produce no pairs.
+    *
+    * Output: every column of `intervals` plus every column of `points`
+    * (caller guarantees disjoint names), one row per matching pair.
+    */
+  def binnedIntervalJoin(intervals: DataFrame, points: DataFrame,
+                         startCol: String, endCol: String, tsCol: String,
+                         binWidthUs: Long): DataFrame = {
+    require(binWidthUs >= 1, s"binWidthUs must be >= 1, got $binWidthUs")
+    val iv = intervals
+      .where(col(endCol) > col(startCol))
+      .withColumn("__bin",
+        explode(sequence(
+          expr(s"$startCol div ${binWidthUs}L"),
+          // end is exclusive: a bin is covered iff it starts BEFORE end
+          expr(s"($endCol - 1L) div ${binWidthUs}L"))))
+    val pt = points.withColumn("__bin", expr(s"$tsCol div ${binWidthUs}L"))
+    iv.join(pt, Seq("__bin"))
+      .where(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("__bin")
+  }
 }

@@ -260,6 +260,66 @@ object Events {
           (col("sp").cast(DoubleType) / col("total_s").cast(DoubleType) / lit(1000000.0)).as("twap"),
           col("total_s"), col("n_gaps"))
         .orderBy("user_id", "day")
+    },
+
+    // Interval join WITHOUT an equi key — "how many purchases landed in
+    // the 10 minutes after each error". The naive plan is an O(n·m)
+    // nested-loop range join; the Spark side runs the binned rewrite
+    // (ops.TimeSeriesOps.binnedIntervalJoin): intervals explode to the
+    // ≤2 bins they overlap, points hash to their single bin, and the
+    // pairing is a plain shuffled equi-join on the bin id + exact
+    // residual bounds. DuckDB's oracle runs its native IEJoin on the
+    // same predicate — two different physical strategies, identical
+    // pairs.
+    QueryDef("ev12_interval_join",
+      """WITH er AS (SELECT event_id, epoch_us(ts) AS tus FROM events WHERE event_type = 'error'),
+        |pu AS (SELECT epoch_us(ts) AS pts FROM events WHERE event_type = 'purchase')
+        |SELECT er.event_id, CAST(COUNT(pu.pts) AS BIGINT) AS n_purchases
+        |FROM er LEFT JOIN pu ON pu.pts >= er.tus AND pu.pts < er.tus + 600000000
+        |GROUP BY er.event_id ORDER BY er.event_id""".stripMargin) { (s, d) =>
+      val e = ev(s, d)
+      val errors = e.where(col("event_type") === "error")
+        .select(col("event_id"), unix_micros(col("ts")).as("tus"))
+        .withColumn("end_us", col("tus") + lit(600000000L))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(unix_micros(col("ts")).as("pts"))
+      val pairs = graft.ops.TimeSeriesOps.binnedIntervalJoin(
+        errors, purchases, "tus", "end_us", "pts", binWidthUs = 600000000L)
+      errors.select("event_id")
+        .join(pairs.groupBy("event_id").agg(count(lit(1)).as("n")), Seq("event_id"), "left")
+        .select(col("event_id"), coalesce(col("n"), lit(0L)).as("n_purchases"))
+        .orderBy("event_id")
+    },
+
+    // Rolling z-score anomaly flags: |x − mean| > 3σ over each user's
+    // trailing 24 observations, evaluated entirely in exact Int64 on
+    // milli-unit values — the flag compares (n·x − m)² with 9·(n·s2 − m²)
+    // (both sides integer), so there's no float variance to drift between
+    // engines or partitionings. One keyed window shuffle, zero joins.
+    QueryDef("ev13_anomaly",
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |        CAST(FLOOR(value * 1000.0 + 0.5) AS BIGINT) AS vm FROM events),
+        |w AS (SELECT user_id, event_id, vm,
+        |        SUM(vm) OVER win AS m, SUM(vm*vm) OVER win AS s2,
+        |        COUNT(*) OVER win AS n
+        |      FROM o WINDOW win AS (PARTITION BY user_id ORDER BY tus, event_id
+        |        ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, vm
+        |FROM w WHERE n = 24 AND (24*vm - m)*(24*vm - m) > 9*(24*s2 - m*m)
+        |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      val win = Window.partitionBy("user_id").orderBy("tus", "event_id")
+        .rowsBetween(-23, Window.currentRow)
+      ev(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"),
+          floor(col("value") * lit(1000.0) + lit(0.5)).cast(LongType).as("vm"))
+        .withColumn("m", sum("vm").over(win))
+        .withColumn("s2", sum(col("vm") * col("vm")).over(win))
+        .withColumn("n", count(lit(1)).over(win))
+        .where(col("n") === 24 &&
+          (lit(24L) * col("vm") - col("m")) * (lit(24L) * col("vm") - col("m")) >
+            lit(9L) * (lit(24L) * col("s2") - col("m") * col("m")))
+        .select("user_id", "event_id", "vm")
+        .orderBy("user_id", "event_id")
     }
   )
 }

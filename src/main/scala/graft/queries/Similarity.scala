@@ -282,6 +282,53 @@ object Similarity {
           codebookSize = 8, candK = 10)
         .withColumn("rnk", col("rnk").cast("long"))
         .orderBy("query_id", "rnk")
+    },
+
+    // The distributed half of PCA: the one-pass Gram/moment aggregate
+    // ([n, Σv, Σvvᵀ upper triangle] in exact Int64 on scale-reduced
+    // components — functions.GramAggregate, fixed ~17 KB state per
+    // partial regardless of corpus size). The oracle recomputes every
+    // slot with plain SQL sums; divisions truncate toward zero on both
+    // engines (components are signed, so the oracle spells the
+    // truncation out instead of using floor-//). The driver-side
+    // eigensolve + projection that CONSUME this buffer are spec-tested
+    // (OpsSpec planted low-rank recovery) and served by em3.
+    QueryDef("em2_pca_gram", {
+      val dim = DIM
+      // buffer slot of gram (i, j), 1-based i <= j:
+      // 1 + dim + pairs-before-row-i + (j - i), pairs-before = (i-1)(2dim-i+2)/2
+      s"""WITH q0 AS (SELECT [CAST(ROUND(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) FOR x IN embedding] AS qe
+         |           FROM embeddings),
+         |v AS (SELECT [CASE WHEN e >= 0 THEN e // 1000 ELSE -((-e) // 1000) END FOR e IN qe] AS r
+         |      FROM q0),
+         |cnt AS (SELECT CAST(0 AS BIGINT) AS idx, CAST(COUNT(*) AS BIGINT) AS val FROM v),
+         |dims AS (SELECT CAST(i AS BIGINT) AS i FROM range(1, ${dim + 1}) t(i)),
+         |sums AS (SELECT i AS idx, CAST(SUM(r[i]) AS BIGINT) AS val FROM v, dims GROUP BY i),
+         |pairs AS (SELECT a.i, b.i AS j FROM dims a, dims b WHERE b.i >= a.i),
+         |gram AS (SELECT CAST(${dim + 1} + ((i-1)*(${2 * dim + 2}-i))//2 + (j-i) AS BIGINT) AS idx,
+         |                CAST(SUM(r[i]*r[j]) AS BIGINT) AS val
+         |         FROM v, pairs GROUP BY i, j)
+         |SELECT idx, val FROM (SELECT * FROM cnt UNION ALL SELECT * FROM sums
+         |                      UNION ALL SELECT * FROM gram) ORDER BY idx""".stripMargin
+    }) { (s, d) =>
+      Embeddings.prepared(Tables.load(s, d, "embeddings"), "vec_id", "embedding")
+        .agg(graft.functions.GramAggregate.gram_acc(col("qe"), DIM, 1000L).as("g"))
+        .select(posexplode(col("g")).as(Seq("idx", "val")))
+        .select(col("idx").cast("long").as("idx"), col("val"))
+        .orderBy("idx")
+    },
+
+    // The serving half of PCA: project every embedding through the
+    // trained eigenbasis (plan-baked matrix, zero shuffles at serving
+    // time). The eigensolve is driver-side Jacobi — deterministic but
+    // not SQL-expressible, so this entry is rows-checked by the driver
+    // and value-checked by OpsSpec (planted low-rank recovery +
+    // repartition determinism); the distributed pass it depends on is
+    // value-exact via em2.
+    QueryDef.unoracled("em3_pca_project") { (s, d) =>
+      Embeddings.pcaProject(Tables.load(s, d, "embeddings"),
+          "vec_id", "embedding", dim = DIM, outDim = 4)
+        .orderBy("vec_id")
     }
   )
 }
