@@ -535,6 +535,17 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
           df = df.toDF(sch.fields.take(df.columns.length).map(_.name).toIndexedSeq: _*)
       }
       t.append(df); emptyResult
+    case s if MergeInto.isMerge(s) =>
+      val p = MergeInto.parse(s)
+      val (sch, name) = splitName(p.target)
+      val t = table(sch, name)
+      registerAll()
+      val srcDf =
+        if (p.source.startsWith("("))
+          spark.sql(rewriteQuery(p.source.trim.stripPrefix("(").stripSuffix(")")))
+        else spark.sql(rewriteQuery(s"SELECT * FROM ${p.source}"))
+      MergeInto.execute(t, srcDf, p)
+      emptyResult
     case reUpdate(qname, setAndWhere) =>
       val (sch, name) = splitName(qname)
       // split SET assignments from WHERE at the first TOP-LEVEL keyword —
