@@ -312,9 +312,13 @@ object Events {
       ev(s, d)
         .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"),
           floor(col("value") * lit(1000.0) + lit(0.5)).cast(LongType).as("vm"))
-        .withColumn("m", sum("vm").over(win))
-        .withColumn("s2", sum(col("vm") * col("vm")).over(win))
-        .withColumn("n", count(lit(1)).over(win))
+        // pre-project vm² so all three aggregates land in ONE Window node
+        // (chained withColumns would stack a second Window pass)
+        .withColumn("vm2", col("vm") * col("vm"))
+        .select(col("user_id"), col("event_id"), col("tus"), col("vm"),
+          sum("vm").over(win).as("m"),
+          sum("vm2").over(win).as("s2"),
+          count(lit(1)).over(win).as("n"))
         .where(col("n") === 24 &&
           (lit(24L) * col("vm") - col("m")) * (lit(24L) * col("vm") - col("m")) >
             lit(9L) * (lit(24L) * col("s2") - col("m") * col("m")))

@@ -320,4 +320,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
     assert(!p.contains("Window") && !p.contains("Join"), p.take(3000))
   }
+
+  test("interval join runs as a binned EQUI-join, never a nested loop (ev12)") {
+    val p = planOf("ev12_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range join must not fall back to a nested loop:\n" + p.take(3000))
+    // the bin pairing is a hash-key join (broadcast at tiny SF, shuffled
+    // sort-merge at scale) — either way an equi strategy
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(3000))
+  }
+
+  test("PCA gram is ONE aggregation pass, no explode (em2)") {
+    val p = planOf("em2_pca_gram")
+    assert(p.contains("gram_acc"), "the fixed-state moment aggregate must run:\n" + p.take(3000))
+    // the dim^2/2-rows-per-vector explode formulation is the anti-pattern
+    val generates = p.linesIterator.count(_.matches("""\s*\(\d+\) Generate\s*"""))
+    assert(generates <= 1, // one posexplode of the FINAL 1-row buffer is fine
+      s"gram must not explode per-vector pairs, got $generates Generates:\n" + p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("anomaly flags are one keyed window, zero joins (ev13)") {
+    val p = planOf("ev13_anomaly")
+    assert(!p.contains("Join"), p.take(3000))
+    // one user_id window shuffle on the data path; the second exchange
+    // is the presentation ORDER BY's range partitioning
+    val exchanges = p.linesIterator.count(_.matches("""\s*\(\d+\) Exchange\s*"""))
+    assert(exchanges <= 2, s"expected window shuffle + output sort only, got $exchanges:\n" + p.take(3000))
+    val windows = p.linesIterator.count(_.matches("""\s*\(\d+\) Window\s*"""))
+    assert(windows == 1, s"expected exactly one Window, got $windows:\n" + p.take(3000))
+  }
 }
