@@ -283,6 +283,38 @@ object StreamingOps {
         col("next_type"), col("n"), col("total_gap_us"))
   }
 
+  /** Streaming rolling z-score anomaly flags — the online twin of batch
+    * ev13: per user, flag a value whose deviation from the trailing
+    * `windowN`-observation mean exceeds `zNum` standard deviations,
+    * compared entirely in exact Int64 on milli-unit values
+    * ((n·x − m)² > z²·(n·s2 − m²) — no float variance to drift between
+    * batch and stream). The trailing window needs the last windowN−1
+    * values per user: ONE ValueState ring (≤ windowN−1 longs + the
+    * last-seen (micros, id) ordering key), processed in (event time, id)
+    * order inside each micro-batch; rows regressing behind the stored
+    * last event are dropped (append-mode no-retraction, the shared
+    * policy). State expires `stateTtlMs` after the user's first event.
+    * Emits flagged rows (user_id, event_id, vm, ts).
+    */
+  def anomalyStream(events: DataFrame, userCol: String, valueCol: String,
+                    tsCol: String, idCol: String, watermark: String,
+                    windowN: Int = 24, zNum: Long = 3L,
+                    stateTtlMs: Long = 24 * 3600 * 1000L): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark(tsCol, watermark)
+      .select(col(userCol).cast("long").as("u"),
+        floor(col(valueCol) * lit(1000.0) + lit(0.5)).cast("long").as("vm"),
+        col(tsCol).as("__ts"), col(idCol).cast("long").as("eid"))
+      .as[(Long, Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new RollingZScoreProcessor(windowN, zNum, stateTtlMs),
+        "_4", OutputMode.Append())
+      .toDF("user_id", "event_id", "vm", "ts")
+  }
+
   /** Watermarked stream-stream interval join: each left event picks up
     * the right-side rows with the same key whose timestamp lies in
     * [left.ts - lookback, left.ts]. Both sides buffer only up to their
@@ -548,6 +580,71 @@ private[streaming] class LastEventProcessor(stateTtlMs: Long = 24 * 3600 * 1000L
       key: Long, timerValues: TimerValues,
       expiredTimerInfo: ExpiredTimerInfo): Iterator[(String, String, Long, java.sql.Timestamp)] = {
     last.clear()
+    Iterator.empty
+  }
+}
+
+/** Per-user rolling-window state for anomalyStream: ValueState =
+  * (last micros, last id, ring of the most recent windowN−1 values in
+  * arrival order). Each in-order row closes a windowN-observation
+  * trailing window (ring + itself); when the window is FULL the exact
+  * integer z² comparison decides the flag — identical arithmetic to the
+  * batch ev13 query, so stream and batch agree row-for-row on in-order
+  * data. Out-of-order rows (behind the stored last event) are dropped:
+  * append output cannot retract the windows that already closed past
+  * them. State is ≤ windowN−1 longs + one ordering key per live user,
+  * expiring stateTtlMs after the user's first event (absolute TTL, the
+  * shared bounded-state policy). */
+private[streaming] class RollingZScoreProcessor(windowN: Int, zNum: Long, stateTtlMs: Long)
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, Long, java.sql.Timestamp, Long),
+    (Long, Long, Long, java.sql.Timestamp)] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  require(windowN >= 2 && zNum >= 1, s"need windowN >= 2 and zNum >= 1, got $windowN/$zNum")
+
+  @transient private var ring: ValueState[(Long, Long, Seq[Long])] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    ring = getHandle.getValueState[(Long, Long, Seq[Long])]("ring",
+      org.apache.spark.sql.Encoders.product[(Long, Long, Seq[Long])], TTLConfig.NONE)
+
+  private def micros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, Long, java.sql.Timestamp, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long, Long, java.sql.Timestamp)] = {
+    val sorted = rows.toVector.sortBy(r => (micros(r._3), r._4))
+    if (sorted.isEmpty) return Iterator.empty
+    if (!ring.exists())
+      getHandle.registerTimer(sorted.map(_._3.getTime).max + stateTtlMs)
+    var (ltus, lid, vals) =
+      if (ring.exists()) ring.get() else (Long.MinValue, Long.MinValue, Seq.empty[Long])
+    val n = windowN.toLong
+    val out = Vector.newBuilder[(Long, Long, Long, java.sql.Timestamp)]
+    sorted.foreach { case (_, vm, ts, eid) =>
+      val tus = micros(ts)
+      if (tus > ltus || (tus == ltus && eid > lid)) {
+        if (vals.length == windowN - 1) {
+          // full trailing window: ring + this row
+          val m = vals.sum + vm
+          val s2 = vals.map(v => v * v).sum + vm * vm
+          val dev = n * vm - m
+          if (dev * dev > zNum * zNum * (n * s2 - m * m)) out += ((key, eid, vm, ts))
+        }
+        vals = (vals :+ vm).takeRight(windowN - 1)
+        ltus = tus; lid = eid
+      } // else: regression past the intra-batch order — drop, keep state
+    }
+    ring.update((ltus, lid, vals))
+    out.result().iterator
+  }
+
+  override def handleExpiredTimer(
+      key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long, java.sql.Timestamp)] = {
+    ring.clear()
     Iterator.empty
   }
 }

@@ -348,6 +348,39 @@ class StreamingSpec extends SparkSpec {
     assert(t.latestManifest.files.forall(_.stats.contains("value")))
   }
 
+  test("streaming anomaly flags close trailing windows across micro-batches") {
+    val dir = tmpDir("graft-anom")
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("value", DoubleType),
+      StructField("ts", TimestampType), StructField("event_id", LongType)))
+    def write(sub: String, rows: Seq[(Long, Double, String, Long)]): Unit =
+      rows.toDF("user_id", "value", "s", "event_id")
+        .select(col("user_id"), col("value"), to_timestamp(col("s")).as("ts"), col("event_id"))
+        .write.parquet(dir + "/" + sub)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // batch 1: seven calm observations (windowN=8 ring fills to 7)
+    write("b1", (1 to 7).map(i => (1L, 10.0, f"2024-01-01 00:00:0${i - 1}", i.toLong)))
+    val stream = StreamingOps.parquetStream(spark, schema, dir + "/b*")
+    val out = StreamingOps.anomalyStream(stream, "user_id", "value", "ts", "event_id",
+      watermark = "10 minutes", windowN = 8, zNum = 2L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("anomout").start()
+    q.processAllAvailable()
+    // batch 2: the spike closes a window SPANNING batches (state carry);
+    // the calm row after it sees the spike inside its window (inflated
+    // variance -> no flag); the late row regressing behind the last
+    // event is dropped even though its value would otherwise flag
+    write("b2", Seq(
+      (1L, 94.0, "2024-01-01 00:00:10", 8L),
+      (1L, 10.0, "2024-01-01 00:00:11", 9L),
+      (1L, 500.0, "2024-01-01 00:00:02", 10L)))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.sql("SELECT user_id, event_id, vm FROM anomout ORDER BY event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq === Seq((1L, 8L, 94000L)))
+  }
+
   test("continuous CDC upsert stream merges micro-batches into a graft table") {
     val inDir = tmpDir("graft-cdc-in")
     val ckDir = tmpDir("graft-cdc-ck")
