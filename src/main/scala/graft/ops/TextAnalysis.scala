@@ -240,6 +240,44 @@ object TextAnalysis {
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    * Spirakis A-ES): the global top-`k` documents by the priority key
+    * ln(u)/w, where u is a uniform draw derived from md5(salt:id) and w
+    * the document's weight — heavier documents draw systematically
+    * higher priorities, and the selection is exactly a weighted sample
+    * without replacement. Like every sampling primitive here the draw is
+    * a pure function of the id (stable under repartition/retry/rerun);
+    * the FLOAT part is confined to one ln() quantized to integer
+    * micro-nats (floor(1e6·ln(u)+0.5), the tx14/tx15-established
+    * cross-engine-safe form), after which the division by the weight is
+    * EXACT positive integer arithmetic — so rank order is bit-identical
+    * on any engine. Scale shape: zero shuffles to score (pure
+    * projection), one TakeOrdered top-k — never a global sort.
+    *
+    * Output: (doc_id, weight, key) for the k sampled documents,
+    * key = −((−m·10⁶) div w) in nano-nat-per-weight units (≤ 0; closer
+    * to zero = higher priority).
+    */
+  def weightedSample(docs: DataFrame, idCol: String, weightCol: String,
+                     k: Int, salt: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // 52-bit uniform: first 13 md5 hex chars; +0.5 keeps u in (0,1)
+    val v = conv(substring(md5(concat(lit(salt + ":"), col(idCol).cast(StringType))), 1, 13),
+      16, 10).cast(LongType)
+    val u = (v.cast(DoubleType) + lit(0.5)) / lit(4503599627370496.0) // 2^52
+    docs
+      .select(col(idCol).cast(LongType).as("doc_id"),
+        col(weightCol).cast(LongType).as("w"),
+        floor(log(u) * lit(1000000.0) + lit(0.5)).cast(LongType).as("m"))
+      .filter(col("w") > 0)
+      // −m ≥ 0 and w > 0: truncating and flooring division coincide, so
+      // Spark's `div` and DuckDB's `//` agree bit-for-bit
+      .withColumn("key", expr("-((-m * 1000000L) div w)"))
+      .select(col("doc_id"), col("w").as("weight"), col("key"))
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Hex keep-threshold for a fraction: the first 16 md5 hex chars are a
     * uniform 64-bit draw, kept iff below this string. f >= 1.0 returns
     * "g" (lexicographically above every hex string) because

@@ -493,6 +493,84 @@ object TextQueries {
         |FROM c ORDER BY n DESC, word LIMIT 20""".stripMargin) { (s, d) =>
       TextAnalysis.heavyHitters(Tables.load(s, d, "documents"), "text",
         capacity = 512, k = 20)
+    },
+
+    // Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    // top-k by ln(u)/w priority, u an md5-derived uniform, w = n_chars.
+    // The single float op (ln) quantizes to integer micro-nats before
+    // the weight division, which then runs in exact positive integer
+    // arithmetic — rank order is engine-independent.
+    QueryDef("tx22_weighted_sample",
+      """WITH v AS (SELECT doc_id, n_chars,
+        |             substr(md5('samp:'||CAST(doc_id AS VARCHAR)), 1, 13) AS h
+        |           FROM documents),
+        |k AS (SELECT doc_id, n_chars AS w,
+        |        CAST(FLOOR(ln((CAST(list_sum(
+        |            [(instr('0123456789abcdef', h[i]) - 1) * 16.0 ** (13 - i) FOR i IN range(1, 14)]
+        |          ) AS DOUBLE) + 0.5) / 4503599627370496.0) * 1000000.0 + 0.5) AS BIGINT) AS m
+        |      FROM v WHERE n_chars > 0)
+        |SELECT doc_id, w AS weight, CAST(-((-m * 1000000) // w) AS BIGINT) AS key
+        |FROM k ORDER BY key DESC, doc_id LIMIT 100""".stripMargin) { (s, d) =>
+      TextAnalysis.weightedSample(Tables.load(s, d, "documents"),
+        "doc_id", "n_chars", k = 100, salt = "samp")
+    },
+
+    // End-to-end curation pipeline — the composed shape a training-data
+    // run actually executes: language ID + quality gate + exact dedup
+    // survivors + deterministic split, reported as per-(lang, split)
+    // document/token counts. Every stage is an already-verified operator;
+    // this query verifies their COMPOSITION (joins keyed on doc_id).
+    QueryDef("p1_curation_pipeline", {
+      val scoreCols = TextAnalysis.markers.map { case (lang, words) =>
+        s"CAST(len(list_filter(toks, x -> x IN ${sqlList(words)})) AS DOUBLE)/n_tok AS score_$lang"
+      }.mkString(",\n  ")
+      val langs = TextAnalysis.markers.map(m => s"score_${m._1}").mkString(", ")
+      def th(f: Double) = TextAnalysis.hexThreshold(f)
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks,
+         |             len(string_split(text, ' ')) AS n_tok FROM documents),
+         |sc AS (SELECT doc_id, text, $scoreCols FROM t),
+         |lang AS (SELECT doc_id,
+         |  CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |       WHEN greatest($langs) = 0 THEN 'und'
+         |       WHEN score_fr = greatest($langs) THEN 'fr'
+         |       WHEN score_es = greatest($langs) THEN 'es'
+         |       WHEN score_en = greatest($langs) THEN 'en'
+         |       ELSE 'de' END AS pred_lang
+         |  FROM sc),
+         |q AS (SELECT doc_id,
+         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |        CAST((CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 10000 THEN 1 ELSE 0 END) +
+         |             (CASE WHEN len(list_filter(string_split(text, ' '), x -> x IN $allStops)) > 0 THEN 1 ELSE 0 END) +
+         |             (CASE WHEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 10 < length(text) THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS quality
+         |      FROM documents),
+         |surv AS (SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY md5(text)),
+         |f AS (SELECT l.doc_id, l.pred_lang, q.n_tokens
+         |      FROM lang l JOIN q USING (doc_id) JOIN surv USING (doc_id)
+         |      WHERE q.quality = 3 AND l.pred_lang <> 'und'),
+         |sp AS (SELECT pred_lang, n_tokens,
+         |  CASE WHEN substr(md5('graft:'||CAST(doc_id AS VARCHAR)), 1, 16) < '${th(0.8)}' THEN 'train'
+         |       WHEN substr(md5('graft:'||CAST(doc_id AS VARCHAR)), 1, 16) < '${th(0.9)}' THEN 'val'
+         |       ELSE 'test' END AS split
+         |  FROM f)
+         |SELECT pred_lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+         |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val lang = TextAnalysis.languageId(docs, "doc_id", "text")
+        .select("doc_id", "pred_lang")
+      val qual = TextAnalysis.qualityScore(docs, "doc_id", "text")
+        .select(col("doc_id"), col("quality"), col("n_tokens"))
+      val survivors = graft.ops.TextDedup.exactDedup(docs, "doc_id", "text")
+        .select("doc_id")
+      val filtered = lang.join(qual, "doc_id").join(survivors, "doc_id")
+        .where(col("quality") === 3 && col("pred_lang") =!= "und")
+      TextAnalysis.trainSplit(filtered, "doc_id", "graft")
+        .groupBy("pred_lang", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").cast(org.apache.spark.sql.types.LongType).as("total_tokens"))
+        .orderBy("pred_lang", "split")
     }
   )
 }
