@@ -278,6 +278,52 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** BM25 keyword retrieval (Robertson–Spärck Jones, k1=1.2 b=0.75):
+    * top-`k` documents for a bag of query terms. All scoring is EXACT
+    * integer arithmetic: idf quantizes to micro-nats (the established
+    * floor(1e6·ln+0.5) form) and the tf-saturation fraction
+    * 2.2·tf / (tf + 0.3 + 0.9·L·N/A) is multiplied through by 10·A into
+    * the all-integer ppm form (22·A·tf·10⁶) div (10·A·tf + 3·A + 9·L·N)
+    * — positive operands, so every engine's integer division agrees.
+    *
+    * Scale shape: the explode is pre-filtered to the query terms INSIDE
+    * the projection (matching tokens only — corpus-sized scan, term-
+    * bounded shuffle), tf/df derive from one (doc, term) aggregation
+    * (df via a broadcast-sized |terms| join, the tx18 derive-df-from-tf
+    * rule), corpus totals are one 1-row aggregate baked as literals
+    * (the collect-then-bake rule: bounded by constants, never data),
+    * and the final top-k is TakeOrdered — no global sort.
+    *
+    * Output: (doc_id, score, rnk), score in micro-nat·ppm units.
+    */
+  def bm25Search(docs: DataFrame, idCol: String, textCol: String,
+                 terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty && k >= 1, "need at least one term and k >= 1")
+    val d0 = docs.select(col(idCol).cast(LongType).as("doc_id"),
+      split(col(textCol), " ").as("toks"))
+      .withColumn("len", size(col("toks")).cast(LongType))
+    val totals = d0.agg(count(lit(1)).as("n"), sum("len").as("a")).head()
+    val n = totals.getLong(0)
+    val a = totals.getLong(1)
+    val tf = d0
+      .select(col("doc_id"), col("len"), explode(col("toks")).as("w"))
+      .where(col("w").isin(terms: _*))
+      .groupBy("doc_id", "len", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "w")
+      .withColumn("idf", floor(log(
+        (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+        * lit(1000000.0) + lit(0.5)).cast(LongType))
+      .withColumn("part",
+        expr(s"idf * ((22L * ${a}L * tf * 1000000L) div (10L * ${a}L * tf + 3L * ${a}L + 9L * len * ${n}L))"))
+      .groupBy("doc_id").agg(sum("part").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))).cast(LongType))
+  }
+
   /** Hex keep-threshold for a fraction: the first 16 md5 hex chars are a
     * uniform 64-bit draw, kept iff below this string. f >= 1.0 returns
     * "g" (lexicographically above every hex string) because

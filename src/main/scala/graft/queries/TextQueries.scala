@@ -515,6 +515,29 @@ object TextQueries {
         "doc_id", "n_chars", k = 100, salt = "samp")
     },
 
+    // BM25 keyword retrieval: top-20 documents for a fixed term bag.
+    // idf in micro-nats, tf saturation multiplied through into all-
+    // integer ppm form — identical rank math on both engines.
+    QueryDef("tx23_bm25_search",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS len FROM documents),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(len) AS BIGINT) AS a FROM d),
+        |tf AS (SELECT doc_id, len, w, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM (SELECT doc_id, len, u.w AS w FROM d, UNNEST(toks) AS u(w))
+        |       WHERE w IN ('hash', 'join', 'filter') GROUP BY 1, 2, 3),
+        |dfq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id,
+        |         CAST(FLOOR(ln((t.n - dfq.df + 0.5)/(dfq.df + 0.5) + 1.0)*1000000.0 + 0.5) AS BIGINT)
+        |           * ((22 * t.a * tf.tf * 1000000) // (10 * t.a * tf.tf + 3 * t.a + 9 * tf.len * t.n)) AS part
+        |       FROM tf JOIN dfq USING (w), tot t),
+        |s AS (SELECT doc_id, CAST(SUM(part) AS BIGINT) AS score FROM sc GROUP BY 1)
+        |SELECT doc_id, score,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+        |FROM s ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      TextAnalysis.bm25Search(Tables.load(s, d, "documents"),
+        "doc_id", "text", Seq("hash", "join", "filter"), k = 20)
+    },
+
     // End-to-end curation pipeline — the composed shape a training-data
     // run actually executes: language ID + quality gate + exact dedup
     // survivors + deterministic split, reported as per-(lang, split)
