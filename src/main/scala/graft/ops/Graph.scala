@@ -38,7 +38,8 @@ object Graph {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
                iters: Int = 10, scale: Long = 1000000L,
-               dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+               dampNum: Long = 85L, dampDen: Long = 100L,
+               localEdgeLimit: Long = 1000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(scale >= 1L && dampNum >= 0L && dampDen >= 1L && dampNum <= dampDen,
       s"need scale >= 1 and 0 <= dampNum <= dampDen, got scale=$scale damp=$dampNum/$dampDen")
@@ -51,6 +52,31 @@ object Graph {
     val ew = e.join(e.groupBy("src").agg(sum("w").as("ow")), "src")
       .select("src", "dst", "w", "ow")
       .localCheckpoint(false)
+    // Link graphs are often TINY next to the corpus they weight (hosts,
+    // not pages): when the edge list fits on the driver, one collect +
+    // local recurrence replaces iters×2 scheduled shuffles — the dd6
+    // union-find precedent. The recurrence is the identical integer
+    // formula, so both paths are bit-equal; the distributed loop below
+    // stays the scale path.
+    val nEdges = ew.count() // also materializes the checkpoint
+    if (nEdges <= localEdgeLimit) {
+      val spark = edges.sparkSession
+      val es = ew.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val nodes0 = (es.iterator.map(_._1) ++ es.iterator.map(_._2)).toArray.distinct
+      val teleport = (dampDen - dampNum) * scale / dampDen
+      var rank = nodes0.map(n => n -> scale).toMap
+      var i = 0
+      while (i < iters) {
+        val in = new scala.collection.mutable.HashMap[Long, Long]()
+        es.foreach { case (s, d, w, ow) =>
+          in(d) = in.getOrElse(d, 0L) + rank(s) * w / ow
+        }
+        rank = nodes0.map(n => n -> (teleport + dampNum * in.getOrElse(n, 0L) / dampDen)).toMap
+        i += 1
+      }
+      import spark.implicits._
+      return nodes0.map(n => (n, rank(n))).toSeq.toDF("node", "rank")
+    }
     val nodes = ew.select(col("src").as("node"))
       .union(ew.select(col("dst").as("node")))
       .distinct()

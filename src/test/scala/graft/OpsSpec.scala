@@ -404,4 +404,22 @@ class OpsSpec extends SparkSpec {
       .count()
     assert(all === 300)
   }
+
+  test("pageRank driver fast path and distributed loop are bit-equal") {
+    // pseudorandom 40-node graph with weighted multi-edges and a few
+    // dangling nodes (dst-only)
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 300).map { _ =>
+      (rnd.nextInt(40).toLong, 40L + rnd.nextInt(10), 1L + rnd.nextInt(5))
+    }.toDF("src", "dst", "w")
+    def run(limit: Long) =
+      ops.Graph.pageRank(edges, "src", "dst", "w", iters = 10, localEdgeLimit = limit)
+        .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val fast = run(Long.MaxValue)
+    val distributed = run(0L)
+    assert(fast === distributed)
+    // ranks are positive and dst-only nodes accumulate inbound mass
+    assert(fast.forall(_._2 > 0))
+    assert(fast.filter(_._1 >= 40).forall(_._2 > 150000L))
+  }
 }
