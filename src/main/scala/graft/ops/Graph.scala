@@ -47,6 +47,11 @@ object Graph {
       edges(srcCol).cast(LongType).as("src"),
       edges(dstCol).cast(LongType).as("dst"),
       edges(wCol).cast(LongType).as("w"))
+      // non-positive weights carry no rank mass; dropping them up front
+      // also guarantees every out-weight is > 0, so the fast path's Java
+      // division and the distributed `div` can never divide by zero (and
+      // therefore cannot diverge — one would throw, the other null→0)
+      .where(col("w") > 0)
     // out-weight annotated edges are loop-invariant: compute once,
     // truncate lineage so 10 iterations don't replay the edge pipeline
     val ew = e.join(e.groupBy("src").agg(sum("w").as("ow")), "src")

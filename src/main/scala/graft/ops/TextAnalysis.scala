@@ -302,9 +302,22 @@ object TextAnalysis {
     val d0 = docs.select(col(idCol).cast(LongType).as("doc_id"),
       split(col(textCol), " ").as("toks"))
       .withColumn("len", size(col("toks")).cast(LongType))
-    val totals = d0.agg(count(lit(1)).as("n"), sum("len").as("a")).head()
+    val totals = d0.agg(count(lit(1)).as("n"), sum("len").as("a"),
+      max("len").as("maxLen")).head()
     val n = totals.getLong(0)
+    if (n == 0L) { // empty corpus: empty result, not an unboxing NPE
+      val spark = docs.sparkSession
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long)].toDF("doc_id", "score", "rnk")
+    }
     val a = totals.getLong(1)
+    val maxLen = totals.getLong(2)
+    // the integer numerator 22·A·tf·10⁶ must fit Int64 (tf ≤ maxLen):
+    // Spark's non-ANSI Long would WRAP silently where the oracle errors,
+    // so fail loudly at the documented boundary instead
+    require(maxLen <= Long.MaxValue / 22L / math.max(a, 1L) / 1000000L,
+      s"bm25Search integer scale overflow: total tokens $a × max doc length $maxLen " +
+        "exceeds the 10^6-ppm Int64 budget — shard the corpus or reduce the ppm scale")
     val tf = d0
       .select(col("doc_id"), col("len"), explode(col("toks")).as("w"))
       .where(col("w").isin(terms: _*))

@@ -130,6 +130,8 @@ object TimeSeriesOps {
                          startCol: String, endCol: String, tsCol: String,
                          binWidthUs: Long): DataFrame = {
     require(binWidthUs >= 1, s"binWidthUs must be >= 1, got $binWidthUs")
+    require(!intervals.columns.contains("__bin") && !points.columns.contains("__bin"),
+      "binnedIntervalJoin reserves the __bin column name; rename it on the input")
     val iv = intervals
       .where(col(endCol) > col(startCol))
       .withColumn("__bin",

@@ -48,12 +48,17 @@ object MergeInto {
 
   // ---------------------------------------------------------------- parse
 
-  /** Index of the first top-level (outside parens/quotes) occurrence of
-    * word `kw` at or after `from`, or -1. */
+  /** Index of the first top-level (outside parens/quotes, and outside any
+    * CASE…END expression — a CASE's WHEN must not read as a MERGE clause
+    * boundary) occurrence of word `kw` at or after `from`, or -1. */
   private def topIndex(s: String, kw: String, from: Int = 0): Int = {
     val u = s.toUpperCase; val k = kw.toUpperCase
-    var i = from; var depth = 0; var inS = false; var inD = false
+    var i = from; var depth = 0; var caseDepth = 0; var inS = false; var inD = false
     def wordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    def wordAt(w: String): Boolean =
+      u.startsWith(w, i) &&
+        (i == 0 || !wordChar(s.charAt(i - 1))) &&
+        (i + w.length >= s.length || !wordChar(s.charAt(i + w.length)))
     while (i < s.length) {
       val c = s.charAt(i)
       if (inS) { if (c == '\'') inS = false }
@@ -64,10 +69,11 @@ object MergeInto {
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ =>
-          if (depth == 0 && u.startsWith(k, i) &&
-              (i == 0 || !wordChar(s.charAt(i - 1))) &&
-              (i + k.length >= s.length || !wordChar(s.charAt(i + k.length))))
-            return i
+          if (depth == 0) {
+            if (wordAt("CASE")) caseDepth += 1
+            else if (caseDepth > 0 && wordAt("END")) caseDepth -= 1
+            else if (caseDepth == 0 && wordAt(k)) return i
+          }
       }
       i += 1
     }
@@ -211,8 +217,11 @@ object MergeInto {
     * of the form `<tAlias>.<col> = <expr>` (either side) where the other
     * side never references the target alias. */
   private[graft] def pruneKeys(onCond: String, tAlias: String): Seq[(String, String)] = {
-    val eq = s"""(?is)^\\s*$tAlias\\.([\\w"]+)\\s*=\\s*(.+)$$""".r
-    val eqR = s"""(?is)^(.+?)\\s*=\\s*$tAlias\\.([\\w"]+)\\s*$$""".r
+    // the `=` must not be the tail of a two-char operator (>=, <=, !=,
+    // <>): a lookbehind keeps `expr >= t.col` from parsing as an
+    // equi-conjunct with an unparseable "expr >" source side
+    val eq = s"""(?is)^\\s*$tAlias\\.([\\w"]+)\\s*(?<![<>!=])=(?!=)\\s*(.+)$$""".r
+    val eqR = s"""(?is)^(.+?)\\s*(?<![<>!=])=(?!=)\\s*$tAlias\\.([\\w"]+)\\s*$$""".r
     val tRef = s"""(?i)(?<![\\w"])$tAlias\\.""".r
     topSplit(onCond, "AND").flatMap { c =>
       c.trim match {
@@ -240,6 +249,11 @@ object MergeInto {
     try {
       // 1. prune candidate files by the source's equi-key ranges
       val keys = pruneKeys(p.onCond, p.tAlias)
+      // ANY equi key whose source values are all NULL makes the ON
+      // condition unsatisfiable (NULL never equals): empty sources and
+      // all-null key batches then inherit every file instead of
+      // identity-rewriting the whole table
+      var sourceHasNoKeys = false
       val rangePred: Seq[String] =
         if (keys.isEmpty) Nil
         else {
@@ -247,13 +261,15 @@ object MergeInto {
             Seq(min(expr(srcExpr)).as(s"mn_$i"), max(expr(srcExpr)).as(s"mx_$i"))
           }
           val r: Row = src.as(p.sAlias).agg(aggs.head, aggs.tail: _*).collect()(0)
+          sourceHasNoKeys = keys.indices.exists(i => r.isNullAt(2 * i))
           keys.zipWithIndex.filterNot { case (_, i) => r.isNullAt(2 * i) }
             .map { case ((c, _), i) =>
               s"$c >= ${sqlLit(r.get(2 * i))} AND $c <= ${sqlLit(r.get(2 * i + 1))}"
             }
         }
       val (affected0, untouched) =
-        if (rangePred.isEmpty) (m.files, Seq.empty[Manifest.FileEntry])
+        if (sourceHasNoKeys) (Seq.empty[Manifest.FileEntry], m.files)
+        else if (rangePred.isEmpty) (m.files, Seq.empty[Manifest.FileEntry])
         else Pruning.partition(m.files, rangePred.mkString(" AND "), sch)
       // no matched clause → nothing to rewrite, every file is inherited
       val affected = if (hasMatched) affected0 else Seq.empty[Manifest.FileEntry]

@@ -139,8 +139,49 @@ class MergeSpec extends SparkSpec {
     assert(MergeInto.pruneKeys("t.id = t.v", "t") === Nil)
     // non-equi conjuncts contribute nothing
     assert(MergeInto.pruneKeys("t.id < s.id", "t") === Nil)
+    // two-char operators containing '=' are NOT equi conjuncts
+    assert(MergeInto.pruneKeys("s.ts >= t.ts", "t") === Nil)
+    assert(MergeInto.pruneKeys("t.ts <= s.ts", "t") === Nil)
+    assert(MergeInto.pruneKeys("s.v != t.v", "t") === Nil)
+    assert(MergeInto.pruneKeys("t.id = s.id AND s.ts >= t.ts", "t") ===
+      Seq(("id", "s.id")))
     // AND inside a string literal is not a conjunct boundary
     assert(MergeInto.pruneKeys("t.s = 'x AND y' AND t.id = s.id", "t") ===
       Seq(("s", "'x AND y'"), ("id", "s.id")))
+  }
+
+  test("mixed equi + range ON executes with pruning on the equi key only") {
+    val c = ctx(); setup(c)
+    c.execute(
+      """MERGE INTO t USING src ON t.id = src.id AND src.v >= t.v
+        |WHEN MATCHED THEN UPDATE SET v = src.v""".stripMargin)
+    val rows = c.execute("SELECT id, v FROM t ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 10L), (2L, 200L), (3L, 300L)))
+  }
+
+  test("CASE WHEN inside the ON condition is not a clause boundary") {
+    val c = ctx(); setup(c)
+    c.execute(
+      """MERGE INTO t USING src
+        |ON t.id = src.id AND t.s = CASE WHEN src.v > 250 THEN 'c' ELSE 'b' END
+        |WHEN MATCHED THEN UPDATE SET v = src.v""".stripMargin)
+    // id=2 matches (s='b', src.v=200 -> CASE gives 'b'); id=3 matches
+    // (s='c', src.v=300 -> 'c'); id=4 not in target
+    val rows = c.execute("SELECT id, v FROM t ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 10L), (2L, 200L), (3L, 300L)))
+  }
+
+  test("an empty source merges as a pure no-op inheriting every file") {
+    val c = ctx(); setup(c)
+    val t = c.table("public", "t")
+    val before = t.latestManifest.files.map(_.path).toSet
+    c.execute(
+      """MERGE INTO t USING (SELECT * FROM src WHERE id < 0) AS e ON t.id = e.id
+        |WHEN MATCHED THEN UPDATE SET v = e.v
+        |WHEN NOT MATCHED THEN INSERT (id, v, s) VALUES (e.id, e.v, e.s)""".stripMargin)
+    val after = t.latestManifest.files.map(_.path).toSet
+    assert(after === before) // no rewrite, no inserts, files inherited
   }
 }
