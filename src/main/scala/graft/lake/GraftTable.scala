@@ -58,6 +58,51 @@ class GraftTable(val spark: SparkSession, val root: String) {
     read(Some(v))
   }
 
+  /** Change-data-feed–style row diff between table versions — what a
+    * downstream incremental consumer reads instead of re-scanning the
+    * table (Delta's table_changes, computed rather than logged: the
+    * manifest already records exactly which FILES each commit added and
+    * removed, so only the touched files are ever read). Per commit
+    * v ∈ (fromVersion, toVersion]:
+    *
+    *   inserts = rows(files added in v)   exceptAll rows(files removed in v)
+    *   deletes = rows(files removed in v) exceptAll rows(files added in v)
+    *
+    * — an UPDATE surfaces as its delete+insert pair (CDF-without-
+    * tracking semantics, exact as multisets). Appends read only the new
+    * files and diff against nothing; pruned DML rewrites read only the
+    * rewritten region, which is the same bounded set the commit itself
+    * touched. Output: the table schema + (_change_type, _commit_version).
+    */
+  def changes(fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"need fromVersion <= toVersion, got $fromVersion > $toVersion")
+    val versions = Manifest.listVersions(root)
+      .filter(v => v > fromVersion && v <= toVersion).sorted
+    require(versions.nonEmpty || fromVersion == toVersion,
+      s"no versions in ($fromVersion, $toVersion] for $root")
+    val sch = schema
+    def tagged(df: DataFrame, tpe: String, v: Long): DataFrame =
+      df.withColumn("_change_type", lit(tpe)).withColumn("_commit_version", lit(v))
+    val empty = tagged(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch),
+      "insert", -1L).limit(0)
+    versions.foldLeft(empty) { (acc, v) =>
+      val cur = Manifest.read(root, v)
+      val prev = Manifest.read(root, v - 1)
+      val prevPaths = prev.files.map(_.path).toSet
+      val curPaths = cur.files.map(_.path).toSet
+      val added = cur.files.filterNot(f => prevPaths.contains(f.path))
+      val removed = prev.files.filterNot(f => curPaths.contains(f.path))
+      def rows(fs: Seq[FileEntry]) =
+        if (fs.isEmpty) empty.drop("_change_type", "_commit_version")
+        else readFiles(fs, sch)
+      val ins = rows(added).exceptAll(rows(removed))
+      val del = rows(removed).exceptAll(rows(added))
+      acc.unionByName(tagged(ins, "insert", v)).unionByName(tagged(del, "delete", v))
+    }
+  }
+
   // --- write path ---------------------------------------------------------
 
   /** Align df to the table schema: missing columns NULL-padded, extra
@@ -73,13 +118,74 @@ class GraftTable(val spark: SparkSession, val root: String) {
     }.toIndexedSeq: _*)
   }
 
+  // --- CHECK constraints --------------------------------------------------
+
+  private def constraintsFile = LakeIO.path(root, "_constraints.json")
+
+  /** (name, check expression) pairs, in creation order. */
+  def constraints: Seq[(String, String)] =
+    if (!LakeIO.exists(constraintsFile)) Nil
+    else LakeIO.readString(constraintsFile).linesIterator
+      .map(_.trim).filter(_.nonEmpty)
+      .map { l =>
+        val i = l.indexOf('\t')
+        (l.substring(0, i), l.substring(i + 1))
+      }.toSeq
+
+  private def saveConstraints(cs: Seq[(String, String)]): Unit =
+    LakeIO.writeString(constraintsFile,
+      cs.map { case (n, e) => s"$n\t${e.replace('\n', ' ').replace('\t', ' ')}" }
+        .mkString("\n"))
+
+  /** ADD CONSTRAINT name CHECK (exprSql): validates the expression
+    * against the schema AND existing data (one distributed count of
+    * violations — a constraint that doesn't hold today must fail loudly
+    * now, not on the next unrelated write), then persists. Enforcement
+    * happens inside every subsequent write's plan (assert_true guard in
+    * writeFiles — no extra pass), with SQL CHECK semantics: NULL passes,
+    * only FALSE violates. */
+  def addConstraint(name: String, exprSql: String): Unit = {
+    require(name.matches("[\\w]+"), s"bad constraint name: $name")
+    require(!constraints.exists(_._1.equalsIgnoreCase(name)),
+      s"constraint $name already exists")
+    val m = latestManifest
+    val violations = readFiles(m.files, schemaOf(m))
+      .filter(!coalesce(expr(exprSql), lit(true)))
+      .count()
+    require(violations == 0L,
+      s"cannot add CHECK constraint $name: $violations existing rows violate ($exprSql)")
+    saveConstraints(constraints :+ (name, exprSql))
+  }
+
+  def dropConstraint(name: String, ifExists: Boolean): Unit = {
+    val cs = constraints
+    if (!cs.exists(_._1.equalsIgnoreCase(name))) {
+      require(ifExists, s"unknown constraint $name")
+      return
+    }
+    saveConstraints(cs.filterNot(_._1.equalsIgnoreCase(name)))
+  }
+
+  /** In-plan constraint guard: a filter whose assert_true throws on the
+    * first violating row, failing the write job BEFORE the manifest
+    * commit (failed-DML safety leaves the table unchanged). NULL check
+    * results pass (SQL CHECK semantics). Zero cost when no constraints
+    * exist; one codegen'd predicate per constraint otherwise. */
+  private def guarded(df: DataFrame): DataFrame =
+    constraints.foldLeft(df) { case (d, (n, e)) =>
+      d.filter(coalesce(
+        assert_true(coalesce(expr(e), lit(true)),
+          lit(s"CHECK constraint $n violated: $e")),
+        lit(true)))
+    }
+
   /** Write df's rows as new parquet files under the table root; returns
     * manifest entries with stats. One distributed stats pass, no collect
     * of data rows. */
   private def writeFiles(df: DataFrame, maxRecordsPerFile: Long): Seq[FileEntry] = {
     val batchDir = s"data-${System.currentTimeMillis}-${UUID.randomUUID.toString.take(8)}"
     val out = s"$root/$batchDir"
-    df.write
+    guarded(df).write
       .option("compression", "zstd")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(out)

@@ -354,6 +354,23 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
 
   private[sql] def rewriteQuery(sql0: String, session: SparkSession, db: String): String = {
     var sql = sql0
+    // change data feed: table_changes('<table>', <from>[, <to>]) — the
+    // version-diff table function (GraftTable.changes). Rewritten to a
+    // version-pinned view like time travel; registration is idempotent.
+    val tc = """(?i)\btable_changes\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)""".r
+    sql = tc.replaceAllIn(sql, m => {
+      val (sch, name) = splitName(m.group(1))
+      val uuid = catalog.getTable(db, sch, name).getOrElse(
+        throw new IllegalArgumentException(s"table_changes: unknown table ${m.group(1)}"))
+      val root = catalog.tableRoot(uuid)
+      val from = m.group(2).toLong
+      val to = Option(m.group(3)).map(_.toLong)
+        .orElse(Manifest.latestVersion(root))
+        .getOrElse(throw new IllegalArgumentException(s"table_changes: $name has no versions"))
+      val viewName = s"__changes__${sch}__${name}__${from}_$to"
+      new GraftTable(session, root).changes(from, to).createOrReplaceTempView(viewName)
+      java.util.regex.Matcher.quoteReplacement(viewName)
+    })
     // time travel: <table>('<ISO timestamp>')
     val tt = """(\b[\w."]+)\s*\(\s*'([^']+)'\s*\)""".r
     sql = tt.replaceAllIn(sql, m => {
@@ -434,6 +451,10 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
   private val reDropTable = """(?is)^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w."]+)\s*$""".r
   private val reDropSchema = """(?is)^DROP\s+SCHEMA\s+(?:IF\s+EXISTS\s+)?([\w"]+)\s*$""".r
   private val reRename = """(?is)^ALTER\s+TABLE\s+([\w."]+)\s+RENAME\s+TO\s+([\w."]+)\s*$""".r
+  private val reAddConstraint =
+    """(?is)^ALTER\s+TABLE\s+([\w."]+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*$""".r
+  private val reDropConstraint =
+    """(?is)^ALTER\s+TABLE\s+([\w."]+)\s+DROP\s+CONSTRAINT\s+(IF\s+EXISTS\s+)?(\w+)\s*$""".r
   private val reVacuumDb = """(?is)^VACUUM\s+DATABASE\s+([\w"]+)\s*$""".r
   private val reVacuumTable = """(?is)^VACUUM\s+TABLE\s+([\w."]+)\s*$""".r
   private val reOptimize = """(?is)^OPTIMIZE\s+TABLE\s+([\w."]+)\s*$""".r
@@ -572,6 +593,14 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
     case reDropSchema(schName) =>
       requireNotStaging(clean(schName))
       catalog.dropSchema(currentDb, clean(schName)); emptyResult
+    case reAddConstraint(qname, cname, chk) =>
+      val (sch, name) = splitName(qname)
+      table(sch, name).addConstraint(cname, chk)
+      emptyResult
+    case reDropConstraint(qname, ifEx, cname) =>
+      val (sch, name) = splitName(qname)
+      table(sch, name).dropConstraint(cname, ifEx != null)
+      emptyResult
     case reRename(from, to) =>
       val (fs, fn) = splitName(from); val (ts, tn) = splitName(to)
       catalog.renameTable(currentDb, fs, fn, ts, tn)

@@ -79,6 +79,55 @@ class ContextSpec extends SparkSpec {
     assert(c.execute("SELECT v FROM tt_diff").collect().map(_.getLong(0)).toSeq === Seq(2L))
   }
 
+  test("CHECK constraints enforce on every write path, NULL passes") {
+    val c = ctx()
+    c.execute("CREATE TABLE ck (id BIGINT, v BIGINT)")
+    c.execute("INSERT INTO ck VALUES (1, 10)")
+    c.execute("ALTER TABLE ck ADD CONSTRAINT v_pos CHECK (v > 0)")
+    // violating INSERT fails BEFORE commit; table unchanged
+    intercept[Exception](c.execute("INSERT INTO ck VALUES (2, -5)"))
+    assert(c.execute("SELECT COUNT(*) AS n FROM ck").collect()(0).getLong(0) === 1L)
+    // NULL check result passes (SQL CHECK semantics)
+    c.execute("INSERT INTO ck VALUES (3, NULL)")
+    // violating UPDATE fails, state keeps the pre-update rows
+    intercept[Exception](c.execute("UPDATE ck SET v = -1 WHERE id = 1"))
+    assert(c.execute("SELECT v FROM ck WHERE id = 1").collect()(0).getLong(0) === 10L)
+    // violating MERGE fails too (same write funnel)
+    c.execute("CREATE TABLE d (id BIGINT, v BIGINT)")
+    c.execute("INSERT INTO d VALUES (1, -9)")
+    intercept[Exception](c.execute(
+      "MERGE INTO ck USING d ON ck.id = d.id WHEN MATCHED THEN UPDATE SET v = d.v"))
+    assert(c.execute("SELECT v FROM ck WHERE id = 1").collect()(0).getLong(0) === 10L)
+    // adding a constraint existing data violates is rejected
+    val e2 = intercept[Exception](
+      c.execute("ALTER TABLE ck ADD CONSTRAINT v_big CHECK (v > 100)"))
+    assert(e2.getMessage.contains("violate"))
+    // dropped constraint stops enforcing
+    c.execute("ALTER TABLE ck DROP CONSTRAINT v_pos")
+    c.execute("INSERT INTO ck VALUES (4, -1)")
+    assert(c.execute("SELECT COUNT(*) AS n FROM ck").collect()(0).getLong(0) === 3L)
+    c.execute("ALTER TABLE ck DROP CONSTRAINT IF EXISTS nope") // no error
+  }
+
+  test("table_changes SQL surface reads the version diff") {
+    val c = ctx()
+    c.execute("CREATE TABLE ch (id BIGINT, v BIGINT)")
+    c.execute("INSERT INTO ch VALUES (1, 10), (2, 20)") // v1
+    c.execute("UPDATE ch SET v = 99 WHERE id = 2")      // v2
+    c.execute("DELETE FROM ch WHERE id = 1")            // v3
+    val rows = c.execute(
+      "SELECT _commit_version, _change_type, id, v FROM table_changes('ch', 1) ORDER BY 1, 2, 3")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq === Seq(
+      (2L, "delete", 2L, 20L), (2L, "insert", 2L, 99L),
+      (3L, "delete", 1L, 10L)))
+    // explicit upper bound excludes the delete commit
+    val bounded = c.execute(
+      "SELECT _change_type, id FROM table_changes('ch', 1, 2) ORDER BY 1")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(bounded.toSeq === Seq(("delete", 2L), ("insert", 2L)))
+  }
+
   test("system tables and information_schema") {
     val c = ctx()
     c.execute(fixture)

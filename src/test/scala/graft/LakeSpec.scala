@@ -393,4 +393,32 @@ class LakeSpec extends SparkSpec {
     assert(readsAt63 <= 20,
       s"post-write rebuild must re-read only generation metadata, did $readsAt63")
   }
+
+  test("table_changes: version row-diff surfaces appends, updates, deletes") {
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)), maxPerFile = 2)
+    val v1 = Manifest.latestVersion(t.root).get
+    t.append(Seq((4L, "d", 4.0)).toDF("id", "name", "score"))              // v2: insert
+    t.update(Seq(("score", "score + 10")), Some("id = 1"))                 // v3: update
+    t.delete(Some("id = 2"))                                               // v4: delete
+    val v4 = Manifest.latestVersion(t.root).get
+    def diff(from: Long, to: Long) =
+      t.changes(from, to)
+        .select("_commit_version", "_change_type", "id", "score")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSeq.sorted
+    // the full window: append as a pure insert; update as delete+insert;
+    // delete as a pure delete. Untouched rows (id=3 shares no file with
+    // the touched region... it MAY share a rewritten file — the diff is
+    // exact row-multiset, so co-located rows cancel out regardless)
+    assert(diff(v1, v4) === Seq(
+      (v1 + 1, "insert", 4L, 4.0),
+      (v1 + 2, "delete", 1L, 1.0),
+      (v1 + 2, "insert", 1L, 11.0),
+      (v1 + 3, "delete", 2L, 2.0)).sorted)
+    // empty window is empty, not an error
+    assert(t.changes(v4, v4).count() === 0)
+    // single-commit window
+    assert(diff(v1 + 1, v1 + 2) === Seq(
+      (v1 + 2, "delete", 1L, 1.0), (v1 + 2, "insert", 1L, 11.0)).sorted)
+  }
 }
