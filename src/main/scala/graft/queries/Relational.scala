@@ -643,6 +643,38 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // Sketch persistence — the lakehouse pattern where per-shard HLL
+    // sketches are STORED as data and merged at query time (rollup
+    // without re-reading raw rows). Spark builds DataSketches HLL
+    // partials per (flag, status) subgroup, unions them per flag, and
+    // asserts its own estimate against the exact distinct count; DuckDB
+    // asserts ITS approx_count_distinct the same way — the q26/tx21
+    // both-engines-verify-their-own-sketch oracle pattern (sketch
+    // binaries are engine-specific; the GUARANTEE is portable).
+    QueryDef("q38_sketch_persist",
+      """WITH e AS (SELECT l_returnflag, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_nd
+        |           FROM lineitem GROUP BY 1),
+        |a AS (SELECT l_returnflag, approx_count_distinct(l_orderkey) AS est
+        |      FROM lineitem GROUP BY 1)
+        |SELECT e.l_returnflag, e.exact_nd,
+        |  ABS(a.est - e.exact_nd) <= 0.05 * e.exact_nd AS sketch_ok
+        |FROM e JOIN a USING (l_returnflag) ORDER BY 1""".stripMargin) { (s, d) =>
+      val t = li(s, d)
+      // stage 1: per-subgroup partial sketches (what a per-shard job
+      // would persist as a binary column)
+      val partials = t.groupBy("l_returnflag", "l_linestatus")
+        .agg(expr("hll_sketch_agg(l_orderkey)").as("sk"))
+      // stage 2: merge the stored partials per flag, then estimate
+      val merged = partials.groupBy("l_returnflag")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      val exact = t.groupBy("l_returnflag")
+        .agg(countDistinct("l_orderkey").as("exact_nd"))
+      exact.join(merged, "l_returnflag")
+        .select(col("l_returnflag"), col("exact_nd"),
+          (abs(col("est") - col("exact_nd")) <= lit(0.05) * col("exact_nd")).as("sketch_ok"))
+        .orderBy("l_returnflag")
+    },
+
     // ---- GROUPS window frames --------------------------------------------
     // Spark's engine implements only ROWS and RANGE frames; the GROUPS
     // frame (SQL:2011, supported by the reference through DataFusion) is
