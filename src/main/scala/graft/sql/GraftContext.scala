@@ -401,6 +401,8 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
         ("information_schema", "routines", ""), ("information_schema", "df_settings", ""),
         ("information_schema", "parameters", ""), ("information_schema", "schemata", ""),
         ("information_schema", "views", ""),
+        ("information_schema", "table_constraints", ""),
+        ("information_schema", "check_constraints", ""),
         ("staging", "", ""))
     mapOutsideLiterals(sql) { seg0 =>
       var seg = seg0

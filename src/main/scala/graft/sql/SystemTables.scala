@@ -39,8 +39,8 @@ object SystemTables {
     // information_schema.tables / columns — the reference lists its own
     // information_schema views alongside base tables (golden layout
     // tests/statements/query.rs:15-31, ddl.rs:192-206)
-    val infoViews = Seq("columns", "df_settings", "parameters", "routines",
-      "schemata", "tables", "views")
+    val infoViews = Seq("check_constraints", "columns", "df_settings", "parameters",
+      "routines", "schemata", "table_constraints", "tables", "views")
     val infoTables = tables.map { case (sch, name, _) => (db, sch, name, "BASE TABLE") } ++
       Seq((db, "system", "table_versions", "VIEW"),
         (db, "system", "dropped_tables", "VIEW")) ++
@@ -97,5 +97,19 @@ object SystemTables {
     // information_schema.df_settings analog: the session's SQL settings
     spark.conf.getAll.toSeq.sortBy(_._1).toDF("name", "value")
       .createOrReplaceTempView("information_schema__df_settings")
+
+    // information_schema.table_constraints + check_constraints: the
+    // standard two-view layout over the lake tables' CHECK constraints
+    val constraints = tables.flatMap { case (sch, name, uuid) =>
+      new graft.lake.GraftTable(spark, ctx.catalog.tableRoot(uuid)).constraints
+        .map { case (cn, ce) => (db, sch, name, cn, ce) }
+    }
+    constraints.map { case (cat, sch, name, cn, _) => (cat, sch, cn, cat, sch, name, "CHECK") }
+      .toDF("constraint_catalog", "constraint_schema", "constraint_name",
+        "table_catalog", "table_schema", "table_name", "constraint_type")
+      .createOrReplaceTempView("information_schema__table_constraints")
+    constraints.map { case (cat, sch, _, cn, ce) => (cat, sch, cn, ce) }
+      .toDF("constraint_catalog", "constraint_schema", "constraint_name", "check_clause")
+      .createOrReplaceTempView("information_schema__check_constraints")
   }
 }

@@ -102,6 +102,14 @@ class ContextSpec extends SparkSpec {
     val e2 = intercept[Exception](
       c.execute("ALTER TABLE ck ADD CONSTRAINT v_big CHECK (v > 100)"))
     assert(e2.getMessage.contains("violate"))
+    // the standard information_schema views expose the constraint
+    val tc = c.execute(
+      """SELECT tc.table_name, tc.constraint_name, tc.constraint_type, cc.check_clause
+        |FROM information_schema.table_constraints tc
+        |JOIN information_schema.check_constraints cc
+        |  ON tc.constraint_name = cc.constraint_name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(tc.toSeq === Seq(("ck", "v_pos", "CHECK", "v > 0")))
     // dropped constraint stops enforcing
     c.execute("ALTER TABLE ck DROP CONSTRAINT v_pos")
     c.execute("INSERT INTO ck VALUES (4, -1)")
@@ -154,7 +162,7 @@ class ContextSpec extends SparkSpec {
     assert(settings.map(_.getString(0)).toSeq === Seq("UTC"))
   }
 
-  test("information_schema golden layout: all seven views present") {
+  test("information_schema golden layout: all nine views present") {
     val c = ctx()
     c.execute("CREATE TABLE gt (a BIGINT)")
     c.execute("CREATE SCHEMA extra")
@@ -166,11 +174,13 @@ class ContextSpec extends SparkSpec {
         |WHERE table_schema IN ('information_schema', 'system') ORDER BY table_schema, table_name""".stripMargin)
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
     assert(infoRows === Seq(
+      ("information_schema", "check_constraints", "VIEW"),
       ("information_schema", "columns", "VIEW"),
       ("information_schema", "df_settings", "VIEW"),
       ("information_schema", "parameters", "VIEW"),
       ("information_schema", "routines", "VIEW"),
       ("information_schema", "schemata", "VIEW"),
+      ("information_schema", "table_constraints", "VIEW"),
       ("information_schema", "tables", "VIEW"),
       ("information_schema", "views", "VIEW"),
       ("system", "dropped_tables", "VIEW"),
