@@ -94,11 +94,17 @@ class GraftTable(val spark: SparkSession, val root: String) {
       val curPaths = cur.files.map(_.path).toSet
       val added = cur.files.filterNot(f => prevPaths.contains(f.path))
       val removed = prev.files.filterNot(f => curPaths.contains(f.path))
-      def rows(fs: Seq[FileEntry]) =
+      // read each side through a version-pinned GraftFileIndex (not a raw
+      // parquet scan): the diff inherits manifest-stats skipping AND the
+      // scans surface in versionFingerprint, so the HTTP plan-based ETag
+      // of a table_changes query goes stale exactly when a new version
+      // commits instead of serving 304s forever
+      def rows(fs: Seq[FileEntry], m: TableManifest) =
         if (fs.isEmpty) empty.drop("_change_type", "_commit_version")
-        else readFiles(fs, sch)
-      val ins = rows(added).exceptAll(rows(removed))
-      val del = rows(removed).exceptAll(rows(added))
+        else org.apache.spark.sql.GraftRelations.parquetScan(
+          spark, new GraftFileIndex(root, m.copy(files = fs)), sch)
+      val ins = rows(added, cur).exceptAll(rows(removed, prev))
+      val del = rows(removed, prev).exceptAll(rows(added, cur))
       acc.unionByName(tagged(ins, "insert", v)).unionByName(tagged(del, "delete", v))
     }
   }

@@ -92,6 +92,22 @@ class HttpSpec extends SparkSpec {
     assert(r3.headers().firstValue("ETag").get !== etag)
   }
 
+  test("ETag of a table_changes read goes stale when a version commits") {
+    post("/q", "CREATE TABLE cdf (a BIGINT); INSERT INTO cdf VALUES (1)", auth)
+    val q = java.net.URLEncoder.encode(
+      "SELECT _change_type, a FROM table_changes('cdf', 0) ORDER BY a", UTF_8)
+    val r1 = get("/q/" + q)
+    assert(r1.statusCode() === 200)
+    val etag = r1.headers().firstValue("ETag").get
+    assert(get("/q/" + q, "If-None-Match" -> etag).statusCode() === 304)
+    post("/q", "INSERT INTO cdf VALUES (2)", auth)
+    // the feed's content grew: the cached entity MUST be stale
+    val r3 = get("/q/" + q, "If-None-Match" -> etag)
+    assert(r3.statusCode() === 200)
+    assert(r3.headers().firstValue("ETag").get !== etag)
+    assert(r3.body().contains("\"a\":2"))
+  }
+
   test("GET hash form verifies the sha256 of the query") {
     val sql = "SELECT 2 AS two"
     val hash = java.security.MessageDigest.getInstance("SHA-256")
