@@ -27,6 +27,16 @@ def main():
         if os.path.isdir(path):
             path = f"{path}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+        # Spark-written scale-up data (tools.GenScale) carries events.ts
+        # as raw BIGINT nanos; surface it as a µs TIMESTAMP exactly like
+        # graft.Tables.load does on the Spark side (ns // 1000 → µs)
+        if t == "events":
+            typ = con.execute(
+                "SELECT typeof(ts) FROM events LIMIT 1").fetchone()
+            if typ and typ[0] == "BIGINT":
+                con.execute(
+                    "CREATE OR REPLACE VIEW events AS "
+                    f"SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) FROM '{path}'")
     best, dnf, errors = {}, {}, {}
     for name in sorted(oracle):
         sql = oracle[name]

@@ -329,6 +329,67 @@ object Similarity {
       Embeddings.pcaProject(Tables.load(s, d, "embeddings"),
           "vec_id", "embedding", dim = DIM, outDim = 4)
         .orderBy("vec_id")
+    },
+
+    // Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009):
+    // fuse the BM25 top-20 (tx23's all-integer rank math) with the dense
+    // cosine top-20 for one query vector. Each list contributes
+    // floor(1e12/(60+rank)) micro-points — integer-exact on both engines,
+    // docs absent from a list contribute 0 (the standard RRF treatment).
+    // At scale both branches END in bounded top-k relations, so the
+    // fusion join is over two ≤k-row frames (broadcast, corpus-size
+    // independent) — the corpus is only touched by the already-audited
+    // tx23/sim1 plans.
+    QueryDef("p2_hybrid_rrf",
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS len FROM documents),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(len) AS BIGINT) AS a FROM d),
+         |tf AS (SELECT doc_id, len, w, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, len, u.w AS w FROM d, UNNEST(toks) AS u(w))
+         |       WHERE w IN ('hash', 'join', 'filter') GROUP BY 1, 2, 3),
+         |dfq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |bsc AS (SELECT tf.doc_id,
+         |          CAST(FLOOR(ln((t.n - dfq.df + 0.5)/(dfq.df + 0.5) + 1.0)*1000000.0 + 0.5) AS BIGINT)
+         |            * ((22 * t.a * tf.tf * 1000000) // (10 * t.a * tf.tf + 3 * t.a + 9 * tf.len * t.n)) AS part
+         |        FROM tf JOIN dfq USING (w), tot t),
+         |bs AS (SELECT doc_id, CAST(SUM(part) AS BIGINT) AS score FROM bsc GROUP BY 1),
+         |sp AS (SELECT doc_id, rnk FROM (SELECT doc_id,
+         |         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+         |       FROM bs) WHERE rnk <= 20),
+         |$quantCte,
+         |qv AS (SELECT qe AS q_qe, n2 AS q_n2 FROM q WHERE vec_id = 0),
+         |ds AS (SELECT a.vec_id AS doc_id,
+         |         ${cosSql("CAST(list_sum([a.qe[i]*qv.q_qe[i] FOR i IN range(1, len(a.qe)+1)]) AS BIGINT)", "a.n2", "qv.q_n2")} AS cos
+         |       FROM q a, qv WHERE a.vec_id <> 0),
+         |dt AS (SELECT doc_id, rnk FROM (SELECT doc_id,
+         |         CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS rnk
+         |       FROM ds) WHERE rnk <= 20),
+         |f AS (SELECT COALESCE(sp.doc_id, dt.doc_id) AS doc_id,
+         |        COALESCE(1000000000000 // (60 + sp.rnk), 0)
+         |          + COALESCE(1000000000000 // (60 + dt.rnk), 0) AS rrf,
+         |        CASE WHEN sp.doc_id IS NOT NULL THEN 1 ELSE 0 END AS in_sparse,
+         |        CASE WHEN dt.doc_id IS NOT NULL THEN 1 ELSE 0 END AS in_dense
+         |      FROM sp FULL JOIN dt ON sp.doc_id = dt.doc_id)
+         |SELECT doc_id, CAST(rrf AS BIGINT) AS rrf,
+         |  CAST(in_sparse AS BIGINT) AS in_sparse, CAST(in_dense AS BIGINT) AS in_dense
+         |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.LongType
+      val sparse = graft.ops.TextAnalysis.bm25Search(
+          Tables.load(s, d, "documents"), "doc_id", "text",
+          Seq("hash", "join", "filter"), k = 20)
+        .select(col("doc_id"), col("rnk").cast(LongType).as("srnk"))
+      val dense = Embeddings.topKBruteForce(Tables.load(s, d, "embeddings"),
+          "vec_id", "embedding", col("vec_id") === 0, k = 20)
+        .select(col("neighbor_id").cast(LongType).as("doc_id"),
+          col("rnk").cast(LongType).as("drnk"))
+      sparse.join(dense, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (coalesce(expr("1000000000000 div (60 + srnk)"), lit(0L)) +
+            coalesce(expr("1000000000000 div (60 + drnk)"), lit(0L))).as("rrf"),
+          when(col("srnk").isNotNull, 1L).otherwise(0L).as("in_sparse"),
+          when(col("drnk").isNotNull, 1L).otherwise(0L).as("in_dense"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
     }
   )
 }

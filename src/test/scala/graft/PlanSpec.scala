@@ -351,4 +351,20 @@ class PlanSpec extends SparkSpec {
     val windows = p.linesIterator.count(_.matches("""\s*\(\d+\) Window\s*"""))
     assert(windows == 1, s"expected exactly one Window, got $windows:\n" + p.take(3000))
   }
+
+  test("hybrid RRF fuses two bounded top-k lists, never a corpus product (p2)") {
+    val p = planOf("p2_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // sparse branch must bound the corpus before ranking (global top-k),
+    // dense branch must rank inside the ≤k-state aggregate — the fusion
+    // join then joins two ≤k-row frames, corpus-size independent
+    assert(p.contains("TakeOrderedAndProject"),
+      "bm25 side should end in a bounded top-k:\n" + p.take(3000))
+    assert(p.contains("top_k_scored"),
+      "dense side should rank inside the bounded aggregate:\n" + p.take(3000))
+    // the only Window allowed is the ≤k-row rank numbering after the
+    // sparse top-k (plus none on the dense side)
+    val windows = p.linesIterator.count(_.matches("""\s*\(\d+\) Window\s*"""))
+    assert(windows <= 1, s"expected at most one (bounded) Window, got $windows:\n" + p.take(3000))
+  }
 }
