@@ -1,0 +1,64 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Embeddings
+
+/** Dev probe: recall@k of each ANN variant against the exact brute-force
+  * top-k, over the same query set — the number that says what the scale
+  * path (LSH buckets / IVF probes / PQ codes) trades for its speedup.
+  * Recall@k = |ann∩exact| / k averaged over queries; ANN variants can
+  * return < k rows when their buckets are too selective (counted as
+  * misses, as they should be). Run at sf0.1 and optionally a scale dir.
+  */
+object ProbeRecall {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = args.lift(1).map(_.toInt).getOrElse(10)
+    val nq = args.lift(2).map(_.toInt).getOrElse(50)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val pred = col("vec_id") < nq
+    val n = emb.count()
+
+    def ids(df: DataFrame): DataFrame =
+      df.select(col("query_id"), col("neighbor_id"))
+
+    val exact = ids(Embeddings.topKBruteForce(emb, "vec_id", "embedding", pred, k))
+      .cache()
+    val exactN = exact.count() // materialize once; every variant joins it
+
+    def recall(name: String, df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val hits = ids(df).join(exact, Seq("query_id", "neighbor_id")).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"$name%-10s recall@$k = ${hits.toDouble / exactN}%.3f  (${sec}%.1f s)")
+    }
+
+    println(s"n=$n vectors, ${exactN / k} queries, k=$k ($dir)")
+    recall("lsh",   Embeddings.annTopK(emb, "vec_id", "embedding", pred, k, planes = 6, dim = 64))
+    recall("ivf",   Embeddings.ivfTopK(emb, "vec_id", "embedding", pred, k, numCells = 8, nprobe = 2))
+    recall("ivf+",  Embeddings.ivfTopK(emb, "vec_id", "embedding", pred, k, numCells = 8, nprobe = 4))
+    recall("pq",    Embeddings.pqTopK(emb, "vec_id", "embedding", pred, k,
+      numSub = 4, subDim = 16, codebookSize = 8, candK = 4 * k))
+    recall("ivfpq", Embeddings.ivfPqTopK(emb, "vec_id", "embedding", pred, k,
+      numCells = 8, nprobe = 2, numSub = 4, subDim = 16, codebookSize = 8, candK = 4 * k))
+    // turned-up configurations: the knobs that buy recall at scale
+    // (more probes, finer codebooks, wider re-rank candidate pools)
+    recall("lsh-4p", Embeddings.annTopK(emb, "vec_id", "embedding", pred, k, planes = 4, dim = 64))
+    recall("ivf-8pr", Embeddings.ivfTopK(emb, "vec_id", "embedding", pred, k, numCells = 16, nprobe = 8))
+    recall("pq-64c", Embeddings.pqTopK(emb, "vec_id", "embedding", pred, k,
+      numSub = 8, subDim = 8, codebookSize = 64, candK = 10 * k))
+    recall("ivfpq+", Embeddings.ivfPqTopK(emb, "vec_id", "embedding", pred, k,
+      numCells = 8, nprobe = 4, numSub = 8, subDim = 8, codebookSize = 64, candK = 10 * k))
+    spark.stop()
+  }
+}
