@@ -14,14 +14,21 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // Parquet TIMESTAMP(NANOS) is read as LongType under
-    // spark.sql.legacy.parquet.nanosAsLong (set in GraftSession/Verify/
-    // Bench); surface it as a µs TimestampType column like every other
-    // engine (DuckDB truncates ns→µs the same way).
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) if name == "events" =>
+    // Normalize events.ts to a µs TimestampType regardless of how the
+    // driver generated the parquet: TIMESTAMP(NANOS) is read as LongType
+    // under spark.sql.legacy.parquet.nanosAsLong (set in GraftSession/
+    // Verify/Bench) and truncates ns→µs like DuckDB; TIMESTAMP(MICROS,
+    // isAdjustedToUTC=false) is read as TIMESTAMP_NTZ and re-anchors as
+    // the same UTC wall-clock (session tz is pinned to UTC), so
+    // unix_micros(ts) yields the identical value either way.
+    if (name != "events") df
+    else df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
         df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", df.col("ts").cast(TimestampType))
       case _ => df
     }
   }
