@@ -103,6 +103,90 @@ object Graph {
     ranks
   }
 
+  /** Bounded-depth reachability with walk counting from a single start
+    * node — the influence/expansion primitive behind "what does this seed
+    * reach in ≤k hops, and how strongly" (crawl frontier scoring,
+    * recommendation expansion). Semantics are EXACTLY the recursive-CTE
+    * formulation both DuckDB and Spark 4.1 (`WITH RECURSIVE` / UnionLoop)
+    * evaluate:
+    *
+    *   reach(node, depth): anchor (start, 0); step joins reach rows with
+    *   depth < maxDepth to edges on src = node. Output per node:
+    *   hops = MIN(depth), n_paths = COUNT(*) = number of distinct walks
+    *   of length ≤ maxDepth from start (walks may revisit nodes).
+    *
+    * Rather than running the raw recursive CTE — whose loop step replays
+    * the full edge-derivation subplan every iteration (UnionLoop inlines
+    * the CTE body; measured 32 s vs <1 s for this shape at sf0.01) — the
+    * walk counts follow the closed recurrence
+    *
+    *   walks(v, 0)   = [v = start]
+    *   walks(v, d+1) = Σ_{(u,v) ∈ E} walks(u, d)
+    *
+    * over a ONCE-materialized edge list: per depth, one join of the
+    * frontier (node, cnt) with the checkpointed edges + one map-side-
+    * combined aggregate on dst — the pageRank shuffle layout, except the
+    * frontier is walk-count-weighted and iteration stops early when it
+    * empties. All arithmetic is Int64 adds, so results are partition- and
+    * engine-independent. Same dd6/pageRank scale split: seed graphs that
+    * fit on the driver (≤ localEdgeLimit edges) run the identical
+    * recurrence locally instead of paying 2·maxDepth scheduled shuffles.
+    */
+  def reachability(edges: DataFrame, srcCol: String, dstCol: String,
+                   start: Long, maxDepth: Int,
+                   localEdgeLimit: Long = 1000000L): DataFrame = {
+    require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(
+      edges(srcCol).cast(LongType).as("src"),
+      edges(dstCol).cast(LongType).as("dst"))
+      .localCheckpoint(false)
+    val nEdges = e.count() // materializes the checkpoint
+    if (nEdges <= localEdgeLimit) {
+      val adj = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (s, a) => s -> a.map(_._2) }
+      val hops = scala.collection.mutable.HashMap(start -> 0L)
+      val paths = scala.collection.mutable.HashMap(start -> 1L)
+      var frontier = Map(start -> 1L)
+      var d = 0L
+      while (d < maxDepth && frontier.nonEmpty) {
+        val next = scala.collection.mutable.HashMap[Long, Long]()
+        frontier.foreach { case (u, c) =>
+          adj.getOrElse(u, Array.empty[Long]).foreach { v =>
+            next(v) = next.getOrElse(v, 0L) + c
+          }
+        }
+        d += 1
+        next.foreach { case (v, c) =>
+          if (!hops.contains(v)) hops(v) = d
+          paths(v) = paths.getOrElse(v, 0L) + c
+        }
+        frontier = next.toMap
+      }
+      return hops.keys.toSeq.sorted.map(n => (n, hops(n), paths(n)))
+        .toDF("node", "hops", "n_paths")
+    }
+    var frontier = Seq((start, 1L)).toDF("node", "cnt").localCheckpoint(false)
+    var acc = frontier.select(col("node"), lit(0L).as("depth"), col("cnt"))
+    var d = 0L
+    var drained = false
+    while (d < maxDepth && !drained) {
+      val next = e.join(frontier, e("src") === frontier("node"))
+        .select(col("dst").as("node"), col("cnt"))
+        .groupBy("node").agg(sum("cnt").as("cnt"))
+        .localCheckpoint(false)
+      d += 1
+      if (next.isEmpty) drained = true
+      else {
+        acc = acc.union(next.select(col("node"), lit(d).as("depth"), col("cnt")))
+        frontier = next
+      }
+    }
+    acc.groupBy("node")
+      .agg(min("depth").as("hops"), sum("cnt").as("n_paths"))
+  }
+
   /** The events-table item graph: consecutive items (props.k) per user in
     * (ts, event_id) order become directed edges src→dst, self-loops
     * dropped, multiplicity as the edge weight. One window shuffle keyed

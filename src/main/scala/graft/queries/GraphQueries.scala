@@ -50,6 +50,41 @@ object GraphQueries {
       graft.ops.Graph.pageRank(edges, "src", "dst", "w", iters = Iters)
         .select(col("node").as("item"), col("rank"))
         .orderBy("item")
+    },
+
+    // Bounded-depth reachability with walk counting from item 0 over the
+    // HEAVY transition edges (weight > 1.5× the mean, i.e. 2·w·count >
+    // 3·total — integer-exact). The oracle is the natural recursive CTE;
+    // the Spark side runs ops.Graph.reachability's frontier recurrence
+    // over the once-materialized edge list (the raw WITH RECURSIVE plan
+    // re-derives the edge subplan every UnionLoop iteration — measured
+    // 32 s vs <1 s here; the SQL surface itself is exercised in
+    // ContextSpec "recursive CTE").
+    QueryDef("gr2_reachability",
+      """WITH RECURSIVE
+        |it AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |       CAST(props->>'k' AS BIGINT) AS item FROM events),
+        |lg AS (SELECT item, LAG(item) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS src
+        |       FROM it),
+        |edges AS (SELECT src, item AS dst, CAST(COUNT(*) AS BIGINT) AS w
+        |          FROM lg WHERE src IS NOT NULL AND src <> item GROUP BY 1, 2),
+        |tot AS (SELECT SUM(w) AS s, COUNT(*) AS c FROM edges),
+        |se AS (SELECT e.src, e.dst FROM edges e CROSS JOIN tot t WHERE 2 * e.w * t.c > 3 * t.s),
+        |reach(node, depth) AS (
+        |  SELECT CAST(0 AS BIGINT) AS node, 0 AS depth
+        |  UNION ALL
+        |  SELECT se.dst, r.depth + 1 FROM reach r JOIN se ON se.src = r.node WHERE r.depth < 6
+        |)
+        |SELECT node, CAST(MIN(depth) AS BIGINT) AS hops, CAST(COUNT(*) AS BIGINT) AS n_paths
+        |FROM reach GROUP BY node ORDER BY node""".stripMargin) { (s, d) =>
+      val edges = graft.ops.Graph.itemTransitionEdges(Tables.load(s, d, "events"))
+        .localCheckpoint(false)
+      val tot = edges.agg(sum("w").as("s"), count(lit(1)).as("c"))
+      val se = edges.crossJoin(broadcast(tot))
+        .where(lit(2) * col("w") * col("c") > lit(3) * col("s"))
+        .select("src", "dst")
+      graft.ops.Graph.reachability(se, "src", "dst", start = 0L, maxDepth = 6)
+        .orderBy("node")
     }
   )
 }

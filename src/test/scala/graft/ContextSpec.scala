@@ -477,4 +477,22 @@ class ContextSpec extends SparkSpec {
     assert(c.isReadOnly("SELECT 1"))
     assert(!c.isReadOnly("INSERT INTO m VALUES (3)"))
   }
+
+  test("recursive CTE (WITH RECURSIVE) runs through the SQL frontend") {
+    val c = ctx()
+    c.execute("CREATE TABLE edge (src BIGINT, dst BIGINT)")
+    c.execute("INSERT INTO edge VALUES (0, 1), (1, 2), (1, 3), (3, 0)")
+    val rows = c.execute(
+      """WITH RECURSIVE reach(node, depth) AS (
+        |  SELECT CAST(0 AS BIGINT), 0
+        |  UNION ALL
+        |  SELECT e.dst, r.depth + 1 FROM reach r JOIN edge e ON e.src = r.node
+        |  WHERE r.depth < 3
+        |) SELECT node, MIN(depth) AS hops, COUNT(*) AS n_paths
+        |FROM reach GROUP BY node ORDER BY node""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // walks of length <= 3 from 0 over 0->1->{2,3}, 3->0:
+    // node 0: anchor + 0->1->3->0; 1: one walk; 2/3: depth 2
+    assert(rows.toSeq === Seq((0L, 0, 2L), (1L, 1, 1L), (2L, 2, 1L), (3L, 2, 1L)))
+  }
 }

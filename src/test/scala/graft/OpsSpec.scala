@@ -422,4 +422,43 @@ class OpsSpec extends SparkSpec {
     assert(fast.forall(_._2 > 0))
     assert(fast.filter(_._1 >= 40).forall(_._2 > 150000L))
   }
+
+  test("reachability driver fast path and distributed loop are bit-equal") {
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 150).map { _ =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong)
+    }.distinct.toDF("src", "dst")
+    def run(limit: Long) =
+      ops.Graph.reachability(edges, "src", "dst", start = 0L, maxDepth = 5,
+        localEdgeLimit = limit)
+        .orderBy("node").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val fast = run(Long.MaxValue)
+    val distributed = run(0L)
+    assert(fast === distributed)
+    // ground truth by brute-force walk enumeration
+    val adj = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s, a) => s -> a.map(_._2).toSeq }
+    var walks = Map(0L -> 1L)
+    val hops = scala.collection.mutable.HashMap(0L -> 0L)
+    val paths = scala.collection.mutable.HashMap(0L -> 1L)
+    for (d <- 1 to 5) {
+      val next = scala.collection.mutable.HashMap[Long, Long]()
+      walks.foreach { case (u, c) =>
+        adj.getOrElse(u, Seq.empty).foreach(v => next(v) = next.getOrElse(v, 0L) + c)
+      }
+      next.foreach { case (v, c) =>
+        if (!hops.contains(v)) hops(v) = d
+        paths(v) = paths.getOrElse(v, 0L) + c
+      }
+      walks = next.toMap
+    }
+    val truth = hops.keys.toSeq.sorted.map(n => (n, hops(n), paths(n)))
+    assert(fast === truth)
+    // start node isolated from the graph still reports its anchor walk
+    val lone = ops.Graph.reachability(edges, "src", "dst", start = 999L,
+      maxDepth = 4, localEdgeLimit = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(lone === Seq((999L, 0L, 1L)))
+  }
 }
