@@ -15,9 +15,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // Shuffle width at sf0.1: measured floor-vs-width sweet spot is HALF
+    // the thread count (40.3 s vs 50.3 s at =cpus over the full suite) —
+    // the non-AQE-coalescable exchanges (range partitioners, checkpoint
+    // materializations, loop iterations) each pay per-task overhead that
+    // tiny partitions never earn back, while compute-bound stages keep
+    // enough width. AQE's 8 MiB advisory still coalesces below this where
+    // map stats allow. A cluster deployment sizes this to cluster width;
+    // it is a session config, not a plan property.
+    val spark0 = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", math.max(1, cpus.toInt / 2))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
@@ -31,7 +39,14 @@ object Bench {
       // compilation for every query; size the cache to the workload
       .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // dev knob: "k=v;k=v" config overrides for config experiments
+    val builder = sys.env.get("SPARK_GRAFT_BENCH_CONF").toSeq
+      .flatMap(_.split(';').toSeq).map(_.trim).filter(_.contains('='))
+      .foldLeft(spark0) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2)
+        b.config(k, v)
+      }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
