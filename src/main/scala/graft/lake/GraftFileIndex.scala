@@ -47,10 +47,26 @@ class GraftFileIndex(
   override def listFiles(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val kept =
+    val statsKept =
       if (dataFilters.isEmpty) manifest.files
       else manifest.files.filter(f =>
         dataFilters.forall(p => Pruning.mayMatch(p, f, schema)))
+    // point-lookup skipping: equality/IN probes vs per-file Bloom
+    // sidecars (BloomIndex) — only sidecars of stats-surviving files are
+    // ever loaded, and only when the query carries an eligible probe
+    val eqProbes = dataFilters.flatMap(BloomIndex.probes)
+    val kept =
+      if (eqProbes.isEmpty) statsKept
+      else statsKept.filter { f =>
+        eqProbes.forall { case (attr, hashes) =>
+          f.blooms.collectFirst {
+            case (c, rel) if c.equalsIgnoreCase(attr) => rel
+          } match {
+            case Some(rel) => BloomIndex.mightContainAny(root, rel, hashes)
+            case None => true
+          }
+        }
+      }
     Seq(PartitionDirectory(InternalRow.empty, kept.map(status)))
   }
 

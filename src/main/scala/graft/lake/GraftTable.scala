@@ -412,6 +412,52 @@ class GraftTable(val spark: SparkSession, val root: String) {
     rewriteClustered(Seq(col("__z")), maxRecordsPerFile, Seq("__z"))(_.withColumn("__z", zkey))
   }
 
+  /** Build per-file Bloom membership indexes for `cols` and commit a new
+    * version whose file entries carry the sidecar mappings — the
+    * point-lookup half of data skipping (see BloomIndex). One distributed
+    * aggregate over the whole table (groupBy input_file_name, one
+    * bloom_filter_agg per column); sidecars land under `_bloom/` as
+    * write-once blobs, the manifest stays listing-sized. Sized at 8
+    * bits/item for the largest file's record count (~2% FPP). */
+  def bloom(cols: Seq[String]): Long = {
+    val m = latestManifest
+    val sch = schemaOf(m)
+    val resolved = cols.map { c =>
+      sch.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(s"unknown BLOOM BY column: $c"))
+    }
+    if (m.files.isEmpty) return commitNext(m.files, m.schemaJson)
+    val estItems = math.max(1L, m.files.map(_.numRecords).max)
+    val aggs = resolved.map { c =>
+      graft.functions.BloomFunctions
+        .bloom_filter_agg(xxhash64(col(c)), estItems).as(s"bf__$c")
+    }
+    val rows = readFiles(m.files, sch)
+      .groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val batch = s"_bloom/b-${System.currentTimeMillis}-${UUID.randomUUID.toString.take(8)}"
+    LakeIO.mkdirs(LakeIO.path(root, batch))
+    // URI → manifest entry by relative-path suffix (file NAMES alone can
+    // collide across batch dirs; the relative path can't)
+    val byPath = m.files.map(f => f.path -> f).toMap
+    val updated = scala.collection.mutable.HashMap[String, FileEntry]()
+    rows.foreach { r =>
+      val uri = r.getAs[String]("__file")
+      byPath.keys.find(p => uri.endsWith(s"/$p")).foreach { p =>
+        val sidecars = resolved.zipWithIndex.flatMap { case (c, i) =>
+          Option(r.getAs[Array[Byte]](s"bf__$c")).map { bytes =>
+            val rel = s"$batch/${p.replace('/', '_')}.$c.bloom"
+            LakeIO.writeBytes(LakeIO.path(root, rel), bytes)
+            c -> rel
+          }
+        }.toMap
+        updated(p) = byPath(p).copy(blooms = byPath(p).blooms ++ sidecars)
+      }
+    }
+    commitNext(m.files.map(f => updated.getOrElse(f.path, f)), m.schemaJson)
+  }
+
   /** Delete data files not referenced by the latest version and all
     * manifests except the latest. Returns (filesDeleted, versionsDeleted). */
   def vacuum(): (Int, Int) = {
@@ -420,6 +466,11 @@ class GraftTable(val spark: SparkSession, val root: String) {
     val dataFiles = listDataFiles()
     val toDelete = dataFiles.filterNot(keep.contains)
     toDelete.foreach(p => LakeIO.delete(LakeIO.path(root, p)))
+    // bloom sidecars whose owning entry is gone (or whose mapping was
+    // dropped by a rewrite) are garbage once old manifests go
+    val keepBlooms = latest.files.flatMap(_.blooms.values).toSet
+    BloomIndex.listSidecars(root).filterNot(keepBlooms.contains)
+      .foreach(p => LakeIO.delete(LakeIO.path(root, p)))
     val oldVersions = Manifest.listVersions(root).filter(_ != latest.version)
     oldVersions.foreach(v => LakeIO.delete(Manifest.versionPath(root, v)))
     // drop now-empty batch dirs

@@ -100,6 +100,13 @@ object LakeIO {
     finally in.close()
   }
 
+  /** Plain overwrite byte write (write-once sidecar payloads). */
+  def writeBytes(p: Path, content: Array[Byte]): Unit = {
+    val out = fs(p).create(p, true)
+    try out.write(content)
+    finally out.close()
+  }
+
   /** Plain overwrite write (non-atomic; use writeAtomic for metadata that
     * concurrent readers may load). */
   def writeString(p: Path, content: String): Unit = {

@@ -29,7 +29,12 @@ object Manifest {
       path: String, // relative to the table root
       size: Long,
       numRecords: Long,
-      stats: Map[String, ColStats])
+      stats: Map[String, ColStats],
+      // column -> bloom sidecar path (relative to the table root) built by
+      // OPTIMIZE ... BLOOM BY; advisory (absent = no bloom for that
+      // column). Rewritten files never inherit blooms — only entries
+      // carried over byte-identical keep theirs.
+      blooms: Map[String, String] = Map.empty)
 
   case class TableManifest(
       version: Long,
@@ -58,7 +63,12 @@ object Manifest {
       val stats = f.stats.toSeq.sortBy(_._1).map { case (c, s) =>
         s"${jstr(c)}:{" + s""""min":${jopt(s.min)},"max":${jopt(s.max)},"nullCount":${s.nullCount}}"""
       }.mkString("{", ",", "}")
-      s"""{"path":${jstr(f.path)},"size":${f.size},"numRecords":${f.numRecords},"stats":$stats}"""
+      val blooms =
+        if (f.blooms.isEmpty) ""
+        else f.blooms.toSeq.sortBy(_._1)
+          .map { case (c, p) => s"${jstr(c)}:${jstr(p)}" }
+          .mkString(""","blooms":{""", ",", "}")
+      s"""{"path":${jstr(f.path)},"size":${f.size},"numRecords":${f.numRecords},"stats":$stats$blooms}"""
     }.mkString("[", ",", "]")
     s"""{"version":${m.version},"timestampMs":${m.timestampMs},"schemaJson":${jstr(m.schemaJson)},"files":$files}"""
   }
@@ -151,7 +161,11 @@ object Manifest {
           s("max") match { case S(x) => Some(x); case _ => None },
           lng(s("nullCount")))
       }
-      FileEntry(str(f("path")), lng(f("size")), lng(f("numRecords")), stats)
+      val blooms = f.get("blooms") match {
+        case Some(bo: O) => bo.m.map { case (c, pv) => c -> str(pv) }
+        case _ => Map.empty[String, String]
+      }
+      FileEntry(str(f("path")), lng(f("size")), lng(f("numRecords")), stats, blooms)
     }
     TableManifest(lng(o("version")), lng(o("timestampMs")), str(o("schemaJson")), files)
   }

@@ -464,6 +464,8 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
     """(?is)^OPTIMIZE\s+TABLE\s+([\w."]+)\s+CLUSTER\s+BY\s*\(([^)]+)\)\s*$""".r
   private val reZorder =
     """(?is)^OPTIMIZE\s+TABLE\s+([\w."]+)\s+ZORDER\s+BY\s*\(([^)]+)\)\s*$""".r
+  private val reBloom =
+    """(?is)^OPTIMIZE\s+TABLE\s+([\w."]+)\s+BLOOM\s+BY\s*\(([^)]+)\)\s*$""".r
   private val reCopyTo = """(?is)^COPY\s+(.+?)\s+TO\s+'([^']+)'(?:\s+WITH\s*\(\s*FORMAT\s+(\w+)\s*\))?\s*$""".r
   private val reCreateFn =
     """(?is)^CREATE\s+(OR\s+REPLACE\s+)?FUNCTION\s+([\w"]+)\s+AS\s+'(.+)'\s*$""".r
@@ -617,6 +619,11 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
       // beyond-reference: multi-dimensional clustering (space-filling curve)
       val (sch, name) = splitName(qname)
       table(sch, name).zcluster(cols.split(',').map(_.trim.replace("\"", "")).toSeq)
+      emptyResult
+    case reBloom(qname, cols) =>
+      // beyond-reference: per-file Bloom indexes for point-lookup skipping
+      val (sch, name) = splitName(qname)
+      table(sch, name).bloom(cols.split(',').map(_.trim.replace("\"", "")).toSeq)
       emptyResult
     case reCluster(qname, cols) =>
       // beyond-reference maintenance op: range-cluster for data skipping

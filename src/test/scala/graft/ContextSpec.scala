@@ -306,6 +306,11 @@ class ContextSpec extends SparkSpec {
     c.execute("OPTIMIZE TABLE ot CLUSTER BY (x)")
     c.execute("OPTIMIZE TABLE ot ZORDER BY (x, y)")
     assert(c.execute("SELECT COUNT(*) AS n FROM ot").collect().head.getLong(0) === 6L)
+    c.execute("OPTIMIZE TABLE ot BLOOM BY (x)")
+    val files = c.table("public", "ot").latestManifest.files
+    assert(files.nonEmpty && files.forall(_.blooms.contains("x")))
+    assert(c.execute("SELECT COUNT(*) AS n FROM ot WHERE x = 100")
+      .collect().head.getLong(0) === 1L)
   }
 
   test("USE switches databases; tables are db-scoped") {

@@ -421,4 +421,69 @@ class LakeSpec extends SparkSpec {
     assert(diff(v1 + 1, v1 + 2) === Seq(
       (v1 + 2, "delete", 1L, 1.0), (v1 + 2, "insert", 1L, 11.0)).sorted)
   }
+
+  test("bloom indexes skip files that min/max stats cannot") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    graft.lake.BloomIndex.clearCacheForTests()
+    val root = tmpDir("graft-bloom")
+    val t = GraftTable.create(spark, root,
+      StructType(Seq(
+        StructField("id", LongType), StructField("name", StringType),
+        StructField("score", DoubleType))))
+    // INTERLEAVED key ranges: files [1,100] and [2,99] — every point
+    // probe straddles both files' [min,max], so stats never prune
+    t.append(Seq((1L, "a", 1.0), (100L, "b", 2.0), (2L, "c", 3.0), (99L, "d", 4.0))
+      .toDF("id", "name", "score").coalesce(1), maxRecordsPerFile = 2)
+    assert(t.latestManifest.files.size === 2)
+
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Int = {
+      val q = df.queryExecution
+      val scan = q.executedPlan.collectLeaves()
+        .collectFirst { case s: FileSourceScanExec => s }.get
+      scan.relation.location.listFiles(Nil, q.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }).flatMap(_.files).size
+    }
+
+    // without blooms: stats keep both files
+    assert(scannedFiles(t.read().filter(col("id") === 2L)) === 2)
+
+    val v = t.bloom(Seq("id", "name"))
+    assert(t.latestManifest.version === v)
+    // manifest JSON round-trips the sidecar mappings
+    assert(Manifest.read(root, v).files.forall(_.blooms.keySet === Set("id", "name")))
+
+    // point probe now touches only the file that holds the value
+    assert(scannedFiles(t.read().filter(col("id") === 2L)) === 1)
+    assert(t.read().filter(col("id") === 2L).count() === 1)
+    // string column probes prune too
+    assert(scannedFiles(t.read().filter(col("name") === "d")) === 1)
+    // absent value: both blooms prove absence → zero files, zero rows
+    assert(scannedFiles(t.read().filter(col("id") === 50L)) === 0)
+    assert(t.read().filter(col("id") === 50L).count() === 0)
+    // IN-list keeps the union of matching files
+    assert(scannedFiles(t.read().filter(col("id").isin(1L, 99L))) === 2)
+    // non-equality predicates ignore blooms (stats only, conservative)
+    assert(scannedFiles(t.read().filter(col("id") >= 1L)) === 2)
+
+    // DML: the untouched file keeps its bloom, the rewritten one loses it
+    t.delete(Some("id = 100"))
+    val after = t.latestManifest.files
+    assert(after.exists(_.blooms.nonEmpty) && after.exists(_.blooms.isEmpty))
+    // the two mechanisms compose: the untouched file's bloom proves 50
+    // absent, the rewritten file (now [1,1]) is stats-pruned
+    assert(scannedFiles(t.read().filter(col("id") === 50L)) === 0)
+    assert(t.read().filter(col("id") === 2L).count() === 1)
+
+    // vacuum drops only the orphaned sidecars
+    val sidecarsBefore = graft.lake.BloomIndex.listSidecars(root).size
+    assert(sidecarsBefore === 4) // 2 files × 2 columns
+    t.vacuum()
+    val sidecarsAfter = graft.lake.BloomIndex.listSidecars(root)
+    assert(sidecarsAfter.size === 2) // untouched file's id+name blooms
+    assert(sidecarsAfter.toSet === after.flatMap(_.blooms.values).toSet)
+    // pruning still works through the cache after vacuum
+    graft.lake.BloomIndex.clearCacheForTests()
+    assert(t.read().filter(col("id") === 2L).count() === 1)
+  }
 }
