@@ -466,6 +466,9 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
     """(?is)^OPTIMIZE\s+TABLE\s+([\w."]+)\s+ZORDER\s+BY\s*\(([^)]+)\)\s*$""".r
   private val reBloom =
     """(?is)^OPTIMIZE\s+TABLE\s+([\w."]+)\s+BLOOM\s+BY\s*\(([^)]+)\)\s*$""".r
+  private val reCreateIncr =
+    """(?is)^CREATE\s+INCREMENTAL\s+AGGREGATE\s+([\w."]+)\s+FROM\s+([\w."]+)\s+GROUP\s+BY\s*\(([^)]+)\)\s+SUM\s*\(([^)]+)\)\s*$""".r
+  private val reRefreshIncr = """(?is)^REFRESH\s+AGGREGATE\s+([\w."]+)\s*$""".r
   private val reCopyTo = """(?is)^COPY\s+(.+?)\s+TO\s+'([^']+)'(?:\s+WITH\s*\(\s*FORMAT\s+(\w+)\s*\))?\s*$""".r
   private val reCreateFn =
     """(?is)^CREATE\s+(OR\s+REPLACE\s+)?FUNCTION\s+([\w"]+)\s+AS\s+'(.+)'\s*$""".r
@@ -624,6 +627,17 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
       // beyond-reference: per-file Bloom indexes for point-lookup skipping
       val (sch, name) = splitName(qname)
       table(sch, name).bloom(cols.split(',').map(_.trim.replace("\"", "")).toSeq)
+      emptyResult
+    case reCreateIncr(tq, sq, ks, vs) =>
+      // beyond-reference: incrementally-maintained aggregate (CDF + MERGE)
+      val (tsch, tname) = splitName(tq)
+      val (ssch, sname) = splitName(sq)
+      def cols(s: String) = s.split(',').map(_.trim.replace("\"", "")).toSeq
+      IncrementalAgg.create(this, tsch, tname, ssch, sname, cols(ks), cols(vs))
+      emptyResult
+    case reRefreshIncr(tq) =>
+      val (tsch, tname) = splitName(tq)
+      IncrementalAgg.refresh(this, tsch, tname)
       emptyResult
     case reCluster(qname, cols) =>
       // beyond-reference maintenance op: range-cluster for data skipping

@@ -483,6 +483,43 @@ class ContextSpec extends SparkSpec {
     assert(!c.isReadOnly("INSERT INTO m VALUES (3)"))
   }
 
+  test("incremental aggregate: refresh applies only the change feed") {
+    val c = ctx()
+    c.execute("CREATE TABLE src (k BIGINT, v BIGINT)")
+    c.execute("INSERT INTO src VALUES (1, 10), (1, 5), (2, 7)")
+    c.execute("CREATE INCREMENTAL AGGREGATE agg FROM src GROUP BY (k) SUM (v)")
+    def rows() = c.execute("SELECT k, sum_v, _n FROM agg ORDER BY k NULLS LAST")
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows() === Seq((1L, 15L, 2L), (2L, 7L, 1L)))
+
+    // inserts, a partial delete, and a whole-key delete across commits
+    c.execute("INSERT INTO src VALUES (2, 3), (3, 100)")
+    c.execute("DELETE FROM src WHERE k = 1 AND v = 5")
+    c.execute("REFRESH AGGREGATE agg")
+    assert(rows() === Seq((1L, 10L, 1L), (2L, 10L, 2L), (3L, 100L, 1L)))
+
+    c.execute("DELETE FROM src WHERE k = 3") // key count reaches 0 → row vanishes
+    c.execute("UPDATE src SET v = 20 WHERE k = 1") // delete+insert pair composes
+    c.execute("REFRESH AGGREGATE agg")
+    assert(rows() === Seq((1L, 20L, 1L), (2L, 10L, 2L)))
+
+    // no-op refresh leaves the table untouched
+    val vBefore = c.table("public", "agg").latestManifest.version
+    c.execute("REFRESH AGGREGATE agg")
+    assert(c.table("public", "agg").latestManifest.version === vBefore)
+
+    // NULL group keys are real groups; NULL summands count as 0
+    c.execute("INSERT INTO src VALUES (NULL, NULL), (NULL, 4)")
+    c.execute("REFRESH AGGREGATE agg")
+    assert(rows() === Seq((1L, 20L, 1L), (2L, 10L, 2L), (-1L, 4L, 2L)))
+
+    // refreshed state equals a from-scratch recompute
+    val full = c.execute(
+      "SELECT k, SUM(COALESCE(v, 0)) AS sum_v, COUNT(*) AS _n FROM src GROUP BY k ORDER BY k NULLS LAST")
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows() === full)
+  }
+
   test("recursive CTE (WITH RECURSIVE) runs through the SQL frontend") {
     val c = ctx()
     c.execute("CREATE TABLE edge (src BIGINT, dst BIGINT)")
