@@ -85,6 +85,80 @@ object Embeddings {
       k)
   }
 
+  /** Maximal-Marginal-Relevance diversified top-k (Carbonell & Goldstein
+    * 1998): select k results that balance relevance to the query against
+    * redundancy with what's already selected —
+    *
+    *   pick_i = argmax over remaining candidates of
+    *            λ·cos(c, query) − (1−λ)·max_{s ∈ selected} cos(c, s)
+    *
+    * — the diversity re-rank stage of a retrieval pipeline (dedup-aware
+    * RAG/search serving). Two-stage scale shape: candidate generation is
+    * DISTRIBUTED (exact cosine against the baked query vector, bounded
+    * TakeOrdered top-candK — swap in the IVF/PQ index for the 100 TB
+    * corpus, the interface is the same), then the inherently sequential
+    * greedy runs driver-side over the ≤candK candidate set — O(candK²·k)
+    * on a constant-bounded set, the same collect-then-bake budget as the
+    * IVF centroid training.
+    *
+    * Determinism: cosines are the exact-Int64-dot / correctly-rounded
+    * sqrt/divide doubles every other embedding op uses; λ and 1−λ are
+    * materialized as lambdaNum/lambdaDen and (lambdaDen−lambdaNum)/
+    * lambdaDen (NOT 1.0−λ, whose rounding differs from the directly-
+    * rounded quotient), so scores are bit-identical to the oracle's
+    * decimal literals; score ties break on the smaller id. */
+  def mmrTopK(vecs: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, candK: Int, k: Int,
+              lambdaNum: Long = 7L, lambdaDen: Long = 10L): DataFrame = {
+    require(candK >= k && k >= 1, s"need candK >= k >= 1, got candK=$candK k=$k")
+    require(lambdaDen >= 1L && lambdaNum >= 0L && lambdaNum <= lambdaDen)
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val p = prepared(vecs, idCol, vecCol)
+    val qRow = p.filter(col("vec_id") === queryId).select(col("qe"), col("n2")).collect()
+    require(qRow.nonEmpty, s"query vector $queryId not found")
+    val qqe = qRow(0).getSeq[Long](0).toArray
+    val qn2 = qRow(0).getLong(1)
+    val qLit = array(qqe.toIndexedSeq.map(lit(_)): _*)
+    val cands = p.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("qe"), col("n2"),
+        cosine(dotQ(col("qe"), qLit), col("n2"), lit(qn2)).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(candK)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2), r.getDouble(3)))
+    def cos(a: (Long, Array[Long], Long, Double), b: (Long, Array[Long], Long, Double)): Double = {
+      var dot = 0L; var i = 0
+      while (i < a._2.length) { dot += a._2(i) * b._2(i); i += 1 }
+      dot.toDouble / (math.sqrt(a._3.toDouble) * math.sqrt(b._3.toDouble))
+    }
+    val lam = lambdaNum.toDouble / lambdaDen
+    val mu = (lambdaDen - lambdaNum).toDouble / lambdaDen
+    val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)] // id, rel, score
+    val selC = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long], Long, Double)]
+    val rem = scala.collection.mutable.ArrayBuffer(cands.toIndexedSeq: _*)
+    while (sel.size < k && rem.nonEmpty) {
+      var bi = 0; var bScore = Double.NegativeInfinity
+      var i = 0
+      while (i < rem.length) {
+        val c = rem(i)
+        // true max over selected (can be negative); empty set contributes 0
+        var ms = if (selC.isEmpty) 0.0 else Double.NegativeInfinity
+        var j = 0
+        while (j < selC.length) { val s = cos(c, selC(j)); if (s > ms) ms = s; j += 1 }
+        val score = lam * c._4 - mu * ms
+        if (score > bScore || (score == bScore && c._1 < rem(bi)._1)) { bScore = score; bi = i }
+        i += 1
+      }
+      val best = rem.remove(bi)
+      sel += ((best._1, best._4, bScore))
+      selC += best
+    }
+    sel.zipWithIndex
+      .map { case ((id, rel, score), i) => (i + 1L, id, rel, score) }
+      .toSeq.toDF("rnk", "neighbor_id", "rel", "score")
+  }
+
   /** Element-wise integer mean of each cell's vectors (truncating DIV —
     * matches DuckDB's `//`): posexplode → per-(cell,pos) sum/count →
     * re-assembled in pos order. All shuffles keyed on (cell, pos)/cell.

@@ -768,6 +768,46 @@ object Relational {
         .unpivot(Array(col("n_name")),
           Array(col("n_cust"), col("total_bal"), col("max_bal")), "measure", "val")
         .orderBy("n_name", "measure")
-    }
+    },
+
+    // Distribution window functions: percent_rank/cume_dist are the
+    // closed forms (rank−1)/(n−1) and rank_to_last/n — one correctly-
+    // rounded double division per row in both engines, so values are
+    // bit-exact. nth_value runs under the default RANGE-to-current-row
+    // frame; the (c_acctbal, c_custkey) ordering is total, so the frame
+    // content is deterministic. One window sort keyed on the partition.
+    QueryDef("q40_window_dist",
+      """SELECT c_custkey, c_nationkey, pr, cd, nv
+        |FROM (
+        |  SELECT c_custkey, c_nationkey,
+        |    PERCENT_RANK() OVER w AS pr,
+        |    CUME_DIST() OVER w AS cd,
+        |    NTH_VALUE(c_custkey, 2) OVER w AS nv
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+        |) x WHERE c_custkey <= 300
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+      Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          nth_value(col("c_custkey"), 2).over(w).as("nv"))
+        .where(col("c_custkey") <= 300)
+        .orderBy("c_custkey")
+    },
+
+    // LATERAL correlated subquery with per-row ORDER BY + LIMIT (top-N
+    // per outer row). Catalyst DE-CORRELATES it: the inner top-2 becomes
+    // ONE window rank over customer partitioned by the join key, then a
+    // broadcast join with nation — no per-row re-execution, the shape
+    // that survives a 100 TB outer table. Same text runs on DuckDB's
+    // native LATERAL.
+    QueryDef.sharedSql("q41_lateral_topk",
+      """SELECT n_name, top_cust, top_bal FROM nation n,
+        |LATERAL (SELECT c_custkey AS top_cust, c_acctbal AS top_bal FROM customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n_name, top_bal DESC, top_cust""".stripMargin)
   )
 }

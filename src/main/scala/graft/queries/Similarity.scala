@@ -390,6 +390,51 @@ object Similarity {
           when(col("drnk").isNotNull, 1L).otherwise(0L).as("in_dense"))
         .orderBy(col("rrf").desc, col("doc_id"))
         .limit(10)
+    },
+
+    // MMR diversified top-k (Carbonell & Goldstein 1998): balance query
+    // relevance against redundancy with already-selected results — the
+    // diversity re-rank of a RAG/search pipeline. Spark: distributed
+    // candidate generation + bounded driver greedy (ops.Embeddings
+    // .mmrTopK). Oracle: the SAME greedy unrolled as k chained CTE steps
+    // (the gr1 pattern) — each step scores remaining candidates
+    // 0.7·rel − 0.3·max-sim-to-selected and picks the (score, id) max.
+    QueryDef("sim6_mmr_diverse", mmrOracleSql(queryId = 0, candK = 16, k = 5)) { (s, d) =>
+      Embeddings.mmrTopK(Tables.load(s, d, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, candK = 16, k = 5)
+        .orderBy("rnk")
     }
   )
+
+  /** DuckDB MMR oracle: top-candK candidates by exact quantized cosine,
+    * then k greedy steps — sel_i = sel_{i-1} + argmax of
+    * 0.7·rel − 0.3·COALESCE(max cos to sel_{i-1}, 0) (score DESC, id). */
+  private def mmrOracleSql(queryId: Long, candK: Int, k: Int): String = {
+    val candCos = cosSql(
+      "CAST(list_sum([a.qe[i]*b.qe[i] FOR i IN range(1, len(a.qe)+1)]) AS BIGINT)",
+      "a.n2", "b.n2")
+    val pairCos = cosSql(
+      "CAST(list_sum([c.qe[j]*s.qe[j] FOR j IN range(1, len(c.qe)+1)]) AS BIGINT)",
+      "c.n2", "s.n2")
+    def step(i: Int): String =
+      s"""scored_$i AS (
+         |  SELECT c.id, c.qe, c.n2, c.rel,
+         |    0.7*c.rel - 0.3*COALESCE(MAX($pairCos), 0.0) AS score
+         |  FROM cand c LEFT JOIN sel_${i - 1} s ON true
+         |  WHERE c.id NOT IN (SELECT id FROM sel_${i - 1})
+         |  GROUP BY c.id, c.qe, c.n2, c.rel),
+         |pick_$i AS (SELECT id, qe, n2, rel, score, CAST($i AS BIGINT) AS rnk
+         |            FROM scored_$i ORDER BY score DESC, id LIMIT 1),
+         |sel_$i AS (SELECT * FROM sel_${i - 1} UNION ALL SELECT * FROM pick_$i)""".stripMargin
+    s"""WITH $quantCte,
+       |qv AS (SELECT qe, n2 FROM q WHERE vec_id = $queryId),
+       |cand AS (SELECT a.vec_id AS id, a.qe, a.n2, $candCos AS rel
+       |         FROM q a, qv b WHERE a.vec_id <> $queryId
+       |         ORDER BY rel DESC, id LIMIT $candK),
+       |sel_0 AS (SELECT id, qe, n2, rel, CAST(0 AS DOUBLE) AS score,
+       |                 CAST(0 AS BIGINT) AS rnk
+       |          FROM cand WHERE false),
+       |${(1 to k).map(step).mkString(",\n")}
+       |SELECT rnk, id AS neighbor_id, rel, score FROM sel_$k ORDER BY rnk""".stripMargin
+  }
 }

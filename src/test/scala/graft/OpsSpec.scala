@@ -423,6 +423,35 @@ class OpsSpec extends SparkSpec {
     assert(fast.filter(_._1 >= 40).forall(_._2 > 150000L))
   }
 
+  test("MMR re-rank suppresses redundant near-twins that pure relevance keeps") {
+    // query 0 at the origin-ish; candidates: ids 1 and 2 are EXACT twins
+    // (both very close to the query), id 3 slightly less relevant but
+    // orthogonal-ish. Pure top-2 by relevance = {1, 2}; MMR's redundancy
+    // penalty must pick {1, 3}.
+    // ids 1/2: exact twins at +37° off the query; id 3: equally relevant
+    // at −37° (cos(3,1) = 0.28, near-orthogonal-ish). Relevance ties
+    // (0.8 each) break by id, so pure top-2 = {1, 2}; after picking 1,
+    // MMR scores 2 at 0.56 − 0.3·1.0 = 0.26 vs 3 at 0.56 − 0.3·0.28 =
+    // 0.476 → {1, 3}.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.8f, 0.6f, 0.0f, 0.0f)),
+      (2L, Array(0.8f, 0.6f, 0.0f, 0.0f)), // exact twin of 1
+      (3L, Array(0.8f, -0.6f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val picks = ops.Embeddings.mmrTopK(vecs, "vec_id", "embedding",
+      queryId = 0L, candK = 4, k = 2)
+      .orderBy("rnk").collect().map(_.getLong(1)).toSeq
+    assert(picks === Seq(1L, 3L))
+    // rank 1 is always the pure-relevance argmax; results are stable
+    // under a different physical layout
+    val again = ops.Embeddings.mmrTopK(vecs.repartition(7), "vec_id", "embedding",
+      queryId = 0L, candK = 4, k = 2)
+      .orderBy("rnk").collect().map(_.getLong(1)).toSeq
+    assert(again === picks)
+  }
+
   test("reachability driver fast path and distributed loop are bit-equal") {
     val rnd = new scala.util.Random(11)
     val edges = (1 to 150).map { _ =>
