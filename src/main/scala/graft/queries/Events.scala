@@ -324,6 +324,38 @@ object Events {
             lit(9L) * (lit(24L) * col("s2") - col("m") * col("m")))
         .select("user_id", "event_id", "vm")
         .orderBy("user_id", "event_id")
+    },
+
+    // Rolling 7-day distinct active users per (day, event_type) — the
+    // DAU/WAU retention primitive. The oracle states it naturally as a
+    // BETWEEN range join (each anchor day scans its trailing window);
+    // the Spark side inverts it into a BOUNDED ×7 fan-out: dedup to
+    // (type, user, day) first (map-side combine kills the event volume),
+    // explode each active day to the ≤7 anchors it can serve, keep
+    // anchors that are observed days (broadcast spine), count distinct.
+    // At 100 TB the range join is O(days × events) with a skewed probe;
+    // the fan-out is linear in ACTIVE-user-days with a constant 7.
+    QueryDef("ev14_rolling_distinct",
+      """WITH ud AS (SELECT DISTINCT event_type, user_id, date_trunc('day', ts) AS day
+        |            FROM events),
+        |days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day, u.event_type,
+        |  CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS users_7d
+        |FROM days d JOIN ud u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val e = ev(s, d)
+      val ud = e.select(col("event_type"), col("user_id"),
+          date_trunc("day", col("ts")).as("day"))
+        .distinct()
+      val spine = e.select(date_trunc("day", col("ts")).as("anchor")).distinct()
+      ud.select(col("event_type"), col("user_id"),
+          explode(expr("sequence(day, day + interval 6 days, interval 1 day)")).as("anchor"))
+        .join(broadcast(spine), "anchor")
+        .groupBy(col("anchor"), col("event_type"))
+        .agg(countDistinct("user_id").as("users_7d"))
+        .select(date_format(col("anchor"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("users_7d"))
+        .orderBy("day", "event_type")
     }
   )
 }

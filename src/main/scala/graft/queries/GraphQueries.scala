@@ -85,6 +85,32 @@ object GraphQueries {
         .select("src", "dst")
       graft.ops.Graph.reachability(se, "src", "dst", start = 0L, maxDepth = 6)
         .orderBy("node")
+    },
+
+    // Per-node triangle counts over the undirected item graph — local
+    // clustering density. Spark runs the degree-oriented wedge join
+    // (ops.Graph.triangleCounts: every triangle generated once, from its
+    // (deg,id)-smallest vertex, O(√m)-bounded fan-out on skewed graphs);
+    // the oracle uses the id-ordered 3-way join (a<b<c once each) —
+    // triangle sets are identical, so per-node counts match exactly.
+    QueryDef("gr3_triangles",
+      """WITH it AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |       CAST(props->>'k' AS BIGINT) AS item FROM events),
+        |lg AS (SELECT item, LAG(item) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS src
+        |       FROM it),
+        |edges AS (SELECT src, item AS dst FROM lg WHERE src IS NOT NULL AND src <> item),
+        |und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM edges),
+        |tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+        |        FROM und e1 JOIN und e2 ON e2.a = e1.b
+        |        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+        |FROM (SELECT u AS node FROM tri
+        |      UNION ALL SELECT v FROM tri
+        |      UNION ALL SELECT w FROM tri)
+        |GROUP BY node ORDER BY node""".stripMargin) { (s, d) =>
+      val edges = graft.ops.Graph.itemTransitionEdges(Tables.load(s, d, "events"))
+      graft.ops.Graph.triangleCounts(edges, "src", "dst")
+        .orderBy("node")
     }
   )
 }

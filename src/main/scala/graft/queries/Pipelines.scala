@@ -233,6 +233,27 @@ object PipelinesDedup {
       TextDedup.chunkDedup(Tables.load(s, d, "documents"), "doc_id", "text",
           chunkWords = 10)
         .orderBy("doc_id")
+    },
+
+    // Blocked fuzzy record linkage over the part-name dictionary: the
+    // entity-resolution step a catalog pipeline runs BEFORE exact-key
+    // dedup. The quadratic never touches fact rows (distinct names
+    // first), blocking on the head noun bounds it per block, and the
+    // Spark side's threshold levenshtein early-exits per pair — the
+    // oracle computes the full distance and filters, identical results.
+    QueryDef("dd12_fuzzy_linkage",
+      """WITH names AS (SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n,
+        |                 split_part(p_name, ' ', 2) AS block
+        |               FROM part GROUP BY 1)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+        |  a.n AS n_a, b.n AS n_b
+        |FROM names a JOIN names b ON a.block = b.block AND a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin) { (s, d) =>
+      graft.ops.Linkage.fuzzyNamePairs(Tables.load(s, d, "part"), "p_name",
+          blockKey = substring_index(col("name"), " ", -1), maxDist = 2)
+        .orderBy("name_a", "name_b")
     }
   )
 }

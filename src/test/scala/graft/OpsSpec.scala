@@ -490,4 +490,46 @@ class OpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(lone === Seq((999L, 0L, 1L)))
   }
+
+  test("triangle counts match brute force on a random graph with dupes and loops") {
+    import spark.implicits._
+    // seeded random graph, PLUS noise the dedup must absorb: reversed
+    // duplicates, repeated edges, self-loops
+    val rnd = new scala.util.Random(11)
+    val base = (1 to 160).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    val noisy = base ++ base.take(40).map(_.swap) ++ Seq((5L, 5L), (7L, 7L))
+    val got = ops.Graph.triangleCounts(noisy.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // local brute force over the canonical undirected edge set
+    val und = base.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val truth = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for {
+      a <- nodes; b <- nodes if b > a && und((a, b))
+      c <- nodes if c > b && und((b, c)) && und((a, c))
+    } { truth(a) += 1; truth(b) += 1; truth(c) += 1 }
+    assert(got === truth.filter(_._2 > 0).toMap)
+  }
+
+  test("fuzzy linkage pairs within blocks only, under the distance bound") {
+    import spark.implicits._
+    // fact rows (frequency matters), two blocks by last token
+    val facts = Seq(
+      "acme corp", "acme corp", "acme corp", // canonical, n=3
+      "acne corp",                           // typo, dist 1
+      "azme corp",                           // dist 1 of acme, 2 of acne
+      "zzzzz corp",                          // same block, dist > 2
+      "acme inc"                             // other block: never compared
+    ).toDF("name")
+    val pairs = ops.Linkage.fuzzyNamePairs(facts, "name",
+        blockKey = substring_index(col("name"), " ", -1), maxDist = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(pairs === Set(
+      ("acme corp", "acne corp", 1L, 3L, 1L),
+      ("acme corp", "azme corp", 1L, 3L, 1L),
+      ("acne corp", "azme corp", 2L, 1L, 1L)))
+  }
 }

@@ -367,4 +367,36 @@ class PlanSpec extends SparkSpec {
     val windows = p.linesIterator.count(_.matches("""\s*\(\d+\) Window\s*"""))
     assert(windows <= 1, s"expected at most one (bounded) Window, got $windows:\n" + p.take(3000))
   }
+
+  test("rolling distinct runs the bounded fan-out, never a range join (ev14)") {
+    val p = planOf("ev14_rolling_distinct")
+    // the oracle's BETWEEN range join would plan as a nested loop; the
+    // Spark side must instead explode ≤7 anchors and EQUI-join the
+    // broadcast day spine
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), "day spine should broadcast:\n" + p.take(3000))
+    assert(p.contains("Generate"), "expected the sequence() fan-out:\n" + p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("fuzzy linkage joins on the block key, never all-pairs (dd12)") {
+    val p = planOf("dd12_fuzzy_linkage")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    // the quadratic runs on the distinct-name dictionary: both join
+    // inputs must be aggregates, and the edit distance must appear only
+    // ABOVE the block-keyed join (post-join filter), bounded per block
+    assert(p.contains("HashAggregate"), p.take(3000))
+    assert(p.contains("levenshtein"), p.take(3000))
+  }
+
+  test("triangle counting is all equi-joins off the oriented edge list (gr3)") {
+    val p = planOf("gr3_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    // wedge + closing joins are equi-joins; counts come from one
+    // map-side-combined aggregate, never a window
+    assert(!p.contains("Window"), p.take(3000))
+  }
 }
