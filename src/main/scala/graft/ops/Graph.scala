@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StringType}
 
 /** Distributed graph analytics over edge lists — the link-importance
   * primitives a training-data pipeline uses to weight crawl sources
@@ -242,6 +242,92 @@ object Graph {
       .select(col("u"), col("x"), col("y"))
     tri.select(explode(array(col("u"), col("x"), col("y"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
+  }
+
+  /** Fixed-round k-core peeling ("onion decomposition", Batagelj–Zaveršnik
+    * peeling run breadth-synchronously) over an undirected edge list — the
+    * engagement-density primitive behind "which users/items sit in a
+    * mutually-dense sub-community" (spam-ring and bot-farm screening,
+    * community coreness weighting before sampling).
+    *
+    * Each round simultaneously removes EVERY surviving node whose degree
+    * within the surviving subgraph is < k, for `rounds` rounds. Output is
+    * (node, peel_round): the 1-based round a node was peeled in, 0 = still
+    * in the k-core when the rounds ran out. The per-round removal set is a
+    * pure function of the surviving vertex SET — no ordering, hashing or
+    * float anywhere — so the decomposition is partition-, retry- and
+    * engine-independent, and a SQL oracle can replay it exactly by
+    * unrolling the rounds as chained CTEs.
+    *
+    * Scale shape: the doubled edge list is checkpointed once; per round it
+    * is restricted to surviving endpoints by two semi-joins keyed on the
+    * vertex id and degree-counted by one map-side-combined aggregate (the
+    * pageRank shuffle layout — shuffles bounded by the CURRENT subgraph,
+    * which only shrinks), and the loop exits early at the fixpoint.
+    * Lineage is truncated every round with lazy localCheckpoints. Same
+    * dd6/pageRank driver fast path: link graphs under `localEdgeLimit`
+    * run the identical set recurrence locally — bit-equal results
+    * (OpsSpec asserts both paths agree).
+    */
+  def kCorePeel(edges: DataFrame, aCol: String, bCol: String, k: Int,
+                rounds: Int, localEdgeLimit: Long = 1000000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e0 = edges.select(
+        edges(aCol).cast(StringType).as("a"),
+        edges(bCol).cast(StringType).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    // doubled (both directions) so degree = count of rows keyed on "a"
+    val ue = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(false)
+    val nEdges = ue.count() // materializes the checkpoint
+    if (nEdges <= localEdgeLimit) {
+      val es = ue.collect().map(r => (r.getString(0), r.getString(1)))
+      val adj: Map[String, Array[String]] =
+        es.groupBy(_._1).map { case (n, a) => n -> a.map(_._2) }
+      var alive: Set[String] = adj.keySet
+      val peeled = scala.collection.mutable.HashMap[String, Long]()
+      var r = 1
+      var done = false
+      while (r <= rounds && !done) {
+        val dead = alive.filter(n => adj(n).count(alive.contains) < k)
+        if (dead.isEmpty) done = true
+        else {
+          dead.foreach(n => peeled(n) = r.toLong)
+          alive = alive -- dead
+          r += 1
+        }
+      }
+      return (peeled.toSeq ++ alive.toSeq.map(_ -> 0L))
+        .toDF("node", "peel_round")
+    }
+    var alive = ue.select(col("a").as("node")).distinct().localCheckpoint(false)
+    var removed = spark.emptyDataset[(String, Long)].toDF("node", "peel_round")
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val deg = ue
+        .join(alive.select(col("node").as("a")), "a", "left_semi")
+        .join(alive.select(col("node").as("b")), "b", "left_semi")
+        .groupBy("a").agg(count(lit(1)).as("d"))
+      val survivors = deg.where(col("d") >= k)
+        .select(col("a").as("node"))
+        .localCheckpoint(false)
+      val dead = alive.join(survivors, Seq("node"), "left_anti")
+        .localCheckpoint(false)
+      if (dead.isEmpty) done = true
+      else {
+        removed = removed
+          .union(dead.select(col("node"), lit(r.toLong).as("peel_round")))
+          .localCheckpoint(false)
+        alive = survivors
+        r += 1
+      }
+    }
+    removed.union(alive.select(col("node"), lit(0L).as("peel_round")))
   }
 
   /** The events-table item graph: consecutive items (props.k) per user in

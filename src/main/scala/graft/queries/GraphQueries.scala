@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType}
 
 /** Graph analytics over the events item graph (props.k = item id;
   * consecutive items per user form directed edges). The Spark side runs
@@ -13,6 +14,10 @@ import org.apache.spark.sql.functions._
 object GraphQueries {
 
   private val Iters = 10
+  // gr4: k-core threshold + synchronous peel rounds (fixpoint at sf0.01
+  // is round 9 — every node peels; sf0.1's 11-core is non-empty)
+  private val KcK = 11
+  private val KcRounds = 12
 
   // one unrolled PageRank step: r{k} -> r{k+1}, all-integer arithmetic
   // (rank·w // ow per edge, 85% damping via (85·s) // 100, teleport
@@ -111,6 +116,49 @@ object GraphQueries {
       val edges = graft.ops.Graph.itemTransitionEdges(Tables.load(s, d, "events"))
       graft.ops.Graph.triangleCounts(edges, "src", "dst")
         .orderBy("node")
+    },
+
+    // k-core onion decomposition of the bipartite user–item view graph:
+    // each round simultaneously peels every node with < k surviving
+    // neighbors; output = the round each node fell in (0 = in the k-core
+    // after `KcRounds` rounds — fixpoint at the gate SF is round 9, so 12
+    // rounds IS the full decomposition there). Spark runs
+    // ops.Graph.kCorePeel (per round: two semi-joins + one map-side-
+    // combined degree aggregate over the shrinking subgraph, driver fast
+    // path under the dd6/gr1 edge budget); the oracle unrolls the same
+    // rounds as chained CTEs — the removal set is a pure function of the
+    // surviving vertex SET, so both engines match exactly.
+    QueryDef("gr4_kcore", {
+      // MATERIALIZED: each v_r is referenced four times (twice by d_{r+1},
+      // twice by its EXCEPT rows) — default CTE inlining would expand the
+      // chain exponentially (2^rounds parquet scans)
+      def round(r: Int): String =
+        s"""d$r AS MATERIALIZED (SELECT e.a AS node, CAST(COUNT(*) AS BIGINT) AS d
+           |  FROM ue e JOIN v${r - 1} x ON e.a = x.node JOIN v${r - 1} y ON e.b = y.node
+           |  GROUP BY 1),
+           |v$r AS MATERIALIZED (SELECT node FROM d$r WHERE d >= $KcK)""".stripMargin
+      def removedAt(r: Int): String =
+        s"""SELECT node, CAST($r AS BIGINT) AS peel_round
+           |FROM (SELECT node FROM v${r - 1} EXCEPT SELECT node FROM v$r)""".stripMargin
+      s"""WITH it AS MATERIALIZED (SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS ua,
+         |       'i:' || CAST(CAST(props->>'k' AS BIGINT) AS VARCHAR) AS ib
+         |     FROM events WHERE event_type = 'view'),
+         |ue AS MATERIALIZED (SELECT ua AS a, ib AS b FROM it UNION ALL SELECT ib, ua FROM it),
+         |v0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM ue),
+         |${(1 to KcRounds).map(round).mkString(",\n")}
+         |SELECT node, peel_round FROM (
+         |${(1 to KcRounds).map(removedAt).mkString("\nUNION ALL\n")}
+         |UNION ALL SELECT node, CAST(0 AS BIGINT) AS peel_round FROM v$KcRounds)
+         |ORDER BY peel_round, node""".stripMargin
+    }) { (s, d) =>
+      val bip = Tables.load(s, d, "events")
+        .filter(col("event_type") === "view")
+        .select(
+          concat(lit("u:"), col("user_id").cast(StringType)).as("a"),
+          concat(lit("i:"),
+            get_json_object(col("props"), "$.k").cast(LongType).cast(StringType)).as("b"))
+      graft.ops.Graph.kCorePeel(bip, "a", "b", k = KcK, rounds = KcRounds)
+        .orderBy("peel_round", "node")
     }
   )
 }

@@ -32,6 +32,13 @@ object Relational {
   private def xsum(c: Column): Column = sum(c.cast(DecimalType(25, 6))).cast(DoubleType)
   private def t(lit: String): Column = expr(s"TIMESTAMP '$lit'")
 
+  /** q42/q43: KMV sketch size (bottom-K distinct md5 digests). */
+  private val KmvK = 256
+  /** q43: profiled columns + per-column KMV size (doc_id's 500 distinct
+    * exercises the sketch path at the gate SF; lang/source stay exact). */
+  private val ProfileK = 128
+  private val ProfileCols = Seq("doc_id", "lang", "n_chars", "source", "text")
+
   private def li(s: SparkSession, d: String) = Tables.load(s, d, "lineitem")
   private def ord(s: SparkSession, d: String) = Tables.load(s, d, "orders")
   private def cust(s: SparkSession, d: String) = Tables.load(s, d, "customer")
@@ -808,6 +815,121 @@ object Relational {
         |LATERAL (SELECT c_custkey AS top_cust, c_acctbal AS top_bal FROM customer c
         |         WHERE c.c_nationkey = n.n_nationkey
         |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
-        |ORDER BY n_name, top_bal DESC, top_cust""".stripMargin)
+        |ORDER BY n_name, top_bal DESC, top_cust""".stripMargin),
+
+    // KMV (k-minimum-values / bottom-k) distinct sketches with SET
+    // INTERSECTION estimation (Beyer et al. 2007) — the sketch family
+    // HLL can't provide: because the k smallest md5 digests of a set are
+    // a DETERMINISTIC function of its members, sketches of different
+    // sets compose (union = k smallest of the merged digests; Jaccard =
+    // match fraction within the union sketch), and two engines computing
+    // the same math agree BIT-FOR-BIT — so unlike q38's engine-specific
+    // HLL binaries, the ESTIMATES themselves are oracle-hash-checked,
+    // not just their error bounds. Spark builds all three sketches in
+    // ONE lineitem scan (three ≤K-digest MinKMd5 buffers behind filters,
+    // map-side-combined: shuffle traffic ≤ 3K digests per partition
+    // regardless of scale); estimates are exact Int64: est = (K−1)·2⁵²
+    // div kth-hash-prefix, est∩ = matches·est∪ div |sketch∪|, degrading
+    // to the exact count when a set has fewer than K members.
+    QueryDef("q42_kmv_intersect", {
+      val K = KmvK
+      val hex2int = (x: String) =>
+        s"CAST(list_sum([(instr('0123456789abcdef', $x[i]) - 1) * 16.0 ** (13 - i) FOR i IN range(1, 14)]) AS BIGINT)"
+      val est = (kt: String, n: String) =>
+        s"CASE WHEN $n < $K THEN $n ELSE ${K - 1} * 4503599627370496 // ${hex2int(kt)} END"
+      s"""WITH t AS (SELECT l_returnflag AS f, CAST(l_orderkey AS VARCHAR) AS ks
+         |           FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+         |dh AS (SELECT f, md5(ks) AS h FROM t GROUP BY 1, 2),
+         |ka AS (SELECT h FROM dh WHERE f = 'A' ORDER BY h LIMIT $K),
+         |kr AS (SELECT h FROM dh WHERE f = 'R' ORDER BY h LIMIT $K),
+         |ku AS (SELECT h FROM (SELECT DISTINCT h FROM dh) ORDER BY h LIMIT $K),
+         |ex AS (SELECT CAST(COUNT(*) FILTER (WHERE ia) AS BIGINT) AS exact_a,
+         |              CAST(COUNT(*) FILTER (WHERE ir) AS BIGINT) AS exact_r,
+         |              CAST(COUNT(*) FILTER (WHERE ia AND ir) AS BIGINT) AS exact_inter
+         |       FROM (SELECT ks, bool_or(f = 'A') AS ia, bool_or(f = 'R') AS ir
+         |             FROM t GROUP BY 1)),
+         |sa AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, MAX(h) AS kt FROM ka),
+         |sr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, MAX(h) AS kt FROM kr),
+         |su AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, MAX(h) AS kt FROM ku),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM ku
+         |      WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kr)),
+         |eu AS (SELECT ${est("su.kt", "su.n")} AS est_u, su.n AS nu FROM su)
+         |SELECT ex.exact_a, ex.exact_r, ex.exact_inter,
+         |  CAST(${est("sa.kt", "sa.n")} AS BIGINT) AS est_a,
+         |  CAST(${est("sr.kt", "sr.n")} AS BIGINT) AS est_r,
+         |  CAST(m.c * eu.est_u // eu.nu AS BIGINT) AS est_inter
+         |FROM ex, sa, sr, m, eu""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.MinKMd5Aggregate.min_k_md5
+      val K = KmvK
+      val t = li(s, d).where(col("l_returnflag").isin("A", "R"))
+        .select(col("l_returnflag").as("f"), col("l_orderkey").cast(StringType).as("ks"))
+      // ONE scan, three bounded sketches (nulls from the unmatched
+      // branches are skipped by the aggregate)
+      val sk = t.agg(
+        min_k_md5(when(col("f") === "A", col("ks")), K).as("ska"),
+        min_k_md5(when(col("f") === "R", col("ks")), K).as("skr"),
+        min_k_md5(col("ks"), K).as("sku"))
+      // exact ground truth: distinct keys with per-set membership flags
+      val ex = t.groupBy("ks")
+        .agg(max(col("f") === "A").as("ia"), max(col("f") === "R").as("ir"))
+        .agg(sum(col("ia").cast(LongType)).as("exact_a"),
+          sum(col("ir").cast(LongType)).as("exact_r"),
+          sum((col("ia") && col("ir")).cast(LongType)).as("exact_inter"))
+      def est(a: String) =
+        s"CASE WHEN size($a) < $K THEN CAST(size($a) AS BIGINT) " +
+          s"ELSE ${K - 1}L * 4503599627370496L div CAST(conv(substring(element_at($a, $K), 1, 13), 16, 10) AS BIGINT) END"
+      ex.crossJoin(sk).select(
+        col("exact_a"), col("exact_r"), col("exact_inter"),
+        expr(est("ska")).as("est_a"),
+        expr(est("skr")).as("est_r"),
+        expr(s"CAST(size(array_intersect(array_intersect(sku, ska), skr)) AS BIGINT) * (${est("sku")}) div CAST(size(sku) AS BIGINT)")
+          .as("est_inter"))
+    },
+
+    // Column profiling — the ANALYZE/stats-collection pass a pipeline
+    // runs before layout decisions (clustering keys, dictionary
+    // candidates, skew checks). ONE full-table scan computes, for every
+    // column: non-null count, typed min/max (rendered as VARCHAR), and a
+    // KMV distinct estimate — 4 aggregates/column fused into a single
+    // partial/final HashAggregate pass (no per-column scans, no
+    // count(distinct) Expand: the ≤K-digest KMV buffers ARE the distinct
+    // state, map-side combined like q42's). The 1×(4·ncols) row then
+    // fans out to (column, stats) rows through one stack() Generate.
+    // Low-cardinality columns (lang, source: < K members) degrade to
+    // exact counts; the KMV integer math is engine-portable, so the
+    // whole result — estimates included — hash-matches the oracle.
+    QueryDef("q43_profile", {
+      val K = ProfileK
+      val hex2int = (x: String) =>
+        s"CAST(list_sum([(instr('0123456789abcdef', $x[i]) - 1) * 16.0 ** (13 - i) FOR i IN range(1, 14)]) AS BIGINT)"
+      def block(c: String): String =
+        s"""SELECT '$c' AS column_name, CAST(COUNT($c) AS BIGINT) AS n_nonnull,
+           |  (SELECT CASE WHEN COUNT(*) < $K THEN CAST(COUNT(*) AS BIGINT)
+           |          ELSE ${K - 1} * 4503599627370496 // ${hex2int("MAX(h)")} END
+           |   FROM (SELECT md5(CAST($c AS VARCHAR)) AS h FROM documents
+           |         WHERE $c IS NOT NULL GROUP BY 1 ORDER BY 1 LIMIT $K) s) AS n_distinct_est,
+           |  CAST(MIN($c) AS VARCHAR) AS min_val, CAST(MAX($c) AS VARCHAR) AS max_val
+           |FROM documents""".stripMargin
+      ProfileCols.map(block).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    }) { (s, d) =>
+      import graft.functions.MinKMd5Aggregate.min_k_md5
+      val K = ProfileK
+      val doc = Tables.load(s, d, "documents")
+      val aggs = ProfileCols.flatMap { c => Seq(
+        count(col(c)).as(s"n_$c"),
+        min(col(c)).cast(StringType).as(s"mn_$c"),
+        max(col(c)).cast(StringType).as(s"mx_$c"),
+        min_k_md5(col(c).cast(StringType), K).as(s"sk_$c")) }
+      def est(a: String) =
+        s"CASE WHEN size($a) < $K THEN CAST(size($a) AS BIGINT) " +
+          s"ELSE ${K - 1}L * 4503599627370496L div CAST(conv(substring(element_at($a, $K), 1, 13), 16, 10) AS BIGINT) END"
+      val stackArgs = ProfileCols
+        .map(c => s"'$c', n_$c, ${est(s"sk_$c")}, mn_$c, mx_$c").mkString(", ")
+      doc.agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"stack(${ProfileCols.size}, $stackArgs)"))
+        .toDF("column_name", "n_nonnull", "n_distinct_est", "min_val", "max_val")
+        .orderBy("column_name")
+    }
   )
 }

@@ -5,7 +5,7 @@ import graft.sync.SyncMerge
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructType}
 
 /** Structured Streaming operators: the streaming twins of the batch event
   * queries (graft.queries.Events) plus the continuous CDC-upsert path —
@@ -243,6 +243,29 @@ object StreamingOps {
       .groupBy(window(col("__ts"), windowLen))
       .agg(graft.functions.MisraGriesAggregate.misra_gries(col("word"), capacity).as("top"))
       .select(col("window.start").as("win_start"), col("top"))
+
+  /** Streaming approximate distinct count — the online twin of q42's KMV
+    * (bottom-k) sketch: per event-time window, the k smallest distinct
+    * md5 digests of the arriving keys. MinKMd5Aggregate is mergeable, so
+    * like heavyHittersStream it runs INSIDE the ordinary watermarked
+    * windowed aggregation — no custom state processor, state per live
+    * window = one ≤k-digest buffer regardless of how many keys arrive.
+    * The estimate is q42's exact-Int64 formula ((k−1)·2⁵² div kth-hash
+    * prefix, exact count below k), so a closed window's estimate is
+    * bit-identical to the batch query over the same rows — asserted in
+    * StreamingSpec. Emits (win_start, n_distinct_est). */
+  def approxDistinctStream(events: DataFrame, keyCol: String, tsCol: String,
+                           watermark: String, windowLen: String,
+                           k: Int): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol).as("__ts"), col(keyCol).cast(StringType).as("__k"))
+      .groupBy(window(col("__ts"), windowLen))
+      .agg(graft.functions.MinKMd5Aggregate.min_k_md5(col("__k"), k).as("sk"))
+      .select(col("window.start").as("win_start"),
+        expr(s"CASE WHEN size(sk) < $k THEN CAST(size(sk) AS BIGINT) " +
+          s"ELSE ${k - 1}L * 4503599627370496L div CAST(conv(substring(element_at(sk, $k), 1, 13), 16, 10) AS BIGINT) END")
+          .as("n_distinct_est"))
 
   /** Streaming event-transition matrix — the online twin of batch ev10:
     * per-user last-event state turns an append stream into (prev_type →

@@ -491,6 +491,38 @@ class OpsSpec extends SparkSpec {
     assert(lone === Seq((999L, 0L, 1L)))
   }
 
+  test("k-core peel: fast path and distributed loop are bit-equal and match brute force") {
+    val rnd = new scala.util.Random(17)
+    // random graph plus noise kCorePeel must absorb: reversed dupes, self-loops
+    val base = (1 to 300).map(_ => (s"n${rnd.nextInt(40)}", s"n${rnd.nextInt(40)}"))
+    val edges = (base ++ base.take(40).map(_.swap) ++ Seq(("n1", "n1"))).toDF("a", "b")
+    def run(limit: Long) =
+      ops.Graph.kCorePeel(edges, "a", "b", k = 4, rounds = 10, localEdgeLimit = limit)
+        .orderBy("node").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val fast = run(Long.MaxValue)
+    val distributed = run(0L)
+    assert(fast === distributed)
+    // brute-force synchronous peeling over the undirected simple graph
+    val und = base.filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e, e.swap)).distinct
+    val adj = und.groupBy(_._1).map { case (n, a) => n -> a.map(_._2).toSet }
+    var alive = adj.keySet
+    val truth = scala.collection.mutable.HashMap[String, Long]()
+    var r = 1
+    var done = false
+    while (r <= 10 && !done) {
+      val dead = alive.filter(n => adj(n).count(alive.contains) < 4)
+      if (dead.isEmpty) done = true
+      else { dead.foreach(n => truth(n) = r.toLong); alive = alive -- dead; r += 1 }
+    }
+    alive.foreach(n => truth(n) = 0L)
+    assert(fast === truth.toSeq.sortBy(_._1))
+    // core property: every survivor keeps >= k neighbors among survivors
+    val core = fast.filter(_._2 == 0L).map(_._1).toSet
+    core.foreach(n => assert(adj(n).count(core.contains) >= 4))
+  }
+
   test("triangle counts match brute force on a random graph with dupes and loops") {
     import spark.implicits._
     // seeded random graph, PLUS noise the dedup must absorb: reversed
