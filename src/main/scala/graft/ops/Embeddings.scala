@@ -544,6 +544,35 @@ object Embeddings {
       k)
   }
 
+  /** Semantic eval-contamination screen — the embedding twin of tx8's
+    * n-gram overlap check: flag (eval, train) pairs whose cosine clears
+    * `minCos`, i.e. eval documents whose near-paraphrases leaked into the
+    * training corpus (verbatim n-gram screens miss paraphrase leakage —
+    * the reason modern decontamination runs BOTH). Candidates come from
+    * the hyperplane-LSH signature equi-join (the sim2 blocking: expected
+    * N/2^planes candidates per bucket, never a crossJoin), the tiny eval
+    * side broadcast; the exact quantized-Int64 cosine then filters inside
+    * the join projection — zero extra shuffles. Recall is bounded by the
+    * LSH (same trade as sim2); at 100 TB you raise `planes` and add
+    * multi-probe/band repetitions, leaving the plan shape unchanged.
+    * Returns flagged (eval_id, train_id, cos) pairs.
+    */
+  def semanticContamination(vecs: DataFrame, idCol: String, vecCol: String,
+                            evalPred: Column, minCos: Double,
+                            planes: Int, dim: Int): DataFrame = {
+    val signs = planeSigns(planes, dim)
+    val p = prepared(vecs, idCol, vecCol)
+      .withColumn("sig", lshSignature(col("qe"), signs))
+    val eval = p.filter(evalPred)
+      .select(col("vec_id").as("eval_id"), col("qe").as("e_qe"),
+        col("n2").as("e_n2"), col("sig"))
+    p.filter(!evalPred)
+      .join(broadcast(eval), "sig")
+      .select(col("eval_id"), col("vec_id").as("train_id"),
+        cosine(dotQ(col("qe"), col("e_qe")), col("n2"), col("e_n2")).as("cos"))
+      .where(col("cos") >= minCos)
+  }
+
   /** Distributed PCA projection — the dimensionality-reduction step
     * pipelines run before ANN indexing or clustering. Training is ONE
     * fixed-state pass: `GramAggregate` accumulates [n, Σv, Σvvᵀ] with

@@ -244,6 +244,86 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("triangles"))
   }
 
+  /** Bounded-hop single-source shortest paths — gr2's reachability with
+    * min-plus (tropical) semantics instead of counting: dist(v) = the
+    * minimum total edge cost over all walks of ≤ `maxDepth` edges from
+    * `start`, i.e. `maxDepth` synchronous Bellman–Ford relaxation rounds.
+    * Exactly the recursive-CTE formulation (anchor (start, 0); step joins
+    * rows with depth < maxDepth to edges and adds the cost; final
+    * MIN(dist) per node) — but evaluated as the relaxation recurrence
+    * over a ONCE-materialized edge list, because the raw UnionLoop plan
+    * replays the edge subplan every iteration AND enumerates every walk;
+    * the frontier here carries only the nodes whose best-known distance
+    * IMPROVED last round, so work per round is frontier×edges, not
+    * walk-count. All arithmetic is Int64 adds and MINs — partition- and
+    * engine-independent. Early exit when no distance improves. Same
+    * dd6/pageRank driver fast path under `localEdgeLimit`.
+    * Returns (node, dist) for every node reached within maxDepth hops.
+    */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+                    costCol: String, start: Long, maxDepth: Int,
+                    localEdgeLimit: Long = 1000000L): DataFrame = {
+    require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(
+        edges(srcCol).cast(LongType).as("src"),
+        edges(dstCol).cast(LongType).as("dst"),
+        edges(costCol).cast(LongType).as("cost"))
+      // negative costs break Bellman-Ford's bounded-walk = relaxation
+      // equivalence only at negative cycles; refuse them loudly so the
+      // recursive-CTE oracle semantics and the relaxation always agree
+      .where(col("cost") >= 0)
+      .localCheckpoint(false)
+    val nEdges = e.count() // materializes the checkpoint
+    if (nEdges <= localEdgeLimit) {
+      val adj = e.collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+        .groupBy(_._1).map { case (s, a) => s -> a.map(_._2) }
+      val dist = scala.collection.mutable.HashMap(start -> 0L)
+      var frontier = Map(start -> 0L)
+      var d = 0
+      while (d < maxDepth && frontier.nonEmpty) {
+        val improved = scala.collection.mutable.HashMap[Long, Long]()
+        frontier.foreach { case (u, du) =>
+          adj.getOrElse(u, Array.empty[(Long, Long)]).foreach { case (v, c) =>
+            val nd = du + c
+            if (nd < dist.getOrElse(v, Long.MaxValue) &&
+              nd < improved.getOrElse(v, Long.MaxValue)) improved(v) = nd
+          }
+        }
+        improved.foreach { case (v, nd) => dist(v) = nd }
+        frontier = improved.toMap
+        d += 1
+      }
+      return dist.toSeq.sortBy(_._1).toDF("node", "dist")
+    }
+    var dist = Seq((start, 0L)).toDF("node", "dist").localCheckpoint(false)
+    var frontier = dist
+    var d = 0
+    var drained = false
+    while (d < maxDepth && !drained) {
+      val cand = e.join(frontier, e("src") === frontier("node"))
+        .select(col("dst").as("node"), (col("dist") + col("cost")).as("nd"))
+        .groupBy("node").agg(min("nd").as("nd"))
+      val improved = cand.join(dist.select(col("node"), col("dist").as("old")),
+          Seq("node"), "left")
+        .where(col("old").isNull || col("nd") < col("old"))
+        .select(col("node"), col("nd").as("dist"))
+        .localCheckpoint(false)
+      d += 1
+      if (improved.isEmpty) drained = true
+      else {
+        dist = dist.join(improved.select(col("node").as("__in"), col("dist").as("__nd")),
+            dist("node") === col("__in"), "full_outer")
+          .select(coalesce(col("node"), col("__in")).as("node"),
+            coalesce(col("__nd"), col("dist")).as("dist"))
+          .localCheckpoint(false)
+        frontier = improved
+      }
+    }
+    dist
+  }
+
   /** Fixed-round k-core peeling ("onion decomposition", Batagelj–Zaveršnik
     * peeling run breadth-synchronously) over an undirected edge list — the
     * engagement-density primitive behind "which users/items sit in a

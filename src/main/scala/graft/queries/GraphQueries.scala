@@ -92,6 +92,43 @@ object GraphQueries {
         .orderBy("node")
     },
 
+    // Bounded-hop single-source shortest paths over the heavy transition
+    // edges, min-plus semantics: edge cost = 1000000 div w (inverse
+    // popularity — hot transitions are "close"), dist(v) = cheapest ≤6-hop
+    // walk from item 0. The oracle is the natural recursive CTE with a
+    // final MIN; Spark runs ops.Graph.shortestPaths' Bellman–Ford
+    // relaxation over the once-materialized edge list (frontier = only
+    // nodes that improved, early exit at the fixpoint) — identical
+    // Int64 add/min math, so distances match exactly.
+    QueryDef("gr5_sssp",
+      """WITH RECURSIVE
+        |it AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |       CAST(props->>'k' AS BIGINT) AS item FROM events),
+        |lg AS (SELECT item, LAG(item) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS src
+        |       FROM it),
+        |edges AS (SELECT src, item AS dst, CAST(COUNT(*) AS BIGINT) AS w
+        |          FROM lg WHERE src IS NOT NULL AND src <> item GROUP BY 1, 2),
+        |tot AS (SELECT SUM(w) AS s, COUNT(*) AS c FROM edges),
+        |se AS (SELECT e.src, e.dst, 1000000 // e.w AS cost
+        |       FROM edges e CROSS JOIN tot t WHERE 2 * e.w * t.c > 3 * t.s),
+        |walk(node, dist, depth) AS (
+        |  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist, 0 AS depth
+        |  UNION ALL
+        |  SELECT se.dst, w.dist + se.cost, w.depth + 1
+        |  FROM walk w JOIN se ON se.src = w.node WHERE w.depth < 6)
+        |SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+        |FROM walk GROUP BY node ORDER BY node""".stripMargin) { (s, d) =>
+      val edges = graft.ops.Graph.itemTransitionEdges(Tables.load(s, d, "events"))
+        .localCheckpoint(false)
+      val tot = edges.agg(sum("w").as("s"), count(lit(1)).as("c"))
+      val se = edges.crossJoin(broadcast(tot))
+        .where(lit(2) * col("w") * col("c") > lit(3) * col("s"))
+        .select(col("src"), col("dst"), expr("1000000L div w").as("cost"))
+      graft.ops.Graph.shortestPaths(se, "src", "dst", "cost",
+          start = 0L, maxDepth = 6)
+        .orderBy("node")
+    },
+
     // Per-node triangle counts over the undirected item graph — local
     // clustering density. Spark runs the degree-oriented wedge join
     // (ops.Graph.triangleCounts: every triangle generated once, from its

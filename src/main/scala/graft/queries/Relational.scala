@@ -930,6 +930,42 @@ object Relational {
         .select(expr(s"stack(${ProfileCols.size}, $stackArgs)"))
         .toDF("column_name", "n_nonnull", "n_distinct_est", "min_val", "max_val")
         .orderBy("column_name")
+    },
+
+    // Robust dispersion — per-group median absolute deviation (the
+    // outlier-resistant spread statistic quality pipelines prefer over
+    // stddev, which one corrupt row can blow up). Two exact distributed
+    // medians (ops.ExactQuantile histogram+refine — two codegen'd hash
+    // aggregations each, NO per-group value collection, state bounded by
+    // the bucket histogram): median of the price, then median of
+    // |price − median|. Prices ride a DOUBLED-cents integer axis so the
+    // even-count midpoint average stays integral — every intermediate is
+    // exact Int64 / dyadic, and both engines' interpolation agrees
+    // bit-for-bit (the q26 exact-median precedent).
+    QueryDef("q44_mad",
+      """WITH b AS (SELECT l_returnflag AS f,
+        |             2 * CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS x2
+        |           FROM lineitem),
+        |m AS (SELECT f, median(x2) AS med2, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM b GROUP BY 1),
+        |d AS (SELECT b.f, CAST(ABS(b.x2 - m.med2) AS BIGINT) AS dev
+        |      FROM b JOIN m USING (f)),
+        |md AS (SELECT f, median(dev) AS mad2 FROM d GROUP BY 1)
+        |SELECT m.f AS l_returnflag, m.n,
+        |  m.med2 / 2.0 AS median_price, md.mad2 / 2.0 AS mad
+        |FROM m JOIN md USING (f) ORDER BY 1""".stripMargin) { (s, d) =>
+      val b = li(s, d).select(col("l_returnflag").as("f"),
+        (lit(2) * round(col("l_extendedprice") * 100).cast(LongType)).as("x2"))
+      val m = graft.ops.ExactQuantile.medianByKey(b, col("f"), col("x2"))
+        .select(col("__k").as("f"), col("median").as("med2"), col("n"))
+      val dev = b.join(broadcast(m), "f")
+        .select(col("f"), abs(col("x2") - col("med2")).cast(LongType).as("dev"))
+      val md = graft.ops.ExactQuantile.medianByKey(dev, col("f"), col("dev"))
+        .select(col("__k").as("f"), col("median").as("mad2"))
+      m.join(md, "f")
+        .select(col("f").as("l_returnflag"), col("n"),
+          (col("med2") / 2.0).as("median_price"), (col("mad2") / 2.0).as("mad"))
+        .orderBy("l_returnflag")
     }
   )
 }

@@ -403,6 +403,35 @@ object Similarity {
       Embeddings.mmrTopK(Tables.load(s, d, "embeddings"), "vec_id", "embedding",
         queryId = 0L, candK = 16, k = 5)
         .orderBy("rnk")
+    },
+
+    // Semantic eval-contamination screen (paraphrase leakage): the
+    // embedding twin of tx8 — a deterministic 10% md5-hash eval split,
+    // LSH-signature-blocked candidate join against the train remainder
+    // (eval side broadcast), exact quantized cosine >= 0.2 flags the
+    // pair. Composes the tx7 split + sim2 blocking + em1 threshold
+    // primitives; the oracle replays the identical md5 split, plane
+    // signs and Int64 cosine.
+    QueryDef("p3_semantic_contamination", {
+      val th = graft.ops.TextAnalysis.hexThreshold(0.1)
+      s"""WITH $quantCte,
+         |s AS (SELECT vec_id, qe, n2, ${sigSql("q")} AS sig,
+         |        substr(md5('ctm:' || CAST(vec_id AS VARCHAR)), 1, 16) < '$th' AS is_eval
+         |      FROM q),
+         |hits AS (SELECT e.vec_id AS eval_id, t.vec_id AS train_id,
+         |    CAST(list_sum([t.qe[i]*e.qe[i] FOR i IN range(1, len(t.qe)+1)]) AS BIGINT) AS dot,
+         |    t.n2 AS tn, e.n2 AS en
+         |  FROM s t JOIN s e ON t.sig = e.sig AND NOT t.is_eval AND e.is_eval)
+         |SELECT eval_id, train_id,
+         |  ${cosSql("dot", "tn", "en")} AS cos
+         |FROM hits WHERE ${cosSql("dot", "tn", "en")} >= 0.2
+         |ORDER BY eval_id, cos DESC, train_id""".stripMargin
+    }) { (s, d) =>
+      val isEval = substring(md5(concat(lit("ctm:"), col("vec_id").cast("string"))), 1, 16) <
+        lit(graft.ops.TextAnalysis.hexThreshold(0.1))
+      Embeddings.semanticContamination(Tables.load(s, d, "embeddings"),
+          "vec_id", "embedding", isEval, minCos = 0.2, planes = PLANES, dim = DIM)
+        .orderBy(col("eval_id"), col("cos").desc, col("train_id"))
     }
   )
 
