@@ -30,6 +30,49 @@ import org.apache.spark.sql.functions._
   */
 object ExactQuantile {
 
+  /** Exact per-key order statistic at rank ⌈p·n⌉ (1-based) — DuckDB's
+    * `quantile_disc` nearest-rank semantics, generalizing `medianByKey`
+    * to any percentile with NO interpolation (the returned value is an
+    * actual element, and the only float op is the rank multiply, which
+    * both engines perform in DOUBLE — so they select the identical
+    * element even where p·n straddles an integer in float). Same
+    * histogram + refine shape and state bounds as medianByKey: one
+    * bucket-histogram pass, a running sum over the tiny histogram to
+    * locate THE rank's bucket, one refine scan filtered to it (broadcast
+    * semi-join, exactly one bucket per key). Returns (__k, value, n).
+    */
+  def rankStatByKey(df: DataFrame, key: Column, value: Column, p: Double,
+                    bucketShift: Int = 14): DataFrame = {
+    require(p > 0.0 && p <= 1.0, s"p must be in (0, 1], got $p")
+    val vals = df.select(key.as("__k"), value.as("__v")).filter(col("__v").isNotNull)
+    val hist = vals
+      .groupBy(col("__k"), shiftright(col("__v"), bucketShift).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = hist
+      .withColumn("__n", sum("__c").over(Window.partitionBy("__k")))
+      .withColumn("__cum", sum("__c").over(
+        Window.partitionBy("__k").orderBy("__b")))
+      .withColumn("__lo", col("__cum") - col("__c"))
+    // the DOUBLE multiply is the semantics, not an approximation: DuckDB
+    // computes the same ceil(p·n) in float, so keeping it double keeps
+    // both engines' element choice bit-identical
+    val r = expr(s"CAST(CEIL(CAST($p AS DOUBLE) * CAST(__n AS DOUBLE)) AS BIGINT)")
+    val target = cum
+      .filter(col("__cum") >= r && col("__lo") < r)
+      .select(col("__k"), col("__b"), col("__lo"), col("__n"))
+    val cand = vals
+      .withColumn("__b", shiftright(col("__v"), bucketShift))
+      .join(broadcast(target), Seq("__k", "__b"))
+      .groupBy(col("__k"), col("__b"), col("__v"), col("__lo"), col("__n"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", col("__lo") + sum("__c").over(
+        Window.partitionBy("__k", "__b").orderBy("__v")))
+      .withColumn("__vlo", col("__cum") - col("__c"))
+    cand
+      .filter(col("__cum") >= r && col("__vlo") < r)
+      .select(col("__k"), col("__v").as("value"), col("__n").as("n"))
+  }
+
   /** Exact per-key median for integral value columns with a MODEST value
     * domain, in ONE scan: a (key, value) frequency histogram — state
     * bounded by the value DOMAIN, not the row count — and a per-key

@@ -15,6 +15,11 @@ object Events {
 
   private def ev(s: org.apache.spark.sql.SparkSession, d: String) = Tables.load(s, d, "events")
 
+  /** ev15: EWMA span (α = 1/2 truncated to the last N observations).
+    * Values are nonnegative milli-units, so num ≥ 0 and DuckDB's floor-//
+    * agrees with Spark's truncating div on every normalization. */
+  private val EwmaN = 8
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("ev1_tumbling_hour",
@@ -356,6 +361,49 @@ object Events {
         .select(date_format(col("anchor"), "yyyy-MM-dd").as("day"),
           col("event_type"), col("users_7d"))
         .orderBy("day", "event_type")
+    },
+
+    // Exponentially-weighted moving average (α = 1/2) over each user's
+    // last 8 observations — the smoothing primitive behind monitoring
+    // baselines and trend features. Weights are POWERS OF TWO on
+    // milli-unit integer values, so the weighted sum is exact Int64 and
+    // the single float-free `div` normalization is engine-portable
+    // (missing leading observations just drop their weight from the
+    // denominator — self-normalizing truncation at series start). One
+    // window shuffle keyed on user_id; the 8 LAGs share one frame pass.
+    QueryDef("ev15_ewma", {
+      def lagTerm(j: Int): String =
+        if (j == 0) s"xm * ${1 << (EwmaN - 1)}"
+        else s"COALESCE(LAG(xm, $j) OVER w * ${1 << (EwmaN - 1 - j)}, 0)"
+      def denTerm(j: Int): String =
+        if (j == 0) s"${1 << (EwmaN - 1)}"
+        else s"CASE WHEN LAG(xm, $j) OVER w IS NOT NULL THEN ${1 << (EwmaN - 1 - j)} ELSE 0 END"
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+         |             CAST(ROUND(value * 1000) AS BIGINT) AS xm
+         |           FROM events),
+         |w AS (SELECT user_id, event_id,
+         |        ${(0 until EwmaN).map(lagTerm).mkString(" + ")} AS num,
+         |        ${(0 until EwmaN).map(denTerm).mkString(" + ")} AS den
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id))
+         |SELECT user_id, event_id, CAST(num // den AS BIGINT) AS ewma_milli
+         |FROM w ORDER BY user_id, event_id""".stripMargin
+    }) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      val e = ev(s, d).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tus"),
+        round(col("value") * 1000).cast(LongType).as("xm"))
+      val num = (0 until EwmaN).map { j =>
+        if (j == 0) col("xm") * lit(1L << (EwmaN - 1))
+        else coalesce(lag(col("xm"), j).over(w) * lit(1L << (EwmaN - 1 - j)), lit(0L))
+      }.reduce(_ + _)
+      val den = (0 until EwmaN).map { j =>
+        if (j == 0) lit(1L << (EwmaN - 1))
+        else when(lag(col("xm"), j).over(w).isNotNull, lit(1L << (EwmaN - 1 - j))).otherwise(lit(0L))
+      }.reduce(_ + _)
+      e.select(col("user_id"), col("event_id"), num.as("num"), den.as("den"))
+        .select(col("user_id"), col("event_id"),
+          expr("num div den").as("ewma_milli"))
+        .orderBy("user_id", "event_id")
     }
   )
 }

@@ -254,6 +254,51 @@ object PipelinesDedup {
       graft.ops.Linkage.fuzzyNamePairs(Tables.load(s, d, "part"), "p_name",
           blockKey = substring_index(col("name"), " ", -1), maxDist = 2)
         .orderBy("name_a", "name_b")
+    },
+
+    // Cross-SOURCE MinHash similarity matrix — corpus governance: which
+    // ingestion sources feed near-identical content (mirror detection,
+    // crawl-overlap budgeting) BEFORE any doc-level dedup runs. Each
+    // source's shingle SET gets one K-seed minhash signature — minhash's
+    // min is duplicate-idempotent, so no distinct pre-pass, and the
+    // signature is ONE map-side-combined aggregate with K hex mins of
+    // state per source (a 100 TB corpus shuffles only sources×K mins).
+    // The pairwise matrix then joins #sources² signature ROWS (tiny,
+    // broadcast) — never corpus×corpus; Jaccard estimate = matching
+    // component fraction. Same seeded-md5 minhash as dd3, so the oracle
+    // replays it exactly.
+    QueryDef("dd13_source_similarity", {
+      val sigSel = (0 until K)
+        .map(j => s"MIN(substr(md5('$j:'||shingle), 1, 16)) AS h$j").mkString(",\n    ")
+      val matchSum = (0 until K)
+        .map(j => s"(CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH words AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+         |sh AS (SELECT source, w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS shingle
+         |       FROM words, UNNEST(range(1, len(w)-3)) AS t(i)),
+         |sig AS (SELECT source,
+         |    $sigSel
+         |  FROM sh GROUP BY source)
+         |SELECT a.source AS src1, b.source AS src2,
+         |  CAST($matchSum AS BIGINT) AS matches,
+         |  CAST($matchSum AS DOUBLE) / $K AS jaccard_est
+         |FROM sig a JOIN sig b ON a.source < b.source
+         |ORDER BY src1, src2""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val sh = docs
+        .select(col("source"), split(col("text"), " ").as("w"))
+        .where(size(col("w")) >= 5)
+        .select(col("source"), explode(expr(
+          "transform(sequence(1, size(w) - 4), i -> concat_ws(' ', slice(w, i, 5)))")).as("shingle"))
+      val sig = sh.groupBy("source")
+        .agg(graft.functions.MinHashAggregate.minhash_sig(col("shingle"), K).as("sig"))
+      val a = sig.select(col("source").as("src1"), col("sig").as("s1"))
+      val b = sig.select(col("source").as("src2"), col("sig").as("s2"))
+      a.join(b, col("src1") < col("src2"))
+        .select(col("src1"), col("src2"),
+          expr("CAST(size(filter(zip_with(s1, s2, (x, y) -> x = y), v -> v)) AS BIGINT)").as("matches"))
+        .withColumn("jaccard_est", col("matches").cast("double") / K)
+        .orderBy("src1", "src2")
     }
   )
 }

@@ -966,6 +966,35 @@ object Relational {
         .select(col("f").as("l_returnflag"), col("n"),
           (col("med2") / 2.0).as("median_price"), (col("mad2") / 2.0).as("mad"))
         .orderBy("l_returnflag")
+    },
+
+    // Exact tail percentiles — nearest-rank (quantile_disc) p90/p99 per
+    // group. Spark runs ops.ExactQuantile.rankStatByKey: histogram +
+    // refine with ONE target bucket per key (two codegen'd hash-agg
+    // passes per percentile, state bounded by the bucket histogram — no
+    // per-group value map, no full-column sort; Spark's own exact
+    // `percentile` is an ObjectHashAggregate that collects every
+    // distinct value per group). Nearest-rank returns an ACTUAL element
+    // — no interpolation — so both engines agree exactly; the one float
+    // op (the ceil(p·n) rank multiply) runs in DOUBLE on both.
+    QueryDef("q45_quantile_disc",
+      """WITH b AS (SELECT l_returnflag AS f,
+        |             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c
+        |           FROM lineitem)
+        |SELECT f AS l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(quantile_disc(c, 0.90) AS BIGINT) AS p90_cents,
+        |  CAST(quantile_disc(c, 0.99) AS BIGINT) AS p99_cents
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val b = li(s, d).select(col("l_returnflag").as("f"),
+        round(col("l_extendedprice") * 100).cast(LongType).as("c"))
+      val p90 = graft.ops.ExactQuantile.rankStatByKey(b, col("f"), col("c"), 0.90)
+        .select(col("__k").as("f"), col("value").as("p90_cents"), col("n"))
+      val p99 = graft.ops.ExactQuantile.rankStatByKey(b, col("f"), col("c"), 0.99)
+        .select(col("__k").as("f"), col("value").as("p99_cents"))
+      p90.join(p99, "f")
+        .select(col("f").as("l_returnflag"), col("n"),
+          col("p90_cents"), col("p99_cents"))
+        .orderBy("l_returnflag")
     }
   )
 }
