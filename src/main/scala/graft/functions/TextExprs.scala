@@ -626,6 +626,77 @@ object TextExprs {
   def minhash_band_keys(text: Column, n: Int, k: Int, bands: Int): Column =
     GraftBridge.column(MinHashBandKeys(GraftBridge.expression(text), n, k, bands))
 
+  /** The raw k-seed minhash signature of a text's word n-gram shingle set,
+    * computed entirely in-row (MinHashBandKeys without the banding step):
+    * element j = the unsigned-min seeded md5 of the doc's shingles,
+    * rendered as the 16-hex-char prefix so a lexicographic `min(...)`
+    * aggregate over docs composes it into a group-level signature (min of
+    * mins == min over the union of the shingle sets — the property
+    * dd13's per-source signature relies on, and exactly the SQL
+    * `MIN(substr(md5(j||':'||shingle), 1, 16))` an oracle computes).
+    * NULL for shingle-less docs.
+    */
+  case class MinHashSigHex(child: Expression, n: Int, k: Int)
+    extends UnaryExpression with CodegenFallback {
+    require(n >= 1 && k >= 1, s"need n >= 1 and k >= 1, got n=$n k=$k")
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "minhash_sig_hex"
+
+    @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+    @transient private lazy val seedPrefixes: Array[Array[Byte]] =
+      Array.tabulate(k)(j => s"$j:".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    private val hexChars = "0123456789abcdef".toCharArray
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[UTF8String].getBytes
+      val starts = wordStarts(bytes)
+      val nShingles = starts.length - 1 - (n - 1)
+      if (bytes.length == 0 || nShingles <= 0) return null
+      val seen = new java.util.HashSet[java.lang.Long]()
+      val mins = new Array[Long](k)
+      java.util.Arrays.fill(mins, -1L) // unsigned max
+      var i = 0
+      while (i < nShingles) {
+        val from = starts(i)
+        val len = starts(i + n) - 1 - from
+        val h = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + from, len, 42L)
+        if (seen.add(h)) {
+          var j = 0
+          while (j < k) {
+            md.reset()
+            md.update(seedPrefixes(j))
+            md.update(bytes, from, len)
+            val d = md.digest()
+            var v = 0L
+            var b = 0
+            while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+            if (java.lang.Long.compareUnsigned(v, mins(j)) < 0) mins(j) = v
+            j += 1
+          }
+        }
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.tabulate[Any](k) { j =>
+          val h = mins(j)
+          val out = new Array[Char](16)
+          var i2 = 0
+          while (i2 < 16) { out(i2) = hexChars(((h >>> ((15 - i2) * 4)) & 0xf).toInt); i2 += 1 }
+          UTF8String.fromString(new String(out))
+        })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): MinHashSigHex =
+      copy(child = newChild)
+  }
+
+  /** Column API: raw k-seed minhash signature (16-hex-char mins) of a
+    * text column's word n-gram shingle set. */
+  def minhash_sig_hex(text: Column, n: Int, k: Int): Column =
+    GraftBridge.column(MinHashSigHex(GraftBridge.expression(text), n, k))
+
   /** Whitespace and BPE-ish token counts in one byte scan:
     * [ws_tokens, re_tokens] where ws_tokens = single-space split count and
     * re_tokens counts the regex segmentation
@@ -775,6 +846,8 @@ object TextExprs {
       sig("minhash_band_keys", "(text, n, k, bands)", 4)(es => MinHashBandKeys(str(es(0)),
         litInt(es(1), "minhash_band_keys", "n"), litInt(es(2), "minhash_band_keys", "k"),
         litInt(es(3), "minhash_band_keys", "bands"))),
+      sig("minhash_sig_hex", "(text, n, k)", 3)(es => MinHashSigHex(str(es(0)),
+        litInt(es(1), "minhash_sig_hex", "n"), litInt(es(2), "minhash_sig_hex", "k"))),
       sig("top_k_scored", "(id, score, k)", 3)(es => TopKScoredAggregate(lng(es(0)), dbl(es(1)),
         litInt(es(2), "top_k_scored", "k")).toAggregateExpression()),
       sig("bounded_doc_set", "(key, doc_id, cap)", 3)(es => BoundedDocSetAggregate(lng(es(0)), lng(es(1)),

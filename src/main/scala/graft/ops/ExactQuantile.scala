@@ -42,8 +42,20 @@ object ExactQuantile {
     * semi-join, exactly one bucket per key). Returns (__k, value, n).
     */
   def rankStatByKey(df: DataFrame, key: Column, value: Column, p: Double,
-                    bucketShift: Int = 14): DataFrame = {
-    require(p > 0.0 && p <= 1.0, s"p must be in (0, 1], got $p")
+                    bucketShift: Int = 14): DataFrame =
+    rankStatsByKey(df, key, value, Seq(p), bucketShift)
+      .select(col("__k"), col("value"), col("n"))
+
+  /** Multi-percentile form of `rankStatByKey`: ALL requested order
+    * statistics from ONE histogram pass + ONE refine pass — each extra
+    * percentile adds only a posexplode row per histogram bucket and (at
+    * most) one more target bucket to the broadcast semi-join, not a new
+    * scan. Returns (__k, __i = index into `ps`, value, n).
+    */
+  def rankStatsByKey(df: DataFrame, key: Column, value: Column,
+                     ps: Seq[Double], bucketShift: Int = 14): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      s"every p must be in (0, 1], got $ps")
     val vals = df.select(key.as("__k"), value.as("__v")).filter(col("__v").isNotNull)
     val hist = vals
       .groupBy(col("__k"), shiftright(col("__v"), bucketShift).as("__b"))
@@ -56,21 +68,25 @@ object ExactQuantile {
     // the DOUBLE multiply is the semantics, not an approximation: DuckDB
     // computes the same ceil(p·n) in float, so keeping it double keeps
     // both engines' element choice bit-identical
-    val r = expr(s"CAST(CEIL(CAST($p AS DOUBLE) * CAST(__n AS DOUBLE)) AS BIGINT)")
-    val target = cum
-      .filter(col("__cum") >= r && col("__lo") < r)
-      .select(col("__k"), col("__b"), col("__lo"), col("__n"))
+    val ranks = array(ps.map(p =>
+      expr(s"CAST(CEIL(CAST($p AS DOUBLE) * CAST(__n AS DOUBLE)) AS BIGINT)")): _*)
+    val targets = cum
+      .select(col("__k"), col("__b"), col("__lo"), col("__n"), col("__cum"),
+        posexplode(ranks).as(Seq("__i", "__r")))
+      .filter(col("__cum") >= col("__r") && col("__lo") < col("__r"))
+      .select(col("__k"), col("__b"), col("__lo"), col("__n"), col("__i"), col("__r"))
     val cand = vals
       .withColumn("__b", shiftright(col("__v"), bucketShift))
-      .join(broadcast(target), Seq("__k", "__b"))
-      .groupBy(col("__k"), col("__b"), col("__v"), col("__lo"), col("__n"))
+      .join(broadcast(targets), Seq("__k", "__b"))
+      .groupBy(col("__k"), col("__i"), col("__r"), col("__b"), col("__v"),
+        col("__lo"), col("__n"))
       .agg(count(lit(1)).as("__c"))
       .withColumn("__cum", col("__lo") + sum("__c").over(
-        Window.partitionBy("__k", "__b").orderBy("__v")))
+        Window.partitionBy("__k", "__i", "__b").orderBy("__v")))
       .withColumn("__vlo", col("__cum") - col("__c"))
     cand
-      .filter(col("__cum") >= r && col("__vlo") < r)
-      .select(col("__k"), col("__v").as("value"), col("__n").as("n"))
+      .filter(col("__cum") >= col("__r") && col("__vlo") < col("__r"))
+      .select(col("__k"), col("__i"), col("__v").as("value"), col("__n").as("n"))
   }
 
   /** Exact per-key median for integral value columns with a MODEST value

@@ -284,14 +284,31 @@ object PipelinesDedup {
          |FROM sig a JOIN sig b ON a.source < b.source
          |ORDER BY src1, src2""".stripMargin
     }) { (s, d) =>
+      // per-DOC signatures in-row (no corpus-sized shingle explode), then
+      // elementwise mins per source: min of mins == min over the union of
+      // the shingle sets, so this equals the oracle's flat per-source MIN
+      // repartition first: the small documents file is ONE split, and the
+      // k×md5 signature projection must run above the exchange (dd3's
+      // spreadSmallInput reasoning), not single-threaded inside the scan
       val docs = Tables.load(s, d, "documents")
-      val sh = docs
-        .select(col("source"), split(col("text"), " ").as("w"))
-        .where(size(col("w")) >= 5)
-        .select(col("source"), explode(expr(
-          "transform(sequence(1, size(w) - 4), i -> concat_ws(' ', slice(w, i, 5)))")).as("shingle"))
-      val sig = sh.groupBy("source")
-        .agg(graft.functions.MinHashAggregate.minhash_sig(col("shingle"), K).as("sig"))
+      val spread = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      // posexplode_OUTER + post-explode null filter: a pre-explode
+      // IsNotNull(mh) predicate would be pushed below the repartition
+      // exchange and evaluate the whole k×md5 signature single-threaded
+      // inside the scan (the dd3 InferFiltersFromGenerate trap)
+      val sigRows = spread
+        .select(col("source"),
+          graft.functions.TextExprs.minhash_sig_hex(col("text"), 5, K).as("mh"))
+        .select(col("source"), posexplode_outer(col("mh")).as(Seq("j", "h")))
+        .filter(col("h").isNotNull)
+      // sources×1 rows; checkpoint so the pairwise self-join below reads
+      // the tiny signature table twice instead of re-deriving the whole
+      // corpus pipeline per side
+      val sig = sigRows.groupBy("source", "j").agg(min("h").as("h"))
+        .groupBy("source")
+        .agg(expr("transform(array_sort(collect_list(struct(j, h))), x -> x.h)").as("sig"))
+        .localCheckpoint(false)
       val a = sig.select(col("source").as("src1"), col("sig").as("s1"))
       val b = sig.select(col("source").as("src2"), col("sig").as("s2"))
       a.join(b, col("src1") < col("src2"))

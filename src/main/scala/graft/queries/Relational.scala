@@ -954,12 +954,16 @@ object Relational {
         |SELECT m.f AS l_returnflag, m.n,
         |  m.med2 / 2.0 AS median_price, md.mad2 / 2.0 AS mad
         |FROM m JOIN md USING (f) ORDER BY 1""".stripMargin) { (s, d) =>
+      // checkpoint the shared frames: b feeds 2 median passes + the dev
+      // join (4 lineitem re-derivations otherwise), dev feeds 2 passes
       val b = li(s, d).select(col("l_returnflag").as("f"),
         (lit(2) * round(col("l_extendedprice") * 100).cast(LongType)).as("x2"))
+        .localCheckpoint(false)
       val m = graft.ops.ExactQuantile.medianByKey(b, col("f"), col("x2"))
         .select(col("__k").as("f"), col("median").as("med2"), col("n"))
       val dev = b.join(broadcast(m), "f")
         .select(col("f"), abs(col("x2") - col("med2")).cast(LongType).as("dev"))
+        .localCheckpoint(false)
       val md = graft.ops.ExactQuantile.medianByKey(dev, col("f"), col("dev"))
         .select(col("__k").as("f"), col("median").as("mad2"))
       m.join(md, "f")
@@ -987,13 +991,12 @@ object Relational {
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       val b = li(s, d).select(col("l_returnflag").as("f"),
         round(col("l_extendedprice") * 100).cast(LongType).as("c"))
-      val p90 = graft.ops.ExactQuantile.rankStatByKey(b, col("f"), col("c"), 0.90)
-        .select(col("__k").as("f"), col("value").as("p90_cents"), col("n"))
-      val p99 = graft.ops.ExactQuantile.rankStatByKey(b, col("f"), col("c"), 0.99)
-        .select(col("__k").as("f"), col("value").as("p99_cents"))
-      p90.join(p99, "f")
-        .select(col("f").as("l_returnflag"), col("n"),
-          col("p90_cents"), col("p99_cents"))
+      // both percentiles from ONE histogram pass + ONE refine pass
+      graft.ops.ExactQuantile.rankStatsByKey(b, col("f"), col("c"), Seq(0.90, 0.99))
+        .groupBy(col("__k").as("l_returnflag"))
+        .agg(first(col("n")).as("n"),
+          max(when(col("__i") === 0, col("value"))).as("p90_cents"),
+          max(when(col("__i") === 1, col("value"))).as("p99_cents"))
         .orderBy("l_returnflag")
     }
   )
