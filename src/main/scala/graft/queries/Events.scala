@@ -404,6 +404,48 @@ object Events {
         .select(col("user_id"), col("event_id"),
           expr("num div den").as("ewma_milli"))
         .orderBy("user_id", "event_id")
+    },
+
+    // Session path mining — the top-20 most common event-type sequences
+    // (ev2's 30-minute sessions, truncated to each session's first 5
+    // events so path strings stay BOUNDED — the cap is what keeps the
+    // path cardinality, shuffle width and per-row state independent of
+    // session length at 100 TB). Ordering inside a session is the total
+    // (tus, event_id) order, so paths are deterministic; the path count
+    // aggregate map-side combines and the final top-20 is one
+    // TakeOrdered. The funnel/UX-flow primitive (ev8's fixed funnel
+    // without pre-declaring the stages).
+    QueryDef("ev16_path_topk",
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+        |l AS (SELECT *, LAG(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev FROM e),
+        |f AS (SELECT *, CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS brk FROM l),
+        |s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM f),
+        |r AS (SELECT user_id, session_id, event_type,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id, session_id ORDER BY tus, event_id) AS rn
+        |      FROM s),
+        |p AS (SELECT user_id, session_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |      FROM r WHERE rn <= 5 GROUP BY 1, 2)
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+        |FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      val sess = ev(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus"))
+        .withColumn("prev", lag("tus", 1).over(w))
+        .withColumn("brk",
+          when(col("prev").isNull || col("tus") - col("prev") > 1800000000L, 1).otherwise(0))
+        .withColumn("session_id",
+          sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast(LongType))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id", "session_id").orderBy("tus", "event_id")))
+        .where(col("rn") <= 5)
+      sess.groupBy("user_id", "session_id")
+        .agg(expr("concat_ws('>', transform(array_sort(collect_list(struct(rn, event_type))), x -> x.event_type))")
+          .as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(20)
     }
   )
 }

@@ -338,6 +338,36 @@ object StreamingOps {
       .toDF("user_id", "event_id", "vm", "ts")
   }
 
+  /** Streaming EWMA — the online twin of batch ev15: per user, the
+    * α = 1/2 exponentially-weighted moving average of the last `span`
+    * milli-unit observations, power-of-two weights and one truncating
+    * integer division per row, so emitted values are bit-identical to
+    * the batch window formula over the same rows (StreamingSpec
+    * asserts it). LAG does not exist in streaming; the equivalent is
+    * one ValueState ring of the last span−1 values per live user (the
+    * anomalyStream pattern: (event time, id)-ordered intra-batch
+    * processing, rows regressing behind the stored last event dropped,
+    * absolute TTL from the user's first event).
+    * Emits (user_id, event_id, ewma_milli, ts) per surviving row. */
+  def ewmaStream(events: DataFrame, userCol: String, valueCol: String,
+                 tsCol: String, idCol: String, watermark: String,
+                 span: Int = 8,
+                 stateTtlMs: Long = 24 * 3600 * 1000L): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark(tsCol, watermark)
+      .select(col(userCol).cast("long").as("u"),
+        round(col(valueCol) * 1000).cast("long").as("vm"),
+        col(tsCol).as("__ts"), col(idCol).cast("long").as("eid"))
+      .as[(Long, Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new EwmaProcessor(span, stateTtlMs),
+        "_4", OutputMode.Append())
+      .toDF("user_id", "event_id", "ewma_milli", "ts")
+  }
+
   /** Watermarked stream-stream interval join: each left event picks up
     * the right-side rows with the same key whose timestamp lies in
     * [left.ts - lookback, left.ts]. Both sides buffer only up to their
@@ -657,6 +687,72 @@ private[streaming] class RollingZScoreProcessor(windowN: Int, zNum: Long, stateT
           if (dev * dev > zNum * zNum * (n * s2 - m * m)) out += ((key, eid, vm, ts))
         }
         vals = (vals :+ vm).takeRight(windowN - 1)
+        ltus = tus; lid = eid
+      } // else: regression past the intra-batch order — drop, keep state
+    }
+    ring.update((ltus, lid, vals))
+    out.result().iterator
+  }
+
+  override def handleExpiredTimer(
+      key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long, java.sql.Timestamp)] = {
+    ring.clear()
+    Iterator.empty
+  }
+}
+
+/** EWMA ring (see StreamingOps.ewmaStream): state = the user's last
+  * span−1 milli values + the last-seen (micros, id) ordering key. Each
+  * surviving row computes ev15's exact formula — weight 2^(span−1−j) for
+  * lag j over the present observations, truncated at series start, one
+  * integer division — so stream and batch agree bit-for-bit on
+  * nonnegative values. */
+private[streaming] class EwmaProcessor(span: Int, stateTtlMs: Long)
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, Long, java.sql.Timestamp, Long),
+    (Long, Long, Long, java.sql.Timestamp)] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  require(span >= 1 && span <= 62, s"need 1 <= span <= 62, got $span")
+
+  @transient private var ring: ValueState[(Long, Long, Seq[Long])] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    ring = getHandle.getValueState[(Long, Long, Seq[Long])]("ewma_ring",
+      org.apache.spark.sql.Encoders.product[(Long, Long, Seq[Long])], TTLConfig.NONE)
+
+  private def micros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, Long, java.sql.Timestamp, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long, Long, java.sql.Timestamp)] = {
+    val sorted = rows.toVector.sortBy(r => (micros(r._3), r._4))
+    if (sorted.isEmpty) return Iterator.empty
+    if (!ring.exists())
+      getHandle.registerTimer(sorted.map(_._3.getTime).max + stateTtlMs)
+    var (ltus, lid, vals) =
+      if (ring.exists()) ring.get() else (Long.MinValue, Long.MinValue, Seq.empty[Long])
+    val out = Vector.newBuilder[(Long, Long, Long, java.sql.Timestamp)]
+    sorted.foreach { case (_, vm, ts, eid) =>
+      val tus = micros(ts)
+      if (tus > ltus || (tus == ltus && eid > lid)) {
+        // oldest-first window ending at this row: lag j = L-1-p gets
+        // weight 2^(span-1-j) = 2^(span-L+p)
+        val window = (vals :+ vm).takeRight(span)
+        val len = window.length
+        var num = 0L
+        var den = 0L
+        var p = 0
+        while (p < len) {
+          val w = 1L << (span - len + p)
+          num += window(p) * w
+          den += w
+          p += 1
+        }
+        out += ((key, eid, num / den, ts))
+        vals = window.takeRight(span - 1)
         ltus = tus; lid = eid
       } // else: regression past the intra-batch order — drop, keep state
     }

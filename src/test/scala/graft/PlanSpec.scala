@@ -399,4 +399,53 @@ class PlanSpec extends SparkSpec {
     // map-side-combined aggregate, never a window
     assert(!p.contains("Window"), p.take(3000))
   }
+
+  private def scanCount(p: String): Int =
+    p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*"""))
+
+  test("KMV sketches build in ONE lineitem scan, exact pass in one more (q42)") {
+    val p = planOf("q42_kmv_intersect")
+    // pass 1: all three bounded sketch buffers share a single scan;
+    // pass 2: the exact ground truth - two scans TOTAL, and the sketch
+    // aggregate runs partial/final (ObjectHashAggregate x2 per level)
+    assert(scanCount(p) == 2, s"expected 2 scans:\n${p.take(3000)}")
+    assert(p.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2, p.take(3000))
+  }
+
+  test("column profiling is ONE documents scan fanned out by one Generate (q43)") {
+    val p = planOf("q43_profile")
+    assert(scanCount(p) == 1, s"expected 1 scan:\n${p.take(3000)}")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Generate\s*""")) == 1, p.take(3000))
+    // no count-distinct Expand: distinct state lives in the KMV buffers
+    assert(!p.contains("Expand"), p.take(3000))
+  }
+
+  test("fused percentiles pay ONE histogram + ONE refine scan for both ranks (q45)") {
+    val p = planOf("q45_quantile_disc")
+    assert(scanCount(p) == 2, s"expected 2 scans:\n${p.take(3000)}")
+  }
+
+  test("EWMA is one keyed window pass, zero joins (ev15)") {
+    val p = planOf("ev15_ewma")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Window\s*""")) == 1, p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("session paths end in TakeOrdered, windows share one exchange (ev16)") {
+    val p = planOf("ev16_path_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    // all three window passes (lag, session-sum, row_number) run above
+    // the SAME user-keyed exchange; the only other exchange is the path
+    // count aggregate - and the per-session truncation runs as a
+    // WindowGroupLimit, never materializing full sessions
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Exchange\s*""")) == 2, p.take(3000))
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+  }
+
+  test("semantic contamination blocks on the LSH signature, eval side broadcast (p3)") {
+    val p = planOf("p3_semantic_contamination")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
 }

@@ -419,6 +419,44 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq === Seq((1L, 8L, 94000L)))
   }
 
+  test("streaming EWMA matches the batch formula across micro-batches") {
+    val dir = tmpDir("graft-ewma")
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("value", DoubleType),
+      StructField("ts", TimestampType), StructField("event_id", LongType)))
+    def write(sub: String, rows: Seq[(Long, Double, String, Long)]): Unit =
+      rows.toDF("user_id", "value", "s", "event_id")
+        .select(col("user_id"), col("value"), to_timestamp(col("s")).as("ts"), col("event_id"))
+        .write.parquet(dir + "/" + sub)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val vals = Seq(1.0, 2.0, 4.0, 8.0, 16.0, 32.0, 64.0, 128.0, 256.0, 3.0)
+    write("b1", vals.take(6).zipWithIndex.map { case (v, i) =>
+      (1L, v, f"2024-01-01 00:00:0$i", (i + 1).toLong) })
+    val stream = StreamingOps.parquetStream(spark, schema, dir + "/b*")
+    val out = StreamingOps.ewmaStream(stream, "user_id", "value", "ts", "event_id",
+      watermark = "10 minutes", span = 4)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("ewmaout").start()
+    q.processAllAvailable()
+    // batch 2 continues the series (ring carries values 4..6 across the
+    // batch boundary) + a regressing late row that must be dropped
+    write("b2", (vals.drop(6).zipWithIndex.map { case (v, i) =>
+      (1L, v, f"2024-01-01 00:00:0${6 + i}", (7 + i).toLong) }) :+
+      (1L, 999.0, "2024-01-01 00:00:01", 99L))
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT event_id, ewma_milli FROM ewmaout ORDER BY event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // reference: ev15's formula on the same series, span 4
+    val expect = vals.indices.map { i =>
+      val window = vals.slice(math.max(0, i - 3), i + 1).map(v => math.round(v * 1000))
+      val len = window.length
+      val terms = window.zipWithIndex.map { case (v, p) => (v, 1L << (4 - len + p)) }
+      ((i + 1).toLong, terms.map(t => t._1 * t._2).sum / terms.map(_._2).sum)
+    }
+    assert(got.toSeq === expect)
+  }
+
   test("continuous CDC upsert stream merges micro-batches into a graft table") {
     val inDir = tmpDir("graft-cdc-in")
     val ckDir = tmpDir("graft-cdc-ck")
