@@ -127,6 +127,36 @@ object TextAnalysis {
       .withColumn("repetitive", col("dup_frac") >= threshold)
   }
 
+  /** Corpus novelty scoring — per doc, how much of its content exists
+    * NOWHERE else: the fraction (ppm) of its distinct word n-gram
+    * shingles with corpus document frequency 1. The inverse of tx8's
+    * contamination overlap — high novelty marks original content worth
+    * up-sampling, low novelty marks mirrors/boilerplate. Shuffle shape:
+    * the in-row ShingleHashSet explode (the dd2 index layout: sz carried
+    * beside the explode so the set is computed ONCE), one map-side-
+    * combined df aggregate keyed on the shingle hash, one hash join back
+    * (reusing the df aggregate's partitioning), one doc-keyed aggregate.
+    * The ppm is an exact integer division; df equality is up to the
+    * family's 2^-64 per-pair hash-collision trade. */
+  def noveltyScores(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 5): DataFrame = {
+    val spread = graft.ops.TextDedup.spreadSmallInput(
+      docs.filter(size(split(col(textCol), " ")) >= n))
+    val sh = spread
+      .select(graft.ops.TextDedup.longId(docs, idCol, "noveltyScores").as("doc_id"),
+        graft.functions.TextExprs.shingle_hash_set(col(textCol), n).as("shs"))
+      .select(col("doc_id"), size(col("shs")).cast(LongType).as("sz"),
+        explode_outer(col("shs")).as("sh64"))
+      .filter(col("sh64").isNotNull)
+    val dfc = sh.groupBy("sh64").agg(count(lit(1)).as("df"))
+    sh.join(dfc, "sh64")
+      .groupBy("doc_id")
+      .agg(first("sz").as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        expr("1000000L * n_unique div n_shingles").as("novelty_ppm"))
+  }
+
   /** Fixed-size document chunking with overlap — the tokenize-and-window
     * step every LLM training/RAG pipeline runs before embedding or
     * packing. Chunk c covers words [c·stride+1, c·stride+size] (stride =

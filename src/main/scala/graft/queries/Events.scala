@@ -19,6 +19,11 @@ object Events {
     * Values are nonnegative milli-units, so num ≥ 0 and DuckDB's floor-//
     * agrees with Spark's truncating div on every normalization. */
   private val EwmaN = 8
+  /** ev17: CUSUM target level (milli-units, slightly above the value
+    * mean ≈ 49 630 so only sustained upward drift accumulates) and the
+    * decision threshold h (≈ 10 above-target steps). */
+  private val CusumTarget = 55000L
+  private val CusumH = 500000L
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -446,6 +451,36 @@ object Events {
         .groupBy("path").agg(count(lit(1)).as("n_sessions"))
         .orderBy(col("n_sessions").desc, col("path"))
         .limit(20)
+    },
+
+    // CUSUM change-point detection (Page 1954): flag the rows where a
+    // user's cumulative drift above a target level clears threshold h —
+    // the upward-shift detector monitoring pipelines run on metric
+    // streams. The clamped recursion S_i = max(0, S_{i-1} + (x_i − t))
+    // is not window-expressible directly, but its closed form is:
+    // S_i = P_i − min_{j≤i} P_j with P the running sum of (x − t) — two
+    // chained running windows over the SAME (user, time) sort, one
+    // shuffle total, all arithmetic exact Int64 on milli-units.
+    QueryDef("ev17_cusum",
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+         |             CAST(ROUND(value * 1000) AS BIGINT) AS xm FROM events),
+         |p AS (SELECT *, SUM(xm - $CusumTarget) OVER (PARTITION BY user_id ORDER BY tus, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp FROM e),
+         |s AS (SELECT *, pp - MIN(pp) OVER (PARTITION BY user_id ORDER BY tus, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum FROM p)
+         |SELECT user_id, event_id, CAST(cusum AS BIGINT) AS cusum
+         |FROM s WHERE cusum >= $CusumH
+         |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"),
+          round(col("value") * 1000).cast(LongType).as("xm"))
+        .withColumn("pp", sum(col("xm") - lit(CusumTarget)).over(w))
+        .withColumn("cusum", col("pp") - min("pp").over(w))
+        .where(col("cusum") >= CusumH)
+        .select(col("user_id"), col("event_id"), col("cusum"))
+        .orderBy("user_id", "event_id")
     }
   )
 }

@@ -196,6 +196,57 @@ object GraphQueries {
             get_json_object(col("props"), "$.k").cast(LongType).cast(StringType)).as("b"))
       graft.ops.Graph.kCorePeel(bip, "a", "b", k = KcK, rounds = KcRounds)
         .orderBy("peel_round", "node")
+    },
+
+    // Item-item co-view similarity — the bipartite projection behind
+    // "users who viewed X also viewed Y" (collaborative filtering's
+    // candidate generator). Baskets are CAPPED at 20 items per user
+    // (lowest item ids — deterministic), so the per-user pair fan-out is
+    // ≤ 190 regardless of power users: the pair explosion is basket-
+    // bounded, never quadratic in the catalog or the user count. Support
+    // floor 3, cosine normalization n_ab/√(n_a·n_b) — one correctly-
+    // rounded double division per surviving pair, identical on both
+    // engines; top-50 via TakeOrdered.
+    QueryDef("gr6_coview",
+      """WITH it AS (SELECT DISTINCT user_id, CAST(props->>'k' AS BIGINT) AS item
+        |            FROM events WHERE event_type = 'view'),
+        |r AS (SELECT user_id, item,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY item) AS rn FROM it),
+        |b AS (SELECT user_id, item FROM r WHERE rn <= 20),
+        |deg AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1),
+        |pairs AS (SELECT a.item AS i1, b2.item AS i2, CAST(COUNT(*) AS BIGINT) AS n_ab
+        |          FROM b a JOIN b b2 ON a.user_id = b2.user_id AND a.item < b2.item
+        |          GROUP BY 1, 2)
+        |SELECT i1, i2, n_ab,
+        |  CAST(n_ab AS DOUBLE) / (sqrt(CAST(da.n AS DOUBLE)) * sqrt(CAST(db.n AS DOUBLE))) AS cos
+        |FROM pairs JOIN deg da ON da.item = i1 JOIN deg db ON db.item = i2
+        |WHERE n_ab >= 3
+        |ORDER BY cos DESC, i1, i2 LIMIT 50""".stripMargin) { (s, d) =>
+      val it = Tables.load(s, d, "events")
+        .filter(col("event_type") === "view")
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("item"))
+        .distinct()
+      val b = it
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("item")))
+        .where(col("rn") <= 20)
+        .select("user_id", "item")
+        .localCheckpoint(false)
+      val deg = b.groupBy("item").agg(count(lit(1)).as("n"))
+      val pairs = b.as("a").join(b.as("b2"),
+          col("a.user_id") === col("b2.user_id") && col("a.item") < col("b2.item"))
+        .groupBy(col("a.item").as("i1"), col("b2.item").as("i2"))
+        .agg(count(lit(1)).as("n_ab"))
+        .where(col("n_ab") >= 3)
+      pairs
+        .join(deg.select(col("item").as("i1"), col("n").as("na")), "i1")
+        .join(deg.select(col("item").as("i2"), col("n").as("nb")), "i2")
+        .select(col("i1"), col("i2"), col("n_ab"),
+          (col("n_ab").cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))).as("cos"))
+        .orderBy(col("cos").desc, col("i1"), col("i2"))
+        .limit(50)
     }
   )
 }

@@ -998,6 +998,36 @@ object Relational {
           max(when(col("__i") === 0, col("value"))).as("p90_cents"),
           max(when(col("__i") === 1, col("value"))).as("p99_cents"))
         .orderBy("l_returnflag")
+    },
+
+    // Equi-DEPTH binning (q36's histogram is equi-width): ntile deciles
+    // per group with per-bin count/lo/hi — the feature-bucketization /
+    // data-layout primitive (split points for range clustering come from
+    // exactly this). The ntile order is the total (cents, orderkey,
+    // linenumber) order, so bin assignment is deterministic and both
+    // engines' standard ntile (first bins absorb the remainder) agree
+    // row-for-row. One window sort keyed on the group + one map-side-
+    // combined aggregate.
+    QueryDef("q46_equidepth_bins",
+      """WITH b AS (SELECT l_returnflag AS f, l_orderkey, l_linenumber,
+        |             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c
+        |           FROM lineitem),
+        |t AS (SELECT f, c, NTILE(10) OVER (PARTITION BY f
+        |        ORDER BY c, l_orderkey, l_linenumber) AS bin FROM b)
+        |SELECT f AS l_returnflag, CAST(bin AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(c) AS BIGINT) AS lo_cents, CAST(MAX(c) AS BIGINT) AS hi_cents
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("f").orderBy("c", "l_orderkey", "l_linenumber")
+      li(s, d)
+        .select(col("l_returnflag").as("f"), col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * 100).cast(LongType).as("c"))
+        .withColumn("bin", ntile(10).over(w).cast(LongType))
+        .groupBy("f", "bin")
+        .agg(count(lit(1)).as("n"), min("c").as("lo_cents"), max("c").as("hi_cents"))
+        .select(col("f").as("l_returnflag"), col("bin"), col("n"),
+          col("lo_cents"), col("hi_cents"))
+        .orderBy("l_returnflag", "bin")
     }
   )
 }

@@ -594,6 +594,28 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum("n_tokens").cast(org.apache.spark.sql.types.LongType).as("total_tokens"))
         .orderBy("pred_lang", "split")
+    },
+
+    // Corpus novelty scoring — per doc, the ppm fraction of its distinct
+    // 5-gram shingles with corpus df = 1 (content existing nowhere
+    // else): the up-sampling counterpart of tx8's contamination screen.
+    // Spark runs ops.TextAnalysis.noveltyScores (in-row shingle sets,
+    // one df aggregate, one join back); the oracle counts textual
+    // distinct shingles — identical up to the dedup family's 2^-64
+    // hash-collision trade.
+    QueryDef("tx24_novelty",
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |t AS (SELECT doc_id, w FROM words WHERE len(w) >= 5),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS shingle
+        |       FROM t, UNNEST(range(1, len(w)-3)) AS u(i)),
+        |dfc AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY 1)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |  CAST(COUNT(*) FILTER (WHERE df = 1) AS BIGINT) AS n_unique,
+        |  CAST(1000000 * COUNT(*) FILTER (WHERE df = 1) // COUNT(*) AS BIGINT) AS novelty_ppm
+        |FROM sh JOIN dfc USING (shingle) GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.noveltyScores(Tables.load(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
     }
   )
 }
