@@ -368,6 +368,35 @@ object StreamingOps {
       .toDF("user_id", "event_id", "ewma_milli", "ts")
   }
 
+  /** Streaming CUSUM change-point flags — the online twin of batch ev17.
+    * The batch query evaluates the closed form S = P − running-min(P);
+    * the stream runs the equivalent clamped recursion
+    * S_i = max(0, S_{i−1} + (x_i − target)) directly, so state is O(1):
+    * ONE Long accumulator (plus the last-seen ordering key) per live
+    * user — the cheapest state of any processor here. Same intra-batch
+    * (event time, id) ordering, late-row drop, and absolute TTL as the
+    * EWMA/anomaly rings; flagged rows are bit-identical to the batch
+    * query over the same input. Emits (user_id, event_id, cusum, ts)
+    * for rows with S ≥ h. */
+  def cusumStream(events: DataFrame, userCol: String, valueCol: String,
+                  tsCol: String, idCol: String, watermark: String,
+                  target: Long, h: Long,
+                  stateTtlMs: Long = 24 * 3600 * 1000L): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark(tsCol, watermark)
+      .select(col(userCol).cast("long").as("u"),
+        round(col(valueCol) * 1000).cast("long").as("vm"),
+        col(tsCol).as("__ts"), col(idCol).cast("long").as("eid"))
+      .as[(Long, Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new CusumProcessor(target, h, stateTtlMs),
+        "_4", OutputMode.Append())
+      .toDF("user_id", "event_id", "cusum", "ts")
+  }
+
   /** Watermarked stream-stream interval join: each left event picks up
     * the right-side rows with the same key whose timestamp lies in
     * [left.ts - lookback, left.ts]. Both sides buffer only up to their
@@ -698,6 +727,58 @@ private[streaming] class RollingZScoreProcessor(windowN: Int, zNum: Long, stateT
       key: Long, timerValues: TimerValues,
       expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long, java.sql.Timestamp)] = {
     ring.clear()
+    Iterator.empty
+  }
+}
+
+/** CUSUM accumulator (see StreamingOps.cusumStream): state = ONE Long
+  * S plus the last-seen (micros, id) ordering key per live user. The
+  * clamped recursion S = max(0, S + (x − target)) is exactly the batch
+  * closed form P − running-min(P), so stream and batch flag identical
+  * rows. */
+private[streaming] class CusumProcessor(target: Long, h: Long, stateTtlMs: Long)
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, Long, java.sql.Timestamp, Long),
+    (Long, Long, Long, java.sql.Timestamp)] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  require(h >= 1, s"threshold h must be >= 1, got $h")
+
+  @transient private var acc: ValueState[(Long, Long, Long)] = _ // (ltus, lid, s)
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    acc = getHandle.getValueState[(Long, Long, Long)]("cusum_acc",
+      org.apache.spark.sql.Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+
+  private def micros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, Long, java.sql.Timestamp, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long, Long, java.sql.Timestamp)] = {
+    val sorted = rows.toVector.sortBy(r => (micros(r._3), r._4))
+    if (sorted.isEmpty) return Iterator.empty
+    if (!acc.exists())
+      getHandle.registerTimer(sorted.map(_._3.getTime).max + stateTtlMs)
+    var (ltus, lid, s) =
+      if (acc.exists()) acc.get() else (Long.MinValue, Long.MinValue, 0L)
+    val out = Vector.newBuilder[(Long, Long, Long, java.sql.Timestamp)]
+    sorted.foreach { case (_, vm, ts, eid) =>
+      val tus = micros(ts)
+      if (tus > ltus || (tus == ltus && eid > lid)) {
+        s = math.max(0L, s + (vm - target))
+        if (s >= h) out += ((key, eid, s, ts))
+        ltus = tus; lid = eid
+      } // else: regression past the intra-batch order — drop, keep state
+    }
+    acc.update((ltus, lid, s))
+    out.result().iterator
+  }
+
+  override def handleExpiredTimer(
+      key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long, java.sql.Timestamp)] = {
+    acc.clear()
     Iterator.empty
   }
 }

@@ -523,6 +523,70 @@ class OpsSpec extends SparkSpec {
     core.foreach(n => assert(adj(n).count(core.contains) >= 4))
   }
 
+  test("shortest paths: fast path and distributed loop are bit-equal and match brute force") {
+    val rnd = new scala.util.Random(23)
+    val edges = (1 to 200).map { _ =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong, (rnd.nextInt(9) + 1).toLong)
+    }.toDF("src", "dst", "cost")
+    def run(limit: Long) =
+      ops.Graph.shortestPaths(edges, "src", "dst", "cost", start = 0L,
+        maxDepth = 5, localEdgeLimit = limit)
+        .orderBy("node").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val fast = run(Long.MaxValue)
+    val distributed = run(0L)
+    assert(fast === distributed)
+    // brute force: min cost over ALL walks of <= 5 edges
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    var best = Map(0L -> 0L)
+    var frontier = Map(0L -> 0L)
+    for (_ <- 1 to 5) {
+      val next = scala.collection.mutable.HashMap[Long, Long]()
+      frontier.foreach { case (u, du) =>
+        es.foreach { case (s, d2, c) =>
+          if (s == u) next(d2) = math.min(next.getOrElse(d2, Long.MaxValue), du + c)
+        }
+      }
+      // bounded-walk semantics: dist(v) = min over walks of <= depth edges
+      frontier = next.toMap
+      next.foreach { case (v, dv) =>
+        best += v -> math.min(best.getOrElse(v, Long.MaxValue), dv)
+      }
+    }
+    assert(fast === best.toSeq.sortBy(_._1))
+  }
+
+  test("novelty scoring: a planted unique doc scores 1e6, a full mirror scores 0") {
+    // base docs share no 5-grams; doc 11 mirrors doc 1 exactly, doc 12 is unique
+    val words = (0 until 60).map(i => s"w${i}x").grouped(10).toSeq
+    val docs = words.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+    val rows = (docs :+ (11L, docs.head._2) :+
+      (12L, (100 to 109).map(i => s"u${i}").mkString(" "))).toDF("doc_id", "text")
+    val out = ops.TextAnalysis.noveltyScores(rows, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(out(12L) === 1000000L) // nothing shared
+    assert(out(11L) === 0L && out(0L) === 0L) // mirrored pair: df=2 everywhere
+    assert(out(1L) === 1000000L) // untouched doc stays fully novel
+  }
+
+  test("rankStatsByKey matches sort-based ceil(p*n) order statistics on random data") {
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 4000).map(_ => (s"k${rnd.nextInt(5)}", rnd.nextInt(100000).toLong - 50000L))
+    val df = rows.toDF("k", "v").repartition(8)
+    val ps = Seq(0.25, 0.5, 0.9, 0.99)
+    val got = ops.ExactQuantile.rankStatsByKey(df, col("k"), col("v"), ps)
+      .collect().map(r => ((r.getString(0), r.getInt(1)), (r.getLong(2), r.getLong(3)))).toMap
+    rows.groupBy(_._1).foreach { case (k, g) =>
+      val sorted = g.map(_._2).sorted
+      ps.zipWithIndex.foreach { case (p, i) =>
+        val r = math.ceil(p * sorted.length).toLong.toInt
+        assert(got((k, i)) === ((sorted(r - 1), sorted.length.toLong)),
+          s"key=$k p=$p rank=$r")
+      }
+    }
+  }
+
   test("triangle counts match brute force on a random graph with dupes and loops") {
     import spark.implicits._
     // seeded random graph, PLUS noise the dedup must absorb: reversed

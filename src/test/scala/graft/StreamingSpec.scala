@@ -457,6 +457,38 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === expect)
   }
 
+  test("streaming CUSUM carries the accumulator across micro-batches") {
+    val dir = tmpDir("graft-cusum")
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("value", DoubleType),
+      StructField("ts", TimestampType), StructField("event_id", LongType)))
+    def write(sub: String, rows: Seq[(Long, Double, String, Long)]): Unit =
+      rows.toDF("user_id", "value", "s", "event_id")
+        .select(col("user_id"), col("value"), to_timestamp(col("s")).as("ts"), col("event_id"))
+        .write.parquet(dir + "/" + sub)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // target 10_000 milli-units, h = 5_000: values 12.0 drift +2000/step
+    write("b1", (0 to 2).map(i => (1L, 12.0, f"2024-01-01 00:00:0$i", (i + 1).toLong)))
+    val stream = StreamingOps.parquetStream(spark, schema, dir + "/b*")
+    val out = StreamingOps.cusumStream(stream, "user_id", "value", "ts", "event_id",
+      watermark = "10 minutes", target = 10000L, h = 5000L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("cusumout").start()
+    q.processAllAvailable()
+    // batch 2: event 4 reaches 9000 only because S=6000 carried across
+    // the batch boundary; the dip to 1.0 then clamps S back to zero
+    write("b2", Seq(
+      (1L, 13.0, "2024-01-01 00:00:03", 4L),
+      (1L, 1.0, "2024-01-01 00:00:04", 5L),
+      (1L, 12.0, "2024-01-01 00:00:05", 6L)))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.sql("SELECT event_id, cusum FROM cusumout ORDER BY event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // S path: 2000, 4000, 6000(flag), 9000(flag), 0, 2000
+    assert(rows.toSeq === Seq((3L, 6000L), (4L, 9000L)))
+  }
+
   test("continuous CDC upsert stream merges micro-batches into a graft table") {
     val inDir = tmpDir("graft-cdc-in")
     val ckDir = tmpDir("graft-cdc-ck")
