@@ -154,6 +154,57 @@ object Multimodal {
     * would decode samples first); the Spark shape — typed mapPartitions,
     * zero shuffles, one row per (payload, window) — is the real thing.
     */
+  /** Per-payload nibble statistics. */
+  case class NibbleStats(
+      doc_id: Long,
+      n_nibbles: Long,
+      distinct_nibbles: Long,
+      chi2: Long,
+      concentration_ppm: Long)
+
+  /** Byte-distribution uniformity screen over the binary column — the
+    * ingest-time corruption/encoding check a media pipeline runs BEFORE
+    * decode: well-formed compressed media (JPEG/MP3/MP4 payloads) has
+    * near-uniform nibbles (low chi2), while text-in-disguise, zero
+    * padding or truncated garbage is heavily skewed (high chi2 /
+    * concentration). All statistics are EXACT Int64 — the uniformity
+    * statistic is Σ(16·c − n)² over the 16 nibble counts (the Pearson
+    * χ² numerator scaled by 16²·n, no division, no transcendental) and
+    * concentration is 1e6·max(c) div n — so the hex-parsing SQL oracle
+    * matches bit-for-bit. Zero shuffles: one typed mapPartitions batch
+    * pass, the mm-family plumbing shape. */
+  def byteStats(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.filter(_._2.nonEmpty).map { case (id, payload) =>
+          val cnt = new Array[Long](16)
+          var i = 0
+          while (i < payload.length) {
+            val v = payload(i) & 0xff
+            cnt(v >> 4) += 1
+            cnt(v & 0xf) += 1
+            i += 1
+          }
+          val n = payload.length.toLong * 2
+          var chi2 = 0L
+          var distinct = 0L
+          var maxC = 0L
+          var j = 0
+          while (j < 16) {
+            val d = 16L * cnt(j) - n
+            chi2 += d * d
+            if (cnt(j) > 0) distinct += 1
+            if (cnt(j) > maxC) maxC = cnt(j)
+            j += 1
+          }
+          NibbleStats(id, n, distinct, chi2, 1000000L * maxC / n)
+        }
+      }
+      .toDF()
+  }
+
   def windowEnergy(spark: SparkSession, media: DataFrame, window: Int = 32): DataFrame = {
     import spark.implicits._
     require(window >= 1)

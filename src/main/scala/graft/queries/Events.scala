@@ -481,6 +481,41 @@ object Events {
         .where(col("cusum") >= CusumH)
         .select(col("user_id"), col("event_id"), col("cusum"))
         .orderBy("user_id", "event_id")
+    },
+
+    // SCD2 interval table (slowly-changing dimension, Type 2): each
+    // user's viewed-item history as validity intervals — valid_from =
+    // the change, valid_to = the next change (null while current),
+    // consecutive repeats collapsed. The observation log dedups to one
+    // row per (user, µs) via max_by so the SCD2 ts key is unique (the
+    // ops.Scd2 contract); the INCREMENTAL maintenance path
+    // (Scd2.applyChanges: rebuild touched keys only, untouched rows
+    // pass through) is asserted bit-equal to this from-scratch build in
+    // OpsSpec. One user-keyed window sort.
+    QueryDef("ev18_scd2_intervals",
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |             CAST(props->>'k' AS BIGINT) AS item
+        |           FROM events WHERE event_type = 'view'),
+        |obs AS (SELECT user_id, tus, max_by(item, event_id) AS item
+        |        FROM e GROUP BY 1, 2),
+        |l AS (SELECT *, LAG(item) OVER (PARTITION BY user_id ORDER BY tus) AS prev FROM obs),
+        |cp AS (SELECT user_id, tus, item FROM l WHERE prev IS NULL OR prev <> item),
+        |iv AS (SELECT user_id, item, tus AS valid_from_us,
+        |         LEAD(tus) OVER (PARTITION BY user_id ORDER BY tus) AS valid_to_us
+        |       FROM cp)
+        |SELECT user_id, item, valid_from_us, valid_to_us,
+        |  valid_to_us IS NULL AS is_current
+        |FROM iv ORDER BY user_id, valid_from_us""".stripMargin) { (s, d) =>
+      val log = ev(s, d).filter(col("event_type") === "view")
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("item"))
+        .groupBy("user_id", "tus")
+        .agg(max_by(col("item"), col("event_id")).as("item"))
+      graft.ops.Scd2.fromHistory(log, Seq("user_id"), "tus", Seq("item"))
+        .select(col("user_id"), col("item"),
+          col("valid_from").as("valid_from_us"), col("valid_to").as("valid_to_us"),
+          col("is_current"))
+        .orderBy("user_id", "valid_from_us")
     }
   )
 }

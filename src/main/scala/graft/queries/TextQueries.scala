@@ -294,6 +294,31 @@ object TextQueries {
         .orderBy("doc_id", "win")
     },
 
+    // Byte-distribution uniformity screen over binary payloads — the
+    // ingest-time corruption/encoding check run BEFORE decode. Exact
+    // Int64: chi2 = Σ(16·c − n)² over the 16 nibble counts (the Pearson
+    // χ² numerator scaled — no division, no transcendental),
+    // concentration = 1e6·max(c) div n. The oracle counts nibble chars
+    // in the lowercase hex directly (each hex char IS a nibble).
+    QueryDef("mm5_byte_stats", {
+      val nibbles = "0123456789abcdef".map(c => s"'$c'").mkString(", ")
+      s"""WITH b AS (SELECT doc_id, lower(hex(CAST(text AS BLOB))) AS hx FROM documents
+         |           WHERE octet_length(CAST(text AS BLOB)) > 0),
+         |c AS (SELECT doc_id, CAST(LENGTH(hx) AS BIGINT) AS n,
+         |        [CAST(LENGTH(hx) - LENGTH(REPLACE(hx, x, '')) AS BIGINT)
+         |         FOR x IN [$nibbles]] AS cnt
+         |      FROM b)
+         |SELECT doc_id, n AS n_nibbles,
+         |  CAST(list_sum([CASE WHEN c > 0 THEN 1 ELSE 0 END FOR c IN cnt]) AS BIGINT) AS distinct_nibbles,
+         |  CAST(list_sum([(16*c - n)*(16*c - n) FOR c IN cnt]) AS BIGINT) AS chi2,
+         |  CAST(1000000 * list_max(cnt) // n AS BIGINT) AS concentration_ppm
+         |FROM c ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      Multimodal.byteStats(s,
+          Multimodal.asBinaryTable(Tables.load(s, d, "documents"), "doc_id", "text"))
+        .orderBy("doc_id")
+    },
+
     // Frame sampling over binary payloads: every 64-byte stride yields a
     // 16-byte frame, fingerprinted as md5(lowercase hex) — the hex hop
     // keeps the spec portable (DuckDB has no blob substring).

@@ -587,6 +587,39 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("SCD2: incremental applyChanges equals a from-scratch rebuild") {
+    val rnd = new scala.util.Random(41)
+    // observation log: 30 keys, random attr drift, unique (pk, ts)
+    val obs = (for (k <- 0 until 30; t <- 0 until 8) yield
+      (k.toLong, t.toLong * 10 + k, s"v${rnd.nextInt(3)}", rnd.nextInt(2).toLong))
+      .toDF("id", "ts", "tier", "flag")
+    // split: first 5 observations per key seed the dim, rest arrive as a
+    // change batch PLUS a late backfill (ts between existing rows) and a
+    // no-op repeat of a current value
+    val seed = obs.where(col("ts") < lit(50) + col("id"))
+    val batch = obs.where(col("ts") >= lit(50) + col("id"))
+    val dim0 = ops.Scd2.fromHistory(seed, Seq("id"), "ts", Seq("tier", "flag"))
+    val dim1 = ops.Scd2.applyChanges(dim0, batch, Seq("id"), "ts", Seq("tier", "flag"))
+    val full = ops.Scd2.fromHistory(obs, Seq("id"), "ts", Seq("tier", "flag"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id", "valid_from").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4), r.getBoolean(5))).toSeq
+    assert(canon(dim1) === canon(full))
+    // interval sanity: exactly one current row per key, intervals chain
+    val rows = canon(full).groupBy(_._1)
+    rows.foreach { case (_, g) =>
+      assert(g.count(_._6) === 1)
+      g.sliding(2).foreach {
+        case Seq(a, b) => assert(a._5 === b._4, s"gap between $a and $b")
+        case _ =>
+      }
+    }
+    // untouched keys pass through: apply an empty batch, nothing changes
+    val dimSame = ops.Scd2.applyChanges(dim0, batch.limit(0), Seq("id"), "ts", Seq("tier", "flag"))
+    assert(canon(dimSame) === canon(dim0))
+  }
+
   test("triangle counts match brute force on a random graph with dupes and loops") {
     import spark.implicits._
     // seeded random graph, PLUS noise the dedup must absorb: reversed
