@@ -450,6 +450,35 @@ object StreamingOps {
         if (!batch.isEmpty) SyncMerge.merge(table, batch, pkCols, valueCols): Unit
       }
       .start()
+
+  /** Continuous SCD2 maintenance — a dimension feed streamed into a
+    * history-preserving GraftTable: each micro-batch of observations
+    * (pkCols..., tsCol, attrCols...) runs `Scd2.applyChanges` against
+    * the table's current snapshot and commits ONE atomic new version
+    * (`replaceFiles` of the full file set), so readers time-travel over
+    * whole dimension states and the CDC/ETag machinery invalidates per
+    * batch, never per row. The applyChanges compute touches only the
+    * batch's keys (dim-side semi/anti joins + one keyed window over the
+    * touched slice); the storage commit rewrites the table — the right
+    * trade for dimensions, which are small next to the facts that
+    * reference them (a stats-pruned file rewrite is SyncMerge's
+    * specialty and composes later if a dimension outgrows it). Single
+    * writer per table, the cdcUpsertStream assumption. */
+  def scd2Stream(changes: DataFrame, table: GraftTable, pkCols: Seq[String],
+                 tsCol: String, attrCols: Seq[String], checkpointDir: String,
+                 trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val m = table.latestManifest
+          val next = graft.ops.Scd2.applyChanges(
+            table.read(), batch, pkCols, tsCol, attrCols)
+          table.replaceFiles(m.files, Seq.empty, next): Unit
+        }
+      }
+      .start()
 }
 
 /** transformWithState processor for nearDupDedupStream: each LSH bucket's

@@ -489,6 +489,37 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq === Seq((3L, 6000L), (4L, 9000L)))
   }
 
+  test("streaming SCD2 keeps a graft table equal to a from-scratch rebuild") {
+    val inDir = tmpDir("graft-scd2-in")
+    val ckDir = tmpDir("graft-scd2-ck")
+    val t = GraftTable.create(spark, tmpDir("graft-scd2-table"),
+      StructType(Seq(StructField("id", LongType), StructField("tier", StringType),
+        StructField("valid_from", LongType), StructField("valid_to", LongType),
+        StructField("is_current", BooleanType))))
+    val obsSchema = StructType(Seq(
+      StructField("id", LongType), StructField("ts", LongType),
+      StructField("tier", StringType)))
+    val b1 = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 10L, "x"))
+    val b2 = Seq((1L, 30L, "b"), (1L, 15L, "c"), (2L, 40L, "y")) // no-op + backfill + change
+    b1.toDF("id", "ts", "tier").write.parquet(inDir + "/b1")
+    val stream = spark.readStream.schema(obsSchema).parquet(inDir + "/b*")
+    val q = StreamingOps.scd2Stream(stream, t, Seq("id"), "ts", Seq("tier"), ckDir,
+      Trigger.ProcessingTime("1 second"))
+    q.processAllAvailable()
+    b2.toDF("id", "ts", "tier").write.parquet(inDir + "/b2")
+    q.processAllAvailable(); q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id", "valid_from").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toSeq
+    val full = graft.ops.Scd2.fromHistory(
+      (b1 ++ b2).toDF("id", "ts", "tier"), Seq("id"), "ts", Seq("tier"))
+      .select("id", "tier", "valid_from", "valid_to", "is_current")
+    assert(canon(t.read()) === canon(full))
+    // the backfilled 15->'c' spliced: key 1 history is a@10, c@15, b@20
+    assert(canon(t.read()).filter(_._1 == 1L).map(_._2) === Seq("a", "c", "b"))
+  }
+
   test("continuous CDC upsert stream merges micro-batches into a graft table") {
     val inDir = tmpDir("graft-cdc-in")
     val ckDir = tmpDir("graft-cdc-ck")
