@@ -1018,11 +1018,16 @@ object Relational {
         |  CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(MIN(c) AS BIGINT) AS lo_cents, CAST(MAX(c) AS BIGINT) AS hi_cents
         |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
-      val w = Window.partitionBy("f").orderBy("c", "l_orderkey", "l_linenumber")
-      li(s, d)
+      // NOT Window.partitionBy(f).ntile: parallelism would equal the key
+      // cardinality (3 monster sort tasks at scale — measured 9.8 s at
+      // sf1). DistributedRank evaluates the identical assignment with
+      // slices × keys parallelism via range-partitioned local ranks + a
+      // tiny broadcast offset table.
+      val b = li(s, d)
         .select(col("l_returnflag").as("f"), col("l_orderkey"), col("l_linenumber"),
           round(col("l_extendedprice") * 100).cast(LongType).as("c"))
-        .withColumn("bin", ntile(10).over(w).cast(LongType))
+      graft.ops.DistributedRank.ntileByKey(b, Seq("f"),
+          Seq("c", "l_orderkey", "l_linenumber"), k = 10)
         .groupBy("f", "bin")
         .agg(count(lit(1)).as("n"), min("c").as("lo_cents"), max("c").as("hi_cents"))
         .select(col("f").as("l_returnflag"), col("bin"), col("n"),

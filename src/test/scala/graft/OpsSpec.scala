@@ -587,6 +587,30 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("distributed ntile equals the textbook window ntile on random data") {
+    val rnd = new scala.util.Random(53)
+    // uneven key sizes incl. n < k, n % k != 0, duplicate order values
+    // disambiguated by a unique id column
+    val rows = (1 to 3000).map(i => (s"k${rnd.nextInt(4)}", rnd.nextInt(50).toLong, i.toLong))
+    val df = rows.toDF("f", "c", "id").repartition(8)
+    val plain = df.withColumn("bin",
+        ntile(7).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("f").orderBy("c", "id")).cast("long"))
+      .orderBy("f", "c", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val dist = ops.DistributedRank.ntileByKey(df, Seq("f"), Seq("c", "id"), k = 7,
+        slices = 5, smallBytes = 0L)
+      .orderBy("f", "c", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(dist === plain)
+    // tiny-key edge: a key with fewer rows than buckets gets bins 1..n
+    val tiny = Seq(("t", 1L, 1L), ("t", 2L, 2L)).toDF("f", "c", "id")
+    val tb = ops.DistributedRank.ntileByKey(tiny, Seq("f"), Seq("c", "id"), k = 7,
+        slices = 3, smallBytes = 0L)
+      .orderBy("c").collect().map(_.getLong(3)).toSeq
+    assert(tb === Seq(1L, 2L))
+  }
+
   test("SCD2: incremental applyChanges equals a from-scratch rebuild") {
     val rnd = new scala.util.Random(41)
     // observation log: 30 keys, random attr drift, unique (pk, ts)
