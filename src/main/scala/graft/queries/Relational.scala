@@ -1033,6 +1033,53 @@ object Relational {
         .select(col("f").as("l_returnflag"), col("bin"), col("n"),
           col("lo_cents"), col("hi_cents"))
         .orderBy("l_returnflag", "bin")
+    },
+
+    // Quantile sketch persistence — q38's lakehouse rollup pattern for
+    // QUANTILES: per-(flag, status) KLL sketches are built as binary
+    // data (what per-shard jobs would persist), merged per flag at query
+    // time, and their p50/p95 estimates asserted inside ±5 rank points
+    // of the exact order statistics (rankStatsByKey) — KLL's compaction
+    // is randomized, so the portable guarantee is the rank-error bound
+    // (±1.65% at k=200, 99% conf), the q26/q38 both-engines-verify-
+    // their-own-sketch oracle shape (DuckDB asserts ITS t-digest
+    // approx_quantile against the same exact bounds).
+    QueryDef("q47_kll_persist",
+      """WITH b AS (SELECT l_returnflag AS f,
+        |             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c
+        |           FROM lineitem),
+        |e AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS n,
+        |        quantile_disc(c, 0.45) AS lo50, quantile_disc(c, 0.55) AS hi50,
+        |        quantile_disc(c, 0.90) AS lo95, quantile_disc(c, 0.99) AS hi95,
+        |        approx_quantile(c, 0.5) AS e50, approx_quantile(c, 0.95) AS e95
+        |      FROM b GROUP BY 1)
+        |SELECT f AS l_returnflag, n,
+        |  e50 BETWEEN lo50 AND hi50 AS ok50,
+        |  e95 BETWEEN lo95 AND hi95 AS ok95
+        |FROM e ORDER BY 1""".stripMargin) { (s, d) =>
+      import graft.functions.KllFunctions.{kll_est, kll_sketch}
+      val t = li(s, d).select(col("l_returnflag").as("f"), col("l_linestatus"),
+        round(col("l_extendedprice") * 100).cast(LongType).as("c"))
+      // stage 1: the per-shard sketches a pipeline would PERSIST
+      val partials = t.groupBy("f", "l_linestatus")
+        .agg(kll_sketch(col("c"), 200).as("sk"))
+      // stage 2: roll up the stored partials per flag, estimate p50/p95
+      val est = partials.groupBy("f")
+        .agg(kll_est(col("sk"), 200, Seq(0.5, 0.95)).as("est"))
+      // exact ±5-rank-point acceptance bounds, ONE histogram+refine pass
+      val bounds = graft.ops.ExactQuantile
+        .rankStatsByKey(t, col("f"), col("c"), Seq(0.45, 0.55, 0.90, 0.99))
+        .groupBy(col("__k").as("f"))
+        .agg(first(col("n")).as("n"),
+          max(when(col("__i") === 0, col("value"))).as("lo50"),
+          max(when(col("__i") === 1, col("value"))).as("hi50"),
+          max(when(col("__i") === 2, col("value"))).as("lo95"),
+          max(when(col("__i") === 3, col("value"))).as("hi95"))
+      bounds.join(est, "f")
+        .select(col("f").as("l_returnflag"), col("n"),
+          element_at(col("est"), 1).between(col("lo50"), col("hi50")).as("ok50"),
+          element_at(col("est"), 2).between(col("lo95"), col("hi95")).as("ok95"))
+        .orderBy("l_returnflag")
     }
   )
 }

@@ -368,6 +368,26 @@ object StreamingOps {
       .toDF("user_id", "event_id", "ewma_milli", "ts")
   }
 
+  /** Streaming quantile estimates — q47's KLL sketch inside the ordinary
+    * watermarked windowed aggregation (the approxDistinctStream /
+    * heavyHittersStream pattern): state per live window is one KLL
+    * binary (a few KB at k=200) regardless of how many values arrive,
+    * and the sketch is mergeable so micro-batches combine exactly like
+    * map-side partials. Estimates inherit KLL's rank-error guarantee
+    * (±1.65% at k=200), not run-determinism — the same trade the batch
+    * q47 oracle asserts. Emits (win_start, q_est ARRAY<BIGINT>) per
+    * closed window, one element per requested rank. */
+  def quantileStream(events: DataFrame, valueCol: String, tsCol: String,
+                     watermark: String, windowLen: String,
+                     ranks: Seq[Double], k: Int = 200): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol).as("__ts"), col(valueCol).cast("long").as("__v"))
+      .groupBy(window(col("__ts"), windowLen))
+      .agg(graft.functions.KllFunctions.kll_sketch(col("__v"), k).as("sk"))
+      .select(col("window.start").as("win_start"),
+        graft.functions.KllFunctions.kll_quantiles(col("sk"), ranks).as("q_est"))
+
   /** Streaming CUSUM change-point flags — the online twin of batch ev17.
     * The batch query evaluates the closed form S = P − running-min(P);
     * the stream runs the equivalent clamped recursion

@@ -457,6 +457,34 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === expect)
   }
 
+  test("streaming KLL quantiles merge sketches across micro-batches") {
+    val dir = tmpDir("graft-kllq")
+    val schema = StructType(Seq(
+      StructField("v", LongType), StructField("ts", TimestampType)))
+    def write(sub: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("v", "s")
+        .select(col("v"), to_timestamp(col("s")).as("ts"))
+        .write.parquet(dir + "/" + sub)
+    // values 1..60 split across two batches of one window; with n=60 <<
+    // k=200 the sketch retains everything -> estimates are EXACT order
+    // statistics, so the cross-batch merge is deterministic here
+    write("b1", (1L to 30L).map(v => (v, "2024-01-01 00:05:00")))
+    val stream = StreamingOps.parquetStream(spark, schema, dir + "/b*")
+    val out = StreamingOps.quantileStream(stream, "v", "ts",
+      "10 minutes", "1 hour", ranks = Seq(0.5, 0.9))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("kllqout").start()
+    q.processAllAvailable()
+    write("b2", (31L to 60L).map(v => (v, "2024-01-01 00:40:00")))
+    q.processAllAvailable()
+    write("b3", Seq((0L, "2024-01-01 03:00:00"))) // watermark flush
+    q.processAllAvailable(); q.stop()
+    val est = spark.sql(
+      "SELECT q_est FROM kllqout ORDER BY win_start LIMIT 1")
+      .collect().head.getSeq[Long](0)
+    assert(est === Seq(30L, 54L)) // inclusive rank: ceil(0.5*60), ceil(0.9*60)
+  }
+
   test("streaming CUSUM carries the accumulator across micro-batches") {
     val dir = tmpDir("graft-cusum")
     val schema = StructType(Seq(
