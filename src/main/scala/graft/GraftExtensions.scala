@@ -24,7 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.DotProductLong(exprs(0), exprs(1))))
     (graft.functions.TextExprs.sqlBuilders.map((_, "graft.functions.TextExprs")) ++
-        graft.functions.BloomFunctions.sqlBuilders.map((_, "graft.functions.BloomFunctions")))
+        graft.functions.BloomFunctions.sqlBuilders.map((_, "graft.functions.BloomFunctions")) ++
+        graft.functions.KllFunctions.sqlBuilders.map((_, "graft.functions.KllFunctions")))
       .foreach { case ((name, builder), cls) =>
         ext.injectFunction((
           FunctionIdentifier(name),

@@ -145,4 +145,50 @@ object KllFunctions {
   def kll_est(c: Column, k: Int, ranks: Seq[Double]): Column =
     GraftBridge.column(
       KllEstAggregate(GraftBridge.expression(c), k, ranks).toAggregateExpression())
+
+  /** Arity-checked SQL builders for the serving frontends + extensions
+    * hook: `kll_sketch(v, k)`, `kll_est(sk, k, r...)`,
+    * `kll_quantiles(sk, r...)`, and the KMV `min_k_md5(v, k)`. */
+  def sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    def litInt(e: Expression, fn: String, arg: String): Int = e match {
+      case Literal(v: Int, _) => v
+      case Literal(v: Long, _) => v.toInt
+      case _ => throw new IllegalArgumentException(s"$fn: $arg must be an integer literal")
+    }
+    def litDouble(e: Expression, fn: String): Double = e match {
+      case Literal(v: Double, _) => v
+      case Literal(v: java.math.BigDecimal, _) => v.doubleValue
+      case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+      case Literal(v: Int, _) => v.toDouble
+      case _ => throw new IllegalArgumentException(s"$fn: ranks must be numeric literals")
+    }
+    def lng(e: Expression) =
+      if (e.dataType == LongType) e else Cast(e, LongType)
+    Seq(
+      "kll_sketch" -> { es =>
+        if (es.length != 2) throw new IllegalArgumentException(
+          s"kll_sketch(value, k) takes 2 arguments, got ${es.length}")
+        KllSketchAggregate(lng(es(0)), litInt(es(1), "kll_sketch", "k")).toAggregateExpression()
+      },
+      "kll_est" -> { es =>
+        if (es.length < 3) throw new IllegalArgumentException(
+          s"kll_est(sketch, k, rank...) takes >= 3 arguments, got ${es.length}")
+        KllEstAggregate(es(0), litInt(es(1), "kll_est", "k"),
+          es.drop(2).map(litDouble(_, "kll_est"))).toAggregateExpression()
+      },
+      "kll_quantiles" -> { es =>
+        if (es.length < 2) throw new IllegalArgumentException(
+          s"kll_quantiles(sketch, rank...) takes >= 2 arguments, got ${es.length}")
+        KllQuantiles(es(0), es.drop(1).map(litDouble(_, "kll_quantiles")))
+      },
+      "min_k_md5" -> { es =>
+        if (es.length != 2) throw new IllegalArgumentException(
+          s"min_k_md5(value, k) takes 2 arguments, got ${es.length}")
+        MinKMd5Aggregate(
+          if (es(0).dataType == org.apache.spark.sql.types.StringType) es(0)
+          else Cast(es(0), org.apache.spark.sql.types.StringType),
+          litInt(es(1), "min_k_md5", "k")).toAggregateExpression()
+      })
+  }
 }

@@ -193,7 +193,7 @@ object VectorFunctions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_q", exprs => DotProductLong(exprs(0), exprs(1)), "scala_udf")
-    (TextExprs.sqlBuilders ++ BloomFunctions.sqlBuilders).foreach { case (name, builder) =>
+    (TextExprs.sqlBuilders ++ BloomFunctions.sqlBuilders ++ KllFunctions.sqlBuilders).foreach { case (name, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "scala_udf")
     }

@@ -34,6 +34,25 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
         .collect().map(row => (row.getLong(0), row.getBoolean(1)))
       assert(hits.filter(_._1 < 50).forall(_._2), "no false negatives")
       assert(hits.count(x => x._1 >= 50 && x._2) < 25, "fp rate sane")
+      // KLL persistence round-trip in pure SQL: partial sketches per
+      // bucket, merged + estimated; n=160 <= k retains everything, so
+      // the p50/p90 reads are exact inclusive order statistics
+      val kll = spark.sql(
+        """WITH part AS (SELECT id % 4 AS b, kll_sketch(id + 1, 200) AS sk
+          |              FROM range(0, 160) GROUP BY 1)
+          |SELECT kll_est(sk, 200, 0.5, 0.9) AS q FROM part""".stripMargin)
+        .collect().head.getSeq[Long](0)
+      assert(kll === Seq(80L, 144L))
+      // scalar read of ONE persisted binary
+      val one = spark.sql(
+        """SELECT kll_quantiles((SELECT kll_sketch(id + 1, 200) FROM range(0, 100)), 0.25)""")
+        .collect().head.getSeq[Long](0)
+      assert(one === Seq(25L))
+      // KMV bottom-k sketch: 3 smallest distinct md5 digests, ascending
+      val kmv = spark.sql(
+        "SELECT min_k_md5(CAST(id % 10 AS STRING), 3) FROM range(0, 100)")
+        .collect().head.getSeq[String](0)
+      assert(kmv.length === 3 && kmv === kmv.sorted && kmv.distinct.length === 3)
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
