@@ -516,6 +516,43 @@ object Events {
           col("valid_from").as("valid_from_us"), col("valid_to").as("valid_to_us"),
           col("is_current"))
         .orderBy("user_id", "valid_from_us")
+    },
+
+    // Rolling least-squares slope — per-user trend over the last 8
+    // observations, the drift detector CUSUM (ev17) doesn't give a
+    // MAGNITUDE for. x = the observation index (row_number), so the
+    // regression moments Σx, Σy, Σxy, Σx² are exact-Int64 window sums
+    // over ONE shared frame; slope = (nΣxy − ΣxΣy)/(nΣxx − (Σx)²) is a
+    // single correctly-rounded double division on integer operands —
+    // bit-equal on both engines. Emitted only for full frames.
+    QueryDef("ev19_rolling_slope",
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |             CAST(ROUND(value * 1000) AS BIGINT) AS y FROM events),
+        |xr AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |         ORDER BY tus, event_id) AS BIGINT) AS x FROM e),
+        |r AS (SELECT *, SUM(x) OVER w8 AS sx, SUM(y) OVER w8 AS sy,
+        |        SUM(x * y) OVER w8 AS sxy, SUM(x * x) OVER w8 AS sxx
+        |      FROM xr
+        |      WINDOW w8 AS (PARTITION BY user_id ORDER BY tus, event_id
+        |               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id,
+        |  CAST(8 * sxy - sx * sy AS DOUBLE) / (8 * sxx - sx * sx) AS slope_milli
+        |FROM r WHERE x >= 8 ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      val w8 = w.rowsBetween(-7, Window.currentRow)
+      ev(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"),
+          round(col("value") * 1000).cast(LongType).as("y"))
+        .withColumn("x", row_number().over(w).cast(LongType))
+        .withColumn("sx", sum("x").over(w8))
+        .withColumn("sy", sum("y").over(w8))
+        .withColumn("sxy", sum(col("x") * col("y")).over(w8))
+        .withColumn("sxx", sum(col("x") * col("x")).over(w8))
+        .where(col("x") >= 8)
+        .select(col("user_id"), col("event_id"),
+          ((lit(8) * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+            (lit(8) * col("sxx") - col("sx") * col("sx"))).as("slope_milli"))
+        .orderBy("user_id", "event_id")
     }
   )
 }

@@ -1080,6 +1080,40 @@ object Relational {
           element_at(col("est"), 1).between(col("lo50"), col("hi50")).as("ok50"),
           element_at(col("est"), 2).between(col("lo95"), col("hi95")).as("ok95"))
         .orderBy("l_returnflag")
+    },
+
+    // Winsorized mean — q44's robust-stats sibling for the MEAN: clamp
+    // each value to the exact [p05, p95] nearest-rank bounds (ONE fused
+    // rankStatsByKey pass), then average. One corrupted sensor reading
+    // can move a plain mean arbitrarily; the winsorized mean is bounded.
+    // The clamp bounds are actual elements (quantile_disc semantics) and
+    // the mean is an exact-Int64 sum with ONE correctly-rounded double
+    // division — both engines agree bit-for-bit.
+    QueryDef("q48_winsorized_mean",
+      """WITH b AS (SELECT l_returnflag AS f,
+        |             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c
+        |           FROM lineitem),
+        |q AS (SELECT f, quantile_disc(c, 0.05) AS lo, quantile_disc(c, 0.95) AS hi
+        |      FROM b GROUP BY 1)
+        |SELECT b.f AS l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  q.lo AS lo_cents, q.hi AS hi_cents,
+        |  CAST(SUM(LEAST(GREATEST(b.c, q.lo), q.hi)) AS DOUBLE) / COUNT(*) AS wmean_cents
+        |FROM b JOIN q USING (f) GROUP BY 1, 3, 4 ORDER BY 1""".stripMargin) { (s, d) =>
+      val t = li(s, d).select(col("l_returnflag").as("f"),
+        round(col("l_extendedprice") * 100).cast(LongType).as("c"))
+      val bounds = graft.ops.ExactQuantile
+        .rankStatsByKey(t, col("f"), col("c"), Seq(0.05, 0.95))
+        .groupBy(col("__k").as("f"))
+        .agg(max(when(col("__i") === 0, col("value"))).as("lo"),
+          max(when(col("__i") === 1, col("value"))).as("hi"))
+      t.join(broadcast(bounds), "f")
+        .groupBy("f")
+        .agg(count(lit(1)).as("n"), first("lo").as("lo_cents"), first("hi").as("hi_cents"),
+          (sum(least(greatest(col("c"), col("lo")), col("hi"))).cast(DoubleType) /
+            count(lit(1))).as("wmean_cents"))
+        .select(col("f").as("l_returnflag"), col("n"),
+          col("lo_cents"), col("hi_cents"), col("wmean_cents"))
+        .orderBy("l_returnflag")
     }
   )
 }
