@@ -553,6 +553,57 @@ object Events {
           ((lit(8) * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
             (lit(8) * col("sxx") - col("sx") * col("sx"))).as("slope_milli"))
         .orderBy("user_id", "event_id")
+    },
+
+    // Two-sample z-test per day — the experimentation primitive: does
+    // the 'purchase' value mean differ from the 'view' mean beyond
+    // 2 standard errors? The naive z = Δ/se is float soup; here the
+    // inequality Δ² > 4·se² is cleared of every division:
+    //   (S₁n₂ − S₂n₁)²·n₁n₂ > 4·[(n₁Q₁ − S₁²)·n₂³ + (n₂Q₂ − S₂²)·n₁³]
+    // and evaluated in EXACT wide-integer arithmetic (DECIMAL(38,0) on
+    // Spark, HUGEINT in DuckDB — products stay ~1e24, far below either
+    // limit), so the significance flag is bit-portable. The reported
+    // mean diff is the single correctly-rounded double division.
+    QueryDef("ev20_ab_significance",
+      """WITH m AS (SELECT date_trunc('day', ts) AS day, event_type,
+        |             CAST(COUNT(*) AS HUGEINT) AS n,
+        |             CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS HUGEINT) AS s,
+        |             CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)
+        |                      * CAST(ROUND(value * 1000) AS BIGINT)) AS HUGEINT) AS q
+        |           FROM events WHERE event_type IN ('view', 'purchase')
+        |           GROUP BY 1, 2),
+        |p AS (SELECT a.day, a.n AS n1, a.s AS s1, a.q AS q1,
+        |        b.n AS n2, b.s AS s2, b.q AS q2
+        |      FROM m a JOIN m b ON a.day = b.day
+        |        AND a.event_type = 'view' AND b.event_type = 'purchase')
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(n1 AS BIGINT) AS n_view, CAST(n2 AS BIGINT) AS n_purchase,
+        |  CAST(s1 * n2 - s2 * n1 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS mean_diff_milli,
+        |  (s1 * n2 - s2 * n1) * (s1 * n2 - s2 * n1) * n1 * n2 >
+        |    4 * ((n1 * q1 - s1 * s1) * n2 * n2 * n2 + (n2 * q2 - s2 * s2) * n1 * n1 * n1)
+        |    AS significant
+        |FROM p ORDER BY 1""".stripMargin) { (s, d) =>
+      val d38 = DecimalType(38, 0)
+      val vm = round(col("value") * 1000).cast(LongType)
+      val m = ev(s, d).filter(col("event_type").isin("view", "purchase"))
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).cast(d38).as("n"),
+          sum(vm).cast(d38).as("s"),
+          sum(vm * vm).cast(d38).as("q"))
+      val a = m.filter(col("event_type") === "view")
+        .select(col("day"), col("n").as("n1"), col("s").as("s1"), col("q").as("q1"))
+      val b = m.filter(col("event_type") === "purchase")
+        .select(col("day").as("day2"), col("n").as("n2"), col("s").as("s2"), col("q").as("q2"))
+      val dn = col("s1") * col("n2") - col("s2") * col("n1")
+      a.join(b, col("day") === col("day2"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n1").cast(LongType).as("n_view"), col("n2").cast(LongType).as("n_purchase"),
+          (dn.cast(DoubleType) / (col("n1") * col("n2")).cast(DoubleType)).as("mean_diff_milli"),
+          (dn * dn * col("n1") * col("n2") >
+            lit(4) * ((col("n1") * col("q1") - col("s1") * col("s1")) * col("n2") * col("n2") * col("n2") +
+              (col("n2") * col("q2") - col("s2") * col("s2")) * col("n1") * col("n1") * col("n1")))
+            .as("significant"))
+        .orderBy("day")
     }
   )
 }
