@@ -410,6 +410,72 @@ object Graph {
     removed.union(alive.select(col("node"), lit(0L).as("peel_round")))
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) — `iters` UNNORMALIZED
+    * mutual-reinforcement rounds in exact Int64: a'(v) = Σ_{u→v} h(u),
+    * then h'(u) = Σ_{u→v} a'(v), starting from h = a = 1. Per-iteration
+    * L2 normalization only rescales the ranking, so dropping it keeps
+    * every value an exact integer (engine-portable; an unrolled-CTE
+    * oracle replays the identical sums) — callers cap `iters` so scores
+    * stay in Int64 (growth ≈ (max degree)^{2·iters}; the guard below
+    * fails loudly on overflow rather than wrapping). Same shuffle
+    * layout as pageRank: one edge join + one map-side-combined dst/src
+    * aggregate per half-round over a checkpointed edge list; driver
+    * fast path under the shared edge budget.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String, iters: Int = 3,
+           localEdgeLimit: Long = 1000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(
+        edges(srcCol).cast(LongType).as("src"),
+        edges(dstCol).cast(LongType).as("dst"))
+      .distinct()
+      .localCheckpoint(false)
+    val nEdges = e.count() // materializes the checkpoint
+    def checkedAdd(x: Long, y: Long): Long = {
+      val r = x + y
+      if (((x ^ r) & (y ^ r)) < 0) throw new ArithmeticException(
+        s"HITS overflow after unnormalized growth — lower iters")
+      r
+    }
+    if (nEdges <= localEdgeLimit) {
+      val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val nodes = (es.iterator.map(_._1) ++ es.iterator.map(_._2)).toArray.distinct
+      var h = nodes.map(_ -> 1L).toMap
+      var a = nodes.map(_ -> 1L).toMap
+      for (_ <- 1 to iters) {
+        val a1 = scala.collection.mutable.HashMap[Long, Long]().withDefaultValue(0L)
+        es.foreach { case (u, v) => a1(v) = checkedAdd(a1(v), h(u)) }
+        a = nodes.map(n => n -> a1(n)).toMap
+        val h1 = scala.collection.mutable.HashMap[Long, Long]().withDefaultValue(0L)
+        es.foreach { case (u, v) => h1(u) = checkedAdd(h1(u), a(v)) }
+        h = nodes.map(n => n -> h1(n)).toMap
+      }
+      return nodes.sorted.map(n => (n, h(n), a(n))).toSeq
+        .toDF("node", "hub", "auth")
+    }
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(false)
+    var h = nodes.withColumn("hub", lit(1L))
+    var a = nodes.withColumn("auth", lit(1L))
+    for (_ <- 1 to iters) {
+      val aIn = e.join(h.select(col("node").as("src"), col("hub")), "src")
+        .groupBy(col("dst").as("node")).agg(sum("hub").as("s"))
+      a = nodes.join(aIn, Seq("node"), "left")
+        .select(col("node"), coalesce(col("s"), lit(0L)).as("auth"))
+        .localCheckpoint(false)
+      val hOut = e.join(a.select(col("node").as("dst"), col("auth")), "dst")
+        .groupBy(col("src").as("node")).agg(sum("auth").as("s"))
+      h = nodes.join(hOut, Seq("node"), "left")
+        .select(col("node"), coalesce(col("s"), lit(0L)).as("hub"))
+        .localCheckpoint(false)
+    }
+    h.join(a, "node").select(col("node"), col("hub"), col("auth"))
+  }
+
   /** The events-table item graph: consecutive items (props.k) per user in
     * (ts, event_id) order become directed edges src→dst, self-loops
     * dropped, multiplicity as the edge weight. One window shuffle keyed

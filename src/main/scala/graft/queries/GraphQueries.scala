@@ -18,6 +18,9 @@ object GraphQueries {
   // is round 9 — every node peels; sf0.1's 11-core is non-empty)
   private val KcK = 11
   private val KcRounds = 12
+  // gr7: unnormalized HITS rounds — growth ≈ (max deg)^(2·iters) must
+  // stay inside Int64 (guarded in ops.Graph.hits)
+  private val HitsIters = 3
 
   // one unrolled PageRank step: r{k} -> r{k+1}, all-integer arithmetic
   // (rank·w // ow per edge, 85% damping via (85·s) // 100, teleport
@@ -196,6 +199,40 @@ object GraphQueries {
             get_json_object(col("props"), "$.k").cast(LongType).cast(StringType)).as("b"))
       graft.ops.Graph.kCorePeel(bip, "a", "b", k = KcK, rounds = KcRounds)
         .orderBy("peel_round", "node")
+    },
+
+    // HITS hubs & authorities over the distinct item-transition edges —
+    // 3 unnormalized mutual-reinforcement rounds in exact Int64 (the
+    // per-round L2 normalization only rescales ranks, so dropping it
+    // keeps every value an integer; growth stays far inside Int64 at 3
+    // rounds on this graph). Spark runs ops.Graph.hits (pageRank's
+    // shuffle layout, overflow-guarded); the oracle unrolls the same
+    // sums as chained CTEs.
+    QueryDef("gr7_hits", {
+      def round(r: Int): String =
+        s"""a$r AS (SELECT n.node, CAST(COALESCE(SUM(h${r - 1}.v), 0) AS BIGINT) AS v
+           |  FROM nodes n LEFT JOIN de e ON e.dst = n.node
+           |  LEFT JOIN h${r - 1} ON h${r - 1}.node = e.src GROUP BY 1),
+           |h$r AS (SELECT n.node, CAST(COALESCE(SUM(a$r.v), 0) AS BIGINT) AS v
+           |  FROM nodes n LEFT JOIN de e ON e.src = n.node
+           |  LEFT JOIN a$r ON a$r.node = e.dst GROUP BY 1)""".stripMargin
+      s"""WITH it AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
+         |       CAST(props->>'k' AS BIGINT) AS item FROM events),
+         |lg AS (SELECT item, LAG(item) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS src
+         |       FROM it),
+         |de AS (SELECT DISTINCT src, item AS dst FROM lg WHERE src IS NOT NULL AND src <> item),
+         |nodes AS (SELECT DISTINCT node FROM
+         |          (SELECT src AS node FROM de UNION SELECT dst FROM de)),
+         |h0 AS (SELECT node, CAST(1 AS BIGINT) AS v FROM nodes),
+         |${(1 to HitsIters).map(round).mkString(",\n")}
+         |SELECT n.node, h$HitsIters.v AS hub, a$HitsIters.v AS auth
+         |FROM nodes n JOIN h$HitsIters ON h$HitsIters.node = n.node
+         |JOIN a$HitsIters ON a$HitsIters.node = n.node
+         |ORDER BY n.node""".stripMargin
+    }) { (s, d) =>
+      val edges = graft.ops.Graph.itemTransitionEdges(Tables.load(s, d, "events"))
+      graft.ops.Graph.hits(edges, "src", "dst", iters = HitsIters)
+        .orderBy("node")
     },
 
     // Item-item co-view similarity — the bipartite projection behind

@@ -556,6 +556,29 @@ class OpsSpec extends SparkSpec {
     assert(fast === best.toSeq.sortBy(_._1))
   }
 
+  test("HITS: fast path and distributed loop are bit-equal and match brute force") {
+    val rnd = new scala.util.Random(61)
+    val edges = (1 to 120).map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    def run(limit: Long) =
+      ops.Graph.hits(edges, "src", "dst", iters = 3, localEdgeLimit = limit)
+        .orderBy("node").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val fast = run(Long.MaxValue)
+    val distributed = run(0L)
+    assert(fast === distributed)
+    // brute force over the distinct edge set
+    val es = edges.distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
+    var h = nodes.map(_ -> 1L).toMap
+    var a = nodes.map(_ -> 1L).toMap
+    for (_ <- 1 to 3) {
+      a = nodes.map(n => n -> es.filter(_._2 == n).map(e => h(e._1)).sum).toMap
+      h = nodes.map(n => n -> es.filter(_._1 == n).map(e => a(e._2)).sum).toMap
+    }
+    assert(fast === nodes.sorted.map(n => (n, h(n), a(n))).toSeq)
+  }
+
   test("novelty scoring: a planted unique doc scores 1e6, a full mirror scores 0") {
     // base docs share no 5-grams; doc 11 mirrors doc 1 exactly, doc 12 is unique
     val words = (0 until 60).map(i => s"w${i}x").grouped(10).toSeq
