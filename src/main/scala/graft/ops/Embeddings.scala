@@ -544,6 +544,36 @@ object Embeddings {
       k)
   }
 
+  /** Attribute-FILTERED ANN top-k — the "hybrid search" shape every
+    * retrieval stack needs (top-k similar WHERE lang = 'en' AND ...):
+    * `candPred` restricts the corpus side BEFORE any distance math and
+    * before the bucket join's shuffle, so a selective filter SHRINKS the
+    * candidate work — the alternative, post-filtering an unfiltered
+    * top-k, silently under-fills k whenever fewer than k of the nearest
+    * neighbors satisfy the predicate (the classic filtered-ANN bug).
+    * Recall trades exactly as sim2's (same signature blocking); at very
+    * high selectivity a real deployment flips to brute force over the
+    * filtered slice — compose topKBruteForce(vecs.filter(candPred)) for
+    * that regime. `extraCols` carries the filter attributes through the
+    * quantization projection. */
+  def annTopKFiltered(vecs: DataFrame, idCol: String, vecCol: String,
+                      queryPred: Column, candPred: Column, k: Int,
+                      planes: Int, dim: Int,
+                      extraCols: Seq[String] = Nil): DataFrame = {
+    val signs = planeSigns(planes, dim)
+    val p = prepared(vecs, idCol, vecCol, extraCols)
+      .withColumn("sig", lshSignature(col("qe"), signs))
+    val queries = p.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("qe").as("q_qe"),
+        col("n2").as("q_n2"), col("sig").as("q_sig"))
+    rankTopK(
+      p.filter(candPred)
+        .join(broadcast(queries), col("sig") === col("q_sig") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosine(dotQ(col("qe"), col("q_qe")), col("n2"), col("q_n2")).as("cos")),
+      k)
+  }
+
   /** Semantic eval-contamination screen — the embedding twin of tx8's
     * n-gram overlap check: flag (eval, train) pairs whose cosine clears
     * `minCos`, i.e. eval documents whose near-paraphrases leaked into the

@@ -405,6 +405,28 @@ object Similarity {
         .orderBy("rnk")
     },
 
+    // Attribute-filtered ANN — "top-3 similar WHERE label = 2": the
+    // candidate predicate applies BEFORE the bucket join and the
+    // distance math (post-filtering a plain top-k under-fills k — the
+    // classic filtered-ANN bug). Same LSH blocking/recall trade as sim2.
+    QueryDef("sim7_ann_filtered",
+      s"""WITH $quantCte,
+         |sigs AS (SELECT a.vec_id, a.label, a.qe, a.n2, ${sigSql("a")} AS sig FROM q a),
+         |qs AS (SELECT vec_id AS query_id, qe, n2, sig FROM sigs WHERE vec_id < 10),
+         |s AS (SELECT b.query_id, a.vec_id AS neighbor_id,
+         |        ${cosSql("CAST(list_sum([a.qe[i]*b.qe[i] FOR i IN range(1, len(a.qe)+1)]) AS BIGINT)", "a.n2", "b.n2")} AS cos
+         |      FROM sigs a JOIN qs b ON a.sig = b.sig AND a.vec_id <> b.query_id
+         |      WHERE a.label = 2),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
+         |SELECT query_id, neighbor_id, cos, CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
+      Embeddings.annTopKFiltered(Tables.load(s, d, "embeddings"),
+          "vec_id", "embedding", col("vec_id") < 10, col("label") === 2,
+          k = 3, planes = PLANES, dim = DIM, extraCols = Seq("label"))
+        .withColumn("rnk", col("rnk").cast("long"))
+        .orderBy("query_id", "rnk")
+    },
+
     // Semantic eval-contamination screen (paraphrase leakage): the
     // embedding twin of tx8 — a deterministic 10% md5-hash eval split,
     // LSH-signature-blocked candidate join against the train remainder
