@@ -316,6 +316,36 @@ object PipelinesDedup {
           expr("CAST(size(filter(zip_with(s1, s2, (x, y) -> x = y), v -> v)) AS BIGINT)").as("matches"))
         .withColumn("jaccard_est", col("matches").cast("double") / K)
         .orderBy("src1", "src2")
+    },
+
+    // Per-source dedup governance report — WHERE do the duplicates come
+    // from: for every ingestion source, its doc count, how many of its
+    // docs are exact-duplicate LOSERS (another doc with identical text
+    // owns the MIN doc_id — dd1's survivor rule), and the loser rate in
+    // ppm. The attribution view a curation team reads before cutting a
+    // source's crawl budget. Shuffles: one text-hash aggregate (the
+    // owner table, map-side combined), one hash join back, one
+    // source-keyed aggregate — corpus moves twice, exact-integer rates.
+    QueryDef("dd14_source_dup_report",
+      """WITH h AS (SELECT doc_id, source, md5(text) AS th FROM documents),
+        |own AS (SELECT th, MIN(doc_id) AS owner FROM h GROUP BY 1),
+        |f AS (SELECT h.source, CASE WHEN h.doc_id <> o.owner THEN 1 ELSE 0 END AS loser
+        |      FROM h JOIN own o ON o.th = h.th)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(loser) AS BIGINT) AS n_dup_losers,
+        |  CAST(1000000 * SUM(loser) // COUNT(*) AS BIGINT) AS dup_ppm
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val h = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"), md5(col("text")).as("th"))
+      val own = h.groupBy("th").agg(min("doc_id").as("owner"))
+      h.join(own, "th")
+        .select(col("source"),
+          when(col("doc_id") =!= col("owner"), 1L).otherwise(0L).as("loser"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("loser").as("n_dup_losers"))
+        .select(col("source"), col("n_docs"), col("n_dup_losers"),
+          expr("1000000L * n_dup_losers div n_docs").as("dup_ppm"))
+        .orderBy("source")
     }
   )
 }

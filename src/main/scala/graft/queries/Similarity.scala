@@ -427,6 +427,54 @@ object Similarity {
         .orderBy("query_id", "rnk")
     },
 
+    // k-NN label prediction — the standard embedding-quality eval: hold
+    // out the first 20 vectors, predict each one's label by majority
+    // vote of its 5 nearest train vectors (exact quantized cosine;
+    // ties → most votes, then smallest label — fully deterministic),
+    // report prediction vs truth. Brute force is the eval-sized
+    // baseline (queries broadcast, corpus streamed — sim1's shape); the
+    // ANN variants swap in for production-sized evals.
+    QueryDef("sim8_knn_classify",
+      s"""WITH $quantCte,
+         |qs AS (SELECT vec_id AS query_id, label AS actual, qe, n2 FROM q WHERE vec_id < 20),
+         |tr AS (SELECT vec_id, label, qe, n2 FROM q WHERE vec_id >= 20),
+         |s AS (SELECT b.query_id, b.actual, a.label AS n_label,
+         |        ${cosSql("CAST(list_sum([a.qe[i]*b.qe[i] FOR i IN range(1, len(a.qe)+1)]) AS BIGINT)", "a.n2", "b.n2")} AS cos,
+         |        a.vec_id AS neighbor_id
+         |      FROM tr a CROSS JOIN qs b),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM s),
+         |v AS (SELECT query_id, actual, n_label, CAST(COUNT(*) AS BIGINT) AS votes
+         |      FROM r WHERE rnk <= 5 GROUP BY 1, 2, 3),
+         |w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY votes DESC, n_label) AS vr FROM v)
+         |SELECT query_id, CAST(actual AS BIGINT) AS actual,
+         |  CAST(n_label AS BIGINT) AS predicted, n_label = actual AS correct
+         |FROM w WHERE vr = 1 ORDER BY query_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val p = Embeddings.prepared(Tables.load(s, d, "embeddings"),
+        "vec_id", "embedding", Seq("label"))
+      val qs = p.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("label").as("actual"),
+          col("qe").as("q_qe"), col("n2").as("q_n2"))
+      val tr = p.filter(col("vec_id") >= 20)
+      val scored = tr.crossJoin(broadcast(qs))
+        .select(col("query_id"), col("actual"), col("label").as("n_label"),
+          Embeddings.cosine(Embeddings.dotQ(col("qe"), col("q_qe")),
+            col("n2"), col("q_n2")).as("cos"),
+          col("vec_id").as("neighbor_id"))
+      val top = scored.withColumn("rnk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))))
+        .where(col("rnk") <= 5)
+      top.groupBy("query_id", "actual", "n_label")
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("vr", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("votes").desc, col("n_label"))))
+        .where(col("vr") === 1)
+        .select(col("query_id"), col("actual").cast("long").as("actual"),
+          col("n_label").cast("long").as("predicted"),
+          (col("n_label") === col("actual")).as("correct"))
+        .orderBy("query_id")
+    },
+
     // Semantic eval-contamination screen (paraphrase leakage): the
     // embedding twin of tx8 — a deterministic 10% md5-hash eval split,
     // LSH-signature-blocked candidate join against the train remainder
