@@ -433,6 +433,19 @@ object Graph {
       .distinct()
       .localCheckpoint(false)
     val nEdges = e.count() // materializes the checkpoint
+    // pre-flight overflow bound covering BOTH paths (the distributed
+    // loop's sums are plain non-ANSI Long adds, which would WRAP):
+    // h_t <= (maxInDeg · maxOutDeg)^t, so require the bound fits Int64.
+    // Two map-side-combined aggregates over the checkpointed edges.
+    val maxOut = e.groupBy("src").agg(count(lit(1)).as("c"))
+      .agg(max("c")).head.getLong(0)
+    val maxIn = e.groupBy("dst").agg(count(lit(1)).as("c"))
+      .agg(max("c")).head.getLong(0)
+    val growthBits = iters *
+      (math.log(maxIn.toDouble * maxOut.toDouble) / math.log(2.0))
+    require(growthBits < 62.0,
+      s"HITS unnormalized growth bound 2^$growthBits exceeds Int64 " +
+        s"(maxInDeg=$maxIn, maxOutDeg=$maxOut, iters=$iters) — lower iters")
     def checkedAdd(x: Long, y: Long): Long = {
       val r = x + y
       if (((x ^ r) & (y ^ r)) < 0) throw new ArithmeticException(

@@ -577,6 +577,11 @@ class OpsSpec extends SparkSpec {
       h = nodes.map(n => n -> es.filter(_._1 == n).map(e => a(e._2)).sum).toMap
     }
     assert(fast === nodes.sorted.map(n => (n, h(n), a(n))).toSeq)
+    // unnormalized growth past Int64 must refuse loudly, not wrap
+    val boom = intercept[IllegalArgumentException] {
+      ops.Graph.hits(edges, "src", "dst", iters = 40).collect()
+    }
+    assert(boom.getMessage.contains("growth bound"))
   }
 
   test("novelty scoring: a planted unique doc scores 1e6, a full mirror scores 0") {
