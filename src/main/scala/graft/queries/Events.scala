@@ -595,6 +595,47 @@ object Events {
       val b = m.filter(col("event_type") === "purchase")
         .select(col("day").as("day2"), col("n").as("n2"), col("s").as("s2"), col("q").as("q2"))
       val dn = col("s1") * col("n2") - col("s2") * col("n1")
+      abJoin(a, b, dn)
+    },
+
+    // Trending items — view counts under exponential TIME DECAY (half
+    // life = 1 day) over a BOUNDED 45-day lookback: each view is worth
+    // 2^(its_day − window_start), so the scaled score is an EXACT Int64
+    // sum of power-of-two day weights whose exponent is capped at 44 BY
+    // CONSTRUCTION — Int64-safe at any history length (decay beyond 45
+    // half-lives is zero anyway), and recent activity dominates. The
+    // freshness-weighted ranking feeds/recommenders run; one
+    // (item, day) aggregate + one item aggregate, TakeOrdered top-10.
+    QueryDef("ev21_trending",
+      """WITH v AS (SELECT CAST(props->>'k' AS BIGINT) AS item,
+        |             date_diff('day', TIMESTAMP '1995-01-01 00:00:00', date_trunc('day', ts)) AS d
+        |           FROM events WHERE event_type = 'view'),
+        |base AS (SELECT CAST(MAX(d) - 44 AS BIGINT) AS d0 FROM v),
+        |pd AS (SELECT item, d, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY 1, 2)
+        |SELECT item, CAST(SUM(c * (1::BIGINT << CAST(d - d0 AS INTEGER))) AS BIGINT) AS score_scaled,
+        |  CAST(SUM(c) AS BIGINT) AS n_views
+        |FROM pd, base WHERE d >= d0 GROUP BY item
+        |ORDER BY score_scaled DESC, item LIMIT 10""".stripMargin) { (s, d) =>
+      val v = ev(s, d).filter(col("event_type") === "view")
+        .select(get_json_object(col("props"), "$.k").cast(LongType).as("item"),
+          datediff(date_trunc("day", col("ts")),
+            to_timestamp(lit("1995-01-01 00:00:00"))).cast(LongType).as("d"))
+      val base = v.agg((max("d") - 44).as("d0"))
+      val pd = v.groupBy("item", "d").agg(count(lit(1)).as("c"))
+      pd.crossJoin(broadcast(base))
+        .where(col("d") >= col("d0"))
+        .groupBy("item")
+        .agg(sum(col("c") * expr("shiftleft(1L, CAST(d - d0 AS INT))")).as("score_scaled"),
+          sum("c").as("n_views"))
+        .orderBy(col("score_scaled").desc, col("item"))
+        .limit(10)
+    }
+  )
+
+  /** ev20's final projection: the day-keyed join + exact-decimal
+    * significance inequality. */
+  private def abJoin(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame,
+                     dn: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
       a.join(b, col("day") === col("day2"))
         .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
           col("n1").cast(LongType).as("n_view"), col("n2").cast(LongType).as("n_purchase"),
@@ -604,6 +645,5 @@ object Events {
               (col("n2") * col("q2") - col("s2") * col("s2")) * col("n1") * col("n1") * col("n1")))
             .as("significant"))
         .orderBy("day")
-    }
-  )
+  }
 }

@@ -235,6 +235,40 @@ object GraphQueries {
         .orderBy("node")
     },
 
+    // Degree-distribution profile — the graph-shape summary read BEFORE
+    // choosing algorithms (power-law tails decide salting, orientation
+    // and cap strategies): per direction, log2-bucketed degree histogram
+    // with per-bucket node counts and extremes. The bucket is
+    // length(bin(deg)) − 1 = floor(log2) computed EXACTLY on the binary
+    // string — no float log near bucket boundaries. Two map-side-
+    // combined aggregates over the edge list, histogram rows bounded by
+    // 2 × 63 buckets.
+    QueryDef("gr8_degree_profile",
+      """WITH it AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |       CAST(props->>'k' AS BIGINT) AS item FROM events),
+        |lg AS (SELECT item, LAG(item) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS src
+        |       FROM it),
+        |de AS (SELECT DISTINCT src, item AS dst FROM lg WHERE src IS NOT NULL AND src <> item),
+        |deg AS (SELECT 'out' AS direction, src AS node, CAST(COUNT(*) AS BIGINT) AS d
+        |        FROM de GROUP BY 2
+        |        UNION ALL
+        |        SELECT 'in', dst, CAST(COUNT(*) AS BIGINT) FROM de GROUP BY 2)
+        |SELECT direction, CAST(LENGTH(bin(d)) - 1 AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |  CAST(MIN(d) AS BIGINT) AS min_deg, CAST(MAX(d) AS BIGINT) AS max_deg
+        |FROM deg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val de = graft.ops.Graph.itemTransitionEdges(Tables.load(s, d, "events"))
+        .select("src", "dst").distinct()
+      val deg = de.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+        .select(lit("out").as("direction"), col("d"))
+        .unionByName(de.groupBy(col("dst").as("node")).agg(count(lit(1)).as("d"))
+          .select(lit("in").as("direction"), col("d")))
+      deg.groupBy(col("direction"),
+          (length(bin(col("d"))) - 1).cast(LongType).as("bucket"))
+        .agg(count(lit(1)).as("n_nodes"), min("d").as("min_deg"), max("d").as("max_deg"))
+        .orderBy("direction", "bucket")
+    },
+
     // Item-item co-view similarity — the bipartite projection behind
     // "users who viewed X also viewed Y" (collaborative filtering's
     // candidate generator). Baskets are CAPPED at 20 items per user

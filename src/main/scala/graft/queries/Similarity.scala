@@ -427,6 +427,51 @@ object Similarity {
         .orderBy("query_id", "rnk")
     },
 
+    // Embedding-norm QA screen — ingest-time vector sanity per label:
+    // norm² extremes plus the count of z-outliers (|n·x − m| beyond 3
+    // standard deviations of the label's norm² distribution), the check
+    // that catches unnormalized/degenerate/wrong-scale vectors BEFORE
+    // they poison an index build. The z² inequality runs in exact wide
+    // integers (ev13's trick at DECIMAL(38,0)/HUGEINT width — norm²
+    // products overflow Int64), so flags are bit-portable.
+    QueryDef("em4_norm_screen",
+      """WITH q0 AS (SELECT vec_id, label,
+        |              [CAST(ROUND(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) FOR x IN embedding] AS qe
+        |            FROM embeddings),
+        |q AS (SELECT vec_id, label,
+        |        CAST(list_sum([qe[i]*qe[i] FOR i IN range(1, len(qe)+1)]) AS BIGINT) AS n2
+        |      FROM q0),
+        |m AS (SELECT label, CAST(COUNT(*) AS HUGEINT) AS n,
+        |        CAST(SUM(CAST(n2 AS HUGEINT)) AS HUGEINT) AS s,
+        |        CAST(SUM(CAST(n2 AS HUGEINT) * CAST(n2 AS HUGEINT)) AS HUGEINT) AS s2
+        |      FROM q GROUP BY 1)
+        |SELECT q.label, CAST(m.n AS BIGINT) AS n,
+        |  CAST(MIN(q.n2) AS BIGINT) AS min_n2, CAST(MAX(q.n2) AS BIGINT) AS max_n2,
+        |  CAST(COUNT(*) FILTER (WHERE
+        |    (m.n * q.n2 - m.s) * (m.n * q.n2 - m.s) > 9 * (m.n * m.s2 - m.s * m.s)
+        |  ) AS BIGINT) AS n_outliers
+        |FROM q JOIN m ON m.label = q.label
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val d38 = DecimalType(38, 0)
+      val q = Embeddings.prepared(Tables.load(s, d, "embeddings"),
+          "vec_id", "embedding", Seq("label"))
+        .select(col("label"), col("n2"))
+      val m = q.groupBy("label")
+        .agg(count(lit(1)).cast(d38).as("n"),
+          sum(col("n2").cast(d38)).as("s"),
+          sum(col("n2").cast(d38) * col("n2").cast(d38)).as("s2"))
+      val dev = col("n") * col("n2").cast(d38) - col("s")
+      q.join(broadcast(m), "label")
+        .groupBy("label")
+        .agg(first(col("n")).cast("long").as("n"),
+          min("n2").as("min_n2"), max("n2").as("max_n2"),
+          sum(when(dev * dev > lit(9) * (col("n") * col("s2") - col("s") * col("s")), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .select(col("label"), col("n"), col("min_n2"), col("max_n2"), col("n_outliers"))
+        .orderBy("label")
+    },
+
     // k-NN label prediction — the standard embedding-quality eval: hold
     // out the first 20 vectors, predict each one's label by majority
     // vote of its 5 nearest train vectors (exact quantized cosine;
