@@ -23,7 +23,7 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 00:07:00", "view", 5.0))
       .toDF("s", "event_type", "value")
       .select(to_timestamp(col("s")).as("ts"), col("event_type"), col("value"))
-      .write.parquet(dir + "/batch1")
+      .coalesce(1).write.parquet(dir + "/batch1")
     val stream = StreamingOps.parquetStream(spark, eventSchema, dir + "/batch1")
     val agg = StreamingOps.tumblingAgg(stream, "5 minutes", "10 minutes")
     val q = agg.writeStream.outputMode("complete")
@@ -47,7 +47,7 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 00:02:00", 4L, "b", 7.0))
       .toDF("s", "event_id", "key", "value")
       .select(to_timestamp(col("s")).as("ts"), col("event_id"), col("key"), col("value"))
-      .write.parquet(dir + "/b1")
+      .coalesce(1).write.parquet(dir + "/b1")
     val stream = StreamingOps.parquetStream(spark, schema, dir + "/b1")
     val agg = StreamingOps.ohlcStream(stream, "key", "event_id", "5 minutes", "10 minutes")
     val q = agg.writeStream.outputMode("complete")
@@ -68,7 +68,7 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 00:06:00", "click", 2.0))
       .toDF("s", "event_type", "value")
       .select(to_timestamp(col("s")).as("ts"), col("event_type"), col("value"))
-      .write.parquet(dir + "/b1")
+      .coalesce(1).write.parquet(dir + "/b1")
     val stream = StreamingOps.parquetStream(spark, eventSchema, dir + "/b1")
     val agg = StreamingOps.slidingAgg(stream, "10 minutes", "5 minutes", "10 minutes")
     val q = agg.writeStream.outputMode("complete")
@@ -89,7 +89,7 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 00:03:00", "h2", 3.0))
       .toDF("s", "event_type", "value") // event_type doubles as the content hash
       .select(to_timestamp(col("s")).as("ts"), col("event_type"), col("value"))
-      .write.parquet(dir + "/b1")
+      .coalesce(1).write.parquet(dir + "/b1")
     val stream = StreamingOps.parquetStream(spark, eventSchema, dir + "/b1")
     val dedup = StreamingOps.dedupStream(stream, Seq("event_type"), "ts", "10 minutes")
     val q = dedup.writeStream.outputMode("append")
@@ -113,7 +113,7 @@ class StreamingSpec extends SparkSpec {
         "one two three four five six seven eight nine ten", "2024-01-01 00:00:10"))
       .toDF("doc_id", "text", "s")
       .select(col("doc_id"), col("text"), to_timestamp(col("s")).as("ts"))
-      .write.parquet(dir + "/b1")
+      .coalesce(1).write.parquet(dir + "/b1")
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("ts", TimestampType)))
@@ -130,7 +130,7 @@ class StreamingSpec extends SparkSpec {
     Seq((99L, "late flush document advancing the watermark", "2024-01-01 01:00:00"))
       .toDF("doc_id", "text", "s")
       .select(col("doc_id"), col("text"), to_timestamp(col("s")).as("ts"))
-      .write.parquet(dir + "/b2")
+      .coalesce(1).write.parquet(dir + "/b2")
     q.processAllAvailable(); q.stop()
     val survivors = spark.sql("SELECT doc_id FROM neardupout WHERE doc_id < 90 ORDER BY doc_id")
       .collect().map(_.getLong(0)).toSeq
@@ -151,7 +151,7 @@ class StreamingSpec extends SparkSpec {
       (2L, s"$b $c", "2024-01-01 00:00:05"))
       .toDF("doc_id", "text", "s")
       .select(col("doc_id"), col("text"), to_timestamp(col("s")).as("ts"))
-      .write.parquet(dir + "/b1")
+      .coalesce(1).write.parquet(dir + "/b1")
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("ts", TimestampType)))
@@ -168,12 +168,12 @@ class StreamingSpec extends SparkSpec {
     Seq((3L, s"$a $d", "2024-01-01 00:00:10"))
       .toDF("doc_id", "text", "s")
       .select(col("doc_id"), col("text"), to_timestamp(col("s")).as("ts"))
-      .write.parquet(dir + "/b2")
+      .coalesce(1).write.parquet(dir + "/b2")
     q.processAllAvailable()
     Seq((99L, "late flush document advancing the watermark", "2024-01-01 01:00:00"))
       .toDF("doc_id", "text", "s")
       .select(col("doc_id"), col("text"), to_timestamp(col("s")).as("ts"))
-      .write.parquet(dir + "/b3")
+      .coalesce(1).write.parquet(dir + "/b3")
     q.processAllAvailable(); q.stop()
     val rows = spark.sql(
       "SELECT doc_id, n_chunks, n_kept, clean_text FROM chunkdedupout WHERE doc_id < 90 ORDER BY doc_id")
@@ -192,7 +192,7 @@ class StreamingSpec extends SparkSpec {
     def write(sub: String, rows: Seq[(String, String)]): Unit =
       rows.toDF("text", "s")
         .select(col("text"), to_timestamp(col("s")).as("ts"))
-        .write.parquet(dir + "/" + sub)
+        .coalesce(1).write.parquet(dir + "/" + sub)
     write("b1", Seq(("a a a b", "2024-01-01 00:00:00"), ("b c", "2024-01-01 00:10:00")))
     val stream = StreamingOps.parquetStream(spark, schema, dir + "/b*")
     val out = StreamingOps.heavyHittersStream(stream, "text", "ts",
@@ -220,7 +220,7 @@ class StreamingSpec extends SparkSpec {
     def write(sub: String, rows: Seq[(String, String)]): Unit =
       rows.toDF("k", "s")
         .select(col("k"), to_timestamp(col("s")).as("ts"))
-        .write.parquet(dir + "/" + sub)
+        .coalesce(1).write.parquet(dir + "/" + sub)
     // 40 distinct keys split across two micro-batches of the same window
     // (with overlap, so the merge must also dedup)
     val keys = (0 until 40).map(i => s"u$i")
@@ -260,7 +260,7 @@ class StreamingSpec extends SparkSpec {
       rows.toDF("user_id", "event_type", "s", "event_id")
         .select(col("user_id"), col("event_type"),
           to_timestamp(col("s")).as("ts"), col("event_id"))
-        .write.parquet(dir + "/" + sub)
+        .coalesce(1).write.parquet(dir + "/" + sub)
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     write("b1", Seq(
@@ -314,7 +314,7 @@ class StreamingSpec extends SparkSpec {
       (102L, axisB.map(_.toFloat), "2024-01-01 00:00:10"))
       .toDF("vec_id", "embedding", "s")
       .select(col("vec_id"), col("embedding"), to_timestamp(col("s")).as("ts"))
-      .write.parquet(dir + "/b1")
+      .coalesce(1).write.parquet(dir + "/b1")
     val schema = StructType(Seq(
       StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType)),
@@ -335,7 +335,7 @@ class StreamingSpec extends SparkSpec {
       (104L, axisA.map(x => (-x).toFloat), "2024-01-01 00:01:05"))
       .toDF("vec_id", "embedding", "s")
       .select(col("vec_id"), col("embedding"), to_timestamp(col("s")).as("ts"))
-      .write.parquet(dir + "/b2")
+      .coalesce(1).write.parquet(dir + "/b2")
     q.processAllAvailable(); q.stop()
     val got = spark.sql("SELECT vec_id, kept FROM semdedupout ORDER BY vec_id")
       .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
@@ -348,12 +348,12 @@ class StreamingSpec extends SparkSpec {
     Seq(("2024-01-01 00:10:00", "u1", 1.0))
       .toDF("s", "event_type", "value")
       .select(to_timestamp(col("s")).as("ts"), col("event_type"), col("value"))
-      .write.parquet(ldir + "/b1")
+      .coalesce(1).write.parquet(ldir + "/b1")
     Seq(("2024-01-01 00:06:00", "u1", 100.0), // within 5-min lookback
         ("2024-01-01 00:01:00", "u1", 200.0)) // too old
       .toDF("s", "event_type", "rvalue")
       .select(to_timestamp(col("s")).as("rts"), col("event_type"), col("rvalue"))
-      .write.parquet(rdir + "/b1")
+      .coalesce(1).write.parquet(rdir + "/b1")
     val rSchema = StructType(Seq(
       StructField("rts", TimestampType), StructField("event_type", StringType),
       StructField("rvalue", DoubleType)))
@@ -376,7 +376,7 @@ class StreamingSpec extends SparkSpec {
     Seq(("2024-01-01 00:01:00", "click", 1.0), ("2024-01-01 00:02:00", "view", 2.0))
       .toDF("s", "event_type", "value")
       .select(to_timestamp(col("s")).as("ts"), col("event_type"), col("value"))
-      .write.parquet(inDir + "/b1")
+      .coalesce(1).write.parquet(inDir + "/b1")
     val q = StreamingOps.appendStream(
       StreamingOps.parquetStream(spark, eventSchema, inDir + "/b1"), t, ckDir,
       Trigger.ProcessingTime("1 second"))
@@ -394,7 +394,7 @@ class StreamingSpec extends SparkSpec {
     def write(sub: String, rows: Seq[(Long, Double, String, Long)]): Unit =
       rows.toDF("user_id", "value", "s", "event_id")
         .select(col("user_id"), col("value"), to_timestamp(col("s")).as("ts"), col("event_id"))
-        .write.parquet(dir + "/" + sub)
+        .coalesce(1).write.parquet(dir + "/" + sub)
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // batch 1: seven calm observations (windowN=8 ring fills to 7)
@@ -427,7 +427,7 @@ class StreamingSpec extends SparkSpec {
     def write(sub: String, rows: Seq[(Long, Double, String, Long)]): Unit =
       rows.toDF("user_id", "value", "s", "event_id")
         .select(col("user_id"), col("value"), to_timestamp(col("s")).as("ts"), col("event_id"))
-        .write.parquet(dir + "/" + sub)
+        .coalesce(1).write.parquet(dir + "/" + sub)
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val vals = Seq(1.0, 2.0, 4.0, 8.0, 16.0, 32.0, 64.0, 128.0, 256.0, 3.0)
@@ -464,7 +464,7 @@ class StreamingSpec extends SparkSpec {
     def write(sub: String, rows: Seq[(Long, String)]): Unit =
       rows.toDF("v", "s")
         .select(col("v"), to_timestamp(col("s")).as("ts"))
-        .write.parquet(dir + "/" + sub)
+        .coalesce(1).write.parquet(dir + "/" + sub)
     // values 1..60 split across two batches of one window; with n=60 <<
     // k=200 the sketch retains everything -> estimates are EXACT order
     // statistics, so the cross-batch merge is deterministic here
@@ -493,7 +493,7 @@ class StreamingSpec extends SparkSpec {
     def write(sub: String, rows: Seq[(Long, Double, String, Long)]): Unit =
       rows.toDF("user_id", "value", "s", "event_id")
         .select(col("user_id"), col("value"), to_timestamp(col("s")).as("ts"), col("event_id"))
-        .write.parquet(dir + "/" + sub)
+        .coalesce(1).write.parquet(dir + "/" + sub)
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // target 10_000 milli-units, h = 5_000: values 12.0 drift +2000/step
@@ -529,12 +529,12 @@ class StreamingSpec extends SparkSpec {
       StructField("tier", StringType)))
     val b1 = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 10L, "x"))
     val b2 = Seq((1L, 30L, "b"), (1L, 15L, "c"), (2L, 40L, "y")) // no-op + backfill + change
-    b1.toDF("id", "ts", "tier").write.parquet(inDir + "/b1")
+    b1.toDF("id", "ts", "tier").coalesce(1).write.parquet(inDir + "/b1")
     val stream = spark.readStream.schema(obsSchema).parquet(inDir + "/b*")
     val q = StreamingOps.scd2Stream(stream, t, Seq("id"), "ts", Seq("tier"), ckDir,
       Trigger.ProcessingTime("1 second"))
     q.processAllAvailable()
-    b2.toDF("id", "ts", "tier").write.parquet(inDir + "/b2")
+    b2.toDF("id", "ts", "tier").coalesce(1).write.parquet(inDir + "/b2")
     q.processAllAvailable(); q.stop()
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.orderBy("id", "valid_from").collect()
@@ -557,7 +557,7 @@ class StreamingSpec extends SparkSpec {
       StructField("old_id", LongType), StructField("new_id", LongType),
       StructField("v", DoubleType), StructField("_seq", LongType)))
     Seq((Option.empty[Long], Some(1L), 10.0, 1L), (Option.empty[Long], Some(2L), 20.0, 2L))
-      .toDF("old_id", "new_id", "v", "_seq").write.parquet(inDir + "/b1")
+      .toDF("old_id", "new_id", "v", "_seq").coalesce(1).write.parquet(inDir + "/b1")
     val stream = spark.readStream.schema(changeSchema).parquet(inDir + "/b1")
     val q = StreamingOps.cdcUpsertStream(stream, t, Seq("id"), Seq("v"), ckDir,
       Trigger.ProcessingTime("1 second"))
