@@ -637,6 +637,13 @@ class OpsSpec extends SparkSpec {
         slices = 3, smallBytes = 0L)
       .orderBy("c").collect().map(_.getLong(3)).toSeq
     assert(tb === Seq(1L, 2L))
+    // plan shape of the forced distributed path: a RANGE repartition (the
+    // parallelism source) and NO per-key-only window sort
+    val plan = ops.DistributedRank.ntileByKey(df, Seq("f"), Seq("c", "id"), k = 7,
+        slices = 5, smallBytes = 0L)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("rangepartitioning"), plan.take(2000))
   }
 
   test("SCD2: incremental applyChanges equals a from-scratch rebuild") {
