@@ -629,6 +629,69 @@ object Events {
           sum("c").as("n_views"))
         .orderBy(col("score_scaled").desc, col("item"))
         .limit(10)
+    },
+
+    // Mann–Whitney U (Wilcoxon rank-sum) with tie correction — the
+    // NONPARAMETRIC sibling of ev20's t-test: compares the per-day
+    // 'view' vs 'purchase' value DISTRIBUTIONS by rank, robust to the
+    // heavy tails a mean-based test washes out. All rank math is exact
+    // integer: values quantize to milli-units, average ranks are kept
+    // ×2 (2·avgrank = 2·count_below + ties + 1 is always integral), and
+    // the tie-corrected variance is an exact wide-integer expression
+    // (DECIMAL(38,0) ↔ HUGEINT, the ev20 pattern — N³·n1·n2 overflows
+    // Int64 from ~sf1) divided/√'d in double IDENTICALLY on both
+    // engines. Distribution-wise: one (day, value) aggregate, one
+    // day-keyed window, one day aggregate — all shuffles on bounded
+    // keys; no per-row sort rank materialization (ranks come from value
+    // GROUP counts, so ties cost one row, not t rows).
+    QueryDef("ev22_mannwhitney",
+      """WITH m AS (SELECT date_trunc('day', ts) AS day,
+        |             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g,
+        |             CAST(ROUND(value * 1000) AS BIGINT) AS vm
+        |           FROM events WHERE event_type IN ('view', 'purchase')),
+        |tv AS (SELECT day, vm, CAST(COUNT(*) AS HUGEINT) AS t,
+        |         CAST(SUM(g) AS HUGEINT) AS t1
+        |       FROM m GROUP BY 1, 2),
+        |cum AS (SELECT day, t, t1,
+        |          SUM(t) OVER (PARTITION BY day ORDER BY vm
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS c
+        |        FROM tv),
+        |agg AS (SELECT day,
+        |          SUM(t1) AS n1, SUM(t) - SUM(t1) AS n2, SUM(t) AS nn,
+        |          SUM(t1 * (2 * COALESCE(c, 0) + t + 1)) AS r2x,
+        |          SUM(t * t * t - t) AS ties
+        |        FROM cum GROUP BY day)
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(n1 AS BIGINT) AS n_view, CAST(n2 AS BIGINT) AS n_purchase,
+        |  CAST(r2x - n1 * (n1 + 1) AS BIGINT) AS u2x,
+        |  CAST(r2x - n1 * (n1 + 1) - n1 * n2 AS DOUBLE) /
+        |    sqrt(CAST(n1 * n2 * ((nn + 1) * nn * (nn - 1) - ties) AS DOUBLE) /
+        |         CAST(3 * nn * (nn - 1) AS DOUBLE)) AS z
+        |FROM agg ORDER BY 1""".stripMargin) { (s, d) =>
+      val d38 = DecimalType(38, 0)
+      val base = ev(s, d).filter(col("event_type").isin("view", "purchase"))
+        .select(date_trunc("day", col("ts")).as("day"),
+          when(col("event_type") === "view", 1L).otherwise(0L).as("g"),
+          round(col("value") * 1000).cast(LongType).as("vm"))
+      val tv = base.groupBy("day", "vm")
+        .agg(count(lit(1)).cast(d38).as("t"), sum("g").cast(d38).as("t1"))
+      val w = Window.partitionBy("day").orderBy("vm")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = tv.withColumn("c", sum("t").over(w))
+      val agg = cum.groupBy("day")
+        .agg(sum("t1").as("n1"), (sum("t") - sum("t1")).as("n2"), sum("t").as("nn"),
+          sum(col("t1") * (lit(2) * coalesce(col("c"), lit(0).cast(d38)) + col("t") + lit(1)))
+            .as("r2x"),
+          sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+      agg.select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n1").cast(LongType).as("n_view"), col("n2").cast(LongType).as("n_purchase"),
+          (col("r2x") - col("n1") * (col("n1") + lit(1))).cast(LongType).as("u2x"),
+          ((col("r2x") - col("n1") * (col("n1") + lit(1)) - col("n1") * col("n2")).cast(DoubleType) /
+            sqrt((col("n1") * col("n2") *
+                ((col("nn") + lit(1)) * col("nn") * (col("nn") - lit(1)) - col("ties")))
+              .cast(DoubleType) /
+              (lit(3) * col("nn") * (col("nn") - lit(1))).cast(DoubleType))).as("z"))
+        .orderBy("day")
     }
   )
 

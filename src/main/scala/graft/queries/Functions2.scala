@@ -93,6 +93,31 @@ object Functions2 {
           Tables.load(s, d, "events"), "event_type", "ts",
           sum(col("value").cast(DecimalType(25, 6))).cast(DoubleType), 3600L)
         .orderBy("event_type", "bucket_start_us")
+    },
+
+    // Semi-structured VARIANT path — Spark 4's binary JSON encoding:
+    // `parse_json` pays the parse cost ONCE per row, then every
+    // `variant_get` is a typed binary walk (no string re-parse), which
+    // is the engine-honest way to shred a JSON payload column at 100 TB
+    // (the reference reaches the same data through DataFusion's string
+    // JSON functions, re-parsing per extraction). Absent paths yield
+    // NULL, exercised alongside the typed extraction. The oracle reads
+    // the identical values through DuckDB's JSON operators.
+    QueryDef("q50_variant_shred",
+      """WITH j AS (SELECT CAST(props->>'k' AS BIGINT) AS item,
+        |             CASE WHEN json_extract(props, '$.missing') IS NULL THEN 1 ELSE 0 END AS miss
+        |           FROM events WHERE event_type = 'view')
+        |SELECT item % 10 AS item_mod, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(item) AS BIGINT) AS sum_item, CAST(SUM(miss) AS BIGINT) AS n_missing
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Tables.sql(s, d,
+        """WITH j AS (SELECT parse_json(props) AS pv FROM events WHERE event_type = 'view'),
+          |x AS (SELECT CAST(variant_get(pv, '$.k') AS BIGINT) AS item,
+          |        CASE WHEN variant_get(pv, '$.missing') IS NULL THEN 1 ELSE 0 END AS miss
+          |      FROM j)
+          |SELECT item % 10 AS item_mod, CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(SUM(item) AS BIGINT) AS sum_item, CAST(SUM(miss) AS BIGINT) AS n_missing
+          |FROM x GROUP BY 1 ORDER BY 1""".stripMargin)
     }
   )
 }

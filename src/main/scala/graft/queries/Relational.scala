@@ -1114,6 +1114,30 @@ object Relational {
         .select(col("f").as("l_returnflag"), col("n"),
           col("lo_cents"), col("hi_cents"), col("wmean_cents"))
         .orderBy("l_returnflag")
-    }
+    },
+
+    // Recursive CTE — the engine's iterative-query operator (Spark 4.1
+    // UnionLoop; the reference reaches the same surface via DataFusion's
+    // RecursiveQuery, datafusion WITH RECURSIVE). A synthetic binary BOM
+    // over part (component p belongs to assembly floor(p/2)): walk each
+    // root assembly 8..15 down to its leaves and roll up component
+    // counts, depth, and cost. Each recursion step is ONE equi-join on
+    // the computed parent key (hash join, shuffle bounded by the
+    // frontier) — not an O(n²) nested loop — and termination is
+    // structural (ids double per level: ~8 levels to the max partkey),
+    // which matters because UNION ALL is the only recursion mode both
+    // engines share (Spark 4.1 rejects UNION-distinct recursion).
+    QueryDef.sharedSql("q49_recursive_cte",
+      """WITH RECURSIVE bom (root, node, lvl) AS (
+        |  SELECT p_partkey, p_partkey, CAST(0 AS BIGINT) FROM part
+        |  WHERE p_partkey BETWEEN 8 AND 15
+        |  UNION ALL
+        |  SELECT b.root, p.p_partkey, b.lvl + 1
+        |  FROM bom b JOIN part p ON CAST(FLOOR(p.p_partkey / 2) AS BIGINT) = b.node
+        |)
+        |SELECT root, CAST(COUNT(*) AS BIGINT) AS n_parts, MAX(lvl) AS depth,
+        |  CAST(SUM(CAST(FLOOR(p.p_retailprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cost_cents
+        |FROM bom JOIN part p ON p.p_partkey = bom.node
+        |GROUP BY root ORDER BY root""".stripMargin)
   )
 }
