@@ -56,6 +56,49 @@ object ExactQuantile {
                      ps: Seq[Double], bucketShift: Int = 14): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
       s"every p must be in (0, 1], got $ps")
+    orderStatsAtRanks(df, key, value,
+      ps.map(p => s"CAST(CEIL(CAST($p AS DOUBLE) * CAST(__n AS DOUBLE)) AS BIGINT)"),
+      bucketShift)
+  }
+
+  /** Linear-interpolated per-key quantiles — SQL `percentile_cont` / R-7
+    * semantics: the value at fractional 1-based rank h = p·(n−1)+1,
+    * interpolated as v⌊h⌋ + (h−⌊h⌋)·(v⌊h⌋₊₁ − v⌊h⌋) over an integral
+    * value column. Same ONE-histogram + ONE-refine distributed shape as
+    * `rankStatsByKey` (each p costs its two ADJACENT order statistics —
+    * still one posexplode row per bucket per rank, no per-key value
+    * collection); the h multiply and the final lo + frac·(hi−lo) run in
+    * correctly-rounded DOUBLE, so an oracle computing the same formula
+    * from its own rank machinery matches bit-for-bit. Returns
+    * (__k, __i = index into ps, value: double, n).
+    */
+  def contQuantilesByKey(df: DataFrame, key: Column, value: Column,
+                         ps: Seq[Double], bucketShift: Int = 14): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"every p must be in [0, 1], got $ps")
+    def kf(p: Double) = s"CAST(FLOOR(CAST($p AS DOUBLE) * CAST(__n - 1 AS DOUBLE)) AS BIGINT)"
+    val stats = orderStatsAtRanks(df, key, value,
+      ps.flatMap(p => Seq(s"${kf(p)} + 1", s"LEAST(${kf(p)} + 2, __n)")),
+      bucketShift)
+    val acc = ps.indices.flatMap { i =>
+      Seq(max(when(col("__i") === i * 2, col("value"))).as(s"__lo$i"),
+        max(when(col("__i") === i * 2 + 1, col("value"))).as(s"__hi$i"))
+    } :+ first(col("n")).as("n")
+    val wide = stats.groupBy(col("__k")).agg(acc.head, acc.tail: _*)
+    val rows = ps.indices.map { i =>
+      val frac = expr(
+        s"CAST(${ps(i)} AS DOUBLE) * CAST(n - 1 AS DOUBLE) - " +
+          s"FLOOR(CAST(${ps(i)} AS DOUBLE) * CAST(n - 1 AS DOUBLE))")
+      struct(lit(i).cast("int").as("__i"),
+        (col(s"__lo$i").cast("double") +
+          frac * (col(s"__hi$i") - col(s"__lo$i")).cast("double")).as("value"))
+    }
+    wide.select(col("__k"), col("n"), explode(array(rows: _*)).as("__s"))
+      .select(col("__k"), col("__s.__i").as("__i"), col("__s.value").as("value"), col("n"))
+  }
+
+  private def orderStatsAtRanks(df: DataFrame, key: Column, value: Column,
+                                rankExprs: Seq[String], bucketShift: Int): DataFrame = {
     val vals = df.select(key.as("__k"), value.as("__v")).filter(col("__v").isNotNull)
     val hist = vals
       .groupBy(col("__k"), shiftright(col("__v"), bucketShift).as("__b"))
@@ -65,11 +108,11 @@ object ExactQuantile {
       .withColumn("__cum", sum("__c").over(
         Window.partitionBy("__k").orderBy("__b")))
       .withColumn("__lo", col("__cum") - col("__c"))
-    // the DOUBLE multiply is the semantics, not an approximation: DuckDB
-    // computes the same ceil(p·n) in float, so keeping it double keeps
-    // both engines' element choice bit-identical
-    val ranks = array(ps.map(p =>
-      expr(s"CAST(CEIL(CAST($p AS DOUBLE) * CAST(__n AS DOUBLE)) AS BIGINT)")): _*)
+    // the DOUBLE multiply inside the rank expressions is the semantics,
+    // not an approximation: DuckDB computes the same ceil/floor rank in
+    // float, so keeping it double keeps both engines' element choice
+    // bit-identical
+    val ranks = array(rankExprs.map(expr): _*)
     val targets = cum
       .select(col("__k"), col("__b"), col("__lo"), col("__n"), col("__cum"),
         posexplode(ranks).as(Seq("__i", "__r")))

@@ -489,6 +489,81 @@ object Graph {
     h.join(a, "node").select(col("node"), col("hub"), col("auth"))
   }
 
+  /** Synchronous weighted label propagation — community detection with a
+    * fixed round count and a DETERMINISTIC update rule, so results are
+    * partition-order-free and oracle-replayable (vanilla async LPA is
+    * famously run-order dependent; this is the synchronous variant the
+    * distributed implementations use). Directed input edges are
+    * symmetrized (parallel weights summed), every node starts labeled
+    * with itself, and each round every node adopts
+    *
+    *   argmax_label Σ w(neighbor with that label),  ties → MIN label
+    *
+    * computed as one (node, label) weight aggregate + one per-node
+    * struct-MAX aggregate — two map-side-combined hash aggregations per
+    * round over the checkpointed adjacency, NO per-node sort and no
+    * window (the tie-break rides max(struct(wsum, -label))). Same scale
+    * split as pageRank/hits: graphs at or under `localEdgeLimit` run the
+    * identical recurrence on the driver (link/item graphs are usually
+    * tiny next to the corpus); the loop below is the 100 TB path.
+    * Returns (node, community) where community is the round-`iters`
+    * label.
+    */
+  def lpaCommunities(edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
+                     iters: Int = 4, localEdgeLimit: Long = 1000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val dir = edges.select(
+        edges(srcCol).cast(LongType).as("a"),
+        edges(dstCol).cast(LongType).as("b"),
+        edges(wCol).cast(LongType).as("w"))
+      .where(col("a") =!= col("b") && col("w") > 0)
+    // symmetrize + merge parallel edges: adjacency (node, nb, w) with
+    // w = total weight between the endpoints in either direction
+    val und = dir.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"), col("w"))
+      .groupBy("a", "b").agg(sum("w").as("w"))
+    val adj = und.select(col("a").as("node"), col("b").as("nb"), col("w"))
+      .union(und.select(col("b").as("node"), col("a").as("nb"), col("w")))
+      .localCheckpoint(false)
+    val nAdj = adj.count() // materializes the checkpoint
+    if (nAdj <= 2 * localEdgeLimit) {
+      val es = adj.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val nodes = es.map(_._1).distinct
+      var lab = nodes.map(n => n -> n).toMap
+      for (_ <- 1 to iters) {
+        val score = new scala.collection.mutable.HashMap[(Long, Long), Long]()
+        es.foreach { case (v, u, w) =>
+          val l = lab(u)
+          score((v, l)) = score.getOrElse((v, l), 0L) + w
+        }
+        val best = new scala.collection.mutable.HashMap[Long, (Long, Long)]()
+        score.foreach { case ((v, l), s) =>
+          best.get(v) match {
+            case Some((bl, bs)) if s < bs || (s == bs && l > bl) => ()
+            case _ => best(v) = (l, s)
+          }
+        }
+        lab = nodes.map(n => n -> best(n)._1).toMap
+      }
+      return nodes.sorted.map(n => (n, lab(n))).toSeq.toDF("node", "community")
+    }
+    var labels = adj.select(col("node")).distinct()
+      .withColumn("lab", col("node"))
+      .localCheckpoint(false)
+    for (_ <- 1 to iters) {
+      val scored = adj.join(labels.select(col("node").as("nb"), col("lab")), "nb")
+        .groupBy("node", "lab").agg(sum("w").as("ws"))
+      labels = scored
+        .groupBy("node")
+        .agg(max(struct(col("ws"), (-col("lab")).as("nl"))).as("best"))
+        .select(col("node"), (-col("best.nl")).as("lab"))
+        .localCheckpoint(false)
+    }
+    labels.select(col("node"), col("lab").as("community"))
+  }
+
   /** The events-table item graph: consecutive items (props.k) per user in
     * (ts, event_id) order become directed edges src→dst, self-loops
     * dropped, multiplicity as the edge weight. One window shuffle keyed

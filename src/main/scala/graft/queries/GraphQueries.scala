@@ -21,6 +21,20 @@ object GraphQueries {
   // gr7: unnormalized HITS rounds — growth ≈ (max deg)^(2·iters) must
   // stay inside Int64 (guarded in ops.Graph.hits)
   private val HitsIters = 3
+  // gr9: synchronous LPA rounds (communities stabilize fast on the
+  // dense item graph; fixed count keeps both engines bit-equal)
+  private val LpaRounds = 4
+
+  // one unrolled LPA round for the gr9 oracle: neighbor-label weight
+  // sums, then per-node argmax (ties → min label) via ROW_NUMBER
+  private def lpaStep(r: Int): String =
+    s"""l${r + 1} AS (
+       |  SELECT node, lab FROM (
+       |    SELECT s.node, s.lab,
+       |      ROW_NUMBER() OVER (PARTITION BY s.node ORDER BY s.ws DESC, s.lab) AS rn
+       |    FROM (SELECT a.node, l.lab, SUM(a.w) AS ws
+       |          FROM adj a JOIN l$r l ON l.node = a.nb GROUP BY 1, 2) s)
+       |  WHERE rn = 1)""".stripMargin
 
   // one unrolled PageRank step: r{k} -> r{k+1}, all-integer arithmetic
   // (rank·w // ow per edge, 85% damping via (85·s) // 100, teleport
@@ -318,6 +332,35 @@ object GraphQueries {
             (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))).as("cos"))
         .orderBy(col("cos").desc, col("i1"), col("i2"))
         .limit(50)
+    },
+
+    // Community detection: synchronous weighted label propagation over
+    // the UNDIRECTED item graph (parallel/either-direction transition
+    // weights merged), fixed rounds, deterministic argmax-weight /
+    // min-label tie-break — see ops.Graph.lpaCommunities for the update
+    // rule and its two-hash-aggregations-per-round distributed shape.
+    // Oracle: the same recurrence unrolled as chained CTEs; the window
+    // rn=1 formulation is the declarative twin of the engine's
+    // struct-MAX aggregate.
+    QueryDef("gr9_lpa_communities",
+      s"""WITH it AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
+         |        CAST(props->>'k' AS BIGINT) AS item FROM events),
+         |lg AS (SELECT item, LAG(item) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS src
+         |       FROM it),
+         |edges AS (SELECT src, item AS dst, CAST(COUNT(*) AS BIGINT) AS w
+         |          FROM lg WHERE src IS NOT NULL AND src <> item GROUP BY 1, 2),
+         |ue AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, SUM(w) AS w
+         |       FROM edges GROUP BY 1, 2),
+         |adj AS (SELECT a AS node, b AS nb, w FROM ue
+         |        UNION ALL SELECT b, a, w FROM ue),
+         |l0 AS (SELECT DISTINCT node, node AS lab FROM adj),
+         |${(0 until LpaRounds).map(lpaStep).mkString(",\n")}
+         |SELECT node AS item, lab AS community FROM l$LpaRounds
+         |ORDER BY item""".stripMargin) { (s, d) =>
+      val edges = graft.ops.Graph.itemTransitionEdges(Tables.load(s, d, "events"))
+      graft.ops.Graph.lpaCommunities(edges, "src", "dst", "w", iters = LpaRounds)
+        .select(col("node").as("item"), col("community"))
+        .orderBy("item")
     }
   )
 }

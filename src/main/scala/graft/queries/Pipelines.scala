@@ -346,6 +346,58 @@ object PipelinesDedup {
         .select(col("source"), col("n_docs"), col("n_dup_losers"),
           expr("1000000L * n_dup_losers div n_docs").as("dup_ppm"))
         .orderBy("source")
+    },
+
+    // Policy-aware canonical selection: near-dup clusters (dd6's MinHash
+    // pairs → connected components) keep the BEST-provenance member, not
+    // the arbitrary min-id one — the rule real curation uses when the
+    // same page arrives from several crawls ("prefer the higher-priority
+    // source; tie → lowest id"). Priority here = the source's numeric
+    // suffix. Per multi-doc cluster: its size, the chosen canonical +
+    // its source, and the chars the dedup saves. The pick is ONE
+    // struct-MAX hash aggregation over the labeled docs (no per-group
+    // sort, ≤1-row map-side partials); the oracle's ROW_NUMBER window is
+    // the declarative twin.
+    QueryDef("dd15_canonical_pick",
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |cedges AS (SELECT id1 AS a, id2 AS b FROM pairs
+         |           UNION SELECT id2, id1 FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT a, a FROM cedges
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN cedges e ON e.a = reach.id),
+         |grp AS (SELECT id AS doc_id, MIN(r) AS group_id FROM reach GROUP BY id),
+         |m AS (SELECT g.group_id, g.doc_id, d.source, d.n_chars,
+         |        CAST(substr(d.source, 4) AS BIGINT) AS prio
+         |      FROM grp g JOIN documents d ON d.doc_id = g.doc_id),
+         |best AS (SELECT group_id, doc_id, source, n_chars,
+         |           ROW_NUMBER() OVER (PARTITION BY group_id
+         |                              ORDER BY prio DESC, doc_id) AS rn
+         |         FROM m),
+         |agg AS (SELECT group_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |          SUM(n_chars) AS tot
+         |        FROM m GROUP BY group_id)
+         |SELECT a.group_id, a.n_docs, b.doc_id AS canonical_doc,
+         |  b.source AS canonical_source,
+         |  CAST(a.tot - b.n_chars AS BIGINT) AS chars_saved
+         |FROM agg a JOIN best b ON b.group_id = a.group_id AND b.rn = 1
+         |WHERE a.n_docs > 1 ORDER BY a.group_id""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val grp = TextDedup.duplicateGroups(
+        TextDedup.minhashDedupPairs(docs, "doc_id", "text",
+          n = 5, k = K, bands = BANDS, threshold = 0.8))
+      grp.join(docs.select(col("doc_id"), col("source"), col("n_chars")), "doc_id")
+        .withColumn("prio", expr("cast(substring(source, 4) as bigint)"))
+        .groupBy("group_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("tot"),
+          max(struct(col("prio"), (-col("doc_id")).as("ni"),
+            col("doc_id"), col("source"), col("n_chars"))).as("best"))
+        .where(col("n_docs") > 1)
+        .select(col("group_id"), col("n_docs"),
+          col("best.doc_id").as("canonical_doc"),
+          col("best.source").as("canonical_source"),
+          (col("tot") - col("best.n_chars")).cast("long").as("chars_saved"))
+        .orderBy("group_id")
     }
   )
 }

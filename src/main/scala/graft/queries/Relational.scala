@@ -1138,6 +1138,44 @@ object Relational {
         |SELECT root, CAST(COUNT(*) AS BIGINT) AS n_parts, MAX(lvl) AS depth,
         |  CAST(SUM(CAST(FLOOR(p.p_retailprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cost_cents
         |FROM bom JOIN part p ON p.p_partkey = bom.node
-        |GROUP BY root ORDER BY root""".stripMargin)
+        |GROUP BY root ORDER BY root""".stripMargin),
+
+    // percentile_cont — LINEAR-interpolated quantiles (R-7: value at
+    // fractional rank h = p·(n−1)+1), the interpolating sibling of q45's
+    // nearest-rank quantile_disc. Spark runs
+    // ops.ExactQuantile.contQuantilesByKey: the same ONE-histogram +
+    // ONE-refine distributed shape, each p costing its two ADJACENT
+    // order statistics (no per-group value collection, no full sort);
+    // the h multiply and lo + frac·(hi−lo) interpolation are the SAME
+    // correctly-rounded double expressions the oracle's ROW_NUMBER
+    // formulation computes, so results match bit-for-bit.
+    QueryDef("q51_percentile_cont",
+      """WITH t AS (SELECT l_returnflag AS f,
+        |             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem),
+        |r AS (SELECT f, c, ROW_NUMBER() OVER (PARTITION BY f ORDER BY c) AS rn,
+        |        COUNT(*) OVER (PARTITION BY f) AS n FROM t),
+        |pr AS (SELECT f, n, CAST(p AS DOUBLE) AS p,
+        |         CAST(FLOOR(CAST(p AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS BIGINT) AS kf,
+        |         CAST(p AS DOUBLE) * CAST(n - 1 AS DOUBLE)
+        |           - FLOOR(CAST(p AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS frac
+        |       FROM (SELECT DISTINCT f, n FROM r),
+        |            (VALUES (0.25), (0.5), (0.9)) q(p)),
+        |sel AS (SELECT pr.f, pr.p, pr.n, pr.frac,
+        |          MAX(CASE WHEN r.rn = pr.kf + 1 THEN r.c END) AS lo,
+        |          MAX(CASE WHEN r.rn = LEAST(pr.kf + 2, pr.n) THEN r.c END) AS hi
+        |        FROM pr JOIN r ON r.f = pr.f GROUP BY 1, 2, 3, 4)
+        |SELECT f AS l_returnflag, p,
+        |  CAST(lo AS DOUBLE) + frac * CAST(hi - lo AS DOUBLE) AS pct_cents,
+        |  CAST(n AS BIGINT) AS n
+        |FROM sel ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val ps = Seq(0.25, 0.5, 0.9)
+      val t = li(s, d).select(col("l_returnflag").as("f"),
+        round(col("l_extendedprice") * 100).cast(LongType).as("c"))
+      graft.ops.ExactQuantile.contQuantilesByKey(t, col("f"), col("c"), ps)
+        .select(col("__k").as("l_returnflag"),
+          element_at(array(ps.map(lit): _*), col("__i") + 1).as("p"),
+          col("value").as("pct_cents"), col("n"))
+        .orderBy("l_returnflag", "p")
+    }
   )
 }

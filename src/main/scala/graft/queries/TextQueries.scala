@@ -335,6 +335,45 @@ object TextQueries {
         .orderBy("doc_id", "frame_no")
     },
 
+    // Perceptual-hash near-duplicate candidates over binary payloads:
+    // 64-bit dHash (stub luma — see ops.Multimodal.phash64) → 4×16-bit
+    // LSH bands → bucket join → exact hamming verify. The image-dedup
+    // twin of MinHash-LSH text dedup: candidate generation is
+    // bucket-bounded (n²·4/2¹⁶ expected collisions), NEVER all-pairs, so
+    // the join survives a 100 TB media corpus. The query reports the 50
+    // closest candidate pairs by hamming (no threshold, so the gate
+    // checks the full pipeline even though the stub decoder only puts
+    // byte-identical payloads near 0); production callers use
+    // phashNearDupPairs' maxHamming filter.
+    QueryDef("mm6_phash_neardup",
+      """WITH b AS (SELECT doc_id, lower(hex(CAST(text AS BLOB))) AS b64 FROM documents),
+        |cells AS (SELECT doc_id, i, md5(b64 || ':' || CAST(i AS VARCHAR)) AS h
+        |          FROM b, range(0, 72) t(i)),
+        |bits AS (SELECT c.doc_id, (c.i // 9) * 8 + (c.i % 9) AS pos,
+        |           CASE WHEN c.h > r.h THEN '1' ELSE '0' END AS bit
+        |         FROM cells c JOIN cells r ON r.doc_id = c.doc_id AND r.i = c.i + 1
+        |         WHERE c.i % 9 < 8),
+        |ph AS (SELECT doc_id, string_agg(bit, '' ORDER BY pos) AS phash FROM bits GROUP BY doc_id),
+        |bands AS (SELECT doc_id, phash, bi, substr(phash, CAST(bi * 16 + 1 AS INTEGER), 16) AS bk
+        |          FROM ph, range(0, 4) t(bi)),
+        |cand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2,
+        |                x.phash AS p1, y.phash AS p2
+        |         FROM bands x JOIN bands y
+        |           ON x.bi = y.bi AND x.bk = y.bk AND x.doc_id < y.doc_id),
+        |hd AS (SELECT id1, id2,
+        |         CAST((SELECT COUNT(*) FROM range(1, 65) t(i)
+        |               WHERE substr(p1, CAST(i AS INTEGER), 1) <> substr(p2, CAST(i AS INTEGER), 1))
+        |              AS BIGINT) AS hamming
+        |       FROM cand)
+        |SELECT id1, id2, hamming FROM hd
+        |ORDER BY hamming, id1, id2 LIMIT 50""".stripMargin) { (s, d) =>
+      Multimodal.phashNearDupPairs(
+          Multimodal.asBinaryTable(Tables.load(s, d, "documents"), "doc_id", "text"),
+          maxHamming = 64)
+        .orderBy("hamming", "id1", "id2")
+        .limit(50)
+    },
+
     // Training-sequence packing: documents laid end-to-end in doc-id
     // order, cut every 512 tokens; each row is the span of one sequence a
     // document fills. The oracle's single global window cumsum is the

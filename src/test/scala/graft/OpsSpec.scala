@@ -720,4 +720,83 @@ class OpsSpec extends SparkSpec {
       ("acme corp", "azme corp", 1L, 3L, 1L),
       ("acne corp", "azme corp", 2L, 1L, 1L)))
   }
+
+  test("LPA communities: fast path and distributed loop are bit-equal; tie-break is min label") {
+    import spark.implicits._
+    // two triangles bridged by one weak edge: LPA should keep them as
+    // two communities labeled by each triangle's min node
+    val twoTri = Seq(
+      (1L, 2L, 5L), (2L, 3L, 5L), (1L, 3L, 5L),
+      (10L, 11L, 5L), (11L, 12L, 5L), (10L, 12L, 5L),
+      (3L, 10L, 1L)).toDF("src", "dst", "w")
+    def run(df: org.apache.spark.sql.DataFrame, limit: Long, iters: Int = 4) =
+      ops.Graph.lpaCommunities(df, "src", "dst", "w", iters = iters, localEdgeLimit = limit)
+        .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val got = run(twoTri, Long.MaxValue)
+    assert(got.filter(_._1 < 10).map(_._2).distinct.length === 1)
+    assert(got.filter(_._1 >= 10).map(_._2).distinct.length === 1)
+    assert(got.filter(_._1 < 10).head._2 !== got.filter(_._1 >= 10).head._2)
+    // equal-weight star, ONE round: center 5 sees labels {1,2,3} each
+    // with weight 1 → deterministic MIN label 1 (not partition-order-
+    // dependent). One round only — a star is bipartite, so synchronous
+    // LPA oscillates with period 2 on it (known property, why round
+    // counts are fixed and even/odd matters for the oracle).
+    val star = Seq((5L, 1L, 1L), (5L, 2L, 1L), (5L, 3L, 1L)).toDF("src", "dst", "w")
+    val s1 = run(star, Long.MaxValue, iters = 1)
+    assert(s1.find(_._1 == 5L).get._2 === 1L)
+    // random graph: driver recurrence == distributed loop, bit for bit
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 250).map { _ =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong, 1L + rnd.nextInt(4))
+    }.toDF("src", "dst", "w")
+    assert(run(edges, Long.MaxValue) === run(edges, 0L))
+  }
+
+  test("contQuantilesByKey matches built-in percentile_cont (R-7) on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // heavy ties + singleton key + even/odd counts
+    val rows = (1 to 801).map(i => ("a", rnd.nextInt(50).toLong)) ++
+      (1 to 400).map(_ => ("b", rnd.nextInt(1000000).toLong)) ++
+      Seq(("c", 42L))
+    val df = rows.toDF("k", "v").repartition(8)
+    val ps = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val got = ops.ExactQuantile.contQuantilesByKey(df, col("k"), col("v"), ps)
+      .collect().map(r => ((r.getString(0), r.getInt(1)), r.getDouble(2))).toMap
+    val want = df.groupBy("k")
+      .agg(expr(s"percentile(v, array(${ps.mkString(",")}))").as("q"))
+      .collect().flatMap { r =>
+        r.getSeq[Double](1).zipWithIndex.map { case (v, i) => ((r.getString(0), i), v) }
+      }.toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) < 1e-6, s"$k: $v vs ${want(k)}")
+    }
+  }
+
+  test("phash near-dup: identical payloads collide at hamming 0, edits fall out of range") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // byte-identical
+      (3L, "the quick brown fox jumps over the lazy dot"), // 1-byte edit
+      (4L, "completely different payload altogether")
+    ).toDF("doc_id", "text")
+    val media = ops.Multimodal.asBinaryTable(docs, "doc_id", "text")
+    // identical payloads: identical phash → all 4 bands collide → pair at 0
+    val close = ops.Multimodal.phashNearDupPairs(media, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(close === Set((1L, 2L, 0L)))
+    // under the stub decoder a 1-byte edit re-keys every luma cell: doc 3
+    // must NOT land near docs 1/2 (real decoders change that, not the
+    // join machinery). Unthresholded pairs only ever contain (1,2).
+    val all = ops.Multimodal.phashNearDupPairs(media, maxHamming = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all === Set((1L, 2L)))
+    // the hash is a 64-char bit string, stable across row order
+    val ph = media.select(ops.Multimodal.phash64(col("payload")).as("p"))
+      .collect().map(_.getString(0))
+    assert(ph.forall(p => p.length == 64 && p.forall(c => c == '0' || c == '1')))
+    assert(ph(0) === ph(1))
+  }
 }

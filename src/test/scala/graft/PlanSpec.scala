@@ -448,4 +448,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(3000))
   }
+
+  test("recursive CTE runs as the engine's UnionLoop, stepping by equi-join (q49)") {
+    val p = planOf("q49_recursive_cte")
+    assert(p.contains("UnionLoop"), p.take(3000))
+    // the recursion step joins on the COMPUTED parent key — a hash/merge
+    // equi-join per iteration, never a nested loop over the frontier
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
+  test("phash near-dup candidates come from a band-key equi-join, never all-pairs (mm6)") {
+    val p = planOf("mm6_phash_neardup")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
+  test("variant shredding parses once and aggregates partial+final (q50)") {
+    val p = planOf("q50_variant_shred")
+    // two-phase aggregation over the extracted columns
+    assert(p.contains("HashAggregate"), p.take(3000))
+    assert(p.contains("partial_"), p.take(3000))
+  }
 }
