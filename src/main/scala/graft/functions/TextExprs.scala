@@ -20,6 +20,93 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextExprs {
 
+  /** 64-bit dHash-style perceptual hash of a BINARY payload as a 64-char
+    * '0'/'1' bit string — the native twin of the declarative
+    * md5-over-hex formulation mm6's oracle computes (TextExprsSpec
+    * asserts bit-equality): luma of grid cell i (8 rows × 9 cols) is
+    * md5(md5hex(lowercase-hex payload) || ':' || i), bit (r,c) =
+    * luma(r,c) > luma(r,c+1) with hex-lexicographic order ==
+    * unsigned-byte digest order. ONE payload hex+digest pass, then 72
+    * constant-length digests with a REUSED MessageDigest — the
+    * interpreted transform(sequence(0,63), …) tree this replaces paid
+    * 128 full concat+md5 expression evals per row (measured 3.0 s vs
+    * ~0.1 s for 50k docs).
+    */
+  case class PHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = StringType
+    override def prettyName: String = "phash64"
+
+    @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val payload = input.asInstanceOf[Array[Byte]]
+      val hex = new Array[Byte](payload.length * 2)
+      var i = 0
+      while (i < payload.length) {
+        val v = payload(i) & 0xff
+        hex(i * 2) = PHash64.Hex(v >> 4)
+        hex(i * 2 + 1) = PHash64.Hex(v & 0xf)
+        i += 1
+      }
+      md.reset()
+      md.update(hex)
+      val dg = md.digest()
+      // "<32 hex chars>:" — the shared prefix of every cell's hash input
+      val prefix = new Array[Byte](33)
+      i = 0
+      while (i < 16) {
+        val v = dg(i) & 0xff
+        prefix(i * 2) = PHash64.Hex(v >> 4)
+        prefix(i * 2 + 1) = PHash64.Hex(v & 0xf)
+        i += 1
+      }
+      prefix(32) = ':'
+      val cells = new Array[Array[Byte]](72)
+      var c = 0
+      while (c < 72) {
+        md.reset()
+        md.update(prefix)
+        md.update(PHash64.CellSuffix(c))
+        cells(c) = md.digest()
+        c += 1
+      }
+      val bits = new Array[Byte](64)
+      var p = 0
+      while (p < 64) {
+        val li = (p / 8) * 9 + (p % 8)
+        bits(p) = if (PHash64.cmpU(cells(li), cells(li + 1)) > 0) '1' else '0'
+        p += 1
+      }
+      UTF8String.fromBytes(bits)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): PHash64 =
+      copy(child = newChild)
+  }
+
+  object PHash64 {
+    private val Hex = "0123456789abcdef".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    private val CellSuffix: Array[Array[Byte]] = Array.tabulate(72)(i =>
+      java.lang.Integer.toString(i).getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    // unsigned byte-wise compare == lexicographic compare of the hex
+    // spellings (what the declarative/oracle string compare does)
+    private def cmpU(a: Array[Byte], b: Array[Byte]): Int = {
+      var i = 0
+      while (i < 16) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      0
+    }
+  }
+
+  /** Column API: 64-char dHash bit string of a binary payload column. */
+  def phash64_bits(payload: Column): Column =
+    GraftBridge.column(PHash64(GraftBridge.expression(payload)))
+
   /** Distinct xxhash64 (seed 42, Spark's xxhash64) values of the word
     * n-gram shingles of `text` (single-space tokenization). Hash input
     * bytes are exactly `concat_ws(" ", words i..i+n-1)`: because words

@@ -228,33 +228,26 @@ object Multimodal {
 
   /** 64-bit dHash-style perceptual hash of a media payload, as a 64-char
     * '0'/'1' bit string. The DECODE step is the documented stub (no image
-    * libs in this container): "luma" of grid cell i (8 rows × 9 cols) is
-    * md5(hex(payload) || ':' || i), and bit (r,c) = luma(r,c) >
-    * luma(r,c+1) — exactly the dHash gradient rule on a 9-wide luma grid,
-    * with hash ORDER standing in for brightness order. A real deployment
-    * swaps only the luma function (decode + downscale + grayscale); the
-    * banding/join machinery downstream is the production path. Under the
-    * stub, only byte-identical payloads land within small hamming
-    * distance (any byte edit re-keys every cell) — real decoders make
-    * near-identical frames land there too.
+    * libs in this container): the payload is digested ONCE, "luma" of
+    * grid cell i (8 rows × 9 cols) is md5(digest || ':' || i), and bit
+    * (r,c) = luma(r,c) > luma(r,c+1) — exactly the dHash gradient rule on
+    * a 9-wide luma grid, with hash ORDER standing in for brightness
+    * order. A real deployment swaps only the luma function (decode +
+    * downscale + grayscale); the banding/join machinery downstream is the
+    * production path. Under the stub, only byte-identical payloads land
+    * within small hamming distance (any byte edit re-keys every cell) —
+    * real decoders make near-identical frames land there too.
     *
-    * Built as ONE native-function expression tree (base64, md5, transform
-    * over a 64-literal sequence): no UDF, no explode — zero extra rows
-    * per doc.
+    * Runs as the native `TextExprs.PHash64` expression: one payload
+    * hex+digest pass, then 72 constant-length cell digests in a tight
+    * reused-MessageDigest loop. The hex hop (not base64, not raw bytes)
+    * is the portable byte spelling — Spark's base64 is MIME-chunked,
+    * DuckDB's isn't (the mm2/mm5 precedent); the declarative
+    * md5-over-hex twin is what the oracle computes, and TextExprsSpec
+    * asserts the two are bit-equal.
     */
-  def phash64(payload: Column): Column = {
-    // lowercase hex, NOT base64: Spark's base64 is MIME-chunked
-    // (\r\n every 76 chars) while DuckDB's is not — hex is the portable
-    // byte spelling (the mm2/mm5 precedent)
-    val b64 = lower(hex(payload))
-    // left cell index of bit p: (p div 8) rows of 9 cells + column p % 8
-    val bits = transform(sequence(lit(0), lit(63)), p => {
-      def cell(i: Column) = md5(concat(b64, lit(":"), i.cast(StringType)))
-      val left = (p.cast(LongType) / 8).cast(LongType) * 9 + pmod(p, lit(8))
-      when(cell(left) > cell(left + 1), "1").otherwise("0")
-    })
-    concat_ws("", bits)
-  }
+  def phash64(payload: Column): Column =
+    graft.functions.TextExprs.phash64_bits(payload)
 
   /** Perceptual near-duplicate pairs via banded LSH over `phash64`: each
     * hash emits 4 bands of 16 bits; docs sharing any band key become
@@ -267,7 +260,13 @@ object Multimodal {
     * id1 < id2.
     */
   def phashNearDupPairs(media: DataFrame, maxHamming: Int = 6): DataFrame = {
+    // the repartition is a MATERIALIZATION BARRIER: both self-join
+    // branches REUSE the one exchange (ReusedExchange), so each payload
+    // is hashed and scanned once — measured faster than recomputing the
+    // (native, already cheap) hash per branch, and at 100 TB it halves
+    // the media-table scans
     val ph = media.select(col("doc_id"), phash64(col("payload")).as("phash"))
+      .repartition(col("doc_id"))
     val bands = ph
       .select(col("doc_id"), col("phash"), explode(sequence(lit(0), lit(3))).as("bi"))
       .select(col("doc_id"), col("phash"), col("bi"),

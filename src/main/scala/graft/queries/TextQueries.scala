@@ -346,7 +346,7 @@ object TextQueries {
     // byte-identical payloads near 0); production callers use
     // phashNearDupPairs' maxHamming filter.
     QueryDef("mm6_phash_neardup",
-      """WITH b AS (SELECT doc_id, lower(hex(CAST(text AS BLOB))) AS b64 FROM documents),
+      """WITH b AS (SELECT doc_id, md5(lower(hex(CAST(text AS BLOB)))) AS b64 FROM documents),
         |cells AS (SELECT doc_id, i, md5(b64 || ':' || CAST(i AS VARCHAR)) AS h
         |          FROM b, range(0, 72) t(i)),
         |bits AS (SELECT c.doc_id, (c.i // 9) * 8 + (c.i % 9) AS pos,

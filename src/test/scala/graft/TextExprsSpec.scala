@@ -314,6 +314,22 @@ class TextExprsSpec extends AnyFunSuite {
     assert(fast.sameElements(loop))
   }
 
+  test("PHash64 == declarative md5-over-hex dHash pipeline") {
+    val docs = corpus()
+    // the oracle's formulation: digest once, 128 md5 calls via transform
+    val legacy = docs.select(col("doc_id"),
+      concat_ws("", transform(sequence(lit(0), lit(63)), p => {
+        val dg = md5(lower(hex(col("text").cast("binary"))))
+        def cell(i: org.apache.spark.sql.Column) =
+          md5(concat(dg, lit(":"), i.cast("string")))
+        val left = (p.cast("long") / 8).cast("long") * 9 + pmod(p, lit(8))
+        when(cell(left) > cell(left + 1), "1").otherwise("0")
+      })).as("ph"))
+    val native = docs.select(col("doc_id"),
+      graft.functions.TextExprs.phash64_bits(col("text").cast("binary")).as("ph"))
+    assert(legacy.exceptAll(native).isEmpty && native.exceptAll(legacy).isEmpty)
+  }
+
   test("BoundedDocSetAggregate caps per-key state and matches collect_set under the cap") {
     import spark.implicits._
     val rows = Seq(
