@@ -128,6 +128,45 @@ object StreamingOps {
       .select(col("doc_id"), col("__w.start").as("ts"))
   }
 
+  /** Streaming MEDIA near-dup suppression — the online twin of the batch
+    * mm6 perceptual-hash pipeline and the binary-payload sibling of
+    * `nearDupDedupStream`: each arriving payload's 64-bit dHash
+    * (`Multimodal.phash64`, native expression) emits its 4×16-bit LSH
+    * band buckets as longs (band index ⊕ band bits — bucket ids never
+    * collide across bands), a bucket is owned by its FIRST claimant
+    * (per-bucket `transformWithState`, ONE long per live bucket,
+    * event-time timer cleanup), and a document survives iff it owns ALL
+    * its buckets — byte-identical payloads (and, with a real decoder,
+    * near-identical frames) collapse to the first arrival, cross-batch.
+    * The per-doc aggregation legally chains because the state operator
+    * re-declares event time. Emits (doc_id, ts) survivors.
+    */
+  def phashDedupStream(media: DataFrame, idCol: String, tsCol: String,
+                       watermark: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.OutputMode
+    val spark = media.sparkSession
+    import spark.implicits._
+    val withBands = media
+      .withWatermark(tsCol, watermark)
+      .withColumn("__ph", graft.ops.Multimodal.phash64(col("payload")))
+      .select(graft.ops.TextDedup.longId(media, idCol, "phashDedupStream").as("doc_id"),
+        col(tsCol).as("__ts"),
+        explode(expr("transform(sequence(0, 3), b -> " +
+          "b * 65536L + cast(conv(substring(__ph, b * 16 + 1, 16), 2, 10) as bigint))"))
+          .as("__bucket"))
+      .as[(Long, java.sql.Timestamp, Long)]
+    val owned = withBands
+      .groupByKey(_._3)
+      .transformWithState(new BucketOwnerProcessor(), "_2", OutputMode.Append())
+      .toDF("doc_id", "__ts", "__own")
+    owned
+      .groupBy(col("doc_id"), window(col("__ts"), "1 second").as("__w"))
+      .agg(min(col("__own")).as("__all_own"))
+      .filter(col("__all_own"))
+      .select(col("doc_id"), col("__w.start").as("ts"))
+  }
+
   /** Streaming CHUNK-level exact dedup — the online twin of the batch C4
     * duplicate-span removal (dd10): arriving documents are cut into
     * non-overlapping `chunkWords`-word chunks in-row, each chunk's 64-bit

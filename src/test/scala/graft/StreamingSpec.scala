@@ -140,6 +140,39 @@ class StreamingSpec extends SparkSpec {
     assert(survivors === Seq(10L, 12L))
   }
 
+  test("streaming phash dedup suppresses byte-identical payloads across micro-batches") {
+    val dir = tmpDir("graft-phashdedup")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("ts", TimestampType)))
+    def write(batch: Seq[(Long, String, String)], name: String): Unit =
+      batch.toDF("doc_id", "text", "s")
+        .select(col("doc_id"), col("text"), to_timestamp(col("s")).as("ts"))
+        .coalesce(1).write.parquet(dir + "/" + name)
+    // batch 1: doc 10 claims its payload's buckets; doc 12 is unique
+    write(Seq(
+      (10L, "shared media payload bytes", "2024-01-01 00:00:00"),
+      (12L, "a completely different payload", "2024-01-01 00:00:10")), "b1")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = StreamingOps.parquetStream(spark, schema, dir + "/b*")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"), col("ts"))
+    val out = StreamingOps.phashDedupStream(stream, "doc_id", "ts", "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("phashout").start()
+    q.processAllAvailable()
+    // batch 2: doc 11 repeats doc 10's bytes — identical dHash, all 4
+    // bands owned by 10 → suppressed CROSS-batch (state survived)
+    write(Seq((11L, "shared media payload bytes", "2024-01-01 00:00:05")), "b2")
+    q.processAllAvailable()
+    // watermark flush so the append-mode window emits
+    write(Seq((99L, "late flush payload advancing the watermark", "2024-01-01 01:00:00")), "b3")
+    q.processAllAvailable(); q.stop()
+    val survivors = spark.sql("SELECT doc_id FROM phashout WHERE doc_id < 90 ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(survivors === Seq(10L, 12L))
+  }
+
   test("streaming chunk dedup drops repeated spans across micro-batches") {
     val dir = tmpDir("graft-chunkdedup")
     def words(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
