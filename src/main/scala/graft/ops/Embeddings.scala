@@ -69,6 +69,34 @@ object Embeddings {
       .select(col("query_id"), col("s.id").as("neighbor_id"),
         col("s.score").as("cos"), (col("i") + 1).as("rnk"))
 
+  /** k-NN GRAPH construction — the build primitive behind graph-ANN
+    * indexes (HNSW/NSG base layers), graph-based dedup and
+    * link-then-cluster pipelines: EVERY vector gets its k nearest
+    * bucket-mates, not just a query subset. Candidates come from the
+    * hyperplane-LSH signature SELF-join (expected N/2^planes per bucket,
+    * never all-pairs — no broadcast: both sides are the corpus, so the
+    * join shuffles on the signature key); per-node ranking runs in the
+    * bounded TopKScoredAggregate (≤k rows per map-side partial), so
+    * reduce state is k-bounded regardless of bucket skew. Recall is
+    * signature-bounded (sim2's trade — raise planes / multi-probe at
+    * scale). Returns (node_id, neighbor_id, cos, rnk ≤ k).
+    */
+  def knnGraph(vecs: DataFrame, idCol: String, vecCol: String,
+               k: Int, planes: Int, dim: Int): DataFrame = {
+    val signs = planeSigns(planes, dim)
+    val p = prepared(vecs, idCol, vecCol)
+      .withColumn("sig", lshSignature(col("qe"), signs))
+    val nb = p.select(col("vec_id").as("neighbor_id"), col("qe").as("nb_qe"),
+      col("n2").as("nb_n2"), col("sig"))
+    rankTopK(
+      p.join(nb, Seq("sig"))
+        .filter(col("vec_id") =!= col("neighbor_id"))
+        .select(col("vec_id").as("query_id"), col("neighbor_id"),
+          cosine(dotQ(col("qe"), col("nb_qe")), col("n2"), col("nb_n2")).as("cos")),
+      k)
+      .select(col("query_id").as("node_id"), col("neighbor_id"), col("cos"), col("rnk"))
+  }
+
   /** Brute-force top-k cosine neighbors for a query subset: broadcast the
     * (small) query side against the full corpus, rank per query. The
     * baseline ANN answer — O(|Q| * N) dots, embarrassingly parallel.

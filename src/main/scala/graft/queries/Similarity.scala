@@ -427,6 +427,28 @@ object Similarity {
         .orderBy("query_id", "rnk")
     },
 
+    // k-NN GRAPH build — every vector's 3 nearest LSH-bucket-mates (the
+    // base-layer construction of graph-ANN indexes and the edge list
+    // graph-based dedup/community pipelines start from). Spark:
+    // ops.Embeddings.knnGraph — signature SELF-join (shuffle on the
+    // signature key, both sides corpus-sized, never a broadcast or
+    // all-pairs) + the bounded TopKScoredAggregate per node. The oracle
+    // is sim2's formulation with EVERY node as a query.
+    QueryDef("sim9_knn_graph",
+      s"""WITH $quantCte,
+         |sigs AS (SELECT a.vec_id, a.qe, a.n2, ${sigSql("a")} AS sig FROM q a),
+         |s AS (SELECT b.vec_id AS node_id, a.vec_id AS neighbor_id,
+         |        ${cosSql("CAST(list_sum([a.qe[i]*b.qe[i] FOR i IN range(1, len(a.qe)+1)]) AS BIGINT)", "a.n2", "b.n2")} AS cos
+         |      FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id <> b.vec_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY node_id ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
+         |SELECT node_id, neighbor_id, cos, CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= 3 ORDER BY node_id, rnk""".stripMargin) { (s, d) =>
+      Embeddings.knnGraph(Tables.load(s, d, "embeddings"),
+          "vec_id", "embedding", k = 3, planes = PLANES, dim = DIM)
+        .withColumn("rnk", col("rnk").cast("long"))
+        .orderBy("node_id", "rnk")
+    },
+
     // Embedding-norm QA screen — ingest-time vector sanity per label:
     // norm² extremes plus the count of z-outliers (|n·x − m| beyond 3
     // standard deviations of the label's norm² distribution), the check

@@ -680,6 +680,52 @@ object TextQueries {
         |FROM sh JOIN dfc USING (shingle) GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       TextAnalysis.noveltyScores(Tables.load(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")
+    },
+
+    // Dataset MIXING to a token budget — the Pile/DoReMi-style step that
+    // assembles a training blend: each source gets budget
+    // floor(T·w/Σw) tokens (weights here derived from the source id),
+    // and docs fill it in deterministic md5 order until the cumulative
+    // token count would exceed it. Per-source take-while = one keyed
+    // window cumsum + one broadcast budget join — the distributed shape;
+    // doc order inside a source is hash-shuffled (tx16's rule), so the
+    // blend is unbiased AND reproducible. tx20's sibling with the budget
+    // in TOKENS, not doc counts — what LM training actually allocates.
+    QueryDef("tx26_token_budget_mix",
+      """WITH t AS (SELECT doc_id, source,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+        |             CAST(substr(source, 4) AS BIGINT) % 3 + 1 AS w,
+        |             md5('mix:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |ws AS (SELECT source, MIN(w) AS w FROM t GROUP BY 1),
+        |tot AS (SELECT SUM(w) AS sw FROM ws),
+        |b AS (SELECT source, w, 20000 * w // sw AS budget FROM ws, tot),
+        |c AS (SELECT source, doc_id, tok,
+        |        SUM(tok) OVER (PARTITION BY source ORDER BY h, doc_id) AS cum FROM t),
+        |kept AS (SELECT c.source, c.doc_id, c.tok
+        |         FROM c JOIN b ON b.source = c.source WHERE c.cum <= b.budget)
+        |SELECT b.source, CAST(b.w AS BIGINT) AS weight, CAST(b.budget AS BIGINT) AS budget,
+        |  CAST(COUNT(kept.doc_id) AS BIGINT) AS n_docs,
+        |  CAST(COALESCE(SUM(kept.tok), 0) AS BIGINT) AS tokens_kept
+        |FROM b LEFT JOIN kept ON kept.source = b.source
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.load(s, d, "documents").select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("tok"),
+        (expr("cast(substring(source, 4) as bigint)") % 3 + 1).as("w"),
+        md5(concat(lit("mix:"), col("doc_id").cast("string"))).as("h"))
+      val ws = t.groupBy("source").agg(min("w").as("w"))
+      val b = ws.crossJoin(broadcast(ws.agg(sum("w").as("sw"))))
+        .select(col("source"), col("w"), expr("20000L * w div sw").as("budget"))
+      val c = t.withColumn("cum",
+        sum("tok").over(Window.partitionBy("source").orderBy("h", "doc_id")))
+      val kept = c.join(broadcast(b.select(col("source"), col("budget"))), "source")
+        .where(col("cum") <= col("budget"))
+        .groupBy("source").agg(count(lit(1)).as("n_docs"), sum("tok").as("tk"))
+      b.join(kept, Seq("source"), "left")
+        .select(col("source"), col("w").cast("long").as("weight"), col("budget"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(col("tk"), lit(0L)).cast("long").as("tokens_kept"))
+        .orderBy("source")
     }
   )
 }

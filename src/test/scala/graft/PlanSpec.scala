@@ -466,6 +466,18 @@ class PlanSpec extends SparkSpec {
       p.take(3000))
   }
 
+  test("knn graph self-joins on the LSH signature, ranks in the bounded aggregate (sim9)") {
+    val p = planOf("sim9_knn_graph")
+    // corpus-corpus join: shuffle on the signature key, never all-pairs
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    // per-node top-k via the TypedImperativeAggregate, not a window sort
+    assert(p.contains("ObjectHashAggregate"), p.take(3000))
+    assert(!p.contains("RunningWindowFunction") || !p.contains("row_number"), p.take(3000))
+  }
+
   test("variant shredding parses once and aggregates partial+final (q50)") {
     val p = planOf("q50_variant_shred")
     // two-phase aggregation over the extracted columns
