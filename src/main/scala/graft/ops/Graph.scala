@@ -489,6 +489,76 @@ object Graph {
     h.join(a, "node").select(col("node"), col("hub"), col("auth"))
   }
 
+  /** PERSONALIZED PageRank — pageRank with the teleport mass restricted
+    * to a seed set: rank flows out from the seeds through the weighted
+    * edges, giving "importance relative to THESE nodes" — the
+    * recommendation-expansion / related-items primitive (vs global
+    * PageRank's "importance overall"). Same exact-Int64 recurrence,
+    * shuffle layout, and driver/distributed split as `pageRank`; the
+    * only change is the teleport vector:
+    *
+    *   rank₀(v)    = scale·[v ∈ S]
+    *   rank_{t+1}(v) = teleport·[v ∈ S] + d·Σ_{(u,v)} rank_t(u)·w/ow
+    *
+    * Seeds are a plan-baked literal set (bounded — personalization seeds
+    * are a user's handful of items, never data-sized). Nodes unreachable
+    * from the seeds hold rank 0.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           wCol: String, seeds: Set[Long], iters: Int = 10,
+                           scale: Long = 1000000L,
+                           dampNum: Long = 85L, dampDen: Long = 100L,
+                           localEdgeLimit: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && seeds.nonEmpty, "need iters >= 1 and a non-empty seed set")
+    val e = edges.select(
+        edges(srcCol).cast(LongType).as("src"),
+        edges(dstCol).cast(LongType).as("dst"),
+        edges(wCol).cast(LongType).as("w"))
+      .where(col("w") > 0)
+    val ew = e.join(e.groupBy("src").agg(sum("w").as("ow")), "src")
+      .select("src", "dst", "w", "ow")
+      .localCheckpoint(false)
+    val teleport = (dampDen - dampNum) * scale / dampDen
+    val nEdges = ew.count()
+    if (nEdges <= localEdgeLimit) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val es = ew.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val nodes0 = (es.iterator.map(_._1) ++ es.iterator.map(_._2)).toArray.distinct
+      var rank = nodes0.map(n => n -> (if (seeds(n)) scale else 0L)).toMap
+      var i = 0
+      while (i < iters) {
+        val in = new scala.collection.mutable.HashMap[Long, Long]()
+        es.foreach { case (s, d, w, ow) =>
+          in(d) = in.getOrElse(d, 0L) + rank(s) * w / ow
+        }
+        rank = nodes0.map(n => n ->
+          ((if (seeds(n)) teleport else 0L) + dampNum * in.getOrElse(n, 0L) / dampDen)).toMap
+        i += 1
+      }
+      return nodes0.sorted.map(n => (n, rank(n))).toSeq.toDF("node", "rank")
+    }
+    val nodes = ew.select(col("src").as("node"))
+      .union(ew.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(false)
+    val seedExpr = col("node").isInCollection(seeds)
+    var ranks = nodes.withColumn("rank", when(seedExpr, lit(scale)).otherwise(lit(0L)))
+    var i = 0
+    while (i < iters) {
+      val contrib = ew.join(ranks, ew("src") === ranks("node"))
+        .select(col("dst"), expr("(rank * w) div ow").as("c"))
+        .groupBy("dst").agg(sum("c").as("s"))
+      ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(col("node"),
+          (when(seedExpr, lit(teleport)).otherwise(lit(0L)) +
+            expr(s"($dampNum * coalesce(s, 0L)) div $dampDen")).as("rank"))
+        .localCheckpoint(false)
+      i += 1
+    }
+    ranks
+  }
+
   /** Synchronous weighted label propagation — community detection with a
     * fixed round count and a DETERMINISTIC update rule, so results are
     * partition-order-free and oracle-replayable (vanilla async LPA is

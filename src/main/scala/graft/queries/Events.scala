@@ -631,6 +631,44 @@ object Events {
         .limit(10)
     },
 
+    // POINT-IN-TIME enrichment — the feature-store correctness join:
+    // each purchase is labeled with the SCD2 dimension attribute (the
+    // user's current item, ev18's intervals) that was valid AT THE
+    // PURCHASE INSTANT — never a later value (leakage) nor a stale one.
+    // Composition: Scd2.fromHistory change-points + the ev4 as-of
+    // machinery (union + ONE keyed window pass — no interval range
+    // join); ties at a change instant resolve to the NEW value on both
+    // engines (dim row sorts first / ASOF >=). Purchases before any
+    // view stay NULL (left as-of).
+    QueryDef("ev23_pit_enrichment",
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |             CAST(props->>'k' AS BIGINT) AS item
+        |           FROM events WHERE event_type = 'view'),
+        |obs AS (SELECT user_id, tus, max_by(item, event_id) AS item FROM e GROUP BY 1, 2),
+        |l AS (SELECT *, LAG(item) OVER (PARTITION BY user_id ORDER BY tus) AS prev FROM obs),
+        |cp AS (SELECT user_id, tus, item FROM l WHERE prev IS NULL OR prev <> item),
+        |f AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |        CAST(ROUND(value * 1000) AS BIGINT) AS vm
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT f.user_id, f.event_id, f.vm AS value_milli, cp.item AS item_at_purchase
+        |FROM f ASOF LEFT JOIN cp ON f.user_id = cp.user_id AND f.tus >= cp.tus
+        |ORDER BY f.user_id, f.event_id""".stripMargin) { (s, d) =>
+      val evd = ev(s, d)
+      val log = evd.filter(col("event_type") === "view")
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("item"))
+        .groupBy("user_id", "tus")
+        .agg(max_by(col("item"), col("event_id")).as("item"))
+      val dim = graft.ops.Scd2.fromHistory(log, Seq("user_id"), "tus", Seq("item"))
+        .select(col("user_id"), col("valid_from").as("tus"), col("item"))
+      val facts = evd.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("event_id"),
+          round(col("value") * 1000).cast(LongType).as("value_milli"))
+      graft.ops.TimeSeriesOps.asOfJoin(facts, dim, "user_id", "tus", "item", "item_at_purchase")
+        .select("user_id", "event_id", "value_milli", "item_at_purchase")
+        .orderBy("user_id", "event_id")
+    },
+
     // Mann–Whitney U (Wilcoxon rank-sum) with tie correction — the
     // NONPARAMETRIC sibling of ev20's t-test: compares the per-day
     // 'view' vs 'purchase' value DISTRIBUTIONS by rank, robust to the

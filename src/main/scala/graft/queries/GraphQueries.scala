@@ -25,6 +25,20 @@ object GraphQueries {
   // dense item graph; fixed count keeps both engines bit-equal)
   private val LpaRounds = 4
 
+  // gr10: personalized-PageRank seed items (a "user history" handful)
+  private val PprSeeds = Seq(1L, 2L, 3L)
+
+  // one unrolled PPR step — gr1's recurrence with teleport mass
+  // restricted to the seed set
+  private def pprStep(k: Int): String =
+    s"""pr${k + 1} AS (
+       |  SELECT n.node, CAST(CASE WHEN n.node IN (${PprSeeds.mkString(", ")}) THEN 150000 ELSE 0 END
+       |    + (85 * COALESCE(SUM((r.rank * e.w) // e.ow), 0)) // 100 AS BIGINT) AS rank
+       |  FROM nodes n
+       |  LEFT JOIN ew e ON e.dst = n.node
+       |  LEFT JOIN pr$k r ON r.node = e.src
+       |  GROUP BY n.node)""".stripMargin
+
   // one unrolled LPA round for the gr9 oracle: neighbor-label weight
   // sums, then per-node argmax (ties → min label) via ROW_NUMBER
   private def lpaStep(r: Int): String =
@@ -332,6 +346,34 @@ object GraphQueries {
             (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))).as("cos"))
         .orderBy(col("cos").desc, col("i1"), col("i2"))
         .limit(50)
+    },
+
+    // Personalized PageRank from a seed item set — "what's important
+    // relative to THIS user's items", the recommendation-expansion /
+    // related-content primitive (global gr1 answers "important
+    // overall"). Same exact-Int64 recurrence and unrolled-CTE oracle as
+    // gr1; only the teleport vector changes (mass re-injected at the
+    // seeds each round). Nodes unreachable from the seeds stay at 0.
+    QueryDef("gr10_personalized_pagerank",
+      s"""WITH it AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
+         |        CAST(props->>'k' AS BIGINT) AS item FROM events),
+         |lg AS (SELECT item, LAG(item) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS src
+         |       FROM it),
+         |edges AS (SELECT src, item AS dst, CAST(COUNT(*) AS BIGINT) AS w
+         |          FROM lg WHERE src IS NOT NULL AND src <> item GROUP BY 1, 2),
+         |outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY 1),
+         |ew AS (SELECT e.src, e.dst, e.w, o.ow FROM edges e JOIN outw o USING (src)),
+         |nodes AS (SELECT DISTINCT node FROM
+         |          (SELECT src AS node FROM edges UNION SELECT dst FROM edges)),
+         |pr0 AS (SELECT node, CAST(CASE WHEN node IN (${PprSeeds.mkString(", ")})
+         |          THEN 1000000 ELSE 0 END AS BIGINT) AS rank FROM nodes),
+         |${(0 until Iters).map(pprStep).mkString(",\n")}
+         |SELECT node AS item, rank FROM pr$Iters ORDER BY item""".stripMargin) { (s, d) =>
+      val edges = graft.ops.Graph.itemTransitionEdges(Tables.load(s, d, "events"))
+      graft.ops.Graph.personalizedPageRank(edges, "src", "dst", "w",
+          seeds = PprSeeds.toSet, iters = Iters)
+        .select(col("node").as("item"), col("rank"))
+        .orderBy("item")
     },
 
     // Community detection: synchronous weighted label propagation over

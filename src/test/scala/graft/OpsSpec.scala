@@ -423,6 +423,25 @@ class OpsSpec extends SparkSpec {
     assert(fast.filter(_._1 >= 40).forall(_._2 > 150000L))
   }
 
+  test("personalized PageRank: fast path == distributed loop; mass stays seed-reachable") {
+    val rnd = new scala.util.Random(13)
+    val edges = (1 to 300).map { _ =>
+      (rnd.nextInt(40).toLong, 40L + rnd.nextInt(10), 1L + rnd.nextInt(5))
+    }.toDF("src", "dst", "w")
+    def run(limit: Long) =
+      ops.Graph.personalizedPageRank(edges, "src", "dst", "w", seeds = Set(1L, 2L),
+          iters = 10, localEdgeLimit = limit)
+        .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val fast = run(Long.MaxValue)
+    assert(fast === run(0L))
+    // src nodes (<40) have NO in-edges in this construction: non-seed
+    // sources hold rank 0, seeds hold at least the teleport mass
+    assert(fast.filter(p => p._1 < 40 && p._1 != 1L && p._1 != 2L).forall(_._2 == 0L))
+    assert(fast.filter(p => p._1 == 1L || p._1 == 2L).forall(_._2 >= 150000L))
+    // dst-only nodes receive mass only via the graph
+    assert(fast.filter(_._1 >= 40).exists(_._2 > 0L))
+  }
+
   test("MMR re-rank suppresses redundant near-twins that pure relevance keeps") {
     // query 0 at the origin-ish; candidates: ids 1 and 2 are EXACT twins
     // (both very close to the query), id 3 slightly less relevant but
