@@ -42,7 +42,7 @@ class GraftFileIndex(
   private def status(f: FileEntry): FileStatusWithMetadata =
     FileStatusWithMetadata(new FileStatus(
       f.size, false, 1, 128L << 20, manifest.timestampMs,
-      new Path(s"$root/${f.path}")))
+      new Path(Manifest.resolveData(root, f.path))))
 
   override def listFiles(
       partitionFilters: Seq[Expression],
@@ -71,7 +71,7 @@ class GraftFileIndex(
   }
 
   override def inputFiles: Array[String] =
-    manifest.files.map(f => s"$root/${f.path}").toArray
+    manifest.files.map(f => Manifest.resolveData(root, f.path)).toArray
 
   override def refresh(): Unit = ()
 

@@ -50,7 +50,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
   /** Raw parquet scan over an explicit manifest file subset (DML/
     * maintenance rewrites — no pruning index involved). */
   private def readFiles(files: Seq[FileEntry], sch: StructType): DataFrame =
-    spark.read.schema(sch).parquet(files.map(f => s"$root/${f.path}"): _*)
+    spark.read.schema(sch).parquet(files.map(f => Manifest.resolveData(root, f.path)): _*)
 
   def readAsOf(tsMs: Long): DataFrame = {
     val v = Manifest.versionAsOf(root, tsMs).getOrElse(
@@ -318,6 +318,38 @@ class GraftTable(val spark: SparkSession, val root: String) {
   def truncate(): Long = {
     val m = latestManifest
     commitNext(Seq.empty, m.schemaJson)
+  }
+
+  /** RESTORE ... TO VERSION AS OF v — roll the table BACK by committing a
+    * NEW version whose file set and schema are version v's. History is
+    * preserved and nothing is rewritten: O(manifest) regardless of table
+    * size, the Delta RESTORE semantics. Valid while v's files are
+    * retained (VACUUM keeps only the latest version's files, so restore
+    * before vacuuming). */
+  def restore(version: Long): Long = {
+    val m = Manifest.read(root, version)
+    commitNext(m.files, m.schemaJson)
+  }
+
+  /** SHALLOW CLONE into `destRoot`: a ZERO-COPY table whose v0 manifest
+    * references THIS table's data files by absolute path — O(manifest)
+    * whatever the data size (a 100 TB clone is a metadata write), per-file
+    * stats carried over so the clone skips files exactly like the source.
+    * Writes to the clone produce clone-local files (natural copy-on-write
+    * divergence: UPDATE/DELETE rewrite affected source files into the
+    * clone's own directory and inherit the rest by absolute path). Bloom
+    * sidecar mappings are dropped (root-relative, advisory). Same hazard
+    * as Delta's shallow clones: VACUUM on the SOURCE can remove files a
+    * clone still references. */
+  def cloneTo(destRoot: String, version: Option[Long] = None): GraftTable = {
+    val m = version.map(Manifest.read(root, _)).getOrElse(latestManifest)
+    val qual = fsQualifiedRoot.toString
+    val files = m.files.map(f => f.copy(
+      path = Manifest.resolveData(qual, f.path), blooms = Map.empty))
+    LakeIO.mkdirs(new HPath(destRoot))
+    Manifest.commit(destRoot,
+      TableManifest(0L, System.currentTimeMillis, m.schemaJson, files))
+    new GraftTable(spark, destRoot)
   }
 
   /** OPTIMIZE-style compaction: fuse files smaller than `smallBytes` into

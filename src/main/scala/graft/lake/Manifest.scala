@@ -172,6 +172,15 @@ object Manifest {
 
   // --- log directory operations ------------------------------------------
 
+  /** Data-file resolution: entry paths are normally RELATIVE to the table
+    * root; SHALLOW CLONE manifests reference the SOURCE table's files by
+    * absolute (/-rooted or scheme-qualified) path. */
+  def resolveData(tableRoot: String, p: String): String =
+    // absolute = /-rooted or URI-schemed. Hadoop qualifies local paths as
+    // "file:/tmp/..." (single slash), so match "scheme:/", not "://"
+    if (p.startsWith("/") || p.matches("^[A-Za-z][A-Za-z0-9+.-]*:/.*")) p
+    else s"$tableRoot/$p"
+
   def logDir(tableRoot: String): Path = LakeIO.path(tableRoot, "_log")
 
   def versionPath(tableRoot: String, v: Long): Path = new Path(logDir(tableRoot), f"v$v%020d.json")

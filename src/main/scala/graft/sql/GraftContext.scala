@@ -474,6 +474,10 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
     """(?is)^CREATE\s+(OR\s+REPLACE\s+)?FUNCTION\s+([\w"]+)\s+AS\s+'(.+)'\s*$""".r
   private val reDropFn = """(?is)^DROP\s+FUNCTION\s+(IF\s+EXISTS\s+)?(.+)$""".r
   private val reConvert = """(?is)^CONVERT\s+'([^']+)'\s+TO\s+GRAFT\s+([\w."]+)\s*$""".r
+  private val reClone =
+    """(?is)^CREATE\s+TABLE\s+([\w."]+)\s+SHALLOW\s+CLONE\s+([\w."]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*$""".r
+  private val reRestore =
+    """(?is)^RESTORE\s+TABLE\s+([\w."]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*$""".r
 
   /** Execute one statement; returns its result (DDL/DML → empty). */
   def execute(sql: String): DataFrame = {
@@ -527,6 +531,22 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
       readExternal(spark, fmtUp, resolvedLoc, options)
         .createOrReplaceTempView(s"staging__$name")
       stagingTables(name) = (fmtUp, resolvedLoc, options)
+      emptyResult
+    case reClone(dst, src, ver) =>
+      // beyond-reference lake op: ZERO-COPY table clone (O(manifest) —
+      // the new table's v0 references the source's files by absolute
+      // path; writes diverge copy-on-write). Must dispatch before
+      // CREATE TABLE ... AS — "VERSION AS OF" contains an AS.
+      val (ds, dn) = splitName(dst)
+      val (ss, sn) = splitName(src)
+      val srcTable = table(ss, sn) // resolve source BEFORE creating dst
+      val uuid = catalog.createTable(currentDb, ds, dn)
+      srcTable.cloneTo(catalog.tableRoot(uuid), Option(ver).map(_.toLong))
+      emptyResult
+    case reRestore(qname, ver) =>
+      // beyond-reference lake op: version rollback as a NEW commit
+      val (sch, name) = splitName(qname)
+      table(sch, name).restore(ver.toLong)
       emptyResult
     case reCreateTableAs(qname, query) =>
       val (sch, name) = splitName(qname)

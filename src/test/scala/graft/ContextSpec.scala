@@ -537,4 +537,55 @@ class ContextSpec extends SparkSpec {
     // node 0: anchor + 0->1->3->0; 1: one walk; 2/3: depth 2
     assert(rows.toSeq === Seq((0L, 0, 2L), (1L, 1, 1L), (2L, 2, 1L), (3L, 2, 1L)))
   }
+
+  test("shallow clone is zero-copy, version-pinnable, and diverges copy-on-write") {
+    val c = ctx()
+    c.execute("CREATE TABLE src (id BIGINT, v BIGINT)")
+    c.execute("INSERT INTO src VALUES (1, 10), (2, 20)") // version 1
+    c.execute("INSERT INTO src VALUES (3, 30)")          // version 2
+    c.execute("CREATE TABLE cl SHALLOW CLONE src")
+    c.execute("CREATE TABLE cl1 SHALLOW CLONE src VERSION AS OF 1")
+    def ids(t: String) =
+      c.execute(s"SELECT id FROM $t ORDER BY id").collect().map(_.getLong(0)).toSeq
+    assert(ids("cl") === Seq(1L, 2L, 3L))
+    assert(ids("cl1") === Seq(1L, 2L)) // pinned pre-v2 snapshot
+    // ZERO-COPY: no parquet data files under either clone's root
+    def parquetCount(t: String): Int = {
+      val uuid = c.catalog.listTables(c.currentDb)
+        .collectFirst { case ("public", `t`, u) => u }.get
+      val root = new java.io.File(c.catalog.tableRoot(uuid))
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(root)
+    }
+    assert(parquetCount("cl") === 0)
+    assert(parquetCount("cl1") === 0)
+    // copy-on-write divergence: writes land in the CLONE only
+    c.execute("UPDATE cl SET v = 99 WHERE id = 1")
+    c.execute("INSERT INTO cl VALUES (4, 40)")
+    assert(c.execute("SELECT v FROM cl WHERE id = 1").collect().head.getLong(0) === 99L)
+    assert(c.execute("SELECT v FROM src WHERE id = 1").collect().head.getLong(0) === 10L)
+    assert(ids("cl") === Seq(1L, 2L, 3L, 4L))
+    assert(ids("src") === Seq(1L, 2L, 3L))
+    assert(parquetCount("cl") > 0) // rewritten + appended files are clone-local
+  }
+
+  test("restore rolls back to an old version as a new commit") {
+    val c = ctx()
+    c.execute("CREATE TABLE r (id BIGINT)")     // version 0
+    c.execute("INSERT INTO r VALUES (1), (2)")  // version 1
+    c.execute("DELETE FROM r WHERE id = 2")     // version 2
+    c.execute("INSERT INTO r VALUES (9)")       // version 3
+    c.execute("RESTORE TABLE r TO VERSION AS OF 1")
+    val rows = c.execute("SELECT id FROM r ORDER BY id").collect().map(_.getLong(0)).toSeq
+    assert(rows === Seq(1L, 2L))
+    // history preserved: restore is a NEW version, not a rewrite
+    val versions = c.execute("SELECT version FROM system.table_versions WHERE table_name = 'r'")
+      .collect().map(_.getLong(0)).toSeq
+    assert(versions.max === 4L)
+    // the pre-restore state is still reachable via time travel history
+    c.execute("RESTORE TABLE r TO VERSION AS OF 3")
+    assert(c.execute("SELECT id FROM r ORDER BY id").collect().map(_.getLong(0)).toSeq === Seq(1L, 9L))
+  }
 }
