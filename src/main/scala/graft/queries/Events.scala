@@ -631,6 +631,47 @@ object Events {
         .limit(10)
     },
 
+    // Funnel TIME-TO-CONVERT — how long view→purchase takes: per user,
+    // the first purchase at-or-after the first view; converters'
+    // latency distribution summarized by exact nearest-rank p50/p90
+    // (quantile_disc semantics — ops.ExactQuantile's histogram+refine,
+    // two codegen'd scans, no global sort) on integer microsecond
+    // deltas. The ev8 funnel says HOW MANY convert; this says HOW FAST
+    // — the pair product teams read together.
+    QueryDef("ev24_time_to_convert",
+      """WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS v0 FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS p0
+        |      FROM events e JOIN v ON v.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= v.v0
+        |      GROUP BY 1),
+        |dlt AS (SELECT p.user_id, p.p0 - v.v0 AS d FROM p JOIN v USING (user_id)),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_conv FROM dlt),
+        |o AS (SELECT d, ROW_NUMBER() OVER (ORDER BY d) AS rn FROM dlt)
+        |SELECT n.n_conv,
+        |  CAST(MAX(CASE WHEN o.rn = CAST(CEIL(0.5 * CAST(n.n_conv AS DOUBLE)) AS BIGINT)
+        |       THEN o.d END) AS BIGINT) AS p50_us,
+        |  CAST(MAX(CASE WHEN o.rn = CAST(CEIL(0.9 * CAST(n.n_conv AS DOUBLE)) AS BIGINT)
+        |       THEN o.d END) AS BIGINT) AS p90_us
+        |FROM o, n GROUP BY n.n_conv""".stripMargin) { (s, d) =>
+      val evd = ev(s, d)
+      val v = evd.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("v0"))
+      val p = evd.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"))
+        .join(v, "user_id")
+        .filter(col("tus") >= col("v0"))
+        .groupBy("user_id").agg(min(col("tus")).as("p0"))
+      val dlt = p.join(v, "user_id").select((col("p0") - col("v0")).as("d"))
+      graft.ops.ExactQuantile
+        .rankStatsByKey(dlt, lit(1L), col("d"), Seq(0.5, 0.9))
+        .groupBy()
+        .agg(first("n").as("n_conv"),
+          max(when(col("__i") === 0, col("value"))).as("p50_us"),
+          max(when(col("__i") === 1, col("value"))).as("p90_us"))
+        .select(col("n_conv"), col("p50_us"), col("p90_us"))
+    },
+
     // POINT-IN-TIME enrichment — the feature-store correctness join:
     // each purchase is labeled with the SCD2 dimension attribute (the
     // user's current item, ev18's intervals) that was valid AT THE

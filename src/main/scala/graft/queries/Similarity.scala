@@ -449,6 +449,50 @@ object Similarity {
         .orderBy("node_id", "rnk")
     },
 
+    // Embedding-TRUNCATION recall eval (the Matryoshka/MRL question):
+    // how much of exact full-dim top-5 survives when search uses only
+    // the first 16 of 64 dims — the measurement that decides whether a
+    // deployment can run its ANN index at a quarter of the vector bytes.
+    // Both rankings are exact quantized brute force (sim1 semantics) so
+    // the recall numbers are bit-portable; at 100 TB the same harness
+    // swaps in the ANN path as the candidate generator.
+    QueryDef("sim10_dim_truncation_recall", {
+      def dotN(a: String, b: String, n: Int) =
+        s"CAST(list_sum([$a[i]*$b[i] FOR i IN range(1, ${n + 1})]) AS BIGINT)"
+      def rank(dims: Int, name: String) =
+        s"""${name}_s AS (SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+           |        ${cosSql(dotN("a.qe", "b.qe", dims), dotN("a.qe", "a.qe", dims), dotN("b.qe", "b.qe", dims))} AS cos
+           |      FROM q a JOIN q b ON b.vec_id < 10 AND a.vec_id <> b.vec_id),
+           |$name AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+           |  FROM ${name}_s) WHERE rnk <= 5)""".stripMargin
+      s"""WITH $quantCte,
+         |${rank(64, "fullr")},
+         |${rank(16, "truncr")}
+         |SELECT f.query_id,
+         |  CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_overlap,
+         |  CAST(COUNT(t.neighbor_id) AS DOUBLE) / 5 AS recall
+         |FROM fullr f LEFT JOIN truncr t
+         |  ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+         |GROUP BY f.query_id ORDER BY f.query_id""".stripMargin
+    }) { (s, d) =>
+      val e = Tables.load(s, d, "embeddings")
+      def top(df: org.apache.spark.sql.DataFrame) =
+        Embeddings.topKBruteForce(df, "vec_id", "embedding", col("vec_id") < 10, k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+      val full = top(e)
+      val trunc = top(e.withColumn("embedding", slice(col("embedding"), 1, 16)))
+        .withColumnRenamed("neighbor_id", "t_neighbor")
+      full.join(trunc,
+          full("query_id") === trunc("query_id") && col("neighbor_id") === col("t_neighbor"),
+          "left")
+        .groupBy(full("query_id").as("query_id"))
+        .agg(count(col("t_neighbor")).as("n_overlap"))
+        .select(col("query_id"), col("n_overlap"),
+          (col("n_overlap").cast("double") / 5).as("recall"))
+        .orderBy("query_id")
+    },
+
     // Embedding-norm QA screen — ingest-time vector sanity per label:
     // norm² extremes plus the count of z-outliers (|n·x − m| beyond 3
     // standard deviations of the label's norm² distribution), the check
