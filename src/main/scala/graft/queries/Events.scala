@@ -631,6 +631,73 @@ object Events {
         .limit(10)
     },
 
+    // PEAK CONCURRENCY — max simultaneously-open sessions per day, the
+    // capacity-planning gauge (how many live connections/users must the
+    // serving tier hold?). Sweep-line over session intervals: ±1 deltas
+    // at the (day-clipped) endpoints, one DAY-PARTITIONED ordered window
+    // for the running count — sessions crossing midnight explode to one
+    // row per covered day, so the sweep distributes by day instead of a
+    // single global sort. Touching sessions (one starts at the instant
+    // another ends) COUNT as concurrent: +1 sorts before −1 on the tie,
+    // identically in both engines.
+    QueryDef("ev25_concurrency",
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |l AS (SELECT *, LAG(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev FROM e),
+        |f AS (SELECT *, CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS brk FROM l),
+        |s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM f),
+        |sess AS (SELECT user_id, session_id, MIN(tus) AS s0, MAX(tus) AS s1
+        |         FROM s GROUP BY 1, 2),
+        |dayspan AS (SELECT user_id, session_id, s0, s1,
+        |              UNNEST(range(s0 // 86400000000, s1 // 86400000000 + 1)) AS day
+        |            FROM sess),
+        |clip AS (SELECT day, user_id, session_id,
+        |           GREATEST(s0, day * 86400000000) AS c0,
+        |           LEAST(s1, (day + 1) * 86400000000 - 1) AS c1
+        |         FROM dayspan),
+        |pts AS (SELECT day, c0 AS t, 1 AS delta, user_id, session_id FROM clip
+        |        UNION ALL
+        |        SELECT day, c1, -1, user_id, session_id FROM clip),
+        |run AS (SELECT day, SUM(delta) OVER (PARTITION BY day
+        |          ORDER BY t, delta DESC, user_id, session_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc FROM pts),
+        |pk AS (SELECT day, MAX(conc) AS peak FROM run GROUP BY 1),
+        |cnt AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_sessions FROM clip GROUP BY 1)
+        |SELECT CAST(c.day AS BIGINT) AS epoch_day, CAST(pk.peak AS BIGINT) AS peak,
+        |  c.n_sessions
+        |FROM cnt c JOIN pk ON pk.day = c.day ORDER BY 1""".stripMargin) { (s, d) =>
+      val uw = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      val sess = ev(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+        .withColumn("prev", lag("tus", 1).over(uw))
+        .withColumn("brk",
+          when(col("prev").isNull || col("tus") - col("prev") > 1800000000L, 1).otherwise(0))
+        .withColumn("session_id",
+          sum("brk").over(uw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(min("tus").as("s0"), max("tus").as("s1"))
+      val day = 86400000000L
+      val clip = sess
+        .withColumn("day", explode(sequence(expr(s"s0 div ${day}L"), expr(s"s1 div ${day}L"))))
+        .select(col("day"), col("user_id"), col("session_id"),
+          greatest(col("s0"), col("day") * day).as("c0"),
+          least(col("s1"), (col("day") + 1) * day - 1).as("c1"))
+      val pts = clip.select(col("day"), col("c0").as("t"), lit(1).as("delta"),
+          col("user_id"), col("session_id"))
+        .union(clip.select(col("day"), col("c1").as("t"), lit(-1).as("delta"),
+          col("user_id"), col("session_id")))
+      val dw = Window.partitionBy("day")
+        .orderBy(col("t"), col("delta").desc, col("user_id"), col("session_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pk = pts.withColumn("conc", sum("delta").over(dw))
+        .groupBy("day").agg(max("conc").as("peak"))
+      val cnt = clip.groupBy("day").agg(count(lit(1)).as("n_sessions"))
+      cnt.join(pk, "day")
+        .select(col("day").cast(LongType).as("epoch_day"),
+          col("peak").cast(LongType).as("peak"), col("n_sessions"))
+        .orderBy("epoch_day")
+    },
+
     // Funnel TIME-TO-CONVERT — how long view→purchase takes: per user,
     // the first purchase at-or-after the first view; converters'
     // latency distribution summarized by exact nearest-rank p50/p90

@@ -348,6 +348,93 @@ object PipelinesDedup {
         .orderBy("source")
     },
 
+    // CAPSTONE composition — the pretraining-blend assembly line in ONE
+    // verified plan: near-dup suppression (dd7's bucket-ownership rule;
+    // shingle-less docs pass), a quality gate (≥20 tokens), then tx26's
+    // token-budget mixing (per-source budget floor(20000·w/Σw), docs in
+    // deterministic md5 order), and 512-token packing accounting. Every
+    // stage is the already-verified operator — what this query verifies
+    // is their COMPOSITION through doc-keyed joins, per source:
+    // docs → after-dedup → after-quality → selected → tokens → sequences.
+    QueryDef("p4_pretrain_blend",
+      s"""WITH $shingleCte,
+         |sig AS (SELECT doc_id,
+         |    $sigSelect
+         |  FROM sh GROUP BY doc_id),
+         |buckets AS (
+         |  $bandUnion),
+         |owners AS (SELECT bucket, MIN(doc_id) AS owner FROM buckets GROUP BY bucket),
+         |flags AS (SELECT b.doc_id,
+         |            MIN(CASE WHEN o.owner = b.doc_id THEN 1 ELSE 0 END) AS all_own
+         |          FROM buckets b JOIN owners o ON o.bucket = b.bucket
+         |          GROUP BY b.doc_id),
+         |dd AS (SELECT d.doc_id, d.source,
+         |         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS tok,
+         |         CAST(substr(d.source, 4) AS BIGINT) % 3 + 1 AS w,
+         |         md5('mix:' || CAST(d.doc_id AS VARCHAR)) AS h
+         |       FROM documents d),
+         |q AS (SELECT dd.*,
+         |        CASE WHEN f.doc_id IS NULL OR f.all_own = 1 THEN 1 ELSE 0 END AS keep
+         |      FROM dd LEFT JOIN flags f ON f.doc_id = dd.doc_id),
+         |q2 AS (SELECT *, CASE WHEN keep = 1 AND tok >= 20 THEN 1 ELSE 0 END AS qual FROM q),
+         |ws AS (SELECT source, MIN(w) AS w FROM q2 GROUP BY 1),
+         |tot AS (SELECT SUM(w) AS sw FROM ws),
+         |b AS (SELECT source, w, 20000 * w // sw AS budget FROM ws, tot),
+         |c AS (SELECT source, doc_id, tok,
+         |        SUM(tok) OVER (PARTITION BY source ORDER BY h, doc_id) AS cum
+         |      FROM q2 WHERE qual = 1),
+         |kept AS (SELECT c.source, c.doc_id, c.tok
+         |         FROM c JOIN b ON b.source = c.source WHERE c.cum <= b.budget),
+         |agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |          CAST(SUM(keep) AS BIGINT) AS n_dedup,
+         |          CAST(SUM(qual) AS BIGINT) AS n_quality
+         |        FROM q2 GROUP BY 1),
+         |sel AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_selected,
+         |          CAST(SUM(tok) AS BIGINT) AS tokens_selected
+         |        FROM kept GROUP BY 1)
+         |SELECT a.source, a.n_docs, a.n_dedup, a.n_quality,
+         |  COALESCE(s.n_selected, 0) AS n_selected,
+         |  COALESCE(s.tokens_selected, 0) AS tokens_selected,
+         |  CAST(CEIL(COALESCE(s.tokens_selected, 0) / 512.0) AS BIGINT) AS n_sequences
+         |FROM agg a LEFT JOIN sel s ON s.source = a.source
+         |ORDER BY a.source""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, d, "documents")
+      val surv = TextDedup.nearDupSurvivors(docs, "doc_id", "text",
+          n = 5, k = K, bands = BANDS)
+        .withColumn("sv", lit(1))
+      val base = docs.select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("tok"),
+          (expr("cast(substring(source, 4) as bigint)") % 3 + 1).as("w"),
+          md5(concat(lit("mix:"), col("doc_id").cast("string"))).as("h"))
+        .join(surv, Seq("doc_id"), "left")
+        // docs too short to shingle never enter the band buckets: they
+        // trivially survive dedup (nothing to collide with)
+        .withColumn("keep",
+          when(col("tok") < 5 || col("sv").isNotNull, 1L).otherwise(0L))
+        .withColumn("qual",
+          when(col("keep") === 1 && col("tok") >= 20, 1L).otherwise(0L))
+      val ws = base.groupBy("source").agg(min("w").as("w"))
+      val b = ws.crossJoin(broadcast(ws.agg(sum("w").as("sw"))))
+        .select(col("source"), expr("20000L * w div sw").as("budget"))
+      val kept = base.where(col("qual") === 1)
+        .withColumn("cum",
+          sum("tok").over(Window.partitionBy("source").orderBy("h", "doc_id")))
+        .join(broadcast(b), "source")
+        .where(col("cum") <= col("budget"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_selected"), sum("tok").as("tk"))
+      base.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("keep").as("n_dedup"),
+          sum("qual").as("n_quality"))
+        .join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_dedup"), col("n_quality"),
+          coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+          coalesce(col("tk"), lit(0L)).cast("long").as("tokens_selected"),
+          expr("cast(ceil(coalesce(tk, 0L) / 512.0) as bigint)").as("n_sequences"))
+        .orderBy("source")
+    },
+
     // Policy-aware canonical selection: near-dup clusters (dd6's MinHash
     // pairs → connected components) keep the BEST-provenance member, not
     // the arbitrary min-id one — the rule real curation uses when the

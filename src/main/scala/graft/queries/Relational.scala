@@ -1140,6 +1140,22 @@ object Relational {
         |FROM bom JOIN part p ON p.p_partkey = bom.node
         |GROUP BY root ORDER BY root""".stripMargin),
 
+    // Bag-semantics set ops — INTERSECT ALL / EXCEPT ALL keep
+    // MULTIPLICITY (min / truncated-difference of per-value counts),
+    // which the q16 set variants erase; line numbers repeat thousands of
+    // times so the bag and set answers differ by construction. Spark
+    // plans both as one aggregation + generate (no join), DuckDB
+    // likewise — ANSI-portable shared text.
+    QueryDef.sharedSql("q52_set_ops_all",
+      """WITH a AS (SELECT l_linenumber AS v FROM lineitem WHERE l_returnflag = 'A'),
+        |     b AS (SELECT l_linenumber AS v FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT 'except_all' AS op, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT v FROM a EXCEPT ALL SELECT v FROM b) t
+        |UNION ALL
+        |SELECT 'intersect_all' AS op, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT v FROM a INTERSECT ALL SELECT v FROM b) t
+        |ORDER BY op""".stripMargin),
+
     // percentile_cont — LINEAR-interpolated quantiles (R-7: value at
     // fractional rank h = p·(n−1)+1), the interpolating sibling of q45's
     // nearest-rank quantile_disc. Spark runs
