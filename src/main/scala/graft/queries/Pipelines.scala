@@ -348,6 +348,53 @@ object PipelinesDedup {
         .orderBy("source")
     },
 
+    // Dedup OPERATING CURVE — the threshold-tuning sweep every dedup
+    // deployment runs before committing: pair counts and affected-doc
+    // counts at Jaccard ≥ 0.7 / 0.8 / 0.9, all from ONE candidate pass
+    // (the LSH/shingle pipeline runs once; thresholds are conditional
+    // aggregates over its verified-jaccard output — a parameter sweep
+    // must never mean re-scanning a 100 TB corpus per setting).
+    QueryDef("dd16_threshold_sweep",
+      s"""WITH $shingleCte,
+         |sig AS (SELECT doc_id,
+         |    $sigSelect
+         |  FROM sh GROUP BY doc_id),
+         |buckets AS (
+         |  $bandUnion),
+         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |         FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT id1, id2, COUNT(*) AS i
+         |          FROM cand JOIN sh sa ON sa.doc_id = id1
+         |          JOIN sh sb ON sb.doc_id = id2 AND sb.shingle = sa.shingle
+         |          GROUP BY 1, 2),
+         |j AS (SELECT id1, id2, CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) AS jac
+         |      FROM inter JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2),
+         |d2 AS (SELECT id1 AS d, jac FROM j UNION ALL SELECT id2, jac FROM j)
+         |SELECT CAST(t AS DOUBLE) AS threshold,
+         |  CAST((SELECT COUNT(*) FROM j WHERE jac >= t) AS BIGINT) AS n_pairs,
+         |  CAST((SELECT COUNT(DISTINCT d) FROM d2 WHERE jac >= t) AS BIGINT) AS n_docs
+         |FROM (VALUES (0.7), (0.8), (0.9)) th(t) ORDER BY 1""".stripMargin) { (s, d) =>
+      val th = Seq(0.7, 0.8, 0.9)
+      def tag(t: Double) = (t * 10).toInt
+      val j = TextDedup.minhashDedupPairs(Tables.load(s, d, "documents"),
+        "doc_id", "text", n = 5, k = K, bands = BANDS, threshold = 0.0)
+      val d2 = j.select(col("id1").as("d"), col("jaccard"))
+        .union(j.select(col("id2").as("d"), col("jaccard")))
+      val pairsAgg = j.agg(
+        sum(when(col("jaccard") >= th.head, 1L).otherwise(0L)).as(s"p${tag(th.head)}"),
+        th.tail.map(t => sum(when(col("jaccard") >= t, 1L).otherwise(0L)).as(s"p${tag(t)}")): _*)
+      val docsAgg = d2.agg(
+        countDistinct(when(col("jaccard") >= th.head, col("d"))).as(s"d${tag(th.head)}"),
+        th.tail.map(t => countDistinct(when(col("jaccard") >= t, col("d"))).as(s"d${tag(t)}")): _*)
+      val rows = th.map(t =>
+        s"struct(cast($t as double) as threshold, p${tag(t)} as n_pairs, d${tag(t)} as n_docs)")
+      pairsAgg.crossJoin(docsAgg)
+        .select(explode(expr(s"array(${rows.mkString(", ")})")).as("s"))
+        .select(col("s.threshold"), col("s.n_pairs"), col("s.n_docs"))
+        .orderBy("threshold")
+    },
+
     // CAPSTONE composition — the pretraining-blend assembly line in ONE
     // verified plan: near-dup suppression (dd7's bucket-ownership rule;
     // shingle-less docs pass), a quality gate (≥20 tokens), then tx26's

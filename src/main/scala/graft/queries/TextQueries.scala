@@ -682,6 +682,44 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Lang-ID EVALUATION — the classifier-QA step: tx1's predictions
+    // scored against the table's labeled `lang` column as a confusion
+    // matrix (actual, predicted, n) plus per-actual hit counts. A model
+    // eval is just a groupBy over a join of predictions and labels —
+    // the harness shape every quality-classifier iteration loop needs.
+    QueryDef("tx27_langid_eval", {
+      val scoreCols = TextAnalysis.markers.map { case (lang, words) =>
+        s"CAST(len(list_filter(toks, x -> x IN ${sqlList(words)})) AS DOUBLE)/n_tok AS score_$lang"
+      }.mkString(",\n  ")
+      val langs = TextAnalysis.markers.map(m => s"score_${m._1}").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks,
+         |             len(string_split(text, ' ')) AS n_tok FROM documents),
+         |s AS (SELECT doc_id, lang, text,
+         |  $scoreCols
+         |  FROM t),
+         |p AS (SELECT doc_id, lang,
+         |  CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |       WHEN greatest($langs) = 0 THEN 'und'
+         |       WHEN score_fr = greatest($langs) THEN 'fr'
+         |       WHEN score_es = greatest($langs) THEN 'es'
+         |       WHEN score_en = greatest($langs) THEN 'en'
+         |       ELSE 'de' END AS pred_lang
+         |FROM s)
+         |SELECT lang AS actual, pred_lang AS predicted,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      TextAnalysis.languageId(docs, "doc_id", "text")
+        .select(col("doc_id"), col("pred_lang"))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang").as("actual"), col("pred_lang").as("predicted"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("lang") === col("pred_lang"), 1L).otherwise(0L)).as("n_hit"))
+        .orderBy("actual", "predicted")
+    },
+
     // Dataset MIXING to a token budget — the Pile/DoReMi-style step that
     // assembles a training blend: each source gets budget
     // floor(T·w/Σw) tokens (weights here derived from the source id),
