@@ -345,6 +345,42 @@ object StreamingOps {
         col("next_type"), col("n"), col("total_gap_us"))
   }
 
+  /** Streaming FUNNEL — the online twin of batch ev8: per user, ONE
+    * monotone stage pointer (none → view → click → purchase, strict
+    * time-order advance with the same strict-inequality rule as ev8's
+    * min-time chain), held in a 3-long ValueState; every stage ADVANCE
+    * emits an event-time row, and a windowed aggregation counts stage
+    * entries + conversion latency per window. On in-order data the
+    * all-time stage totals equal ev8's counts exactly (each user enters
+    * each stage at most once). Out-of-order rows that would regress the
+    * pointer are dropped (append no-retraction, the shared policy).
+    * Emits (window_start, n_view, n_click, n_purchase, total_convert_us).
+    */
+  def funnelStream(events: DataFrame, userCol: String, typeCol: String,
+                   tsCol: String, idCol: String, watermark: String,
+                   windowLen: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .withWatermark(tsCol, watermark)
+      .select(col(userCol).cast("long").as("u"), col(typeCol).as("t"),
+        col(tsCol).as("__ts"), col(idCol).cast("long").as("eid"))
+      .as[(Long, String, java.sql.Timestamp, Long)]
+    val adv = typed
+      .groupByKey(_._1)
+      .transformWithState(new FunnelProcessor(), "_3", OutputMode.Append())
+      .toDF("stage", "gap_us", "__ts")
+    adv
+      .groupBy(window(col("__ts"), windowLen).as("__w"))
+      .agg(sum(when(col("stage") === 1, 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("stage") === 2, 1L).otherwise(0L)).as("n_click"),
+        sum(when(col("stage") === 3, 1L).otherwise(0L)).as("n_purchase"),
+        sum(when(col("stage") === 3, col("gap_us")).otherwise(0L)).as("total_convert_us"))
+      .select(col("__w.start").as("window_start"), col("n_view"), col("n_click"),
+        col("n_purchase"), col("total_convert_us"))
+  }
+
   /** Streaming rolling z-score anomaly flags — the online twin of batch
     * ev13: per user, flag a value whose deviation from the trailing
     * `windowN`-observation mean exceeds `zNum` standard deviations,
@@ -750,6 +786,62 @@ private[streaming] class LastEventProcessor(stateTtlMs: Long = 24 * 3600 * 1000L
       key: Long, timerValues: TimerValues,
       expiredTimerInfo: ExpiredTimerInfo): Iterator[(String, String, Long, java.sql.Timestamp)] = {
     last.clear()
+    Iterator.empty
+  }
+}
+
+/** Per-user funnel-stage state for funnelStream: ValueState =
+  * (stage, t1 = first-view micros, tStage = micros of the current
+  * stage's entry). Rows process in (event time, id) order; a row
+  * advances the pointer iff it is the NEXT stage's event type and
+  * strictly later than the current stage entry (ev8's strict-inequality
+  * chain). Output rows are (stage entered, conversion gap for stage 3,
+  * event ts). State = 3 longs per live user, absolute TTL. */
+private[streaming] class FunnelProcessor(stateTtlMs: Long = 24 * 3600 * 1000L)
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, String, java.sql.Timestamp, Long),
+    (Long, Long, java.sql.Timestamp)] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var st: ValueState[(Long, Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long, Long)]("funnel",
+      org.apache.spark.sql.Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+
+  private def micros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, String, java.sql.Timestamp, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long, java.sql.Timestamp)] = {
+    val sorted = rows.toVector.sortBy(r => (micros(r._3), r._4))
+    if (sorted.isEmpty) return Iterator.empty
+    if (!st.exists())
+      getHandle.registerTimer(sorted.map(_._3.getTime).max + stateTtlMs)
+    var cur = if (st.exists()) st.get() else (0L, 0L, 0L)
+    val out = Vector.newBuilder[(Long, Long, java.sql.Timestamp)]
+    sorted.foreach { case (_, typ, ts, _) =>
+      val tus = micros(ts)
+      (typ, cur._1) match {
+        case ("view", 0L) =>
+          cur = (1L, tus, tus); out += ((1L, 0L, ts))
+        case ("click", 1L) if tus > cur._3 =>
+          cur = (2L, cur._2, tus); out += ((2L, 0L, ts))
+        case ("purchase", 2L) if tus > cur._3 =>
+          cur = (3L, cur._2, tus); out += ((3L, tus - cur._2, ts))
+        case _ => () // not the next stage, or not strictly later: no-op
+      }
+    }
+    st.update(cur)
+    out.result().iterator
+  }
+
+  override def handleExpiredTimer(
+      key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, java.sql.Timestamp)] = {
+    st.clear()
     Iterator.empty
   }
 }

@@ -140,6 +140,49 @@ class StreamingSpec extends SparkSpec {
     assert(survivors === Seq(10L, 12L))
   }
 
+  test("streaming funnel advances stages across micro-batches with strict time order") {
+    val dir = tmpDir("graft-funnel")
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("ts", TimestampType), StructField("event_id", LongType)))
+    def write(batch: Seq[(Long, String, String, Long)], name: String): Unit =
+      batch.toDF("user_id", "event_type", "s", "event_id")
+        .select(col("user_id"), col("event_type"), to_timestamp(col("s")).as("ts"), col("event_id"))
+        .coalesce(1).write.parquet(dir + "/" + name)
+    // batch 1: user 1 views; user 2 clicks FIRST (no view yet → ignored)
+    write(Seq(
+      (1L, "view", "2024-01-01 00:00:00", 1L),
+      (2L, "click", "2024-01-01 00:00:01", 2L),
+      (2L, "view", "2024-01-01 00:00:02", 3L)), "b1")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = StreamingOps.parquetStream(spark, schema, dir + "/b*")
+    val out = StreamingOps.funnelStream(stream, "user_id", "event_type", "ts", "event_id",
+      "10 minutes", windowLen = "1 hour")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("funnelout").start()
+    q.processAllAvailable()
+    // batch 2: user 1 clicks then purchases (cross-batch state carry);
+    // user 2 clicks at the SAME instant as their view → strict > fails
+    write(Seq(
+      (1L, "click", "2024-01-01 00:00:05", 4L),
+      (1L, "purchase", "2024-01-01 00:00:10", 5L),
+      (2L, "click", "2024-01-01 00:00:02", 6L)), "b2")
+    q.processAllAvailable()
+    write(Seq((9L, "view", "2024-01-01 02:00:00", 9L)), "b3") // watermark flush
+    q.processAllAvailable(); q.stop()
+    val rows = spark.sql(
+      "SELECT n_view, n_click, n_purchase, total_convert_us FROM funnelout " +
+      "WHERE window_start = TIMESTAMP '2024-01-01 00:00:00'").collect()
+    assert(rows.length === 1)
+    // views: users 1+2; clicks: user 1 only (2's click not strictly later);
+    // purchases: user 1, 10 s after the first view
+    assert(rows.head.getLong(0) === 2L)
+    assert(rows.head.getLong(1) === 1L)
+    assert(rows.head.getLong(2) === 1L)
+    assert(rows.head.getLong(3) === 10000000L)
+  }
+
   test("streaming phash dedup suppresses byte-identical payloads across micro-batches") {
     val dir = tmpDir("graft-phashdedup")
     val schema = StructType(Seq(
