@@ -492,19 +492,32 @@ class GraftTable(val spark: SparkSession, val root: String) {
 
   /** Delete data files not referenced by the latest version and all
     * manifests except the latest. Returns (filesDeleted, versionsDeleted). */
-  def vacuum(): (Int, Int) = {
-    val latest = latestManifest
-    val keep = latest.files.map(_.path).toSet
+  def vacuum(): (Int, Int) = vacuum(1)
+
+  /** VACUUM with a RETENTION window: the newest `retainVersions` versions
+    * stay fully readable (time travel + RESTORE within the window keep
+    * working); data files referenced by NONE of them are deleted, as are
+    * the manifests of everything older. retainVersions = 1 is the
+    * reference-parity behavior (only the latest survives). */
+  def vacuum(retainVersions: Int): (Int, Int) = {
+    require(retainVersions >= 1, s"must retain >= 1 versions, got $retainVersions")
+    val versions = Manifest.listVersions(root).sorted
+    val retained = versions.takeRight(retainVersions)
+    val manifests = retained.map(v => Manifest.read(root, v))
+    val keep = manifests.flatMap(_.files.map(_.path)).toSet
     val dataFiles = listDataFiles()
     val toDelete = dataFiles.filterNot(keep.contains)
     toDelete.foreach(p => LakeIO.delete(LakeIO.path(root, p)))
     // bloom sidecars whose owning entry is gone (or whose mapping was
     // dropped by a rewrite) are garbage once old manifests go
-    val keepBlooms = latest.files.flatMap(_.blooms.values).toSet
+    val keepBlooms = manifests.flatMap(_.files.flatMap(_.blooms.values)).toSet
     BloomIndex.listSidecars(root).filterNot(keepBlooms.contains)
       .foreach(p => LakeIO.delete(LakeIO.path(root, p)))
-    val oldVersions = Manifest.listVersions(root).filter(_ != latest.version)
-    oldVersions.foreach(v => LakeIO.delete(Manifest.versionPath(root, v)))
+    val oldVersions = versions.filterNot(retained.contains)
+    oldVersions.foreach { v =>
+      LakeIO.delete(Manifest.versionPath(root, v))
+      Manifest.evict(root, v)
+    }
     // drop now-empty batch dirs
     LakeIO.listStatus(new HPath(root))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("data-"))

@@ -225,12 +225,23 @@ object Manifest {
     * FULL version history of every table — O(total versions) small-file
     * round trips per write on a long-lived table; with it, a rebuild
     * re-reads only manifests this process has never seen (LakeSpec
-    * asserts the read-count bound). VACUUM may delete cached versions'
-    * files, but a cached parse of an immutable file is never stale. */
+    * asserts the read-count bound). VACUUM deletes old version files and
+    * EVICTS their entries (see `evict`) so a vacuumed snapshot cannot be
+    * resurrected from this cache. */
   private val MaxCachedManifests = 256
   private val manifestCache = new java.util.LinkedHashMap[String, TableManifest](64, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[String, TableManifest]): Boolean =
       size() > MaxCachedManifests
+  }
+
+  /** Drop a version's cached parse — called by VACUUM when it deletes
+    * the version file, so an in-process RESTORE cannot resurrect a
+    * vacuumed snapshot from the cache (its data files are gone; the
+    * attempt must fail loudly like it would from any other process). */
+  def evict(tableRoot: String, v: Long): Unit = {
+    val key = versionPath(tableRoot, v).toString
+    manifestCache.synchronized(manifestCache.remove(key))
+    ()
   }
 
   def read(tableRoot: String, v: Long): TableManifest = {

@@ -631,6 +631,45 @@ object Events {
         .limit(10)
     },
 
+    // Cohort LTV — cumulative purchase revenue per (cohort day, age):
+    // ev9's retention triangle with MONEY instead of presence, and a
+    // running cumsum across each cohort's ages so every cell answers
+    // "revenue per cohort so far by day k" directly. Revenue sums are
+    // exact integer milli-units; the cumsum is one window over the TINY
+    // (cohort × age) aggregate — the heavy reduction happens in the
+    // map-side-combined groupBy below it, never in the window.
+    QueryDef("ev26_cohort_ltv",
+      """WITH f AS (SELECT user_id, MIN(date_trunc('day', ts)) AS cohort
+        |           FROM events GROUP BY 1),
+        |p AS (SELECT e.user_id, f.cohort,
+        |        CAST(date_diff('day', f.cohort, date_trunc('day', e.ts)) AS BIGINT) AS age,
+        |        CAST(ROUND(e.value * 1000) AS BIGINT) AS vm
+        |      FROM events e JOIN f ON f.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase'),
+        |g AS (SELECT cohort, age, SUM(vm) AS rev, COUNT(*) AS n
+        |      FROM p GROUP BY 1, 2)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day, age,
+        |  CAST(n AS BIGINT) AS n_purchases, CAST(rev AS BIGINT) AS rev_milli,
+        |  CAST(SUM(rev) OVER (PARTITION BY cohort ORDER BY age
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev_milli
+        |FROM g ORDER BY cohort_day, age""".stripMargin) { (s, d) =>
+      val evd = ev(s, d)
+      val f = evd.groupBy("user_id").agg(min(date_trunc("day", col("ts"))).as("cohort"))
+      val g = evd.filter(col("event_type") === "purchase")
+        .join(f, "user_id")
+        .groupBy(col("cohort"),
+          datediff(to_date(date_trunc("day", col("ts"))), to_date(col("cohort")))
+            .cast(LongType).as("age"))
+        .agg(sum(round(col("value") * 1000).cast(LongType)).as("rev"),
+          count(lit(1)).as("n"))
+      g.select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"), col("age"),
+          col("n").as("n_purchases"), col("rev").cast(LongType).as("rev_milli"),
+          sum("rev").over(Window.partitionBy("cohort").orderBy("age")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(LongType).as("cum_rev_milli"))
+        .orderBy("cohort_day", "age")
+    },
+
     // PEAK CONCURRENCY — max simultaneously-open sessions per day, the
     // capacity-planning gauge (how many live connections/users must the
     // serving tier hold?). Sweep-line over session intervals: ±1 deltas

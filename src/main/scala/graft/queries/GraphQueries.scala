@@ -376,6 +376,51 @@ object GraphQueries {
         .orderBy("item")
     },
 
+    // Degree ASSORTATIVITY — the Pearson correlation of (source
+    // out-degree, target in-degree) across edges: one number telling
+    // whether hubs link to hubs (assortative > 0) or to the periphery
+    // (< 0), which decides how partition/salting strategies behave on
+    // the graph (WEIGHTED degrees — transition multiplicity — so the
+    // statistic stays defined even when the unweighted graph is
+    // complete; a zero variance yields NULL identically via NULLIF).
+    // Exact DECIMAL(38,0)/HUGEINT moment sums (the q37
+    // pattern — degree products overflow Int64 on hub-heavy graphs) with
+    // one double ÷/√ at the end, bit-equal across engines. Two degree
+    // aggregates + two broadcast-size joins + one moment aggregate.
+    QueryDef("gr11_assortativity",
+      """WITH it AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |        CAST(props->>'k' AS BIGINT) AS item FROM events),
+        |lg AS (SELECT item, LAG(item) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS src
+        |       FROM it),
+        |edges AS (SELECT src, item AS dst, CAST(COUNT(*) AS BIGINT) AS w
+        |          FROM lg WHERE src IS NOT NULL AND src <> item GROUP BY 1, 2),
+        |od AS (SELECT src, CAST(SUM(w) AS HUGEINT) AS xd FROM edges GROUP BY 1),
+        |idg AS (SELECT dst, CAST(SUM(w) AS HUGEINT) AS yd FROM edges GROUP BY 1),
+        |m AS (SELECT od.xd AS x, idg.yd AS y
+        |      FROM edges e JOIN od ON od.src = e.src JOIN idg ON idg.dst = e.dst),
+        |a AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |        SUM(x*y) AS sxy, SUM(x*x) AS sxx, SUM(y*y) AS syy FROM m)
+        |SELECT CAST(n AS BIGINT) AS n_edges,
+        |  CAST(n*sxy - sx*sy AS DOUBLE) /
+        |    sqrt(NULLIF(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE), 0))
+        |    AS assortativity
+        |FROM a""".stripMargin) { (s, d) =>
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val edges = graft.ops.Graph.itemTransitionEdges(Tables.load(s, d, "events"))
+      val od = edges.groupBy("src").agg(sum("w").cast(d38).as("xd"))
+      val idg = edges.groupBy("dst").agg(sum("w").cast(d38).as("yd"))
+      val m = edges.join(od, "src").join(idg, "dst")
+        .select(col("xd").as("x"), col("yd").as("y"))
+      val a = m.agg(count(lit(1)).cast(d38).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      a.select(col("n").cast(org.apache.spark.sql.types.LongType).as("n_edges"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt(nullif(((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), lit(0.0))))
+          .as("assortativity"))
+    },
+
     // Community detection: synchronous weighted label propagation over
     // the UNDIRECTED item graph (parallel/either-direction transition
     // weights merged), fixed rounds, deterministic argmax-weight /

@@ -458,7 +458,8 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
   private val reDropConstraint =
     """(?is)^ALTER\s+TABLE\s+([\w."]+)\s+DROP\s+CONSTRAINT\s+(IF\s+EXISTS\s+)?(\w+)\s*$""".r
   private val reVacuumDb = """(?is)^VACUUM\s+DATABASE\s+([\w"]+)\s*$""".r
-  private val reVacuumTable = """(?is)^VACUUM\s+TABLE\s+([\w."]+)\s*$""".r
+  private val reVacuumTable =
+    """(?is)^VACUUM\s+TABLE\s+([\w."]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*$""".r
   private val reOptimize = """(?is)^OPTIMIZE\s+TABLE\s+([\w."]+)\s*$""".r
   private val reCluster =
     """(?is)^OPTIMIZE\s+TABLE\s+([\w."]+)\s+CLUSTER\s+BY\s*\(([^)]+)\)\s*$""".r
@@ -635,9 +636,10 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
       emptyResult
     case reVacuumDb(_) =>
       catalog.gcDropped(); emptyResult
-    case reVacuumTable(qname) =>
+    case reVacuumTable(qname, retain) =>
       val (sch, name) = splitName(qname)
-      table(sch, name).vacuum(); emptyResult
+      table(sch, name).vacuum(Option(retain).map(_.toInt).getOrElse(1))
+      emptyResult
     case reZorder(qname, cols) =>
       // beyond-reference: multi-dimensional clustering (space-filling curve)
       val (sch, name) = splitName(qname)

@@ -571,6 +571,23 @@ class ContextSpec extends SparkSpec {
     assert(parquetCount("cl") > 0) // rewritten + appended files are clone-local
   }
 
+  test("vacuum with a retention window keeps time travel + restore alive inside it") {
+    val c = ctx()
+    c.execute("CREATE TABLE v (id BIGINT)")      // version 0
+    c.execute("INSERT INTO v VALUES (1)")        // version 1
+    c.execute("DELETE FROM v WHERE id = 1")      // version 2 (drops v1's file)
+    c.execute("INSERT INTO v VALUES (2)")        // version 3
+    c.execute("VACUUM TABLE v RETAIN 2 VERSIONS")
+    // versions 2 and 3 survive; restore within the window works...
+    c.execute("RESTORE TABLE v TO VERSION AS OF 2")
+    assert(c.execute("SELECT COUNT(*) AS n FROM v").collect().head.getLong(0) === 0L)
+    c.execute("RESTORE TABLE v TO VERSION AS OF 3")
+    assert(c.execute("SELECT id FROM v").collect().map(_.getLong(0)).toSeq === Seq(2L))
+    // ...but version 1 (outside the window) is gone: manifest deleted
+    val err = intercept[Exception](c.execute("RESTORE TABLE v TO VERSION AS OF 1"))
+    assert(err != null)
+  }
+
   test("restore rolls back to an old version as a new commit") {
     val c = ctx()
     c.execute("CREATE TABLE r (id BIGINT)")     // version 0
