@@ -1156,6 +1156,17 @@ object Relational {
         |FROM (SELECT v FROM a INTERSECT ALL SELECT v FROM b) t
         |ORDER BY op""".stripMargin),
 
+    // Predicate aggregates — count_if / bool_and / bool_or (ANSI EVERY/
+    // ANY): both engines ship them natively with identical NULL
+    // semantics (nulls don't vote); booleans cast to BIGINT for the
+    // comparator's column-type rules.
+    QueryDef.sharedSql("q53_predicate_aggs",
+      """SELECT l_returnflag AS f,
+        |  CAST(count_if(l_quantity > 25) AS BIGINT) AS n_big,
+        |  CAST(bool_and(l_quantity > 0) AS BIGINT) AS all_pos,
+        |  CAST(bool_or(l_tax > 0.07) AS BIGINT) AS any_hi_tax
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // percentile_cont — LINEAR-interpolated quantiles (R-7: value at
     // fractional rank h = p·(n−1)+1), the interpolating sibling of q45's
     // nearest-rank quantile_disc. Spark runs

@@ -475,6 +475,7 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
     """(?is)^CREATE\s+(OR\s+REPLACE\s+)?FUNCTION\s+([\w"]+)\s+AS\s+'(.+)'\s*$""".r
   private val reDropFn = """(?is)^DROP\s+FUNCTION\s+(IF\s+EXISTS\s+)?(.+)$""".r
   private val reConvert = """(?is)^CONVERT\s+'([^']+)'\s+TO\s+GRAFT\s+([\w."]+)\s*$""".r
+  private val reExplainAnalyze = """(?is)^EXPLAIN\s+ANALYZE\s+(.+)$""".r
   private val reClone =
     """(?is)^CREATE\s+TABLE\s+([\w."]+)\s+SHALLOW\s+CLONE\s+([\w."]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*$""".r
   private val reRestore =
@@ -707,6 +708,30 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
         case other => throw new IllegalArgumentException(s"unsupported COPY format $other")
       }
       emptyResult
+    case reExplainAnalyze(q) =>
+      // reference parity: DataFusion's EXPLAIN ANALYZE executes the plan
+      // and annotates it with runtime metrics (seafowl passes it through,
+      // src/context/mod.rs query path). Here: run the query to completion
+      // (discarding rows), then emit one row per (operator, metric) from
+      // the EXECUTED plan — rows seen, spills, shuffle sizes, etc.
+      Functions.registerAll(this)
+      val df = sparkSql(q)
+      val qe = df.queryExecution
+      qe.executedPlan.execute().foreach(_ => ()) // metrics accumulate here
+      val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+        p.metrics.toSeq.sortBy(_._1).foreach { case (k, m) =>
+          out += ((p.nodeName, k, m.value))
+        }
+        p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan)
+          case _ => p.children.foreach(walk)
+        }
+      }
+      walk(qe.executedPlan)
+      import spark.implicits._
+      out.toSeq.toDF("operator", "metric", "value")
     case other =>
       Functions.registerAll(this)
       sparkSql(other)

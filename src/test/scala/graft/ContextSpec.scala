@@ -538,6 +538,17 @@ class ContextSpec extends SparkSpec {
     assert(rows.toSeq === Seq((0L, 0, 2L), (1L, 1, 1L), (2L, 2, 1L), (3L, 2, 1L)))
   }
 
+  test("EXPLAIN ANALYZE executes and reports per-operator runtime metrics") {
+    val c = ctx()
+    c.execute("CREATE TABLE ea (id BIGINT)")
+    c.execute("INSERT INTO ea VALUES (1), (2), (3)")
+    val rows = c.execute("EXPLAIN ANALYZE SELECT id FROM ea WHERE id > 1")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // the executed scan/filter actually ran: some operator counted rows
+    assert(rows.exists { case (_, m, v) => m == "numOutputRows" && v >= 2L })
+  }
+
   test("shallow clone is zero-copy, version-pinnable, and diverges copy-on-write") {
     val c = ctx()
     c.execute("CREATE TABLE src (id BIGINT, v BIGINT)")
