@@ -93,10 +93,21 @@ object Bench {
     }
     val full = line(best.keys.map(k => k -> k).toMap)
     val shortKeys = best.keys.map(k => k -> k.takeWhile(_ != '_')).toMap
+    val haveShort = shortKeys.values.toSet.size == shortKeys.size
+    val short = if (haveShort) line(shortKeys) else full
+    // last resort as the suite keeps growing: drop sub-50ms floor-noise
+    // entries from the per-query map (their sum still counts in "value");
+    // "qelided" records how many were cut so the omission is loud
     val out =
-      if (full.length <= 1800) full
-      else if (shortKeys.values.toSet.size == shortKeys.size) line(shortKeys)
-      else full
+      if (full.length <= 1700) full
+      else if (short.length <= 1700) short
+      else {
+        val keep = best.filter(_._2 >= 0.05)
+        val ks = if (haveShort) shortKeys else best.keys.map(k => k -> k).toMap
+        val qs = keep.map { case (k, v) => "\"" + ks(k) + "\":" + fmt(v) }
+          .mkString("{", ",", "}")
+        s"""{"metric":"total","value":${fmt(best.values.sum)},"unit":"sec","queries":$qs,"qelided":${best.size - keep.size},"sf":"${new java.io.File(sfDir).getName}","reps":$reps}"""
+      }
     println(out)
     spark.stop()
   }
