@@ -95,18 +95,25 @@ object Bench {
     val shortKeys = best.keys.map(k => k -> k.takeWhile(_ != '_')).toMap
     val haveShort = shortKeys.values.toSet.size == shortKeys.size
     val short = if (haveShort) line(shortKeys) else full
-    // last resort as the suite keeps growing: drop sub-50ms floor-noise
-    // entries from the per-query map (their sum still counts in "value");
-    // "qelided" records how many were cut so the omission is loud
+    // last resort as the suite keeps growing: keep only the SLOWEST
+    // per-query entries that fit the budget (their sum still counts in
+    // "value"); "qelided" records how many fast ones were cut so the
+    // omission is loud
     val out =
       if (full.length <= 1700) full
       else if (short.length <= 1700) short
       else {
-        val keep = best.filter(_._2 >= 0.05)
         val ks = if (haveShort) shortKeys else best.keys.map(k => k -> k).toMap
-        val qs = keep.map { case (k, v) => "\"" + ks(k) + "\":" + fmt(v) }
-          .mkString("{", ",", "}")
-        s"""{"metric":"total","value":${fmt(best.values.sum)},"unit":"sec","queries":$qs,"qelided":${best.size - keep.size},"sf":"${new java.io.File(sfDir).getName}","reps":$reps}"""
+        val descending = best.toSeq.sortBy(-_._2)
+        val parts = scala.collection.mutable.ArrayBuffer[String]()
+        var used = 250 // envelope: metric/value/qelided/sf/reps fields
+        var kept = 0
+        descending.foreach { case (k, v) =>
+          val p = "\"" + ks(k) + "\":" + fmt(v)
+          if (used + p.length + 1 <= 1700) { parts += p; used += p.length + 1; kept += 1 }
+        }
+        val qs = parts.mkString("{", ",", "}")
+        s"""{"metric":"total","value":${fmt(best.values.sum)},"unit":"sec","queries":$qs,"qelided":${best.size - kept},"sf":"${new java.io.File(sfDir).getName}","reps":$reps}"""
       }
     println(out)
     spark.stop()
