@@ -631,6 +631,54 @@ object Events {
         .limit(10)
     },
 
+    // Markov next-event PREDICTION EVAL — ev10's transition matrix used
+    // as a first-order model and scored on the same stream: for every
+    // (prev → next) step, the model predicts argmax-count next type
+    // given prev (ties → lexicographically smallest, identical rule in
+    // both engines); accuracy = hit fraction in exact ppm. The
+    // train-on-corpus/score-on-corpus loop every sequence model starts
+    // from; the matrix is a ≤25-row broadcast, the scoring pass is the
+    // same LAG window ev10 already pays.
+    QueryDef("ev27_markov_eval",
+      """WITH o AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events),
+        |l AS (SELECT event_type AS next_t,
+        |        LAG(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev_t
+        |      FROM o),
+        |steps AS (SELECT prev_t, next_t FROM l WHERE prev_t IS NOT NULL),
+        |m AS (SELECT prev_t, next_t, COUNT(*) AS c FROM steps GROUP BY 1, 2),
+        |pred AS (SELECT prev_t, next_t AS pred_t FROM (
+        |  SELECT prev_t, next_t,
+        |    ROW_NUMBER() OVER (PARTITION BY prev_t ORDER BY c DESC, next_t) AS rn
+        |  FROM m) WHERE rn = 1)
+        |SELECT s.prev_t, p.pred_t,
+        |  CAST(COUNT(*) AS BIGINT) AS n_steps,
+        |  CAST(SUM(CASE WHEN s.next_t = p.pred_t THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |  CAST(1000000 * SUM(CASE WHEN s.next_t = p.pred_t THEN 1 ELSE 0 END)
+        |       // COUNT(*) AS BIGINT) AS acc_ppm
+        |FROM steps s JOIN pred p ON p.prev_t = s.prev_t
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      val steps = ev(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"),
+          col("event_id"))
+        .withColumn("prev_t", lag("event_type", 1).over(w))
+        .filter(col("prev_t").isNotNull)
+        .select(col("prev_t"), col("event_type").as("next_t"))
+      val m = steps.groupBy("prev_t", "next_t").agg(count(lit(1)).as("c"))
+      // argmax count, ties → smallest type: MIN over (−count, type)
+      val pred = m
+        .groupBy("prev_t")
+        .agg(min(struct((-col("c")).as("nc"), col("next_t").as("t"))).as("b"))
+        .select(col("prev_t"), col("b.t").as("pred_t"))
+      steps.join(broadcast(pred), "prev_t")
+        .groupBy("prev_t", "pred_t")
+        .agg(count(lit(1)).as("n_steps"),
+          sum(when(col("next_t") === col("pred_t"), 1L).otherwise(0L)).as("n_hits"))
+        .select(col("prev_t"), col("pred_t"), col("n_steps"), col("n_hits"),
+          expr("1000000L * n_hits div n_steps").as("acc_ppm"))
+        .orderBy("prev_t")
+    },
+
     // Cohort LTV — cumulative purchase revenue per (cohort day, age):
     // ev9's retention triangle with MONEY instead of presence, and a
     // running cumsum across each cohort's ages so every cell answers

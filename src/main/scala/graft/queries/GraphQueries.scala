@@ -376,6 +376,71 @@ object GraphQueries {
         .orderBy("item")
     },
 
+    // Community-partition MODULARITY — the quality score of gr9's LPA
+    // labels, closing the detect→evaluate loop: Q = Σ_c [in_c/m −
+    // (tot_c/2m)²] over the undirected merged-weight graph, computed as
+    // the exact wide-integer Σ(4·m·in_c − tot_c²) over 4m² (HUGEINT ↔
+    // DECIMAL(38,0) — m² products overflow Int64 on heavy graphs) with
+    // ONE double division at the end. Distribution: the in-community
+    // weight is an edge-list join against the (tiny) label map, degrees
+    // and totals are map-side-combined aggregates.
+    QueryDef("gr12_modularity",
+      s"""WITH it AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
+         |        CAST(props->>'k' AS BIGINT) AS item FROM events),
+         |lg AS (SELECT item, LAG(item) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS src
+         |       FROM it),
+         |edges AS (SELECT src, item AS dst, CAST(COUNT(*) AS BIGINT) AS w
+         |          FROM lg WHERE src IS NOT NULL AND src <> item GROUP BY 1, 2),
+         |ue AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, SUM(w) AS w
+         |       FROM edges GROUP BY 1, 2),
+         |adj AS (SELECT a AS node, b AS nb, w FROM ue
+         |        UNION ALL SELECT b, a, w FROM ue),
+         |l0 AS (SELECT DISTINCT node, node AS lab FROM adj),
+         |${(0 until LpaRounds).map(lpaStep).mkString(",\n")},
+         |lab AS (SELECT node, lab FROM l$LpaRounds),
+         |mtot AS (SELECT CAST(SUM(w) AS HUGEINT) AS m FROM ue),
+         |inc AS (SELECT la.lab AS c, CAST(SUM(u.w) AS HUGEINT) AS in_c
+         |        FROM ue u JOIN lab la ON la.node = u.a
+         |        JOIN lab lb ON lb.node = u.b AND lb.lab = la.lab
+         |        GROUP BY 1),
+         |deg AS (SELECT node, CAST(SUM(w) AS HUGEINT) AS dg FROM adj GROUP BY 1),
+         |totc AS (SELECT la.lab AS c, SUM(d.dg) AS tot
+         |         FROM deg d JOIN lab la ON la.node = d.node GROUP BY 1),
+         |qn AS (SELECT t.c, 4 * m.m * COALESCE(i.in_c, 0) - t.tot * t.tot AS qi
+         |       FROM totc t LEFT JOIN inc i ON i.c = t.c, mtot m)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+         |  CAST(SUM(qn.qi) AS DOUBLE) / CAST(4 * m.m * m.m AS DOUBLE) AS modularity
+         |FROM qn, mtot m GROUP BY m.m""".stripMargin) { (s, d) =>
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val edges = graft.ops.Graph.itemTransitionEdges(Tables.load(s, d, "events"))
+      val labels = graft.ops.Graph.lpaCommunities(edges, "src", "dst", "w",
+        iters = LpaRounds)
+      val ue = edges.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"), col("w"))
+        .groupBy("a", "b").agg(sum("w").as("w"))
+      val lab = labels.select(col("node"), col("community").as("lab"))
+      val mRow = ue.agg(sum("w").cast(d38).as("m"))
+      val inc = ue
+        .join(lab.select(col("node").as("a"), col("lab").as("la")), "a")
+        .join(lab.select(col("node").as("b"), col("lab").as("lb")), "b")
+        .where(col("la") === col("lb"))
+        .groupBy(col("la").as("c")).agg(sum("w").cast(d38).as("in_c"))
+      val deg = ue.select(col("a").as("node"), col("w"))
+        .union(ue.select(col("b").as("node"), col("w")))
+        .groupBy("node").agg(sum("w").cast(d38).as("dg"))
+      val totc = deg.join(lab, "node").groupBy(col("lab").as("c"))
+        .agg(sum("dg").as("tot"))
+      val qn = totc.join(inc, Seq("c"), "left").crossJoin(broadcast(mRow))
+        .select(col("c"),
+          (lit(4) * col("m") * coalesce(col("in_c"), lit(0).cast(d38)) -
+            col("tot") * col("tot")).as("qi"), col("m"))
+      qn.groupBy("m")
+        .agg(count(lit(1)).as("n_communities"), sum("qi").as("qs"))
+        .select(col("n_communities"),
+          (col("qs").cast("double") /
+            (lit(4) * col("m") * col("m")).cast("double")).as("modularity"))
+    },
+
     // Degree ASSORTATIVITY — the Pearson correlation of (source
     // out-degree, target in-degree) across edges: one number telling
     // whether hubs link to hubs (assortative > 0) or to the periphery
