@@ -631,6 +631,36 @@ object Events {
         .limit(10)
     },
 
+    // SEASONALITY INDEX — day-of-week factors per event type: how much
+    // busier is a Tuesday than this type's average day, in exact ppm.
+    // Division-order traps avoided by cross-multiplying integer sums
+    // (1e6·n_dow·days_total // (days_dow·n_total)) — one (type, dow)
+    // aggregate + one broadcast of the 5-row totals; the factor table
+    // a forecaster divides out before trend-fitting.
+    QueryDef("ev28_seasonality",
+      """WITH e AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |             (epoch_us(ts) // 86400000000) % 7 AS dow FROM events),
+        |byd AS (SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n,
+        |          CAST(COUNT(DISTINCT day) AS BIGINT) AS days
+        |        FROM e GROUP BY 1, 2),
+        |tot AS (SELECT event_type, SUM(n) AS n_tot, SUM(days) AS days_tot
+        |        FROM byd GROUP BY 1)
+        |SELECT b.event_type, b.dow, b.n,
+        |  CAST(1000000 * b.n * t.days_tot // (b.days * t.n_tot) AS BIGINT) AS index_ppm
+        |FROM byd b JOIN tot t ON t.event_type = b.event_type
+        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val e = ev(s, d).select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        expr("(unix_micros(ts) div 86400000000L) % 7").as("dow"))
+      val byd = e.groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("n"), countDistinct("day").as("days"))
+      val tot = byd.groupBy("event_type")
+        .agg(sum("n").as("n_tot"), sum("days").as("days_tot"))
+      byd.join(broadcast(tot), "event_type")
+        .select(col("event_type"), col("dow"), col("n"),
+          expr("1000000L * n * days_tot div (days * n_tot)").as("index_ppm"))
+        .orderBy("event_type", "dow")
+    },
+
     // Markov next-event PREDICTION EVAL — ev10's transition matrix used
     // as a first-order model and scored on the same stream: for every
     // (prev → next) step, the model predicts argmax-count next type

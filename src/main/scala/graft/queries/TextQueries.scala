@@ -682,6 +682,43 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Zipf FIT — the log-log rank-frequency slope of the corpus
+    // vocabulary (natural text ≈ −1; far-off slopes flag synthetic/
+    // templated corpora — a distribution-level quality screen). ln()
+    // values quantize to BIGINT micro-nats FIRST (floor(1e6·ln+0.5),
+    // the tx14/tx15 rule) so the regression moments are exact wide
+    // integers; one double division at the end. The rank window runs
+    // over the VOCABULARY-sized frequency table, not the corpus — the
+    // only corpus-sized stage is the word-count aggregate.
+    QueryDef("tx29_zipf_slope",
+      """WITH w AS (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents),
+        |f AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM w GROUP BY 1),
+        |r AS (SELECT word, freq, ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS rnk FROM f),
+        |q AS (SELECT CAST(FLOOR(1000000 * ln(CAST(rnk AS DOUBLE)) + 0.5) AS HUGEINT) AS x,
+        |        CAST(FLOOR(1000000 * ln(CAST(freq AS DOUBLE)) + 0.5) AS HUGEINT) AS y
+        |      FROM r),
+        |a AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |        SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM q)
+        |SELECT CAST(n AS BIGINT) AS n_words,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS zipf_slope
+        |FROM a""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val f = Tables.load(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      val r = f.withColumn("rnk",
+        row_number().over(Window.orderBy(col("freq").desc, col("word"))).cast("long"))
+      val q = r.select(
+        expr("cast(floor(1000000 * ln(cast(rnk as double)) + 0.5) as decimal(38,0))").as("x"),
+        expr("cast(floor(1000000 * ln(cast(freq as double)) + 0.5) as decimal(38,0))").as("y"))
+      q.agg(count(lit(1)).cast(d38).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        .select(col("n").cast("long").as("n_words"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")).as("zipf_slope"))
+    },
+
     // Lang-ID EVALUATION — the classifier-QA step: tx1's predictions
     // scored against the table's labeled `lang` column as a confusion
     // matrix (actual, predicted, n) plus per-actual hit counts. A model
