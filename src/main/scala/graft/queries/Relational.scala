@@ -1156,6 +1156,21 @@ object Relational {
         |FROM (SELECT v FROM a INTERSECT ALL SELECT v FROM b) t
         |ORDER BY op""".stripMargin),
 
+    // Explicit NULL ordering — engines DISAGREE by default (Spark sorts
+    // nulls first ascending, DuckDB last), so portable SQL must say
+    // NULLS FIRST/LAST; the LIMIT makes the gate actually verify the
+    // placement (the driver's comparator re-sorts rows, so only a
+    // truncated result exposes ordering semantics — nulls-last pushes
+    // the null rows off the end here, nulls-first would keep them).
+    QueryDef.sharedSql("q54_null_ordering",
+      """WITH t AS (SELECT l_orderkey, l_linenumber,
+        |             CASE WHEN l_linenumber > 2 THEN NULL ELSE l_quantity END AS q
+        |           FROM lineitem WHERE l_orderkey < 200)
+        |SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  CAST(q AS DOUBLE) AS q
+        |FROM t ORDER BY q ASC NULLS LAST, l_orderkey, l_linenumber
+        |LIMIT 40""".stripMargin),
+
     // Predicate aggregates — count_if / bool_and / bool_or (ANSI EVERY/
     // ANY): both engines ship them natively with identical NULL
     // semantics (nulls don't vote); booleans cast to BIGINT for the

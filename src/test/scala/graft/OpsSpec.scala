@@ -793,6 +793,26 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("phash banding guarantee: any pair within hamming 3 shares a band (pigeonhole)") {
+    // pure structural property of 4×16-bit banding over 64 bits: ≤3
+    // differing bits cannot touch all 4 disjoint bands. Exhaustively
+    // check a sample of flip patterns over a fixed hash string.
+    val base = ("0110" * 16).toCharArray
+    val rnd = new scala.util.Random(5)
+    for (_ <- 1 to 200) {
+      val flipped = base.clone()
+      val nFlips = 1 + rnd.nextInt(3)
+      (1 to nFlips).foreach { _ =>
+        val i = rnd.nextInt(64)
+        flipped(i) = if (flipped(i) == '0') '1' else '0'
+      }
+      val a = new String(base); val b = new String(flipped)
+      val shareBand = (0 until 4).exists(bi =>
+        a.substring(bi * 16, bi * 16 + 16) == b.substring(bi * 16, bi * 16 + 16))
+      assert(shareBand, s"no shared band for flips=$nFlips: $b")
+    }
+  }
+
   test("phash near-dup: identical payloads collide at hamming 0, edits fall out of range") {
     import spark.implicits._
     val docs = Seq(

@@ -478,6 +478,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("RunningWindowFunction") || !p.contains("row_number"), p.take(3000))
   }
 
+  test("concurrency sweep distributes: windows partition by day, never globally (ev25)") {
+    val p = planOf("ev25_concurrency")
+    assert(p.contains("hashpartitioning(day"), p.take(4000))
+    assert(!p.contains("SinglePartition") || p.contains("hashpartitioning(day"), p.take(4000))
+  }
+
+  test("pretrain blend composes with hash joins only, budget side broadcast (p4)") {
+    val p = planOf("p4_pretrain_blend")
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
+
+  test("markov eval broadcasts the tiny model, scores in one pass (ev27)") {
+    val p = planOf("ev27_markov_eval")
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(4000))
+  }
+
   test("variant shredding parses once and aggregates partial+final (q50)") {
     val p = planOf("q50_variant_shred")
     // two-phase aggregation over the extracted columns
