@@ -443,6 +443,38 @@ object Embeddings {
     rankTopK(exact, k)
   }
 
+  /** PQ quantization QA — per-subspace reconstruction distortion of the
+    * trained codebooks over the corpus: Σ‖subvector − codeword‖² in
+    * exact Int64 micro-unit² sums, plus the per-vector average. The
+    * measurement that sizes codebookSize/subDim BEFORE an index build
+    * (and the reason ADC results re-rank through exact vectors). One
+    * in-row assignment pass against the plan-baked codebooks + one
+    * aggregate; nothing is collected beyond the codebooks themselves.
+    * Returns (sub, n_vecs, total_err, avg_err).
+    */
+  def pqDistortion(vecs: DataFrame, idCol: String, vecCol: String,
+                   numSub: Int, subDim: Int, codebookSize: Int): DataFrame = {
+    val p = prepared(vecs, idCol, vecCol)
+    val cbs = trainPqCodebooks(p, numSub, subDim, codebookSize)
+    require(cbs.nonEmpty, "PQ distortion needs a non-empty corpus")
+    val assigned = pqAssign(p, cbs, subDim)
+    val errs = cbs.indices.map { s =>
+      val cw = element_at(
+        typedLit(cbs(s).map { case (cell, cent) => cell -> cent.toSeq }.toMap),
+        col(s"c$s"))
+      val sv = slice(col("qe"), s * subDim + 1, subDim)
+      aggregate(zip_with(sv, cw, (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x).as(s"e$s")
+    }
+    assigned.select(errs: _*)
+      .select(posexplode(array(cbs.indices.map(s => col(s"e$s")): _*))
+        .as(Seq("sub", "e")))
+      .groupBy(col("sub").cast(LongType).as("sub"))
+      .agg(count(lit(1)).as("n_vecs"), sum("e").as("total_err"))
+      .select(col("sub"), col("n_vecs"), col("total_err"),
+        expr("total_err div n_vecs").as("avg_err"))
+  }
+
   def pqTopK(vecs: DataFrame, idCol: String, vecCol: String,
              queryPred: Column, k: Int, numSub: Int, subDim: Int,
              codebookSize: Int, candK: Int): DataFrame = {

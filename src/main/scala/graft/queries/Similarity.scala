@@ -213,6 +213,49 @@ object Similarity {
         .orderBy("query_id", "rnk")
     },
 
+    // PQ quantization DISTORTION — per-subspace Σ‖subvector − assigned
+    // codeword‖² over the corpus (exact micro-unit² Int64), the QA
+    // number that sizes codebookSize/subDim before an index build. The
+    // oracle replays sim4's training verbatim and measures the same
+    // reconstruction error.
+    QueryDef("sim11_pq_distortion", {
+      def sdot(a: String, b: String) =
+        s"CAST(list_sum([$a[i]*$b[i] FOR i IN range(1, 17)]) AS BIGINT)"
+      s"""WITH $quantCte,
+         |sv AS (SELECT vec_id, CAST(s AS BIGINT) AS sub,
+         |         list_slice(qe, s*16+1, s*16+16) AS sv
+         |       FROM q, UNNEST(range(0, 4)) t(s)),
+         |seedids AS (SELECT vec_id FROM q ORDER BY vec_id LIMIT 8),
+         |sd AS (SELECT sv.sub, sv.vec_id AS cell, sv.sv AS cent,
+         |         ${sdot("sv.sv", "sv.sv")} AS c_n2
+         |       FROM sv JOIN seedids USING (vec_id)),
+         |a0 AS (SELECT sv.vec_id, sv.sub, sv.sv, sd.cell
+         |       FROM sv JOIN sd ON sv.sub = sd.sub
+         |       QUALIFY ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.sub
+         |         ORDER BY sd.c_n2 - 2*${sdot("sv.sv", "sd.cent")}, sd.cell) = 1),
+         |cm AS (SELECT sub, cell, i, SUM(sv[i]) AS s, COUNT(*) AS c
+         |       FROM a0, UNNEST(range(1, 17)) t(i) GROUP BY sub, cell, i),
+         |cent AS (SELECT sub, cell, list(s // c ORDER BY i) AS cent
+         |         FROM cm GROUP BY sub, cell),
+         |cd AS (SELECT sub, cell, cent, ${sdot("cent", "cent")} AS c_n2 FROM cent),
+         |codes AS (SELECT sv.vec_id, sv.sub, sv.sv, cd.cell, cd.cent
+         |          FROM sv JOIN cd ON sv.sub = cd.sub
+         |          QUALIFY ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.sub
+         |            ORDER BY cd.c_n2 - 2*${sdot("sv.sv", "cd.cent")}, cd.cell) = 1),
+         |err AS (SELECT sub, vec_id,
+         |          CAST(list_sum([(sv[i]-cent[i])*(sv[i]-cent[i])
+         |                         FOR i IN range(1, 17)]) AS BIGINT) AS e
+         |        FROM codes)
+         |SELECT sub, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |  CAST(SUM(e) AS BIGINT) AS total_err,
+         |  CAST(SUM(e) // COUNT(*) AS BIGINT) AS avg_err
+         |FROM err GROUP BY sub ORDER BY sub""".stripMargin
+    }) { (s, d) =>
+      Embeddings.pqDistortion(Tables.load(s, d, "embeddings"),
+          "vec_id", "embedding", numSub = 4, subDim = 16, codebookSize = 8)
+        .orderBy("sub")
+    },
+
     // IVF-PQ: the production ANN composition — sim3's trained coarse
     // cells bound the candidate set (2 probed cells per query), sim4's
     // PQ codes bound the scan bytes (ADC against reconstructions inside
