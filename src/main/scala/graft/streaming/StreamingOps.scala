@@ -27,6 +27,25 @@ object StreamingOps {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** NATIVE session windows — Spark's `session_window(ts, gap)`
+    * aggregation: gap-based sessions maintained entirely by the engine's
+    * windowing state (merging on overlap, closing on watermark), the
+    * declarative sibling of `StatefulSessions.sessionize`'s custom
+    * flatMapGroupsWithState. Same semantics for in-order data (a session
+    * ends after `gap` of per-key silence); prefer THIS form when the
+    * per-session output is an aggregate the engine can fold — custom
+    * state is only for logic aggregation can't express. Emits
+    * (user_id, session_start, session_end, n_events, total_value) on
+    * session close.
+    */
+  def sessionWindowAgg(events: DataFrame, gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("total_value"))
+
   /** Streaming OHLC downsampling — the continuous twin of batch ev7:
     * per (key, tumbling window) first/last/min/max value, with open and
     * close picked by min_by/max_by on the SHARED guarded key builder

@@ -140,6 +140,39 @@ class StreamingSpec extends SparkSpec {
     assert(survivors === Seq(10L, 12L))
   }
 
+  test("native session windows merge within the gap and split across it") {
+    val dir = tmpDir("graft-sesswin")
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("value", DoubleType)))
+    Seq(
+      (1L, "2024-01-01 00:00:00", 1.0),
+      (1L, "2024-01-01 00:10:00", 2.0),  // within 30m gap: same session
+      (1L, "2024-01-01 01:00:00", 4.0),  // 50m silence: NEW session
+      (2L, "2024-01-01 00:05:00", 8.0))
+      .toDF("user_id", "s", "value")
+      .select(col("user_id"), to_timestamp(col("s")).as("ts"), col("value"))
+      .coalesce(1).write.parquet(dir + "/b1")
+    val stream = StreamingOps.parquetStream(spark, schema, dir + "/b*")
+    val out = StreamingOps.sessionWindowAgg(stream, "30 minutes", "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sesswinout").start()
+    q.processAllAvailable()
+    // flush: sessions emit when the watermark passes their close
+    Seq((9L, "2024-01-01 05:00:00", 0.0)).toDF("user_id", "s", "value")
+      .select(col("user_id"), to_timestamp(col("s")).as("ts"), col("value"))
+      .coalesce(1).write.parquet(dir + "/b2")
+    q.processAllAvailable(); q.stop()
+    val rows = spark.sql(
+      "SELECT user_id, date_format(session_start, 'HH:mm') AS s, n_events, total_value " +
+      "FROM sesswinout WHERE user_id < 9 ORDER BY user_id, s")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows === Seq(
+      (1L, "00:00", 2L, 3.0), // merged pair
+      (1L, "01:00", 1L, 4.0), // split by the 50-minute silence
+      (2L, "00:05", 1L, 8.0)))
+  }
+
   test("streaming funnel advances stages across micro-batches with strict time order") {
     val dir = tmpDir("graft-funnel")
     val schema = StructType(Seq(
