@@ -112,6 +112,31 @@ object Multimodal {
       .toDF()
   }
 
+  /** Shared-frame linkage — which payloads contain the SAME frames:
+    * the copied-segment detector for video/audio (a clip reused across
+    * uploads shares its frame fingerprints even when the containers
+    * differ). Frames come from `sampleFrames`; fingerprints with
+    * document frequency in [2, maxDf] join doc-pairs (ultra-common
+    * frames are boilerplate — silence/black — and are EXCLUDED, which
+    * also caps the self-join fan-out per fingerprint at maxDf², the
+    * dd2-style df bound that keeps the join skew-safe at corpus scale).
+    * Returns (id1, id2, n_shared ≥ minShared), id1 < id2.
+    */
+  def sharedFramePairs(spark: SparkSession, media: DataFrame,
+                       minShared: Int = 2, maxDf: Int = 20,
+                       frameBytes: Int = 16, strideBytes: Int = 64): DataFrame = {
+    val d = sampleFrames(spark, media, frameBytes, strideBytes)
+      .select(col("doc_id"), col("frame_hash").as("fh")).distinct()
+    val df = d.groupBy("fh").agg(count(lit(1)).as("c"))
+      .where(col("c").between(2, maxDf))
+    val keep = d.join(df.select("fh"), "fh")
+    keep.as("x").join(keep.as("y"),
+        col("x.fh") === col("y.fh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** One resampled payload. */
   case class Resampled(doc_id: Long, orig_len: Long, new_len: Long, res_digest: String)
 

@@ -631,6 +631,42 @@ object Events {
         .limit(10)
     },
 
+    // INTER-ARRIVAL burstiness — per event type: the arrival rate (µs
+    // between events, exact integer mean as a cross-multiplied ratio)
+    // and the squared coefficient of variation CV² = (n·Σg² − (Σg)²) /
+    // (Σg)² — CV² ≈ 1 is Poisson, ≫1 is bursty — the traffic-shape
+    // screen capacity planning reads next to ev25's peak gauge. Gap
+    // moments are exact DECIMAL(38,0)/HUGEINT (Σg² overflows Int64);
+    // ONE LAG window keyed by type + one aggregate.
+    QueryDef("ev31_interarrival",
+      """WITH o AS (SELECT event_type, epoch_us(ts) AS tus, event_id FROM events),
+        |l AS (SELECT event_type,
+        |        tus - LAG(tus) OVER (PARTITION BY event_type ORDER BY tus, event_id) AS g
+        |      FROM o),
+        |gaps AS (SELECT event_type, CAST(g AS HUGEINT) AS g FROM l WHERE g IS NOT NULL),
+        |a AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+        |        SUM(g) AS sg, SUM(g * g) AS sg2
+        |      FROM gaps GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+        |  CAST(sg // n AS BIGINT) AS mean_gap_us,
+        |  CAST(n * sg2 - sg * sg AS DOUBLE) / CAST(sg * sg AS DOUBLE) AS cv2
+        |FROM a ORDER BY 1""".stripMargin) { (s, d) =>
+      val d38 = DecimalType(38, 0)
+      val w = Window.partitionBy("event_type").orderBy("tus", "event_id")
+      val gaps = ev(s, d)
+        .select(col("event_type"), unix_micros(col("ts")).as("tus"), col("event_id"))
+        .withColumn("g", (col("tus") - lag("tus", 1).over(w)).cast(d38))
+        .filter(col("g").isNotNull)
+      gaps.groupBy("event_type")
+        .agg(count(lit(1)).cast(d38).as("n"), sum("g").as("sg"),
+          sum(col("g") * col("g")).as("sg2"))
+        .select(col("event_type"), col("n").cast(LongType).as("n_gaps"),
+          expr("cast(sg div n as bigint)").as("mean_gap_us"),
+          ((col("n") * col("sg2") - col("sg") * col("sg")).cast(DoubleType) /
+            (col("sg") * col("sg")).cast(DoubleType)).as("cv2"))
+        .orderBy("event_type")
+    },
+
     // SEASONALITY INDEX — day-of-week factors per event type: how much
     // busier is a Tuesday than this type's average day, in exact ppm.
     // Division-order traps avoided by cross-multiplying integer sums

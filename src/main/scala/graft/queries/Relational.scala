@@ -1156,6 +1156,23 @@ object Relational {
         |FROM (SELECT v FROM a INTERSECT ALL SELECT v FROM b) t
         |ORDER BY op""".stripMargin),
 
+    // Correlated EXISTS / NOT EXISTS — the SYNTACTIC quantified-subquery
+    // path (Catalyst de-correlates to semi/anti joins; q04/q05 exercise
+    // the same plans via IN, this locks the EXISTS surface both parsers
+    // share). The inner query correlates on custkey AND filters on a
+    // local column, so flattening is non-trivial.
+    QueryDef.sharedSql("q55_exists_forms",
+      """SELECT c_mktsegment,
+        |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM orders o
+        |                             WHERE o.o_custkey = c.c_custkey
+        |                               AND o.o_totalprice > 100000)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_big_spenders,
+        |  CAST(SUM(CASE WHEN NOT EXISTS (SELECT 1 FROM orders o
+        |                                 WHERE o.o_custkey = c.c_custkey)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_inactive
+        |FROM customer c GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // Explicit NULL ordering — engines DISAGREE by default (Spark sorts
     // nulls first ascending, DuckDB last), so portable SQL must say
     // NULLS FIRST/LAST; the LIMIT makes the gate actually verify the

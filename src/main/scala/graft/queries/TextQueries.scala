@@ -335,6 +335,32 @@ object TextQueries {
         .orderBy("doc_id", "frame_no")
     },
 
+    // Shared-frame linkage — payload pairs containing the SAME sampled
+    // frames (the copied-segment detector: a reused clip shares frame
+    // fingerprints across different containers). Fingerprint document
+    // frequency is capped in [2, 20] BEFORE the pair join — boilerplate
+    // frames (silence/black) are evidence of nothing and would otherwise
+    // blow the join up df²-per-fingerprint (the dd2 df-cap rule).
+    QueryDef("mm7_shared_frames",
+      """WITH b AS (SELECT doc_id, lower(hex(CAST(text AS BLOB))) AS hx,
+        |             octet_length(CAST(text AS BLOB)) AS len FROM documents),
+        |f AS (SELECT doc_id, md5(substr(hx, j*128 + 1, 32)) AS fh
+        |      FROM b, UNNEST(range(0, CAST(ceil(len / 64.0) AS BIGINT))) AS t(j)),
+        |d AS (SELECT DISTINCT doc_id, fh FROM f),
+        |dfc AS (SELECT fh, COUNT(*) AS c FROM d GROUP BY 1),
+        |keep AS (SELECT d.doc_id, d.fh FROM d JOIN dfc ON dfc.fh = d.fh
+        |         WHERE dfc.c BETWEEN 2 AND 20),
+        |p AS (SELECT a.doc_id AS id1, b2.doc_id AS id2, COUNT(*) AS n_shared
+        |      FROM keep a JOIN keep b2 ON a.fh = b2.fh AND a.doc_id < b2.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT id1, id2, CAST(n_shared AS BIGINT) AS n_shared FROM p
+        |WHERE n_shared >= 2 ORDER BY n_shared DESC, id1, id2 LIMIT 100""".stripMargin) { (s, d) =>
+      Multimodal.sharedFramePairs(s,
+          Multimodal.asBinaryTable(Tables.load(s, d, "documents"), "doc_id", "text"))
+        .orderBy(col("n_shared").desc, col("id1"), col("id2"))
+        .limit(100)
+    },
+
     // Perceptual-hash near-duplicate candidates over binary payloads:
     // 64-bit dHash (stub luma — see ops.Multimodal.phash64) → 4×16-bit
     // LSH bands → bucket join → exact hamming verify. The image-dedup
