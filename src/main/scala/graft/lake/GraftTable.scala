@@ -320,6 +320,35 @@ class GraftTable(val spark: SparkSession, val root: String) {
     commitNext(Seq.empty, m.schemaJson)
   }
 
+  /** Schema evolution WITHOUT rewrite — ADD COLUMN commits the SAME file
+    * set under the widened schema: files that predate the column read it
+    * as NULL (parquet missing-column semantics), new writes align to the
+    * full schema. O(manifest); time travel still reads each version
+    * under ITS schema. The new column starts stat-less, which Pruning
+    * treats conservatively (never skips on it until a rewrite collects
+    * stats). */
+  def addColumn(name: String, dt: DataType): Long = {
+    val m = latestManifest
+    val sch = schemaOf(m)
+    require(!sch.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"column $name already exists")
+    commitNext(m.files, StructType(sch.fields :+ StructField(name, dt, nullable = true)).json)
+  }
+
+  /** DROP COLUMN by schema narrowing — the column's bytes stay in the
+    * parquet files until they are naturally rewritten (compaction/DML);
+    * every read projects through the manifest schema so the column is
+    * gone immediately. CHECK constraints referencing it will fail loudly
+    * on the next write — drop them first. */
+  def dropColumn(name: String): Long = {
+    val m = latestManifest
+    val sch = schemaOf(m)
+    require(sch.fieldNames.exists(_.equalsIgnoreCase(name)), s"unknown column: $name")
+    val next = StructType(sch.fields.filterNot(_.name.equalsIgnoreCase(name)))
+    require(next.fields.nonEmpty, "cannot drop a table's last column")
+    commitNext(m.files, next.json)
+  }
+
   /** RESTORE ... TO VERSION AS OF v — roll the table BACK by committing a
     * NEW version whose file set and schema are version v's. History is
     * preserved and nothing is rewritten: O(manifest) regardless of table

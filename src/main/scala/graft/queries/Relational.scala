@@ -1173,6 +1173,19 @@ object Relational {
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_inactive
         |FROM customer c GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // Correlated SCALAR subquery in the SELECT list — the third
+    // quantified-subquery shape (q22 = scalar in WHERE, q55 =
+    // EXISTS): Catalyst de-correlates it to a left outer aggregate
+    // join; customers without orders surface the NULL path.
+    QueryDef.sharedSql("q56_correlated_scalar",
+      """SELECT c_custkey,
+        |  (SELECT MAX(o_totalprice) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS max_order,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 50000) AS n_big
+        |FROM customer c WHERE c_custkey < 100
+        |ORDER BY c_custkey""".stripMargin),
+
     // Explicit NULL ordering — engines DISAGREE by default (Spark sorts
     // nulls first ascending, DuckDB last), so portable SQL must say
     // NULLS FIRST/LAST; the LIMIT makes the gate actually verify the

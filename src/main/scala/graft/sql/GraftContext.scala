@@ -453,6 +453,10 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
   private val reDropTable = """(?is)^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w."]+)\s*$""".r
   private val reDropSchema = """(?is)^DROP\s+SCHEMA\s+(?:IF\s+EXISTS\s+)?([\w"]+)\s*$""".r
   private val reRename = """(?is)^ALTER\s+TABLE\s+([\w."]+)\s+RENAME\s+TO\s+([\w."]+)\s*$""".r
+  private val reAddColumn =
+    """(?is)^ALTER\s+TABLE\s+([\w."]+)\s+ADD\s+COLUMN\s+([\w"]+)\s+([\w() ,]+?)\s*$""".r
+  private val reDropColumn =
+    """(?is)^ALTER\s+TABLE\s+([\w."]+)\s+DROP\s+COLUMN\s+([\w"]+)\s*$""".r
   private val reAddConstraint =
     """(?is)^ALTER\s+TABLE\s+([\w."]+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*$""".r
   private val reDropConstraint =
@@ -629,6 +633,17 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
     case reDropConstraint(qname, ifEx, cname) =>
       val (sch, name) = splitName(qname)
       table(sch, name).dropConstraint(cname, ifEx != null)
+      emptyResult
+    case reAddColumn(qname, cname, tpe) =>
+      // beyond-reference schema evolution: O(manifest), no rewrite
+      val (sch, name) = splitName(qname)
+      table(sch, name).addColumn(clean(cname), sqlType(tpe))
+      spark.catalog.dropTempView(if (sch == "public") name else s"${sch}__$name")
+      emptyResult
+    case reDropColumn(qname, cname) =>
+      val (sch, name) = splitName(qname)
+      table(sch, name).dropColumn(clean(cname))
+      spark.catalog.dropTempView(if (sch == "public") name else s"${sch}__$name")
       emptyResult
     case reRename(from, to) =>
       val (fs, fn) = splitName(from); val (ts, tn) = splitName(to)

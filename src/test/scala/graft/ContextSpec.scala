@@ -582,6 +582,29 @@ class ContextSpec extends SparkSpec {
     assert(parquetCount("cl") > 0) // rewritten + appended files are clone-local
   }
 
+  test("ADD/DROP COLUMN evolve the schema without rewriting data") {
+    val c = ctx()
+    c.execute("CREATE TABLE sv (id BIGINT)")
+    c.execute("INSERT INTO sv VALUES (1), (2)")
+    c.execute("ALTER TABLE sv ADD COLUMN tag VARCHAR")
+    // pre-evolution files read the new column as NULL
+    val r1 = c.execute("SELECT id, tag FROM sv ORDER BY id").collect()
+    assert(r1.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(r1.forall(_.isNullAt(1)))
+    c.execute("INSERT INTO sv VALUES (3, 'x')")
+    val r2 = c.execute("SELECT id, tag FROM sv ORDER BY id").collect()
+    assert(r2.map(r => (r.getLong(0), Option(r.getString(1)))).toSeq ===
+      Seq((1L, None), (2L, None), (3L, Some("x"))))
+    // DROP projects the column away immediately, data files untouched
+    c.execute("ALTER TABLE sv DROP COLUMN tag")
+    val r3 = c.execute("SELECT * FROM sv ORDER BY id").collect()
+    assert(r3.head.schema.fieldNames.toSeq === Seq("id"))
+    assert(r3.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    // time travel still reads each version under ITS schema
+    val err = intercept[Exception](c.execute("SELECT tag FROM sv"))
+    assert(err != null)
+  }
+
   test("vacuum with a retention window keeps time travel + restore alive inside it") {
     val c = ctx()
     c.execute("CREATE TABLE v (id BIGINT)")      // version 0
