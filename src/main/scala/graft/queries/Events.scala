@@ -631,6 +631,57 @@ object Events {
         .limit(10)
     },
 
+    // ASSOCIATION RULES over co-views — support / confidence / lift for
+    // item pairs, the market-basket trio gr6's cosine doesn't give:
+    // lift_ppm = 1e6·n_ab·U // (n_a·n_b) (exact cross-multiplied
+    // integers — >1e6 means the pair co-occurs MORE than independent),
+    // conf a→b = 1e6·n_ab // n_a. Same capped bipartite projection as
+    // gr6 (per-user basket truncated at 20 items, the skew bound); one
+    // distinct pass, one pair join, broadcast degree joins.
+    QueryDef("ev32_association_lift",
+      """WITH it AS (SELECT DISTINCT user_id, CAST(props->>'k' AS BIGINT) AS item
+        |            FROM events WHERE event_type = 'view'),
+        |r AS (SELECT user_id, item,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY item) AS rn FROM it),
+        |b AS (SELECT user_id, item FROM r WHERE rn <= 20),
+        |u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu FROM b),
+        |deg AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1),
+        |pairs AS (SELECT a.item AS i1, b2.item AS i2, CAST(COUNT(*) AS BIGINT) AS n_ab
+        |          FROM b a JOIN b b2 ON a.user_id = b2.user_id AND a.item < b2.item
+        |          GROUP BY 1, 2)
+        |SELECT i1, i2, n_ab,
+        |  CAST(1000000 * n_ab // da.n AS BIGINT) AS conf_ppm,
+        |  CAST(1000000 * n_ab * u.nu // (da.n * db.n) AS BIGINT) AS lift_ppm
+        |FROM pairs JOIN deg da ON da.item = i1 JOIN deg db ON db.item = i2, u
+        |WHERE n_ab >= 3
+        |ORDER BY lift_ppm DESC, i1, i2 LIMIT 50""".stripMargin) { (s, d) =>
+      val it = ev(s, d).filter(col("event_type") === "view")
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("item"))
+        .distinct()
+      val b = it.withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy("item")))
+        .where(col("rn") <= 20)
+        .select("user_id", "item")
+        .localCheckpoint(false)
+      val nu = b.agg(countDistinct("user_id").as("nu"))
+      val deg = b.groupBy("item").agg(count(lit(1)).as("n"))
+      val pairs = b.as("a").join(b.as("b2"),
+          col("a.user_id") === col("b2.user_id") && col("a.item") < col("b2.item"))
+        .groupBy(col("a.item").as("i1"), col("b2.item").as("i2"))
+        .agg(count(lit(1)).as("n_ab"))
+        .where(col("n_ab") >= 3)
+      pairs
+        .join(broadcast(deg.select(col("item").as("i1"), col("n").as("na"))), "i1")
+        .join(broadcast(deg.select(col("item").as("i2"), col("n").as("nb"))), "i2")
+        .crossJoin(broadcast(nu))
+        .select(col("i1"), col("i2"), col("n_ab"),
+          expr("1000000L * n_ab div na").as("conf_ppm"),
+          expr("1000000L * n_ab * nu div (na * nb)").as("lift_ppm"))
+        .orderBy(col("lift_ppm").desc, col("i1"), col("i2"))
+        .limit(50)
+    },
+
     // INTER-ARRIVAL burstiness — per event type: the arrival rate (µs
     // between events, exact integer mean as a cross-multiplied ratio)
     // and the squared coefficient of variation CV² = (n·Σg² − (Σg)²) /

@@ -1173,6 +1173,15 @@ object Relational {
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_inactive
         |FROM customer c GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // GROUP BY ALL — the modern shorthand both engines ship (group on
+    // every non-aggregate select item); a thin surface check that the
+    // sugar resolves identically.
+    QueryDef.sharedSql("q57_group_by_all",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem GROUP BY ALL ORDER BY 1, 2""".stripMargin),
+
     // Correlated SCALAR subquery in the SELECT list — the third
     // quantified-subquery shape (q22 = scalar in WHERE, q55 =
     // EXISTS): Catalyst de-correlates it to a left outer aggregate
