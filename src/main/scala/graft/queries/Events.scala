@@ -631,6 +631,36 @@ object Events {
         .limit(10)
     },
 
+    // DAU / MAU stickiness — the engagement ratio every product review
+    // opens with: daily actives over trailing-30-day actives, exact.
+    // The rolling DISTINCT is computed by CONTRIBUTION EXPLODE — each
+    // (user, active day) row feeds the 30 windows it belongs to, then
+    // one distinct + count per day (bounded 30× inflation, shuffles
+    // keyed by day — never a per-day re-scan; at 100 TB the sketch
+    // rollup (q38 HLL / q42 KMV) replaces exactness, same plan shape).
+    QueryDef("ev33_dau_mau",
+      """WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events),
+        |dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM a GROUP BY 1),
+        |contrib AS (SELECT DISTINCT a.user_id, a.d + x AS d
+        |            FROM a, UNNEST(range(0, 30)) t(x)),
+        |mau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS mau FROM contrib GROUP BY 1)
+        |SELECT dau.d AS epoch_day, dau.dau, mau.mau,
+        |  CAST(1000000 * dau.dau // mau.mau AS BIGINT) AS stickiness_ppm
+        |FROM dau JOIN mau ON mau.d = dau.d ORDER BY 1""".stripMargin) { (s, d) =>
+      val a = ev(s, d)
+        .select(col("user_id"), expr("unix_micros(ts) div 86400000000L").as("d"))
+        .distinct()
+      val dau = a.groupBy("d").agg(count(lit(1)).as("dau"))
+      val mau = a.withColumn("x", explode(sequence(lit(0), lit(29))))
+        .select(col("user_id"), (col("d") + col("x")).as("d"))
+        .distinct()
+        .groupBy("d").agg(count(lit(1)).as("mau"))
+      dau.join(mau, "d")
+        .select(col("d").as("epoch_day"), col("dau"), col("mau"),
+          expr("1000000L * dau div mau").as("stickiness_ppm"))
+        .orderBy("epoch_day")
+    },
+
     // ASSOCIATION RULES over co-views — support / confidence / lift for
     // item pairs, the market-basket trio gr6's cosine doesn't give:
     // lift_ppm = 1e6·n_ab·U // (n_a·n_b) (exact cross-multiplied

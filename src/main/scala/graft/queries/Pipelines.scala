@@ -348,6 +348,75 @@ object PipelinesDedup {
         .orderBy("source")
     },
 
+    // MinHash CALIBRATION — does the signature agree with the truth it
+    // estimates? For every LSH candidate pair: the 16-component
+    // signature-match count (the estimator: matches/16 ≈ Jaccard)
+    // bucketed against the EXACT Jaccard (integer ppm), averaged per
+    // bucket. A well-behaved sketch shows avg_exact_ppm rising ~linearly
+    // with n_match — the sanity plot run before trusting banding
+    // thresholds at scale. Signatures come from the same in-row
+    // MinHashSigHex spec the oracle replays with MIN(md5) aggregates.
+    QueryDef("dd17_minhash_calibration", {
+      val sigPairMatch = (0 until K)
+        .map(j => s"CASE WHEN sga.h$j = sgb.h$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $shingleCte,
+         |sig AS (SELECT doc_id,
+         |    $sigSelect
+         |  FROM sh GROUP BY doc_id),
+         |buckets AS (
+         |  $bandUnion),
+         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |         FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT id1, id2, COUNT(*) AS i
+         |          FROM cand JOIN sh sa ON sa.doc_id = id1
+         |          JOIN sh sb ON sb.doc_id = id2 AND sb.shingle = sa.shingle
+         |          GROUP BY 1, 2),
+         |jx AS (SELECT c.id1, c.id2,
+         |         CAST(1000000 * COALESCE(i.i, 0) //
+         |              (sa.sz + sb.sz - COALESCE(i.i, 0)) AS BIGINT) AS jac_ppm,
+         |         CAST($sigPairMatch AS BIGINT) AS n_match
+         |       FROM cand c
+         |       LEFT JOIN inter i ON i.id1 = c.id1 AND i.id2 = c.id2
+         |       JOIN sizes sa ON sa.doc_id = c.id1 JOIN sizes sb ON sb.doc_id = c.id2
+         |       JOIN sig sga ON sga.doc_id = c.id1 JOIN sig sgb ON sgb.doc_id = c.id2)
+         |SELECT n_match, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(jac_ppm) // COUNT(*) AS BIGINT) AS avg_exact_ppm
+         |FROM jx GROUP BY 1 ORDER BY 1""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.TextExprs
+      val docs = Tables.load(s, d, "documents")
+      val withSets = docs.filter(size(split(col("text"), " ")) >= 5)
+        .select(col("doc_id"),
+          TextExprs.minhash_band_keys(col("text"), 5, K, BANDS).as("bks"),
+          TextExprs.shingle_hash_set(col("text"), 5).as("shs"),
+          TextExprs.minhash_sig_hex(col("text"), 5, K).as("sig"))
+        .repartition(col("doc_id"))
+      val cand = withSets
+        .select(col("doc_id"), explode_outer(col("bks")).as("bucket"))
+        .filter(col("bucket").isNotNull)
+        .groupBy("bucket").agg(collect_set(col("doc_id")).as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(col("ids"), explode(col("ids")).as("id1"))
+        .select(col("id1"), explode(col("ids")).as("id2"))
+        .filter(col("id1") < col("id2"))
+        .select("id1", "id2").distinct()
+      val a = withSets.select(col("doc_id").as("id1"), col("shs").as("shs1"), col("sig").as("sig1"))
+      val b = withSets.select(col("doc_id").as("id2"), col("shs").as("shs2"), col("sig").as("sig2"))
+      cand.join(a, "id1").join(b, "id2")
+        .select(
+          expr("cast(1000000L * size(array_intersect(shs1, shs2)) div " +
+            "(size(shs1) + size(shs2) - size(array_intersect(shs1, shs2))) as bigint)")
+            .as("jac_ppm"),
+          expr("cast(size(filter(zip_with(sig1, sig2, (x, y) -> x = y), b -> b)) as bigint)")
+            .as("n_match"))
+        .groupBy("n_match")
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("cast(sum(jac_ppm) div count(1) as bigint)").as("avg_exact_ppm"))
+        .orderBy("n_match")
+    },
+
     // Dedup OPERATING CURVE — the threshold-tuning sweep every dedup
     // deployment runs before committing: pair counts and affected-doc
     // counts at Jaccard ≥ 0.7 / 0.8 / 0.9, all from ONE candidate pass
