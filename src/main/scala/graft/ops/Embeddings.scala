@@ -201,6 +201,27 @@ object Embeddings {
       .agg(array_sort(collect_list(struct(col("pos"), col("comp")))).as("pc"))
       .select(col("cell"), expr("transform(pc, x -> x.comp)").as("cent"))
 
+  /** IVF index QA — the cell-size balance profile of the trained coarse
+    * quantizer: per-cell populations and the imbalance factor
+    * (max·K/N ppm — 1e6 is perfectly balanced; a hot cell means probe
+    * latency is bounded by IT, not the average, and the cure is more
+    * cells or re-training). One in-row assignment against the
+    * plan-baked centroids + one map-side-combined count. Returns ONE
+    * row: (n_cells, n_vecs, min_sz, max_sz, balance_ppm).
+    */
+  def ivfCellProfile(vecs: DataFrame, idCol: String, vecCol: String,
+                     numCells: Int, lloydIters: Int = 1): DataFrame = {
+    val p = prepared(vecs, idCol, vecCol)
+    val cents = trainCentroids(p, numCells, lloydIters)
+    require(cents.nonEmpty, "IVF profile needs a non-empty corpus")
+    assignCells(p, cents)
+      .groupBy("cell").agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_cells"), sum("sz").as("n_vecs"),
+        min("sz").as("min_sz"), max("sz").as("max_sz"))
+      .select(col("n_cells"), col("n_vecs"), col("min_sz"), col("max_sz"),
+        expr("1000000L * max_sz * n_cells div n_vecs").as("balance_ppm"))
+  }
+
   /** IVF (inverted-file) ANN top-k with trained centroids: K seed
     * centroids (the lowest `numCells` vec_ids), `lloydIters` exact-integer
     * Lloyd refinements, inverted index = final cell assignment, search =

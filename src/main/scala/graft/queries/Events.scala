@@ -631,6 +631,55 @@ object Events {
         .limit(10)
     },
 
+    // RFM SEGMENTATION — recency / frequency / monetary quintile scores
+    // per purchasing user, the classic CRM cut: each dimension ntile(5)
+    // over a DETERMINISTIC total order (metric, then user_id — ties
+    // can't float between engines), segments aggregated to counts +
+    // monetary totals. Three window passes over the per-user aggregate
+    // (users, not events) + one tiny segment rollup.
+    QueryDef("ev34_rfm_segments",
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS tus,
+        |             CAST(ROUND(value * 1000) AS BIGINT) AS vm
+        |           FROM events WHERE event_type = 'purchase'),
+        |mx AS (SELECT MAX(tus) AS mt FROM p),
+        |u AS (SELECT user_id,
+        |        CAST((mx.mt - MAX(tus)) // 86400000000 AS BIGINT) AS rec_days,
+        |        CAST(COUNT(*) AS BIGINT) AS freq,
+        |        CAST(SUM(vm) AS BIGINT) AS mon
+        |      FROM p, mx GROUP BY user_id, mx.mt),
+        |sc AS (SELECT user_id, mon,
+        |         NTILE(5) OVER (ORDER BY rec_days DESC, user_id) AS r,
+        |         NTILE(5) OVER (ORDER BY freq, user_id) AS f,
+        |         NTILE(5) OVER (ORDER BY mon, user_id) AS m
+        |       FROM u)
+        |SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f, CAST(m AS BIGINT) AS m,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users, CAST(SUM(mon) AS BIGINT) AS mon_milli
+        |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+      val p = ev(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          round(col("value") * 1000).cast(LongType).as("vm"))
+      val u = p.crossJoin(broadcast(p.agg(max("tus").as("mt"))))
+        .groupBy("user_id", "mt")
+        .agg(max("tus").as("lt"), count(lit(1)).as("freq"), sum("vm").as("mon"))
+        .select(col("user_id"),
+          expr("(mt - lt) div 86400000000L").as("rec_days"), col("freq"), col("mon"))
+      // each quintile via the distributed ntile (q46's DistributedRank:
+      // textbook window when the per-user frame is small, rank-offset
+      // composition at scale — identical assignment either way); DESC
+      // recency expressed as an ascending negated column
+      import graft.ops.DistributedRank.ntileByKey
+      val sc0 = ntileByKey(u.withColumn("rneg", -col("rec_days")),
+        Seq(), Seq("rneg", "user_id"), 5).withColumnRenamed("bin", "r")
+      val sc1 = ntileByKey(sc0, Seq(), Seq("freq", "user_id"), 5)
+        .withColumnRenamed("bin", "f")
+      val sc = ntileByKey(sc1, Seq(), Seq("mon", "user_id"), 5)
+        .withColumnRenamed("bin", "m")
+      sc.groupBy(col("r").cast(LongType).as("r"), col("f").cast(LongType).as("f"),
+          col("m").cast(LongType).as("m"))
+        .agg(count(lit(1)).as("n_users"), sum("mon").as("mon_milli"))
+        .orderBy("r", "f", "m")
+    },
+
     // DAU / MAU stickiness — the engagement ratio every product review
     // opens with: daily actives over trailing-30-day actives, exact.
     // The rolling DISTINCT is computed by CONTRIBUTION EXPLODE — each

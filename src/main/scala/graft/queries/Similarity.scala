@@ -213,6 +213,38 @@ object Similarity {
         .orderBy("query_id", "rnk")
     },
 
+    // IVF cell-BALANCE QA — the coarse quantizer's population profile:
+    // a hot cell bounds probe latency by ITSELF, not the average (the
+    // reason index builders re-train or split skewed cells). The oracle
+    // replays sim3's exact-integer Lloyd training and counts the same
+    // final assignment.
+    QueryDef("sim12_ivf_balance", {
+      def dot(a: String, b: String) =
+        s"CAST(list_sum([$a[i]*$b[i] FOR i IN range(1, 65)]) AS BIGINT)"
+      def n2(a: String) = dot(a, a)
+      s"""WITH $quantCte,
+         |seeds AS (SELECT vec_id AS cell, qe AS cent FROM q ORDER BY vec_id LIMIT 8),
+         |sd AS (SELECT cell, cent, ${n2("cent")} AS c_n2 FROM seeds),
+         |a0 AS (SELECT q.vec_id, q.qe, sd.cell FROM q, sd
+         |       QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |         ORDER BY q.n2 - 2*${dot("q.qe", "sd.cent")} + sd.c_n2, sd.cell) = 1),
+         |cm AS (SELECT cell, i, SUM(qe[i]) AS s, COUNT(*) AS c
+         |       FROM a0, range(1, 65) t(i) GROUP BY cell, i),
+         |cent AS (SELECT cell, list(s // c ORDER BY i) AS cent FROM cm GROUP BY cell),
+         |cd AS (SELECT cell, cent, ${n2("cent")} AS c_n2 FROM cent),
+         |a1 AS (SELECT q.vec_id, cd.cell FROM q, cd
+         |       QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |         ORDER BY q.n2 - 2*${dot("q.qe", "cd.cent")} + cd.c_n2, cd.cell) = 1),
+         |sz AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS sz FROM a1 GROUP BY 1)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_cells, CAST(SUM(sz) AS BIGINT) AS n_vecs,
+         |  CAST(MIN(sz) AS BIGINT) AS min_sz, CAST(MAX(sz) AS BIGINT) AS max_sz,
+         |  CAST(1000000 * MAX(sz) * COUNT(*) // SUM(sz) AS BIGINT) AS balance_ppm
+         |FROM sz""".stripMargin
+    }) { (s, d) =>
+      Embeddings.ivfCellProfile(Tables.load(s, d, "embeddings"),
+        "vec_id", "embedding", numCells = 8, lloydIters = 1)
+    },
+
     // PQ quantization DISTORTION — per-subspace Σ‖subvector − assigned
     // codeword‖² over the corpus (exact micro-unit² Int64), the QA
     // number that sizes codebookSize/subDim before an index build. The
