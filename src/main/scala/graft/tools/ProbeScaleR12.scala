@@ -67,6 +67,20 @@ object ProbeScaleR12 {
             seeds = Set(1L, 2L, 3L), iters = 10, localEdgeLimit = 0L)
           .write.mode("overwrite").format("noop").save()
       }
+      t(s"mm7 shared frames x$m") {
+        graft.ops.Multimodal.sharedFramePairs(spark,
+            graft.ops.Multimodal.asBinaryTable(docs, "doc_id", "text"))
+          .write.mode("overwrite").format("noop").save()
+      }
+      t(s"ev33 dau/mau contribution explode x$m") {
+        val a = ev.select(col("user_id"),
+            expr("unix_micros(ts) div 86400000000L").as("d")).distinct()
+        a.withColumn("x", explode(sequence(lit(0), lit(29))))
+          .select(col("user_id"), (col("d") + col("x")).as("d"))
+          .distinct()
+          .groupBy("d").agg(count(lit(1)).as("mau"))
+          .write.mode("overwrite").format("noop").save()
+      }
       t(s"ev22 mann-whitney x$m") {
         graft.SparkEntry.queries // touch: linear-shape twin runs via the query below
         val base = ev.filter(col("event_type").isin("view", "purchase"))
