@@ -92,6 +92,27 @@ class HttpSpec extends SparkSpec {
     assert(r3.headers().firstValue("ETag").get !== etag)
   }
 
+  test("RESTORE and SHALLOW CLONE ride POST /q; RESTORE invalidates cached reads") {
+    post("/q", "CREATE TABLE rst (id BIGINT)", auth)
+    post("/q", "INSERT INTO rst VALUES (1), (2)", auth)  // v1
+    post("/q", "DELETE FROM rst WHERE id = 2", auth)     // v2
+    val q = java.net.URLEncoder.encode("SELECT COUNT(*) AS n FROM rst", UTF_8)
+    val r1 = get("/q/" + q)
+    assert(r1.body().contains("\"n\":1"))
+    val etag = r1.headers().firstValue("ETag").get
+    assert(get("/q/" + q, "If-None-Match" -> etag).statusCode() === 304)
+    // rollback over the serving path: a NEW version → the plan-based
+    // fingerprint moves → cached 304s stop, fresh content returns
+    post("/q", "RESTORE TABLE rst TO VERSION AS OF 1", auth)
+    val r2 = get("/q/" + q, "If-None-Match" -> etag)
+    assert(r2.statusCode() === 200)
+    assert(r2.body().contains("\"n\":2"))
+    // zero-copy clone is immediately readable on the lock-free path
+    post("/q", "CREATE TABLE rst2 SHALLOW CLONE rst", auth)
+    val r3 = get("/q/" + java.net.URLEncoder.encode("SELECT COUNT(*) AS n FROM rst2", UTF_8))
+    assert(r3.body().contains("\"n\":2"))
+  }
+
   test("ETag of a table_changes read goes stale when a version commits") {
     post("/q", "CREATE TABLE cdf (a BIGINT); INSERT INTO cdf VALUES (1)", auth)
     val q = java.net.URLEncoder.encode(
