@@ -348,6 +348,74 @@ object PipelinesDedup {
         .orderBy("source")
     },
 
+    // METHOD AGREEMENT — do lexical (MinHash/Jaccard ≥ 0.8) and semantic
+    // (SemDeDup cosine-prune) dedup flag the SAME documents? The
+    // triangulation a curation team runs before trusting either alone:
+    // per doc (universe = docs WITH an embedding — the testdata
+    // convention vec k embeds doc k, the same identity p3/sim8 ride),
+    // lexical verdict = "has a near-dup pair" (dd3), semantic
+    // verdict = "pruned in its cluster" (dd8's kept = 0); output the
+    // 2×2 contingency counts. Docs flagged by exactly one method are the
+    // interesting reviews (paraphrases only semantics sees; boilerplate
+    // edits only shingles see).
+    QueryDef("dd18_method_agreement", {
+      def dot(a: String, b: String) =
+        s"CAST(list_sum([$a[i]*$b[i] FOR i IN range(1, 65)]) AS BIGINT)"
+      def n2(a: String) = dot(a, a)
+      def cos(d: String, na: String, nb: String) =
+        s"CAST($d AS DOUBLE)/(sqrt(CAST($na AS DOUBLE))*sqrt(CAST($nb AS DOUBLE)))"
+      s"""WITH $minhashPairCtes,
+         |lex AS (SELECT id1 AS doc_id FROM pairs UNION SELECT id2 FROM pairs),
+         |q0 AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         |         [CAST(ROUND(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) FOR x IN embedding] AS qe
+         |       FROM embeddings),
+         |q AS (SELECT vec_id, qe, ${n2("qe")} AS n2 FROM q0),
+         |seeds AS (SELECT vec_id AS cell, qe AS cent FROM q ORDER BY vec_id LIMIT 8),
+         |sd AS (SELECT cell, cent, ${n2("cent")} AS c_n2 FROM seeds),
+         |a0 AS (SELECT q.vec_id, q.qe, q.n2, sd.cell FROM q, sd
+         |       QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |         ORDER BY q.n2 - 2*${dot("q.qe", "sd.cent")} + sd.c_n2, sd.cell) = 1),
+         |cm AS (SELECT cell, i, SUM(qe[i]) AS s, COUNT(*) AS c
+         |       FROM a0, range(1, 65) t(i) GROUP BY cell, i),
+         |cent AS (SELECT cell, list(s // c ORDER BY i) AS cent FROM cm GROUP BY cell),
+         |cd AS (SELECT cell, cent, ${n2("cent")} AS c_n2 FROM cent),
+         |a1 AS (SELECT q.vec_id, q.qe, q.n2, cd.cell FROM q, cd
+         |       QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |         ORDER BY q.n2 - 2*${dot("q.qe", "cd.cent")} + cd.c_n2, cd.cell) = 1),
+         |pr AS (SELECT DISTINCT a.vec_id FROM a1 a JOIN a1 b
+         |        ON b.cell = a.cell AND b.vec_id < a.vec_id
+         |        WHERE ${cos(dot("a.qe", "b.qe"), "a.n2", "b.n2")} >= 0.4),
+         |sem AS (SELECT vec_id AS doc_id FROM pr),
+         |d AS (SELECT dd.doc_id,
+         |        CASE WHEN dd.doc_id IN (SELECT doc_id FROM lex) THEN 1 ELSE 0 END AS lexf,
+         |        CASE WHEN dd.doc_id IN (SELECT doc_id FROM sem) THEN 1 ELSE 0 END AS semf
+         |      FROM documents dd JOIN embeddings e ON e.vec_id = dd.doc_id)
+         |SELECT CAST(lexf AS BIGINT) AS lexical, CAST(semf AS BIGINT) AS semantic,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val lex = TextDedup.minhashDedupPairs(docs, "doc_id", "text",
+          n = 5, k = K, bands = BANDS, threshold = 0.8)
+      val lexDocs = lex.select(col("id1").as("doc_id"))
+        .union(lex.select(col("id2").as("doc_id"))).distinct()
+        .withColumn("lexf", lit(1L))
+      val semDocs = graft.ops.Embeddings.semDedup(
+          Tables.load(s, d, "embeddings"), "vec_id", "embedding",
+          numCells = 8, threshold = 0.4)
+        .where(col("kept") === 0)
+        .select(col("vec_id").as("doc_id"))
+        .withColumn("semf", lit(1L))
+      docs.select("doc_id")
+        .join(Tables.load(s, d, "embeddings").select(col("vec_id").as("doc_id")), "doc_id")
+        .join(lexDocs, Seq("doc_id"), "left")
+        .join(semDocs, Seq("doc_id"), "left")
+        .groupBy(coalesce(col("lexf"), lit(0L)).as("lexical"),
+          coalesce(col("semf"), lit(0L)).as("semantic"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lexical", "semantic")
+    },
+
     // MinHash CALIBRATION — does the signature agree with the truth it
     // estimates? For every LSH candidate pair: the 16-component
     // signature-match count (the estimator: matches/16 ≈ Jaccard)
