@@ -631,6 +631,40 @@ object Events {
         .limit(10)
     },
 
+    // REVENUE CONCENTRATION — the exact Gini coefficient of per-user
+    // purchase revenue (how top-heavy is the business): the rank formula
+    // G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending-sorted users, with
+    // Σ(i·xᵢ) an exact DECIMAL(38,0)/HUGEINT sum (rank×milli products
+    // overflow Int64) and the two divisions in identical double. Ranks
+    // are a one-pass global row_number over the per-USER aggregate (the
+    // user-bounded relation, not events); at extreme user counts the
+    // sketch-quantile Lorenz approximation replaces exactness.
+    QueryDef("ev35_revenue_gini",
+      """WITH u AS (SELECT user_id, CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS vm
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |r AS (SELECT vm, CAST(ROW_NUMBER() OVER (ORDER BY vm, user_id) AS BIGINT) AS i FROM u),
+        |a AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |        SUM(CAST(vm AS HUGEINT)) AS sx,
+        |        SUM(CAST(i AS HUGEINT) * vm) AS six
+        |      FROM r)
+        |SELECT CAST(n AS BIGINT) AS n_users, CAST(sx AS BIGINT) AS total_milli,
+        |  CAST(2 * six AS DOUBLE) / CAST(n * sx AS DOUBLE)
+        |    - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS gini
+        |FROM a""".stripMargin) { (s, d) =>
+      val d38 = DecimalType(38, 0)
+      val u = ev(s, d).filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(sum(round(col("value") * 1000).cast(LongType)).cast(LongType).as("vm"))
+      val r = u.select(col("user_id"), col("vm"),
+        row_number().over(Window.orderBy("vm", "user_id")).cast(LongType).as("i"))
+      r.agg(count(lit(1)).cast(d38).as("n"), sum(col("vm").cast(d38)).as("sx"),
+          sum(col("i").cast(d38) * col("vm")).as("six"))
+        .select(col("n").cast(LongType).as("n_users"),
+          col("sx").cast(LongType).as("total_milli"),
+          ((lit(2) * col("six")).cast(DoubleType) / (col("n") * col("sx")).cast(DoubleType) -
+            (col("n") + lit(1)).cast(DoubleType) / col("n").cast(DoubleType)).as("gini"))
+    },
+
     // RFM SEGMENTATION — recency / frequency / monetary quintile scores
     // per purchasing user, the classic CRM cut: each dimension ntile(5)
     // over a DETERMINISTIC total order (metric, then user_id — ties
