@@ -250,9 +250,11 @@ class GraftTable(val spark: SparkSession, val root: String) {
     }
   }
 
-  private def commitNext(files: Seq[FileEntry], schemaJson: String): Long = {
+  private def commitNext(files: Seq[FileEntry], schemaJson: String,
+                         dropped: Seq[String]): Long = {
     val next = Manifest.latestVersion(root).map(_ + 1).getOrElse(0L)
-    Manifest.commit(root, TableManifest(next, System.currentTimeMillis, schemaJson, files))
+    Manifest.commit(root,
+      TableManifest(next, System.currentTimeMillis, schemaJson, files, dropped))
     next
   }
 
@@ -261,7 +263,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
     val m = latestManifest
     val sch = schemaOf(m)
     val entries = writeFiles(align(df, sch), maxRecordsPerFile)
-    commitNext(m.files ++ entries, m.schemaJson)
+    commitNext(m.files ++ entries, m.schemaJson, m.droppedColumns)
   }
 
   /** UPDATE ... SET assignments WHERE predSql. Affected files (by stats)
@@ -273,7 +275,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
       case Some(p) => Pruning.partition(m.files, p, sch)
       case None => (m.files, Seq.empty[FileEntry])
     }
-    if (affected.isEmpty) return commitNext(m.files, m.schemaJson)
+    if (affected.isEmpty) return commitNext(m.files, m.schemaJson, m.droppedColumns)
     val src = readFiles(affected, sch)
     val pred = predSql.map(expr).getOrElse(lit(true))
     val assignMap = assignments.map { case (c, e) => c.toLowerCase -> expr(e) }.toMap
@@ -284,7 +286,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
       }
     }.toIndexedSeq: _*)
     val entries = writeFiles(updated, GraftTable.DefaultMaxRecordsPerFile)
-    commitNext(untouched ++ entries, m.schemaJson)
+    commitNext(untouched ++ entries, m.schemaJson, m.droppedColumns)
   }
 
   /** DELETE FROM ... WHERE predSql: rewrite affected files keeping
@@ -292,15 +294,15 @@ class GraftTable(val spark: SparkSession, val root: String) {
   def delete(predSql: Option[String]): Long = {
     val m = latestManifest
     predSql match {
-      case None => commitNext(Seq.empty, m.schemaJson)
+      case None => commitNext(Seq.empty, m.schemaJson, m.droppedColumns)
       case Some(p) =>
         val sch = schemaOf(m)
         val (affected, untouched) = Pruning.partition(m.files, p, sch)
-        if (affected.isEmpty) return commitNext(m.files, m.schemaJson)
+        if (affected.isEmpty) return commitNext(m.files, m.schemaJson, m.droppedColumns)
         val src = readFiles(affected, sch)
         val kept = src.filter(!coalesce(expr(p), lit(false)))
         val entries = writeFiles(kept, GraftTable.DefaultMaxRecordsPerFile)
-        commitNext(untouched ++ entries, m.schemaJson)
+        commitNext(untouched ++ entries, m.schemaJson, m.droppedColumns)
     }
   }
 
@@ -312,12 +314,13 @@ class GraftTable(val spark: SparkSession, val root: String) {
     val m = latestManifest
     val sch = schemaOf(m)
     val entries = writeFiles(align(replacement, sch), GraftTable.DefaultMaxRecordsPerFile)
-    commitNext(untouched ++ entries, m.schemaJson)
+    commitNext(untouched ++ entries, m.schemaJson, m.droppedColumns)
   }
 
   def truncate(): Long = {
     val m = latestManifest
-    commitNext(Seq.empty, m.schemaJson)
+    // no retained files → no dropped-column bytes can survive
+    commitNext(Seq.empty, m.schemaJson, Nil)
   }
 
   /** Schema evolution WITHOUT rewrite — ADD COLUMN commits the SAME file
@@ -332,7 +335,19 @@ class GraftTable(val spark: SparkSession, val root: String) {
     val sch = schemaOf(m)
     require(!sch.fieldNames.exists(_.equalsIgnoreCase(name)),
       s"column $name already exists")
-    commitNext(m.files, StructType(sch.fields :+ StructField(name, dt, nullable = true)).json)
+    // a re-added name would silently un-delete pre-drop values: retained
+    // files still hold the old column's bytes and parquet resolves
+    // columns BY NAME, so the 'predates the column → NULL' contract
+    // would break. Refuse until a whole-table rewrite (CLUSTER/ZORDER)
+    // or TRUNCATE purges the bytes — the tracking Delta gets from
+    // column mapping.
+    require(!m.droppedColumns.contains(name.toLowerCase),
+      s"column $name was previously dropped and its data may survive in " +
+        "retained files; rewrite the table first (CLUSTER BY / ZORDER BY " +
+        "/ TRUNCATE) or pick a different name")
+    commitNext(m.files,
+      StructType(sch.fields :+ StructField(name, dt, nullable = true)).json,
+      m.droppedColumns)
   }
 
   /** DROP COLUMN by schema narrowing — the column's bytes stay in the
@@ -346,7 +361,8 @@ class GraftTable(val spark: SparkSession, val root: String) {
     require(sch.fieldNames.exists(_.equalsIgnoreCase(name)), s"unknown column: $name")
     val next = StructType(sch.fields.filterNot(_.name.equalsIgnoreCase(name)))
     require(next.fields.nonEmpty, "cannot drop a table's last column")
-    commitNext(m.files, next.json)
+    commitNext(m.files, next.json,
+      (m.droppedColumns :+ name.toLowerCase).distinct)
   }
 
   /** RESTORE ... TO VERSION AS OF v — roll the table BACK by committing a
@@ -357,7 +373,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * before vacuuming). */
   def restore(version: Long): Long = {
     val m = Manifest.read(root, version)
-    commitNext(m.files, m.schemaJson)
+    commitNext(m.files, m.schemaJson, m.droppedColumns)
   }
 
   /** SHALLOW CLONE into `destRoot`: a ZERO-COPY table whose v0 manifest
@@ -377,7 +393,14 @@ class GraftTable(val spark: SparkSession, val root: String) {
       path = Manifest.resolveData(qual, f.path), blooms = Map.empty))
     LakeIO.mkdirs(new HPath(destRoot))
     Manifest.commit(destRoot,
-      TableManifest(0L, System.currentTimeMillis, m.schemaJson, files))
+      TableManifest(0L, System.currentTimeMillis, m.schemaJson, files,
+        m.droppedColumns))
+    // table metadata travels with the clone (Delta shallow-clone
+    // semantics): CHECK constraints keep validating writes into the
+    // clone instead of silently lapsing
+    if (LakeIO.exists(constraintsFile))
+      LakeIO.writeString(LakeIO.path(destRoot, "_constraints.json"),
+        LakeIO.readString(constraintsFile))
     new GraftTable(spark, destRoot)
   }
 
@@ -393,11 +416,11 @@ class GraftTable(val spark: SparkSession, val root: String) {
               maxRecordsPerFile: Long = GraftTable.DefaultMaxRecordsPerFile): Long = {
     val m = latestManifest
     val (small, big) = m.files.partition(_.size < smallBytes)
-    if (small.size <= 1) return commitNext(m.files, m.schemaJson)
+    if (small.size <= 1) return commitNext(m.files, m.schemaJson, m.droppedColumns)
     val src = readFiles(small, schemaOf(m))
     val entries = writeFiles(
       src.coalesce(ceilDiv(small.map(_.numRecords).sum, maxRecordsPerFile)), maxRecordsPerFile)
-    commitNext(big ++ entries, m.schemaJson)
+    commitNext(big ++ entries, m.schemaJson, m.droppedColumns)
   }
 
   /** Re-cluster the WHOLE table by `cols`: range-repartition + sort so
@@ -423,13 +446,15 @@ class GraftTable(val spark: SparkSession, val root: String) {
                                dropAfter: Seq[String])
                               (prep: DataFrame => DataFrame): Long = {
     val m = latestManifest
-    if (m.files.isEmpty) return commitNext(m.files, m.schemaJson)
+    if (m.files.isEmpty) return commitNext(m.files, m.schemaJson, m.droppedColumns)
     val nParts = ceilDiv(m.files.map(_.numRecords).sum, maxRecordsPerFile)
     val clustered = prep(readFiles(m.files, schemaOf(m)))
       .repartitionByRange(nParts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
     val entries = writeFiles(dropAfter.foldLeft(clustered)(_ drop _), maxRecordsPerFile)
-    commitNext(entries, m.schemaJson)
+    // every file was rewritten under the current schema: dropped-column
+    // bytes are gone, the names become safe to reuse
+    commitNext(entries, m.schemaJson, Nil)
   }
 
   /** Z-order re-cluster by 2-3 numeric columns: each column is bucketed
@@ -447,7 +472,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
                maxRecordsPerFile: Long = GraftTable.DefaultMaxRecordsPerFile): Long = {
     require(cols.size >= 2 && cols.size <= 3, "zcluster takes 2-3 columns")
     val m = latestManifest
-    if (m.files.isEmpty) return commitNext(m.files, m.schemaJson)
+    if (m.files.isEmpty) return commitNext(m.files, m.schemaJson, m.droppedColumns)
     val mmAggs = cols.flatMap(c => Seq(
       min(col(c).cast(DoubleType)).as(s"mn_$c"),
       max(col(c).cast(DoubleType)).as(s"mx_$c")))
@@ -487,7 +512,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
       sch.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
         throw new IllegalArgumentException(s"unknown BLOOM BY column: $c"))
     }
-    if (m.files.isEmpty) return commitNext(m.files, m.schemaJson)
+    if (m.files.isEmpty) return commitNext(m.files, m.schemaJson, m.droppedColumns)
     val estItems = math.max(1L, m.files.map(_.numRecords).max)
     val aggs = resolved.map { c =>
       graft.functions.BloomFunctions
@@ -516,7 +541,24 @@ class GraftTable(val spark: SparkSession, val root: String) {
         updated(p) = byPath(p).copy(blooms = byPath(p).blooms ++ sidecars)
       }
     }
-    commitNext(m.files.map(f => updated.getOrElse(f.path, f)), m.schemaJson)
+    commitNext(m.files.map(f => updated.getOrElse(f.path, f)), m.schemaJson, m.droppedColumns)
+  }
+
+  // --- retention window ---------------------------------------------------
+
+  private def retentionFile = LakeIO.path(root, "_retention")
+
+  /** Versions every sweep of this table must keep readable — persisted by
+    * `VACUUM TABLE ... RETAIN n VERSIONS` so the background GC honors the
+    * window instead of collapsing it to 1 on its next pass. Default 1
+    * (reference-parity: only the latest version survives a vacuum). */
+  def retentionVersions: Int =
+    if (!LakeIO.exists(retentionFile)) 1
+    else LakeIO.readString(retentionFile).trim.toInt
+
+  def setRetention(n: Int): Unit = {
+    require(n >= 1, s"must retain >= 1 versions, got $n")
+    LakeIO.writeString(retentionFile, n.toString)
   }
 
   /** Delete data files not referenced by the latest version and all

@@ -40,7 +40,12 @@ object Manifest {
       version: Long,
       timestampMs: Long,
       schemaJson: String, // Spark StructType JSON
-      files: Seq[FileEntry])
+      files: Seq[FileEntry],
+      // lower-cased names DROP COLUMN removed whose bytes may still live
+      // in retained files; ADD COLUMN refuses these names until a
+      // whole-table rewrite purges the bytes (else parquet by-name
+      // resolution would resurrect pre-drop values — a retention hazard)
+      droppedColumns: Seq[String] = Nil)
 
   // --- tiny hand-rolled JSON (no deps beyond the JDK; values are simple) --
 
@@ -70,7 +75,10 @@ object Manifest {
           .mkString(""","blooms":{""", ",", "}")
       s"""{"path":${jstr(f.path)},"size":${f.size},"numRecords":${f.numRecords},"stats":$stats$blooms}"""
     }.mkString("[", ",", "]")
-    s"""{"version":${m.version},"timestampMs":${m.timestampMs},"schemaJson":${jstr(m.schemaJson)},"files":$files}"""
+    val dropped =
+      if (m.droppedColumns.isEmpty) ""
+      else m.droppedColumns.map(jstr).mkString(""","droppedColumns":[""", ",", "]")
+    s"""{"version":${m.version},"timestampMs":${m.timestampMs},"schemaJson":${jstr(m.schemaJson)},"files":$files$dropped}"""
   }
 
   /** Minimal recursive-descent JSON parser (objects/arrays/strings/numbers/
@@ -167,7 +175,12 @@ object Manifest {
       }
       FileEntry(str(f("path")), lng(f("size")), lng(f("numRecords")), stats, blooms)
     }
-    TableManifest(lng(o("version")), lng(o("timestampMs")), str(o("schemaJson")), files)
+    val dropped = o.get("droppedColumns") match {
+      case Some(a: A) => a.xs.map(str)
+      case _ => Nil
+    }
+    TableManifest(lng(o("version")), lng(o("timestampMs")), str(o("schemaJson")), files,
+      dropped)
   }
 
   // --- log directory operations ------------------------------------------

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -8,21 +8,117 @@ import org.apache.spark.sql.functions._
   * sort is the textbook ntile/rank plan, but its parallelism equals the
   * KEY CARDINALITY — three return-flag groups over 10⁹ rows become three
   * monster sort tasks (measured: q46's ntile was 9.8 s at sf1, single
-  * worst task >> every other stage). This evaluates the same exact rank
-  * with parallelism = `slices` × keys instead:
+  * worst task >> every other stage), and a GLOBAL window (no keys at
+  * all) is ONE such task. This evaluates the same exact rank with
+  * parallelism = `slices` × keys instead:
   *
-  *   1. range-repartition by (key ++ order) into `slices` ordered splits
-  *      (the order tuple is required UNIQUE, so no tie straddles a
-  *      boundary ambiguously);
+  *   1. assign each row a DETERMINISTIC ordered slice id: boundary
+  *      tuples are sampled ONCE (collect-then-bake, ≤ slices×32 rows on
+  *      the driver) and baked into the plan as literals, the slice id
+  *      being the count of boundaries at-or-before the row in the sort
+  *      order — a sum of monotone indicators, so slices are contiguous
+  *      ranges of the order no matter how the sample came out (the
+  *      sample quality affects only load balance, never ranks). Baked
+  *      literals — NOT `spark_partition_id()` over a range exchange —
+  *      because the plan consumes the sliced relation twice (rank side
+  *      + count side) and a sampled range exchange may re-sample
+  *      different boundaries per physical instantiation, silently
+  *      misaligning the two sides;
   *   2. local ranks inside each (slice, key) — many small sorts;
   *   3. a TINY (slices × keys)-row offset table (running count over the
   *      per-slice counts — the tx13 bucket-offset pattern) broadcast back:
   *      global rank = slice offset + local rank.
   *
-  * Result is EXACTLY the per-key row_number — the sampled range boundaries
-  * affect only load balance, never ranks.
+  * Result is EXACTLY the per-key row_number. `orderKeys` must be a total
+  * order within keys (the required-unique tuple also means boundary ties
+  * cannot unbalance a slice beyond one duplicate run).
   */
 object DistributedRank {
+
+  /** Effective small-input threshold: the session conf
+    * `graft.rank.smallBytes` (when set) overrides the per-call default —
+    * how PlanSpec forces the distributed path on tiny test frames, and
+    * how a deployment retunes the switch without touching call sites. */
+  private def threshold(df: DataFrame, smallBytes: Long): Long =
+    df.sparkSession.conf.getOption("graft.rank.smallBytes")
+      .map(_.toLong).getOrElse(smallBytes)
+
+  /** Driver-side tuple comparator matching Spark's ASC NULLS FIRST /
+    * DESC NULLS LAST defaults (only load balance depends on it). */
+  private def tupleOrdering(dirs: Seq[Boolean]): Ordering[Row] = new Ordering[Row] {
+    def compare(a: Row, b: Row): Int = {
+      var i = 0
+      while (i < dirs.length) {
+        val x = a.get(i)
+        val y = b.get(i)
+        val c =
+          if (x == null && y == null) 0
+          else if (x == null) -1
+          else if (y == null) 1
+          else x.asInstanceOf[Comparable[Any]].compareTo(y)
+        val d = if (dirs(i)) c else -c
+        if (d != 0) return d
+        i += 1
+      }
+      0
+    }
+  }
+
+  /** Column expression: does the current row strictly precede literal
+    * boundary tuple `b` in the (cols, direction) sort order — ASC NULLS
+    * FIRST / DESC NULLS LAST, the engine defaults. */
+  private def precedes(cols: Seq[(String, Boolean)], b: Row): Column = {
+    var eqPrefix: Column = lit(true)
+    var acc: Column = lit(false)
+    cols.zipWithIndex.foreach { case ((name, asc), i) =>
+      val bv = b.get(i)
+      val x = col(name)
+      val less: Column =
+        if (asc) { if (bv == null) lit(false) else x.isNull || (x < lit(bv)) }
+        else { if (bv == null) x.isNotNull else x > lit(bv) }
+      val eq: Column = if (bv == null) x.isNull else x <=> lit(bv)
+      acc = acc || (eqPrefix && less)
+      eqPrefix = eqPrefix && eq
+    }
+    acc
+  }
+
+  /** Shared distributed-rank core: df + `__pid` (deterministic slice) +
+    * `__r` (exact 1-based per-key row_number as long) + `__n` (per-key
+    * total). Key/order column names must be distinct top-level columns. */
+  private def withRankAndCount(df: DataFrame, keyCols: Seq[String],
+                               orderKeys: Seq[(String, Boolean)],
+                               slices: Int): DataFrame = {
+    val cols = keyCols.map((_, true)) ++ orderKeys
+    require(cols.map(_._1).distinct.length == cols.length,
+      s"key/order columns must be distinct names: ${cols.map(_._1)}")
+    val sample = df.select(cols.map(c => col(c._1)): _*)
+      .rdd.takeSample(withReplacement = false,
+        num = math.min(slices * 32, 4096), seed = 9L)
+    val sorted = sample.sorted(tupleOrdering(cols.map(_._2)))
+    val boundaries = (1 until slices)
+      .map(i => i * sorted.length / slices)
+      .filter(ix => ix > 0 && ix < sorted.length).distinct
+      .map(sorted(_))
+    val pid: Column =
+      if (boundaries.isEmpty) lit(0L)
+      else boundaries.map(b => when(precedes(cols, b), 0L).otherwise(1L)).reduce(_ + _)
+    val withPid = df.withColumn("__pid", pid)
+    val keyCs = keyCols.map(col)
+    val orderCs = orderKeys.map { case (n, asc) => if (asc) col(n) else col(n).desc }
+    val wLocal = Window.partitionBy(col("__pid") +: keyCs: _*).orderBy(orderCs: _*)
+    val local = withPid.withColumn("__lr", row_number().over(wLocal).cast("long"))
+    val wOff = Window.partitionBy(keyCs: _*).orderBy(col("__pid"))
+    val offs = withPid.groupBy(col("__pid") +: keyCs: _*).agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(
+        sum("__c").over(wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", sum("__c").over(Window.partitionBy(keyCs: _*)))
+      .drop("__c")
+    local
+      .join(broadcast(offs), "__pid" +: keyCols)
+      .withColumn("__r", col("__off") + col("__lr"))
+      .drop("__pid", "__lr", "__off")
+  }
 
   /** df + "bin": standard SQL NTILE(k) OVER (PARTITION BY keys ORDER BY
     * order) — first (n mod k) buckets take the extra row, identical to
@@ -39,27 +135,13 @@ object DistributedRank {
     // either way — the switch is pure load-balance, the pageRank
     // localEdgeLimit precedent). Catalyst's size estimate costs no job.
     val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (estBytes <= smallBytes) {
+    if (estBytes <= threshold(df, smallBytes)) {
       val w = Window.partitionBy(keyCs: _*).orderBy(orderCols.map(col): _*)
       return df.withColumn("bin", ntile(k).over(w).cast("long"))
     }
-    val rp = df
-      .repartitionByRange(slices, (keyCols ++ orderCols).map(col): _*)
-      .withColumn("__pid", spark_partition_id())
-    val wLocal = Window.partitionBy(col("__pid") +: keyCs: _*)
-      .orderBy(orderCols.map(col): _*)
-    val local = rp.withColumn("__lr", row_number().over(wLocal).cast("long"))
-    val wOff = Window.partitionBy(keyCs: _*).orderBy(col("__pid"))
-    val offs = local.groupBy(col("__pid") +: keyCs: _*).agg(count(lit(1)).as("__c"))
-      .withColumn("__off", coalesce(
-        sum("__c").over(wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("__n", sum("__c").over(Window.partitionBy(keyCs: _*)))
-      .drop("__c")
     // ntile(k) of 1-based rank r over n rows: q = n div k, rem = n mod k;
     // the first rem buckets hold q+1 rows — the standard SQL assignment
-    local
-      .join(broadcast(offs), "__pid" +: keyCols)
-      .withColumn("__r", col("__off") + col("__lr"))
+    withRankAndCount(df, keyCols, orderCols.map((_, true)), slices)
       .withColumn("bin", expr(
         s"""CASE WHEN __n div ${k}L = 0L THEN __r
            |     WHEN __r <= (__n div ${k}L + 1L) * (__n % ${k}L)
@@ -67,6 +149,28 @@ object DistributedRank {
            |     ELSE (__n % ${k}L) +
            |       (__r - (__n div ${k}L + 1L) * (__n % ${k}L) + __n div ${k}L - 1L) div (__n div ${k}L)
            |END""".stripMargin))
-      .drop("__pid", "__lr", "__off", "__n", "__r")
+      .drop("__n", "__r")
+  }
+
+  /** df + `out`: the exact per-key `ROW_NUMBER() OVER (PARTITION BY keys
+    * ORDER BY order)` as a long — the same rank-offset composition as
+    * ntileByKey, so a GLOBAL row_number (empty `keyCols`) never becomes
+    * one unbounded single-task sort. `orderKeys` are (column, ascending)
+    * pairs forming a total order within keys; small inputs take the
+    * textbook single-window plan (identical numbering either way — the
+    * switch is pure load balance). */
+  def rowNumberByKey(df: DataFrame, keyCols: Seq[String],
+                     orderKeys: Seq[(String, Boolean)],
+                     out: String = "rn", slices: Int = 64,
+                     smallBytes: Long = 16L << 20): DataFrame = {
+    val orderCs = orderKeys.map { case (n, asc) => if (asc) col(n) else col(n).desc }
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (estBytes <= threshold(df, smallBytes)) {
+      val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCs: _*)
+      return df.withColumn(out, row_number().over(w).cast("long"))
+    }
+    withRankAndCount(df, keyCols, orderKeys, slices)
+      .withColumn(out, col("__r"))
+      .drop("__n", "__r")
   }
 }

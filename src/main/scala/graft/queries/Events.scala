@@ -655,8 +655,10 @@ object Events {
       val u = ev(s, d).filter(col("event_type") === "purchase")
         .groupBy("user_id")
         .agg(sum(round(col("value") * 1000).cast(LongType)).cast(LongType).as("vm"))
-      val r = u.select(col("user_id"), col("vm"),
-        row_number().over(Window.orderBy("vm", "user_id")).cast(LongType).as("i"))
+      // global row_number via DistributedRank (rank-offset composition at
+      // scale — users are unbounded, a single-task global sort is not)
+      val r = graft.ops.DistributedRank.rowNumberByKey(
+        u, Seq(), Seq(("vm", true), ("user_id", true)), out = "i")
       r.agg(count(lit(1)).cast(d38).as("n"), sum(col("vm").cast(d38)).as("sx"),
           sum(col("i").cast(d38) * col("vm")).as("six"))
         .select(col("n").cast(LongType).as("n_users"),
@@ -1053,6 +1055,10 @@ object Events {
         .agg(first("n").as("n_conv"),
           max(when(col("__i") === 0, col("value"))).as("p50_us"),
           max(when(col("__i") === 1, col("value"))).as("p90_us"))
+        // zero converters: the global agg over an empty frame emits one
+        // all-NULL row while the oracle's GROUP BY n_conv emits none —
+        // drop it so both engines agree on degenerate inputs
+        .filter(col("n_conv").isNotNull)
         .select(col("n_conv"), col("p50_us"), col("p90_us"))
     },
 

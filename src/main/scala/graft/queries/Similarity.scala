@@ -401,9 +401,17 @@ object Similarity {
     // repartition determinism); the distributed pass it depends on is
     // value-exact via em2.
     QueryDef.unoracled("em3_pca_project") { (s, d) =>
+      // posexploded to (vec_id, component_idx, value) scalars so the
+      // driver's comparator can sort the result (array columns aren't
+      // sortable pandas keys); values quantized to micro-units so the
+      // rows are stable under partitioning (OpsSpec value-checks the
+      // projection itself against a planted low-rank basis)
       Embeddings.pcaProject(Tables.load(s, d, "embeddings"),
           "vec_id", "embedding", dim = DIM, outDim = 4)
-        .orderBy("vec_id")
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("component_idx", "v")))
+        .select(col("vec_id"), col("component_idx").cast("long").as("component_idx"),
+          round(col("v") * 1e6).cast("long").as("value_micro"))
+        .orderBy("vec_id", "component_idx")
     },
 
     // Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009):

@@ -728,13 +728,14 @@ object TextQueries {
         |SELECT CAST(n AS BIGINT) AS n_words,
         |  CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS zipf_slope
         |FROM a""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
       val f = Tables.load(s, d, "documents")
         .select(explode(split(col("text"), " ")).as("word"))
         .groupBy("word").agg(count(lit(1)).as("freq"))
-      val r = f.withColumn("rnk",
-        row_number().over(Window.orderBy(col("freq").desc, col("word"))).cast("long"))
+      // vocabulary-sized frame, but vocabulary still grows with the
+      // corpus — rank via DistributedRank, never a global window sort
+      val r = graft.ops.DistributedRank.rowNumberByKey(
+        f, Seq(), Seq(("freq", false), ("word", true)), out = "rnk")
       val q = r.select(
         expr("cast(floor(1000000 * ln(cast(rnk as double)) + 0.5) as decimal(38,0))").as("x"),
         expr("cast(floor(1000000 * ln(cast(freq as double)) + 0.5) as decimal(38,0))").as("y"))

@@ -140,22 +140,31 @@ class PgFrontend(ctx: GraftContext, port: Int) {
             // format-code rule: none → all text; one → applies to all
             def fmtOf(i: Int): Int =
               if (fmts.isEmpty) 0 else if (fmts.size == 1) fmts.head else fmts(i)
-            val values = (0 until nParams.toInt).map { i =>
+            val raw = (0 until nParams.toInt).map { _ =>
               val len = b.getInt
               if (len < 0) None
-              else { val bs = new Array[Byte](len); b.get(bs); Some(new String(bs, UTF_8)) }
+              else { val bs = new Array[Byte](len); b.get(bs); Some(bs) }
             }
-            if ((0 until nParams.toInt).exists(i => fmtOf(i) != 0)) {
-              sendError(out, "0A000", "binary-format parameters are not supported; use text format")
-              failed = true
-            } else prepared.get(stmt) match {
+            prepared.get(stmt) match {
               case None => sendError(out, "26000", s"prepared statement \"$stmt\" does not exist"); failed = true
               case Some(p) =>
                 try {
+                  // binary values decode to their text representation by
+                  // the Parse-declared OID, then share the text literal
+                  // path — psycopg3's default send format
+                  val values = raw.zipWithIndex.map { case (ov, i) =>
+                    ov.map { bs =>
+                      if (fmtOf(i) == 0) new String(bs, UTF_8)
+                      else binaryToText(p.paramOids.lift(i).getOrElse(0), bs)
+                    }
+                  }
                   portals(portal) = bindParams(p, values)
                   msg(out, '2')(_ => ()) // BindComplete
-                } catch { case e: Throwable =>
-                  sendError(out, "22P02", String.valueOf(e.getMessage)); failed = true
+                } catch {
+                  case e: UnsupportedOperationException =>
+                    sendError(out, "0A000", String.valueOf(e.getMessage)); failed = true
+                  case e: Throwable =>
+                    sendError(out, "22P02", String.valueOf(e.getMessage)); failed = true
                 }
             }
           case 'D' if !failed => // Describe
@@ -283,6 +292,29 @@ class PgFrontend(ctx: GraftContext, port: Int) {
 
   private def sqlEscape(s: String): String =
     s.replace("\\", "\\\\").replace("'", "\\'")
+
+  /** Binary-format wire value → its text representation (which then
+    * flows through the shared `literalFor` path): network-order fixed
+    * width for the numeric/bool OIDs, raw UTF-8 for the text-like ones.
+    * OIDs whose binary encoding this frontend doesn't carry (numeric,
+    * date/timestamp epochs, arrays, …) raise 0A000 with a use-text hint
+    * rather than silently misreading bytes. */
+  private def binaryToText(oid: Int, bs: Array[Byte]): String = {
+    val bb = java.nio.ByteBuffer.wrap(bs) // network byte order
+    def need(n: Int): Unit = require(bs.length == n,
+      s"binary parameter for oid $oid must be $n bytes, got ${bs.length}")
+    oid match {
+      case 16 => need(1); if (bs(0) != 0) "t" else "f"
+      case 21 => need(2); bb.getShort.toString
+      case 23 | 26 => need(4); bb.getInt.toString
+      case 20 => need(8); bb.getLong.toString
+      case 700 => need(4); bb.getFloat.toString
+      case 701 => need(8); bb.getDouble.toString
+      case 0 | 18 | 19 | 25 | 1042 | 1043 => new String(bs, UTF_8) // text-like
+      case other => throw new UnsupportedOperationException(
+        s"binary-format parameters of oid $other are not supported; use text format")
+    }
+  }
 
   /** Text-format wire value → SQL literal, typed by the parameter OID. */
   private def literalFor(oid: Int, v: Option[String]): String = v match {

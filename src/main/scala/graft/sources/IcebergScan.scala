@@ -19,10 +19,12 @@ import graft.lake.{LakeIO, Manifest}
   *     → manifests (Avro) → live parquet data files → one parquet scan
   *
   * Scope (documented read-only subset): format versions 1 and 2; DELETED
-  * manifest entries are skipped; tables with positional/equality delete
-  * files fail loudly rather than returning resurrected rows; non-parquet
-  * data files fail loudly. A snapshot-less (empty) table returns an empty
-  * DataFrame with the schema mapped from the table metadata.
+  * manifest entries are skipped; v2 POSITIONAL delete files are applied
+  * at scan time (anti-join on the file/row-position pair — see `read`);
+  * tables with EQUALITY delete files fail loudly rather than returning
+  * resurrected rows; non-parquet data files fail loudly. A snapshot-less
+  * (empty) table returns an empty DataFrame with the schema mapped from
+  * the table metadata.
   */
 object IcebergScan {
 
@@ -43,12 +45,41 @@ object IcebergScan {
           case _ => throw new IllegalArgumentException(
             "iceberg snapshot has no manifest-list (v1 'manifests' inline lists are not supported)")
         }
-        val files = dataFiles(reroute(listPath)).map(reroute)
+        val (files, posDeletes) = walkFiles(reroute(listPath))
         if (files.isEmpty)
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             schemaOf(meta))
-        else spark.read.parquet(files: _*)
+        else {
+          val data = spark.read.parquet(files: _*)
+          if (posDeletes.isEmpty) data
+          else applyPositionalDeletes(spark, data, posDeletes)
+        }
     }
+  }
+
+  /** v2 positional deletes (spec §Delete Formats): each delete parquet
+    * holds (file_path, pos) pairs naming dead rows by data file + 0-based
+    * row position. Applied distributed: the scan exposes the engine's
+    * `_metadata.file_path` / `_metadata.row_index` columns (computed
+    * in-row, no extra pass) and the delete set anti-joins on the pair —
+    * Catalyst broadcasts the (typically tiny) delete side below the
+    * autoBroadcast threshold and falls back to a keyed shuffle when a
+    * table carries billions of dead positions, so the plan survives both
+    * extremes. Paths are scheme-canonicalized on both sides because
+    * manifests may store `/abs/path` while the scan reports
+    * `file:///abs/path`. */
+  private def applyPositionalDeletes(spark: SparkSession, data: DataFrame,
+                                     deleteFiles: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def canon(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.\\-]*:/*", "/")
+    val dels = spark.read.parquet(deleteFiles: _*)
+      .select(canon(col("file_path")).as("__fp"), col("pos").cast("long").as("__pos"))
+    data
+      .withColumn("__fp", canon(col("_metadata.file_path")))
+      .withColumn("__pos", col("_metadata.row_index"))
+      .join(dels, Seq("__fp", "__pos"), "left_anti")
+      .drop("__fp", "__pos")
   }
 
   /** Accept a direct metadata file, or a table root (resolved through
@@ -88,34 +119,42 @@ object IcebergScan {
     }
   }
 
-  /** Walk manifest-list → manifests, returning live data-file paths. */
-  private def dataFiles(manifestListPath: String): Seq[String] = {
+  /** Walk manifest-list → manifests, returning (live data-file paths,
+    * live positional-delete-file paths). Equality deletes fail loudly —
+    * applying them needs the equality-field-id column resolution this
+    * read-only scan doesn't carry. */
+  private def walkFiles(manifestListPath: String): (Seq[String], Seq[String]) = {
     val entries = readAvro(new Path(manifestListPath))
     val manifests = entries.map { r =>
       // v2 manifest-list carries `content`: 0 = data, 1 = deletes
-      val content = longField(r, "content").getOrElse(0L)
-      if (content != 0L) throw new IllegalArgumentException(
-        "iceberg tables with delete manifests are not supported (read-only data scan)")
-      String.valueOf(r.get("manifest_path"))
+      (String.valueOf(r.get("manifest_path")), longField(r, "content").getOrElse(0L))
     }
-    manifests.flatMap { mp =>
-      readAvro(new Path(reroute(mp))).flatMap { entry =>
+    val data = Seq.newBuilder[String]
+    val posDeletes = Seq.newBuilder[String]
+    manifests.foreach { case (mp, mContent) =>
+      readAvro(new Path(reroute(mp))).foreach { entry =>
         // status: 0 EXISTING, 1 ADDED, 2 DELETED
         val status = longField(entry, "status").getOrElse(0L)
-        if (status == 2L) None
-        else {
+        if (status != 2L) {
           val df = entry.get("data_file").asInstanceOf[GenericRecord]
-          // v2 data_file content: 0 data, 1 position deletes, 2 equality deletes
-          val content = longField(df, "content").getOrElse(0L)
-          if (content != 0L) throw new IllegalArgumentException(
-            "iceberg tables with delete files are not supported (read-only data scan)")
+          // v2 data_file content: 0 data, 1 position deletes, 2 equality
+          // deletes; files inside a delete manifest default to positional
+          val content = longField(df, "content")
+            .getOrElse(if (mContent == 1L) 1L else 0L)
           val fmt = String.valueOf(df.get("file_format"))
           if (!fmt.equalsIgnoreCase("PARQUET")) throw new IllegalArgumentException(
             s"unsupported iceberg data file format $fmt (parquet only)")
-          Some(String.valueOf(df.get("file_path")))
+          val path = reroute(String.valueOf(df.get("file_path")))
+          content match {
+            case 0L => data += path
+            case 1L => posDeletes += path
+            case _ => throw new IllegalArgumentException(
+              "iceberg equality delete files are not supported (positional deletes are)")
+          }
         }
       }
     }
+    (data.result(), posDeletes.result())
   }
 
   /** Iceberg metadata stores absolute file URLs; http(s) ones must flow

@@ -85,7 +85,9 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
     for (db <- catalog.listDatabases; (_, _, uuid) <- catalog.listTables(db)) {
       val t = new GraftTable(spark, catalog.tableRoot(uuid))
       if (t.latestManifest.timestampMs <= cutoff) {
-        val (f, v) = t.vacuum()
+        // honor each table's persisted retention window — a sweep must
+        // never collapse a `RETAIN n VERSIONS` guarantee back to 1
+        val (f, v) = t.vacuum(t.retentionVersions)
         tables += 1; files += f; versions += v
       }
     }
@@ -654,7 +656,13 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
       catalog.gcDropped(); emptyResult
     case reVacuumTable(qname, retain) =>
       val (sch, name) = splitName(qname)
-      table(sch, name).vacuum(Option(retain).map(_.toInt).getOrElse(1))
+      val t = table(sch, name)
+      Option(retain).map(_.toInt) match {
+        // an explicit RETAIN establishes the table's standing retention
+        // window (persisted — the background sweep honors it too)
+        case Some(n) => t.setRetention(n); t.vacuum(n)
+        case None => t.vacuum(t.retentionVersions)
+      }
       emptyResult
     case reZorder(qname, cols) =>
       // beyond-reference: multi-dimensional clustering (space-filling curve)

@@ -605,6 +605,55 @@ class ContextSpec extends SparkSpec {
     assert(err != null)
   }
 
+  test("re-adding a dropped column is refused until a rewrite purges the bytes") {
+    val c = ctx()
+    c.execute("CREATE TABLE rd (id BIGINT, secret VARCHAR)")
+    c.execute("INSERT INTO rd VALUES (1, 'pw1'), (2, 'pw2')")
+    c.execute("ALTER TABLE rd DROP COLUMN secret")
+    // retained files still hold the bytes; a same-name ADD would read
+    // them back (parquet by-name resolution) — silent un-deletion
+    val err = intercept[Exception](
+      c.execute("ALTER TABLE rd ADD COLUMN secret VARCHAR"))
+    assert(err.getMessage.contains("previously dropped"), err.getMessage)
+    // a fresh name is unaffected
+    c.execute("ALTER TABLE rd ADD COLUMN note VARCHAR")
+    // a whole-table rewrite purges the bytes; the name becomes legal
+    // again AND honors the files-predate-column → NULL contract
+    c.execute("OPTIMIZE TABLE rd CLUSTER BY (id)")
+    c.execute("ALTER TABLE rd ADD COLUMN secret VARCHAR")
+    val rows = c.execute("SELECT id, secret FROM rd ORDER BY id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(rows.forall(_.isNullAt(1)), "pre-drop values resurrected")
+  }
+
+  test("background GC honors a table's persisted retention window") {
+    val c = ctx()
+    c.execute("CREATE TABLE gr (id BIGINT)")   // version 0
+    c.execute("INSERT INTO gr VALUES (1)")     // version 1
+    c.execute("INSERT INTO gr VALUES (2)")     // version 2
+    c.execute("INSERT INTO gr VALUES (3)")     // version 3
+    c.execute("VACUUM TABLE gr RETAIN 3 VERSIONS") // persists the window
+    c.gcSweep()
+    // the sweep must NOT collapse the window to 1: v2 stays restorable
+    c.execute("RESTORE TABLE gr TO VERSION AS OF 2")
+    assert(c.execute("SELECT id FROM gr ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 2L))
+  }
+
+  test("shallow clone carries CHECK constraints") {
+    val c = ctx()
+    c.execute("CREATE TABLE csrc (id BIGINT)")
+    c.execute("ALTER TABLE csrc ADD CONSTRAINT pos CHECK (id > 0)")
+    c.execute("INSERT INTO csrc VALUES (1)")
+    c.execute("CREATE TABLE ccl SHALLOW CLONE csrc")
+    // writes into the clone validate against the inherited constraint
+    val err = intercept[Exception](c.execute("INSERT INTO ccl VALUES (-5)"))
+    assert(err != null)
+    c.execute("INSERT INTO ccl VALUES (7)")
+    assert(c.execute("SELECT id FROM ccl ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 7L))
+  }
+
   test("vacuum with a retention window keeps time travel + restore alive inside it") {
     val c = ctx()
     c.execute("CREATE TABLE v (id BIGINT)")      // version 0

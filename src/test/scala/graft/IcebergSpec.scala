@@ -55,10 +55,12 @@ class IcebergSpec extends SparkSpec {
 
   /** Build a complete table layout under `root`; returns the metadata.json
     * path. `entries` become one manifest; `listContent` sets the
-    * manifest-list `content` field (1 = delete manifest). */
+    * manifest-list `content` field (1 = delete manifest); `deleteEntries`
+    * (if any) become a second manifest listed with content=1. */
   private def buildTable(root: String, entries: Seq[GenericRecord],
                          snapshotId: Long = 77L, listContent: Int = 0,
-                         versionHint: Boolean = false): String = {
+                         versionHint: Boolean = false,
+                         deleteEntries: Seq[GenericRecord] = Nil): String = {
     val metaDir = s"$root/metadata"
     Files.createDirectories(Paths.get(metaDir))
     val manifestPath = s"$metaDir/m0.avro"
@@ -67,7 +69,15 @@ class IcebergSpec extends SparkSpec {
     val mf = new GenericData.Record(manifestFileSchema)
     mf.put("manifest_path", manifestPath)
     mf.put("content", listContent)
-    writeAvro(listPath, manifestFileSchema, Seq(mf))
+    val mfs = if (deleteEntries.isEmpty) Seq(mf) else {
+      val delManifestPath = s"$metaDir/m1.avro"
+      writeAvro(delManifestPath, manifestEntrySchema, deleteEntries)
+      val dmf = new GenericData.Record(manifestFileSchema)
+      dmf.put("manifest_path", delManifestPath)
+      dmf.put("content", 1)
+      Seq(mf, dmf)
+    }
+    writeAvro(listPath, manifestFileSchema, mfs)
     val metadata =
       s"""{
          |  "format-version": 2,
@@ -153,19 +163,43 @@ class IcebergSpec extends SparkSpec {
       Seq(("id", "long", false), ("label", "string", true)))
   }
 
-  test("delete files and delete manifests fail loudly instead of resurrecting rows") {
-    val rootA = tmpDir("iceberg-delfile")
-    val files = writeDataFiles(rootA)
-    val metaA = buildTable(rootA, Seq(dataFileRecord(files.head, content = 1)))
-    val exA = intercept[IllegalArgumentException](
-      graft.sources.IcebergScan.read(spark, metaA))
-    assert(exA.getMessage.contains("delete files"))
+  /** Write a positional-delete parquet of (file_path, pos) pairs. */
+  private def writeDeleteFile(root: String, pairs: Seq[(String, Long)]): String = {
+    import spark.implicits._
+    val part = s"$root/deletes"
+    pairs.toDF("file_path", "pos").coalesce(1).write.parquet(part)
+    new File(part).listFiles().map(_.getPath)
+      .find(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))
+      .getOrElse(fail(s"no parquet file written under $part"))
+  }
 
-    val rootB = tmpDir("iceberg-delmanifest")
-    val metaB = buildTable(rootB, Seq(dataFileRecord(files.head)), listContent = 1)
-    val exB = intercept[IllegalArgumentException](
-      graft.sources.IcebergScan.read(spark, metaB))
-    assert(exB.getMessage.contains("delete manifests"))
+  test("v2 positional deletes are applied at scan") {
+    val root = tmpDir("iceberg-posdel")
+    val Seq(f0, f1) = writeDataFiles(root) // ids [0,500) / [500,1000)
+    // kill rows 0..9 of f0 (ids 0..9) and row 499 of f1 (id 999);
+    // delete file_path entries carry the raw /abs/path form while the
+    // scan reports file:///abs/path — the canonicalization under test
+    val del = writeDeleteFile(root, (0L until 10L).map((f0, _)) :+ (f1 -> 499L))
+    val meta = buildTable(root, Seq(f0, f1).map(dataFileRecord(_)),
+      deleteEntries = Seq(dataFileRecord(del, content = 1)))
+    val df = graft.sources.IcebergScan.read(spark, meta)
+    assert(df.count() === 989L)
+    import org.apache.spark.sql.functions._
+    val mm = df.agg(min("id"), max("id")).collect().head
+    assert(mm.getLong(0) === 10L)
+    assert(mm.getLong(1) === 998L)
+    // schema untouched by the internal join columns
+    assert(df.columns.toSeq === Seq("id", "label"))
+  }
+
+  test("equality delete files fail loudly instead of resurrecting rows") {
+    val root = tmpDir("iceberg-eqdel")
+    val files = writeDataFiles(root)
+    val meta = buildTable(root, files.map(dataFileRecord(_)),
+      deleteEntries = Seq(dataFileRecord(files.head, content = 2)))
+    val ex = intercept[IllegalArgumentException](
+      graft.sources.IcebergScan.read(spark, meta))
+    assert(ex.getMessage.contains("equality delete"))
   }
 
   test("non-parquet data files fail loudly") {

@@ -662,7 +662,39 @@ class OpsSpec extends SparkSpec {
         slices = 5, smallBytes = 0L)
       .queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    assert(plan.contains("rangepartitioning"), plan.take(2000))
+    assert(plan.contains("hashpartitioning(__pid"), plan.take(2000))
+  }
+
+  test("distributed row_number equals the textbook window, incl. global + desc order") {
+    val rnd = new scala.util.Random(59)
+    val rows = (1 to 3000).map(i => (s"k${rnd.nextInt(4)}", rnd.nextInt(50).toLong, i.toLong))
+    val df = rows.toDF("f", "c", "id").repartition(8)
+    val w = org.apache.spark.sql.expressions.Window
+    // per-key, mixed direction
+    val plain = df.withColumn("rn", row_number()
+        .over(w.partitionBy("f").orderBy(col("c").desc, col("id"))).cast("long"))
+      .orderBy("f", "c", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val dist = ops.DistributedRank.rowNumberByKey(df, Seq("f"),
+        Seq(("c", false), ("id", true)), out = "rn", slices = 5, smallBytes = 0L)
+      .orderBy("f", "c", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(dist === plain)
+    // GLOBAL row_number (the ev35/tx29 shape): no keys at all
+    val gPlain = df.withColumn("rn", row_number()
+        .over(w.orderBy(col("c"), col("id"))).cast("long"))
+      .orderBy("c", "id").collect().map(_.getLong(3)).toSeq
+    val gDist = ops.DistributedRank.rowNumberByKey(df, Seq(),
+        Seq(("c", true), ("id", true)), out = "rn", slices = 5, smallBytes = 0L)
+      .orderBy("c", "id").collect().map(_.getLong(3)).toSeq
+    assert(gDist === gPlain)
+    // forced distributed plan: parallelism comes from the deterministic
+    // slice id, never a single global sort partition
+    val plan = ops.DistributedRank.rowNumberByKey(df, Seq(),
+        Seq(("c", true), ("id", true)), out = "rn", slices = 5, smallBytes = 0L)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("hashpartitioning(__pid"), plan.take(2000))
   }
 
   test("SCD2: incremental applyChanges equals a from-scratch rebuild") {

@@ -145,6 +145,28 @@ class PgSpec extends SparkSpec {
       collectExtended()
     }
 
+    /** Like extendedQueryParams, but sending format=1 (binary) values —
+      * psycopg3's default send path. */
+    def extendedQueryBinParams(sql: String, oids: Seq[Int],
+                               params: Seq[Option[Array[Byte]]]): (Seq[Char], Seq[Seq[String]], Seq[String]) = {
+      sendMsg('P') { d => cs(d, "s3"); cs(d, sql); d.writeShort(oids.size); oids.foreach(d.writeInt) }
+      sendMsg('B') { d =>
+        cs(d, "p3"); cs(d, "s3")
+        d.writeShort(1); d.writeShort(1) // one format code (binary) applies to all
+        d.writeShort(params.size)
+        params.foreach {
+          case None => d.writeInt(-1)
+          case Some(bs) => d.writeInt(bs.length); d.write(bs)
+        }
+        d.writeShort(0) // result format codes
+      }
+      sendMsg('E') { d => cs(d, "p3"); d.writeInt(0) }
+      sendMsg('C') { d => d.writeByte('P'); cs(d, "p3") }
+      sendMsg('S')(_ => ())
+      out.flush()
+      collectExtended()
+    }
+
     private def collectExtended(): (Seq[Char], Seq[Seq[String]], Seq[String]) = {
       val types = Seq.newBuilder[Char]
       val rows = Seq.newBuilder[Seq[String]]
@@ -267,6 +289,40 @@ class PgSpec extends SparkSpec {
       // connection recovers after Sync
       val (_, rows3, errs3) = c.extendedQuery("SELECT 1 AS one")
       assert(errs3.isEmpty && rows3 === Seq(Seq("1")))
+    } finally c.close()
+  }
+
+  test("extended protocol: binary-format binds decode by declared OID (psycopg3 default)") {
+    val c = new Client
+    try {
+      def be64(v: Long) = java.nio.ByteBuffer.allocate(8).putLong(v).array()
+      def be32(v: Int) = java.nio.ByteBuffer.allocate(4).putInt(v).array()
+      def be16(v: Short) = java.nio.ByteBuffer.allocate(2).putShort(v).array()
+      def bef8(v: Double) = java.nio.ByteBuffer.allocate(8).putDouble(v).array()
+      val (_, rows, errs) = c.extendedQueryBinParams(
+        "SELECT $1 + 1 AS i8, $2 + 0 AS i4, $3 + 0 AS i2, $4 * 2.0 AS f8, $5 AS b, $6 AS t",
+        Seq(20, 23, 21, 701, 16, 25),
+        Seq(Some(be64(41L)), Some(be32(7)), Some(be16(3.toShort)), Some(bef8(1.25)),
+          Some(Array(1.toByte)), Some("héllo".getBytes(UTF_8))))
+      assert(errs.isEmpty, errs)
+      // 1.25 arrives as the decimal literal "1.25" → DECIMAL math scale 3
+      assert(rows === Seq(Seq("42", "7", "3", "2.500", "t", "héllo")))
+      // binary NULL binds as NULL regardless of format
+      val (_, rowsN, errsN) = c.extendedQueryBinParams(
+        "SELECT $1 AS p", Seq(20), Seq(None))
+      assert(errsN.isEmpty, errsN)
+      assert(rowsN === Seq(Seq(null)))
+      // an OID without a carried binary codec raises 0A000 with a
+      // use-text hint instead of misreading the bytes
+      val (_, _, errs2) = c.extendedQueryBinParams(
+        "SELECT $1 AS x", Seq(1700), Seq(Some(be32(1))))
+      assert(errs2.exists(_.contains("use text format")), errs2)
+      // a wrong-width value is rejected, and the connection recovers
+      val (_, _, errs3) = c.extendedQueryBinParams(
+        "SELECT $1 AS x", Seq(20), Seq(Some(be32(1))))
+      assert(errs3.exists(_.contains("8 bytes")), errs3)
+      val (_, rows4, errs4) = c.extendedQuery("SELECT 1 AS one")
+      assert(errs4.isEmpty && rows4 === Seq(Seq("1")))
     } finally c.close()
   }
 

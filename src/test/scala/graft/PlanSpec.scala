@@ -503,4 +503,62 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p.take(3000))
     assert(p.contains("partial_"), p.take(3000))
   }
+
+  test("gini + zipf rank via the distributed row_number at scale (ev35/tx29)") {
+    // force the DistributedRank switch past the small-input textbook path
+    spark.conf.set("graft.rank.smallBytes", "0")
+    try {
+      Seq("ev35_revenue_gini", "tx29_zipf_slope").foreach { q =>
+        val p = planOf(q)
+        assert(p.contains("hashpartitioning(__pid"), s"$q:\n${p.take(3000)}")
+      }
+    } finally spark.conf.unset("graft.rank.smallBytes")
+  }
+
+  test("no global window over an unbounded input anywhere in the suite") {
+    // The gate behind ev35/tx29: with the DistributedRank switch forced
+    // to its scale path, NO query may plan a SinglePartition WindowExec
+    // unless its input is bounded by construction — a limit/top-k below
+    // it, a grand-total (empty-grouping) aggregate, or a counters table
+    // keyed only by the synthetic bounded-cardinality __pid/__bkt ids
+    // (the DistributedRank / packSequences offset tables), or the
+    // value-DOMAIN-bounded histogram buckets __b/__k of ExactQuantile
+    // (rows ≤ span/2^shift regardless of corpus size; a literal __k is
+    // constant-folded out of the partition spec, which is how those
+    // windows show up global here).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.{GlobalLimitExec, TakeOrderedAndProjectExec}
+    val counters = Set("__bkt", "__pid", "__b", "__k")
+    // the aggregate's grouping attrs get internal names (_groupingexpression,
+    // literal "1"); the declared counter names survive only in the final
+    // aggregate's resultExpressions — classify on the grouping-derived
+    // result names (those referencing only grouping attributes)
+    def countersOnlyAgg(a: BaseAggregateExec): Boolean = {
+      if (a.groupingExpressions.isEmpty) return true
+      val groupIds = a.groupingExpressions.map(_.toAttribute.exprId).toSet
+      val groupedOut = a.resultExpressions
+        .filter(_.references.forall(r => groupIds.contains(r.exprId)))
+      groupedOut.nonEmpty &&
+        groupedOut.map(_.name).forall(n => counters(n) || n.forall(_.isDigit))
+    }
+    def boundedBelow(p: SparkPlan): Boolean = p.collectFirst {
+      case _: GlobalLimitExec => ()
+      case _: TakeOrderedAndProjectExec => ()
+      case a: BaseAggregateExec if countersOnlyAgg(a) => ()
+    }.isDefined
+    spark.conf.set("graft.rank.smallBytes", "0")
+    try {
+      val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        val plan = fn(spark, dir).queryExecution.sparkPlan
+        plan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty && !boundedBelow(w.child) =>
+            s"$name: ${w.simpleString(200)}"
+        }
+      }
+      assert(offenders.isEmpty,
+        "global window over unbounded input:\n" + offenders.mkString("\n"))
+    } finally spark.conf.unset("graft.rank.smallBytes")
+  }
 }
