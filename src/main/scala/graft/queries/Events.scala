@@ -694,23 +694,31 @@ object Events {
       val p = ev(s, d).filter(col("event_type") === "purchase")
         .select(col("user_id"), unix_micros(col("ts")).as("tus"),
           round(col("value") * 1000).cast(LongType).as("vm"))
+      // the per-user aggregate is checkpointed ONCE (bounded by |users|,
+      // the standard materialization a three-way rank fans out from) so
+      // the three quintile passes don't each re-aggregate events — and
+      // they hang INDEPENDENTLY off it (chaining them multiplied the
+      // upstream lineage through each stage's rank/count/sample sides)
       val u = p.crossJoin(broadcast(p.agg(max("tus").as("mt"))))
         .groupBy("user_id", "mt")
         .agg(max("tus").as("lt"), count(lit(1)).as("freq"), sum("vm").as("mon"))
         .select(col("user_id"),
           expr("(mt - lt) div 86400000000L").as("rec_days"), col("freq"), col("mon"))
+        .localCheckpoint(false)
       // each quintile via the distributed ntile (q46's DistributedRank:
       // textbook window when the per-user frame is small, rank-offset
       // composition at scale — identical assignment either way); DESC
       // recency expressed as an ascending negated column
       import graft.ops.DistributedRank.ntileByKey
-      val sc0 = ntileByKey(u.withColumn("rneg", -col("rec_days")),
-        Seq(), Seq("rneg", "user_id"), 5).withColumnRenamed("bin", "r")
-      val sc1 = ntileByKey(sc0, Seq(), Seq("freq", "user_id"), 5)
-        .withColumnRenamed("bin", "f")
-      val sc = ntileByKey(sc1, Seq(), Seq("mon", "user_id"), 5)
-        .withColumnRenamed("bin", "m")
-      sc.groupBy(col("r").cast(LongType).as("r"), col("f").cast(LongType).as("f"),
+      val rb = ntileByKey(u.withColumn("rneg", -col("rec_days")),
+          Seq(), Seq("rneg", "user_id"), 5)
+        .select(col("user_id"), col("bin").as("r"))
+      val fb = ntileByKey(u, Seq(), Seq("freq", "user_id"), 5)
+        .select(col("user_id"), col("bin").as("f"))
+      val mb = ntileByKey(u, Seq(), Seq("mon", "user_id"), 5)
+        .select(col("user_id"), col("mon"), col("bin").as("m"))
+      rb.join(fb, "user_id").join(mb, "user_id")
+        .groupBy(col("r").cast(LongType).as("r"), col("f").cast(LongType).as("f"),
           col("m").cast(LongType).as("m"))
         .agg(count(lit(1)).as("n_users"), sum("mon").as("mon_milli"))
         .orderBy("r", "f", "m")

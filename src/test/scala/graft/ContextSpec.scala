@@ -354,6 +354,20 @@ class ContextSpec extends SparkSpec {
       s"expected JDBC filter pushdown in plan:\n$plan")
   }
 
+  test("JDBC remote table for an absent vendor driver fails with a clear error") {
+    // the documented offline failure mode (README §Parity notes): the
+    // DDL itself fails loudly at the driver lookup (external relations
+    // resolve eagerly), never with a silent empty result
+    val c = ctx()
+    val err = intercept[Exception](c.execute(
+      "CREATE EXTERNAL TABLE pgrt STORED AS JDBC " +
+        "LOCATION 'jdbc:postgresql://localhost:5/db' OPTIONS ('dbtable' 'x')"))
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
+    assert(messages(err).exists(m =>
+      m.contains("No suitable driver") || m.contains("driver")), messages(err))
+  }
+
   test("DataFusion-dialect function names resolve (compat aliases)") {
     val c = ctx()
     val r = c.execute(
