@@ -18,6 +18,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dev knob: SPARK_GRAFT_RANK_SMALL=0 forces DistributedRank's scale
+    // path so the oracle compare exercises the distributed ranks too
+    sys.env.get("SPARK_GRAFT_RANK_SMALL")
+      .foreach(v => spark.conf.set("graft.rank.smallBytes", v))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => only.isEmpty || only(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

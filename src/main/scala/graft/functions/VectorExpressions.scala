@@ -123,6 +123,92 @@ case class NearestCells(
     copy(child = newChild)
 }
 
+/** Two-level nearest-cell assignment in ONE pass: the `wCoarse` nearest
+  * of the plan-baked COARSE centroids select which fine-centroid subsets
+  * the row is scored against — O((K1 + w·K/K1)·dim) per row instead of
+  * the flat quantizer's O(K·dim). A single expression rather than a
+  * NearestCells-over-CASE composition because projection collapse
+  * inlines a referenced-16-times coarse column into every CASE branch,
+  * recomputing the coarse argmin per branch (the mm6 lesson — measured:
+  * the composed form was SLOWER than flat). Distance and tie rules are
+  * exactly NearestCells' (cn2 − 2·dot, lower id wins), so with one
+  * coarse cell — or w ≥ K1 — assignment is bit-equal to flat over the
+  * same fine centroids (OpsSpec asserts both). Returns the fine cell id,
+  * or null only if every probed coarse cell is fine-less (builders drop
+  * those). */
+case class HierNearestCell(
+    child: Expression,
+    coarse: IndexedSeq[(Long, IndexedSeq[Long], Long)],
+    fines: IndexedSeq[(Long, IndexedSeq[(Long, IndexedSeq[Long], Long)])],
+    wCoarse: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(coarse.nonEmpty && wCoarse >= 1)
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "hier_nearest_cell"
+
+  @transient private lazy val coarseArr: Array[(Long, Array[Long], Long)] =
+    coarse.map { case (id, v, n2) => (id, v.toArray, n2) }.toArray
+  @transient private lazy val fineMap: Map[Long, Array[(Long, Array[Long], Long)]] =
+    fines.map { case (g, fs) =>
+      g -> fs.map { case (id, v, n2) => (id, v.toArray, n2) }.toArray
+    }.toMap
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val qe = input.asInstanceOf[ArrayData].toLongArray()
+    def dist(cent: Array[Long], cn2: Long): Long = {
+      val n = math.min(qe.length, cent.length)
+      var dot = 0L
+      var i = 0
+      while (i < n) { dot += qe(i) * cent(i); i += 1 }
+      cn2 - 2L * dot
+    }
+    // top-w coarse cells, NearestCells' insertion with lower-id ties
+    val m = math.min(wCoarse, coarseArr.length)
+    val bestC = new Array[Long](m)
+    val bestD = new Array[Long](m)
+    var filled = 0
+    var c = 0
+    while (c < coarseArr.length) {
+      val (cid, cent, cn2) = coarseArr(c)
+      val d = dist(cent, cn2)
+      var pos = filled
+      while (pos > 0 && (bestD(pos - 1) > d ||
+          (bestD(pos - 1) == d && bestC(pos - 1) > cid))) pos -= 1
+      if (pos < m) {
+        val last = math.min(filled, m - 1)
+        var j = last
+        while (j > pos) { bestC(j) = bestC(j - 1); bestD(j) = bestD(j - 1); j -= 1 }
+        bestC(pos) = cid; bestD(pos) = d
+        if (filled < m) filled += 1
+      }
+      c += 1
+    }
+    // global argmin over the probed coarse cells' fine lists
+    var bd = Long.MaxValue
+    var bid = Long.MaxValue
+    var found = false
+    var w = 0
+    while (w < filled) {
+      val fs = fineMap.getOrElse(bestC(w), Array.empty[(Long, Array[Long], Long)])
+      var i = 0
+      while (i < fs.length) {
+        val (fid, cent, cn2) = fs(i)
+        val d = dist(cent, cn2)
+        if (d < bd || (d == bd && fid < bid)) { bd = d; bid = fid; found = true }
+        i += 1
+      }
+      w += 1
+    }
+    if (found) bid else null
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HierNearestCell =
+    copy(child = newChild)
+}
+
 /** Dense matrix × quantized-vector projection against a PLAN-BAKED
   * row-major matrix (outDim × dim doubles) — the serving half of PCA:
   * out_k = Σ_i (qe_i·scale − center_i)·mat_k_i. Zero shuffle, one tight
@@ -188,6 +274,16 @@ object VectorFunctions {
     GraftBridge.column(NearestCells(GraftBridge.expression(qe),
       cents.map { case (id, v) => (id, v.toIndexedSeq, v.map(x => x * x).sum) }.toIndexedSeq,
       nprobe))
+
+  def hier_nearest_cell(qe: Column, coarse: Array[(Long, Array[Long])],
+                        fines: Map[Long, Array[(Long, Array[Long])]],
+                        wCoarse: Int): Column =
+    GraftBridge.column(HierNearestCell(GraftBridge.expression(qe),
+      coarse.map { case (id, v) => (id, v.toIndexedSeq, v.map(x => x * x).sum) }.toIndexedSeq,
+      fines.toIndexedSeq.sortBy(_._1).map { case (g, fs) =>
+        (g, fs.map { case (id, v) => (id, v.toIndexedSeq, v.map(x => x * x).sum) }.toIndexedSeq)
+      },
+      wCoarse))
 
   /** Register `dot_q` + every engine text function for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

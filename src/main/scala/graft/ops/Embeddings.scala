@@ -297,6 +297,116 @@ object Embeddings {
                  numCells: Int, lloydIters: Int = 1): Array[(Long, Array[Long])] =
     trainCentroids(prepared(vecs, idCol, vecCol), numCells, lloydIters)
 
+  /** Two-level (coarse → fine) IVF quantizer — the named scale follow-on
+    * to the flat quantizer (BASELINE.md): flat assignment scores every
+    * row against ALL K fine centroids, O(N·K·dim); here the `wCoarse`
+    * nearest of K1 coarse cells pick which fine subsets the row is
+    * scored against, O((K1 + w·K/K1)·dim) per row — the multi-probe
+    * coarse layering every production IVF system adds once K grows past
+    * ~10³ (w > 1 because in high dimensions the nearest fine cell
+    * often lives under the 2nd-4th nearest coarse cell).
+    *
+    * Training is SAMPLE-bounded (the FAISS practice — quantizers never
+    * need the corpus): fine centroids by the same exact-integer Lloyd
+    * over ≤ sampleCap uniformly-sampled rows, then the coarse layer by
+    * a driver-side Lloyd over the K fine centroids THEMSELVES (K×dim
+    * longs — trivially driver-sized). Assignment stays a zero-shuffle
+    * in-row expression: `HierNearestCell` does both levels in ONE eval
+    * (a NearestCells-over-CASE composition recomputes the coarse argmin
+    * per branch under projection collapse — measured slower than flat).
+    *
+    * The approximation is the standard one: a vector whose true nearest
+    * fine cell lives outside the w probed coarse cells gets its best
+    * within them. coarseCells = 1 (or w ≥ K1) reproduces flat assignment
+    * bit-for-bit (OpsSpec asserts both); the probe records measured
+    * flat-vs-hierarchical agreement alongside the speedup. */
+  case class HierIndex(coarse: Array[(Long, Array[Long])],
+                       fines: Map[Long, Array[(Long, Array[Long])]])
+
+  def trainHierarchicalIndex(vecs: DataFrame, idCol: String, vecCol: String,
+                             numCells: Int, coarseCells: Int = 0,
+                             lloydIters: Int = 1,
+                             sampleCap: Int = 65536): HierIndex = {
+    val p = prepared(vecs, idCol, vecCol)
+    val proj = p.select(col("vec_id"), col("qe"))
+    val rows = proj.rdd.takeSample(withReplacement = false, num = sampleCap, seed = 11L)
+    if (rows.isEmpty) return HierIndex(Array.empty, Map.empty)
+    val sampled = p.sparkSession.createDataFrame(
+      p.sparkSession.sparkContext.parallelize(rows.toIndexedSeq, 8), proj.schema)
+    val fineCents = trainCentroids(sampled, numCells, lloydIters)
+    val k1 = if (coarseCells > 0) coarseCells
+      else math.max(1, math.round(math.sqrt(fineCents.length.toDouble)).toInt)
+    // driver-side Lloyd over the fine centroids; same distance + integer
+    // truncating mean as the distributed Lloyd (NearestCells'
+    // cn2 − 2·dot ordering)
+    def nearestIdx(v: Array[Long], cs: Array[Array[Long]]): Int = {
+      var best = 0
+      var bestD = Long.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        val cent = cs(c)
+        val n = math.min(v.length, cent.length)
+        var dot = 0L
+        var cn2 = 0L
+        var i = 0
+        while (i < n) { dot += v(i) * cent(i); i += 1 }
+        i = 0
+        while (i < cent.length) { cn2 += cent(i) * cent(i); i += 1 }
+        val d = cn2 - 2L * dot
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    var coarse: Array[Array[Long]] = fineCents.sortBy(_._1).take(k1).map(_._2)
+    for (_ <- 0 until 3) {
+      val asg = fineCents.map(fc => nearestIdx(fc._2, coarse))
+      coarse = coarse.indices.map { g =>
+        val members = fineCents.indices.filter(i => asg(i) == g).map(fineCents(_)._2)
+        if (members.isEmpty) coarse(g)
+        else Array.tabulate(members.head.length)(d => members.map(_(d)).sum / members.length)
+      }.toArray
+    }
+    val asg = fineCents.map(fc => nearestIdx(fc._2, coarse))
+    val fines = fineCents.indices.groupBy(i => asg(i).toLong)
+      .map { case (g, is) => g -> is.map(fineCents(_)).toArray }
+    // a coarse cell with no fine members can never yield an assignment —
+    // drop it so every matched branch has candidates
+    val coarseBaked = coarse.indices.collect {
+      case g if fines.contains(g.toLong) => (g.toLong, coarse(g))
+    }.toArray
+    HierIndex(coarseBaked, fines)
+  }
+
+  /** (vec_id, cell) via the two-level quantizer — zero shuffles.
+    * `wCoarse` is the multi-probe width: how many nearest coarse cells
+    * contribute their fine subsets (per-row cost (K1 + w·K/K1)·dim; in
+    * high dimensions the nearest fine cell often lives under the 2nd-4th
+    * nearest coarse cell, so w=1 loses too much — the probe measures
+    * agreement vs flat per w). */
+  def assignHierarchical(vecs: DataFrame, idCol: String, vecCol: String,
+                         idx: HierIndex, wCoarse: Int = 4): DataFrame =
+    assignCellsH(prepared(vecs, idCol, vecCol), idx, wCoarse)
+      .select(col("vec_id"), col("cell"))
+
+  /** (vec_id, cell) via the flat quantizer — the O(N·K·dim) baseline
+    * assignHierarchical replaces at scale; public so QA/probes can
+    * measure agreement and cost side by side. */
+  def assignFlat(vecs: DataFrame, idCol: String, vecCol: String,
+                 numCells: Int, lloydIters: Int = 1): DataFrame = {
+    val p = prepared(vecs, idCol, vecCol)
+    val cents = trainCentroids(p, numCells, lloydIters)
+    if (cents.isEmpty)
+      return p.limit(0).select(col("vec_id"), col("vec_id").as("cell"))
+    assignCells(p, cents).select(col("vec_id"), col("cell"))
+  }
+
+  private def assignCellsH(df: DataFrame, idx: HierIndex, wCoarse: Int): DataFrame = {
+    require(idx.coarse.nonEmpty, "empty hierarchical index")
+    df.withColumn("cell", graft.functions.VectorFunctions.hier_nearest_cell(
+      col("qe"), idx.coarse, idx.fines, wCoarse))
+  }
+
   /** Semantic deduplication (SemDeDup-style, Abbas et al. 2023): cluster
     * the corpus with trained IVF centroids, then within each cluster mark
     * every vector that has a LOWER-id cluster-mate with cosine >=
@@ -314,13 +424,23 @@ object Embeddings {
     */
   def semDedup(vecs: DataFrame, idCol: String, vecCol: String,
                numCells: Int, threshold: Double,
-               lloydIters: Int = 1): DataFrame = {
+               lloydIters: Int = 1, coarseCells: Int = 0): DataFrame = {
     val p = prepared(vecs, idCol, vecCol)
-    val cents = trainCentroids(p, numCells, lloydIters)
-    if (cents.isEmpty)
-      return p.limit(0).select(col("vec_id"), col("vec_id").as("cell"),
-        lit(1L).as("kept"))
-    val index = assignCells(p, cents)
+    def empty = p.limit(0).select(col("vec_id"), col("vec_id").as("cell"),
+      lit(1L).as("kept"))
+    // coarseCells > 0 routes assignment through the two-level quantizer —
+    // the K ≫ 10³ path where flat per-row scoring stops being free
+    val index =
+      if (coarseCells > 0) {
+        val idx = trainHierarchicalIndex(vecs, idCol, vecCol, numCells,
+          coarseCells, lloydIters)
+        if (idx.coarse.isEmpty) return empty
+        assignCellsH(p, idx, wCoarse = 4)
+      } else {
+        val cents = trainCentroids(p, numCells, lloydIters)
+        if (cents.isEmpty) return empty
+        assignCells(p, cents)
+      }
     val pruned = index.as("a").join(index.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .filter(cosine(dotQ(col("a.qe"), col("b.qe")),

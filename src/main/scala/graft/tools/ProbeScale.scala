@@ -345,6 +345,40 @@ object ProbeScale {
           expr("cast(floor(1000000 * ln(cast(freq as double)) + 0.5) as decimal(38,0))").as("y"))
           .agg(sum(col("x") * col("y")), sum(col("x") * col("x"))))
       }
+      val emb = repEmb(spark, sfDir, m)
+      println(s"   vecs ${emb.count()}")
+      t(s"ivf flat assignment x$m K=256 (256 dots/row)")(noop(
+        graft.ops.Embeddings.assignFlat(emb, "vec_id", "embedding", numCells = 256)))
+      // note: assignFlat's time INCLUDES its corpus-Lloyd training (same
+      // O(N·K) class as its assignment); hierarchical training is
+      // sample-bounded and timed separately
+      var idx: graft.ops.Embeddings.HierIndex = null
+      t(s"ivf hierarchical TRAIN x$m K=256 K1=16 (default cap — binds past 65k rows)") {
+        idx = graft.ops.Embeddings.trainHierarchicalIndex(
+          emb, "vec_id", "embedding", numCells = 256, coarseCells = 16)
+      }
+      t(s"ivf hierarchical TRAIN x$m K=256 K1=16 sampleCap=4096 (corpus-independent)")(
+        graft.ops.Embeddings.trainHierarchicalIndex(
+          emb, "vec_id", "embedding", numCells = 256, coarseCells = 16,
+          sampleCap = 4096))
+      for (w <- Seq(1, 4))
+        t(s"ivf hierarchical assignment x$m K=256 K1=16 w=$w (${16 + w * 16} dots/row)")(
+          noop(graft.ops.Embeddings.assignHierarchical(
+            emb, "vec_id", "embedding", idx, wCoarse = w)))
+      if (m == 1) { // agreement is scale-independent; measure once per w
+        val fl = graft.ops.Embeddings.assignFlat(emb, "vec_id", "embedding", 256)
+          .localCheckpoint(false)
+        for (w <- Seq(1, 2, 4, 8)) {
+          val h = graft.ops.Embeddings.assignHierarchical(
+              emb, "vec_id", "embedding", idx, wCoarse = w)
+            .withColumnRenamed("cell", "hc")
+          val agree = fl.join(h, "vec_id")
+            .agg(avg(when(col("cell") === col("hc"), 1.0).otherwise(0.0)).as("a"))
+            .collect()(0).getDouble(0)
+          println(f"ivf hier-vs-flat agreement K=256 K1=16 w=$w: ${agree * 100}%.1f%%")
+        }
+      }
+      emb.unpersist()
       t(s"q49 recursive CTE x$m (part tree grows with keyspace)") {
         repPart(spark, sfDir, m).createOrReplaceTempView("probe_part")
         noop(spark.sql(

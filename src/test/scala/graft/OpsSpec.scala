@@ -166,6 +166,67 @@ class OpsSpec extends SparkSpec {
     assert(out.count(_._3 == 0L) >= 4)
   }
 
+  test("hierarchical quantizer: coarse=1 equals flat; assignment is within-group argmin") {
+    val rnd = new scala.util.Random(23)
+    val base = Array.fill(8)(Array.fill(16)(rnd.nextGaussian()))
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, base(i % 8).map(x => (x + 0.25 * rnd.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    // ONE coarse cell puts every fine centroid in a single CASE branch:
+    // the two-level assignment degenerates to flat, bit-for-bit (the
+    // corpus is below sampleCap, so fine training sees identical input)
+    val idx1 = ops.Embeddings.trainHierarchicalIndex(vecs, "vec_id", "embedding",
+      numCells = 8, coarseCells = 1)
+    val hier1 = ops.Embeddings.assignHierarchical(vecs, "vec_id", "embedding", idx1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val flat = ops.Embeddings.assignFlat(vecs, "vec_id", "embedding", numCells = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(hier1 === flat)
+    // multi-coarse, w=1: each vector's cell must be the exact argmin
+    // among the fine centroids of its NEAREST coarse cell (the
+    // documented approximation contract), verified against a driver
+    // replica of NearestCells' cn2 − 2·dot ordering with lower-id ties
+    val idx = ops.Embeddings.trainHierarchicalIndex(vecs, "vec_id", "embedding",
+      numCells = 8, coarseCells = 3)
+    assert(idx.coarse.length >= 2, "fixture should produce several coarse cells")
+    val hier = ops.Embeddings.assignHierarchical(vecs, "vec_id", "embedding",
+        idx, wCoarse = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val q = vecs.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(x => math.round(x * 1e6).toLong).toArray).toMap
+    def best(v: Array[Long], cs: Seq[(Long, Array[Long])]): Long =
+      cs.map { case (id, c) =>
+        val dot = c.zip(v).map { case (x, y) => x * y }.sum
+        (c.map(x => x * x).sum - 2L * dot, id)
+      }.min._2
+    q.foreach { case (id, v) =>
+      val coarse = best(v, idx.coarse.toSeq)
+      assert(hier(id) === best(v, idx.fines(coarse).toSeq), s"vec $id")
+    }
+    // w >= K1 probes every coarse cell: the union of fine subsets is the
+    // full codebook, so assignment equals flat over the same centroids
+    val hierAll = ops.Embeddings.assignHierarchical(vecs, "vec_id", "embedding",
+        idx, wCoarse = idx.coarse.length)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(hierAll === flat)
+    // semDedup routed through the hierarchy keeps the exactness contract
+    // WITHIN its own assignment: kept=0 iff a lower-id cell-mate with
+    // cosine >= threshold exists
+    val out = ops.Embeddings.semDedup(vecs, "vec_id", "embedding",
+        numCells = 8, threshold = 0.95, coarseCells = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === 200 && out.map(_._1).distinct.length === 200)
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    for ((_, members) <- out.groupBy(_._2); (id, _, kept) <- members) {
+      val hasTwin = members.exists { case (o, _, _) => o < id && cos(q(o), q(id)) >= 0.95 }
+      assert(kept === (if (hasTwin) 0L else 1L), s"vec $id")
+    }
+  }
+
   test("chunk dedup keeps exactly one occurrence of every chunk content") {
     // doc 0: chunks A B; doc 1: chunks B C (B duplicated); doc 2 = doc 0
     // exactly (both chunks duplicated); doc 3: unique partial tail chunk
@@ -695,6 +756,27 @@ class OpsSpec extends SparkSpec {
       .queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(plan.contains("hashpartitioning(__pid"), plan.take(2000))
+  }
+
+  test("distributed row_number handles NULL order values (ASC NULLS FIRST / DESC NULLS LAST)") {
+    val rnd = new scala.util.Random(71)
+    // ~20% null order values; unique id tiebreaks — the boundary
+    // precedes-expression must route nulls exactly like the engine sorts
+    val rows = (1 to 2000).map { i =>
+      (if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(40).toLong), i.toLong)
+    }
+    val df = rows.toDF("c", "id").repartition(8)
+    val w = org.apache.spark.sql.expressions.Window
+    for (asc <- Seq(true, false)) {
+      val order = if (asc) col("c").asc else col("c").desc
+      val plain = df.withColumn("rn",
+          row_number().over(w.orderBy(order, col("id"))).cast("long"))
+        .orderBy("id").collect().map(_.getLong(2)).toSeq
+      val dist = ops.DistributedRank.rowNumberByKey(df, Seq(),
+          Seq(("c", asc), ("id", true)), out = "rn", slices = 6, smallBytes = 0L)
+        .orderBy("id").collect().map(_.getLong(2)).toSeq
+      assert(dist === plain, s"asc=$asc")
+    }
   }
 
   test("SCD2: incremental applyChanges equals a from-scratch rebuild") {
