@@ -97,6 +97,42 @@ object Embeddings {
       .select(col("query_id").as("node_id"), col("neighbor_id"), col("cos"), col("rnk"))
   }
 
+  /** BANDED k-NN graph — the structural answer to knnGraph's documented
+    * planes-vs-corpus trade: one signature of many planes shrinks buckets
+    * (pairs ~ N²/2^planes) but loses recall, while FEW planes explode the
+    * self-join quadratically. Banding (the dd3 minhash-LSH shape applied
+    * to hyperplane signatures) runs `bands` INDEPENDENT signatures of
+    * `planesPerBand` planes each: candidate pairs ≈ bands·N²/2^planesPerBand
+    * with recall ≈ 1 − (1 − p^planesPerBand)^bands per true neighbor — the
+    * (B, R) dial production LSH kNN tunes instead of one plane count. A
+    * pair surfaced by several bands ranks ONCE (exact-cosine dedupe before
+    * the bounded top-k). Plan shape: explode ×bands (in-row), ONE
+    * signature-keyed self-join, pair-keyed dedupe, k-bounded ranking —
+    * still never all-pairs, still no broadcast of the corpus. */
+  def knnGraphBanded(vecs: DataFrame, idCol: String, vecCol: String,
+                     k: Int, planesPerBand: Int, bands: Int, dim: Int): DataFrame = {
+    require(planesPerBand >= 1 && bands >= 1 && k >= 1,
+      s"need planesPerBand ($planesPerBand), bands ($bands), k ($k) >= 1")
+    val signs = planeSigns(planesPerBand * bands, dim)
+    // band b's signature = its own plane slice, PREFIXED with b so
+    // different bands can never collide on the join key
+    val sigCols = (0 until bands).map { b =>
+      concat(lit(s"$b:"),
+        lshSignature(col("qe"), signs.slice(b * planesPerBand, (b + 1) * planesPerBand)))
+    }
+    val p = prepared(vecs, idCol, vecCol)
+      .withColumn("sig", explode(array(sigCols: _*)))
+    val nb = p.select(col("vec_id").as("neighbor_id"), col("qe").as("nb_qe"),
+      col("n2").as("nb_n2"), col("sig"))
+    val cands = p.join(nb, Seq("sig"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id").as("query_id"), col("neighbor_id"),
+        cosine(dotQ(col("qe"), col("nb_qe")), col("n2"), col("nb_n2")).as("cos"))
+      .distinct() // multi-band hits rank once (cos is pair-deterministic)
+    rankTopK(cands, k)
+      .select(col("query_id").as("node_id"), col("neighbor_id"), col("cos"), col("rnk"))
+  }
+
   /** Brute-force top-k cosine neighbors for a query subset: broadcast the
     * (small) query side against the full corpus, rank per query. The
     * baseline ANN answer — O(|Q| * N) dots, embarrassingly parallel.

@@ -26,6 +26,22 @@ object Similarity {
   private val PLANES = 6
   private val DIM = 64
 
+  /** Per-band signature-array expression for the BANDED ANN oracle: band
+    * b's bit string comes from its own slice of the shared md5-derived
+    * plane set, prefixed with the band id so bands never collide. */
+  private def bandedSigSql(prefix: String, planesPerBand: Int, bands: Int): String = {
+    val signs = Embeddings.planeSigns(planesPerBand * bands, DIM)
+    (0 until bands).map { b =>
+      val sig = signs.slice(b * planesPerBand, (b + 1) * planesPerBand).map { s =>
+        val terms = s.zipWithIndex
+          .map { case (c, i) => if (c > 0) s"+$prefix.qe[${i + 1}]" else s"-$prefix.qe[${i + 1}]" }
+          .mkString("")
+        s"(CASE WHEN ($terms) > 0 THEN '1' ELSE '0' END)"
+      }.mkString("||")
+      s"'$b:'||$sig"
+    }.mkString("[", ", ", "]")
+  }
+
   // Signed projection expression per plane for the ANN oracle, using the
   // same md5-derived ±1 components baked into the Spark plan.
   private def sigSql(prefix: String): String = {
@@ -528,6 +544,28 @@ object Similarity {
          |FROM r WHERE rnk <= 3 ORDER BY node_id, rnk""".stripMargin) { (s, d) =>
       Embeddings.knnGraph(Tables.load(s, d, "embeddings"),
           "vec_id", "embedding", k = 3, planes = PLANES, dim = DIM)
+        .withColumn("rnk", col("rnk").cast("long"))
+        .orderBy("node_id", "rnk")
+    },
+
+    // BANDED k-NN graph — sim9's structural scale answer: `bands`
+    // INDEPENDENT narrow signatures instead of one wide one, the (B, R)
+    // recall-vs-candidates dial of production LSH (dd3's minhash banding
+    // applied to hyperplane signatures). Pairs surfaced by several bands
+    // rank ONCE (exact-cosine dedupe before the bounded top-k); the
+    // oracle unnests the same band array and DISTINCTs identically.
+    QueryDef("sim13_knn_graph_banded",
+      s"""WITH $quantCte,
+         |sigs AS (SELECT a.vec_id, a.qe, a.n2, ${bandedSigSql("a", 6, 3)} AS bsigs FROM q a),
+         |e AS (SELECT vec_id, qe, n2, UNNEST(bsigs) AS sig FROM sigs),
+         |s AS (SELECT DISTINCT b.vec_id AS node_id, a.vec_id AS neighbor_id,
+         |        ${cosSql("CAST(list_sum([a.qe[i]*b.qe[i] FOR i IN range(1, len(a.qe)+1)]) AS BIGINT)", "a.n2", "b.n2")} AS cos
+         |      FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id <> b.vec_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY node_id ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
+         |SELECT node_id, neighbor_id, cos, CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= 3 ORDER BY node_id, rnk""".stripMargin) { (s, d) =>
+      Embeddings.knnGraphBanded(Tables.load(s, d, "embeddings"),
+          "vec_id", "embedding", k = 3, planesPerBand = 6, bands = 3, dim = DIM)
         .withColumn("rnk", col("rnk").cast("long"))
         .orderBy("node_id", "rnk")
     },

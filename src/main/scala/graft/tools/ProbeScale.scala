@@ -378,6 +378,19 @@ object ProbeScale {
           println(f"ivf hier-vs-flat agreement K=256 K1=16 w=$w: ${agree * 100}%.1f%%")
         }
       }
+      // the sim13 dial: candidate pairs ≈ R·N²/2^B, so 2^B must scale
+      // with the corpus — probe the fixed-B shape (deliberately
+      // quadratic) AND the scaled-B shape (the 100 TB setting), the dd8
+      // fixed-vs-scaled-cells pattern
+      t(s"sim13 banded knn graph x$m B=6 R=3 (fixed B: quadratic)")(noop(
+        graft.ops.Embeddings.knnGraphBanded(emb, "vec_id", "embedding",
+          k = 3, planesPerBand = 6, bands = 3, dim = 64)))
+      if (m > 1) {
+        val bScaled = 6 + (math.log(m.toDouble) / math.log(2.0)).ceil.toInt
+        t(s"sim13 banded knn graph x$m B=$bScaled R=3 (B scaled with corpus: ~linear)")(
+          noop(graft.ops.Embeddings.knnGraphBanded(emb, "vec_id", "embedding",
+            k = 3, planesPerBand = bScaled, bands = 3, dim = 64)))
+      }
       emb.unpersist()
       t(s"q49 recursive CTE x$m (part tree grows with keyspace)") {
         repPart(spark, sfDir, m).createOrReplaceTempView("probe_part")

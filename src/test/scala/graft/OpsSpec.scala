@@ -166,6 +166,44 @@ class OpsSpec extends SparkSpec {
     assert(out.count(_._3 == 0L) >= 4)
   }
 
+  test("banded knn graph: multi-band recall beats one wide signature; pairs rank once") {
+    val rnd = new scala.util.Random(37)
+    val base = Array.fill(10)(Array.fill(32)(rnd.nextGaussian()))
+    val vecs = (0 until 300).map { i =>
+      (i.toLong, base(i % 10).map(x => (x + 0.15 * rnd.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val k = 5
+    val q = vecs.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(x => math.round(x * 1e6).toLong).toArray).toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    // exact ground truth (all-pairs, driver-side — 300 vectors)
+    val truth: Map[Long, Set[Long]] = q.map { case (id, v) =>
+      id -> q.toSeq.filter(_._1 != id)
+        .map { case (o, w) => (-cos(v, w), o) }.sorted.take(k).map(_._2).toSet
+    }
+    def recall(rows: Array[(Long, Long)]): Double = {
+      val got = rows.groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+      q.keys.toSeq.map(id =>
+        (got.getOrElse(id, Set.empty[Long]) & truth(id)).size.toDouble / k).sum / q.size
+    }
+    val bandedRows = ops.Embeddings.knnGraphBanded(vecs, "vec_id", "embedding",
+        k, planesPerBand = 6, bands = 3, dim = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val singleRows = ops.Embeddings.knnGraph(vecs, "vec_id", "embedding",
+        k, planes = 18, dim = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // a pair surfaced by several bands must rank once
+    assert(bandedRows.distinct.length === bandedRows.length)
+    val rb = recall(bandedRows)
+    val rs = recall(singleRows)
+    assert(rb > rs, s"banded recall $rb should beat the single 18-plane signature's $rs")
+    assert(rb >= 0.5, s"banded recall $rb too low for the clustered fixture")
+  }
+
   test("hierarchical quantizer: coarse=1 equals flat; assignment is within-group argmin") {
     val rnd = new scala.util.Random(23)
     val base = Array.fill(8)(Array.fill(16)(rnd.nextGaussian()))
