@@ -397,10 +397,14 @@ class GraftTable(val spark: SparkSession, val root: String) {
         m.droppedColumns))
     // table metadata travels with the clone (Delta shallow-clone
     // semantics): CHECK constraints keep validating writes into the
-    // clone instead of silently lapsing
+    // clone instead of silently lapsing, and an established retention
+    // window keeps protecting the clone from the GC sweep
     if (LakeIO.exists(constraintsFile))
       LakeIO.writeString(LakeIO.path(destRoot, "_constraints.json"),
         LakeIO.readString(constraintsFile))
+    if (LakeIO.exists(retentionFile))
+      LakeIO.writeString(LakeIO.path(destRoot, "_retention"),
+        LakeIO.readString(retentionFile))
     new GraftTable(spark, destRoot)
   }
 

@@ -504,6 +504,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), p.take(3000))
   }
 
+  test("banded knn graph joins on the band signature, ranks bounded, never all-pairs (sim13)") {
+    val p = planOf("sim13_knn_graph_banded")
+    assert(p.contains("ObjectHashAggregate"), p.take(4000)) // bounded top-k, no window sort
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(4000))
+    // the candidate join is keyed on the band signature — either shape
+    // (shuffled hash at scale, broadcast at tiny SF) is an equi-join
+    assert(p.contains("hashpartitioning(sig") ||
+      p.linesIterator.exists(l => l.contains("keys") && l.contains("[sig#")),
+      p.take(4000))
+  }
+
   test("gini + zipf rank via the distributed row_number at scale (ev35/tx29)") {
     // force the DistributedRank switch past the small-input textbook path
     spark.conf.set("graft.rank.smallBytes", "0")
