@@ -460,7 +460,8 @@ object Embeddings {
     */
   def semDedup(vecs: DataFrame, idCol: String, vecCol: String,
                numCells: Int, threshold: Double,
-               lloydIters: Int = 1, coarseCells: Int = 0): DataFrame = {
+               lloydIters: Int = 1, coarseCells: Int = 0,
+               wCoarse: Int = 4): DataFrame = {
     val p = prepared(vecs, idCol, vecCol)
     def empty = p.limit(0).select(col("vec_id"), col("vec_id").as("cell"),
       lit(1L).as("kept"))
@@ -471,7 +472,7 @@ object Embeddings {
         val idx = trainHierarchicalIndex(vecs, idCol, vecCol, numCells,
           coarseCells, lloydIters)
         if (idx.coarse.isEmpty) return empty
-        assignCellsH(p, idx, wCoarse = 4)
+        assignCellsH(p, idx, wCoarse)
       } else {
         val cents = trainCentroids(p, numCells, lloydIters)
         if (cents.isEmpty) return empty

@@ -20,11 +20,14 @@ import graft.lake.{LakeIO, Manifest}
   *
   * Scope (documented read-only subset): format versions 1 and 2; DELETED
   * manifest entries are skipped; v2 POSITIONAL delete files are applied
-  * at scan time (anti-join on the file/row-position pair — see `read`);
-  * tables with EQUALITY delete files fail loudly rather than returning
-  * resurrected rows; non-parquet data files fail loudly. A snapshot-less
-  * (empty) table returns an empty DataFrame with the schema mapped from
-  * the table metadata.
+  * at scan time (anti-join on the file/row-position pair) and v2
+  * EQUALITY delete files with full sequence-number semantics (a delete
+  * kills matching rows only in data files with a STRICTLY LOWER data
+  * sequence number — spec §Scan Planning; `equality_ids` resolve to
+  * columns through the schema's field ids, null-safe equality as the
+  * spec requires); equality deletes WITHOUT equality_ids and non-parquet
+  * data files fail loudly. A snapshot-less (empty) table returns an
+  * empty DataFrame with the schema mapped from the table metadata.
   */
 object IcebergScan {
 
@@ -45,14 +48,21 @@ object IcebergScan {
           case _ => throw new IllegalArgumentException(
             "iceberg snapshot has no manifest-list (v1 'manifests' inline lists are not supported)")
         }
-        val (files, posDeletes) = walkFiles(reroute(listPath))
-        if (files.isEmpty)
+        val wf = walkFiles(reroute(listPath))
+        if (wf.data.isEmpty)
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             schemaOf(meta))
         else {
-          val data = spark.read.parquet(files: _*)
-          if (posDeletes.isEmpty) data
-          else applyPositionalDeletes(spark, data, posDeletes)
+          var data = spark.read.parquet(wf.data.map(_._1): _*)
+          // _metadata resolves only on the raw scan relation — derive the
+          // per-row data sequence number BEFORE any delete anti-join
+          if (wf.eqDeletes.nonEmpty) data = withSeqColumn(data, wf.data)
+          if (wf.posDeletes.nonEmpty)
+            data = applyPositionalDeletes(spark, data, wf.posDeletes)
+          if (wf.eqDeletes.nonEmpty)
+            data = applyEqualityDeletes(spark, data, wf.eqDeletes,
+              fieldIdToName(meta))
+          data
         }
     }
   }
@@ -119,19 +129,29 @@ object IcebergScan {
     }
   }
 
-  /** Walk manifest-list → manifests, returning (live data-file paths,
-    * live positional-delete-file paths). Equality deletes fail loudly —
-    * applying them needs the equality-field-id column resolution this
-    * read-only scan doesn't carry. */
-  private def walkFiles(manifestListPath: String): (Seq[String], Seq[String]) = {
+  /** The snapshot's live file inventory: data files with their data
+    * sequence numbers, positional-delete files, and equality-delete
+    * files with (sequence number, equality field ids). */
+  private case class WalkedFiles(data: Seq[(String, Long)],
+                                 posDeletes: Seq[String],
+                                 eqDeletes: Seq[(String, Long, Seq[Int])])
+
+  /** Walk manifest-list → manifests. Sequence numbers follow the v2
+    * inheritance rule: an entry without its own
+    * sequence_number/data_sequence_number takes the manifest's (from the
+    * manifest-list entry); v1 tables have neither and default to 0. */
+  private def walkFiles(manifestListPath: String): WalkedFiles = {
     val entries = readAvro(new Path(manifestListPath))
     val manifests = entries.map { r =>
       // v2 manifest-list carries `content`: 0 = data, 1 = deletes
-      (String.valueOf(r.get("manifest_path")), longField(r, "content").getOrElse(0L))
+      (String.valueOf(r.get("manifest_path")),
+        longField(r, "content").getOrElse(0L),
+        longField(r, "sequence_number").getOrElse(0L))
     }
-    val data = Seq.newBuilder[String]
+    val data = Seq.newBuilder[(String, Long)]
     val posDeletes = Seq.newBuilder[String]
-    manifests.foreach { case (mp, mContent) =>
+    val eqDeletes = Seq.newBuilder[(String, Long, Seq[Int])]
+    manifests.foreach { case (mp, mContent, mSeq) =>
       readAvro(new Path(reroute(mp))).foreach { entry =>
         // status: 0 EXISTING, 1 ADDED, 2 DELETED
         val status = longField(entry, "status").getOrElse(0L)
@@ -145,16 +165,61 @@ object IcebergScan {
           if (!fmt.equalsIgnoreCase("PARQUET")) throw new IllegalArgumentException(
             s"unsupported iceberg data file format $fmt (parquet only)")
           val path = reroute(String.valueOf(df.get("file_path")))
+          val seq = longField(entry, "sequence_number")
+            .orElse(longField(entry, "data_sequence_number"))
+            .getOrElse(mSeq)
           content match {
-            case 0L => data += path
+            case 0L => data += ((path, seq))
             case 1L => posDeletes += path
-            case _ => throw new IllegalArgumentException(
-              "iceberg equality delete files are not supported (positional deletes are)")
+            case _ =>
+              val ids = intListField(df, "equality_ids").getOrElse(Seq.empty)
+              if (ids.isEmpty) throw new IllegalArgumentException(
+                "iceberg equality delete file carries no equality_ids — cannot apply safely")
+              eqDeletes += ((path, seq, ids))
           }
         }
       }
     }
-    (data.result(), posDeletes.result())
+    WalkedFiles(data.result(), posDeletes.result(), eqDeletes.result())
+  }
+
+  /** v2 equality deletes (spec §Scan Planning): each delete parquet holds
+    * key tuples over the columns named by `equality_ids`; a data row dies
+    * iff SOME equality delete with a STRICTLY GREATER sequence number
+    * matches it null-safely on those columns. Applied distributed: rows
+    * get their file's data sequence number through a plan-baked
+    * path→seq map over `_metadata.file_path` (in-row, no extra pass),
+    * then one anti-join per distinct equality-id set — null-safe equi
+    * keys (hash-joinable) plus the sequence inequality as the join
+    * residual, delete side broadcast when small. */
+  /** Per-row data sequence number via a plan-baked path→seq map over
+    * `_metadata.file_path` (in-row, no extra pass). */
+  private def withSeqColumn(data: DataFrame,
+                            dataFiles: Seq[(String, Long)]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def canonStr(p: String) = p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.\\-]*:/*", "/")
+    val seqMap = typedLit(dataFiles.map { case (p, s) => canonStr(p) -> s }.toMap)
+    data.withColumn("__seq", element_at(seqMap,
+      regexp_replace(col("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.\\-]*:/*", "/")))
+  }
+
+  private def applyEqualityDeletes(spark: SparkSession, data0: DataFrame,
+                                   eqDeletes: Seq[(String, Long, Seq[Int])],
+                                   idToName: Map[Int, String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    var data = data0
+    eqDeletes.groupBy(_._3).foreach { case (ids, files) =>
+      val names = ids.map(i => idToName.getOrElse(i,
+        throw new IllegalArgumentException(
+          s"equality_ids field id $i not found in the table schema")))
+      val dels = files.map { case (p, s, _) =>
+        spark.read.parquet(p).select(names.map(col): _*).withColumn("__dseq", lit(s))
+      }.reduce(_ unionByName _)
+      val cond = names.map(n => data(n) <=> dels(n)).reduce(_ && _) &&
+        (dels("__dseq") > data("__seq"))
+      data = data.join(dels, cond, "left_anti")
+    }
+    data.drop("__seq")
   }
 
   /** Iceberg metadata stores absolute file URLs; http(s) ones must flow
@@ -166,6 +231,16 @@ object IcebergScan {
     else r.get(name) match {
       case null => None
       case n: java.lang.Number => Some(n.longValue())
+      case _ => None
+    }
+
+  private def intListField(r: GenericRecord, name: String): Option[Seq[Int]] =
+    if (r.getSchema.getField(name) == null) None
+    else r.get(name) match {
+      case null => None
+      case l: java.util.Collection[_] =>
+        import scala.jdk.CollectionConverters._
+        Some(l.asScala.toSeq.map(_.asInstanceOf[java.lang.Number].intValue))
       case _ => None
     }
 
@@ -185,7 +260,9 @@ object IcebergScan {
 
   // --- iceberg JSON schema → Spark schema (for snapshot-less tables) -------
 
-  private def schemaOf(meta: Map[String, V]): StructType = {
+  /** The current schema's field objects (v2 `schemas` by
+    * current-schema-id, v1 inline `schema`). */
+  private def currentSchemaFields(meta: Map[String, V]): Seq[Map[String, V]] = {
     val schemaObj = meta.get("schemas") match {
       case Some(A(xs)) =>
         val currentId = meta.get("current-schema-id") match {
@@ -198,19 +275,27 @@ object IcebergScan {
         }.orElse(xs.headOption.map(_.asInstanceOf[O].m))
       case _ => meta.get("schema").map(_.asInstanceOf[O].m) // v1
     }
-    schemaObj match {
-      case Some(s) => s.get("fields") match {
-        case Some(A(fs)) => StructType(fs.map { fv =>
-          val f = fv.asInstanceOf[O].m
-          val name = f("name").asInstanceOf[S].s
-          val required = f.get("required").contains(B(true))
-          StructField(name, icebergType(f("type")), nullable = !required)
-        })
-        case _ => StructType(Nil)
-      }
-      case None => StructType(Nil)
+    schemaObj.flatMap(_.get("fields")) match {
+      case Some(A(fs)) => fs.map(_.asInstanceOf[O].m)
+      case _ => Nil
     }
   }
+
+  private def schemaOf(meta: Map[String, V]): StructType =
+    StructType(currentSchemaFields(meta).map { f =>
+      val name = f("name").asInstanceOf[S].s
+      val required = f.get("required").contains(B(true))
+      StructField(name, icebergType(f("type")), nullable = !required)
+    })
+
+  /** Iceberg field id → column name (how equality_ids resolve). */
+  private def fieldIdToName(meta: Map[String, V]): Map[Int, String] =
+    currentSchemaFields(meta).flatMap { f =>
+      f.get("id") match {
+        case Some(N(n)) => Some(n.toInt -> f("name").asInstanceOf[S].s)
+        case _ => None
+      }
+    }.toMap
 
   private val DecimalRe = """decimal\((\d+),\s*(\d+)\)""".r
   private def icebergType(t: V): DataType = t match {

@@ -24,10 +24,12 @@ class IcebergSpec extends SparkSpec {
     .requiredInt("content")
     .requiredString("file_path")
     .requiredString("file_format")
+    .name("equality_ids").`type`().optional().array().items().intType()
     .endRecord()
 
   private val manifestEntrySchema: Schema = SchemaBuilder.record("manifest_entry").fields()
     .requiredInt("status")
+    .name("sequence_number").`type`().optional().longType()
     .name("data_file").`type`(dataFileSchema).noDefault()
     .endRecord()
 
@@ -42,13 +44,19 @@ class IcebergSpec extends SparkSpec {
     try records.foreach(w.append) finally w.close()
   }
 
-  private def dataFileRecord(path: String, content: Int = 0, format: String = "PARQUET") = {
+  private def dataFileRecord(path: String, content: Int = 0, format: String = "PARQUET",
+                             seq: Long = -1L, eqIds: Seq[Int] = Nil) = {
     val df = new GenericData.Record(dataFileSchema)
     df.put("content", content)
     df.put("file_path", path)
     df.put("file_format", format)
+    if (eqIds.nonEmpty) {
+      import scala.jdk.CollectionConverters._
+      df.put("equality_ids", eqIds.map(Integer.valueOf).asJava)
+    }
     val e = new GenericData.Record(manifestEntrySchema)
     e.put("status", 1) // ADDED
+    if (seq >= 0L) e.put("sequence_number", seq)
     e.put("data_file", df)
     e
   }
@@ -192,14 +200,60 @@ class IcebergSpec extends SparkSpec {
     assert(df.columns.toSeq === Seq("id", "label"))
   }
 
-  test("equality delete files fail loudly instead of resurrecting rows") {
+  /** Write an equality-delete parquet of key values for column `name`. */
+  private def writeEqDeleteFile(root: String, name: String, keys: Seq[Long]): String = {
+    import spark.implicits._
+    val part = s"$root/eqdeletes"
+    keys.toDF(name).coalesce(1).write.parquet(part)
+    new File(part).listFiles().map(_.getPath)
+      .find(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))
+      .getOrElse(fail(s"no parquet file written under $part"))
+  }
+
+  test("v2 equality deletes apply with sequence-number semantics") {
+    val root = tmpDir("iceberg-eqdel2")
+    val Seq(f0, f1) = writeDataFiles(root) // ids [0,500) / [500,1000)
+    // delete keys id ∈ {10, 600} at sequence 2: kills id 10 (f0 has data
+    // seq 1 < 2) but NOT id 600 (f1's seq 3 > 2 — the row was written
+    // AFTER the delete and must survive, the spec's strictly-lower rule)
+    val del = writeEqDeleteFile(root, "id", Seq(10L, 600L))
+    val meta = buildTable(root,
+      Seq(dataFileRecord(f0, seq = 1L), dataFileRecord(f1, seq = 3L)),
+      deleteEntries = Seq(dataFileRecord(del, content = 2, seq = 2L, eqIds = Seq(1))))
+    val df = graft.sources.IcebergScan.read(spark, meta)
+    assert(df.count() === 999L)
+    import org.apache.spark.sql.functions._
+    val hit = df.filter(col("id").isin(10L, 600L))
+      .collect().map(_.getLong(0)).toSeq
+    assert(hit === Seq(600L))
+    assert(df.columns.toSeq === Seq("id", "label")) // no internal columns leak
+  }
+
+  test("positional and equality deletes compose on one snapshot") {
+    val root = tmpDir("iceberg-mixdel")
+    val Seq(f0, f1) = writeDataFiles(root)
+    val pos = writeDeleteFile(root, Seq(f0 -> 0L)) // kills id 0 by position
+    val eq = writeEqDeleteFile(root, "id", Seq(999L)) // kills id 999 by key
+    val meta = buildTable(root,
+      Seq(dataFileRecord(f0, seq = 1L), dataFileRecord(f1, seq = 1L)),
+      deleteEntries = Seq(
+        dataFileRecord(pos, content = 1, seq = 2L),
+        dataFileRecord(eq, content = 2, seq = 2L, eqIds = Seq(1))))
+    val df = graft.sources.IcebergScan.read(spark, meta)
+    assert(df.count() === 998L)
+    import org.apache.spark.sql.functions._
+    val mm = df.agg(min("id"), max("id")).collect().head
+    assert(mm.getLong(0) === 1L && mm.getLong(1) === 998L)
+  }
+
+  test("equality delete files without equality_ids fail loudly") {
     val root = tmpDir("iceberg-eqdel")
     val files = writeDataFiles(root)
     val meta = buildTable(root, files.map(dataFileRecord(_)),
       deleteEntries = Seq(dataFileRecord(files.head, content = 2)))
     val ex = intercept[IllegalArgumentException](
       graft.sources.IcebergScan.read(spark, meta))
-    assert(ex.getMessage.contains("equality delete"))
+    assert(ex.getMessage.contains("equality_ids"))
   }
 
   test("non-parquet data files fail loudly") {
