@@ -1,0 +1,215 @@
+#!/usr/bin/env python3
+"""Randomized differential-test generator: emits N seeded, PORTABLE ANSI
+SQL queries over the TPC-H-ish tables that both this engine (spark.sql)
+and DuckDB must answer identically. A correctness layer BEYOND the
+curated oracle suite: the curated queries pin the operators we designed
+for; the fuzz corpus walks the combinatorial space of predicates,
+aggregates, group-bys and joins where untested interactions hide.
+
+Portability rules (the repo's oracle-parity discipline, mechanized):
+- integer-only arithmetic on outputs: doubles enter only via
+  CAST(ROUND(x * 100) AS BIGINT) cents; no division at all
+- aggregates: COUNT(*) / COUNT(col) / COUNT(DISTINCT col) / SUM / MIN /
+  MAX over BIGINTs (CAST everywhere — Spark sums ints to BIGINT, DuckDB
+  to HUGEINT; the explicit CAST pins both)
+- no ORDER BY / LIMIT: the comparator sorts rows itself, and default
+  NULL-ordering differs between engines
+- string ops: ||, UPPER, SUBSTR(s, i, n), LENGTH — identical semantics
+- date ops: comparisons against DATE literals + EXTRACT(YEAR/MONTH) as
+  BIGINT outputs — never raw dates in the result
+- every non-aggregate output column appears in GROUP BY
+
+Usage: gen_fuzz.py <n> <seed> > queries.sql   (one query per line)
+"""
+import random
+import sys
+
+TABLES = {
+    "lineitem": {
+        "ints": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+        "cents": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "strs": ["l_returnflag", "l_linestatus"],
+        "dates": ["l_shipdate"],
+    },
+    "orders": {
+        "ints": ["o_orderkey", "o_custkey"],
+        "cents": ["o_totalprice"],
+        "strs": ["o_orderstatus", "o_orderpriority"],
+        "dates": ["o_orderdate"],
+    },
+    "customer": {
+        "ints": ["c_custkey", "c_nationkey"],
+        "cents": ["c_acctbal"],
+        "strs": ["c_name", "c_mktsegment"],
+        "dates": [],
+    },
+}
+JOINS = [("lineitem", "orders", "l_orderkey", "o_orderkey"),
+         ("orders", "customer", "o_custkey", "c_custkey")]
+STR_VALUES = {
+    "l_returnflag": ["A", "N", "R"], "l_linestatus": ["O", "F"],
+    "o_orderstatus": ["O", "F", "P"],
+    "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+    "c_mktsegment": ["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE"],
+    "c_name": [], "l_shipmode": [],
+}
+
+
+def cents(c):
+    return f"CAST(ROUND({c} * 100) AS BIGINT)"
+
+
+def int_expr(rnd, t):
+    kind = rnd.choice(["col", "col", "cents", "arith", "case", "strlen", "year"])
+    if kind == "col":
+        return f"CAST({rnd.choice(t['ints'])} AS BIGINT)"
+    if kind == "cents":
+        return cents(rnd.choice(t["cents"]))
+    if kind == "arith":
+        a, b = rnd.choice(t["ints"]), rnd.choice(t["ints"])
+        op = rnd.choice(["+", "-", "*"])
+        return f"(CAST({a} AS BIGINT) {op} CAST({b} AS BIGINT))"
+    if kind == "case":
+        c = rnd.choice(t["ints"])
+        n = rnd.randint(1, 50)
+        return f"(CASE WHEN {c} > {n} THEN CAST({c} AS BIGINT) ELSE CAST({n} AS BIGINT) END)"
+    if kind == "strlen":
+        return f"CAST(LENGTH({rnd.choice(t['strs'])}) AS BIGINT)"
+    if kind == "year" and t["dates"]:
+        return f"CAST(EXTRACT(YEAR FROM {rnd.choice(t['dates'])}) AS BIGINT)"
+    return f"CAST({rnd.choice(t['ints'])} AS BIGINT)"
+
+
+def pred(rnd, t):
+    kind = rnd.choice(["numcmp", "strcmp", "in", "between", "like", "date", "null", "and", "or", "not"])
+    if kind == "numcmp":
+        op = rnd.choice(["<", "<=", ">", ">=", "=", "<>"])
+        if rnd.random() < 0.5:
+            return f"{rnd.choice(t['ints'])} {op} {rnd.randint(0, 2000)}"
+        return f"{cents(rnd.choice(t['cents']))} {op} {rnd.randint(0, 500000)}"
+    if kind == "strcmp":
+        c = rnd.choice(t["strs"])
+        vals = STR_VALUES.get(c) or None
+        v = rnd.choice(vals) if vals else "x"
+        return f"{c} {rnd.choice(['=', '<>', '<', '>'])} '{v}'"
+    if kind == "in":
+        c = rnd.choice(t["ints"])
+        vals = ", ".join(str(rnd.randint(0, 500)) for _ in range(rnd.randint(2, 5)))
+        return f"{c} IN ({vals})"
+    if kind == "between":
+        c = rnd.choice(t["ints"])
+        lo = rnd.randint(0, 400)
+        return f"{c} BETWEEN {lo} AND {lo + rnd.randint(0, 300)}"
+    if kind == "like":
+        c = rnd.choice(t["strs"])
+        return f"{c} LIKE '{rnd.choice('ABCMNOFR')}%'"
+    if kind == "date" and t["dates"]:
+        c = rnd.choice(t["dates"])
+        d = f"199{rnd.randint(2, 8)}-{rnd.randint(1, 12):02d}-{rnd.randint(1, 28):02d}"
+        return f"{c} {rnd.choice(['<', '>=', '<='])} DATE '{d}'"
+    if kind == "null":
+        c = rnd.choice(t["ints"] + t["strs"])
+        return f"{c} IS {'NOT ' if rnd.random() < 0.5 else ''}NULL"
+    if kind == "and":
+        return f"({pred(rnd, t)} AND {pred(rnd, t)})"
+    if kind == "or":
+        return f"({pred(rnd, t)} OR {pred(rnd, t)})"
+    if kind == "not":
+        return f"(NOT {pred(rnd, t)})"
+    return "1 = 1"
+
+
+def agg(rnd, t):
+    kind = rnd.choice(["count", "countc", "countd", "sum", "min", "max", "sumcase"])
+    if kind == "count":
+        return "CAST(COUNT(*) AS BIGINT)"
+    if kind == "countc":
+        return f"CAST(COUNT({rnd.choice(t['ints'] + t['strs'])}) AS BIGINT)"
+    if kind == "countd":
+        return f"CAST(COUNT(DISTINCT {rnd.choice(t['ints'] + t['strs'])}) AS BIGINT)"
+    if kind == "sum":
+        return f"CAST(SUM({int_expr(rnd, t)}) AS BIGINT)"
+    if kind == "min":
+        return f"CAST(MIN({int_expr(rnd, t)}) AS BIGINT)"
+    if kind == "max":
+        return f"CAST(MAX({int_expr(rnd, t)}) AS BIGINT)"
+    return f"CAST(SUM(CASE WHEN {pred(rnd, t)} THEN 1 ELSE 0 END) AS BIGINT)"
+
+
+def group_expr(rnd, t):
+    kind = rnd.choice(["str", "str", "int", "substr", "year", "case"])
+    if kind == "str":
+        return rnd.choice(t["strs"])
+    if kind == "int":
+        return f"CAST({rnd.choice(t['ints'])} AS BIGINT)"
+    if kind == "substr":
+        return f"SUBSTR({rnd.choice(t['strs'])}, 1, {rnd.randint(1, 3)})"
+    if kind == "year" and t["dates"]:
+        return f"CAST(EXTRACT(YEAR FROM {rnd.choice(t['dates'])}) AS BIGINT)"
+    if kind == "case":
+        c = rnd.choice(t["ints"])
+        return f"(CASE WHEN {c} > {rnd.randint(1, 100)} THEN 'hi' ELSE 'lo' END)"
+    return rnd.choice(t["strs"])
+
+
+def merged(ta, tb):
+    return {k: TABLES[ta][k] + TABLES[tb][k] for k in ("ints", "cents", "strs", "dates")}
+
+
+def gen_query(rnd):
+    shape = rnd.choice(["agg", "agg", "agg", "joinagg", "grand", "setop", "insub", "distinct"])
+    if shape == "setop":
+        # UNION / UNION ALL / INTERSECT / EXCEPT of two compatible branches
+        name = rnd.choice(list(TABLES))
+        t = TABLES[name]
+        g = group_expr(rnd, t)
+        op = rnd.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+        return (f"SELECT * FROM (SELECT {g} AS g0 FROM {name} WHERE {pred(rnd, t)} "
+                f"{op} SELECT {g} AS g0 FROM {name} WHERE {pred(rnd, t)}) u")
+    if shape == "insub":
+        # semi/anti join via [NOT] IN (subquery) — the decorrelation path
+        ta, tb, ka, kb = rnd.choice(JOINS)
+        t, ts = TABLES[ta], TABLES[tb]
+        neg = "NOT " if rnd.random() < 0.5 else ""
+        w = f" AND {pred(rnd, t)}" if rnd.random() < 0.6 else ""
+        return (f"SELECT CAST(COUNT(*) AS BIGINT) AS a0, "
+                f"CAST(COUNT(DISTINCT {rnd.choice(t['ints'])}) AS BIGINT) AS a1 "
+                f"FROM {ta} WHERE {ka} {neg}IN "
+                f"(SELECT {kb} FROM {tb} WHERE {pred(rnd, ts)}){w}")
+    if shape == "distinct":
+        name = rnd.choice(list(TABLES))
+        t = TABLES[name]
+        gs = [group_expr(rnd, t) for _ in range(rnd.randint(1, 3))]
+        sel = ", ".join(f"{g} AS g{i}" for i, g in enumerate(gs))
+        return f"SELECT DISTINCT {sel} FROM {name} WHERE {pred(rnd, t)}"
+    if shape == "joinagg":
+        ta, tb, ka, kb = rnd.choice(JOINS)
+        t = merged(ta, tb)
+        frm = f"{ta} JOIN {tb} ON {ka} = {kb}"
+    else:
+        name = rnd.choice(list(TABLES))
+        t = TABLES[name]
+        frm = name
+    w = f" WHERE {pred(rnd, t)}" if rnd.random() < 0.8 else ""
+    if shape == "grand":
+        aggs = ", ".join(f"{agg(rnd, t)} AS a{i}" for i in range(rnd.randint(1, 4)))
+        return f"SELECT {aggs} FROM {frm}{w}"
+    ngroups = rnd.randint(1, 2)
+    groups = [group_expr(rnd, t) for _ in range(ngroups)]
+    gsel = ", ".join(f"{g} AS g{i}" for i, g in enumerate(groups))
+    aggs = ", ".join(f"{agg(rnd, t)} AS a{i}" for i in range(rnd.randint(1, 3)))
+    having = f" HAVING COUNT(*) > {rnd.randint(0, 5)}" if rnd.random() < 0.3 else ""
+    return (f"SELECT {gsel}, {aggs} FROM {frm}{w} "
+            f"GROUP BY {', '.join(str(i + 1) for i in range(ngroups))}{having}")
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 13
+    rnd = random.Random(seed)
+    for _ in range(n):
+        print(gen_query(rnd))
+
+
+if __name__ == "__main__":
+    main()
