@@ -156,8 +156,74 @@ def merged(ta, tb):
     return {k: TABLES[ta][k] + TABLES[tb][k] for k in ("ints", "cents", "strs", "dates")}
 
 
+# STRICT total order per table (verified against the data: o_orderkey /
+# c_custkey are unique; lineitem has no full-row duplicates, and
+# (orderkey, linenumber) pairs DO repeat — an earlier key formula tied
+# there and produced a legitimate cross-engine LAG divergence)
+TOTAL_ORDER = {
+    "lineitem": ("l_orderkey, l_linenumber, l_partkey, l_suppkey, "
+                 "CAST(ROUND(l_extendedprice * 100) AS BIGINT), "
+                 "CAST(ROUND(l_quantity * 100) AS BIGINT), "
+                 "CAST(ROUND(l_discount * 100) AS BIGINT), "
+                 "CAST(ROUND(l_tax * 100) AS BIGINT), "
+                 "l_returnflag, l_linestatus, l_shipdate"),
+    "orders": "o_orderkey",
+    "customer": "c_custkey",
+}
+OUT_KEY = {"lineitem": "l_orderkey", "orders": "o_orderkey", "customer": "c_custkey"}
+
+
+def scalar_str(rnd, t):
+    c = rnd.choice(t["strs"])
+    kind = rnd.choice(["upper", "lower", "concat", "replace", "substr", "trim", "coalesce"])
+    if kind == "upper":
+        return f"UPPER({c})"
+    if kind == "lower":
+        return f"LOWER({c})"
+    if kind == "concat":
+        return f"({c} || '_' || {rnd.choice(t['strs'])})"
+    if kind == "replace":
+        return f"REPLACE({c}, '{rnd.choice('AEO')}', '{rnd.choice('xyz')}')"
+    if kind == "substr":
+        return f"SUBSTR({c}, {rnd.randint(1, 2)}, {rnd.randint(1, 4)})"
+    if kind == "trim":
+        return f"TRIM({c})"
+    return f"COALESCE(NULLIF({c}, '{rnd.choice('ANR')}'), 'd')"
+
+
 def gen_query(rnd):
-    shape = rnd.choice(["agg", "agg", "agg", "joinagg", "grand", "setop", "insub", "distinct"])
+    shape = rnd.choice(["agg", "agg", "agg", "joinagg", "grand", "setop", "insub",
+                        "distinct", "window", "scalar"])
+    if shape == "window":
+        # ranking / running totals over a STRICT total order —
+        # cross-engine frames, ties, and partition semantics
+        name = rnd.choice(list(TABLES))
+        t = TABLES[name]
+        key = TOTAL_ORDER[name]
+        out = OUT_KEY[name]
+        part = rnd.choice(t["strs"])
+        fn = rnd.choice(["ROW_NUMBER()", "RANK()", "DENSE_RANK()",
+                         f"CAST(SUM(CAST({rnd.choice(t['ints'])} AS BIGINT)) OVER "
+                         f"(PARTITION BY {part} ORDER BY {key} "
+                         f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)",
+                         f"CAST(LAG(CAST({rnd.choice(t['ints'])} AS BIGINT), 1, -1) OVER "
+                         f"(PARTITION BY {part} ORDER BY {key}) AS BIGINT)"])
+        if fn in ("ROW_NUMBER()", "RANK()", "DENSE_RANK()"):
+            ordcol = rnd.choice(t["ints"])
+            fn = f"CAST({fn[:-2]}() OVER (PARTITION BY {part} ORDER BY {ordcol}, {key}) AS BIGINT)"
+        w = f" WHERE {pred(rnd, t)}" if rnd.random() < 0.7 else ""
+        return (f"SELECT * FROM (SELECT CAST({out} AS BIGINT) AS g0, {fn} AS a0 "
+                f"FROM {name}{w}) x WHERE a0 <= {rnd.randint(2, 40)}")
+    if shape == "scalar":
+        # scalar string pipeline, grouped — portability of the function
+        # library itself (UPPER/REPLACE/SUBSTR/TRIM/COALESCE/NULLIF/||)
+        name = rnd.choice(list(TABLES))
+        t = TABLES[name]
+        gs = [scalar_str(rnd, t) for _ in range(rnd.randint(1, 2))]
+        sel = ", ".join(f"{g} AS g{i}" for i, g in enumerate(gs))
+        w = f" WHERE {pred(rnd, t)}" if rnd.random() < 0.7 else ""
+        return (f"SELECT {sel}, CAST(COUNT(*) AS BIGINT) AS a0 FROM {name}{w} "
+                f"GROUP BY {', '.join(str(i + 1) for i in range(len(gs)))}")
     if shape == "setop":
         # UNION / UNION ALL / INTERSECT / EXCEPT of two compatible branches
         name = rnd.choice(list(TABLES))
