@@ -34,6 +34,14 @@ def main():
     con.execute("PRAGMA threads=16")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # GenScale-written events carry raw BIGINT-ns ts; surface as µs
+        # timestamps exactly like graft.Tables.load (bench_duckdb's rule)
+        if t == "events":
+            typ = con.execute("SELECT typeof(ts) FROM events LIMIT 1").fetchone()
+            if typ and typ[0] == "BIGINT":
+                con.execute("CREATE OR REPLACE VIEW events AS "
+                            f"SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) "
+                            f"FROM '{sf_dir}/events.parquet'")
     queries = [q.strip() for q in open(queries_file) if q.strip()]
     passed, failed = 0, []
     for i, q in enumerate(queries):

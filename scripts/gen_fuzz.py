@@ -43,6 +43,22 @@ TABLES = {
         "strs": ["c_name", "c_mktsegment"],
         "dates": [],
     },
+    # the LLM-pipeline tables: long text + ns-timestamps (FuzzRun loads
+    # events through graft.Tables.load's ns→µs conversion; the DuckDB
+    # side reads TIMESTAMP_NS natively — identical at EXTRACT/date-cmp
+    # granularity)
+    "documents": {
+        "ints": ["doc_id", "n_chars"],
+        "cents": [],
+        "strs": ["lang", "source", "text"],
+        "dates": [],
+    },
+    "events": {
+        "ints": ["event_id", "user_id"],
+        "cents": ["value"],
+        "strs": ["event_type", "props"],
+        "dates": ["ts"],
+    },
 }
 JOINS = [("lineitem", "orders", "l_orderkey", "o_orderkey"),
          ("orders", "customer", "o_custkey", "c_custkey")]
@@ -52,6 +68,10 @@ STR_VALUES = {
     "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
     "c_mktsegment": ["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE"],
     "c_name": [], "l_shipmode": [],
+    "event_type": ["click", "signup", "error", "view", "purchase"],
+    "lang": ["en", "de", "zh", "fr", "es"],
+    "source": [f"src{i}" for i in range(20)],
+    "text": [], "props": [],
 }
 
 
@@ -63,7 +83,7 @@ def int_expr(rnd, t):
     kind = rnd.choice(["col", "col", "cents", "arith", "case", "strlen", "year"])
     if kind == "col":
         return f"CAST({rnd.choice(t['ints'])} AS BIGINT)"
-    if kind == "cents":
+    if kind == "cents" and t["cents"]:
         return cents(rnd.choice(t["cents"]))
     if kind == "arith":
         a, b = rnd.choice(t["ints"]), rnd.choice(t["ints"])
@@ -84,7 +104,7 @@ def pred(rnd, t):
     kind = rnd.choice(["numcmp", "strcmp", "in", "between", "like", "date", "null", "and", "or", "not"])
     if kind == "numcmp":
         op = rnd.choice(["<", "<=", ">", ">=", "=", "<>"])
-        if rnd.random() < 0.5:
+        if rnd.random() < 0.5 or not t["cents"]:
             return f"{rnd.choice(t['ints'])} {op} {rnd.randint(0, 2000)}"
         return f"{cents(rnd.choice(t['cents']))} {op} {rnd.randint(0, 500000)}"
     if kind == "strcmp":
@@ -169,8 +189,11 @@ TOTAL_ORDER = {
                  "l_returnflag, l_linestatus, l_shipdate"),
     "orders": "o_orderkey",
     "customer": "c_custkey",
+    "documents": "doc_id",
+    "events": "event_id",
 }
-OUT_KEY = {"lineitem": "l_orderkey", "orders": "o_orderkey", "customer": "c_custkey"}
+OUT_KEY = {"lineitem": "l_orderkey", "orders": "o_orderkey", "customer": "c_custkey",
+           "documents": "doc_id", "events": "event_id"}
 
 
 def scalar_str(rnd, t):
