@@ -216,7 +216,21 @@ def scalar_str(rnd, t):
 
 def gen_query(rnd):
     shape = rnd.choice(["agg", "agg", "agg", "joinagg", "grand", "setop", "insub",
-                        "distinct", "window", "scalar"])
+                        "distinct", "window", "scalar", "outerjoin"])
+    if shape == "outerjoin":
+        # LEFT / FULL joins: null-extended rows are where COUNT(col) vs
+        # COUNT(*) and COALESCE semantics classically diverge
+        ta, tb, ka, kb = rnd.choice(JOINS)
+        t, ts = TABLES[ta], TABLES[tb]
+        jt = rnd.choice(["LEFT", "LEFT", "FULL"])
+        g = group_expr(rnd, t)
+        bcol = rnd.choice(ts["ints"])
+        w = f" WHERE {pred(rnd, t)}" if jt == "LEFT" and rnd.random() < 0.5 else ""
+        sub = f"(SELECT * FROM {tb} WHERE {pred(rnd, ts)}) s"
+        return (f"SELECT {g} AS g0, CAST(COUNT(*) AS BIGINT) AS a0, "
+                f"CAST(COUNT(s.{bcol}) AS BIGINT) AS a1, "
+                f"CAST(SUM(COALESCE(CAST(s.{bcol} AS BIGINT), -1)) AS BIGINT) AS a2 "
+                f"FROM {ta} {jt} JOIN {sub} ON {ka} = s.{kb}{w} GROUP BY 1")
     if shape == "window":
         # ranking / running totals over a STRICT total order —
         # cross-engine frames, ties, and partition semantics
