@@ -59,6 +59,34 @@ object ProbeRecall {
       numSub = 8, subDim = 8, codebookSize = 64, candK = 10 * k))
     recall("ivfpq+", Embeddings.ivfPqTopK(emb, "vec_id", "embedding", pred, k,
       numCells = 8, nprobe = 4, numSub = 8, subDim = 8, codebookSize = 64, candK = 10 * k))
+
+    // k-NN GRAPH recall: EVERY node is a query; ground truth is the full
+    // brute force (the corpus broadcasts at probe scale). The banded
+    // build trades one wide signature for R narrow ones — measure what
+    // each (B, R) buys on the real embedding distribution.
+    val gk = 3
+    val exactG = Embeddings
+      .topKBruteForce(emb, "vec_id", "embedding", lit(true), gk)
+      .select(col("query_id").as("node_id"), col("neighbor_id"))
+      .cache()
+    val exactGN = exactG.count()
+    def recallG(name: String, df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val hits = df.select(col("node_id"), col("neighbor_id"))
+        .join(exactG, Seq("node_id", "neighbor_id")).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"$name%-16s graph-recall@$gk = ${hits.toDouble / exactGN}%.3f  (${sec}%.1f s)")
+    }
+    recallG("graph-single18",
+      Embeddings.knnGraph(emb, "vec_id", "embedding", gk, planes = 18, dim = 64))
+    recallG("graph-single6",
+      Embeddings.knnGraph(emb, "vec_id", "embedding", gk, planes = 6, dim = 64))
+    recallG("graph-banded6x3",
+      Embeddings.knnGraphBanded(emb, "vec_id", "embedding", gk, planesPerBand = 6, bands = 3, dim = 64))
+    recallG("graph-banded8x4",
+      Embeddings.knnGraphBanded(emb, "vec_id", "embedding", gk, planesPerBand = 8, bands = 4, dim = 64))
+    recallG("graph-banded6x8",
+      Embeddings.knnGraphBanded(emb, "vec_id", "embedding", gk, planesPerBand = 6, bands = 8, dim = 64))
     spark.stop()
   }
 }
