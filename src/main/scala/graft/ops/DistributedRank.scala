@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   * parallelism = `slices` × keys instead:
   *
   *   1. assign each row a DETERMINISTIC ordered slice id: boundary
-  *      tuples are sampled ONCE (collect-then-bake, ≤ slices×32 rows on
-  *      the driver) and baked into the plan as literals, the slice id
+  *      tuples are sampled ONCE (collect-then-bake — a single-pass
+  *      per-partition reservoir, ≤ 64 rows/partition on the driver) and
+  *      baked into the plan as literals, the slice id
   *      being the count of boundaries at-or-before the row in the sort
   *      order — a sum of monotone indicators, so slices are contiguous
   *      ranges of the order no matter how the sample came out (the
@@ -83,6 +84,30 @@ object DistributedRank {
     acc
   }
 
+  /** ONE-pass bounded boundary sample: a per-partition reservoir (≤
+    * `perPart` rows each, deterministic per-partition seed) instead of
+    * `takeSample`, whose hidden count() job is a second full scan of the
+    * order columns at 100 TB. Per-partition reservoirs over-represent
+    * small partitions — which only skews BALANCE, never ranks (the
+    * boundary-monotonicity argument in the header). Driver memory is
+    * bounded by partitions × perPart rows. */
+  private def boundarySample(proj: DataFrame, perPart: Int): Array[Row] =
+    proj.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val rnd = new scala.util.Random(0x9E3779B9L * (pid + 1))
+      val res = new Array[Row](perPart)
+      var seen = 0
+      while (it.hasNext) {
+        val r = it.next()
+        if (seen < perPart) res(seen) = r
+        else {
+          val j = rnd.nextInt(seen + 1)
+          if (j < perPart) res(j) = r
+        }
+        seen += 1
+      }
+      res.take(math.min(seen, perPart)).iterator
+    }.collect()
+
   /** Shared distributed-rank core: df + `__pid` (deterministic slice) +
     * `__r` (exact 1-based per-key row_number as long) + `__n` (per-key
     * total). Key/order column names must be distinct top-level columns. */
@@ -92,9 +117,8 @@ object DistributedRank {
     val cols = keyCols.map((_, true)) ++ orderKeys
     require(cols.map(_._1).distinct.length == cols.length,
       s"key/order columns must be distinct names: ${cols.map(_._1)}")
-    val sample = df.select(cols.map(c => col(c._1)): _*)
-      .rdd.takeSample(withReplacement = false,
-        num = math.min(slices * 32, 4096), seed = 9L)
+    val sample = boundarySample(df.select(cols.map(c => col(c._1)): _*),
+      perPart = 64)
     val sorted = sample.sorted(tupleOrdering(cols.map(_._2)))
     val boundaries = (1 until slices)
       .map(i => i * sorted.length / slices)
