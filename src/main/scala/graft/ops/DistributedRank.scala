@@ -151,7 +151,7 @@ object DistributedRank {
     */
   def ntileByKey(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
                  k: Int, slices: Int = 64,
-                 smallBytes: Long = 16L << 20): DataFrame = {
+                 smallBytes: Long = 64L << 20): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val keyCs = keyCols.map(col)
     // Inputs small enough that one task per key sorts in memory skip the
@@ -186,7 +186,7 @@ object DistributedRank {
   def rowNumberByKey(df: DataFrame, keyCols: Seq[String],
                      orderKeys: Seq[(String, Boolean)],
                      out: String = "rn", slices: Int = 64,
-                     smallBytes: Long = 16L << 20): DataFrame = {
+                     smallBytes: Long = 64L << 20): DataFrame = {
     val orderCs = orderKeys.map { case (n, asc) => if (asc) col(n) else col(n).desc }
     val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (estBytes <= threshold(df, smallBytes)) {
