@@ -782,6 +782,36 @@ object Embeddings {
       k)
   }
 
+  /** BANDED query-time ANN top-k — annTopK with sim13's (B, R) dial: R
+    * independent signatures of B planes each instead of one wide one,
+    * per-query recall ≈ 1 − (1 − p^B)^R at candidates ≈ R·|bucket|.
+    * Same shapes as knnGraphBanded restricted to the query subset: the
+    * query side broadcasts, a pair surfaced by several bands ranks ONCE
+    * (exact-cosine dedupe before the bounded top-k). */
+  def annTopKBanded(vecs: DataFrame, idCol: String, vecCol: String,
+                    queryPred: Column, k: Int, planesPerBand: Int,
+                    bands: Int, dim: Int): DataFrame = {
+    require(planesPerBand >= 1 && bands >= 1 && k >= 1,
+      s"need planesPerBand ($planesPerBand), bands ($bands), k ($k) >= 1")
+    val signs = planeSigns(planesPerBand * bands, dim)
+    val sigCols = (0 until bands).map { b =>
+      concat(lit(s"$b:"),
+        lshSignature(col("qe"), signs.slice(b * planesPerBand, (b + 1) * planesPerBand)))
+    }
+    val p = prepared(vecs, idCol, vecCol)
+      .withColumn("sig", explode(array(sigCols: _*)))
+    val queries = p.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("qe").as("q_qe"),
+        col("n2").as("q_n2"), col("sig"))
+    rankTopK(
+      p.join(broadcast(queries), Seq("sig"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosine(dotQ(col("qe"), col("q_qe")), col("n2"), col("q_n2")).as("cos"))
+        .distinct(),
+      k)
+  }
+
   /** Attribute-FILTERED ANN top-k — the "hybrid search" shape every
     * retrieval stack needs (top-k similar WHERE lang = 'en' AND ...):
     * `candPred` restricts the corpus side BEFORE any distance math and

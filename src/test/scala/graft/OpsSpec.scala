@@ -204,6 +204,43 @@ class OpsSpec extends SparkSpec {
     assert(rb >= 0.5, s"banded recall $rb too low for the clustered fixture")
   }
 
+  test("banded query-time ANN beats the single wide signature at equal total planes") {
+    val rnd = new scala.util.Random(43)
+    val base = Array.fill(10)(Array.fill(32)(rnd.nextGaussian()))
+    val vecs = (0 until 300).map { i =>
+      (i.toLong, base(i % 10).map(x => (x + 0.15 * rnd.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val k = 5
+    val pred = col("vec_id") < 30
+    val q = vecs.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(x => math.round(x * 1e6).toLong).toArray).toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    val truth: Map[Long, Set[Long]] = (0L until 30L).map { id =>
+      id -> q.toSeq.filter(_._1 != id)
+        .map { case (o, w) => (-cos(q(id), w), o) }.sorted.take(k).map(_._2).toSet
+    }.toMap
+    def recall(rows: Array[(Long, Long)]): Double = {
+      val got = rows.groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+      truth.keys.toSeq.map(id =>
+        (got.getOrElse(id, Set.empty[Long]) & truth(id)).size.toDouble / k).sum / truth.size
+    }
+    val banded = ops.Embeddings.annTopKBanded(vecs, "vec_id", "embedding",
+        pred, k, planesPerBand = 6, bands = 3, dim = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val single = ops.Embeddings.annTopK(vecs, "vec_id", "embedding",
+        pred, k, planes = 18, dim = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(banded.distinct.length === banded.length) // multi-band hits rank once
+    val rb = recall(banded)
+    val rs = recall(single)
+    assert(rb > rs, s"banded recall $rb should beat single-signature $rs")
+    assert(rb >= 0.5, s"banded recall $rb too low for the clustered fixture")
+  }
+
   test("hierarchical quantizer: coarse=1 equals flat; assignment is within-group argmin") {
     val rnd = new scala.util.Random(23)
     val base = Array.fill(8)(Array.fill(16)(rnd.nextGaussian()))
