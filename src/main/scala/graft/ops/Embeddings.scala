@@ -898,14 +898,37 @@ object Embeddings {
     val row = p.agg(graft.functions.GramAggregate
       .gram_acc(col("qe"), dim, gramScale).as("g")).head()
     val buf = row.getSeq[Long](0).toArray
-    val n = buf(0)
-    if (n == 0L)
+    if (buf(0) == 0L)
       return p.limit(0).select(col("vec_id"),
         array().cast(ArrayType(DoubleType, containsNull = false)).as("proj"))
-    // covariance in (qe/gramScale) units; unit conversion only affects
-    // eigenVALUE scale, not the eigenbasis
+    val m = trainPca(buf, dim, outDim)
+    // center in VALUE units (qe = value·1e6; sums are qe/gramScale)
+    val center = m.meanR.map(_ * gramScale / 1e6)
+    p.select(col("vec_id"),
+      graft.functions.VectorFunctions.matvec_project(
+        col("qe"), m.basis, center, 1e-6).as("proj"))
+  }
+
+  /** Driver-side PCA model built from ONE collected Gram buffer — the
+    * collect-then-bake step shared by projection and audit. All fields
+    * are O(dim²), never data-sized. `traceInt` is the n²-scaled
+    * covariance trace Σᵢ(n·Gᵢᵢ − Sᵢ²) in EXACT Int64 — the SQL-checkable
+    * anchor tying the spectrum to the raw data (fits 63 bits whenever
+    * the Gram itself does, i.e. n·Σr² < 2⁶²). */
+  private[graft] final case class PcaModel(n: Long, meanR: Array[Double],
+      traceInt: Long, traceDbl: Double, eigsDesc: Array[Double],
+      basis: Array[Array[Double]])
+
+  /** Covariance from the Gram buffer (in (qe/gramScale)² units — unit
+    * conversion only affects eigenVALUE scale, not the eigenbasis),
+    * cyclic-Jacobi spectrum sorted descending, canonical-sign top
+    * `outDim` eigenvectors (largest-|component| entry positive). */
+  private[graft] def trainPca(buf: Array[Long], dim: Int, outDim: Int): PcaModel = {
+    val n = buf(0)
+    require(n > 0L, "trainPca needs a non-empty Gram buffer")
     val mean = Array.tabulate(dim)(i => buf(1 + i).toDouble / n)
     val cov = Array.ofDim[Double](dim, dim)
+    var traceInt = 0L
     var g = 1 + dim
     var i = 0
     while (i < dim) {
@@ -913,23 +936,87 @@ object Embeddings {
       while (j < dim) {
         val c = buf(g).toDouble / n - mean(i) * mean(j)
         cov(i)(j) = c; cov(j)(i) = c
+        if (j == i) traceInt += n * buf(g) - buf(1 + i) * buf(1 + i)
         j += 1; g += 1
       }
       i += 1
     }
     val (vals, vecsM) = jacobiEigen(cov)
-    val order = vals.zipWithIndex.sortBy { case (v, idx) => (-v, idx) }.map(_._2).take(outDim)
-    val mat = order.map { k =>
+    val desc = vals.zipWithIndex.sortBy { case (v, idx) => (-v, idx) }
+    val mat = desc.take(outDim).map { case (_, k) =>
       val v = Array.tabulate(dim)(r => vecsM(r)(k))
-      // canonical sign: largest-|component| entry positive
       val piv = v.indices.maxBy(r => (math.abs(v(r)), -r))
       if (v(piv) < 0) v.map(x => -x) else v
     }
-    // center in VALUE units (qe = value·1e6; sums are qe/gramScale)
-    val center = mean.map(_ * gramScale / 1e6)
-    p.select(col("vec_id"),
-      graft.functions.VectorFunctions.matvec_project(
-        col("qe"), mat, center, 1e-6).as("proj"))
+    val traceDbl = (0 until dim).map(d => cov(d)(d)).sum
+    PcaModel(n, mean, traceInt, traceDbl, desc.map(_._1), mat)
+  }
+
+  /** Invariant audit of the full PCA pipeline, shaped so a plain-SQL
+    * oracle can pin every output row WITHOUT expressing the eigensolve
+    * in SQL (ref seafowl has no PCA; public invariants of PCA per
+    * Jolliffe 2002 ch.1). The audit projects the gramScale-TRUNCATED
+    * components (the exact vectors the Gram pass measured) through the
+    * trained eigenbasis and verifies, distributed, what the eigensolve
+    * guarantees:
+    *   - `count` / `trace_exact`: row count and the n²-scaled integer
+    *     covariance trace, recomputed by the oracle from raw data in
+    *     exact Int64 — the non-circular anchor (bit-equal by em2's
+    *     already-proven Gram = SQL-sums identity);
+    *   - `energy_ppm(i,i)`: measured variance of projected component i
+    *     over eigenvalue λᵢ, in parts-per-million → 1 000 000 (the
+    *     distributed MatVecProject really concentrates λᵢ energy);
+    *   - `orth_ppm(i,j)`: measured cross-component covariance over the
+    *     trace → 0 (the basis really diagonalizes);
+    *   - `mean_ppm(i)`: projected mean over √trace → 0 (centering);
+    *   - `eig_trace_ppm`: Σ all eigenvalues over trace → 1 000 000
+    *     (rotations preserve trace); `psd_ok`: λ_min ≥ −1e-9·trace.
+    * Jacobi converges to ≤1e-10 relative off-diagonal mass and float
+    * summation error is ≤~1e-12 relative, so every ppm rounds exactly —
+    * 5 000× under the half-quantum. One fixed-state Gram pass + one
+    * fixed-state moment pass; output is Θ(outDim²) rows. */
+  def pcaInvariantAudit(vecs: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, outDim: Int, gramScale: Long = 1000L): DataFrame = {
+    require(dim >= 1 && outDim >= 1 && outDim <= dim,
+      s"need 1 <= outDim ($outDim) <= dim ($dim)")
+    val p = prepared(vecs, idCol, vecCol)
+    val buf = p.agg(graft.functions.GramAggregate
+      .gram_acc(col("qe"), dim, gramScale).as("g")).head().getSeq[Long](0).toArray
+    val m = trainPca(buf, dim, outDim)
+    require(m.traceDbl > 0.0, "audit needs non-degenerate input variance")
+    val lam = m.eigsDesc.take(outDim)
+    // project the truncated components (r = qe div gramScale — Spark SQL
+    // `div` truncates toward zero, matching GramAggregate's Java `/`),
+    // so measured moments are EXACTLY the diagonalized Gram covariance
+    val projd = p.select(graft.functions.VectorFunctions.matvec_project(
+      expr(s"transform(qe, e -> e div ${gramScale}L)"), m.basis, m.meanR, 1.0).as("pr"))
+    val aggExprs: Seq[Column] =
+      Seq(count(lit(1)).cast("long").as("n")) ++
+      (0 until outDim).map(i => sum(element_at(col("pr"), i + 1)).as(s"m$i")) ++
+      (for { i <- 0 until outDim; j <- i until outDim }
+        yield sum(element_at(col("pr"), i + 1) * element_at(col("pr"), j + 1)).as(s"g${i}_$j"))
+    val a = projd.agg(aggExprs.head, aggExprs.tail: _*)
+    def meanOf(i: Int) = col(s"m$i") / col("n")
+    def covOf(i: Int, j: Int) = col(s"g${i}_$j") / col("n") - meanOf(i) * meanOf(j)
+    def chkRow(chk: String, i: Long, j: Long, v: Column) =
+      struct(lit(chk).as("chk"), lit(i).as("i"), lit(j).as("j"), v.cast("long").as("v"))
+    val psd = if (m.eigsDesc.last >= -1e-9 * math.max(m.traceDbl, 1.0)) 1L else 0L
+    val rows: Seq[Column] =
+      Seq(chkRow("count", -1L, -1L, col("n")),
+          chkRow("trace_exact", -1L, -1L, lit(m.traceInt)),
+          chkRow("eig_trace_ppm", -1L, -1L,
+            lit(math.round(m.eigsDesc.sum / m.traceDbl * 1e6))),
+          chkRow("psd_ok", -1L, -1L, lit(psd))) ++
+      (0 until outDim).map(i =>
+        chkRow("energy_ppm", i, i, round(covOf(i, i) / lit(lam(i)) * 1e6))) ++
+      (for { i <- 0 until outDim; j <- (i + 1) until outDim }
+        yield chkRow("orth_ppm", i, j, round(covOf(i, j) / lit(m.traceDbl) * 1e6))) ++
+      (0 until outDim).map(i =>
+        chkRow("mean_ppm", i, -1L, round(meanOf(i) / lit(math.sqrt(m.traceDbl)) * 1e6)))
+    a.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.chk").as("chk"), col("r.i").as("i"),
+        col("r.j").as("j"), col("r.v").as("v"))
+      .orderBy("chk", "i", "j")
   }
 
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix: rotations

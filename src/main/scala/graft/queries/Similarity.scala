@@ -409,25 +409,43 @@ object Similarity {
         .orderBy("idx")
     },
 
-    // The serving half of PCA: project every embedding through the
-    // trained eigenbasis (plan-baked matrix, zero shuffles at serving
-    // time). The eigensolve is driver-side Jacobi — deterministic but
-    // not SQL-expressible, so this entry is rows-checked by the driver
-    // and value-checked by OpsSpec (planted low-rank recovery +
-    // repartition determinism); the distributed pass it depends on is
-    // value-exact via em2.
-    QueryDef.unoracled("em3_pca_project") { (s, d) =>
-      // posexploded to (vec_id, component_idx, value) scalars so the
-      // driver's comparator can sort the result (array columns aren't
-      // sortable pandas keys); values quantized to micro-units so the
-      // rows are stable under partitioning (OpsSpec value-checks the
-      // projection itself against a planted low-rank basis)
-      Embeddings.pcaProject(Tables.load(s, d, "embeddings"),
-          "vec_id", "embedding", dim = DIM, outDim = 4)
-        .select(col("vec_id"), posexplode(col("proj")).as(Seq("component_idx", "v")))
-        .select(col("vec_id"), col("component_idx").cast("long").as("component_idx"),
-          round(col("v") * 1e6).cast("long").as("value_micro"))
-        .orderBy("vec_id", "component_idx")
+    // The serving half of PCA, verified by INVARIANT: the eigensolve is
+    // driver-side Jacobi (not SQL-expressible), but what it guarantees
+    // IS — so the Spark side measures, distributed over every projected
+    // row, the properties the eigenbasis must have (diagonal projection
+    // covariance, per-component energy = eigenvalue, preserved trace,
+    // centering, PSD spectrum) while the oracle pins each expected value,
+    // recomputing the count and the exact-Int64 covariance trace from
+    // the raw table as the non-circular data anchor (same SQL-sums
+    // identity em2 already proves for the full Gram buffer). The
+    // projection values themselves are value-checked by OpsSpec
+    // (planted low-rank recovery + repartition determinism).
+    QueryDef("em3_pca_project", {
+      val dim = DIM
+      val outDim = 4
+      s"""WITH q0 AS (SELECT [CAST(ROUND(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) FOR x IN embedding] AS qe
+         |            FROM embeddings),
+         |v AS (SELECT [CASE WHEN e >= 0 THEN e // 1000 ELSE -((-e) // 1000) END FOR e IN qe] AS r
+         |      FROM q0),
+         |dims AS (SELECT CAST(i AS BIGINT) AS i FROM range(1, ${dim + 1}) t(i)),
+         |cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+         |mom AS (SELECT i, CAST(SUM(r[i]) AS BIGINT) AS s, CAST(SUM(r[i]*r[i]) AS BIGINT) AS g
+         |        FROM v, dims GROUP BY i),
+         |tr AS (SELECT CAST(SUM(cnt.n * mom.g - mom.s * mom.s) AS BIGINT) AS t FROM mom, cnt),
+         |comps AS (SELECT CAST(i AS BIGINT) AS i FROM range(0, $outDim) t(i)),
+         |pairs AS (SELECT a.i AS i, b.i AS j FROM comps a, comps b WHERE b.i > a.i)
+         |SELECT * FROM (
+         |  SELECT 'count' AS chk, CAST(-1 AS BIGINT) AS i, CAST(-1 AS BIGINT) AS j, n AS v FROM cnt
+         |  UNION ALL SELECT 'trace_exact', -1, -1, t FROM tr
+         |  UNION ALL SELECT 'eig_trace_ppm', -1, -1, 1000000
+         |  UNION ALL SELECT 'psd_ok', -1, -1, 1
+         |  UNION ALL SELECT 'energy_ppm', i, i, 1000000 FROM comps
+         |  UNION ALL SELECT 'orth_ppm', i, j, 0 FROM pairs
+         |  UNION ALL SELECT 'mean_ppm', i, -1, 0 FROM comps
+         |) ORDER BY chk, i, j""".stripMargin
+    }) { (s, d) =>
+      Embeddings.pcaInvariantAudit(Tables.load(s, d, "embeddings"),
+        "vec_id", "embedding", dim = DIM, outDim = 4)
     },
 
     // Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009):
