@@ -588,6 +588,29 @@ object Similarity {
         .orderBy("node_id", "rnk")
     },
 
+    // BANDED query-time ANN — sim2's query shape on sim13's (B, R)
+    // dial: the query subset broadcasts, each of its R narrow band
+    // signatures joins the corpus's matching band, and a pair surfaced
+    // by several bands ranks once (exact-cosine DISTINCT before the
+    // bounded top-k — identical on both engines).
+    QueryDef("sim14_ann_banded",
+      s"""WITH $quantCte,
+         |sigs AS (SELECT a.vec_id, a.qe, a.n2, ${bandedSigSql("a", 6, 3)} AS bsigs FROM q a),
+         |e AS (SELECT vec_id, qe, n2, UNNEST(bsigs) AS sig FROM sigs),
+         |qs AS (SELECT vec_id AS query_id, qe, n2, sig FROM e WHERE vec_id < 10),
+         |s AS (SELECT DISTINCT b.query_id, a.vec_id AS neighbor_id,
+         |        ${cosSql("CAST(list_sum([a.qe[i]*b.qe[i] FOR i IN range(1, len(a.qe)+1)]) AS BIGINT)", "a.n2", "b.n2")} AS cos
+         |      FROM e a JOIN qs b ON a.sig = b.sig AND a.vec_id <> b.query_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
+         |SELECT query_id, neighbor_id, cos, CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
+      Embeddings.annTopKBanded(Tables.load(s, d, "embeddings"),
+          "vec_id", "embedding", col("vec_id") < 10, k = 3,
+          planesPerBand = 6, bands = 3, dim = DIM)
+        .withColumn("rnk", col("rnk").cast("long"))
+        .orderBy("query_id", "rnk")
+    },
+
     // Embedding-TRUNCATION recall eval (the Matryoshka/MRL question):
     // how much of exact full-dim top-5 survives when search uses only
     // the first 16 of 64 dims — the measurement that decides whether a

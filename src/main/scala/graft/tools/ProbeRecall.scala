@@ -59,6 +59,16 @@ object ProbeRecall {
       numSub = 8, subDim = 8, codebookSize = 64, candK = 10 * k))
     recall("ivfpq+", Embeddings.ivfPqTopK(emb, "vec_id", "embedding", pred, k,
       numCells = 8, nprobe = 4, numSub = 8, subDim = 8, codebookSize = 64, candK = 10 * k))
+    // query-time BANDED ANN (sim14): the (B, R) dial at the annTopK
+    // shape — the claim is the equal-total-planes comparison vs one
+    // wide signature, same as the graph rows below
+    recall("lsh-18p", Embeddings.annTopK(emb, "vec_id", "embedding", pred, k, planes = 18, dim = 64))
+    recall("band6x3", Embeddings.annTopKBanded(emb, "vec_id", "embedding", pred, k,
+      planesPerBand = 6, bands = 3, dim = 64))
+    recall("band8x4", Embeddings.annTopKBanded(emb, "vec_id", "embedding", pred, k,
+      planesPerBand = 8, bands = 4, dim = 64))
+    recall("band6x8", Embeddings.annTopKBanded(emb, "vec_id", "embedding", pred, k,
+      planesPerBand = 6, bands = 8, dim = 64))
 
     // k-NN GRAPH recall: EVERY node is a query; ground truth is the full
     // brute force (the corpus broadcasts at probe scale). The banded

@@ -391,6 +391,18 @@ object ProbeScale {
           noop(graft.ops.Embeddings.knnGraphBanded(emb, "vec_id", "embedding",
             k = 3, planesPerBand = bScaled, bands = 3, dim = 64)))
       }
+      // sim14's query-time twin of the dial: candidates ≈ R·nq·N/2^B —
+      // LINEAR in the corpus at fixed query count, so scaling B keeps
+      // per-query candidate pools (and the ranked shuffle) flat
+      t(s"sim14 banded ann x$m B=6 R=3 (fixed B: linear growth)")(noop(
+        graft.ops.Embeddings.annTopKBanded(emb, "vec_id", "embedding",
+          col("vec_id") < 50, k = 3, planesPerBand = 6, bands = 3, dim = 64)))
+      if (m > 1) {
+        val bScaled = 6 + (math.log(m.toDouble) / math.log(2.0)).ceil.toInt
+        t(s"sim14 banded ann x$m B=$bScaled R=3 (B scaled: flat per-query pools)")(
+          noop(graft.ops.Embeddings.annTopKBanded(emb, "vec_id", "embedding",
+            col("vec_id") < 50, k = 3, planesPerBand = bScaled, bands = 3, dim = 64)))
+      }
       emb.unpersist()
       t(s"q49 recursive CTE x$m (part tree grows with keyspace)") {
         repPart(spark, sfDir, m).createOrReplaceTempView("probe_part")
