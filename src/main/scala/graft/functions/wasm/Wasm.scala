@@ -273,9 +273,21 @@ object Wasm {
 
   class Trap(msg: String) extends RuntimeException(msg)
 
+  /** Execution budget per top-level call, in interpreter steps — the
+    * isolation wasmtime's fuel metering provides in the reference
+    * (seafowl src/wasm_udf/wasm.rs:84-241): without it a user-created
+    * function with an infinite loop pins an executor thread for the
+    * whole query. 10⁸ steps ≈ a second of interpreter work — orders of
+    * magnitude above any real scalar UDF, hit only by runaways. */
+  val DefaultFuel: Long = 100000000L
+
   /** An instantiated module: its own memory/globals/table. NOT thread-safe
-    * (callers keep one instance per thread). */
-  class Instance(val module: Module) {
+    * (callers keep one instance per thread). `fuelBudget` bounds every
+    * top-level invoke (nested/indirect calls share the caller's tank);
+    * exhaustion raises a Trap, surfaced like any other module trap. */
+  class Instance(val module: Module, val fuelBudget: Long = DefaultFuel) {
+    private var fuel: Long = fuelBudget
+    private var depth: Int = 0
     private var mem: Array[Byte] =
       new Array[Byte](math.min(module.memPages, MaxPages) * PageSize)
     private var mb: ByteBuffer = ByteBuffer.wrap(mem).order(ByteOrder.LITTLE_ENDIAN)
@@ -296,7 +308,10 @@ object Wasm {
       val locals = new Array[Long](ft.params.size + fd.locals)
       System.arraycopy(args, 0, locals, 0, args.length)
       val st = new Stack
-      exec(fd.body, locals, st)
+      if (depth == 0) fuel = fuelBudget // fresh tank per top-level call
+      depth += 1
+      try exec(fd.body, locals, st)
+      finally depth -= 1
       if (ft.results.nonEmpty) st.pop() else 0L
     }
 
@@ -381,6 +396,9 @@ object Wasm {
     private def exec(body: Array[Instr], locals: Array[Long], st: Stack): Int = {
       var i = 0
       while (i < body.length) {
+        fuel -= 1
+        if (fuel <= 0L)
+          throw new Trap(s"fuel exhausted: call exceeded $fuelBudget interpreter steps")
         body(i) match {
           case Blk(loop, arity, inner) =>
             val h = st.n

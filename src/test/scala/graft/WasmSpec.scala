@@ -109,4 +109,27 @@ class WasmSpec extends SparkSpec {
     }
     assert(bad.getMessage.contains("do not support data type"), bad.getMessage)
   }
+
+  test("fuel limit traps a runaway loop instead of hanging the thread") {
+    import graft.functions.wasm.Wasm
+    // hand-assembled (func (export "spin") (param i32) (result i32)
+    //   (loop (br 0)) i32.const 0) — the module wasmtime's fuel metering
+    // exists for (reference src/wasm_udf/wasm.rs:84-241)
+    val spinHex = "0061736d01000000" + "01060160017f017f" + "03020100" +
+      "070801047370696e0000" + "0a0b01090003400c000b41000b"
+    val bytes = spinHex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val m = new Wasm.Module(bytes)
+    val inst = new Wasm.Instance(m, fuelBudget = 100000L)
+    val ex = intercept[Wasm.Trap](inst.invoke(m.exportedFunc("spin"), Array(0L)))
+    assert(ex.getMessage.contains("fuel exhausted"), ex.getMessage)
+    // the tank refills per TOP-LEVEL call (exhaustion isn't sticky):
+    // many bounded calls on one instance each run under their own budget
+    val sm = new Wasm.Module(
+      sintauHex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+    val si = new Wasm.Instance(sm, fuelBudget = 1000L)
+    val exp2 = sm.exportedFunc("exp2")
+    (1 to 100).foreach { _ =>
+      si.invoke(exp2, Array(java.lang.Float.floatToIntBits(1.5f).toLong))
+    }
+  }
 }
