@@ -295,10 +295,15 @@ class PgFrontend(ctx: GraftContext, port: Int) {
 
   /** Binary-format wire value → its text representation (which then
     * flows through the shared `literalFor` path): network-order fixed
-    * width for the numeric/bool OIDs, raw UTF-8 for the text-like ones.
-    * OIDs whose binary encoding this frontend doesn't carry (numeric,
-    * date/timestamp epochs, arrays, …) raise 0A000 with a use-text hint
-    * rather than silently misreading bytes. */
+    * width for the int/float/bool OIDs, base-10000 digit groups for
+    * numeric, the 2000-01-01 epoch for date (days) and timestamp[tz]
+    * (microseconds) — the OIDs psycopg3 actually sends binary on
+    * prepared statements — and raw UTF-8 for the text-like ones. OIDs
+    * whose binary encoding this frontend doesn't carry (arrays,
+    * interval, …) raise 0A000 with a use-text hint rather than silently
+    * misreading bytes; so does oid 0 (an UNDECLARED param type gives the
+    * server no way to interpret binary bytes — pg itself errors there).
+    */
   private def binaryToText(oid: Int, bs: Array[Byte]): String = {
     val bb = java.nio.ByteBuffer.wrap(bs) // network byte order
     def need(n: Int): Unit = require(bs.length == n,
@@ -310,11 +315,49 @@ class PgFrontend(ctx: GraftContext, port: Int) {
       case 20 => need(8); bb.getLong.toString
       case 700 => need(4); bb.getFloat.toString
       case 701 => need(8); bb.getDouble.toString
-      case 0 | 18 | 19 | 25 | 1042 | 1043 => new String(bs, UTF_8) // text-like
+      case 1700 => // numeric: ndigits, weight, sign, dscale, base-10000 digits
+        require(bs.length >= 8,
+          s"binary parameter for oid 1700 must be at least 8 bytes, got ${bs.length}")
+        val nd = bb.getShort.toInt
+        val weight = bb.getShort.toInt
+        val sign = bb.getShort & 0xffff
+        val dscale = bb.getShort.toInt
+        require(bs.length == 8 + 2 * nd,
+          s"binary numeric parameter declares $nd digit groups but carries ${(bs.length - 8) / 2}")
+        if (sign == 0xC000) "NaN" // literalFor rejects it as 22P02 (no NaN decimals here)
+        else {
+          var v = java.math.BigDecimal.ZERO
+          var i = 0
+          while (i < nd) {
+            v = v.add(java.math.BigDecimal.valueOf(bb.getShort.toLong)
+              .scaleByPowerOfTen(4 * (weight - i)))
+            i += 1
+          }
+          if (sign == 0x4000) v = v.negate()
+          // dscale is pg's authoritative display scale; digits beyond it
+          // are always zero for well-formed values (a violation errors
+          // as 22P02 rather than silently rounding)
+          v.setScale(dscale, java.math.RoundingMode.UNNECESSARY).toPlainString
+        }
+      case 1082 => // date: int32 days since 2000-01-01
+        need(4); java.time.LocalDate.of(2000, 1, 1).plusDays(bb.getInt.toLong).toString
+      case 1114 | 1184 => // timestamp[tz]: int64 microseconds since 2000-01-01
+        need(8)
+        val us = bb.getLong
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(us, 1000000L) + PgEpochSec,
+          Math.floorMod(us, 1000000L).toInt * 1000,
+          java.time.ZoneOffset.UTC).format(TsOutFmt)
+      case 18 | 19 | 25 | 1042 | 1043 => new String(bs, UTF_8) // text-like
       case other => throw new UnsupportedOperationException(
         s"binary-format parameters of oid $other are not supported; use text format")
     }
   }
+
+  /** 2000-01-01T00:00:00Z, the pg binary-wire epoch, in Unix seconds. */
+  private val PgEpochSec = 946684800L
+  private val TsOutFmt =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
 
   /** Text-format wire value → SQL literal, typed by the parameter OID. */
   private def literalFor(oid: Int, v: Option[String]): String = v match {

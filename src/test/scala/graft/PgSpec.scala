@@ -313,16 +313,58 @@ class PgSpec extends SparkSpec {
       assert(errsN.isEmpty, errsN)
       assert(rowsN === Seq(Seq(null)))
       // an OID without a carried binary codec raises 0A000 with a
-      // use-text hint instead of misreading the bytes
+      // use-text hint instead of misreading the bytes (1186 = interval)
       val (_, _, errs2) = c.extendedQueryBinParams(
-        "SELECT $1 AS x", Seq(1700), Seq(Some(be32(1))))
+        "SELECT $1 AS x", Seq(1186), Seq(Some(be64(1L))))
       assert(errs2.exists(_.contains("use text format")), errs2)
+      // so does a binary value whose param type was never declared
+      // (oid 0): the server has no way to interpret the bytes
+      val (_, _, errs0) = c.extendedQueryBinParams(
+        "SELECT $1 AS x", Seq(), Seq(Some("x".getBytes(UTF_8))))
+      assert(errs0.exists(_.contains("use text format")), errs0)
       // a wrong-width value is rejected, and the connection recovers
       val (_, _, errs3) = c.extendedQueryBinParams(
         "SELECT $1 AS x", Seq(20), Seq(Some(be32(1))))
       assert(errs3.exists(_.contains("8 bytes")), errs3)
       val (_, rows4, errs4) = c.extendedQuery("SELECT 1 AS one")
       assert(errs4.isEmpty && rows4 === Seq(Seq("1")))
+    } finally c.close()
+  }
+
+  test("extended protocol: binary numeric/date/timestamp binds (psycopg3 prepared-statement OIDs)") {
+    val c = new Client
+    try {
+      def be64(v: Long) = java.nio.ByteBuffer.allocate(8).putLong(v).array()
+      def be32(v: Int) = java.nio.ByteBuffer.allocate(4).putInt(v).array()
+      // numeric 1700: base-10000 digit groups; -1234.567800 is
+      // [ndigits=3, weight=0, sign=0x4000, dscale=6, 1234 5678 0]
+      def numeric(groups: Seq[Int], weight: Int, neg: Boolean, dscale: Int) = {
+        val bb = java.nio.ByteBuffer.allocate(8 + 2 * groups.size)
+        bb.putShort(groups.size.toShort).putShort(weight.toShort)
+          .putShort(if (neg) 0x4000.toShort else 0.toShort).putShort(dscale.toShort)
+        groups.foreach(g => bb.putShort(g.toShort))
+        bb.array()
+      }
+      val pgEpochSec = 946684800L // 2000-01-01T00:00:00Z
+      val dateDays = java.time.LocalDate.of(1998, 7, 14).toEpochDay -
+        java.time.LocalDate.of(2000, 1, 1).toEpochDay
+      val tsMicros = (java.time.Instant.parse("2024-02-29T12:34:56.789012Z")
+        .getEpochSecond - pgEpochSec) * 1000000L + 789012L
+      val (_, rows, errs) = c.extendedQueryBinParams(
+        "SELECT $1 AS num, $2 + 1 AS num1, CAST($3 AS STRING) AS dt, CAST($4 AS STRING) AS ts, CAST($5 AS STRING) AS tstz",
+        Seq(1700, 1700, 1082, 1114, 1184),
+        Seq(Some(numeric(Seq(1234, 5678, 0), weight = 0, neg = true, dscale = 6)),
+          Some(numeric(Seq(42), weight = 0, neg = false, dscale = 0)),
+          Some(be32(dateDays.toInt)), Some(be64(tsMicros)), Some(be64(tsMicros))))
+      assert(errs.isEmpty, errs)
+      assert(rows === Seq(Seq("-1234.567800", "43", "1998-07-14",
+        "2024-02-29 12:34:56.789012", "2024-02-29 12:34:56.789012")))
+      // negative-microsecond epoch (pre-2000 timestamp) floors correctly
+      val (_, rowsP, errsP) = c.extendedQueryBinParams(
+        "SELECT CAST($1 AS STRING) AS ts", Seq(1114),
+        Seq(Some(be64(-1L)))) // 1 µs before the pg epoch
+      assert(errsP.isEmpty, errsP)
+      assert(rowsP === Seq(Seq("1999-12-31 23:59:59.999999")))
     } finally c.close()
   }
 
