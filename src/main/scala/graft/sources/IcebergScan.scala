@@ -56,12 +56,14 @@ object IcebergScan {
           var data = spark.read.parquet(wf.data.map(_._1): _*)
           // _metadata resolves only on the raw scan relation — derive the
           // per-row data sequence number BEFORE any delete anti-join
-          if (wf.eqDeletes.nonEmpty) data = withSeqColumn(data, wf.data)
+          if (wf.eqDeletes.nonEmpty || wf.posDeletes.nonEmpty)
+            data = withSeqColumn(data, wf.data)
           if (wf.posDeletes.nonEmpty)
             data = applyPositionalDeletes(spark, data, wf.posDeletes)
           if (wf.eqDeletes.nonEmpty)
             data = applyEqualityDeletes(spark, data, wf.eqDeletes,
               fieldIdToName(meta))
+          if (wf.eqDeletes.nonEmpty || wf.posDeletes.nonEmpty) data = data.drop("__seq")
           data
         }
     }
@@ -79,17 +81,25 @@ object IcebergScan {
     * manifests may store `/abs/path` while the scan reports
     * `file:///abs/path`. */
   private def applyPositionalDeletes(spark: SparkSession, data: DataFrame,
-                                     deleteFiles: Seq[String]): DataFrame = {
+                                     deleteFiles: Seq[(String, Long)]): DataFrame = {
     import org.apache.spark.sql.functions._
     def canon(c: org.apache.spark.sql.Column) =
       regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.\\-]*:/*", "/")
-    val dels = spark.read.parquet(deleteFiles: _*)
-      .select(canon(col("file_path")).as("__fp"), col("pos").cast("long").as("__pos"))
-    data
+    // spec rule: a position delete applies only to data files whose data
+    // sequence number is <= the delete file's — carried as a residual on
+    // the hash-joinable (file, pos) equi keys, mirroring the equality-
+    // delete handling (delete files grouped by seq to batch the reads)
+    val dels = deleteFiles.groupBy(_._2).map { case (seq, files) =>
+      spark.read.parquet(files.map(_._1): _*)
+        .select(canon(col("file_path")).as("__fp"), col("pos").cast("long").as("__pos"))
+        .withColumn("__dseq", lit(seq))
+    }.reduce(_ unionByName _)
+    val withKeys = data
       .withColumn("__fp", canon(col("_metadata.file_path")))
       .withColumn("__pos", col("_metadata.row_index"))
-      .join(dels, Seq("__fp", "__pos"), "left_anti")
-      .drop("__fp", "__pos")
+    val cond = withKeys("__fp") === dels("__fp") &&
+      withKeys("__pos") === dels("__pos") && dels("__dseq") >= withKeys("__seq")
+    withKeys.join(dels, cond, "left_anti").drop("__fp", "__pos")
   }
 
   /** Accept a direct metadata file, or a table root (resolved through
@@ -133,7 +143,7 @@ object IcebergScan {
     * sequence numbers, positional-delete files, and equality-delete
     * files with (sequence number, equality field ids). */
   private case class WalkedFiles(data: Seq[(String, Long)],
-                                 posDeletes: Seq[String],
+                                 posDeletes: Seq[(String, Long)],
                                  eqDeletes: Seq[(String, Long, Seq[Int])])
 
   /** Walk manifest-list → manifests. Sequence numbers follow the v2
@@ -149,7 +159,7 @@ object IcebergScan {
         longField(r, "sequence_number").getOrElse(0L))
     }
     val data = Seq.newBuilder[(String, Long)]
-    val posDeletes = Seq.newBuilder[String]
+    val posDeletes = Seq.newBuilder[(String, Long)]
     val eqDeletes = Seq.newBuilder[(String, Long, Seq[Int])]
     manifests.foreach { case (mp, mContent, mSeq) =>
       readAvro(new Path(reroute(mp))).foreach { entry =>
@@ -170,7 +180,7 @@ object IcebergScan {
             .getOrElse(mSeq)
           content match {
             case 0L => data += ((path, seq))
-            case 1L => posDeletes += path
+            case 1L => posDeletes += ((path, seq))
             case _ =>
               val ids = intListField(df, "equality_ids").getOrElse(Seq.empty)
               if (ids.isEmpty) throw new IllegalArgumentException(
@@ -193,14 +203,22 @@ object IcebergScan {
     * keys (hash-joinable) plus the sequence inequality as the join
     * residual, delete side broadcast when small. */
   /** Per-row data sequence number via a plan-baked path→seq map over
-    * `_metadata.file_path` (in-row, no extra pass). */
+    * `_metadata.file_path` (in-row, no extra pass; the map is bounded by
+    * the snapshot's file count — a table with millions of files wants a
+    * broadcast-join variant instead). A lookup MISS (canonicalization
+    * drift between manifest paths and scan paths) raises in-row rather
+    * than yielding NULL — a NULL __seq would make every delete residual
+    * NULL and silently resurrect deleted rows. */
   private def withSeqColumn(data: DataFrame,
                             dataFiles: Seq[(String, Long)]): DataFrame = {
     import org.apache.spark.sql.functions._
     def canonStr(p: String) = p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.\\-]*:/*", "/")
     val seqMap = typedLit(dataFiles.map { case (p, s) => canonStr(p) -> s }.toMap)
-    data.withColumn("__seq", element_at(seqMap,
-      regexp_replace(col("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.\\-]*:/*", "/")))
+    val lookup = element_at(seqMap,
+      regexp_replace(col("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.\\-]*:/*", "/"))
+    data.withColumn("__seq", when(lookup.isNotNull, lookup).otherwise(raise_error(
+      concat(lit("iceberg: data file path missing from sequence map (path canonicalization drift): "),
+        col("_metadata.file_path")))))
   }
 
   private def applyEqualityDeletes(spark: SparkSession, data0: DataFrame,
@@ -219,7 +237,7 @@ object IcebergScan {
         (dels("__dseq") > data("__seq"))
       data = data.join(dels, cond, "left_anti")
     }
-    data.drop("__seq")
+    data
   }
 
   /** Iceberg metadata stores absolute file URLs; http(s) ones must flow

@@ -200,6 +200,23 @@ class IcebergSpec extends SparkSpec {
     assert(df.columns.toSeq === Seq("id", "label"))
   }
 
+  test("positional deletes respect data sequence numbers (apply only when data seq <= delete seq)") {
+    val root = tmpDir("iceberg-posdel-seq")
+    val Seq(f0, f1) = writeDataFiles(root) // ids [0,500) / [500,1000)
+    // one delete file at seq 2 naming position 0 of BOTH files: applies
+    // to f0 (data seq 1 <= 2) but NOT f1 (seq 3 — the file was written
+    // after the delete, its row 0 must survive per the spec's rule)
+    val del = writeDeleteFile(root, Seq(f0 -> 0L, f1 -> 0L))
+    val meta = buildTable(root,
+      Seq(dataFileRecord(f0, seq = 1L), dataFileRecord(f1, seq = 3L)),
+      deleteEntries = Seq(dataFileRecord(del, content = 1, seq = 2L)))
+    val df = graft.sources.IcebergScan.read(spark, meta)
+    assert(df.count() === 999L)
+    import org.apache.spark.sql.functions._
+    assert(df.filter(col("id").isin(0L, 500L))
+      .collect().map(_.getLong(0)).toSeq === Seq(500L))
+  }
+
   /** Write an equality-delete parquet of key values for column `name`. */
   private def writeEqDeleteFile(root: String, name: String, keys: Seq[Long]): String = {
     import spark.implicits._
