@@ -108,6 +108,26 @@ object DistributedRank {
       res.take(math.min(seen, perPart)).iterator
     }.collect()
 
+  /** Key/order columns must be ATOMIC types (string/numeric/bool/date/
+    * timestamp/decimal): the scale path compares sampled boundary rows
+    * on the driver (Comparable) and bakes them back as plan literals
+    * (lit()-able), neither of which array/struct/map/binary support.
+    * Validated up front on BOTH paths so the failure surface doesn't
+    * depend on input size. */
+  private def validateAtomic(df: DataFrame, names: Seq[String]): Unit = {
+    import org.apache.spark.sql.types._
+    df.select(names.map(col): _*).schema.fields.foreach { f =>
+      f.dataType match {
+        case BinaryType | _: ArrayType | _: StructType | _: MapType | _: UserDefinedType[_] =>
+          throw new IllegalArgumentException(
+            s"DistributedRank key/order column '${f.name}' has non-atomic type " +
+            s"${f.dataType.simpleString}; project it to an atomic sort key first " +
+            "(driver boundary sampling needs Comparable, plan-literal values)")
+        case _ => ()
+      }
+    }
+  }
+
   /** Shared distributed-rank core: df + `__pid` (deterministic slice) +
     * `__r` (exact 1-based per-key row_number as long) + `__n` (per-key
     * total). Key/order column names must be distinct top-level columns. */
@@ -147,12 +167,15 @@ object DistributedRank {
   /** df + "bin": standard SQL NTILE(k) OVER (PARTITION BY keys ORDER BY
     * order) — first (n mod k) buckets take the extra row, identical to
     * Spark's and DuckDB's ntile — computed via distributed ranks (no
-    * per-key total sort). `orderCols` must be a total order within keys.
-    */
+    * per-key total sort). `orderCols` must be a total order within keys,
+    * of ATOMIC column types (see validateAtomic). NOTE: on the scale
+    * path this runs the boundary-sampling job EAGERLY — calling it (not
+    * the later action) triggers one pass over the key/order projection. */
   def ntileByKey(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
                  k: Int, slices: Int = 64,
                  smallBytes: Long = 64L << 20): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    validateAtomic(df, keyCols ++ orderCols)
     val keyCs = keyCols.map(col)
     // Inputs small enough that one task per key sorts in memory skip the
     // two extra exchanges and run the textbook plan (same assignment
@@ -180,13 +203,17 @@ object DistributedRank {
     * ORDER BY order)` as a long — the same rank-offset composition as
     * ntileByKey, so a GLOBAL row_number (empty `keyCols`) never becomes
     * one unbounded single-task sort. `orderKeys` are (column, ascending)
-    * pairs forming a total order within keys; small inputs take the
-    * textbook single-window plan (identical numbering either way — the
-    * switch is pure load balance). */
+    * pairs forming a total order within keys, of ATOMIC column types
+    * (see validateAtomic); small inputs take the textbook single-window
+    * plan (identical numbering either way — the switch is pure load
+    * balance). NOTE: on the scale path this runs the boundary-sampling
+    * job EAGERLY — calling it (not the later action) triggers one pass
+    * over the key/order projection. */
   def rowNumberByKey(df: DataFrame, keyCols: Seq[String],
                      orderKeys: Seq[(String, Boolean)],
                      out: String = "rn", slices: Int = 64,
                      smallBytes: Long = 64L << 20): DataFrame = {
+    validateAtomic(df, keyCols ++ orderKeys.map(_._1))
     val orderCs = orderKeys.map { case (n, asc) => if (asc) col(n) else col(n).desc }
     val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (estBytes <= threshold(df, smallBytes)) {

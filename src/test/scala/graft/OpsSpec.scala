@@ -854,6 +854,23 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("distributed rank rejects non-atomic order columns consistently on both paths") {
+    val df = Seq((1L, Seq(1, 2)), (2L, Seq(3))).toDF("id", "arr")
+    // an array order column would work on the small-window path but
+    // throw deep inside boundary baking on the scale path — the up-front
+    // validation makes the failure surface input-size independent
+    for (smallBytes <- Seq(0L, Long.MaxValue)) {
+      val ex = intercept[IllegalArgumentException](
+        ops.DistributedRank.rowNumberByKey(df, Seq(),
+          Seq(("arr", true), ("id", true)), out = "rn", smallBytes = smallBytes))
+      assert(ex.getMessage.contains("non-atomic"), ex.getMessage)
+    }
+    val ex2 = intercept[IllegalArgumentException](
+      ops.DistributedRank.ntileByKey(df.withColumn("b", lit(Array[Byte](1))),
+        Seq("b"), Seq("id"), k = 2, smallBytes = 0L))
+    assert(ex2.getMessage.contains("non-atomic"), ex2.getMessage)
+  }
+
   test("SCD2: incremental applyChanges equals a from-scratch rebuild") {
     val rnd = new scala.util.Random(41)
     // observation log: 30 keys, random attr drift, unique (pk, ts)
