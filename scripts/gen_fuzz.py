@@ -216,7 +216,71 @@ def scalar_str(rnd, t):
 
 def gen_query(rnd):
     shape = rnd.choice(["agg", "agg", "agg", "joinagg", "grand", "setop", "insub",
-                        "distinct", "window", "scalar", "outerjoin"])
+                        "distinct", "window", "scalar", "outerjoin",
+                        "groupingsets", "exists", "casagg"])
+    if shape == "groupingsets":
+        # ROLLUP / CUBE / GROUPING SETS: the Expand path, with per-column
+        # GROUPING() flags disambiguating rollup-nulls from data-nulls.
+        # FOUND DIVERGENCE (pinned by the mandatory HAVING): on an EMPTY
+        # input the standard (and DuckDB) still emit the grand-total row
+        # for the () grouping set, while Spark's Expand-based aggregate
+        # emits nothing; HAVING COUNT(*) > 0 drops that row on both
+        # engines without touching any non-empty group (every real group
+        # has >= 1 row by construction)
+        name = rnd.choice(list(TABLES))
+        t = TABLES[name]
+        gs, seen = [], set()
+        for _ in range(rnd.randint(2, 3)):
+            e = group_expr(rnd, t)
+            if e not in seen:
+                seen.add(e)
+                gs.append(e)
+        if len(gs) < 2:
+            gs.append(f"CAST({rnd.choice(t['ints'])} AS BIGINT)")
+        sel = ", ".join(f"{g} AS g{i}" for i, g in enumerate(gs))
+        gids = ", ".join(f"CAST(GROUPING({g}) AS BIGINT) AS gid{i}"
+                         for i, g in enumerate(gs))
+        kind = rnd.choice(["ROLLUP", "CUBE", "SETS"])
+        if kind == "SETS":
+            sets = f"GROUPING SETS (({', '.join(gs)}), ({gs[0]}), ())"
+        else:
+            sets = f"{kind}({', '.join(gs)})"
+        aggs = ", ".join(f"{agg(rnd, t)} AS a{i}" for i in range(rnd.randint(1, 2)))
+        w = f" WHERE {pred(rnd, t)}" if rnd.random() < 0.7 else ""
+        having = f" HAVING COUNT(*) > {rnd.randint(0, 3)}"
+        return f"SELECT {sel}, {gids}, {aggs} FROM {name}{w} GROUP BY {sets}{having}"
+    if shape == "exists":
+        # correlated [NOT] EXISTS — the decorrelation path IN (subquery)
+        # doesn't reach (no equi-rewrite of the correlated predicate)
+        ta, tb, ka, kb = rnd.choice(JOINS)
+        t, ts = TABLES[ta], TABLES[tb]
+        neg = "NOT " if rnd.random() < 0.5 else ""
+        g = group_expr(rnd, t)
+        w = f" AND {pred(rnd, t)}" if rnd.random() < 0.6 else ""
+        extra = f" AND {pred(rnd, ts)}" if rnd.random() < 0.8 else ""
+        return (f"SELECT {g} AS g0, CAST(COUNT(*) AS BIGINT) AS a0 FROM {ta} "
+                f"WHERE {neg}EXISTS (SELECT 1 FROM {tb} "
+                f"WHERE {tb}.{kb} = {ta}.{ka}{extra}){w} GROUP BY 1")
+    if shape == "casagg":
+        # CASE inside aggregates: NULL-else SUM (all-miss groups sum to
+        # NULL), COUNT(CASE) counting only matches, COUNT(DISTINCT CASE),
+        # MIN/MAX over CASE, and a conditional-SUM HAVING
+        name = rnd.choice(list(TABLES))
+        t = TABLES[name]
+        p1, p2 = pred(rnd, t), pred(rnd, t)
+        x, y = int_expr(rnd, t), int_expr(rnd, t)
+        c = rnd.choice(t["ints"] + t["strs"])
+        aggs = [
+            f"CAST(SUM(CASE WHEN {p1} THEN {x} WHEN {p2} THEN {y} END) AS BIGINT) AS a0",
+            f"CAST(COUNT(CASE WHEN {p2} THEN {c} END) AS BIGINT) AS a1",
+            f"CAST(COUNT(DISTINCT CASE WHEN {p1} THEN {c} END) AS BIGINT) AS a2",
+            f"CAST({rnd.choice(['MIN', 'MAX'])}(CASE WHEN {p1} THEN {x} END) AS BIGINT) AS a3",
+        ]
+        g = group_expr(rnd, t)
+        w = f" WHERE {pred(rnd, t)}" if rnd.random() < 0.5 else ""
+        having = (f" HAVING CAST(SUM(CASE WHEN {p2} THEN 1 ELSE 0 END) AS BIGINT)"
+                  f" >= {rnd.randint(0, 3)}" if rnd.random() < 0.4 else "")
+        return f"SELECT {g} AS g0, {', '.join(aggs)} FROM {name}{w} GROUP BY 1{having}"
     if shape == "outerjoin":
         # LEFT / FULL joins: null-extended rows are where COUNT(col) vs
         # COUNT(*) and COALESCE semantics classically diverge
