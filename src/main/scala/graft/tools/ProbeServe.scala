@@ -15,15 +15,20 @@ import graft.sql.GraftContext
   * session serving design (reads bind to a per-(db, generation) snapshot;
   * writers advance the generation without blocking them).
   *
-  *   scripts/run.sh graft.tools.ProbeServe [readers=16] [seconds=20]
+  *   scripts/run.sh graft.tools.ProbeServe [readers=16] [seconds=20] [rows=10000]
   *
   * Prints one JSON line: reads, reads/sec, p50/p99 read ms, writes,
-  * writes/sec.
+  * writes/sec — plus a second line for the conditional-GET leg: each
+  * reader re-requests its last query with If-None-Match, so between
+  * version commits the server answers 304 WITHOUT executing (the
+  * plan-based ETag path); the writer's churn dials how often the tag
+  * goes stale. Reported: 304 share and p50/p99 of the 304 responses.
   */
 object ProbeServe {
   def main(args: Array[String]): Unit = {
     val readers = args.headOption.map(_.toInt).getOrElse(16)
     val seconds = args.drop(1).headOption.map(_.toInt).getOrElse(20)
+    val rows = args.drop(2).headOption.map(_.toInt).getOrElse(10000)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -35,7 +40,7 @@ object ProbeServe {
     val dir = java.nio.file.Files.createTempDirectory("graft-serve-probe").toString
     val ctx = new GraftContext(spark, dir)
     ctx.execute("CREATE TABLE kv (k BIGINT, v DOUBLE)")
-    ctx.execute("INSERT INTO kv SELECT id, id * 1.5 FROM range(10000)")
+    ctx.execute(s"INSERT INTO kv SELECT id, id * 1.5 FROM range($rows)")
     val fe = new HttpFrontend(ctx, 0, writeToken = Some("tok"))
     fe.start()
     val base = s"http://127.0.0.1:${fe.boundPort}"
@@ -65,7 +70,7 @@ object ProbeServe {
       new Thread(() => {
         val rnd = new scala.util.Random(i)
         while (!stop.get()) {
-          val lo = rnd.nextInt(9000)
+          val lo = rnd.nextInt(math.max(1, rows - 1000))
           val q = java.net.URLEncoder.encode(
             s"SELECT count(*) AS n, sum(v) AS s FROM kv WHERE k BETWEEN $lo AND ${lo + 999}",
             "UTF-8")
@@ -82,6 +87,38 @@ object ProbeServe {
         }
       })
     }
+    // conditional-GET leg: re-request the SAME query with the last ETag;
+    // between commits this is a 304 answered from the plan hash alone —
+    // no execution — so its latency floor is pure HTTP + planning
+    val hits304 = new AtomicLong(0)
+    val miss304 = new AtomicLong(0)
+    val lat304 = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val condThreads = (0 until math.max(1, readers / 4)).map { i =>
+      new Thread(() => {
+        val rnd = new scala.util.Random(1000 + i)
+        val lo = rnd.nextInt(math.max(1, rows - 1000))
+        val uri = URI.create(s"$base/q/" + java.net.URLEncoder.encode(
+          s"SELECT count(*) AS n, sum(v) AS s FROM kv WHERE k BETWEEN $lo AND ${lo + 999}",
+          "UTF-8"))
+        var etag: String = null
+        while (!stop.get()) {
+          val b = HttpRequest.newBuilder(uri).GET()
+          if (etag != null) b.header("If-None-Match", etag)
+          val t0 = System.nanoTime()
+          val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+          val dt = System.nanoTime() - t0
+          resp.statusCode() match {
+            case 304 => hits304.incrementAndGet(); lat304.add(dt)
+            case 200 =>
+              miss304.incrementAndGet()
+              etag = resp.headers().firstValue("ETag").orElse(null)
+            case c =>
+              firstFailure.compareAndSet(null, s"$c: ${resp.body().take(300)}")
+              failures.incrementAndGet()
+          }
+        }
+      })
+    }
     val writerThread = new Thread(() => {
       var i = 0
       while (!stop.get()) {
@@ -93,21 +130,30 @@ object ProbeServe {
     })
 
     val t0 = System.nanoTime()
-    readerThreads.foreach(_.start()); writerThread.start()
+    readerThreads.foreach(_.start()); condThreads.foreach(_.start()); writerThread.start()
     Thread.sleep(seconds * 1000L)
     stop.set(true)
-    readerThreads.foreach(_.join(10000)); writerThread.join(10000)
+    readerThreads.foreach(_.join(10000)); condThreads.foreach(_.join(10000))
+    writerThread.join(10000)
     val wallS = (System.nanoTime() - t0) / 1e9
     fe.stop()
 
-    val lat = latencies.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
-    def pct(p: Double): Double =
+    def pctOf(q: java.util.concurrent.ConcurrentLinkedQueue[Long])(p: Double): Double = {
+      val lat = q.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
       if (lat.isEmpty) -1 else lat(math.min(lat.length - 1, (p * lat.length).toInt)) / 1e6
+    }
+    val pct = pctOf(latencies) _
     println(
-      s"""{"readers":$readers,"seconds":$wallS,"reads":${reads.get()},""" +
+      s"""{"readers":$readers,"rows":$rows,"seconds":$wallS,"reads":${reads.get()},""" +
       s""""reads_per_sec":${reads.get() / wallS},"read_p50_ms":${pct(0.5)},""" +
       s""""read_p99_ms":${pct(0.99)},"writes":${writes.get()},""" +
       s""""writes_per_sec":${writes.get() / wallS},"failures":${failures.get()}}""")
+    val p304 = pctOf(lat304) _
+    val tot304 = hits304.get() + miss304.get()
+    println(
+      s"""{"cond_readers":${condThreads.size},"cond_requests":$tot304,""" +
+      s""""hits_304":${hits304.get()},"share_304":${if (tot304 == 0) -1 else hits304.get().toDouble / tot304},""" +
+      s""""p50_304_ms":${p304(0.5)},"p99_304_ms":${p304(0.99)}}""")
     Option(firstFailure.get()).foreach(f => println(s"first failure: $f"))
     spark.stop()
   }
