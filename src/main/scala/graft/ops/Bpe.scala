@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding TRAINER (Sennrich et al. 2016): learn
+  * the first N merges of a BPE tokenizer from a corpus. The classic
+  * two-phase shape every scalable tokenizer trainer uses:
+  *
+  *   1. ONE corpus-scale pass — word frequencies (map-side-combined
+  *      groupBy, output is vocab-sized, localCheckpoint'd so no later
+  *      round re-touches the corpus).
+  *   2. N merge rounds over the VOCAB table only: count adjacent symbol
+  *      pairs weighted by word frequency (one bounded-key shuffle over
+  *      pair strings), pick the global argmax (a 1-row TakeOrdered
+  *      collect — the learned merge itself, not data), and apply it to
+  *      every vocab entry with a literal string replace.
+  *
+  * At 100 TB the corpus pass dominates and parallelizes perfectly; the
+  * rounds cost N small vocab-sized jobs regardless of corpus size.
+  *
+  * Word → symbol-sequence representation is a space-delimited string
+  * with sentinel spaces (' a b c '), so a merge is exactly
+  * replace(seq, ' a b ', ' ab '): left-to-right non-overlapping
+  * replacement — identical semantics in Spark's UTF8String.replace and
+  * DuckDB's replace, which is what makes the unrolled SQL oracle
+  * bit-exact (' a a a ' + merge (a,a) → ' aa a ' in both). Ties on
+  * frequency break lexicographically on (lhs, rhs) for cross-engine
+  * determinism. If the vocab merges to single symbols before N rounds,
+  * training stops early — the oracle's empty-CTE cascade produces the
+  * same truncated merge table.
+  *
+  * Output: (merge_rank, lhs, rhs, freq) — the ordered merge table a
+  * tokenizer applies at encode time.
+  */
+object Bpe {
+
+  def train(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+    require(merges >= 1 && merges <= 64, s"merges must be in [1,64], got $merges")
+    val spark = docs.sparkSession
+    // corpus pass → vocab (seq, wc); checkpoint truncates corpus lineage
+    // so the N rounds below never re-read the input
+    val vocab0 = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+      .select(concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("seq"),
+        col("wc"))
+      .localCheckpoint()
+
+    // N rounds stack N literal replace projections on the checkpointed
+    // vocab — O(N²) tiny projections total, never a corpus re-read
+    var vocab = vocab0
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= merges && !exhausted) {
+      val top = vocab
+        .select(split(trim(col("seq")), " ").as("s"), col("wc"))
+        .filter(size(col("s")) >= 2) // sequence(1,0) would run DESCENDING
+        .select(col("s"), col("wc"),
+          explode(sequence(lit(1), size(col("s")) - 1)).as("j"))
+        .select(element_at(col("s"), col("j")).as("lhs"),
+          element_at(col("s"), col("j") + 1).as("rhs"), col("wc"))
+        .groupBy("lhs", "rhs").agg(sum("wc").as("freq"))
+        .orderBy(col("freq").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += ((rank, a, b, f))
+        vocab = vocab.withColumn("seq",
+          expr(s"replace(seq, ${sqlLit(s" $a $b ")}, ${sqlLit(s" $a$b ")})"))
+        rank += 1
+      }
+    }
+    import spark.implicits._
+    learned.toSeq.toDF("merge_rank", "lhs", "rhs", "freq")
+  }
+
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+}

@@ -454,6 +454,79 @@ object TextDedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Incremental-ingest dedup: verdict for every document of a NEW batch
+    * against an EXISTING corpus — the shape a production pipeline runs
+    * daily (dedup the increment against the corpus index, never re-dedup
+    * the corpus). Output one row per increment doc:
+    * (doc_id, verdict ∈ exact|near|new, match_id = min matching corpus id,
+    * NULL for 'new'). Within-batch duplicates are out of scope by design
+    * (run dd1/dd3 over the batch first — the standard pipeline order).
+    *
+    * Verdict precedence: an exact text match (md5 anti-join against the
+    * corpus digest index) wins and SKIPS the near-dup leg entirely, so
+    * the expensive candidate join only sees the exact-novel residue.
+    * Near = shares an LSH band bucket with a corpus doc AND verified
+    * n-gram Jaccard >= threshold (same portable md5 minhash spec as
+    * minhashDedupPairs, so the DuckDB oracle is bit-exact).
+    *
+    * Scale shape: the corpus side is the big one and builds exactly the
+    * artifacts a persisted dedup index holds — digest → min-id, band
+    * buckets, in-row shingle-hash sets — each in one corpus pass with
+    * in-row signature expressions (amortized across batches when
+    * persisted). The increment side is batch-sized: every join
+    * (digest equi-join, bucket equi-join, two verification set joins)
+    * broadcasts the small batch when AQE/stats allow, and all grouping
+    * keys are bounded (digest, bucket, doc id). Nothing collects.
+    */
+  def incrementalDedup(corpus: DataFrame, increment: DataFrame,
+                       idCol: String, textCol: String,
+                       n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+    val corpDigests = corpus
+      .select(md5(col(textCol)).as("text_hash"),
+        longId(corpus, idCol, "incrementalDedup").as("cid"))
+      .groupBy("text_hash").agg(min("cid").as("exact_match"))
+    val inc = increment.select(
+      longId(increment, idCol, "incrementalDedup").as("doc_id"),
+      md5(col(textCol)).as("text_hash"), col(textCol).as("__text"))
+    val exact = inc.join(corpDigests, Seq("text_hash"), "left")
+      .select(col("doc_id"), col("__text"), col("exact_match"))
+
+    // near-dup leg over the exact-novel residue only
+    def sets(df: DataFrame, id: Column, t: Column): DataFrame =
+      spreadSmallInput(df.filter(size(split(t, " ")) >= n))
+        .select(id.as("sid"),
+          graft.functions.TextExprs.minhash_band_keys(t, n, k, bands).as("bks"),
+          graft.functions.TextExprs.shingle_hash_set(t, n).as("shs"))
+    val incSets = sets(exact.filter(col("exact_match").isNull),
+      col("doc_id"), col("__text"))
+    val corpSets = sets(corpus, longId(corpus, idCol, "incrementalDedup"),
+      col(textCol))
+    val cands = incSets
+      .select(col("sid").as("doc_id"), explode_outer(col("bks")).as("bucket"))
+      .filter(col("bucket").isNotNull)
+      .join(corpSets.select(col("sid").as("cid"),
+          explode_outer(col("bks")).as("bucket"))
+        .filter(col("bucket").isNotNull), Seq("bucket"))
+      .select("doc_id", "cid").distinct()
+    val near = cands
+      .join(incSets.select(col("sid"), col("shs").as("shs1")), col("doc_id") === col("sid"))
+      .drop("sid")
+      .join(corpSets.select(col("sid"), col("shs").as("shs2")), col("cid") === col("sid"))
+      .select(col("doc_id"), col("cid"),
+        size(array_intersect(col("shs1"), col("shs2"))).cast(DoubleType).as("inter"),
+        size(col("shs1")).cast(DoubleType).as("sz1"),
+        size(col("shs2")).cast(DoubleType).as("sz2"))
+      .filter(col("inter") / (col("sz1") + col("sz2") - col("inter")) >= threshold)
+      .groupBy("doc_id").agg(min("cid").as("near_match"))
+
+    exact.join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_match").isNotNull, "exact")
+          .when(col("near_match").isNotNull, "near")
+          .otherwise("new").as("verdict"),
+        coalesce(col("exact_match"), col("near_match")).as("match_id"))
+  }
+
   /** Hamming distance between two 16-hex-char simhash columns (given by
     * name; portable: per-nibble popcount of xor). */
   def simhashHamming(aCol: String, bCol: String): Column =

@@ -27,6 +27,17 @@ object PipelinesDedup {
     .map(b => s"SELECT doc_id, '$b:'||h${2 * b}||h${2 * b + 1} AS bucket FROM sig")
     .mkString("\n  UNION ALL ")
 
+  // Parameterized twins of the fragments above for oracles that run the
+  // pipeline over a named sub-relation instead of the whole table
+  // (dd19's corpus-vs-increment split).
+  private def shingleCteFor(rel: String, words: String, out: String) =
+    s"""$words AS (SELECT doc_id, string_split(text, ' ') AS w FROM $rel),
+       |$out AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS shingle
+       |       FROM $words, UNNEST(range(1, len(w)-3)) AS t(i))""".stripMargin
+  private def bandUnionFor(sig: String) = (0 until BANDS)
+    .map(b => s"SELECT doc_id, '$b:'||h${2 * b}||h${2 * b + 1} AS bucket FROM $sig")
+    .mkString("\n  UNION ALL ")
+
   // full minhash-LSH pipeline as a CTE chain ending in `pairs` (shared by
   // dd3 and the dd6 grouping closure)
   private lazy val minhashPairCtes =
@@ -669,6 +680,57 @@ object PipelinesDedup {
           col("best.source").as("canonical_source"),
           (col("tot") - col("best.n_chars")).cast("long").as("chars_saved"))
         .orderBy("group_id")
+    },
+
+    // Incremental-ingest dedup: the src0 batch arrives against the
+    // already-ingested rest of the corpus. Verdict per new doc: exact
+    // (digest match), near (LSH bucket collision + verified Jaccard),
+    // or new. See TextDedup.incrementalDedup for the scale shape.
+    QueryDef("dd19_incremental_dedup", {
+      s"""WITH inc AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
+         |corp AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+         |ch AS (SELECT md5(text) AS h, MIN(doc_id) AS exact_match FROM corp GROUP BY 1),
+         |ex AS (SELECT i.doc_id, i.text, ch.exact_match
+         |       FROM inc i LEFT JOIN ch ON md5(i.text) = ch.h),
+         |inc2 AS (SELECT doc_id, text FROM ex WHERE exact_match IS NULL),
+         |${shingleCteFor("inc2", "iwords", "ish")},
+         |${shingleCteFor("corp", "cwords", "csh")},
+         |isig AS (SELECT doc_id,
+         |    $sigSelect
+         |  FROM ish GROUP BY doc_id),
+         |csig AS (SELECT doc_id,
+         |    $sigSelect
+         |  FROM csh GROUP BY doc_id),
+         |ibkt AS (
+         |  ${bandUnionFor("isig")}),
+         |cbkt AS (
+         |  ${bandUnionFor("csig")}),
+         |cand AS (SELECT DISTINCT i.doc_id, c.doc_id AS cid
+         |         FROM ibkt i JOIN cbkt c ON i.bucket = c.bucket),
+         |isz AS (SELECT doc_id, COUNT(*) AS sz FROM ish GROUP BY 1),
+         |csz AS (SELECT doc_id, COUNT(*) AS sz FROM csh GROUP BY 1),
+         |inter AS (SELECT cand.doc_id, cand.cid, COUNT(*) AS ic
+         |          FROM cand JOIN ish a ON a.doc_id = cand.doc_id
+         |          JOIN csh b ON b.doc_id = cand.cid AND b.shingle = a.shingle
+         |          GROUP BY 1, 2),
+         |near AS (SELECT inter.doc_id, MIN(cid) AS near_match
+         |         FROM inter JOIN isz ON isz.doc_id = inter.doc_id
+         |         JOIN csz ON csz.doc_id = cid
+         |         WHERE CAST(ic AS DOUBLE)/(isz.sz + csz.sz - ic) >= 0.8
+         |         GROUP BY 1)
+         |SELECT ex.doc_id,
+         |  CASE WHEN exact_match IS NOT NULL THEN 'exact'
+         |       WHEN near_match IS NOT NULL THEN 'near' ELSE 'new' END AS verdict,
+         |  COALESCE(exact_match, near_match) AS match_id
+         |FROM ex LEFT JOIN near ON near.doc_id = ex.doc_id
+         |ORDER BY ex.doc_id""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      TextDedup.incrementalDedup(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", n = 5, k = K, bands = BANDS, threshold = 0.8)
+        .orderBy("doc_id")
     }
   )
 }

@@ -828,6 +828,42 @@ object TextQueries {
           coalesce(col("n_docs"), lit(0L)).as("n_docs"),
           coalesce(col("tk"), lit(0L)).cast("long").as("tokens_kept"))
         .orderBy("source")
+    },
+
+    // BPE tokenizer training: learn the first 8 merges. The oracle
+    // replays the trainer exactly — an unrolled CTE chain where round i
+    // recomputes pair counts over the (i-1)-times-merged vocab, takes
+    // the (freq DESC, lhs, rhs) argmax, and applies the space-delimited
+    // literal replace. See graft.ops.Bpe for the replace-semantics and
+    // early-exhaustion contract that makes this bit-exact cross-engine.
+    QueryDef("tx30_bpe_train", bpeOracle(8)) { (s, d) =>
+      graft.ops.Bpe.train(Tables.load(s, d, "documents"), "text", merges = 8)
+        .orderBy("merge_rank")
     }
   )
+
+  /** Unrolled DuckDB twin of Bpe.train for `merges` rounds. */
+  private def bpeOracle(merges: Int): String = {
+    val rounds = (1 to merges).map { i =>
+      s"""p$i AS (SELECT s[j] AS lhs, s[j+1] AS rhs, CAST(SUM(wc) AS BIGINT) AS freq
+         |        FROM (SELECT string_split(trim(seq), ' ') AS s, wc FROM v${i - 1}),
+         |             UNNEST(range(1, len(s))) AS t(j)
+         |        GROUP BY 1, 2),
+         |m$i AS (SELECT lhs, rhs, freq FROM p$i ORDER BY freq DESC, lhs, rhs LIMIT 1),
+         |v$i AS (SELECT replace(seq, ' '||lhs||' '||rhs||' ', ' '||lhs||rhs||' ') AS seq, wc
+         |        FROM v${i - 1}, m$i)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to merges)
+      .map(i => s"SELECT CAST($i AS INTEGER) AS merge_rank, lhs, rhs, freq FROM m$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH v0 AS (
+       |  SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq,
+       |         CAST(COUNT(*) AS BIGINT) AS wc
+       |  FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) > 0 GROUP BY 1),
+       |$rounds
+       |SELECT * FROM (
+       |  $union)
+       |ORDER BY merge_rank""".stripMargin
+  }
 }

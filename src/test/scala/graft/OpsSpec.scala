@@ -323,6 +323,46 @@ class OpsSpec extends SparkSpec {
     assert(out.map(_._3).sum === 4L)
   }
 
+  test("incremental dedup verdicts: exact beats near, near verified, short docs ok") {
+    def words(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val base = words("w", 30)
+    val corpus = Seq(
+      (100L, base), (101L, base), // exact-dup class in the corpus (min id wins)
+      (102L, words("x", 30)), (103L, "tiny corpus doc")).toDF("doc_id", "text")
+    val increment = Seq(
+      (1L, base),                 // exact match → min corpus id 100
+      (2L, base + " wExtra"),     // 26/27 shared shingles → jaccard 26/27 ≥ 0.8
+      (3L, words("z", 30)),       // novel long doc
+      (4L, "tiny corpus doc"),    // short (<5 words) but exact-matchable
+      (5L, "short novel one")     // short and novel → never reaches the near leg
+    ).toDF("doc_id", "text")
+    val out = ops.TextDedup.incrementalDedup(corpus, increment, "doc_id", "text",
+        n = 5, k = 16, bands = 8, threshold = 0.8)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(out.toSeq === Seq(
+      (1L, "exact", 100L), (2L, "near", 100L), (3L, "new", -1L),
+      (4L, "exact", 103L), (5L, "new", -1L)))
+  }
+
+  test("bpe train learns greedy merges with left-to-right replace and early stop") {
+    // 'aaa'×2 + 'aa'×1: round 1 pair (a,a) has freq 2·2+1=5; the merge is
+    // left-to-right NON-overlapping, so ' a a a ' → ' aa a ' (not ' aa aa ');
+    // round 2 merges (aa,a) freq 2; then the vocab is single-symbol and
+    // training stops early even though 4 merges were requested.
+    val docs = Seq("aaa aaa aa").toDF("text")
+    val out = ops.Bpe.train(docs, "text", merges = 4)
+      .orderBy("merge_rank")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq === Seq((1, "a", "a", 5L), (2, "aa", "a", 2L)))
+    // frequency tie breaks lexicographically on (lhs, rhs)
+    val tie = Seq("ba ca").toDF("text")
+    val t = ops.Bpe.train(tie, "text", merges = 1)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(t === Seq(("b", "a")))
+  }
+
   test("shard shuffle is a stable dense permutation per shard") {
     val docs = (0L until 1000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
     def run() = ops.TextAnalysis.shardShuffle(docs.repartition(7), "doc_id", "s8")
