@@ -88,7 +88,8 @@ object ProbeScale {
       case "r9" => r9(spark, sfDir, mult)
       case "r12" => r12(spark, sfDir, mult)
       case "r13" => r13(spark, sfDir, mult)
-      case other => sys.error(s"unknown suite $other (text|r8|r9|r12|r13)")
+      case "r14" => r14(spark, sfDir, mult)
+      case other => sys.error(s"unknown suite $other (text|r8|r9|r12|r13|r14)")
     }
     spark.stop()
   }
@@ -420,5 +421,30 @@ object ProbeScale {
       }
       ev.unpersist(); docs.unpersist()
     } finally spark.conf.unset("graft.rank.smallBytes")
+  }
+
+  /** Round-14 ops: incremental dedup (dd19) and BPE training (tx30).
+    * dd19's claim: cost is corpus-pass + batch-bounded joins, so with a
+    * FIXED batch wall clock grows ~linearly in the corpus (index build)
+    * while the candidate/verify legs stay batch-sized. tx30's claim:
+    * the corpus pass is the only corpus-scale stage; the N merge rounds
+    * run over the vocab and are corpus-size-independent.
+    */
+  private def r14(spark: SparkSession, sfDir: String, mult: Int): Unit = {
+    for (m <- Seq(1, mult)) {
+      val docs = repDocs(spark, sfDir, m)
+      println(s"== x$m: docs ${docs.count()}")
+      // fixed-size batch: the ORIGINAL src0 slice; corpus grows with m
+      val batch = graft.Tables.load(spark, sfDir, "documents")
+        .filter(col("source") === "src0")
+      val corpus = docs.filter(col("doc_id") >= 1000000L ||
+        col("source") =!= "src0")
+      t(s"dd19 incremental dedup x$m (fixed batch vs ${m}x corpus)")(noop(
+        graft.ops.TextDedup.incrementalDedup(corpus, batch,
+          "doc_id", "text", n = 5, k = 16, bands = 8, threshold = 0.8)))
+      t(s"tx30 bpe train x$m (8 merges; rounds are vocab-sized)")(noop(
+        graft.ops.Bpe.train(docs, "text", merges = 8)))
+      docs.unpersist()
+    }
   }
 }
