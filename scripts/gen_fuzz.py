@@ -217,7 +217,65 @@ def scalar_str(rnd, t):
 def gen_query(rnd):
     shape = rnd.choice(["agg", "agg", "agg", "joinagg", "grand", "setop", "insub",
                         "distinct", "window", "scalar", "outerjoin",
-                        "groupingsets", "exists", "casagg"])
+                        "groupingsets", "exists", "casagg",
+                        "scalarsub", "cte", "topk"])
+    if shape == "scalarsub":
+        # correlated scalar subquery in the SELECT list — the
+        # decorrelate-to-left-outer-join rewrite, including the classic
+        # COUNT-on-empty-group case (must be 0, not NULL) and the
+        # SUM-on-empty case (must be NULL, pinned via COALESCE)
+        ta, tb, ka, kb = rnd.choice(JOINS)
+        t, ts = TABLES[ta], TABLES[tb]
+        inner_pred = f" AND {pred(rnd, ts)}" if rnd.random() < 0.7 else ""
+        kind = rnd.choice(["count", "sum", "min"])
+        if kind == "count":
+            sub = (f"(SELECT CAST(COUNT(*) AS BIGINT) FROM {tb} "
+                   f"WHERE {tb}.{kb} = {ta}.{ka}{inner_pred})")
+        elif kind == "sum":
+            sub = (f"COALESCE((SELECT CAST(SUM(CAST({rnd.choice(ts['ints'])} AS BIGINT)) "
+                   f"AS BIGINT) FROM {tb} "
+                   f"WHERE {tb}.{kb} = {ta}.{ka}{inner_pred}), -1)")
+        else:
+            sub = (f"COALESCE((SELECT CAST(MIN(CAST({rnd.choice(ts['ints'])} AS BIGINT)) "
+                   f"AS BIGINT) FROM {tb} "
+                   f"WHERE {tb}.{kb} = {ta}.{ka}{inner_pred}), -1)")
+        g = group_expr(rnd, t)
+        w = f" WHERE {pred(rnd, t)}" if rnd.random() < 0.6 else ""
+        return (f"SELECT g0, CAST(SUM(sub) AS BIGINT) AS a0, "
+                f"CAST(COUNT(*) AS BIGINT) AS a1, "
+                f"CAST(MAX(sub) AS BIGINT) AS a2 FROM "
+                f"(SELECT {g} AS g0, {sub} AS sub FROM {ta}{w}) x GROUP BY 1")
+    if shape == "cte":
+        # one CTE referenced TWICE — pins CTE dedup/materialization
+        # (Spark inlines, DuckDB may materialize; results must agree)
+        name = rnd.choice(list(TABLES))
+        t = TABLES[name]
+        g = group_expr(rnd, t)
+        a = agg(rnd, t)
+        cte = (f"WITH c AS (SELECT {g} AS g0, {a} AS n, "
+               f"CAST(COUNT(*) AS BIGINT) AS cnt FROM {name}"
+               f"{' WHERE ' + pred(rnd, t) if rnd.random() < 0.7 else ''} GROUP BY 1)")
+        if rnd.random() < 0.5:
+            # self-join on the group key (NULL keys drop on both engines)
+            return (f"{cte} SELECT a.g0 AS g0, a.n AS a0, b.cnt AS a1 "
+                    f"FROM c a JOIN c b ON a.g0 = b.g0")
+        # second reference as a grand-total cross join
+        return (f"{cte} SELECT c.g0 AS g0, c.n AS a0, tot.s AS a1 FROM c "
+                f"CROSS JOIN (SELECT CAST(SUM(cnt) AS BIGINT) AS s FROM c) tot")
+    if shape == "topk":
+        # ORDER BY <strict total order> LIMIT/OFFSET in a subquery, then
+        # aggregate — pins TakeOrdered/limit pushdown determinism
+        name = rnd.choice(list(TABLES))
+        t = TABLES[name]
+        key = TOTAL_ORDER[name]
+        out = OUT_KEY[name]
+        w = f" WHERE {pred(rnd, t)}" if rnd.random() < 0.7 else ""
+        lim = rnd.randint(1, 200)
+        off = f" OFFSET {rnd.randint(1, 50)}" if rnd.random() < 0.4 else ""
+        return (f"SELECT CAST(SUM(k) AS BIGINT) AS a0, "
+                f"CAST(COUNT(*) AS BIGINT) AS a1, CAST(MAX(k) AS BIGINT) AS a2 FROM "
+                f"(SELECT CAST({out} AS BIGINT) AS k FROM {name}{w} "
+                f"ORDER BY {key} LIMIT {lim}{off}) x")
     if shape == "groupingsets":
         # ROLLUP / CUBE / GROUPING SETS: the Expand path, with per-column
         # GROUPING() flags disambiguating rollup-nulls from data-nulls.
