@@ -527,6 +527,68 @@ object StreamingOps {
       .drop(col(s"r.$key"))
   }
 
+  /** Streaming twin of `TextDedup.incrementalDedup`: continuous-ingest
+    * dedup of an arriving document stream against a STATIC corpus index
+    * — verdict exact/near/new per doc, match_id = min matching corpus
+    * id. The 100 TB shape: both legs are STREAM-STATIC joins, which are
+    * stateless (each micro-batch probes the corpus-side index; nothing
+    * accumulates), and the only stateful operator is the per-doc
+    * verdict aggregation, bounded by docs in flight inside the
+    * watermark. The corpus index — digest → min-id and band bucket →
+    * (cid, shingle set) — is exactly what `TextDedup.incrementalDedup`
+    * builds batch-side, so verdicts are bit-equal to running the batch
+    * op over the same increment (same md5 minhash spec, same verified
+    * Jaccard, same precedence: exact beats near; within-stream
+    * duplicates are out of scope, as in the batch twin).
+    */
+  def incrementalDedupStream(corpus: DataFrame, stream: DataFrame,
+                             idCol: String, textCol: String, tsCol: String,
+                             watermark: String, n: Int = 5, k: Int = 16,
+                             bands: Int = 8, threshold: Double = 0.8): DataFrame = {
+    val cid = graft.ops.TextDedup.longId(corpus, idCol, "incrementalDedupStream")
+    val corpDigests = corpus
+      .select(md5(col(textCol)).as("__h"), cid.as("__cid"))
+      .groupBy("__h").agg(min("__cid").as("__exact"))
+    val corpBuckets = corpus
+      .filter(size(split(col(textCol), " ")) >= n)
+      .select(cid.as("__cid"),
+        graft.functions.TextExprs.minhash_band_keys(col(textCol), n, k, bands).as("__bks"),
+        graft.functions.TextExprs.shingle_hash_set(col(textCol), n).as("__shs2"))
+      .select(col("__cid"), col("__shs2"), explode_outer(col("__bks")).as("__bucket"))
+      .filter(col("__bucket").isNotNull)
+    val base = stream
+      .withWatermark(tsCol, watermark)
+      .select(graft.ops.TextDedup.longId(stream, idCol, "incrementalDedupStream").as("doc_id"),
+        col(tsCol).as("__ts"), md5(col(textCol)).as("__h"),
+        when(size(split(col(textCol), " ")) >= n,
+          graft.functions.TextExprs.minhash_band_keys(col(textCol), n, k, bands))
+          .as("__bks"),
+        when(size(split(col(textCol), " ")) >= n,
+          graft.functions.TextExprs.shingle_hash_set(col(textCol), n))
+          .as("__shs1"))
+      .join(corpDigests, Seq("__h"), "left") // stateless stream-static
+      // explode_outer keeps bucket-less (short / exact-only) docs alive
+      // with a null bucket that the candidate join simply fails to match
+      .select(col("doc_id"), col("__ts"), col("__exact"), col("__shs1"),
+        explode_outer(col("__bks")).as("__bucket"))
+    val verified = base
+      .join(corpBuckets, Seq("__bucket"), "left") // stateless stream-static
+      .withColumn("__inter",
+        size(array_intersect(col("__shs1"), col("__shs2"))).cast("double"))
+      .withColumn("__near_cid",
+        when(col("__cid").isNotNull && col("__exact").isNull &&
+          col("__inter") / (size(col("__shs1")) + size(col("__shs2")) -
+            col("__inter")) >= threshold, col("__cid")))
+    verified
+      .groupBy(col("doc_id"), window(col("__ts"), "1 second").as("__w"))
+      .agg(first(col("__exact")).as("__e"), min(col("__near_cid")).as("__n"))
+      .select(col("doc_id"), col("__w.start").as("ts"),
+        when(col("__e").isNotNull, "exact")
+          .when(col("__n").isNotNull, "near")
+          .otherwise("new").as("verdict"),
+        coalesce(col("__e"), col("__n")).as("match_id"))
+  }
+
   /** File-source stream over a directory of parquet (the smoke path: drop
     * files in, watch aggregates come out). */
   def parquetStream(spark: SparkSession, schema: StructType, dir: String): DataFrame =

@@ -527,6 +527,14 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset("graft.rank.smallBytes")
   }
 
+  test("incremental dedup joins by digest and bucket, never all-pairs (dd19)") {
+    val p = planOf("dd19_incremental_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(4000))
+    // the near leg's candidate join is keyed on the LSH band bucket
+    assert(p.contains("bucket"), p.take(4000))
+  }
+
   test("no global window over an unbounded input anywhere in the suite") {
     // The gate behind ev35/tx29: with the DistributedRank switch forced
     // to its scale path, NO query may plan a SinglePartition WindowExec

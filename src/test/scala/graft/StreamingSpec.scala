@@ -140,6 +140,55 @@ class StreamingSpec extends SparkSpec {
     assert(survivors === Seq(10L, 12L))
   }
 
+  test("streaming incremental dedup verdicts equal the batch twin") {
+    val dir = tmpDir("graft-incdedup")
+    def words(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val base = words("w", 30)
+    val corpus = Seq(
+      (100L, base), (101L, base), (102L, words("x", 30)), (103L, "tiny corpus doc"))
+      .toDF("doc_id", "text")
+    val incRows = Seq(
+      (1L, base, "2024-01-01 00:00:00"),              // exact → 100
+      (2L, base + " wExtra", "2024-01-01 00:00:02"),  // near → 100
+      (3L, words("z", 30), "2024-01-01 00:00:04"),    // new
+      (4L, "tiny corpus doc", "2024-01-01 00:00:06"), // short but exact → 103
+      (5L, "short novel one", "2024-01-01 00:00:08")) // short, new
+    // two micro-batches: stream-static joins are stateless, so batch
+    // boundaries must not affect verdicts
+    def writeBatch(rows: Seq[(Long, String, String)], p: String): Unit =
+      rows.toDF("doc_id", "text", "s")
+        .select(col("doc_id"), col("text"), to_timestamp(col("s")).as("ts"))
+        .coalesce(1).write.parquet(dir + p)
+    writeBatch(incRows.take(2), "/b1")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("ts", TimestampType)))
+    val stream = StreamingOps.parquetStream(spark, schema, dir + "/b*")
+    val out = StreamingOps.incrementalDedupStream(corpus, stream,
+      "doc_id", "text", "ts", "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("incdedupout").start()
+    q.processAllAvailable()
+    writeBatch(incRows.drop(2), "/b2")
+    q.processAllAvailable()
+    // append-mode aggregation emits once the watermark passes the window
+    writeBatch(Seq((99L, "late flush doc", "2024-01-01 01:00:00")), "/b3")
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql(
+      "SELECT doc_id, verdict, COALESCE(match_id, -1) FROM incdedupout " +
+      "WHERE doc_id < 90 ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val want = graft.ops.TextDedup.incrementalDedup(
+        corpus, incRows.toDF("doc_id", "text", "s").select(col("doc_id"), col("text")),
+        "doc_id", "text", n = 5, k = 16, bands = 8, threshold = 0.8)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(got === want)
+    assert(want.map(x => (x._1, x._2)) === Seq(
+      (1L, "exact"), (2L, "near"), (3L, "new"), (4L, "exact"), (5L, "new")))
+  }
+
   test("native session windows merge within the gap and split across it") {
     val dir = tmpDir("graft-sesswin")
     val schema = StructType(Seq(
