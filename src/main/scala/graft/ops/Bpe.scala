@@ -55,6 +55,14 @@ object Bpe {
     var rank = 1
     var exhausted = false
     while (rank <= merges && !exhausted) {
+      // argmax via a 1-row min-struct aggregate, not orderBy.limit(1):
+      // TakeOrdered cancels straggler tasks whose late accumulator
+      // updates spam the driver log with non-existent-accumulator
+      // traces, and the grand aggregate skips the sort entirely
+      // (min over (-freq, lhs, rhs) = highest freq, lexicographic
+      // tie-break). Costs one extra 32-row exchange stage per round —
+      // pure scheduling floor at test SFs, nothing at scale — for
+      // clean driver logs and a sortless plan.
       val top = vocab
         .select(split(trim(col("seq")), " ").as("s"), col("wc"))
         .filter(size(col("s")) >= 2) // sequence(1,0) would run DESCENDING
@@ -63,8 +71,11 @@ object Bpe {
         .select(element_at(col("s"), col("j")).as("lhs"),
           element_at(col("s"), col("j") + 1).as("rhs"), col("wc"))
         .groupBy("lhs", "rhs").agg(sum("wc").as("freq"))
-        .orderBy(col("freq").desc, col("lhs"), col("rhs"))
-        .limit(1).collect()
+        .agg(min(struct((-col("freq")).as("nf"), col("lhs"), col("rhs"),
+          col("freq"))).as("m"))
+        .select(col("m.lhs"), col("m.rhs"), col("m.freq"))
+        .filter(col("lhs").isNotNull) // empty pair table → min = null struct
+        .collect()
       if (top.isEmpty) exhausted = true
       else {
         val (a, b, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
