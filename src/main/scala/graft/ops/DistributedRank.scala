@@ -144,9 +144,23 @@ object DistributedRank {
       .map(i => i * sorted.length / slices)
       .filter(ix => ix > 0 && ix < sorted.length).distinct
       .map(sorted(_))
+    // pid = |{b : row >= b}| over the sorted boundary literals. NOT the
+    // naive sum of 63 indicator whens: that chain evaluates EVERY
+    // boundary comparison per row (and the huge generated method can
+    // fall out of codegen), measured 14.2 s on q46's 600k-row scale
+    // path. "row >= boundaries(k)" is non-increasing in k, so a
+    // binary-search when-tree finds the count in ⌈log₂ slices⌉ tuple
+    // comparisons per row — same literals, same assignment, 6 compares
+    // instead of 63.
+    def pidRange(lo: Int, hi: Int): Column =
+      if (lo == hi) lit(lo.toLong)
+      else {
+        val mid = (lo + hi + 1) / 2
+        when(precedes(cols, boundaries(mid - 1)), pidRange(lo, mid - 1))
+          .otherwise(pidRange(mid, hi))
+      }
     val pid: Column =
-      if (boundaries.isEmpty) lit(0L)
-      else boundaries.map(b => when(precedes(cols, b), 0L).otherwise(1L)).reduce(_ + _)
+      if (boundaries.isEmpty) lit(0L) else pidRange(0, boundaries.length)
     val withPid = df.withColumn("__pid", pid)
     val keyCs = keyCols.map(col)
     val orderCs = orderKeys.map { case (n, asc) => if (asc) col(n) else col(n).desc }
