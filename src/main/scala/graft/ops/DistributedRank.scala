@@ -161,11 +161,23 @@ object DistributedRank {
       }
     val pid: Column =
       if (boundaries.isEmpty) lit(0L) else pidRange(0, boundaries.length)
-    val withPid = df.withColumn("__pid", pid)
     val keyCs = keyCols.map(col)
+    val withPid = df.withColumn("__pid", pid)
     val orderCs = orderKeys.map { case (n, asc) => if (asc) col(n) else col(n).desc }
     val wLocal = Window.partitionBy(col("__pid") +: keyCs: _*).orderBy(orderCs: _*)
     val local = withPid.withColumn("__lr", row_number().over(wLocal).cast("long"))
+    // The count branch deliberately re-reads the input rather than
+    // sharing the window branch's exchange. Measured both alternatives:
+    // (a) repartition(__pid, keys) consumed by both branches — column
+    // pruning specializes the count branch's subplan so ReuseExchange
+    // never fires, and it just adds an exchange; (b) counts as
+    // max(__lr) off the windowed side — the exchange IS reused but the
+    // count branch replays the full Sort+Window on it (ev34 10× probe:
+    // 2.6 → 3.7 s). This branch instead scans only (keys, order cols)
+    // — a pruned columnar read — evaluates the 6-compare pid, and
+    // collapses map-side to ≤ slices × keys count rows: the duplicated
+    // work is the cheap kind, and the expensive kind (full-row shuffle
+    // + sort) happens exactly once.
     val wOff = Window.partitionBy(keyCs: _*).orderBy(col("__pid"))
     val offs = withPid.groupBy(col("__pid") +: keyCs: _*).agg(count(lit(1)).as("__c"))
       .withColumn("__off", coalesce(
