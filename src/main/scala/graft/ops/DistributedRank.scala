@@ -15,16 +15,16 @@ import org.apache.spark.sql.functions._
   *   1. assign each row a DETERMINISTIC ordered slice id: boundary
   *      tuples are sampled ONCE (collect-then-bake — a single-pass
   *      per-partition reservoir, ≤ 64 rows/partition on the driver) and
-  *      baked into the plan as literals, the slice id
-  *      being the count of boundaries at-or-before the row in the sort
-  *      order — a sum of monotone indicators, so slices are contiguous
-  *      ranges of the order no matter how the sample came out (the
-  *      sample quality affects only load balance, never ranks). Baked
-  *      literals — NOT `spark_partition_id()` over a range exchange —
-  *      because the plan consumes the sliced relation twice (rank side
-  *      + count side) and a sampled range exchange may re-sample
-  *      different boundaries per physical instantiation, silently
-  *      misaligning the two sides;
+  *      baked into the plan, the slice id being the count of boundaries
+  *      at-or-before the row in the sort order (a monotone function of
+  *      the order, so slices are contiguous ranges no matter how the
+  *      sample came out — sample quality affects only load balance,
+  *      never ranks), evaluated by the native binary-search
+  *      `RankExprs.BoundaryBucket`. Baked values — NOT
+  *      `spark_partition_id()` over a range exchange — because the plan
+  *      consumes the sliced relation twice (rank side + count side) and
+  *      a sampled range exchange may re-sample different boundaries per
+  *      physical instantiation, silently misaligning the two sides;
   *   2. local ranks inside each (slice, key) — many small sorts;
   *   3. a TINY (slices × keys)-row offset table (running count over the
   *      per-slice counts — the tx13 bucket-offset pattern) broadcast back:
@@ -63,25 +63,6 @@ object DistributedRank {
       }
       0
     }
-  }
-
-  /** Column expression: does the current row strictly precede literal
-    * boundary tuple `b` in the (cols, direction) sort order — ASC NULLS
-    * FIRST / DESC NULLS LAST, the engine defaults. */
-  private def precedes(cols: Seq[(String, Boolean)], b: Row): Column = {
-    var eqPrefix: Column = lit(true)
-    var acc: Column = lit(false)
-    cols.zipWithIndex.foreach { case ((name, asc), i) =>
-      val bv = b.get(i)
-      val x = col(name)
-      val less: Column =
-        if (asc) { if (bv == null) lit(false) else x.isNull || (x < lit(bv)) }
-        else { if (bv == null) x.isNotNull else x > lit(bv) }
-      val eq: Column = if (bv == null) x.isNull else x <=> lit(bv)
-      acc = acc || (eqPrefix && less)
-      eqPrefix = eqPrefix && eq
-    }
-    acc
   }
 
   /** ONE-pass bounded boundary sample: a per-partition reservoir (≤
@@ -133,7 +114,11 @@ object DistributedRank {
     * total). Key/order column names must be distinct top-level columns. */
   private def withRankAndCount(df: DataFrame, keyCols: Seq[String],
                                orderKeys: Seq[(String, Boolean)],
-                               slices: Int): DataFrame = {
+                               slices0: Int): DataFrame = {
+    // deployment tuning knob mirroring graft.rank.smallBytes: more
+    // slices = finer load balance, deeper pid search tree
+    val slices = df.sparkSession.conf.getOption("graft.rank.slices")
+      .map(_.toInt).getOrElse(slices0)
     val cols = keyCols.map((_, true)) ++ orderKeys
     require(cols.map(_._1).distinct.length == cols.length,
       s"key/order columns must be distinct names: ${cols.map(_._1)}")
@@ -144,23 +129,19 @@ object DistributedRank {
       .map(i => i * sorted.length / slices)
       .filter(ix => ix > 0 && ix < sorted.length).distinct
       .map(sorted(_))
-    // pid = |{b : row >= b}| over the sorted boundary literals. NOT the
-    // naive sum of 63 indicator whens: that chain evaluates EVERY
-    // boundary comparison per row (and the huge generated method can
-    // fall out of codegen), measured 14.2 s on q46's 600k-row scale
-    // path. "row >= boundaries(k)" is non-increasing in k, so a
-    // binary-search when-tree finds the count in ⌈log₂ slices⌉ tuple
-    // comparisons per row — same literals, same assignment, 6 compares
-    // instead of 63.
-    def pidRange(lo: Int, hi: Int): Column =
-      if (lo == hi) lit(lo.toLong)
-      else {
-        val mid = (lo + hi + 1) / 2
-        when(precedes(cols, boundaries(mid - 1)), pidRange(lo, mid - 1))
-          .otherwise(pidRange(mid, hi))
-      }
+    // pid = |{b : row >= b}| over the baked boundary tuples, evaluated
+    // by the native BoundaryBucket binary search. NOT a CASE/indicator
+    // tree over boundary literals: 63 boundaries × a multi-column
+    // lexicographic comparison each compose a generated method far past
+    // HotSpot's huge-method JIT limit, so the projection runs as
+    // interpreted bytecode — measured 16+ s of q46's 20 s at sf1, ~10×
+    // the actual window+shuffle work. See RankExprs.BoundaryBucket for
+    // the comparator-consistency argument (it re-sorts the boundaries
+    // under its own internal-value order).
     val pid: Column =
-      if (boundaries.isEmpty) lit(0L) else pidRange(0, boundaries.length)
+      if (boundaries.isEmpty) lit(0L)
+      else graft.functions.RankExprs.boundary_bucket(
+        cols.map(c => col(c._1)), boundaries, cols.map(_._2))
     val keyCs = keyCols.map(col)
     val withPid = df.withColumn("__pid", pid)
     val orderCs = orderKeys.map { case (n, asc) => if (asc) col(n) else col(n).desc }
@@ -199,7 +180,7 @@ object DistributedRank {
     * the later action) triggers one pass over the key/order projection. */
   def ntileByKey(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
                  k: Int, slices: Int = 64,
-                 smallBytes: Long = 64L << 20): DataFrame = {
+                 smallBytes: Long = 16L << 20): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     validateAtomic(df, keyCols ++ orderCols)
     val keyCs = keyCols.map(col)
@@ -207,6 +188,10 @@ object DistributedRank {
     // two extra exchanges and run the textbook plan (same assignment
     // either way — the switch is pure load-balance, the pageRank
     // localEdgeLimit precedent). Catalyst's size estimate costs no job.
+    // 16 MiB default: measured crossover at sf1 (est 48 MB) where the
+    // slice machinery already matches the 3-task textbook sort warm and
+    // halves it under cold-cache bench conditions; sf0.1-class inputs
+    // (est ~4 MB) stay textbook.
     val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (estBytes <= threshold(df, smallBytes)) {
       val w = Window.partitionBy(keyCs: _*).orderBy(orderCols.map(col): _*)
@@ -238,7 +223,7 @@ object DistributedRank {
   def rowNumberByKey(df: DataFrame, keyCols: Seq[String],
                      orderKeys: Seq[(String, Boolean)],
                      out: String = "rn", slices: Int = 64,
-                     smallBytes: Long = 64L << 20): DataFrame = {
+                     smallBytes: Long = 16L << 20): DataFrame = {
     validateAtomic(df, keyCols ++ orderKeys.map(_._1))
     val orderCs = orderKeys.map { case (n, asc) => if (asc) col(n) else col(n).desc }
     val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
