@@ -894,6 +894,28 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("distributed row_number is exact on strings where UTF-16 and UTF-8 orders differ") {
+    // U+FF61 encodes EF BD A1 in UTF-8 but FF61 in UTF-16; U+10000 (a
+    // surrogate pair D800 DC00) encodes F0 90 80 80. UTF-16 code-unit
+    // order (java String.compareTo, the driver-side boundary sort) says
+    // FF61 > D800 while Spark's UTF8String binary order says the
+    // opposite — the divergence BoundaryBucket's internal re-sort
+    // guards against (a boundary list sorted under the WRONG comparator
+    // would break slice contiguity and corrupt ranks silently).
+    val rnd = new scala.util.Random(83)
+    val tricky = Seq("｡", "𐀀", "a", "z｡", "z𐀀", "")
+    val rows = (1 to 1200).map(i => (tricky(rnd.nextInt(tricky.length)), i.toLong))
+    val df = rows.toDF("s", "id").repartition(8)
+    val w = org.apache.spark.sql.expressions.Window
+    val plain = df.withColumn("rn",
+        row_number().over(w.orderBy(col("s"), col("id"))).cast("long"))
+      .orderBy("id").collect().map(_.getLong(2)).toSeq
+    val dist = ops.DistributedRank.rowNumberByKey(df, Seq(),
+        Seq(("s", true), ("id", true)), out = "rn", slices = 7, smallBytes = 0L)
+      .orderBy("id").collect().map(_.getLong(2)).toSeq
+    assert(dist === plain)
+  }
+
   test("distributed rank rejects non-atomic order columns consistently on both paths") {
     val df = Seq((1L, Seq(1, 2)), (2L, Seq(3))).toDF("id", "arr")
     // an array order column would work on the small-window path but
