@@ -354,15 +354,24 @@ object Events {
         |FROM days d JOIN ud u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
       val e = ev(s, d)
-      val ud = e.select(col("event_type"), col("user_id"),
+      // Dedup IN-ROW, not in the aggregate: collect each (type, user)'s
+      // distinct days (bounded by the window's day span), expand to the
+      // 7-day anchor set per row with array_distinct, and count with a
+      // PLAIN map-side-combined aggregate — each (type, user, anchor)
+      // is unique by construction, so no COUNT DISTINCT Expand and no
+      // 7×-exploded full shuffle (that plan moved every exploded row
+      // into a dedup aggregate: 4.7 s at sf1 vs ~2 s for this shape).
+      val byUser = e.select(col("event_type"), col("user_id"),
           date_trunc("day", col("ts")).as("day"))
-        .distinct()
+        .groupBy("event_type", "user_id")
+        .agg(collect_set("day").as("days"))
       val spine = e.select(date_trunc("day", col("ts")).as("anchor")).distinct()
-      ud.select(col("event_type"), col("user_id"),
-          explode(expr("sequence(day, day + interval 6 days, interval 1 day)")).as("anchor"))
+      byUser.select(col("event_type"),
+          explode(expr("array_distinct(flatten(transform(days, " +
+            "d -> sequence(d, d + interval 6 days, interval 1 day))))")).as("anchor"))
         .join(broadcast(spine), "anchor")
         .groupBy(col("anchor"), col("event_type"))
-        .agg(countDistinct("user_id").as("users_7d"))
+        .agg(count(lit(1)).as("users_7d"))
         .select(date_format(col("anchor"), "yyyy-MM-dd").as("day"),
           col("event_type"), col("users_7d"))
         .orderBy("day", "event_type")
