@@ -80,14 +80,16 @@ object Bpe {
       else {
         val (a, b, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         learned += ((rank, a, b, f))
+        // Column-API replace with lit() arguments: merge symbols pass
+        // through as raw values (no SQL-literal escaping), so tokens
+        // containing quotes or backslashes cannot diverge from the
+        // oracle's raw-string replace.
         vocab = vocab.withColumn("seq",
-          expr(s"replace(seq, ${sqlLit(s" $a $b ")}, ${sqlLit(s" $a$b ")})"))
+          call_function("replace", col("seq"), lit(s" $a $b "), lit(s" $a$b ")))
         rank += 1
       }
     }
     import spark.implicits._
     learned.toSeq.toDF("merge_rank", "lhs", "rhs", "freq")
   }
-
-  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 }

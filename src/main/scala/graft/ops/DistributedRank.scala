@@ -118,7 +118,17 @@ object DistributedRank {
     // deployment tuning knob mirroring graft.rank.smallBytes: more
     // slices = finer load balance, deeper pid search tree
     val slices = df.sparkSession.conf.getOption("graft.rank.slices")
-      .map(_.toInt).getOrElse(slices0)
+      .map { s =>
+        val n = try s.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"graft.rank.slices must be an integer >= 1, got '$s'")
+        }
+        // slices <= 0 would yield zero boundaries: every row lands in
+        // pid 0, silently reinstating the single-task global sort this
+        // operator exists to avoid
+        require(n >= 1, s"graft.rank.slices must be >= 1, got $n")
+        n
+      }.getOrElse(slices0)
     val cols = keyCols.map((_, true)) ++ orderKeys
     require(cols.map(_._1).distinct.length == cols.length,
       s"key/order columns must be distinct names: ${cols.map(_._1)}")

@@ -984,6 +984,13 @@ object Embeddings {
       .gram_acc(col("qe"), dim, gramScale).as("g")).head().getSeq[Long](0).toArray
     val m = trainPca(buf, dim, outDim)
     require(m.traceDbl > 0.0, "audit needs non-degenerate input variance")
+    // energy_ppm divides by each retained eigenvalue: a rank-deficient
+    // input (data rank < outDim) would otherwise emit null/Infinity ppm
+    // rows instead of a diagnosable error
+    require(m.eigsDesc(outDim - 1) > 1e-12 * m.traceDbl,
+      s"input covariance is rank-deficient for outDim=$outDim: eigenvalue " +
+      s"#$outDim is ${m.eigsDesc(outDim - 1)} vs trace ${m.traceDbl}; " +
+      "lower outDim to at most the data rank")
     val lam = m.eigsDesc.take(outDim)
     // project the truncated components (r = qe div gramScale — Spark SQL
     // `div` truncates toward zero, matching GramAggregate's Java `/`),

@@ -325,6 +325,12 @@ class PgFrontend(ctx: GraftContext, port: Int) {
         require(bs.length == 8 + 2 * nd,
           s"binary numeric parameter declares $nd digit groups but carries ${(bs.length - 8) / 2}")
         if (sign == 0xC000) "NaN" // literalFor rejects it as 22P02 (no NaN decimals here)
+        else if (sign == 0xD000 || sign == 0xF000) // pg14+ +Inf/-Inf sign words
+          throw new IllegalArgumentException(
+            "binary numeric parameter is Infinity; this server carries no infinite decimals")
+        else if (sign != 0x0000 && sign != 0x4000)
+          throw new IllegalArgumentException(
+            f"binary numeric parameter has unknown sign word 0x$sign%04X")
         else {
           var v = java.math.BigDecimal.ZERO
           var i = 0
