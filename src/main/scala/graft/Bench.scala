@@ -81,25 +81,54 @@ object Bench {
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.contains)) }
     val best = scala.collection.mutable.LinkedHashMap(names.map(_._1 -> Double.MaxValue): _*)
+    // Failures are COUNTED, never swallowed: a crashed query must not
+    // shrink the total and read as an improvement. `best` only updates on
+    // success; a query that never succeeds across all reps lands in "dnf"
+    // with no time contribution, and "complete":false flags the line.
+    var errorCount = 0
+    val firstError = scala.collection.mutable.LinkedHashMap[String, String]()
     for (_ <- 0 until reps) {
       spark.catalog.clearCache()
       names.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        try run(fn) catch { case _: Throwable => () }
+        val ok =
+          try { run(fn); true }
+          catch {
+            case e: Throwable =>
+              errorCount += 1
+              if (!firstError.contains(name)) {
+                val msg = (e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage)).take(300)
+                firstError(name) = msg
+                // error detail to stderr so it can never contaminate the
+                // driver's stdout-tail JSON window
+                System.err.println(s"[bench] $name failed: $msg")
+              }
+              false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
-        if (dt < best(name)) best(name) = dt
+        if (ok && dt < best(name)) best(name) = dt
       }
     }
+    val dnf = best.collect { case (k, v) if v == Double.MaxValue => k }.toSeq
+    dnf.foreach(best.remove)
     // The driver captures only the LAST 2000 chars of output and parses the
     // JSON line out of that tail (round 7's full-precision line outgrew the
     // window -> parsed:null). Keep the line compact: 3-decimal seconds, and
     // if the full-name form still risks truncation, fall back to the unique
     // short prefix of each query name (q01, dd6, tx13, ...).
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // errors = failed (query, rep) attempts; dnf = queries with zero
+    // successful reps (excluded from "queries"/"value"); complete = no DNFs.
+    // Mirrors bench_duckdb.py's fields so a crash-shaped regression reads
+    // as a loud incomplete run, not a faster one.
+    val tail = {
+      val d = dnf.map("\"" + _ + "\"").mkString("[", ",", "]")
+      s""","errors":$errorCount,"dnf":$d,"complete":${dnf.isEmpty}"""
+    }
     def line(ks: Map[String, String]): String = {
       val qs = best.map { case (k, v) => "\"" + ks(k) + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(best.values.sum)},"unit":"sec","queries":$qs,"sf":"${new java.io.File(sfDir).getName}","reps":$reps}"""
+      s"""{"metric":"total","value":${fmt(best.values.sum)},"unit":"sec","queries":$qs,"sf":"${new java.io.File(sfDir).getName}","reps":$reps$tail}"""
     }
     val full = line(best.keys.map(k => k -> k).toMap)
     val shortKeys = best.keys.map(k => k -> k.takeWhile(_ != '_')).toMap
@@ -123,9 +152,20 @@ object Bench {
           if (used + p.length + 1 <= 1700) { parts += p; used += p.length + 1; kept += 1 }
         }
         val qs = parts.mkString("{", ",", "}")
-        s"""{"metric":"total","value":${fmt(best.values.sum)},"unit":"sec","queries":$qs,"qelided":${best.size - kept},"sf":"${new java.io.File(sfDir).getName}","reps":$reps}"""
+        s"""{"metric":"total","value":${fmt(best.values.sum)},"unit":"sec","queries":$qs,"qelided":${best.size - kept},"sf":"${new java.io.File(sfDir).getName}","reps":$reps$tail}"""
       }
-    println(out)
+    // The driver parses the JSON out of the LAST 2000 chars of stdout.
+    // Benign async ERROR spam (cancelled-straggler "non-existent
+    // accumulator" stack traces from DAGScheduler land after job end) has
+    // previously overwritten that window -> parsed:null. Guarantee the
+    // line is the final bytes: silence all logging, stop Spark (its own
+    // shutdown can log), THEN print.
+    spark.sparkContext.setLogLevel("OFF")
+    try {
+      org.apache.logging.log4j.core.config.Configurator
+        .setRootLevel(org.apache.logging.log4j.Level.OFF)
+    } catch { case e: Throwable => System.err.println(s"[bench] log4j silence failed: $e") }
     spark.stop()
+    println(out)
   }
 }

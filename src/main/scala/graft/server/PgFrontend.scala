@@ -26,8 +26,11 @@ import org.apache.spark.sql.types._
   *    values are substituted as typed literals (by the Parse-declared
   *    parameter OID) with a literal-aware scanner, so a `$1` inside a
   *    string literal is never rewritten; ParameterDescription reports
-  *    the declared OIDs. Binary-format binds are answered with a clear
-  *    error (drivers fall back to or default to text).
+  *    the declared OIDs. Binary-format PARAMETERS decode by the declared
+  *    OID (int/float/bool/numeric/date/timestamp/text — decode failures
+  *    are SQLSTATE 22P03); binary-format RESULT columns are honored per
+  *    Bind's result-format codes (`pgBinary`), with RowDescription
+  *    echoing the portal's format codes.
   */
 class PgFrontend(ctx: GraftContext, port: Int) {
 
@@ -87,7 +90,7 @@ class PgFrontend(ctx: GraftContext, port: Int) {
       if (!handshake(in, out)) return
       // extended-protocol session state
       val prepared = scala.collection.mutable.Map.empty[String, Prepared] // name -> stmt
-      val portals = scala.collection.mutable.Map.empty[String, String] // name -> bound sql
+      val portals = scala.collection.mutable.Map.empty[String, Portal] // name -> bound sql + result fmts
       var failed = false // after an error: discard until Sync
       var open = true
       while (open) {
@@ -155,14 +158,27 @@ class PgFrontend(ctx: GraftContext, port: Int) {
                   val values = raw.zipWithIndex.map { case (ov, i) =>
                     ov.map { bs =>
                       if (fmtOf(i) == 0) new String(bs, UTF_8)
-                      else binaryToText(p.paramOids.lift(i).getOrElse(0), bs)
+                      else try binaryToText(p.paramOids.lift(i).getOrElse(0), bs)
+                      catch {
+                        // decode failures of BINARY bytes are pg's 22P03
+                        // (invalid_binary_representation), distinct from
+                        // text-literal failures' 22P02 below
+                        case e: IllegalArgumentException =>
+                          throw new BinaryDecodeException(String.valueOf(e.getMessage))
+                      }
                     }
                   }
-                  portals(portal) = bindParams(p, values)
+                  // result-format codes follow the parameter values:
+                  // none → all text; one → applies to every column
+                  val nResFmt = b.getShort
+                  val resFmts = (0 until nResFmt.toInt).map(_ => b.getShort.toInt)
+                  portals(portal) = Portal(bindParams(p, values), resFmts)
                   msg(out, '2')(_ => ()) // BindComplete
                 } catch {
                   case e: UnsupportedOperationException =>
                     sendError(out, "0A000", String.valueOf(e.getMessage)); failed = true
+                  case e: BinaryDecodeException =>
+                    sendError(out, "22P03", String.valueOf(e.getMessage)); failed = true
                   case e: Throwable =>
                     sendError(out, "22P02", String.valueOf(e.getMessage)); failed = true
                 }
@@ -172,7 +188,11 @@ class PgFrontend(ctx: GraftContext, port: Int) {
             val name = cstrIn()
             val sqlOpt =
               if (kind == 'S') prepared.get(name).map(p => describeSql(p))
-              else portals.get(name)
+              else portals.get(name).map(_.sql)
+            // a portal Describe reports the Bind-time result formats;
+            // a statement Describe always reports text (pg semantics)
+            val descFmts =
+              if (kind == 'P') portals.get(name).map(_.resultFmts).getOrElse(Nil) else Nil
             def paramDescription(): Unit = if (kind == 'S') msg(out, 't') { d =>
               val oids = prepared(name).paramOids
               d.writeShort(oids.size)
@@ -185,7 +205,7 @@ class PgFrontend(ctx: GraftContext, port: Int) {
               case Some(sql) if ctx.isReadOnly(sql) =>
                 try {
                   paramDescription()
-                  rowDescription(ctx.executeRead(sql).schema, out) // analysis only
+                  rowDescription(ctx.executeRead(sql).schema, out, descFmts) // analysis only
                 } catch { case e: Throwable =>
                   sendError(out, "XX000", String.valueOf(e.getMessage)); failed = true
                 }
@@ -198,10 +218,11 @@ class PgFrontend(ctx: GraftContext, port: Int) {
             portals.get(portal) match {
               case None =>
                 sendError(out, "34000", s"portal \"$portal\" does not exist"); failed = true
-              case Some("") => msg(out, 'I')(_ => ()) // EmptyQueryResponse
-              case Some(sql) =>
+              case Some(Portal("", _)) => msg(out, 'I')(_ => ()) // EmptyQueryResponse
+              case Some(Portal(sql, resFmts)) =>
                 try {
-                  if (ctx.isReadOnly(sql)) sendRows(ctx.executeRead(sql), out, withDescription = false)
+                  if (ctx.isReadOnly(sql))
+                    sendRows(ctx.executeRead(sql), out, withDescription = false, resFmts)
                   else { ctx.locked(ctx.execute(sql)); commandComplete(out, tagFor(sql)) }
                 } catch { case e: Throwable =>
                   sendError(out, "XX000",
@@ -248,6 +269,16 @@ class PgFrontend(ctx: GraftContext, port: Int) {
   // --- bound parameters -----------------------------------------------------
 
   private case class Prepared(sql: String, paramOids: Seq[Int])
+
+  /** A bound portal: the parameter-substituted SQL plus the Bind-time
+    * result-format codes (0 text / 1 binary; empty → all text, a single
+    * code applies to every column — the same rule as parameter formats). */
+  private case class Portal(sql: String, resultFmts: Seq[Int])
+
+  /** Distinguishes binary-parameter DECODE failures (SQLSTATE 22P03,
+    * invalid_binary_representation) from text-literal failures (22P02). */
+  private class BinaryDecodeException(message: String)
+    extends IllegalArgumentException(message)
 
   /** Rewrite `$n` placeholders via `repl`, skipping string literals,
     * quoted identifiers, and `$$`-style dollar signs without digits. */
@@ -430,21 +461,28 @@ class PgFrontend(ctx: GraftContext, port: Int) {
     }
   }
 
-  private def rowDescription(schema: StructType, out: DataOutputStream): Unit =
+  private def rowDescription(schema: StructType, out: DataOutputStream,
+                             resultFmts: Seq[Int] = Nil): Unit =
     msg(out, 'T') { d =>
       d.writeShort(schema.fields.length)
-      schema.fields.foreach { f =>
+      schema.fields.zipWithIndex.foreach { case (f, i) =>
         cstr(d, f.name)
         d.writeInt(0); d.writeShort(0) // table oid / attnum
         d.writeInt(pgOid(f.dataType))
-        d.writeShort(-1); d.writeInt(-1); d.writeShort(0) // typlen / typmod / text fmt
+        d.writeShort(-1); d.writeInt(-1) // typlen / typmod
+        d.writeShort(fmtCode(resultFmts, i))
       }
     }
 
+  /** Bind's format-code rule: none → all text; one → applies to all. */
+  private def fmtCode(fmts: Seq[Int], i: Int): Int =
+    if (fmts.isEmpty) 0 else if (fmts.size == 1) fmts.head else fmts(i)
+
   private def sendRows(df: DataFrame, out: DataOutputStream,
-                       withDescription: Boolean = true): Unit = {
+                       withDescription: Boolean = true,
+                       resultFmts: Seq[Int] = Nil): Unit = {
     val schema = df.schema
-    if (withDescription) rowDescription(schema, out) // Execute relies on Describe's
+    if (withDescription) rowDescription(schema, out, resultFmts) // Execute relies on Describe's
     val it = df.toLocalIterator()
     var n = 0L
     while (it.hasNext) {
@@ -455,7 +493,10 @@ class PgFrontend(ctx: GraftContext, port: Int) {
         while (i < schema.fields.length) {
           if (row.isNullAt(i)) d.writeInt(-1)
           else {
-            val bytes = pgText(row.get(i), schema.fields(i).dataType).getBytes(UTF_8)
+            val bytes =
+              if (fmtCode(resultFmts, i) == 1)
+                pgBinary(row.get(i), schema.fields(i).dataType)
+              else pgText(row.get(i), schema.fields(i).dataType).getBytes(UTF_8)
             d.writeInt(bytes.length); d.write(bytes)
           }
           i += 1
@@ -493,6 +534,80 @@ class PgFrontend(ctx: GraftContext, port: Int) {
     case (x: scala.collection.Map[_, _], mt: MapType) => JsonLines.value(x, mt)
     case (x, _) => String.valueOf(x) // numbers, strings, dates
   }
+
+  /** Binary-format result encoding — the exact inverse of `binaryToText`:
+    * network-order fixed width for bool/int/float, base-10000 digit groups
+    * for numeric, the 2000-01-01 epoch for date (days) and timestamp
+    * (microseconds), raw bytes for bytea. Types this server reports as
+    * text oid 25 (arrays, structs, maps rendered textually) use their
+    * text bytes — which IS the binary format of the text type in pg. */
+  private def pgBinary(v: Any, dt: DataType): Array[Byte] = {
+    def fixed(n: Int)(f: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(n) // network byte order (BE default)
+      f(bb); bb.array()
+    }
+    (v, dt) match {
+      case (b: Boolean, _) => Array[Byte](if (b) 1 else 0)
+      case (x: Byte, _) => fixed(2)(_.putShort(x.toShort))
+      case (x: Short, _) => fixed(2)(_.putShort(x))
+      case (x: Int, _) => fixed(4)(_.putInt(x))
+      case (x: Long, _) => fixed(8)(_.putLong(x))
+      case (x: Float, _) => fixed(4)(_.putFloat(x))
+      case (x: Double, _) => fixed(8)(_.putDouble(x))
+      case (x: java.math.BigDecimal, _) => numericBinary(x)
+      case (x: scala.math.BigDecimal, _) => numericBinary(x.bigDecimal)
+      case (x: java.sql.Date, _) =>
+        fixed(4)(_.putInt((x.toLocalDate.toEpochDay - PgEpochDay).toInt))
+      case (x: java.time.LocalDate, _) =>
+        fixed(4)(_.putInt((x.toEpochDay - PgEpochDay).toInt))
+      case (x: java.sql.Timestamp, _) =>
+        val us = Math.addExact(
+          Math.multiplyExact(x.toInstant.getEpochSecond - PgEpochSec, 1000000L),
+          x.toInstant.getNano / 1000L)
+        fixed(8)(_.putLong(us))
+      case (x: java.time.Instant, _) =>
+        fixed(8)(_.putLong(
+          Math.addExact(Math.multiplyExact(x.getEpochSecond - PgEpochSec, 1000000L),
+            x.getNano / 1000L)))
+      case (x: java.time.LocalDateTime, _) =>
+        val inst = x.toInstant(java.time.ZoneOffset.UTC)
+        fixed(8)(_.putLong(
+          Math.addExact(Math.multiplyExact(inst.getEpochSecond - PgEpochSec, 1000000L),
+            inst.getNano / 1000L)))
+      case (x: Array[Byte], BinaryType) => x
+      case (x, d) => pgText(x, d).getBytes(UTF_8) // text-oid types: same bytes
+    }
+  }
+
+  /** pg numeric wire image: ndigits, weight, sign, dscale, then base-10000
+    * digit groups most-significant first, decimal point on a group
+    * boundary (fraction zero-padded to a multiple of 4 decimal digits). */
+  private def numericBinary(bd: java.math.BigDecimal): Array[Byte] = {
+    val dscale = math.max(bd.scale, 0)
+    val sign = if (bd.signum < 0) 0x4000 else 0x0000
+    // pad the fraction to whole base-10000 groups, then peel groups
+    val fracGroups = (dscale + 3) / 4
+    val scaled = bd.abs.movePointRight(fracGroups * 4).toBigIntegerExact
+    val groups = scala.collection.mutable.ArrayBuffer[Int]()
+    var rest = scaled
+    val B = java.math.BigInteger.valueOf(10000)
+    while (rest.signum != 0) {
+      val Array(q, r) = rest.divideAndRemainder(B)
+      groups += r.intValue; rest = q
+    }
+    val digits = groups.reverse // most-significant first; no leading zeros
+    val weight = digits.size - 1 - fracGroups // exponent of the first group
+    val bb = java.nio.ByteBuffer.allocate(8 + 2 * digits.size)
+    bb.putShort(digits.size.toShort)
+    bb.putShort((if (digits.isEmpty) 0 else weight).toShort)
+    bb.putShort(sign.toShort)
+    bb.putShort(dscale.toShort)
+    digits.foreach(g => bb.putShort(g.toShort))
+    bb.array()
+  }
+
+  /** 2000-01-01 in epoch days (the pg binary-wire date epoch). */
+  private val PgEpochDay = 10957L
 
   private def pgOid(dt: DataType): Int = dt match {
     case BooleanType => 16

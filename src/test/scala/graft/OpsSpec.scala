@@ -363,6 +363,23 @@ class OpsSpec extends SparkSpec {
     assert(t === Seq(("b", "a")))
   }
 
+  test("bpe merges with quote/backslash symbols replace correctly (regression: SQL-literal escaping)") {
+    // word = '\'\ (chars: quote backslash quote backslash) x3. Round 1
+    // merges (', \) freq 6 — the replace PATTERN contains a quote and a
+    // backslash; because replace is left-to-right NON-overlapping over the
+    // sentinel-space string, the back-to-back second occurrence shares its
+    // leading space with the first match and survives to round 2 (freq 3,
+    // winning the tie with ('\, '\) lexicographically); round 3 then
+    // merges ('\, '\) — BOTH replace arguments contain both characters.
+    // The old expr()-interpolated replace corrupted these patterns; the
+    // Column-API lit() path must not.
+    val docs = Seq("'\\'\\ '\\'\\ '\\'\\").toDF("text")
+    val out = ops.Bpe.train(docs, "text", merges = 4)
+      .orderBy("merge_rank")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq === Seq((1, "'", "\\", 6L), (2, "'", "\\", 3L), (3, "'\\", "'\\", 3L)))
+  }
+
   test("shard shuffle is a stable dense permutation per shard") {
     val docs = (0L until 1000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
     def run() = ops.TextAnalysis.shardShuffle(docs.repartition(7), "doc_id", "s8")
@@ -914,6 +931,44 @@ class OpsSpec extends SparkSpec {
         Seq(("s", true), ("id", true)), out = "rn", slices = 7, smallBytes = 0L)
       .orderBy("id").collect().map(_.getLong(2)).toSeq
     assert(dist === plain)
+  }
+
+  test("graft.rank.slices conf is validated (regression: <=0 silently reinstated the single-task sort)") {
+    val df = (1 to 300).map(i => (i.toLong % 5, i.toLong)).toDF("c", "id")
+    def run() = ops.DistributedRank.rowNumberByKey(df, Seq(),
+      Seq(("c", true), ("id", true)), out = "rn", slices = 5, smallBytes = 0L)
+    try {
+      for (bad <- Seq("0", "-3")) {
+        spark.conf.set("graft.rank.slices", bad)
+        val ex = intercept[IllegalArgumentException](run())
+        assert(ex.getMessage.contains(">= 1"), ex.getMessage)
+      }
+      spark.conf.set("graft.rank.slices", "lots")
+      val ex2 = intercept[IllegalArgumentException](run())
+      assert(ex2.getMessage.contains("integer"), ex2.getMessage)
+      // a valid override still computes textbook-equal ranks
+      spark.conf.set("graft.rank.slices", "3")
+      val w = org.apache.spark.sql.expressions.Window
+      val plain = df.withColumn("rn",
+          row_number().over(w.orderBy(col("c"), col("id"))).cast("long"))
+        .orderBy("id").collect().map(_.getLong(2)).toSeq
+      assert(run().orderBy("id").collect().map(_.getLong(2)).toSeq === plain)
+    } finally spark.conf.unset("graft.rank.slices")
+  }
+
+  test("pca invariant audit raises on rank-deficient input (regression: null/Infinity ppm rows)") {
+    val rnd = new scala.util.Random(17)
+    // third coordinate constant → centered covariance has an exactly-zero
+    // third row/column → eigenvalue #3 is exactly 0
+    val rows = (0 until 200).map(id =>
+      (id.toLong, Seq(rnd.nextInt(100).toFloat, rnd.nextInt(100).toFloat, 0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException](
+      ops.Embeddings.pcaInvariantAudit(df, "vec_id", "embedding", dim = 3, outDim = 3))
+    assert(ex.getMessage.contains("rank-deficient"), ex.getMessage)
+    // outDim within the data rank still audits green
+    val ok = ops.Embeddings.pcaInvariantAudit(df, "vec_id", "embedding", dim = 3, outDim = 2)
+    assert(ok.count() > 0)
   }
 
   test("distributed rank rejects non-atomic order columns consistently on both paths") {

@@ -167,6 +167,70 @@ class PgSpec extends SparkSpec {
       collectExtended()
     }
 
+    /** Parse/Bind requesting BINARY result columns (result-format codes in
+      * Bind); returns per-column (oid, fmt) from RowDescription, rows as
+      * raw cell bytes, and "[SQLSTATE] message" errors. */
+    def extendedQueryBinResults(sql: String, resFmts: Seq[Int],
+                                oids: Seq[Int] = Nil,
+                                binParams: Seq[Option[Array[Byte]]] = Nil): (Seq[(Int, Int)], Seq[Seq[Array[Byte]]], Seq[String]) = {
+      sendMsg('P') { d => cs(d, "s4"); cs(d, sql); d.writeShort(oids.size); oids.foreach(d.writeInt) }
+      sendMsg('B') { d =>
+        cs(d, "p4"); cs(d, "s4")
+        if (binParams.isEmpty) d.writeShort(0)
+        else { d.writeShort(1); d.writeShort(1) } // all params binary
+        d.writeShort(binParams.size)
+        binParams.foreach {
+          case None => d.writeInt(-1)
+          case Some(bs) => d.writeInt(bs.length); d.write(bs)
+        }
+        d.writeShort(resFmts.size); resFmts.foreach(f => d.writeShort(f.toShort))
+      }
+      sendMsg('D') { d => d.writeByte('P'); cs(d, "p4") }
+      sendMsg('E') { d => cs(d, "p4"); d.writeInt(0) }
+      sendMsg('C') { d => d.writeByte('P'); cs(d, "p4") }
+      sendMsg('S')(_ => ())
+      out.flush()
+      val desc = Seq.newBuilder[(Int, Int)]
+      val rows = Seq.newBuilder[Seq[Array[Byte]]]
+      val errs = Seq.newBuilder[String]
+      drainUntilReady().foreach {
+        case ('T', p) =>
+          val b = java.nio.ByteBuffer.wrap(p)
+          val n = b.getShort
+          (0 until n).foreach { _ =>
+            var c = b.get
+            while (c != 0) c = b.get // skip name
+            b.getInt; b.getShort
+            val oid = b.getInt
+            b.getShort; b.getInt
+            desc += ((oid, b.getShort.toInt))
+          }
+        case ('D', p) =>
+          val b = java.nio.ByteBuffer.wrap(p)
+          val n = b.getShort
+          rows += (0 until n).map { _ =>
+            val len = b.getInt
+            if (len < 0) null
+            else { val bs = new Array[Byte](len); b.get(bs); bs }
+          }
+        case ('E', p) =>
+          val b = java.nio.ByteBuffer.wrap(p)
+          var code = b.get
+          var state = ""; var m = ""
+          while (code != 0) {
+            val s = new StringBuilder
+            var c = b.get
+            while (c != 0) { s += c.toChar; c = b.get }
+            if (code == 'M') m = s.result()
+            if (code == 'C') state = s.result()
+            code = b.get
+          }
+          errs += s"[$state] $m"
+        case _ => ()
+      }
+      (desc.result(), rows.result(), errs.result())
+    }
+
     private def collectExtended(): (Seq[Char], Seq[Seq[String]], Seq[String]) = {
       val types = Seq.newBuilder[Char]
       val rows = Seq.newBuilder[Seq[String]]
@@ -365,6 +429,124 @@ class PgSpec extends SparkSpec {
         Seq(Some(be64(-1L)))) // 1 µs before the pg epoch
       assert(errsP.isEmpty, errsP)
       assert(rowsP === Seq(Seq("1999-12-31 23:59:59.999999")))
+    } finally c.close()
+  }
+
+  test("extended protocol: binary RESULT columns honor Bind's format codes") {
+    val c = new Client
+    try {
+      def be16(v: Short) = java.nio.ByteBuffer.allocate(2).putShort(v).array()
+      def be32(v: Int) = java.nio.ByteBuffer.allocate(4).putInt(v).array()
+      def be64(v: Long) = java.nio.ByteBuffer.allocate(8).putLong(v).array()
+      def bef8(v: Double) = java.nio.ByteBuffer.allocate(8).putDouble(v).array()
+      val (desc, rows, errs) = c.extendedQueryBinResults(
+        "SELECT CAST(7 AS INT) AS i4, CAST(-42 AS BIGINT) AS i8, CAST(1.25 AS DOUBLE) AS f8, " +
+          "true AS b, 'héllo' AS t, CAST(NULL AS BIGINT) AS n, X'DEADBEEF' AS by",
+        resFmts = Seq(1))
+      assert(errs.isEmpty, errs)
+      // RowDescription echoes the portal's binary format on every column
+      assert(desc.map(_._2) === Seq(1, 1, 1, 1, 1, 1, 1), desc)
+      assert(desc.map(_._1) === Seq(23, 20, 701, 16, 25, 20, 17), desc)
+      val r = rows.head
+      assert(r(0).toSeq === be32(7).toSeq)
+      assert(r(1).toSeq === be64(-42L).toSeq)
+      assert(r(2).toSeq === bef8(1.25).toSeq)
+      assert(r(3).toSeq === Seq[Byte](1))
+      assert(r(4).toSeq === "héllo".getBytes(UTF_8).toSeq) // binary text = utf8 bytes
+      assert(r(5) === null) // NULL is format-independent (-1 length)
+      assert(r(6).toSeq === Seq(0xDE, 0xAD, 0xBE, 0xEF).map(_.toByte)) // bytea raw
+      // per-column codes: text, binary
+      val (desc2, rows2, errs2) = c.extendedQueryBinResults(
+        "SELECT CAST(5 AS INT) AS a, CAST(6 AS INT) AS b", resFmts = Seq(0, 1))
+      assert(errs2.isEmpty, errs2)
+      assert(desc2.map(_._2) === Seq(0, 1))
+      assert(rows2.head(0).toSeq === "5".getBytes(UTF_8).toSeq)
+      assert(rows2.head(1).toSeq === be32(6).toSeq)
+      // date/timestamp: pg-epoch-relative binary images
+      val days = (java.time.LocalDate.of(1998, 7, 14).toEpochDay -
+        java.time.LocalDate.of(2000, 1, 1).toEpochDay).toInt
+      val us = (java.time.Instant.parse("2024-02-29T12:34:56.789012Z").getEpochSecond -
+        946684800L) * 1000000L + 789012L
+      val (_, rows3, errs3) = c.extendedQueryBinResults(
+        "SELECT DATE '1998-07-14' AS d, TIMESTAMP '2024-02-29 12:34:56.789012' AS ts",
+        resFmts = Seq(1))
+      assert(errs3.isEmpty, errs3)
+      assert(rows3.head(0).toSeq === be32(days).toSeq)
+      assert(rows3.head(1).toSeq === be64(us).toSeq)
+      // numeric: base-10000 groups, fraction padded to a group boundary
+      def numeric(groups: Seq[Int], weight: Int, sign: Int, dscale: Int) = {
+        val bb = java.nio.ByteBuffer.allocate(8 + 2 * groups.size)
+        bb.putShort(groups.size.toShort).putShort(weight.toShort)
+          .putShort(sign.toShort).putShort(dscale.toShort)
+        groups.foreach(g => bb.putShort(g.toShort))
+        bb.array().toSeq
+      }
+      val (_, rows4, errs4) = c.extendedQueryBinResults(
+        "SELECT CAST(-1234.5678 AS DECIMAL(10,4)) AS a, CAST(0.5 AS DECIMAL(5,1)) AS b, " +
+          "CAST(0 AS DECIMAL(5,2)) AS z", resFmts = Seq(1))
+      assert(errs4.isEmpty, errs4)
+      assert(rows4.head(0).toSeq === numeric(Seq(1234, 5678), weight = 0, sign = 0x4000, dscale = 4))
+      assert(rows4.head(1).toSeq === numeric(Seq(5000), weight = -1, sign = 0, dscale = 1))
+      assert(rows4.head(2).toSeq === numeric(Seq(), weight = 0, sign = 0, dscale = 2))
+      // smallint column (oid 21) encodes as int16
+      val (_, rows5, errs5) = c.extendedQueryBinResults(
+        "SELECT CAST(300 AS SMALLINT) AS s", resFmts = Seq(1))
+      assert(errs5.isEmpty, errs5)
+      assert(rows5.head(0).toSeq === be16(300.toShort).toSeq)
+    } finally c.close()
+  }
+
+  test("binary wire round-trip: pgBinary results re-bind as binary params unchanged") {
+    val c = new Client
+    try {
+      // fetch binary images, feed each straight back as a binary PARAMETER
+      // of the same OID — the decode (binaryToText) must invert the encode
+      val (_, rows, errs) = c.extendedQueryBinResults(
+        "SELECT CAST(-1234.5678 AS DECIMAL(10,4)) AS n, DATE '1998-07-14' AS d, " +
+          "TIMESTAMP '2024-02-29 12:34:56.789012' AS ts", resFmts = Seq(1))
+      assert(errs.isEmpty, errs)
+      val Seq(num, dt, ts) = rows.head.toSeq
+      val (_, rows2, errs2) = c.extendedQueryBinResults(
+        "SELECT CAST($1 AS STRING) AS n, CAST($2 AS STRING) AS d, CAST($3 AS STRING) AS ts",
+        resFmts = Seq(0), oids = Seq(1700, 1082, 1114),
+        binParams = Seq(Some(num), Some(dt), Some(ts)))
+      assert(errs2.isEmpty, errs2)
+      assert(rows2.head.map(b => new String(b, UTF_8)) ===
+        Seq("-1234.5678", "1998-07-14", "2024-02-29 12:34:56.789012"))
+    } finally c.close()
+  }
+
+  test("binary decode failures carry SQLSTATE 22P03 (invalid binary representation)") {
+    val c = new Client
+    try {
+      def be32(v: Int) = java.nio.ByteBuffer.allocate(4).putInt(v).array()
+      // wrong width for int8
+      val (_, _, errs) = c.extendedQueryBinResults(
+        "SELECT $1 AS x", resFmts = Seq(0), oids = Seq(20), binParams = Seq(Some(be32(1))))
+      assert(errs.exists(e => e.startsWith("[22P03]") && e.contains("8 bytes")), errs)
+      // pg14+ binary numeric Infinity sign word is REJECTED (not read as 0)
+      def numInf(sign: Int) = {
+        val bb = java.nio.ByteBuffer.allocate(8)
+        bb.putShort(0).putShort(0).putShort(sign.toShort).putShort(0)
+        bb.array()
+      }
+      val (_, _, errsI) = c.extendedQueryBinResults(
+        "SELECT $1 AS x", resFmts = Seq(0), oids = Seq(1700), binParams = Seq(Some(numInf(0xD000))))
+      assert(errsI.exists(e => e.startsWith("[22P03]") && e.contains("Infinity")), errsI)
+      val (_, _, errsNI) = c.extendedQueryBinResults(
+        "SELECT $1 AS x", resFmts = Seq(0), oids = Seq(1700), binParams = Seq(Some(numInf(0xF000))))
+      assert(errsNI.exists(e => e.startsWith("[22P03]") && e.contains("Infinity")), errsNI)
+      // unknown sign word likewise 22P03, naming the word
+      val (_, _, errsU) = c.extendedQueryBinResults(
+        "SELECT $1 AS x", resFmts = Seq(0), oids = Seq(1700), binParams = Seq(Some(numInf(0x1234))))
+      assert(errsU.exists(e => e.startsWith("[22P03]") && e.contains("0x1234")), errsU)
+      // TEXT-format failures stay 22P02 (distinct SQLSTATE)
+      val (_, _, errsT) = c.extendedQueryParams(
+        "SELECT $1 + 1 AS x", Seq(20), Seq(Some("not-a-number")))
+      assert(errsT.exists(_.contains("invalid numeric parameter")), errsT)
+      // connection remains usable
+      val (_, rowsOk, errsOk) = c.extendedQuery("SELECT 1 AS one")
+      assert(errsOk.isEmpty && rowsOk === Seq(Seq("1")))
     } finally c.close()
   }
 
