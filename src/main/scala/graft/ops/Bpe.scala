@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed byte-pair-encoding TRAINER (Sennrich et al. 2016): learn
@@ -91,5 +91,50 @@ object Bpe {
     }
     import spark.implicits._
     learned.toSeq.toDF("merge_rank", "lhs", "rhs", "freq")
+  }
+
+  /** Apply a trained merge table to a corpus: the ENCODE half of the
+    * tokenizer. Each document splits into whitespace words; each word
+    * becomes the sentinel-space symbol string (' a b c ') and the merges
+    * replay IN RANK ORDER with exactly the trainer's replace semantics
+    * (left-to-right non-overlapping literal replace, one pass per merge)
+    * — so encoding the training corpus reproduces the trainer's final
+    * vocab representation bit-for-bit, and the unrolled SQL oracle stays
+    * exact cross-engine.
+    *
+    * Output: (doc_id, tokens, n_tokens) — tokens is the space-joined
+    * symbol string of the whole document, n_tokens its symbol count.
+    *
+    * 100 TB shape: the merge table is the MODEL (<= 64 rows by the
+    * trainer's contract) — collected once and baked into the plan as
+    * literals, so encoding is a zero-shuffle per-row projection that
+    * scales linearly with the corpus and never moves data.
+    */
+  def encode(docs: DataFrame, textCol: String, idCol: String,
+             mergeTable: DataFrame): DataFrame = {
+    val m = mergeTable.select("merge_rank", "lhs", "rhs").collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    encodeWith(docs, textCol, idCol, m)
+  }
+
+  /** `encode` with the merge list already on the driver (rank order). */
+  def encodeWith(docs: DataFrame, textCol: String, idCol: String,
+                 merges: Seq[(String, String)]): DataFrame = {
+    require(merges.size <= 64, s"merge table too large: ${merges.size} (model, not data)")
+    val words = filter(split(col(textCol), " "), w => length(w) > 0)
+    def enc(w: Column): Column = {
+      val seq0 = concat(lit(" "), regexp_replace(w, "(.)", "$1 "))
+      val merged = merges.foldLeft(seq0) { case (s, (a, b)) =>
+        // lit() arguments: merge symbols containing quotes/backslashes
+        // pass through unescaped, exactly as in train()
+        call_function("replace", s, lit(s" $a $b "), lit(s" $a$b "))
+      }
+      trim(merged)
+    }
+    docs.select(col(idCol).as("doc_id"),
+        array_join(transform(words, enc(_)), " ").as("tokens"))
+      .withColumn("n_tokens",
+        when(col("tokens") === "", lit(0L))
+          .otherwise(size(split(col("tokens"), " ")).cast("long")))
   }
 }

@@ -839,11 +839,25 @@ object TextQueries {
     QueryDef("tx30_bpe_train", bpeOracle(8)) { (s, d) =>
       graft.ops.Bpe.train(Tables.load(s, d, "documents"), "text", merges = 8)
         .orderBy("merge_rank")
+    },
+
+    // BPE ENCODE: train 8 merges, then tokenize every document by
+    // replaying the merge schedule per word (the model is collected and
+    // baked as plan literals — a zero-shuffle projection over the
+    // corpus). The oracle re-derives the same 8 merges via the unrolled
+    // trainer CTEs, then applies the identical 8-deep replace chain
+    // inside a per-word lambda.
+    QueryDef("tx31_bpe_encode", bpeEncodeOracle(8)) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val m = graft.ops.Bpe.train(docs, "text", merges = 8)
+      graft.ops.Bpe.encode(docs, "text", "doc_id", m).orderBy("doc_id")
     }
   )
 
-  /** Unrolled DuckDB twin of Bpe.train for `merges` rounds. */
-  private def bpeOracle(merges: Int): String = {
+  /** The shared trainer-replay CTE chain: v0 (initial vocab) plus, per
+    * round i, pair counts p$i, the argmax merge m$i, and the once-merged
+    * vocab v$i. */
+  private def bpeCtes(merges: Int): String = {
     val rounds = (1 to merges).map { i =>
       s"""p$i AS (SELECT s[j] AS lhs, s[j+1] AS rhs, CAST(SUM(wc) AS BIGINT) AS freq
          |        FROM (SELECT string_split(trim(seq), ' ') AS s, wc FROM v${i - 1}),
@@ -853,17 +867,45 @@ object TextQueries {
          |v$i AS (SELECT replace(seq, ' '||lhs||' '||rhs||' ', ' '||lhs||rhs||' ') AS seq, wc
          |        FROM v${i - 1}, m$i)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to merges)
-      .map(i => s"SELECT CAST($i AS INTEGER) AS merge_rank, lhs, rhs, freq FROM m$i")
-      .mkString("\n  UNION ALL ")
-    s"""WITH v0 AS (
+    s"""v0 AS (
        |  SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq,
        |         CAST(COUNT(*) AS BIGINT) AS wc
        |  FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
        |  WHERE length(word) > 0 GROUP BY 1),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  /** Unrolled DuckDB twin of Bpe.train for `merges` rounds. */
+  private def bpeOracle(merges: Int): String = {
+    val union = (1 to merges)
+      .map(i => s"SELECT CAST($i AS INTEGER) AS merge_rank, lhs, rhs, freq FROM m$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${bpeCtes(merges)}
        |SELECT * FROM (
        |  $union)
        |ORDER BY merge_rank""".stripMargin
+  }
+
+  /** DuckDB twin of Bpe.encode: re-derive the merge table via the
+    * trainer CTEs, then replay the identical per-word replace chain
+    * (each single-row m$i cross-joined in, its lhs/rhs captured by the
+    * per-word lambda). */
+  private def bpeEncodeOracle(merges: Int): String = {
+    val repl = (1 to merges).foldLeft("' ' || regexp_replace(w, '(.)', '\\1 ', 'g')") {
+      (acc, i) =>
+        s"replace($acc, ' '||m$i.lhs||' '||m$i.rhs||' ', ' '||m$i.lhs||m$i.rhs||' ')"
+    }
+    val froms = (1 to merges).map(i => s"m$i").mkString(", ")
+    s"""WITH ${bpeCtes(merges)},
+       |enc AS (
+       |  SELECT doc_id,
+       |    array_to_string(list_transform(
+       |      list_filter(string_split(text, ' '), w -> length(w) > 0),
+       |      w -> trim($repl)), ' ') AS tokens
+       |  FROM documents, $froms)
+       |SELECT doc_id, tokens,
+       |  CAST(CASE WHEN tokens = '' THEN 0
+       |            ELSE len(string_split(tokens, ' ')) END AS BIGINT) AS n_tokens
+       |FROM enc""".stripMargin
   }
 }

@@ -363,6 +363,24 @@ class OpsSpec extends SparkSpec {
     assert(t === Seq(("b", "a")))
   }
 
+  test("bpe encode replays the trained merge schedule per word") {
+    val docs = Seq((1L, "aaa aaa aa"), (2L, ""), (3L, "ab")).toDF("doc_id", "text")
+    // learned merges: (a,a) freq 5, (aa,a) freq 2, (a,b) freq 1
+    val m = ops.Bpe.train(docs, "text", merges = 4)
+    val out = ops.Bpe.encode(docs, "text", "doc_id", m).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // 'aaa': m1 merges left-to-right (' aa a '), m2 completes (' aaa ');
+    // 'ab' only matches m3; the empty document encodes to zero tokens
+    assert(out.toSeq === Seq(
+      (1L, "aaa aaa aa", 3L), (2L, "", 0L), (3L, "ab", 1L)))
+    // encoding the training corpus reproduces the trainer's final vocab
+    // representation — and a shuffled merge table re-sorts by rank
+    val shuffled = m.orderBy(col("lhs").desc)
+    val out2 = ops.Bpe.encode(docs, "text", "doc_id", shuffled).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out2.toSeq === out.toSeq)
+  }
+
   test("bpe merges with quote/backslash symbols replace correctly (regression: SQL-literal escaping)") {
     // word = '\'\ (chars: quote backslash quote backslash) x3. Round 1
     // merges (', \) freq 6 — the replace PATTERN contains a quote and a
