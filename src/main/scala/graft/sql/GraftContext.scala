@@ -447,7 +447,7 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
   private val reCreateTableAs = """(?is)^CREATE\s+TABLE\s+([\w."]+)\s+AS\s+(.+)$""".r
   private val reCreateTable = """(?is)^CREATE\s+TABLE\s+([\w."]+)\s*\((.+)\)\s*$""".r
   private val reCreateExternal =
-    """(?is)^CREATE\s+EXTERNAL\s+TABLE\s+([\w."]+)\s+STORED\s+AS\s+(\w+)\s+LOCATION\s+'([^']+)'(?:\s+OPTIONS\s*\(([^)]*)\))?\s*$""".r
+    """(?is)^CREATE\s+EXTERNAL\s+TABLE\s+([\w."]+)\s+STORED\s+AS\s+(\w+)(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s+LOCATION\s+'([^']+)'(?:\s+OPTIONS\s*\(([^)]*)\))?\s*$""".r
   private val reInsertSel = """(?is)^INSERT\s+INTO\s+([\w."]+)\s*(?:\(([^)]*)\))?\s*(SELECT.+|VALUES.+|WITH.+)$""".r
   private val reUpdate = """(?is)^UPDATE\s+([\w."]+)\s+SET\s+(.+)$""".r
   private val reDelete = """(?is)^DELETE\s+FROM\s+([\w."]+)(?:\s+WHERE\s+(.+))?$""".r
@@ -505,7 +505,7 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
       catalog.createDatabase(clean(db)); emptyResult
     case reCreateSchema(sch) =>
       catalog.createSchema(currentDb, clean(sch)); emptyResult
-    case reCreateExternal(qname, fmt, loc, opts) =>
+    case reCreateExternal(qname, fmt, pcols, loc, opts) =>
       val (_, name) = splitName(qname)
       // OPTIONS ('k1' 'v1', 'k2' 'v2') — reference external-table syntax
       val options: Map[String, String] = Option(opts).toSeq
@@ -533,11 +533,38 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
         } else if (isHttp && fmtUp != "JDBC")
           downloadToTmp(loc, fmt.toLowerCase)
         else loc
+      // PARTITIONED BY (reference src/datafusion/parser.rs:601-745):
+      // hive-style key=value directory partitions. Spark's file sources
+      // DISCOVER them (and Catalyst prunes partitions on every filter),
+      // so the declaration is validated against the discovered partition
+      // schema — a typo'd or missing partition layout fails at CREATE,
+      // not as silent full scans later.
+      val declaredPcols = Option(pcols).map(_.split(',').map(_.trim.replace("\"", ""))
+        .filter(_.nonEmpty).toSeq).filter(_.nonEmpty)
+      declaredPcols.foreach { _ =>
+        require(Set("PARQUET", "CSV", "JSON", "NDJSON")(fmtUp),
+          s"PARTITIONED BY applies to directory-listed file formats, not $fmtUp")
+      }
       // validate eagerly on the main session, then record the recipe so
       // read snapshots (buildSnapshot) re-register the same view — a
       // staging table must stay visible to the lock-free read path
-      readExternal(spark, fmtUp, resolvedLoc, options)
-        .createOrReplaceTempView(s"staging__$name")
+      val df = readExternal(spark, fmtUp, resolvedLoc, options)
+      declaredPcols.foreach { declared =>
+        val discovered = df.queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.partitionSchema.fieldNames.toSeq
+              case _ => Seq.empty[String]
+            }
+        }.flatten
+        require(declared.sorted == discovered.sorted.distinct,
+          s"PARTITIONED BY (${declared.mkString(", ")}) does not match the " +
+          s"partition layout discovered under $resolvedLoc " +
+          s"(${if (discovered.isEmpty) "none" else discovered.mkString(", ")}); " +
+          "expected hive-style key=value directories for exactly the declared columns")
+      }
+      df.createOrReplaceTempView(s"staging__$name")
       stagingTables(name) = (fmtUp, resolvedLoc, options)
       emptyResult
     case reClone(dst, src, ver) =>
