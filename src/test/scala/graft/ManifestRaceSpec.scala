@@ -1,0 +1,106 @@
+package graft
+
+import graft.lake.Manifest
+import graft.lake.Manifest.TableManifest
+
+/** Child-process entry for the cross-process commit race: loops versions
+  * 1..rounds, attempting to commit each with this process's tag as the
+  * manifest content. Prints one `v=<n> WIN|LOSE` line per version. A
+  * start-barrier file keeps both JVMs out of the loop until both are up,
+  * so the attempts genuinely overlap.
+  */
+object CommitRacer {
+  def main(args: Array[String]): Unit = {
+    val Array(tableRoot, tag, barrier, roundsStr) = args
+    val rounds = roundsStr.toInt
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (!new java.io.File(barrier).exists()) {
+      if (System.nanoTime() > deadline) sys.error("barrier never appeared")
+      Thread.sleep(2)
+    }
+    (1 to rounds).foreach { v =>
+      val m = TableManifest(v.toLong, 0L, s"""{"committer":"$tag","v":$v}""", Nil)
+      val won =
+        try { Manifest.commit(tableRoot, m); true }
+        catch { case _: IllegalStateException => false }
+      println(s"v=$v ${if (won) "WIN" else "LOSE"}")
+    }
+  }
+}
+
+/** Pins `Manifest.commit`'s optimistic-concurrency contract under REAL
+  * multi-process contention (the deployment shape: separate writers on a
+  * shared store, no shared JVM lock or manifest cache): for every
+  * version exactly one committer wins, the loser observes the failure,
+  * and the stored manifest is byte-complete from a single winner — no
+  * lost updates, no interleaved content.
+  */
+class ManifestRaceSpec extends SparkSpec {
+
+  private def launch(tableRoot: String, tag: String, barrier: String,
+                     rounds: Int): Process = {
+    val javaBin = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    val cp = System.getProperty("java.class.path")
+    val cmd = Seq(javaBin, "-Xmx256m", "-cp", cp, "graft.CommitRacer",
+      tableRoot, tag, barrier, rounds.toString)
+    new ProcessBuilder(cmd: _*).redirectErrorStream(false).start()
+  }
+
+  private def drain(p: Process): Seq[String] = {
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    assert(p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS), "racer timed out")
+    assert(p.exitValue() === 0,
+      s"racer failed: ${new String(p.getErrorStream.readAllBytes(), "UTF-8").take(1500)}")
+    out.linesIterator.filter(_.startsWith("v=")).toSeq
+  }
+
+  test("two-process commit race: every version has exactly one winner, no lost updates") {
+    val root = tmpDir("graft-race")
+    val barrier = s"$root/go"
+    val rounds = 25
+    val pa = launch(root, "A", barrier, rounds)
+    val pb = launch(root, "B", barrier, rounds)
+    // both JVMs are spinning on the barrier before it appears
+    new java.io.FileOutputStream(barrier).close()
+    val (la, lb) = (drain(pa), drain(pb))
+    assert(la.size === rounds && lb.size === rounds, (la, lb))
+    val byV = (la.map(_ -> "A") ++ lb.map(_ -> "B"))
+      .map { case (line, p) =>
+        val Array(v, res) = line.split(" ")
+        (v.stripPrefix("v=").toInt, res, p)
+      }.groupBy(_._1)
+    (1 to rounds).foreach { v =>
+      val winners = byV(v).filter(_._2 == "WIN")
+      assert(winners.size === 1, s"version $v: ${byV(v)}")
+      // the surviving bytes are the single winner's complete manifest
+      assert(Manifest.read(root, v.toLong).schemaJson
+        .contains(s""""committer":"${winners.head._3}""""))
+    }
+    // both processes raced to the end: the version chain is dense 1..N
+    assert(Manifest.listVersions(root) === (1 to rounds).map(_.toLong))
+  }
+
+  test("in-process thread race: 8 threads x 40 versions, one winner each") {
+    val root = tmpDir("graft-race-thr")
+    val rounds = 40
+    val wins = new java.util.concurrent.ConcurrentHashMap[Long, java.util.List[String]]()
+    val threads = (1 to 8).map { t =>
+      new Thread(() => (1 to rounds).foreach { v =>
+        val m = TableManifest(v.toLong, 0L, s"""{"committer":"t$t"}""", Nil)
+        try {
+          Manifest.commit(root, m)
+          wins.computeIfAbsent(v.toLong,
+            _ => java.util.Collections.synchronizedList(new java.util.ArrayList[String]()))
+            .add(s"t$t")
+        } catch { case _: IllegalStateException => () }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    (1 to rounds).foreach { v =>
+      val w = Option(wins.get(v.toLong)).map(_.size).getOrElse(0)
+      assert(w === 1, s"version $v had $w winners")
+    }
+    assert(Manifest.listVersions(root) === (1 to rounds).map(_.toLong))
+  }
+}
