@@ -971,6 +971,13 @@ object Embeddings {
     *   - `mean_ppm(i)`: projected mean over √trace → 0 (centering);
     *   - `eig_trace_ppm`: Σ all eigenvalues over trace → 1 000 000
     *     (rotations preserve trace); `psd_ok`: λ_min ≥ −1e-9·trace.
+    * Rank-deficiency guard: every retained eigenvalue must exceed
+    * 1e-12·trace — the numerical-resolution floor below which a
+    * "variance direction" is indistinguishable from Jacobi/float error
+    * (see the convergence bounds below). Inputs whose data rank is
+    * below `outDim` fail loudly here with a lower-outDim hint; a
+    * legitimately tiny-but-real direction under that floor cannot be
+    * audited meaningfully either way and errors identically.
     * Jacobi converges to ≤1e-10 relative off-diagonal mass and float
     * summation error is ≤~1e-12 relative, so every ppm rounds exactly —
     * 5 000× under the half-quantum. One fixed-state Gram pass + one
