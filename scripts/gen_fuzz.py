@@ -80,7 +80,8 @@ def cents(c):
 
 
 def int_expr(rnd, t):
-    kind = rnd.choice(["col", "col", "cents", "arith", "case", "strlen", "year"])
+    kind = rnd.choice(["col", "col", "cents", "arith", "case", "strlen", "year",
+                       "mod", "abs", "least"])
     if kind == "col":
         return f"CAST({rnd.choice(t['ints'])} AS BIGINT)"
     if kind == "cents" and t["cents"]:
@@ -89,6 +90,16 @@ def int_expr(rnd, t):
         a, b = rnd.choice(t["ints"]), rnd.choice(t["ints"])
         op = rnd.choice(["+", "-", "*"])
         return f"(CAST({a} AS BIGINT) {op} CAST({b} AS BIGINT))"
+    if kind == "mod":
+        # both engines use C semantics (sign of the dividend) for %
+        return f"(CAST({rnd.choice(t['ints'])} AS BIGINT) % {rnd.randint(2, 97)})"
+    if kind == "abs":
+        a, b = rnd.choice(t["ints"]), rnd.choice(t["ints"])
+        return f"ABS(CAST({a} AS BIGINT) - CAST({b} AS BIGINT))"
+    if kind == "least":
+        fn = rnd.choice(["LEAST", "GREATEST"])
+        a, b = rnd.choice(t["ints"]), rnd.choice(t["ints"])
+        return f"{fn}(CAST({a} AS BIGINT), CAST({b} AS BIGINT), {rnd.randint(0, 500)})"
     if kind == "case":
         c = rnd.choice(t["ints"])
         n = rnd.randint(1, 50)
@@ -198,7 +209,8 @@ OUT_KEY = {"lineitem": "l_orderkey", "orders": "o_orderkey", "customer": "c_cust
 
 def scalar_str(rnd, t):
     c = rnd.choice(t["strs"])
-    kind = rnd.choice(["upper", "lower", "concat", "replace", "substr", "trim", "coalesce"])
+    kind = rnd.choice(["upper", "lower", "concat", "replace", "substr", "trim",
+                       "coalesce", "lpad", "reverse", "position"])
     if kind == "upper":
         return f"UPPER({c})"
     if kind == "lower":
@@ -211,6 +223,14 @@ def scalar_str(rnd, t):
         return f"SUBSTR({c}, {rnd.randint(1, 2)}, {rnd.randint(1, 4)})"
     if kind == "trim":
         return f"TRIM({c})"
+    if kind == "lpad":
+        fn = rnd.choice(["LPAD", "RPAD"])
+        return f"{fn}(SUBSTR({c}, 1, 4), {rnd.randint(2, 6)}, '{rnd.choice('._*')}')"
+    if kind == "reverse":
+        return f"REVERSE(SUBSTR({c}, 1, {rnd.randint(2, 5)}))"
+    if kind == "position":
+        # POSITION returns an integer — stringify so group keys stay text
+        return f"CAST(POSITION('{rnd.choice('AEONR')}' IN {c}) AS VARCHAR(8))"
     return f"COALESCE(NULLIF({c}, '{rnd.choice('ANR')}'), 'd')"
 
 
@@ -218,7 +238,71 @@ def gen_query(rnd):
     shape = rnd.choice(["agg", "agg", "agg", "joinagg", "grand", "setop", "insub",
                         "distinct", "window", "scalar", "outerjoin",
                         "groupingsets", "exists", "casagg",
-                        "scalarsub", "cte", "topk"])
+                        "scalarsub", "cte", "topk",
+                        "aggjoin", "selfjoin", "nullkeys", "filteragg"])
+    if shape == "aggjoin":
+        # JOIN of two independently-grouped subqueries on the group key —
+        # partial aggregation under a join, join reordering over derived
+        # tables, and outer-extended aggregate rows
+        ta, tb, ka, kb = rnd.choice(JOINS)
+        t, ts = TABLES[ta], TABLES[tb]
+        jt = rnd.choice(["JOIN", "JOIN", "LEFT JOIN"])
+        wa = f" WHERE {pred(rnd, t)}" if rnd.random() < 0.6 else ""
+        wb = f" WHERE {pred(rnd, ts)}" if rnd.random() < 0.6 else ""
+        return (f"SELECT CAST(x.k AS BIGINT) AS g0, x.n AS a0, "
+                f"CAST(COALESCE(y.m, -1) AS BIGINT) AS a1 FROM "
+                f"(SELECT {ka} AS k, {agg(rnd, t)} AS n FROM {ta}{wa} GROUP BY 1) x "
+                f"{jt} "
+                f"(SELECT {kb} AS k, {agg(rnd, ts)} AS m FROM {tb}{wb} GROUP BY 1) y "
+                f"ON x.k = y.k")
+    if shape == "selfjoin":
+        # bounded non-equi self-join: equality on the key bounds the blow-up,
+        # the strict inequality exercises the non-equi join condition path
+        t = TABLES["lineitem"]
+        # qualify the side predicate's columns (both sides carry every name)
+        qt = {k: [f"a.{c}" for c in v] for k, v in t.items()}
+        w = f" AND {pred(rnd, qt)}" if rnd.random() < 0.6 else ""
+        op = rnd.choice(["<", "<=", "<>"])
+        m = rnd.choice(["a.l_partkey", "b.l_suppkey",
+                        "(CAST(a.l_linenumber AS BIGINT) * CAST(b.l_linenumber AS BIGINT))"])
+        return (f"SELECT CAST(COUNT(*) AS BIGINT) AS a0, "
+                f"CAST(SUM(CAST({m} AS BIGINT)) AS BIGINT) AS a1 "
+                f"FROM lineitem a JOIN lineitem b "
+                f"ON a.l_orderkey = b.l_orderkey AND a.l_linenumber {op} b.l_linenumber{w}")
+    if shape == "nullkeys":
+        # NULLIF-manufactured NULL group keys: both engines must put the
+        # null group in ONE bucket, and null-sensitive aggregates must
+        # agree on it (COUNT(col) skips nulls, SUM of all-null is NULL)
+        name = rnd.choice(list(TABLES))
+        t = TABLES[name]
+        sc = rnd.choice(t["strs"])
+        vals = STR_VALUES.get(sc) or ["x"]
+        v = rnd.choice(vals) if vals else "x"
+        ic = rnd.choice(t["ints"])
+        g = f"NULLIF({sc}, '{v}')"
+        nullable_int = f"(CASE WHEN {pred(rnd, t)} THEN CAST({ic} AS BIGINT) END)"
+        w = f" WHERE {pred(rnd, t)}" if rnd.random() < 0.5 else ""
+        return (f"SELECT g0, CAST(COUNT(*) AS BIGINT) AS a0, "
+                f"CAST(COUNT(v) AS BIGINT) AS a1, "
+                f"CAST(SUM(v) AS BIGINT) AS a2, "
+                f"CAST(COUNT(DISTINCT v) AS BIGINT) AS a3 FROM "
+                f"(SELECT {g} AS g0, {nullable_int} AS v FROM {name}{w}) x GROUP BY 1")
+    if shape == "filteragg":
+        # ANSI FILTER clause on aggregates (both engines support it):
+        # per-aggregate predicates independent of WHERE/GROUP BY
+        name = rnd.choice(list(TABLES))
+        t = TABLES[name]
+        p1, p2 = pred(rnd, t), pred(rnd, t)
+        aggs = [
+            f"CAST(COUNT(*) FILTER (WHERE {p1}) AS BIGINT) AS a0",
+            f"CAST(SUM({int_expr(rnd, t)}) FILTER (WHERE {p2}) AS BIGINT) AS a1",
+            f"CAST(MIN({int_expr(rnd, t)}) FILTER (WHERE {p1}) AS BIGINT) AS a2",
+            f"CAST(COUNT(DISTINCT {rnd.choice(t['ints'] + t['strs'])}) "
+            f"FILTER (WHERE {p2}) AS BIGINT) AS a3",
+        ]
+        g = group_expr(rnd, t)
+        w = f" WHERE {pred(rnd, t)}" if rnd.random() < 0.5 else ""
+        return f"SELECT {g} AS g0, {', '.join(aggs)} FROM {name}{w} GROUP BY 1"
     if shape == "scalarsub":
         # correlated scalar subquery in the SELECT list — the
         # decorrelate-to-left-outer-join rewrite, including the classic

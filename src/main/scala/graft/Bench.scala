@@ -145,7 +145,7 @@ object Bench {
         val ks = if (haveShort) shortKeys else best.keys.map(k => k -> k).toMap
         val descending = best.toSeq.sortBy(-_._2)
         val parts = scala.collection.mutable.ArrayBuffer[String]()
-        var used = 250 // envelope: metric/value/qelided/sf/reps fields
+        var used = 250 + tail.length // envelope: metric/value/qelided/sf/reps + error fields
         var kept = 0
         descending.foreach { case (k, v) =>
           val p = "\"" + ks(k) + "\":" + fmt(v)
