@@ -124,15 +124,14 @@ object LakeIO {
     *  - HDFS: the two-arg rename fails when the destination exists, so a
     *    lost race is detected by the rename itself (true atomicity).
     *  - local / Checksum FS: rename(2) silently REPLACES an existing
-    *    destination, so we narrow the window with (a) a pre-rename exists
-    *    check and (b) re-reading the target after a successful rename and
-    *    verifying it holds OUR content. This narrows but does NOT close
-    *    the race: a sequential rename-verify / rename-verify interleaving
-    *    lets both committers observe their own bytes. Local-FS
-    *    deployments therefore rely on the in-process locks (Catalog/
-    *    GraftTable serialize per JVM); cross-PROCESS local-FS writers are
-    *    out of scope (the reference documents the same caveat for its
-    *    wrapped store, `src/object_store/wrapped.rs` rename_if_not_exists).
+    *    destination, so the publish step is link(2) instead — a hard
+    *    link of the written temp onto the target is KERNEL-atomic and
+    *    fails with EEXIST when the target already exists. This is
+    *    create-if-absent with full content visibility, correct under
+    *    cross-PROCESS contention (ManifestRaceSpec races two JVMs on
+    *    it; the earlier exists-check + rename + content-verify scheme
+    *    had a two-winner interleaving that real contention could hit).
+    *    Filesystems without hard links fall back to rename + verify.
     *  - S3A/GCS: rename is copy+delete (not atomic); deployments there
     *    should layer a conditional-put/DynamoDB-style commit service
     *    behind this same call.
@@ -148,22 +147,30 @@ object LakeIO {
     try out.write(content.getBytes(StandardCharsets.UTF_8))
     finally out.close()
     if (failIfExists) {
-      if (f.exists(target)) { f.delete(tmp, false); return false }
-      val renamed =
-        try f.rename(tmp, target)
-        catch { case e: IOException => f.delete(tmp, false); throw e }
-      if (!renamed) {
-        f.delete(tmp, false)
-        // distinguish a lost race from a real I/O failure (permissions,
-        // quota, transient store error): only the former returns false
-        if (f.exists(target)) false
-        else throw new IOException(s"rename $tmp -> $target failed with no concurrent commit present")
-      } else {
-        // local-FS rename clobbers silently: winning the rename doesn't
-        // prove we won the race — verify the target holds our bytes
-        val won = try readString(target) == content catch { case _: FileNotFoundException => false }
-        won
-      }
+      val isLocal = f.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+        f.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+      if (isLocal) {
+        // link(2): atomic create-if-absent publish of the complete temp
+        // content; EEXIST IS the lost-race signal, no window at all
+        val linked =
+          try {
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(target.toUri.getPath),
+              java.nio.file.Paths.get(tmp.toUri.getPath))
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+            case _: UnsupportedOperationException =>
+              // no hard links on this FS: legacy rename + verify below
+              return renamePublish(f, tmp, target, content)
+          } finally {
+            // drop the temp either way (link copies nothing; the target
+            // now shares the inode). Checksum sidecar goes with it —
+            // LocalFileSystem reads fine without a .crc.
+            try f.delete(tmp, false) catch { case scala.util.control.NonFatal(_) => () }
+          }
+        linked
+      } else renamePublish(f, tmp, target, content)
     } else {
       // overwrite mode: local rename replaces the target atomically; HDFS
       // two-arg rename refuses a live destination, so fall back to
@@ -172,6 +179,29 @@ object LakeIO {
       // (Catalog does exactly that).
       if (f.rename(tmp, target)) true
       else { f.delete(target, false); val ok = f.rename(tmp, target); if (!ok) f.delete(tmp, false); ok }
+    }
+  }
+
+  /** Legacy publish for FileSystems without hard links: exists-check +
+    * rename + content-verify. HDFS's no-clobber rename makes this truly
+    * atomic there; elsewhere it only narrows the race window (see
+    * writeAtomic's scaladoc). */
+  private def renamePublish(f: FileSystem, tmp: Path, target: Path,
+                            content: String): Boolean = {
+    if (f.exists(target)) { f.delete(tmp, false); return false }
+    val renamed =
+      try f.rename(tmp, target)
+      catch { case e: IOException => f.delete(tmp, false); throw e }
+    if (!renamed) {
+      f.delete(tmp, false)
+      // distinguish a lost race from a real I/O failure (permissions,
+      // quota, transient store error): only the former returns false
+      if (f.exists(target)) false
+      else throw new IOException(s"rename $tmp -> $target failed with no concurrent commit present")
+    } else {
+      // rename may clobber silently: winning the rename doesn't prove
+      // we won the race — verify the target holds our bytes
+      try readString(target) == content catch { case _: FileNotFoundException => false }
     }
   }
 

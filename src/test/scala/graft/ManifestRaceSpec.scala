@@ -13,7 +13,7 @@ object CommitRacer {
   def main(args: Array[String]): Unit = {
     val Array(tableRoot, tag, barrier, roundsStr) = args
     val rounds = roundsStr.toInt
-    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
     while (!new java.io.File(barrier).exists()) {
       if (System.nanoTime() > deadline) sys.error("barrier never appeared")
       Thread.sleep(2)
@@ -49,7 +49,7 @@ class ManifestRaceSpec extends SparkSpec {
 
   private def drain(p: Process): Seq[String] = {
     val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
-    assert(p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS), "racer timed out")
+    assert(p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS), "racer timed out")
     assert(p.exitValue() === 0,
       s"racer failed: ${new String(p.getErrorStream.readAllBytes(), "UTF-8").take(1500)}")
     out.linesIterator.filter(_.startsWith("v=")).toSeq
