@@ -581,4 +581,15 @@ class PlanSpec extends SparkSpec {
         "global window over unbounded input:\n" + offenders.mkString("\n"))
     } finally spark.conf.unset("graft.rank.smallBytes")
   }
+
+  test("bpe encode is a zero-shuffle projection (merges baked as literals)") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa ab aa"), (2L, "b a")).toDF("doc_id", "text")
+    val enc = ops.Bpe.encodeWith(docs, "text", "doc_id", Seq(("a", "a"), ("aa", "b")))
+    val p = enc.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the model travels in the plan (literal replace chain), the corpus
+    // never moves: no Exchange, no join, no aggregate anywhere
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert(!p.contains("Join") && !p.contains("Aggregate"), p.take(2000))
+  }
 }
