@@ -117,6 +117,65 @@ object Bpe {
     encodeWith(docs, textCol, idCol, m)
   }
 
+  /** The tokenizer's vocabulary: every base symbol (distinct characters
+    * across the corpus's whitespace words) plus every merge-produced
+    * symbol, with DENSE deterministic ids — single-character tokens
+    * first, then multi-character, each tier in UTF-8 BYTE order (the
+    * order Spark's UTF8String and DuckDB's binary collation both sort
+    * strings by; java's UTF-16 `compareTo` disagrees on supplementary
+    * characters, so the driver sorts raw bytes, never Strings).
+    *
+    * 100 TB shape: the distinct-characters pass is one corpus scan whose
+    * output is bounded by the CHARSET (≤ the unicode space), collected
+    * once — the vocabulary is the model, like the merge table itself.
+    *
+    * Output: (token, id), ids dense from 0.
+    */
+  def vocab(docs: DataFrame, textCol: String, mergeTable: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val merges = mergeTable.select("merge_rank", "lhs", "rhs").collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    val base = docs.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .select(explode(split(regexp_replace(col("word"), "(.)", "$1 "), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .distinct().collect().map(_.getString(0))
+    val all = (base ++ merges.map { case (a, b) => a + b }).distinct
+    val utf8Order: Ordering[String] = (x: String, y: String) => {
+      val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      var r = 0
+      while (r == 0 && i < a.length && i < b.length) {
+        r = (a(i) & 0xff) - (b(i) & 0xff); i += 1
+      }
+      if (r != 0) r else a.length - b.length
+    }
+    val sorted = all.sortBy(t => (t.codePointCount(0, t.length) > 1, t))(
+      Ordering.Tuple2(Ordering.Boolean, utf8Order))
+    import spark.implicits._
+    sorted.zipWithIndex.map { case (t, i) => (t, i.toLong) }.toSeq.toDF("token", "id")
+  }
+
+  /** Token-ID encoding: `encode` + a broadcast join against `vocab`,
+    * reduced to per-document integer fingerprints so the mapping is
+    * oracle-checkable without shipping every token row: `n_tokens`,
+    * `id_sum` = Σ id, and `id_dot` = Σ id·position (1-based) — the
+    * positional weighting pins token ORDER, not just the multiset.
+    * Documents that encode to zero tokens are excluded. */
+  def encodeIds(docs: DataFrame, textCol: String, idCol: String,
+                mergeTable: DataFrame): DataFrame = {
+    val v = vocab(docs, textCol, mergeTable)
+    val enc = encode(docs, textCol, idCol, mergeTable)
+    enc.filter(col("tokens") =!= "")
+      .select(col("doc_id"), posexplode(split(col("tokens"), " ")))
+      .join(broadcast(v), col("col") === col("token"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("id").as("id_sum"),
+        sum(col("id") * (col("pos") + 1)).as("id_dot"))
+  }
+
   /** `encode` with the merge list already on the driver (rank order). */
   def encodeWith(docs: DataFrame, textCol: String, idCol: String,
                  merges: Seq[(String, String)]): DataFrame = {

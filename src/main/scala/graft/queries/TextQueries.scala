@@ -851,6 +851,24 @@ object TextQueries {
       val docs = Tables.load(s, d, "documents")
       val m = graft.ops.Bpe.train(docs, "text", merges = 8)
       graft.ops.Bpe.encode(docs, "text", "doc_id", m).orderBy("doc_id")
+    },
+
+    // Tokenizer VOCABULARY: base characters + merge symbols with dense
+    // deterministic ids (single-char tier first, UTF-8 byte order within
+    // tiers — the one string order Spark and DuckDB agree on).
+    QueryDef("tx32_bpe_vocab", bpeVocabOracle(8)) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val m = graft.ops.Bpe.train(docs, "text", merges = 8)
+      graft.ops.Bpe.vocab(docs, "text", m).orderBy("id")
+    },
+
+    // Token-ID encoding fingerprints: per document, the token count plus
+    // order-sensitive integer checksums of the id sequence (id_dot pins
+    // POSITIONS — a permuted token order cannot hash-match).
+    QueryDef("tx33_bpe_token_ids", bpeTokenIdsOracle(8)) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val m = graft.ops.Bpe.train(docs, "text", merges = 8)
+      graft.ops.Bpe.encodeIds(docs, "text", "doc_id", m).orderBy("doc_id")
     }
   )
 
@@ -884,6 +902,50 @@ object TextQueries {
        |SELECT * FROM (
        |  $union)
        |ORDER BY merge_rank""".stripMargin
+  }
+
+  /** Vocab CTEs shared by tx32/tx33: base symbols from v0, merge
+    * symbols from m1..mN, deduped, dense ids by (multi-char tier,
+    * binary token order) — DuckDB's default collation is binary, which
+    * matches the byte order the Spark side bakes. */
+  private def bpeVocabCtes(merges: Int): String = {
+    val mt = (1 to merges).map(i => s"SELECT lhs||rhs AS token FROM m$i").mkString(" UNION ")
+    s"""base AS (SELECT DISTINCT UNNEST(string_split(trim(seq), ' ')) AS token FROM v0),
+       |alltok AS (SELECT token FROM base UNION $mt),
+       |vocab AS (SELECT token, CAST(ROW_NUMBER() OVER
+       |  (ORDER BY (length(token) > 1), token) - 1 AS BIGINT) AS id FROM alltok)""".stripMargin
+  }
+
+  /** DuckDB twin of Bpe.vocab. */
+  private def bpeVocabOracle(merges: Int): String =
+    s"""WITH ${bpeCtes(merges)},
+       |${bpeVocabCtes(merges)}
+       |SELECT token, id FROM vocab""".stripMargin
+
+  /** DuckDB twin of Bpe.encodeIds: encode (as tx31), position-explode
+    * the token string, join the vocab, reduce to per-doc fingerprints. */
+  private def bpeTokenIdsOracle(merges: Int): String = {
+    val repl = (1 to merges).foldLeft("' ' || regexp_replace(w, '(.)', '\\1 ', 'g')") {
+      (acc, i) =>
+        s"replace($acc, ' '||m$i.lhs||' '||m$i.rhs||' ', ' '||m$i.lhs||m$i.rhs||' ')"
+    }
+    val froms = (1 to merges).map(i => s"m$i").mkString(", ")
+    s"""WITH ${bpeCtes(merges)},
+       |${bpeVocabCtes(merges)},
+       |enc AS (
+       |  SELECT doc_id,
+       |    array_to_string(list_transform(
+       |      list_filter(string_split(text, ' '), w -> length(w) > 0),
+       |      w -> trim($repl)), ' ') AS tokens
+       |  FROM documents, $froms),
+       |tok AS (
+       |  SELECT doc_id, s[j] AS token, j
+       |  FROM (SELECT doc_id, string_split(tokens, ' ') AS s FROM enc WHERE tokens <> ''),
+       |       UNNEST(range(1, len(s) + 1)) AS t(j))
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(v.id) AS BIGINT) AS id_sum,
+       |  CAST(SUM(v.id * j) AS BIGINT) AS id_dot
+       |FROM tok JOIN vocab v USING (token) GROUP BY 1""".stripMargin
   }
 
   /** DuckDB twin of Bpe.encode: re-derive the merge table via the

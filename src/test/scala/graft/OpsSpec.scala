@@ -381,6 +381,28 @@ class OpsSpec extends SparkSpec {
     assert(out2.toSeq === out.toSeq)
   }
 
+  test("bpe vocab ids sort by UTF-8 bytes (not UTF-16) and tier; encodeIds pins order") {
+    // U+FF61 is EF BD A1 in UTF-8 but FF61 in UTF-16; U+10000 is
+    // F0 90 80 80 vs surrogate D800 DC00 — the two orders DISAGREE.
+    // DuckDB's binary collation and Spark's UTF8String sort by bytes,
+    // so vocab must too: ｡ before 𐀀 (a String.compareTo sort would flip
+    // them and silently mismatch every downstream id).
+    val docs = Seq("｡𐀀 ｡𐀀").toDF("text")
+    val m = ops.Bpe.train(docs, "text", merges = 1)
+    val v = ops.Bpe.vocab(docs, "text", m).orderBy("id")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(v.toSeq === Seq(("｡", 0L), ("𐀀", 1L),
+      ("｡𐀀", 2L)))
+
+    // id fingerprints: 'ab ab b' with merge (a,b) → ids [2,2,1] →
+    // n=3, sum=5, dot=2·1+2·2+1·3=9 (position-weighted, order-sensitive)
+    val d2 = Seq((1L, "ab ab b"), (2L, "")).toDF("doc_id", "text")
+    val m2 = ops.Bpe.train(d2, "text", merges = 1)
+    val ids = ops.Bpe.encodeIds(d2, "text", "doc_id", m2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(ids.toSeq === Seq((1L, 3L, 5L, 9L))) // empty doc excluded
+  }
+
   test("bpe merges with quote/backslash symbols replace correctly (regression: SQL-literal escaping)") {
     // word = '\'\ (chars: quote backslash quote backslash) x3. Round 1
     // merges (', \) freq 6 — the replace PATTERN contains a quote and a
