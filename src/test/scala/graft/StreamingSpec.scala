@@ -189,6 +189,34 @@ class StreamingSpec extends SparkSpec {
       (1L, "exact"), (2L, "near"), (3L, "new"), (4L, "exact"), (5L, "new")))
   }
 
+  test("streaming BPE encode equals the batch twin (stateless projection on a stream)") {
+    // the encode plan is a pure literal-replace projection (no state, no
+    // aggregate), so the SAME Bpe.encodeWith column logic applies to a
+    // stream unchanged — batch boundaries cannot affect per-row output
+    val dir = tmpDir("graft-bpestream")
+    val merges = Seq(("a", "b"), ("ab", "c"))
+    def writeBatch(rows: Seq[(Long, String)], p: String): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(dir + p)
+    val rows = Seq((1L, "abc ab a"), (2L, "cab abc abc"), (3L, ""))
+    writeBatch(rows.take(1), "/b1")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = StreamingOps.parquetStream(spark, schema, dir + "/b*")
+    val q = graft.ops.Bpe.encodeWith(stream, "text", "doc_id", merges)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bpeencout").start()
+    q.processAllAvailable()
+    writeBatch(rows.drop(1), "/b2")
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT doc_id, tokens, n_tokens FROM bpeencout ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val want = graft.ops.Bpe.encodeWith(rows.toDF("doc_id", "text"), "text", "doc_id", merges)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === want)
+    assert(want === Seq((1L, "abc ab a", 3L), (2L, "c ab abc abc", 4L), (3L, "", 0L)))
+  }
+
   test("native session windows merge within the gap and split across it") {
     val dir = tmpDir("graft-sesswin")
     val schema = StructType(Seq(
