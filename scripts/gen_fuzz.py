@@ -239,7 +239,41 @@ def gen_query(rnd):
                         "distinct", "window", "scalar", "outerjoin",
                         "groupingsets", "exists", "casagg",
                         "scalarsub", "cte", "topk",
-                        "aggjoin", "selfjoin", "nullkeys", "filteragg"])
+                        "aggjoin", "selfjoin", "nullkeys", "filteragg",
+                        "windowframe"])
+    if shape == "windowframe":
+        # explicit ROWS frames (n PRECEDING .. m FOLLOWING) + LEAD and
+        # FIRST/LAST_VALUE over a strict total order — frame-boundary
+        # semantics the UNBOUNDED-PRECEDING window family never touches
+        name = rnd.choice(list(TABLES))
+        t = TABLES[name]
+        key = TOTAL_ORDER[name]
+        out = OUT_KEY[name]
+        part = rnd.choice(t["strs"])
+        val = f"CAST({rnd.choice(t['ints'])} AS BIGINT)"
+        lo = rnd.randint(0, 5)
+        hi = rnd.randint(0, 5)
+        frame = rnd.choice([
+            f"ROWS BETWEEN {lo} PRECEDING AND CURRENT ROW",
+            f"ROWS BETWEEN {lo} PRECEDING AND {hi} FOLLOWING",
+            f"ROWS BETWEEN CURRENT ROW AND {hi} FOLLOWING",
+        ])
+        over = f"(PARTITION BY {part} ORDER BY {key} {frame})"
+        fn = rnd.choice([
+            f"CAST(SUM({val}) OVER {over} AS BIGINT)",
+            f"CAST(COUNT(*) OVER {over} AS BIGINT)",
+            f"CAST(MIN({val}) OVER {over} AS BIGINT)",
+            f"CAST(FIRST_VALUE({val}) OVER {over} AS BIGINT)",
+            f"CAST(LAST_VALUE({val}) OVER {over} AS BIGINT)",
+            f"CAST(LEAD({val}, {rnd.randint(1, 3)}, -7) OVER "
+            f"(PARTITION BY {part} ORDER BY {key}) AS BIGINT)",
+        ])
+        w = f" WHERE {pred(rnd, t)}" if rnd.random() < 0.7 else ""
+        # reduce the window column to per-key aggregates so output stays
+        # small and deterministic regardless of row count
+        return (f"SELECT CAST(SUM(a0) AS BIGINT) AS s, CAST(MIN(a0) AS BIGINT) AS mn, "
+                f"CAST(MAX(a0) AS BIGINT) AS mx, CAST(COUNT(*) AS BIGINT) AS n FROM "
+                f"(SELECT CAST({out} AS BIGINT) AS g0, {fn} AS a0 FROM {name}{w}) x")
     if shape == "aggjoin":
         # JOIN of two independently-grouped subqueries on the group key —
         # partial aggregation under a join, join reordering over derived
