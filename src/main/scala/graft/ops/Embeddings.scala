@@ -812,6 +812,72 @@ object Embeddings {
       k)
   }
 
+  /** DCG discount weights in ppm: round(1e6 / log2(rank+1)) for ranks
+    * 1..k — baked as integer literals into BOTH the Spark plan and the
+    * DuckDB oracle so the only floats in the IR metrics are single
+    * divisions of identical Int64 operands (bit-portable). */
+  def dcgWeightsPpm(k: Int): IndexedSeq[Long] =
+    (1 to k).map(r => math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+
+  /** IR RANKING METRICS for the banded-LSH ANN path — the offline eval
+    * harness a retrieval deployment runs on a query sample before (and
+    * after) every index rebuild: per query, with "relevant" = shares the
+    * query's `labelCol` (the standard label-proxy relevance of ANN
+    * benchmarks), over the annTopKBanded top-`k`:
+    *
+    *   - n_rel_corpus  — relevant items available (label count − self)
+    *   - n_rel_topk    — relevant retrieved in the top-k
+    *   - first_rel_rank (0 = none), rr = 1/first_rel_rank  (→ MRR)
+    *   - recall_at_k   = n_rel_topk / min(k, n_rel_corpus)
+    *   - dcg_ppm, ndcg_at_k — binary-relevance DCG with the ppm integer
+    *     discount table above; nDCG's ideal is the prefix sum of the
+    *     first min(k, n_rel_corpus) weights
+    *
+    * Scale shape: the ranked lists are query-sample-sized (nq·k rows), so
+    * every post-ranking join BROADCASTS the ranked side against the
+    * corpus-sized label projection — the corpus is never broadcast and
+    * never reshuffled; label frequencies are one map-side-combined
+    * aggregate (|labels| rows, broadcast back). Metrics are integer
+    * aggregates + one baked-literal lookup each — determinism per the
+    * quantization contract at the top of this file. */
+  def irMetricsBanded(vecs: DataFrame, idCol: String, vecCol: String,
+                      labelCol: String, queryPred: Column, k: Int,
+                      planesPerBand: Int, bands: Int, dim: Int): DataFrame = {
+    val ranked = annTopKBanded(vecs, idCol, vecCol, queryPred, k,
+        planesPerBand, bands, dim)
+      .select(col("query_id"), col("neighbor_id"), col("rnk").cast(LongType).as("rnk"))
+    val labels = vecs.select(col(idCol).cast(LongType).as("__id"),
+      col(labelCol).cast(LongType).as("__lab"))
+    // corpus-side joins: tiny ranked/metric side broadcast, labels streamed
+    val withNb = labels.join(broadcast(ranked), col("__id") === col("neighbor_id"))
+      .select(col("query_id"), col("rnk"), col("__lab").as("nb_label"))
+    val withQ = labels.join(broadcast(withNb), col("__id") === col("query_id"))
+      .select(col("query_id"), col("__lab").as("q_label"), col("rnk"), col("nb_label"))
+    val labCounts = labels.groupBy(col("__lab").as("q_label"))
+      .agg(count(lit(1)).as("__c"))
+    val w = dcgWeightsPpm(k)
+    val idcg = w.scanLeft(0L)(_ + _).tail
+    val rel = col("nb_label") === col("q_label")
+    val wAt = element_at(array(w.map(lit): _*), col("rnk").cast(IntegerType))
+    val kEff = least(lit(k.toLong), col("n_rel_corpus"))
+    withQ.groupBy("query_id", "q_label")
+      .agg(sum(when(rel, 1L).otherwise(0L)).as("n_rel_topk"),
+        coalesce(min(when(rel, col("rnk"))), lit(0L)).as("first_rel_rank"),
+        sum(when(rel, wAt).otherwise(0L)).as("dcg_ppm"))
+      .join(broadcast(labCounts), Seq("q_label"))
+      .withColumn("n_rel_corpus", col("__c") - 1L)
+      .select(col("query_id"), col("q_label"), col("n_rel_corpus"),
+        col("n_rel_topk"), col("first_rel_rank"), col("dcg_ppm"),
+        when(col("first_rel_rank") > 0L,
+          lit(1.0) / col("first_rel_rank").cast(DoubleType)).otherwise(lit(0.0)).as("rr"),
+        when(kEff > 0L, col("n_rel_topk").cast(DoubleType) / kEff.cast(DoubleType))
+          .otherwise(lit(0.0)).as(s"recall_at_$k"),
+        when(kEff > 0L, col("dcg_ppm").cast(DoubleType) /
+            element_at(array(idcg.map(lit): _*), greatest(kEff, lit(1L)).cast(IntegerType))
+              .cast(DoubleType))
+          .otherwise(lit(0.0)).as(s"ndcg_at_$k"))
+  }
+
   /** Attribute-FILTERED ANN top-k — the "hybrid search" shape every
     * retrieval stack needs (top-k similar WHERE lang = 'en' AND ...):
     * `candPred` restricts the corpus side BEFORE any distance math and

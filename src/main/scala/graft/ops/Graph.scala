@@ -634,6 +634,59 @@ object Graph {
     labels.select(col("node"), col("lab").as("community"))
   }
 
+  /** SEEDED (semi-supervised) label spread — lpaCommunities' recurrence
+    * with a CLAMPED seed set (Zhu & Ghahramani 2002's label propagation,
+    * hard-label majority-vote variant): seeds keep their label every
+    * round, every other node adopts the majority label of its labeled
+    * neighbors (ties → MIN label) and keeps its current label — initially
+    * none — when no neighbor is labeled yet. The pipeline use: spread a
+    * small human/classifier-labeled sample over the kNN similarity graph
+    * to pseudo-label a corpus.
+    *
+    * Determinism and plan shape are lpaCommunities': synchronous rounds,
+    * unweighted symmetrized edges, two map-side-combined hash aggregates
+    * per round over a checkpointed adjacency, the tie-break inside
+    * max(struct(votes, -label)) — no window, no sort, nothing collected.
+    * `seeds` must be (node, label) with one row per seeded node.
+    * Returns (node, lab) for every graph node; lab is null where no
+    * label has reached the node after `iters` rounds.
+    */
+  def labelSpread(edges: DataFrame, srcCol: String, dstCol: String,
+                  seeds: DataFrame, seedNodeCol: String, seedLabCol: String,
+                  iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val dir = edges.select(edges(srcCol).cast(LongType).as("a"),
+        edges(dstCol).cast(LongType).as("b"))
+      .where(col("a") =!= col("b"))
+    val und = dir.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val adj = und.select(col("a").as("node"), col("b").as("nb"))
+      .union(und.select(col("b").as("node"), col("a").as("nb")))
+      .localCheckpoint(false)
+    val sd = seeds.select(seeds(seedNodeCol).cast(LongType).as("node"),
+      seeds(seedLabCol).cast(LongType).as("slab"))
+    // (node, slab, lab): slab the clamp, lab the current assignment
+    var lab = adj.select(col("node")).distinct()
+      .join(sd, Seq("node"), "left")
+      .withColumn("lab", col("slab"))
+      .localCheckpoint(false)
+    for (_ <- 1 to iters) {
+      val votes = adj
+        .join(lab.where(col("lab").isNotNull)
+          .select(col("node").as("nb"), col("lab").as("nblab")), "nb")
+        .groupBy("node", "nblab").agg(count(lit(1)).as("c"))
+        .groupBy("node")
+        .agg(max(struct(col("c"), (-col("nblab")).as("nl"))).as("best"))
+        .select(col("node"), (-col("best.nl")).as("vlab"))
+      lab = lab.join(votes, Seq("node"), "left")
+        .select(col("node"), col("slab"),
+          coalesce(col("slab"), coalesce(col("vlab"), col("lab"))).as("lab"))
+        .localCheckpoint(false)
+    }
+    lab.select(col("node"), col("lab"))
+  }
+
   /** The events-table item graph: consecutive items (props.k) per user in
     * (ts, event_id) order become directed edges src→dst, self-loops
     * dropped, multiplicity as the edge weight. One window shuffle keyed

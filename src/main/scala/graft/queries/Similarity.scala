@@ -611,6 +611,109 @@ object Similarity {
         .orderBy("query_id", "rnk")
     },
 
+    // SEMI-SUPERVISED LABEL SPREAD pipeline — pseudo-label the corpus by
+    // propagating a 20% seeded label sample over the banded kNN graph
+    // (sim13's index feeding Graph.labelSpread's clamped synchronous
+    // majority-vote LPA, Zhu & Ghahramani 2002), then score every node
+    // against its held-back true label. The production shape for
+    // classifier-bootstrap labeling: label a sample, spread over
+    // similarity structure, measure before trusting. The oracle replays
+    // the sim13 CTE chain and three propagation rounds.
+    QueryDef("p5_label_spread", {
+      def step(i: Int): String =
+        s"""v$i AS (SELECT adj.node, l.lab AS nblab, COUNT(*) AS c
+           |       FROM adj JOIN l${i - 1} l ON l.node = adj.nb
+           |       WHERE l.lab IS NOT NULL GROUP BY 1, 2),
+           |b$i AS (SELECT node, nblab AS vlab FROM (
+           |         SELECT *, ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, nblab) AS rn
+           |         FROM v$i) WHERE rn = 1),
+           |l$i AS (SELECT l.node, l.slab, COALESCE(l.slab, COALESCE(b.vlab, l.lab)) AS lab
+           |       FROM l${i - 1} l LEFT JOIN b$i b USING(node))""".stripMargin
+      s"""WITH $quantCte,
+         |sigs AS (SELECT a.vec_id, a.qe, a.n2, ${bandedSigSql("a", 6, 3)} AS bsigs FROM q a),
+         |e AS (SELECT vec_id, qe, n2, UNNEST(bsigs) AS sig FROM sigs),
+         |s AS (SELECT DISTINCT b.vec_id AS node_id, a.vec_id AS neighbor_id,
+         |        ${cosSql("CAST(list_sum([a.qe[i]*b.qe[i] FOR i IN range(1, len(a.qe)+1)]) AS BIGINT)", "a.n2", "b.n2")} AS cos
+         |      FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id <> b.vec_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY node_id ORDER BY cos DESC, neighbor_id) AS rnk FROM s),
+         |knn AS (SELECT node_id, neighbor_id FROM r WHERE rnk <= 3),
+         |und AS (SELECT DISTINCT LEAST(node_id, neighbor_id) AS a,
+         |               GREATEST(node_id, neighbor_id) AS b FROM knn),
+         |adj AS (SELECT a AS node, b AS nb FROM und UNION ALL SELECT b, a FROM und),
+         |seeds AS (SELECT vec_id AS node, CAST(label AS BIGINT) AS slab
+         |          FROM embeddings WHERE vec_id % 5 = 0),
+         |l0 AS (SELECT n.node, s.slab, s.slab AS lab
+         |       FROM (SELECT DISTINCT node FROM adj) n LEFT JOIN seeds s USING(node)),
+         |${(1 to 3).map(step).mkString(",\n")}
+         |SELECT em.vec_id, em.vec_id % 5 = 0 AS is_seed,
+         |  CAST(em.label AS BIGINT) AS actual_label,
+         |  COALESCE(l3.lab, -1) AS predicted_label,
+         |  COALESCE(l3.lab, -1) = CAST(em.label AS BIGINT) AS correct
+         |FROM embeddings em LEFT JOIN l3 ON l3.node = em.vec_id
+         |ORDER BY em.vec_id""".stripMargin
+    }) { (s, d) =>
+      val emb = Tables.load(s, d, "embeddings")
+      val edges = Embeddings.knnGraphBanded(emb, "vec_id", "embedding",
+        k = 3, planesPerBand = 6, bands = 3, dim = DIM)
+      val seeds = emb.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), col("label"))
+      val spread = graft.ops.Graph.labelSpread(edges, "node_id", "neighbor_id",
+        seeds, "vec_id", "label", iters = 3)
+      emb.join(spread, emb("vec_id") === spread("node"), "left")
+        .select(emb("vec_id"),
+          (emb("vec_id") % 5 === 0).as("is_seed"),
+          emb("label").cast("long").as("actual_label"),
+          coalesce(col("lab"), lit(-1L)).as("predicted_label"),
+          (coalesce(col("lab"), lit(-1L)) === emb("label").cast("long")).as("correct"))
+        .orderBy("vec_id")
+    },
+
+    // IR RANKING METRICS of the banded ANN path (sim14's index) against
+    // label-proxy relevance — MRR, recall@k and binary nDCG@k per query,
+    // the offline eval every retrieval deployment runs on a query sample
+    // before shipping an index rebuild. All metric floats are single
+    // divisions of identical Int64 operands; the DCG discount table is
+    // round(1e6/log2(r+1)) ppm integers baked as THE SAME literals into
+    // both plans (Embeddings.dcgWeightsPpm), so nDCG needs no cross-engine
+    // float summation. Oracle = sim14's CTE chain + the metric layer.
+    QueryDef("sim15_ir_metrics", {
+      val k = 10
+      val w = Embeddings.dcgWeightsPpm(k)
+      val idcg = w.scanLeft(0L)(_ + _).tail
+      val wCase = "CASE rnk " +
+        (1 to k).map(r => s"WHEN $r THEN ${w(r - 1)}").mkString(" ") + " END"
+      val idcgCase = "CASE LEAST(10, lc.c - 1) " +
+        (1 to k).map(m => s"WHEN $m THEN ${idcg(m - 1)}").mkString(" ") + " END"
+      s"""WITH $quantCte,
+         |sigs AS (SELECT a.vec_id, a.label, a.qe, a.n2, ${bandedSigSql("a", 6, 3)} AS bsigs FROM q a),
+         |e AS (SELECT vec_id, label, qe, n2, UNNEST(bsigs) AS sig FROM sigs),
+         |qs AS (SELECT vec_id AS query_id, label AS q_label, qe, n2, sig FROM e WHERE vec_id < 10),
+         |s AS (SELECT DISTINCT b.query_id, b.q_label, a.vec_id AS neighbor_id,
+         |        a.label AS nb_label,
+         |        ${cosSql("CAST(list_sum([a.qe[i]*b.qe[i] FOR i IN range(1, len(a.qe)+1)]) AS BIGINT)", "a.n2", "b.n2")} AS cos
+         |      FROM e a JOIN qs b ON a.sig = b.sig AND a.vec_id <> b.query_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM s),
+         |t AS (SELECT * FROM r WHERE rnk <= $k),
+         |lc AS (SELECT label, COUNT(*) AS c FROM q GROUP BY 1),
+         |m AS (SELECT query_id, q_label,
+         |        CAST(SUM(CASE WHEN nb_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_topk,
+         |        CAST(COALESCE(MIN(CASE WHEN nb_label = q_label THEN rnk END), 0) AS BIGINT) AS first_rel_rank,
+         |        CAST(SUM(CASE WHEN nb_label = q_label THEN $wCase ELSE 0 END) AS BIGINT) AS dcg_ppm
+         |      FROM t GROUP BY 1, 2)
+         |SELECT m.query_id, CAST(m.q_label AS BIGINT) AS q_label,
+         |  CAST(lc.c - 1 AS BIGINT) AS n_rel_corpus, n_rel_topk, first_rel_rank, dcg_ppm,
+         |  CASE WHEN first_rel_rank > 0 THEN CAST(1 AS DOUBLE)/first_rel_rank ELSE 0.0 END AS rr,
+         |  CASE WHEN lc.c - 1 > 0 THEN CAST(n_rel_topk AS DOUBLE)/LEAST(10, lc.c - 1) ELSE 0.0 END AS recall_at_10,
+         |  CASE WHEN lc.c - 1 > 0 THEN CAST(dcg_ppm AS DOUBLE)/($idcgCase) ELSE 0.0 END AS ndcg_at_10
+         |FROM m JOIN lc ON lc.label = m.q_label
+         |ORDER BY m.query_id""".stripMargin
+    }) { (s, d) =>
+      Embeddings.irMetricsBanded(Tables.load(s, d, "embeddings"),
+          "vec_id", "embedding", "label", col("vec_id") < 10, k = 10,
+          planesPerBand = 6, bands = 3, dim = DIM)
+        .orderBy("query_id")
+    },
+
     // Embedding-TRUNCATION recall eval (the Matryoshka/MRL question):
     // how much of exact full-dim top-5 survives when search uses only
     // the first 16 of 64 dims — the measurement that decides whether a

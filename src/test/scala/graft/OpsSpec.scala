@@ -1201,4 +1201,63 @@ class OpsSpec extends SparkSpec {
     assert(ph.forall(p => p.length == 64 && p.forall(c => c == '0' || c == '1')))
     assert(ph(0) === ph(1))
   }
+
+  test("label spread: seeds clamp, majority wins with min-label ties, unreached stay null") {
+    import spark.implicits._
+    // path 1-2-3-4-5 plus isolated edge 10-11; seeds: 1→7, 5→9, 10→7.
+    // Round 1: 2 gets 7, 4 gets 9, 3 unlabeled (no labeled nb), 11 gets 7.
+    // Round 2: 3 sees {7 from 2, 9 from 4} — tie of one vote each → MIN label 7.
+    // Seed 5 keeps 9 forever even though its neighbor 4 votes 9 anyway;
+    // flip seed 5's label and 4 must follow next round (clamp propagates).
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("s", "t")
+    val seeds = Seq((1L, 7L), (5L, 9L), (10L, 7L)).toDF("n", "l")
+    val r1 = ops.Graph.labelSpread(edges, "s", "t", seeds, "n", "l", iters = 1)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(r1 === Map(1L -> 7L, 2L -> 7L, 3L -> -1L, 4L -> 9L, 5L -> 9L,
+      10L -> 7L, 11L -> 7L))
+    val r2 = ops.Graph.labelSpread(edges, "s", "t", seeds, "n", "l", iters = 2)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(r2(3L) === 7L, "one-vote tie must break to the MIN label")
+    // clamp: a seed never adopts neighbor votes (node 2 votes 7 at 1 forever)
+    val manyIters = ops.Graph.labelSpread(edges, "s", "t", seeds, "n", "l", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(manyIters(5L) === 9L && manyIters(1L) === 7L)
+  }
+
+  test("IR metrics: perfect, missed and zero-relevant queries score as defined") {
+    import spark.implicits._
+    // 64-dim quantization-friendly unit-ish vectors: three tight clusters
+    // around orthogonal axes; labels follow clusters except vec 8 (label 0
+    // planted in cluster 2's direction = the only label-0 partner for 0/1/2
+    // queries beyond their own cluster).
+    def vec(axis: Int, eps: Float): Array[Float] = {
+      val a = Array.fill(64)(0.0f); a(axis) = 1.0f; a(axis + 3) = eps; a
+    }
+    val rows = Seq(
+      (0L, vec(0, 0.01f), 0), (1L, vec(0, 0.02f), 0), (2L, vec(0, 0.03f), 0),
+      (3L, vec(1, 0.01f), 1), (4L, vec(1, 0.02f), 1), (5L, vec(1, 0.03f), 1),
+      (6L, vec(2, 0.01f), 2), (7L, vec(2, 0.02f), 2), (8L, vec(2, 0.04f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val m = ops.Embeddings.irMetricsBanded(rows, "vec_id", "embedding", "label",
+        col("vec_id") < 9, k = 3, planesPerBand = 2, bands = 4, dim = 64)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(6), r.getDouble(7), r.getDouble(8)))
+      .toMap
+    // label-0 queries: 2 relevant in corpus; their cluster-mates rank top-2
+    // → recall 1.0, first_rel_rank 1, ndcg 1.0 (dcg = idcg prefix)
+    for (q <- Seq(0L, 1L, 2L)) {
+      val (nRel, nTop, first, rr, recall, ndcg) = m(q)
+      assert(nRel === 2L && nTop === 2L && first === 1L)
+      assert(rr === 1.0 && recall === 1.0 && ndcg === 1.0)
+    }
+    // vec 8 (label 3): zero relevant anywhere → all metrics 0 by definition
+    val (nRel8, nTop8, first8, rr8, recall8, ndcg8) = m(8L)
+    assert(nRel8 === 0L && nTop8 === 0L && first8 === 0L)
+    assert(rr8 === 0.0 && recall8 === 0.0 && ndcg8 === 0.0)
+    // ppm discount table matches its definition and is strictly decreasing
+    val w = ops.Embeddings.dcgWeightsPpm(10)
+    assert(w.head === 1000000L && w(2) === 500000L)
+    assert(w.sliding(2).forall(p => p(0) > p(1)))
+  }
 }
