@@ -620,6 +620,10 @@ object Similarity {
     // similarity structure, measure before trusting. The oracle replays
     // the sim13 CTE chain and three propagation rounds.
     QueryDef("p5_label_spread", {
+      // l{i-1} feeds BOTH v_i and l_i, and adj feeds every round — without
+      // AS MATERIALIZED DuckDB re-inlines the whole upstream banded
+      // self-join per reference (2^rounds expansions; 19 s → 0.2 s at
+      // sf0.01). See the verify skill's chained-CTE rule.
       def step(i: Int): String =
         s"""v$i AS (SELECT adj.node, l.lab AS nblab, COUNT(*) AS c
            |       FROM adj JOIN l${i - 1} l ON l.node = adj.nb
@@ -627,7 +631,7 @@ object Similarity {
            |b$i AS (SELECT node, nblab AS vlab FROM (
            |         SELECT *, ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, nblab) AS rn
            |         FROM v$i) WHERE rn = 1),
-           |l$i AS (SELECT l.node, l.slab, COALESCE(l.slab, COALESCE(b.vlab, l.lab)) AS lab
+           |l$i AS MATERIALIZED (SELECT l.node, l.slab, COALESCE(l.slab, COALESCE(b.vlab, l.lab)) AS lab
            |       FROM l${i - 1} l LEFT JOIN b$i b USING(node))""".stripMargin
       s"""WITH $quantCte,
          |sigs AS (SELECT a.vec_id, a.qe, a.n2, ${bandedSigSql("a", 6, 3)} AS bsigs FROM q a),
@@ -639,10 +643,10 @@ object Similarity {
          |knn AS (SELECT node_id, neighbor_id FROM r WHERE rnk <= 3),
          |und AS (SELECT DISTINCT LEAST(node_id, neighbor_id) AS a,
          |               GREATEST(node_id, neighbor_id) AS b FROM knn),
-         |adj AS (SELECT a AS node, b AS nb FROM und UNION ALL SELECT b, a FROM und),
-         |seeds AS (SELECT vec_id AS node, CAST(label AS BIGINT) AS slab
+         |adj AS MATERIALIZED (SELECT a AS node, b AS nb FROM und UNION ALL SELECT b, a FROM und),
+         |seeds AS MATERIALIZED (SELECT vec_id AS node, CAST(label AS BIGINT) AS slab
          |          FROM embeddings WHERE vec_id % 5 = 0),
-         |l0 AS (SELECT n.node, s.slab, s.slab AS lab
+         |l0 AS MATERIALIZED (SELECT n.node, s.slab, s.slab AS lab
          |       FROM (SELECT DISTINCT node FROM adj) n LEFT JOIN seeds s USING(node)),
          |${(1 to 3).map(step).mkString(",\n")}
          |SELECT em.vec_id, em.vec_id % 5 = 0 AS is_seed,
