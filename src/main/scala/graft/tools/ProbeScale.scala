@@ -89,7 +89,8 @@ object ProbeScale {
       case "r12" => r12(spark, sfDir, mult)
       case "r13" => r13(spark, sfDir, mult)
       case "r14" => r14(spark, sfDir, mult)
-      case other => sys.error(s"unknown suite $other (text|r8|r9|r12|r13|r14)")
+      case "r17" => r17(spark, sfDir, mult)
+      case other => sys.error(s"unknown suite $other (text|r8|r9|r12|r13|r14|r17)")
     }
     spark.stop()
   }
@@ -445,6 +446,40 @@ object ProbeScale {
       t(s"tx30 bpe train x$m (8 merges; rounds are vocab-sized)")(noop(
         graft.ops.Bpe.train(docs, "text", merges = 8)))
       docs.unpersist()
+    }
+  }
+
+  /** Round-17 ops: sim15 IR metrics and p5 label spread. sim15's claim:
+    * the metric layer adds O(nq·k) rows on top of sim14's candidate
+    * generation, so wall clock tracks sim14 — linear in the corpus at
+    * fixed queries, flat per-query pools when B scales with the corpus.
+    * p5's claim: edge build is sim13's (scale B with the corpus), and
+    * each propagation round is two edge-keyed hash aggregates — O(N·k)
+    * state, never more than the adjacency. */
+  private def r17(spark: SparkSession, sfDir: String, mult: Int): Unit = {
+    for (m <- Seq(1, mult)) {
+      // replicate with label carried (repEmb drops it) — disjoint ids,
+      // small deterministic payload drift
+      val emb = spark.range(m)
+        .crossJoin(graft.Tables.load(spark, sfDir, "embeddings"))
+        .select((col("vec_id") + col("id") * 1000000L).as("vec_id"),
+          expr("transform(embedding, x -> x + cast(id as float) * 1e-3f)").as("embedding"),
+          col("label"))
+        .cache()
+      println(s"== x$m: embeddings ${emb.count()}")
+      val b = if (m > 1) 6 + (math.log(m.toDouble) / math.log(2.0)).ceil.toInt else 6
+      t(s"sim15 ir metrics x$m B=$b R=3 (nq=10 fixed: linear, metric layer O(nq*k))")(noop(
+        graft.ops.Embeddings.irMetricsBanded(emb, "vec_id", "embedding", "label",
+          col("vec_id") < 10, k = 10, planesPerBand = b, bands = 3, dim = 64)))
+      t(s"p5 label spread x$m B=$b R=3 (edge build + 3 rounds of 2 hash aggs)") {
+        val edges = graft.ops.Embeddings.knnGraphBanded(emb, "vec_id", "embedding",
+          k = 3, planesPerBand = b, bands = 3, dim = 64)
+        val seeds = emb.filter(col("vec_id") % 5 === 0)
+          .select(col("vec_id"), col("label"))
+        noop(graft.ops.Graph.labelSpread(edges, "node_id", "neighbor_id",
+          seeds, "vec_id", "label", iters = 3))
+      }
+      emb.unpersist()
     }
   }
 }
