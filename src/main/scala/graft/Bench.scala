@@ -58,6 +58,7 @@ object Bench {
       }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.Sessions.tune(spark)
 
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.mode("overwrite").format("noop").save()

@@ -23,6 +23,7 @@ object Shell {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.Sessions.tune(spark)
     val ctx = new GraftContext(spark, args(0))
     val result = ctx.executeAll(args.drop(1).mkString(" "))
     result.toJSON.collect().foreach(println)

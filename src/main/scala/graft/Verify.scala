@@ -18,6 +18,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.Sessions.tune(spark)
     // dev knob: SPARK_GRAFT_RANK_SMALL=0 forces DistributedRank's scale
     // path so the oracle compare exercises the distributed ranks too
     sys.env.get("SPARK_GRAFT_RANK_SMALL")

@@ -23,11 +23,22 @@ import org.apache.spark.sql.types._
   * the k-length insertion buffer — the shape that survives a 100 TB
   * candidate set. Ordering (score DESC, id ASC) is total, so results are
   * deterministic and identical to the window formulation.
+  *
+  * `dedup = true` additionally skips exact (id, score) twins — the
+  * banded-LSH case, where a pair surfaced by several bands repeats with
+  * an identical pair-deterministic score. This replaces a corpus-scale
+  * `.distinct()` (a full extra shuffle + hash whose spill-merge is the
+  * first thing to die on a starved heap — ProbeSpill round 17) with a
+  * zero-cost check inside the already-k-bounded buffer: equal twins are
+  * adjacent under the total order, so the check is one compare at the
+  * insertion point. Off by default: with it on, duplicate (id, score)
+  * INPUT rows that are distinct logical candidates would collapse.
   */
 case class TopKScoredAggregate(
     id: Expression,
     score: Expression,
     k: Int,
+    dedup: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKScoredAggregate.Buf] {
@@ -59,11 +70,17 @@ case class TopKScoredAggregate(
     // id tie-break applies instead of Double.compare's -0.0 < 0.0
     val s = if (s0 == 0.0) 0.0 else s0
     if (b.n == k && !before(s, i, b.scores(k - 1), b.ids(k - 1))) return
-    var pos = math.min(b.n, k - 1)
-    while (pos > 0 && before(s, i, b.scores(pos - 1), b.ids(pos - 1))) {
-      if (pos < k) { b.ids(pos) = b.ids(pos - 1); b.scores(pos) = b.scores(pos - 1) }
-      pos -= 1
-    }
+    // find the insertion position WITHOUT mutating first: with dedup on,
+    // an exact (score, id) twin — the multi-band repeated candidate — is
+    // adjacent at pos-1 under this total order and must be skipped before
+    // any shifting corrupts the buffer
+    var pos = b.n
+    while (pos > 0 && before(s, i, b.scores(pos - 1), b.ids(pos - 1))) pos -= 1
+    if (dedup && pos > 0 && b.ids(pos - 1) == i &&
+        java.lang.Double.compare(b.scores(pos - 1), s) == 0) return
+    if (pos >= k) return
+    var j = math.min(b.n, k - 1)
+    while (j > pos) { b.ids(j) = b.ids(j - 1); b.scores(j) = b.scores(j - 1); j -= 1 }
     b.ids(pos) = i; b.scores(pos) = s
     if (b.n < k) b.n += 1
   }
@@ -122,9 +139,9 @@ object TopKScoredAggregate {
   final class Buf(val ids: Array[Long], val scores: Array[Double], var n: Int)
 
   /** Column API: top_k_scored(id, score, k) → ARRAY<STRUCT<id, score>>
-    * ordered (score DESC, id ASC). */
-  def top_k_scored(id: Column, score: Column, k: Int): Column =
+    * ordered (score DESC, id ASC); dedup skips exact (id, score) twins. */
+  def top_k_scored(id: Column, score: Column, k: Int, dedup: Boolean = false): Column =
     GraftBridge.column(
-      TopKScoredAggregate(GraftBridge.expression(id), GraftBridge.expression(score), k)
+      TopKScoredAggregate(GraftBridge.expression(id), GraftBridge.expression(score), k, dedup)
         .toAggregateExpression())
 }

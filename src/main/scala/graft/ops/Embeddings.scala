@@ -61,10 +61,10 @@ object Embeddings {
     * shuffle and sort EVERY candidate. Ordering (cos DESC, id ASC) is the
     * same total order the window used; `rnk` is the 1-based position.
     */
-  private def rankTopK(cands: DataFrame, k: Int): DataFrame =
+  private def rankTopK(cands: DataFrame, k: Int, dedup: Boolean = false): DataFrame =
     cands.groupBy("query_id")
       .agg(graft.functions.TopKScoredAggregate
-        .top_k_scored(col("neighbor_id"), col("cos"), k).as("top"))
+        .top_k_scored(col("neighbor_id"), col("cos"), k, dedup).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("i", "s")))
       .select(col("query_id"), col("s.id").as("neighbor_id"),
         col("s.score").as("cos"), (col("i") + 1).as("rnk"))
@@ -128,8 +128,11 @@ object Embeddings {
       .filter(col("vec_id") =!= col("neighbor_id"))
       .select(col("vec_id").as("query_id"), col("neighbor_id"),
         cosine(dotQ(col("qe"), col("nb_qe")), col("n2"), col("nb_n2")).as("cos"))
-      .distinct() // multi-band hits rank once (cos is pair-deterministic)
-    rankTopK(cands, k)
+    // multi-band hits rank once: cos is pair-deterministic, so the exact
+    // (id, cos) twin is skipped INSIDE the k-bounded aggregate — no
+    // corpus-scale .distinct() shuffle/hash between join and ranking
+    // (its spill-merge was the first OOM on a starved heap, ProbeSpill)
+    rankTopK(cands, k, dedup = true)
       .select(col("query_id").as("node_id"), col("neighbor_id"), col("cos"), col("rnk"))
   }
 
@@ -807,9 +810,8 @@ object Embeddings {
       p.join(broadcast(queries), Seq("sig"))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          cosine(dotQ(col("qe"), col("q_qe")), col("n2"), col("q_n2")).as("cos"))
-        .distinct(),
-      k)
+          cosine(dotQ(col("qe"), col("q_qe")), col("n2"), col("q_n2")).as("cos")),
+      k, dedup = true) // multi-band twins skip inside the bounded buffer
   }
 
   /** DCG discount weights in ppm: round(1e6 / log2(rank+1)) for ranks

@@ -491,6 +491,7 @@ object ServerMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.Sessions.tune(spark)
     val ctx = new GraftContext(spark, dataDir)
     val fe = new HttpFrontend(ctx, port,
       writeToken = sys.env.get("GRAFT_WRITE_TOKEN"), readToken = sys.env.get("GRAFT_READ_TOKEN"))

@@ -22,6 +22,7 @@ object Explain {
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.Sessions.tune(spark)
     args.drop(2).map(_.split('=')).collect { case Array(k, v) =>
       spark.conf.set(k, v)
     }

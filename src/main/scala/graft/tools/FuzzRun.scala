@@ -27,6 +27,7 @@ object FuzzRun {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.Sessions.tune(spark)
     Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings")
       .foreach(t => graft.Tables.load(spark, sfDir, t).createOrReplaceTempView(t))

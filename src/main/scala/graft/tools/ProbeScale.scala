@@ -29,7 +29,7 @@ object ProbeScale {
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", (16L << 20).toString)
       .config("spark.ui.enabled", "false").getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
-    s
+    graft.Sessions.tune(s)
   }
 
   private def t[A](label: String)(f: => A): Unit = {

@@ -22,7 +22,10 @@ import org.apache.spark.sql.SparkSession
 object ProbeSpill {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val names = if (args.length > 1) args.drop(1).toSeq else Seq(
+    // k=v args become session confs (Explain's convention) — e.g.
+    // spark.sql.objectHashAggregate.sortBased.fallbackThreshold=1000000
+    val (confArgs, nameArgs) = args.drop(1).partition(_.contains("="))
+    val names = if (nameArgs.nonEmpty) nameArgs.toSeq else Seq(
       // external sort (forced distributed-rank scale path below),
       // wide hash aggregate, corpus shuffles, pair-join dedup, ANN scan
       "tx29_zipf_slope", "ev35_revenue_gini", "q46_equidepth_bins",
@@ -40,6 +43,8 @@ object ProbeSpill {
       .config("graft.rank.smallBytes", "0")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.Sessions.tune(spark)
+    confArgs.map(_.split("=", 2)).foreach { case Array(k, v) => spark.conf.set(k, v) }
     graft.Tables.register(spark, sfDir)
 
     val memSpill = new AtomicLong; val diskSpill = new AtomicLong
@@ -60,8 +65,29 @@ object ProbeSpill {
     println(s"[spill] heap=${heap}MiB cpus=$cpus sf=${new java.io.File(sfDir).getName}")
     println(f"${"query"}%-24s ${"sec"}%8s ${"rows"}%10s ${"memSpill"}%10s ${"diskSpill"}%10s ${"peakExec"}%10s ${"shufWrite"}%10s")
     def mb(v: Long): String = f"${v / 1048576.0}%.1fM"
+    // Synthetic probes beyond SparkEntry.queries: the SCALE settings of
+    // operators whose oracled QueryDef bakes small-corpus parameters.
+    // p5's QueryDef fixes planesPerBand=6 (oracle parity) — quadratic
+    // candidates at a 10× corpus by construction; the 100 TB setting
+    // scales 2^B with the corpus (ProbeScale r17), which is what a
+    // starved heap must be probed against.
+    def p5ScaledB(b: Int): (SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val emb = graft.Tables.load(s, d, "embeddings")
+        val edges = graft.ops.Embeddings.knnGraphBanded(emb, "vec_id", "embedding",
+          k = 3, planesPerBand = b, bands = 3, dim = 64)
+        val seeds = emb.filter(col("vec_id") % 5 === 0)
+          .select(col("vec_id"), col("label"))
+        graft.ops.Graph.labelSpread(edges, "node_id", "neighbor_id",
+          seeds, "vec_id", "label", iters = 3)
+      }
+    val synthetic = Map(
+      "p5_scaled_b10" -> p5ScaledB(10),
+      "p5_scaled_b8" -> p5ScaledB(8))
+
     names.foreach { name =>
-      graft.SparkEntry.queries.get(name) match {
+      synthetic.get(name).orElse(graft.SparkEntry.queries.get(name)) match {
         case None => println(s"$name: unknown query")
         case Some(fn) =>
           memSpill.set(0); diskSpill.set(0); peakExec.set(0); shuffleWrite.set(0)

@@ -25,6 +25,7 @@ object TimeQueries {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.Sessions.tune(spark)
     graft.Tables.register(spark, sfDir)
     graft.SparkEntry.queries("q02_filter_predicates")(spark, sfDir)
       .write.mode("overwrite").format("noop").save() // warm session

@@ -1202,6 +1202,29 @@ class OpsSpec extends SparkSpec {
     assert(ph(0) === ph(1))
   }
 
+  test("top_k_scored dedup skips exact (id, score) twins; without it they both rank") {
+    import spark.implicits._
+    import graft.functions.TopKScoredAggregate.top_k_scored
+    // the banded-LSH shape: pair (1, 0.9) surfaced by three bands, pair
+    // (2, 0.8) by two — spread over partitions so merge-time dedup runs too
+    val rows = Seq((10L, 1L, 0.9), (10L, 1L, 0.9), (10L, 1L, 0.9),
+      (10L, 2L, 0.8), (10L, 2L, 0.8), (10L, 3L, 0.7)).toDF("g", "id", "s")
+      .repartition(4)
+    def top(dedup: Boolean) = rows.groupBy("g")
+      .agg(top_k_scored(col("id"), col("s"), 3, dedup).as("t"))
+      .select(explode(col("t")).as("e"))
+      .collect().map(r => (r.getStruct(0).getLong(0), r.getStruct(0).getDouble(1))).toSeq
+    assert(top(dedup = true) === Seq((1L, 0.9), (2L, 0.8), (3L, 0.7)))
+    // default keeps duplicate logical rows (the ev6/ev16 contract)
+    assert(top(dedup = false) === Seq((1L, 0.9), (1L, 0.9), (1L, 0.9)))
+    // distinct ids with equal scores are NOT twins — id tie-break keeps both
+    val tie = Seq((10L, 5L, 0.5), (10L, 4L, 0.5)).toDF("g", "id", "s")
+      .groupBy("g").agg(top_k_scored(col("id"), col("s"), 2, dedup = true).as("t"))
+      .select(explode(col("t")).as("e"))
+      .collect().map(_.getStruct(0).getLong(0)).toSeq
+    assert(tie === Seq(4L, 5L))
+  }
+
   test("label spread: seeds clamp, majority wins with min-label ties, unreached stay null") {
     import spark.implicits._
     // path 1-2-3-4-5 plus isolated edge 10-11; seeds: 1→7, 5→9, 10→7.
