@@ -136,6 +136,61 @@ object Embeddings {
       .select(col("query_id").as("node_id"), col("neighbor_id"), col("cos"), col("rnk"))
   }
 
+  /** INCREMENTAL banded kNN-graph maintenance — dd19's incremental-ingest
+    * discipline applied to the ANN index: when a batch of new vectors
+    * arrives, do NOT rebuild the graph from the corpus; compute only the
+    * candidate pairs that TOUCH the batch (batch signatures joined against
+    * the old∪new corpus signatures, both orientations) and re-rank them
+    * together with the EXISTING edges through the dedup-aware k-bounded
+    * aggregate.
+    *
+    * The result is BIT-EQUAL to a full knnGraphBanded rebuild over
+    * corpus∪batch: candidates only ever ACCUMULATE (signatures are a pure
+    * function of the vector), so per node top-k(all pairs) =
+    * top-k(top-k(old-old pairs) ∪ pairs-touching-batch) — an old-old pair
+    * outside the old top-k is dominated by k old-old pairs that are still
+    * in the pool, and new pairs can only push it further down. The sim16
+    * oracle exploits exactly this: it replays the FULL rebuild in SQL and
+    * hash-compares.
+    *
+    * Scale shape: per-batch cost is the batch-vs-corpus signature join
+    * (batch-sized output per band bucket, never corpus²) + a k-bounded
+    * aggregate over (old edges = N·k rows) ∪ (new candidates) — the daily
+    * index refresh at 100 TB touches the corpus once, not quadratically.
+    * `batch` ids must be disjoint from `corpus` ids (same contract as
+    * dd19). `edges` must be knnGraphBanded(corpus) output with the same
+    * (k, planesPerBand, bands, dim).
+    */
+  def knnGraphIncrement(edges: DataFrame, corpus: DataFrame, batch: DataFrame,
+                        idCol: String, vecCol: String, k: Int,
+                        planesPerBand: Int, bands: Int, dim: Int): DataFrame = {
+    require(planesPerBand >= 1 && bands >= 1 && k >= 1,
+      s"need planesPerBand ($planesPerBand), bands ($bands), k ($k) >= 1")
+    val signs = planeSigns(planesPerBand * bands, dim)
+    def sigCols = (0 until bands).map { b =>
+      concat(lit(s"$b:"),
+        lshSignature(col("qe"), signs.slice(b * planesPerBand, (b + 1) * planesPerBand)))
+    }
+    val po = prepared(corpus, idCol, vecCol).withColumn("sig", explode(array(sigCols: _*)))
+    val pb = prepared(batch, idCol, vecCol).withColumn("sig", explode(array(sigCols: _*)))
+    val touch = po.union(pb)
+      .join(pb.select(col("vec_id").as("b_id"), col("qe").as("b_qe"),
+        col("n2").as("b_n2"), col("sig")), Seq("sig"))
+      .filter(col("vec_id") =!= col("b_id"))
+      .select(col("vec_id"), col("b_id"),
+        cosine(dotQ(col("qe"), col("b_qe")), col("n2"), col("b_n2")).as("cos"))
+    // both orientations rank (cos is pair-symmetric); multi-band and
+    // batch-batch double-surfacing dedupe inside the bounded aggregate
+    val cands = touch.select(col("b_id").as("query_id"),
+        col("vec_id").as("neighbor_id"), col("cos"))
+      .union(touch.select(col("vec_id").as("query_id"),
+        col("b_id").as("neighbor_id"), col("cos")))
+      .union(edges.select(col("node_id").as("query_id"),
+        col("neighbor_id"), col("cos")))
+    rankTopK(cands, k, dedup = true)
+      .select(col("query_id").as("node_id"), col("neighbor_id"), col("cos"), col("rnk"))
+  }
+
   /** Brute-force top-k cosine neighbors for a query subset: broadcast the
     * (small) query side against the full corpus, rank per query. The
     * baseline ANN answer — O(|Q| * N) dots, embarrassingly parallel.

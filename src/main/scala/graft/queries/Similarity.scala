@@ -588,6 +588,35 @@ object Similarity {
         .orderBy("node_id", "rnk")
     },
 
+    // INCREMENTAL kNN-graph maintenance — the daily index refresh: 90%
+    // of the corpus has an existing sim13 graph, the other 10% arrives
+    // as a batch; Spark computes only batch-touching candidates and
+    // re-ranks them with the stored edges (Embeddings.knnGraphIncrement).
+    // The oracle is deliberately the FULL REBUILD over everything —
+    // hash-equality IS the proof that incremental maintenance loses
+    // nothing (top-k(all) = top-k(top-k(old) ∪ touching-batch); see the
+    // operator's scaladoc for why candidates only accumulate).
+    QueryDef("sim16_knn_increment",
+      s"""WITH $quantCte,
+         |sigs AS (SELECT a.vec_id, a.qe, a.n2, ${bandedSigSql("a", 6, 3)} AS bsigs FROM q a),
+         |e AS (SELECT vec_id, qe, n2, UNNEST(bsigs) AS sig FROM sigs),
+         |s AS (SELECT DISTINCT b.vec_id AS node_id, a.vec_id AS neighbor_id,
+         |        ${cosSql("CAST(list_sum([a.qe[i]*b.qe[i] FOR i IN range(1, len(a.qe)+1)]) AS BIGINT)", "a.n2", "b.n2")} AS cos
+         |      FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id <> b.vec_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY node_id ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
+         |SELECT node_id, neighbor_id, cos, CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= 3 ORDER BY node_id, rnk""".stripMargin) { (s, d) =>
+      val emb = Tables.load(s, d, "embeddings")
+      val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+      val batch = emb.filter(col("vec_id") % 10 === 0)
+      val edges = Embeddings.knnGraphBanded(corpus, "vec_id", "embedding",
+        k = 3, planesPerBand = 6, bands = 3, dim = DIM)
+      Embeddings.knnGraphIncrement(edges, corpus, batch, "vec_id", "embedding",
+          k = 3, planesPerBand = 6, bands = 3, dim = DIM)
+        .withColumn("rnk", col("rnk").cast("long"))
+        .orderBy("node_id", "rnk")
+    },
+
     // BANDED query-time ANN — sim2's query shape on sim13's (B, R)
     // dial: the query subset broadcasts, each of its R narrow band
     // signatures joins the corpus's matching band, and a pair surfaced

@@ -471,6 +471,22 @@ object ProbeScale {
       t(s"sim15 ir metrics x$m B=$b R=3 (nq=10 fixed: linear, metric layer O(nq*k))")(noop(
         graft.ops.Embeddings.irMetricsBanded(emb, "vec_id", "embedding", "label",
           col("vec_id") < 10, k = 10, planesPerBand = b, bands = 3, dim = 64)))
+      // sim16's claim: the daily refresh costs the batch-vs-corpus join,
+      // not the rebuild — time the increment against a PRE-MATERIALIZED
+      // edge set so only the incremental work is on the clock
+      locally {
+        val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+        val batch = emb.filter(col("vec_id") % 10 === 0)
+        val edges = graft.ops.Embeddings.knnGraphBanded(corpus, "vec_id", "embedding",
+          k = 3, planesPerBand = b, bands = 3, dim = 64).localCheckpoint(false)
+        edges.count()
+        t(s"sim16 full rebuild x$m B=$b R=3 (the cost the increment avoids)")(noop(
+          graft.ops.Embeddings.knnGraphBanded(emb, "vec_id", "embedding",
+            k = 3, planesPerBand = b, bands = 3, dim = 64)))
+        t(s"sim16 increment x$m B=$b R=3 (10% batch vs stored edges)")(noop(
+          graft.ops.Embeddings.knnGraphIncrement(edges, corpus, batch,
+            "vec_id", "embedding", k = 3, planesPerBand = b, bands = 3, dim = 64)))
+      }
       t(s"p5 label spread x$m B=$b R=3 (edge build + 3 rounds of 2 hash aggs)") {
         val edges = graft.ops.Embeddings.knnGraphBanded(emb, "vec_id", "embedding",
           k = 3, planesPerBand = b, bands = 3, dim = 64)

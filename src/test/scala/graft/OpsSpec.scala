@@ -1225,6 +1225,36 @@ class OpsSpec extends SparkSpec {
     assert(tie === Seq(4L, 5L))
   }
 
+  test("incremental knn graph equals the full rebuild, including displacements") {
+    import spark.implicits._
+    // deterministic pseudo-random vectors; ids 0..59, batch = ids % 4 == 0
+    def vec(seed: Long): Array[Float] = {
+      var x = seed * 6364136223846793005L + 1442695040888963407L
+      Array.fill(64) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        ((x >>> 40).toInt % 1000) / 1000.0f
+      }
+    }
+    val all = (0L until 60L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val corpus = all.filter(col("vec_id") % 4 =!= 0)
+    val batch = all.filter(col("vec_id") % 4 === 0)
+    val oldEdges = ops.Embeddings.knnGraphBanded(corpus, "vec_id", "embedding",
+      k = 3, planesPerBand = 3, bands = 2, dim = 64)
+    val inc = ops.Embeddings.knnGraphIncrement(oldEdges, corpus, batch,
+        "vec_id", "embedding", k = 3, planesPerBand = 3, bands = 2, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val full = ops.Embeddings.knnGraphBanded(all, "vec_id", "embedding",
+        k = 3, planesPerBand = 3, bands = 2, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(inc === full)
+    // the increment must actually change old nodes' lists (displacement
+    // happened), otherwise this fixture proves nothing
+    val oldSet = oldEdges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullOldNodes = full.collect { case (n, nb, _, _) if n % 4 != 0 => (n, nb) }
+    assert(fullOldNodes.exists(p => !oldSet.contains(p)),
+      "no old node gained a batch neighbor — weak fixture")
+  }
+
   test("label spread: seeds clamp, majority wins with min-label ties, unreached stay null") {
     import spark.implicits._
     // path 1-2-3-4-5 plus isolated edge 10-11; seeds: 1→7, 5→9, 10→7.
