@@ -589,6 +589,42 @@ object StreamingOps {
         coalesce(col("__e"), col("__n")).as("match_id"))
   }
 
+  /** Streaming twin of `Embeddings.knnGraphIncrement`: a vector feed
+    * folds into a MAINTAINED kNN edge set, one increment per
+    * micro-batch — the continuously-fresh ANN index. State (corpus +
+    * edges) lives as lazily-checkpointed DataFrames updated in
+    * foreachBatch under the sink's single-writer guarantee, the same
+    * driver-held-state convention as appendStream/cdcUpsertStream (a
+    * production deployment persists both as graft tables and recovers
+    * from them on restart; source offsets are already checkpointed).
+    * After every batch the edge set is BIT-EQUAL to a full
+    * knnGraphBanded rebuild over everything ingested so far —
+    * increments compose because each one is rebuild-equal
+    * (StreamingSpec proves the 3-batch composition). `onUpdate`
+    * receives the post-batch edge set (publish/persist hook). */
+  def knnGraphMaintainStream(vectors: DataFrame, idCol: String, vecCol: String,
+                             k: Int, planesPerBand: Int, bands: Int, dim: Int,
+                             initialCorpus: DataFrame, checkpointDir: String,
+                             onUpdate: DataFrame => Unit,
+                             trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
+    var corpus = initialCorpus.select(col(idCol), col(vecCol)).localCheckpoint(false)
+    var edges = graft.ops.Embeddings.knnGraphBanded(corpus, idCol, vecCol,
+      k, planesPerBand, bands, dim).localCheckpoint(false)
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.select(col(idCol), col(vecCol)).localCheckpoint(false)
+          edges = graft.ops.Embeddings.knnGraphIncrement(edges, corpus, b,
+            idCol, vecCol, k, planesPerBand, bands, dim).localCheckpoint(false)
+          corpus = corpus.unionByName(b).localCheckpoint(false)
+          onUpdate(edges)
+        }
+      }
+      .start()
+  }
+
   /** File-source stream over a directory of parquet (the smoke path: drop
     * files in, watch aggregates come out). */
   def parquetStream(spark: SparkSession, schema: StructType, dir: String): DataFrame =

@@ -751,4 +751,39 @@ class StreamingSpec extends SparkSpec {
     val rows = t.read().orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(rows === Seq((1L, 10.0), (2L, 20.0)))
   }
+
+  test("streamed kNN maintenance equals the full rebuild after every micro-batch") {
+    val inDir = tmpDir("graft-knn-in")
+    val ckDir = tmpDir("graft-knn-ck")
+    def vec(seed: Long): Array[Float] = {
+      var x = seed * 6364136223846793005L + 1442695040888963407L
+      Array.fill(32) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        ((x >>> 40).toInt % 1000) / 1000.0f
+      }
+    }
+    val corpus = (0L until 30L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val b1 = (30L until 40L).map(i => (i, vec(i)))
+    val b2 = (40L until 50L).map(i => (i, vec(i)))
+    b1.toDF("vec_id", "embedding").coalesce(1).write.parquet(inDir + "/b1")
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val stream = spark.readStream.schema(schema).parquet(inDir + "/b*")
+    val published = scala.collection.mutable.ArrayBuffer.empty[Set[(Long, Long, Double)]]
+    val q = StreamingOps.knnGraphMaintainStream(stream, "vec_id", "embedding",
+      k = 3, planesPerBand = 3, bands = 2, dim = 32, corpus, ckDir,
+      edges => published += edges.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet,
+      Trigger.ProcessingTime("1 second"))
+    q.processAllAvailable()
+    b2.toDF("vec_id", "embedding").coalesce(1).write.parquet(inDir + "/b2")
+    q.processAllAvailable(); q.stop()
+    def rebuild(upTo: Long) = graft.ops.Embeddings.knnGraphBanded(
+        (0L until upTo).map(i => (i, vec(i))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 3, planesPerBand = 3, bands = 2, dim = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(published.size === 2)
+    assert(published(0) === rebuild(40L), "after batch 1")
+    assert(published(1) === rebuild(50L), "after batch 2 (increments compose)")
+  }
 }
