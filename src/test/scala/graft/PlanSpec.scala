@@ -516,6 +516,34 @@ class PlanSpec extends SparkSpec {
       p.take(4000))
   }
 
+  test("incremental knn ranks in the bounded aggregate with no distinct exchange (sim16)") {
+    val p = planOf("sim16_knn_increment")
+    assert(p.contains("ObjectHashAggregate"), p.take(4000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(4000))
+    // pair dedupe rides TopKScoredAggregate(dedup) — a HashAggregate keyed
+    // on (query_id, neighbor_id, cos) would be the corpus-scale distinct
+    // this design removed
+    assert(!p.linesIterator.exists(l => l.contains("HashAggregate") &&
+      l.contains("neighbor_id") && l.contains("cos")), p.take(4000))
+  }
+
+  test("ir metrics broadcast the ranked side, never the corpus labels (sim15)") {
+    val p = planOf("sim15_ir_metrics")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(4000))
+    // every BroadcastExchange input is ranked/metric-sized: none may sit
+    // directly over the embeddings scan (the corpus-side projection)
+    val lines = p.linesIterator.toSeq
+    val bcasts = lines.zipWithIndex.filter(_._1.contains("BroadcastExchange"))
+    assert(bcasts.nonEmpty, p.take(2000))
+    bcasts.foreach { case (_, i) =>
+      val next = lines.slice(i + 1, i + 3).mkString
+      assert(!next.contains("Scan parquet"),
+        s"corpus scan directly under a broadcast:\n${lines.slice(i, i + 4).mkString("\n")}")
+    }
+  }
+
   test("gini + zipf rank via the distributed row_number at scale (ev35/tx29)") {
     // force the DistributedRank switch past the small-input textbook path
     spark.conf.set("graft.rank.smallBytes", "0")
