@@ -191,6 +191,64 @@ object Embeddings {
       .select(col("query_id").as("node_id"), col("neighbor_id"), col("cos"), col("rnk"))
   }
 
+  /** kNN-graph DELETION — the right-to-be-forgotten half of index
+    * maintenance, and the structurally harder one: unlike inserts
+    * (knnGraphIncrement), deletes are NOT monotone — a node whose top-k
+    * contained a deleted vector needs BACKFILL from candidates the
+    * k-bounded build already discarded. The bounded repair: only the
+    * AFFECTED nodes (top-k contains a deleted id — found by one semi-join
+    * of the stored edges against the tombstone set) recompute from their
+    * band signatures against the remaining corpus; every other node's
+    * list is provably unchanged (candidates only SHRINK under deletion,
+    * and none of an unaffected node's kept k were removed, so nothing
+    * can enter or leave its top-k). Result: BIT-EQUAL to a full rebuild
+    * over corpus∖deleted — the sim17 oracle replays exactly that full
+    * rebuild and hash-compares.
+    *
+    * Scale shape: repair cost ≈ |affected| × bucket-mates, and
+    * |affected| is bounded by the deleted vectors' reverse-kNN in-degree
+    * (≈ |deleted|·k on average) — the daily tombstone pass touches the
+    * corpus once for signatures and repairs a deleted-sized node set,
+    * never a rebuild. `corpus` is the vector set `edges` was built over,
+    * INCLUDING the to-be-deleted rows; `deleted` carries `idCol`.
+    */
+  def knnGraphDelete(edges: DataFrame, corpus: DataFrame, deleted: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     planesPerBand: Int, bands: Int, dim: Int): DataFrame = {
+    require(planesPerBand >= 1 && bands >= 1 && k >= 1,
+      s"need planesPerBand ($planesPerBand), bands ($bands), k ($k) >= 1")
+    val signs = planeSigns(planesPerBand * bands, dim)
+    val sigCols = (0 until bands).map { b =>
+      concat(lit(s"$b:"),
+        lshSignature(col("qe"), signs.slice(b * planesPerBand, (b + 1) * planesPerBand)))
+    }
+    val delIds = deleted.select(deleted(idCol).cast(LongType).as("__del")).distinct()
+    val remaining = corpus.join(delIds,
+      corpus(idCol).cast(LongType) === col("__del"), "left_anti")
+    // affected = survivors whose stored list references a tombstone
+    val affected = edges
+      .join(delIds, edges("neighbor_id") === col("__del"), "left_semi")
+      .select(col("node_id")).distinct()
+      .join(delIds, col("node_id") === col("__del"), "left_anti")
+    val untouched = edges
+      .join(delIds, edges("node_id") === col("__del"), "left_anti")
+      .join(affected, Seq("node_id"), "left_anti")
+    val p = prepared(remaining, idCol, vecCol)
+      .withColumn("sig", explode(array(sigCols: _*)))
+    val affQ = p.join(affected.select(col("node_id").as("vec_id")), Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("query_id"), col("qe").as("q_qe"),
+        col("n2").as("q_n2"), col("sig"))
+    val repaired = rankTopK(
+      p.join(affQ, Seq("sig"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosine(dotQ(col("qe"), col("q_qe")), col("n2"), col("q_n2")).as("cos")),
+      k, dedup = true)
+      .select(col("query_id").as("node_id"), col("neighbor_id"), col("cos"), col("rnk"))
+    untouched.select(col("node_id"), col("neighbor_id"), col("cos"), col("rnk"))
+      .unionByName(repaired)
+  }
+
   /** Brute-force top-k cosine neighbors for a query subset: broadcast the
     * (small) query side against the full corpus, rank per query. The
     * baseline ANN answer — O(|Q| * N) dots, embarrassingly parallel.

@@ -617,6 +617,39 @@ object Similarity {
         .orderBy("node_id", "rnk")
     },
 
+    // kNN-graph DELETION — the tombstone half of index maintenance
+    // (sim16 is the insert half): every 7th vector is forgotten; Spark
+    // repairs ONLY the affected nodes (stored lists referencing a
+    // tombstone) from their band signatures against the survivors.
+    // Deletion is non-monotone (backfill comes from candidates the
+    // k-bounded build discarded), so hash-equality against this oracle —
+    // the FULL REBUILD over the survivors — is the strongest possible
+    // check of the repair logic.
+    QueryDef("sim17_knn_delete",
+      s"""WITH q0 AS (SELECT vec_id, label,
+         |         [CAST(ROUND(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) FOR x IN embedding] AS qe
+         |       FROM embeddings WHERE vec_id % 7 <> 0),
+         |q AS (SELECT vec_id, label, qe,
+         |        CAST(list_sum([qe[i]*qe[i] FOR i IN range(1, len(qe)+1)]) AS BIGINT) AS n2
+         |      FROM q0),
+         |sigs AS (SELECT a.vec_id, a.qe, a.n2, ${bandedSigSql("a", 6, 3)} AS bsigs FROM q a),
+         |e AS (SELECT vec_id, qe, n2, UNNEST(bsigs) AS sig FROM sigs),
+         |s AS (SELECT DISTINCT b.vec_id AS node_id, a.vec_id AS neighbor_id,
+         |        ${cosSql("CAST(list_sum([a.qe[i]*b.qe[i] FOR i IN range(1, len(a.qe)+1)]) AS BIGINT)", "a.n2", "b.n2")} AS cos
+         |      FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id <> b.vec_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY node_id ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
+         |SELECT node_id, neighbor_id, cos, CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= 3 ORDER BY node_id, rnk""".stripMargin) { (s, d) =>
+      val emb = Tables.load(s, d, "embeddings")
+      val edges = Embeddings.knnGraphBanded(emb, "vec_id", "embedding",
+        k = 3, planesPerBand = 6, bands = 3, dim = DIM)
+      val deleted = emb.filter(col("vec_id") % 7 === 0).select("vec_id")
+      Embeddings.knnGraphDelete(edges, emb, deleted, "vec_id", "embedding",
+          k = 3, planesPerBand = 6, bands = 3, dim = DIM)
+        .withColumn("rnk", col("rnk").cast("long"))
+        .orderBy("node_id", "rnk")
+    },
+
     // BANDED query-time ANN — sim2's query shape on sim13's (B, R)
     // dial: the query subset broadcasts, each of its R narrow band
     // signatures joins the corpus's matching band, and a pair surfaced

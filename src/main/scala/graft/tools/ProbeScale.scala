@@ -487,6 +487,17 @@ object ProbeScale {
           graft.ops.Embeddings.knnGraphIncrement(edges, corpus, batch,
             "vec_id", "embedding", k = 3, planesPerBand = b, bands = 3, dim = 64)))
       }
+      // sim17's claim: tombstone repair touches |affected| ≈ |deleted|·k
+      // nodes, not the corpus — same pre-materialized-edges framing
+      locally {
+        val edges = graft.ops.Embeddings.knnGraphBanded(emb, "vec_id", "embedding",
+          k = 3, planesPerBand = b, bands = 3, dim = 64).localCheckpoint(false)
+        edges.count()
+        val deleted = emb.filter(col("vec_id") % 20 === 0).select("vec_id")
+        t(s"sim17 delete x$m B=$b R=3 (5% tombstones vs stored edges)")(noop(
+          graft.ops.Embeddings.knnGraphDelete(edges, emb, deleted,
+            "vec_id", "embedding", k = 3, planesPerBand = b, bands = 3, dim = 64)))
+      }
       t(s"p5 label spread x$m B=$b R=3 (edge build + 3 rounds of 2 hash aggs)") {
         val edges = graft.ops.Embeddings.knnGraphBanded(emb, "vec_id", "embedding",
           k = 3, planesPerBand = b, bands = 3, dim = 64)

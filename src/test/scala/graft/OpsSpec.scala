@@ -1255,6 +1255,36 @@ class OpsSpec extends SparkSpec {
       "no old node gained a batch neighbor — weak fixture")
   }
 
+  test("knn delete repairs only affected nodes and backfills discarded candidates") {
+    import spark.implicits._
+    def vec(seed: Long): Array[Float] = {
+      var x = seed * 6364136223846793005L + 1442695040888963407L
+      Array.fill(64) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        ((x >>> 40).toInt % 1000) / 1000.0f
+      }
+    }
+    val all = (0L until 60L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val edges = ops.Embeddings.knnGraphBanded(all, "vec_id", "embedding",
+      k = 3, planesPerBand = 3, bands = 2, dim = 64)
+    val deleted = all.filter(col("vec_id") % 7 === 0).select("vec_id")
+    val got = ops.Embeddings.knnGraphDelete(edges, all, deleted,
+        "vec_id", "embedding", k = 3, planesPerBand = 3, bands = 2, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val want = ops.Embeddings.knnGraphBanded(
+        all.filter(col("vec_id") % 7 =!= 0), "vec_id", "embedding",
+        k = 3, planesPerBand = 3, bands = 2, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got === want)
+    // the fixture must exercise the non-monotone part: some affected node
+    // BACKFILLS with an edge the original k-bounded build discarded
+    val oldEdges = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.exists { case (n, nb, _, _) => !oldEdges.contains((n, nb)) },
+      "no backfilled edge — weak fixture (raise corpus size or k)")
+    // and no tombstone survives anywhere
+    assert(got.forall { case (n, nb, _, _) => n % 7 != 0 && nb % 7 != 0 })
+  }
+
   test("label spread: seeds clamp, majority wins with min-label ties, unreached stay null") {
     import spark.implicits._
     // path 1-2-3-4-5 plus isolated edge 10-11; seeds: 1→7, 5→9, 10→7.

@@ -528,6 +528,15 @@ class PlanSpec extends SparkSpec {
       l.contains("neighbor_id") && l.contains("cos")), p.take(4000))
   }
 
+  test("knn delete repairs via the bounded aggregate, no cartesian, no distinct (sim17)") {
+    val p = planOf("sim17_knn_delete")
+    assert(p.contains("ObjectHashAggregate"), p.take(4000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(4000))
+    assert(!p.linesIterator.exists(l => l.contains("HashAggregate") &&
+      l.contains("neighbor_id") && l.contains("cos")), p.take(4000))
+  }
+
   test("ir metrics broadcast the ranked side, never the corpus labels (sim15)") {
     val p = planOf("sim15_ir_metrics")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
