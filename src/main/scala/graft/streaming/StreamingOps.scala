@@ -625,6 +625,48 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming ANN serving — the query half of the maintained index
+    * (knnGraphMaintainStream is the write half): a stream of query
+    * vectors probes a STATIC corpus through the banded-LSH signature
+    * join and each query's top-k emits once its watermark window closes.
+    * Both probe legs are stream-static (stateless — nothing accumulates
+    * with the stream); the only state is the per-query top-k buffer,
+    * k-bounded and deduped inside `TopKScoredAggregate(dedup = true)`
+    * exactly as in the batch twin, so per-query results are BIT-EQUAL to
+    * `Embeddings.annTopKBanded` over the same corpus (StreamingSpec).
+    * Emits (query_id, ts, neighbor_id, cos, rnk). */
+  def annQueryStream(queries: DataFrame, corpus: DataFrame,
+                     idCol: String, vecCol: String, tsCol: String,
+                     watermark: String, k: Int,
+                     planesPerBand: Int, bands: Int, dim: Int): DataFrame = {
+    val signs = graft.ops.Embeddings.planeSigns(planesPerBand * bands, dim)
+    def sigCols = (0 until bands).map { b =>
+      concat(lit(s"$b:"), graft.ops.Embeddings.lshSignature(col("qe"),
+        signs.slice(b * planesPerBand, (b + 1) * planesPerBand)))
+    }
+    val p = graft.ops.Embeddings.prepared(corpus, idCol, vecCol)
+      .withColumn("sig", explode(array(sigCols: _*)))
+      .select(col("vec_id").as("neighbor_id"), col("qe").as("nb_qe"),
+        col("n2").as("nb_n2"), col("sig"))
+    val qs = graft.ops.Embeddings.prepared(
+        queries.withWatermark(tsCol, watermark), idCol, vecCol, Seq(tsCol))
+      .select(col("vec_id").as("query_id"), col(tsCol).as("__ts"),
+        col("qe"), col("n2"), explode(array(sigCols: _*)).as("sig"))
+    qs.join(p, Seq("sig")) // stateless stream-static probe
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("__ts"), col("neighbor_id"),
+        graft.ops.Embeddings.cosine(
+          graft.ops.Embeddings.dotQ(col("qe"), col("nb_qe")),
+          col("n2"), col("nb_n2")).as("cos"))
+      .groupBy(col("query_id"), window(col("__ts"), "1 second").as("__w"))
+      .agg(graft.functions.TopKScoredAggregate
+        .top_k_scored(col("neighbor_id"), col("cos"), k, dedup = true).as("top"))
+      .select(col("query_id"), col("__w.start").as("ts"),
+        posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("query_id"), col("ts"), col("s.id").as("neighbor_id"),
+        col("s.score").as("cos"), (col("i") + 1).as("rnk"))
+  }
+
   /** File-source stream over a directory of parquet (the smoke path: drop
     * files in, watch aggregates come out). */
   def parquetStream(spark: SparkSession, schema: StructType, dir: String): DataFrame =

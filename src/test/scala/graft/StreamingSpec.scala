@@ -752,6 +752,44 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Seq((1L, 10.0), (2L, 20.0)))
   }
 
+  test("streaming ANN serving equals the batch banded top-k per query") {
+    val inDir = tmpDir("graft-annq-in")
+    def vec(seed: Long): Array[Float] = {
+      var x = seed * 6364136223846793005L + 1442695040888963407L
+      Array.fill(32) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        ((x >>> 40).toInt % 1000) / 1000.0f
+      }
+    }
+    val corpus = (0L until 50L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    // query stream = corpus members 0..9 so annTopKBanded is the exact twin
+    def writeBatch(ids: Seq[Long], p: String): Unit =
+      ids.map(i => (i, vec(i), new java.sql.Timestamp(1700000000000L + i * 1000)))
+        .toDF("vec_id", "embedding", "ts").coalesce(1).write.parquet(inDir + p)
+    writeBatch(0L until 5L, "/b1")
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)), StructField("ts", TimestampType)))
+    val stream = spark.readStream.schema(schema).parquet(inDir + "/b*")
+    val out = StreamingOps.annQueryStream(stream, corpus,
+      "vec_id", "embedding", "ts", "1 second", k = 3,
+      planesPerBand = 3, bands = 2, dim = 32)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("annqout").start()
+    q.processAllAvailable()
+    writeBatch(5L until 10L, "/b2")
+    q.processAllAvailable()
+    // a late flush row pushes the watermark past the last real window
+    writeBatch(Seq(999L), "/b3")
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT query_id, neighbor_id, cos, rnk FROM annqout WHERE query_id < 10")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val want = ops.Embeddings.annTopKBanded(corpus, "vec_id", "embedding",
+        col("vec_id") < 10, k = 3, planesPerBand = 3, bands = 2, dim = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("streamed kNN maintenance equals the full rebuild after every micro-batch") {
     val inDir = tmpDir("graft-knn-in")
     val ckDir = tmpDir("graft-knn-ck")
