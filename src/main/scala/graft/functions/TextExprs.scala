@@ -42,6 +42,21 @@ object TextExprs {
 
     override protected def nullSafeEval(input: Any): Any = {
       val payload = input.asInstanceOf[Array[Byte]]
+      // REAL decode path: payloads carrying an image magic (JPEG/PNG/GIF/
+      // BMP — all invalid UTF-8 prefixes, so text payloads can never route
+      // here) are decoded via javax.imageio, area-averaged onto the 9×8
+      // luma grid and dHashed on actual brightness. Two re-encodings of
+      // the SAME picture (different JPEG qualities, JPEG vs PNG) land
+      // within small hamming distance — the perceptual property the stub
+      // could not provide. Undecodable/bomb-guarded payloads fall through
+      // to the md5-stub grid, which remains the oracle-exact contract for
+      // non-image payloads (TextExprsSpec bit-equality).
+      if (graft.ops.ImageDecode.isImage(payload)) {
+        graft.ops.ImageDecode.dHashBits(payload) match {
+          case Some(bits) => return UTF8String.fromBytes(bits)
+          case None => // fall through to the byte-stub grid
+        }
+      }
       val hex = new Array[Byte](payload.length * 2)
       var i = 0
       while (i < payload.length) {

@@ -5,11 +5,14 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: media payloads are opaque `binary` columns
-  * with typed metadata travelling alongside. The decode step is a STUB
-  * (no image/audio codecs in this environment — see `decodeStub`), but the
-  * Spark-side structure is real and tested: schema, per-partition batched
-  * processing (the JVM analog of `mapInPandas` batches), and deterministic
-  * feature outputs that a real decoder would replace.
+  * with typed metadata travelling alongside. IMAGE payloads (JPEG/PNG/
+  * GIF/BMP, magic-byte detected) get a REAL decode via [[ImageDecode]]
+  * (javax.imageio — ships with the JDK): feature extraction, resampling
+  * and the perceptual hash all operate on decoded luma pixels. Audio/
+  * video codecs are absent in this environment, so non-image payloads
+  * keep a deterministic byte-level contract (see `decodeStub`) behind the
+  * same Spark-side structure: schema, per-partition batched processing
+  * (the JVM analog of `mapInPandas` batches), iterator-to-iterator.
   *
   * At scale: binary payloads dominate row size, so the pipeline keeps them
   * in one `binary` column (columnar parquet stores them contiguously),
@@ -24,7 +27,7 @@ object Multimodal {
     * `f"%02x"` formatting — `java.util.Formatter` allocation per byte costs
     * ~50x and dominates a frame-sampling pass that hexes millions of tiny
     * frames. */
-  private[ops] def toHex(bytes: Array[Byte]): String = {
+  private[graft] def toHex(bytes: Array[Byte]): String = {
     val out = new Array[Char](bytes.length * 2)
     var i = 0
     while (i < bytes.length) {
@@ -43,16 +46,39 @@ object Multimodal {
       checksum4: Long,
       digest: String)
 
-  /** STUB decoder: stands in for image/audio decode + feature extraction.
-    * Deterministic on the payload bytes: length, sum of the first 4 byte
-    * values, and the md5 digest. A real deployment swaps only this
-    * function body (signature and batch shape stay). */
+  /** Byte-level decoder for NON-IMAGE payloads (and the bomb-guard
+    * fallback): deterministic on the payload bytes — length, sum of the
+    * first 4 byte values, md5 digest. Image payloads take the REAL decode
+    * path in `decodeFeatures` instead. */
   def decodeStub(id: Long, payload: Array[Byte]): MediaFeatures = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = toHex(md.digest(payload))
     val checksum = payload.take(4).map(b => (b & 0xffL)).sum
     MediaFeatures(id, payload.length.toLong, checksum, hex)
   }
+
+  /** Feature extraction with REAL image decode: JPEG/PNG/GIF/BMP payloads
+    * (magic-byte detected — invalid UTF-8 prefixes, so text payloads never
+    * route here) are decoded via javax.imageio ([[ImageDecode]]); features
+    * then come from the DECODED pixels: `checksum4` = sum of the first 4
+    * luma values, `digest` = md5 of the luma byte plane (a content
+    * fingerprint of what the image SHOWS, invariant to container metadata
+    * like EXIF edits or PNG chunk reordering). `byte_len` stays the
+    * payload byte length — it is storage metadata either way. Non-image
+    * or undecodable payloads keep the byte-stub contract. */
+  def decodeFeatures(id: Long, payload: Array[Byte]): MediaFeatures =
+    ImageDecode.decodeGray(payload) match {
+      case Some(g) =>
+        val plane = new Array[Byte](g.luma.length)
+        var i = 0
+        while (i < plane.length) { plane(i) = g.luma(i).toByte; i += 1 }
+        val md = java.security.MessageDigest.getInstance("MD5")
+        var checksum = 0L
+        var j = 0
+        while (j < 4 && j < g.luma.length) { checksum += g.luma(j); j += 1 }
+        MediaFeatures(id, payload.length.toLong, checksum, toHex(md.digest(plane)))
+      case None => decodeStub(id, payload)
+    }
 
   /** Wrap a text column as a binary payload column (UTF-8), the shape a
     * real media table would have (`payload binary, meta struct<...>`). */
@@ -73,7 +99,7 @@ object Multimodal {
     import spark.implicits._
     media.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, payload) => decodeStub(id, payload) })
+      .mapPartitions(_.map { case (id, payload) => decodeFeatures(id, payload) })
       .toDF()
   }
 
@@ -141,12 +167,14 @@ object Multimodal {
   case class Resampled(doc_id: Long, orig_len: Long, new_len: Long, res_digest: String)
 
   /** Resize/resample over binary payloads — the image-thumbnail/audio-
-    * downsample access pattern: keep every `stride`-th byte of the
-    * payload (STUB for a real scaler: a decoder would interpolate pixels/
-    * PCM; the strided byte view keeps the plumbing — batch shape, output
-    * schema, digest verification — identical). Fingerprint is md5 of the
-    * resampled bytes' lowercase hex (portable across engines, like
-    * sampleFrames). Iterator-to-iterator per partition, zero shuffle;
+    * downsample access pattern. IMAGE payloads (magic-detected, decoded
+    * via [[ImageDecode]]) take the REAL scaler: exact integer area-average
+    * downsample of the decoded luma plane by `stride` in both dimensions
+    * (output `ceil(W/stride) × ceil(H/stride)`), `orig_len`/`new_len` in
+    * decoded SAMPLES, fingerprint = md5 of the thumbnail's lowercase hex.
+    * Non-image payloads keep the strided-byte contract (every `stride`-th
+    * byte, lengths in bytes) — that is also what the mm3 oracle replays
+    * over text payloads. Iterator-to-iterator per partition, zero shuffle;
     * empty payloads are dropped (nothing to resample).
     */
   def resample(spark: SparkSession, media: DataFrame, stride: Int = 4): DataFrame = {
@@ -157,13 +185,28 @@ object Multimodal {
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.filter(_._2.nonEmpty).map { case (id, payload) =>
-          val n = (payload.length + stride - 1) / stride
-          val out = new Array[Byte](n)
-          var i = 0
-          while (i < n) { out(i) = payload(i * stride); i += 1 }
-          md.reset()
-          Resampled(id, payload.length.toLong, n.toLong,
-            toHex(md.digest(toHex(out).getBytes("UTF-8"))))
+          ImageDecode.decodeGray(payload) match {
+            case Some(g) =>
+              val w2 = (g.width + stride - 1) / stride
+              val h2 = (g.height + stride - 1) / stride
+              // cell (r,c) covers the exact integer grid — same arithmetic
+              // as ImageDecode.downsample, target dims derived from stride
+              val thumb = ImageDecode.downsample(g, w2, h2).get
+              val out = new Array[Byte](thumb.length)
+              var i = 0
+              while (i < out.length) { out(i) = thumb(i).toByte; i += 1 }
+              md.reset()
+              Resampled(id, g.width.toLong * g.height, thumb.length.toLong,
+                toHex(md.digest(toHex(out).getBytes("UTF-8"))))
+            case None =>
+              val n = (payload.length + stride - 1) / stride
+              val out = new Array[Byte](n)
+              var i = 0
+              while (i < n) { out(i) = payload(i * stride); i += 1 }
+              md.reset()
+              Resampled(id, payload.length.toLong, n.toLong,
+                toHex(md.digest(toHex(out).getBytes("UTF-8"))))
+          }
         }
       }
       .toDF()
@@ -251,17 +294,16 @@ object Multimodal {
       .toDF()
   }
 
-  /** 64-bit dHash-style perceptual hash of a media payload, as a 64-char
-    * '0'/'1' bit string. The DECODE step is the documented stub (no image
-    * libs in this container): the payload is digested ONCE, "luma" of
-    * grid cell i (8 rows × 9 cols) is md5(digest || ':' || i), and bit
-    * (r,c) = luma(r,c) > luma(r,c+1) — exactly the dHash gradient rule on
-    * a 9-wide luma grid, with hash ORDER standing in for brightness
-    * order. A real deployment swaps only the luma function (decode +
-    * downscale + grayscale); the banding/join machinery downstream is the
-    * production path. Under the stub, only byte-identical payloads land
-    * within small hamming distance (any byte edit re-keys every cell) —
-    * real decoders make near-identical frames land there too.
+  /** 64-bit dHash perceptual hash of a media payload, as a 64-char
+    * '0'/'1' bit string. IMAGE payloads are REALLY decoded
+    * ([[ImageDecode]]): javax.imageio decode → integer Rec.601 grayscale
+    * → exact area-average 9×8 luma grid → bit (r,c) = luma(r,c) >
+    * luma(r,c+1). Two re-encodings of the same picture (JPEG q90 vs q50,
+    * JPEG vs PNG) land within small hamming distance and share LSH bands
+    * (OpsSpec pins this). Non-image payloads keep the deterministic
+    * byte-stub grid ("luma" of cell i = md5(md5hex(payload-hex) || ':'
+    * || i), hash order standing in for brightness) — the contract mm6's
+    * oracle replays over text payloads.
     *
     * Runs as the native `TextExprs.PHash64` expression: one payload
     * hex+digest pass, then 72 constant-length cell digests in a tight

@@ -362,15 +362,16 @@ object TextQueries {
     },
 
     // Perceptual-hash near-duplicate candidates over binary payloads:
-    // 64-bit dHash (stub luma — see ops.Multimodal.phash64) → 4×16-bit
-    // LSH bands → bucket join → exact hamming verify. The image-dedup
-    // twin of MinHash-LSH text dedup: candidate generation is
-    // bucket-bounded (n²·4/2¹⁶ expected collisions), NEVER all-pairs, so
-    // the join survives a 100 TB media corpus. The query reports the 50
-    // closest candidate pairs by hamming (no threshold, so the gate
-    // checks the full pipeline even though the stub decoder only puts
-    // byte-identical payloads near 0); production callers use
-    // phashNearDupPairs' maxHamming filter.
+    // 64-bit dHash (REAL javax.imageio luma for image payloads, byte-stub
+    // grid for text — see ops.Multimodal.phash64) → 4×16-bit LSH bands →
+    // bucket join → exact hamming verify. The image-dedup twin of
+    // MinHash-LSH text dedup: candidate generation is bucket-bounded
+    // (n²·4/2¹⁶ expected collisions), NEVER all-pairs, so the join
+    // survives a 100 TB media corpus. These payloads are UTF-8 text, so
+    // the oracle replays the byte-stub grid exactly; the real-decode leg
+    // is pinned by OpsSpec (two JPEG qualities → one band bucket).
+    // The query reports the 50 closest candidate pairs by hamming;
+    // production callers use phashNearDupPairs' maxHamming filter.
     QueryDef("mm6_phash_neardup",
       """WITH b AS (SELECT doc_id, md5(lower(hex(CAST(text AS BLOB)))) AS b64 FROM documents),
         |cells AS (SELECT doc_id, i, md5(b64 || ':' || CAST(i AS VARCHAR)) AS h

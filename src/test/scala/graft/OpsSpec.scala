@@ -1343,4 +1343,112 @@ class OpsSpec extends SparkSpec {
     assert(w.head === 1000000L && w(2) === 500000L)
     assert(w.sliding(2).forall(p => p(0) > p(1)))
   }
+
+  // ---- real image decode (javax.imageio) behind the multimodal surface ----
+
+  /** Grayscale test image whose luma is constant inside each 9×8 dHash
+    * grid cell, cell values ≥96 luma units apart between horizontal
+    * neighbors — JPEG quantization noise (a few units after the 100-px
+    * area average) can never flip a gradient comparison. */
+  private def gridImage(flip: Boolean): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(90, 80, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 80; x <- 0 until 90) {
+      val cell = (y / 10) * 9 + (x / 10)
+      val v0 = (cell * 37) % 8
+      val v = (if (flip) 7 - v0 else v0) * 32 + 16
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  private def jpegBytes(img: java.awt.image.BufferedImage, quality: Float): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    writer.dispose(); ios.close()
+    out.toByteArray
+  }
+
+  private def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private def hamming(a: String, b: String): Int =
+    a.zip(b).count { case (x, y) => x != y }
+
+  test("image magic sniff: JPEG/PNG route to decode, text (incl. 'BM…' prose) does not") {
+    val a = gridImage(flip = false)
+    assert(ops.ImageDecode.isImage(jpegBytes(a, 0.9f)))
+    assert(ops.ImageDecode.isImage(pngBytes(a)))
+    assert(!ops.ImageDecode.isImage("the quick brown fox".getBytes("UTF-8")))
+    assert(!ops.ImageDecode.isImage("BMW is a carmaker, not a bitmap header".getBytes("UTF-8")))
+    // decode really decodes: dimensions and luma plane match the source
+    val g = ops.ImageDecode.decodeGray(pngBytes(a)).get
+    assert(g.width === 90 && g.height === 80)
+    // PNG is lossless: decoded luma of a gray pixel equals its channel value
+    assert(g.luma(0) === ((77 * 16 + 150 * 16 + 29 * 16) >> 8))
+  }
+
+  test("phash64: same picture at two JPEG qualities lands in one band bucket, hamming <= 8") {
+    import spark.implicits._
+    val a = gridImage(flip = false)
+    val b = gridImage(flip = true)
+    val media = Seq(
+      (1L, jpegBytes(a, 0.9f)),
+      (2L, jpegBytes(a, 0.5f)),
+      (3L, pngBytes(a)),
+      (4L, jpegBytes(b, 0.9f))
+    ).toDF("doc_id", "payload")
+    val ph = media.select(col("doc_id"), ops.Multimodal.phash64(col("payload")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    ph.values.foreach(p => assert(p.length == 64 && p.forall(c => c == '0' || c == '1')))
+    // same picture, different encodings: perceptually identical
+    assert(hamming(ph(1L), ph(2L)) <= 8, s"jpeg q90 vs q50: ${hamming(ph(1L), ph(2L))}")
+    assert(hamming(ph(1L), ph(3L)) <= 8, s"jpeg vs png: ${hamming(ph(1L), ph(3L))}")
+    // mirrored cell table flips every gradient comparison: far away
+    assert(hamming(ph(1L), ph(4L)) >= 32, s"different pictures: ${hamming(ph(1L), ph(4L))}")
+    // the production pair machinery finds exactly the re-encoding cluster
+    val pairs = ops.Multimodal.phashNearDupPairs(media, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("extractFeatures/resample: image payloads use decoded pixels, text keeps the byte contract") {
+    import spark.implicits._
+    val a = gridImage(flip = false)
+    val png = pngBytes(a)
+    val media = Seq((1L, png), (2L, "plain text payload".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val feats = ops.Multimodal.extractFeatures(spark, media)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // image row: digest is md5 of the DECODED luma plane (container-invariant)
+    val g = ops.ImageDecode.decodeGray(png).get
+    val plane = g.luma.map(_.toByte)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val (bl1, ck1, dg1) = feats(1L)
+    assert(bl1 === png.length.toLong)
+    assert(ck1 === g.luma.take(4).map(_.toLong).sum)
+    assert(dg1 === ops.Multimodal.toHex(md.digest(plane)))
+    // jpeg re-encode of the same pixels: SAME decode path, different exact
+    // pixels (lossy) — but text rows keep the old byte-stub digest exactly
+    val (bl2, ck2, dg2) = feats(2L)
+    val stub = ops.Multimodal.decodeStub(2L, "plain text payload".getBytes("UTF-8"))
+    assert((bl2, ck2, dg2) === ((stub.byte_len, stub.checksum4, stub.digest)))
+    // resample: real thumbnail — 90×80 at stride 10 → 9×8 = 72 samples
+    val rs = ops.Multimodal.resample(spark, media.where(col("doc_id") === 1L), stride = 10)
+      .collect().head
+    assert(rs.getLong(1) === 90L * 80 && rs.getLong(2) === 72L)
+    // thumbnail digest matches an independent downsample computation
+    val thumb = ops.ImageDecode.downsample(g, 9, 8).get.map(_.toByte)
+    md.reset()
+    assert(rs.getString(3) ===
+      ops.Multimodal.toHex(md.digest(ops.Multimodal.toHex(thumb).getBytes("UTF-8"))))
+  }
 }
