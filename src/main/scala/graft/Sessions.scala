@@ -26,11 +26,26 @@ object Sessions {
   val ObjectAggFallbackGroups = 262144
 
   /** Apply runtime defaults to a built session. Values already set by
-    * the user (spark-defaults, --conf, or an earlier set) are kept. */
+    * the user (spark-defaults, --conf, or an earlier set) are kept.
+    *
+    * INTERACTION NOTE — the raised fallback threshold is session-global,
+    * so it also governs Spark's UNBOUNDED-buffer object aggregates
+    * (collect_list / collect_set / percentile): with it, up to
+    * `fallbackGroups` live group buffers can accumulate per partition
+    * before the sort-based degradation kicks in, where the stock 128
+    * capped that exposure. For this library's aggregates that trade is
+    * strictly right (buffers are ~250 B bounded; the fallback's
+    * spill-merge is what actually OOMed at 640 MiB — ProbeSpill r17).
+    * Pipelines that mix in unbounded collect_* over huge groups on
+    * constrained heaps should dial `graft.objectAgg.fallbackGroups`
+    * down (or preset the Spark key themselves — tune never overrides a
+    * non-default value). */
   def tune(spark: SparkSession): SparkSession = {
     val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val groups = spark.conf.getOption("graft.objectAgg.fallbackGroups")
+      .map(_.trim.toInt).getOrElse(ObjectAggFallbackGroups)
     if (spark.conf.getOption(key).forall(_ == "128"))
-      spark.conf.set(key, ObjectAggFallbackGroups.toString)
+      spark.conf.set(key, groups.toString)
     spark
   }
 }

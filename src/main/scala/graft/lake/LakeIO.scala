@@ -160,8 +160,16 @@ object LakeIO {
             true
           } catch {
             case _: java.nio.file.FileAlreadyExistsException => false
+            // No hard links on this mount: the JDK reports that as
+            // UnsupportedOperationException only for providers that
+            // declare it; on Linux, CIFS/SMB, VFAT and some FUSE/overlay
+            // mounts surface EPERM as a generic FileSystemException
+            // instead (FileAlreadyExistsException is excluded above —
+            // that IS the lost-race signal). Both route to the legacy
+            // rename+verify publish rather than failing the commit.
             case _: UnsupportedOperationException =>
-              // no hard links on this FS: legacy rename + verify below
+              return renamePublish(f, tmp, target, content)
+            case _: java.nio.file.FileSystemException =>
               return renamePublish(f, tmp, target, content)
           } finally {
             // drop the temp either way (link copies nothing; the target

@@ -169,14 +169,23 @@ class PgFrontend(ctx: GraftContext, port: Int) {
                     }
                   }
                   // result-format codes follow the parameter values:
-                  // none → all text; one → applies to every column
+                  // none → all text; one → applies to every column.
+                  // Unknown codes are a protocol error AT BIND (pg's
+                  // 08P01); a count that is neither 0, 1 nor the result
+                  // column count is checked once the columns are known
+                  // (Describe/Execute — see checkResultFmts)
                   val nResFmt = b.getShort
                   val resFmts = (0 until nResFmt.toInt).map(_ => b.getShort.toInt)
+                  resFmts.find(f => f != 0 && f != 1).foreach { bad =>
+                    throw new ProtocolViolation(s"invalid result format code $bad")
+                  }
                   portals(portal) = Portal(bindParams(p, values), resFmts)
                   msg(out, '2')(_ => ()) // BindComplete
                 } catch {
                   case e: UnsupportedOperationException =>
                     sendError(out, "0A000", String.valueOf(e.getMessage)); failed = true
+                  case e: ProtocolViolation =>
+                    sendError(out, "08P01", String.valueOf(e.getMessage)); failed = true
                   case e: BinaryDecodeException =>
                     sendError(out, "22P03", String.valueOf(e.getMessage)); failed = true
                   case e: Throwable =>
@@ -206,8 +215,11 @@ class PgFrontend(ctx: GraftContext, port: Int) {
                 try {
                   paramDescription()
                   rowDescription(ctx.executeRead(sql).schema, out, descFmts) // analysis only
-                } catch { case e: Throwable =>
-                  sendError(out, "XX000", String.valueOf(e.getMessage)); failed = true
+                } catch {
+                  case e: ProtocolViolation =>
+                    sendError(out, "08P01", String.valueOf(e.getMessage)); failed = true
+                  case e: Throwable =>
+                    sendError(out, "XX000", String.valueOf(e.getMessage)); failed = true
                 }
               case Some(_) =>
                 paramDescription()
@@ -224,10 +236,13 @@ class PgFrontend(ctx: GraftContext, port: Int) {
                   if (ctx.isReadOnly(sql))
                     sendRows(ctx.executeRead(sql), out, withDescription = false, resFmts)
                   else { ctx.locked(ctx.execute(sql)); commandComplete(out, tagFor(sql)) }
-                } catch { case e: Throwable =>
-                  sendError(out, "XX000",
-                    Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
-                  failed = true
+                } catch {
+                  case e: ProtocolViolation =>
+                    sendError(out, "08P01", String.valueOf(e.getMessage)); failed = true
+                  case e: Throwable =>
+                    sendError(out, "XX000",
+                      Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+                    failed = true
                 }
             }
           case 'C' if !failed => // Close
@@ -462,7 +477,8 @@ class PgFrontend(ctx: GraftContext, port: Int) {
   }
 
   private def rowDescription(schema: StructType, out: DataOutputStream,
-                             resultFmts: Seq[Int] = Nil): Unit =
+                             resultFmts: Seq[Int] = Nil): Unit = {
+    checkResultFmts(resultFmts, schema.fields.length)
     msg(out, 'T') { d =>
       d.writeShort(schema.fields.length)
       schema.fields.zipWithIndex.foreach { case (f, i) =>
@@ -473,8 +489,22 @@ class PgFrontend(ctx: GraftContext, port: Int) {
         d.writeShort(fmtCode(resultFmts, i))
       }
     }
+  }
 
-  /** Bind's format-code rule: none → all text; one → applies to all. */
+  /** Bind carried a result-format list that pg's rules can't apply to
+    * this result shape — 08P01 protocol_violation, detected at the first
+    * point the result column count is known (Describe/Execute; Bind
+    * itself validates the format CODES, the COUNT needs the schema). */
+  private final class ProtocolViolation(m: String) extends RuntimeException(m)
+
+  private def checkResultFmts(fmts: Seq[Int], ncols: Int): Unit =
+    if (fmts.size > 1 && fmts.size != ncols)
+      throw new ProtocolViolation(
+        s"bind message has ${fmts.size} result formats but query has $ncols columns")
+
+  /** Bind's format-code rule: none → all text; one → applies to all.
+    * Counts in between are rejected by checkResultFmts before any row
+    * is serialized — this indexer never sees them. */
   private def fmtCode(fmts: Seq[Int], i: Int): Int =
     if (fmts.isEmpty) 0 else if (fmts.size == 1) fmts.head else fmts(i)
 
@@ -482,6 +512,7 @@ class PgFrontend(ctx: GraftContext, port: Int) {
                        withDescription: Boolean = true,
                        resultFmts: Seq[Int] = Nil): Unit = {
     val schema = df.schema
+    checkResultFmts(resultFmts, schema.fields.length)
     if (withDescription) rowDescription(schema, out, resultFmts) // Execute relies on Describe's
     val it = df.toLocalIterator()
     var n = 0L

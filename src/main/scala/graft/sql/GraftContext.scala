@@ -550,6 +550,10 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
       // staging table must stay visible to the lock-free read path
       val df = readExternal(spark, fmtUp, resolvedLoc, options)
       declaredPcols.foreach { declared =>
+        // discovery must see BOTH source paths: v1 (LogicalRelation over
+        // HadoopFsRelation — the default for parquet/csv/json) AND v2
+        // (DataSourceV2Relation over a FileTable — what a format lands on
+        // when removed from spark.sql.sources.useV1SourceList)
         val discovered = df.queryExecution.optimizedPlan.collect {
           case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
             l.relation match {
@@ -557,8 +561,20 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
                 fs.partitionSchema.fieldNames.toSeq
               case _ => Seq.empty[String]
             }
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+            r.table match {
+              case ft: org.apache.spark.sql.execution.datasources.v2.FileTable =>
+                ft.fileIndex.partitionSchema.fieldNames.toSeq
+              case _ => Seq.empty[String]
+            }
         }.flatten
-        require(declared.sorted == discovered.sorted.distinct,
+        // name comparison follows the session's column-resolution rule:
+        // case-insensitive unless spark.sql.caseSensitive (directory
+        // spellings like Year=2020 resolve to a column `year` otherwise)
+        val caseSensitive = spark.sessionState.conf.caseSensitiveAnalysis
+        def norm(s: Seq[String]): Seq[String] =
+          (if (caseSensitive) s else s.map(_.toLowerCase(java.util.Locale.ROOT))).sorted
+        require(norm(declared) == norm(discovered).distinct,
           s"PARTITIONED BY (${declared.mkString(", ")}) does not match the " +
           s"partition layout discovered under $resolvedLoc " +
           s"(${if (discovered.isEmpty) "none" else discovered.mkString(", ")}); " +

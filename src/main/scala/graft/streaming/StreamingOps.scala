@@ -591,34 +591,83 @@ object StreamingOps {
 
   /** Streaming twin of `Embeddings.knnGraphIncrement`: a vector feed
     * folds into a MAINTAINED kNN edge set, one increment per
-    * micro-batch — the continuously-fresh ANN index. State (corpus +
-    * edges) lives as lazily-checkpointed DataFrames updated in
-    * foreachBatch under the sink's single-writer guarantee, the same
-    * driver-held-state convention as appendStream/cdcUpsertStream (a
-    * production deployment persists both as graft tables and recovers
-    * from them on restart; source offsets are already checkpointed).
-    * After every batch the edge set is BIT-EQUAL to a full
-    * knnGraphBanded rebuild over everything ingested so far —
-    * increments compose because each one is rebuild-equal
-    * (StreamingSpec proves the 3-batch composition). `onUpdate`
-    * receives the post-batch edge set (publish/persist hook). */
+    * micro-batch — the continuously-fresh ANN index. After every batch
+    * the edge set is BIT-EQUAL to a full knnGraphBanded rebuild over
+    * everything ingested so far — increments compose because each one
+    * is rebuild-equal (StreamingSpec proves the 3-batch composition).
+    * `onUpdate` receives the post-batch edge set (publish hook).
+    *
+    * CRASH RECOVERY — the checkpointDir contract is real, not just
+    * source offsets: corpus + edges are persisted as parquet under
+    * `<checkpointDir>/graft-state/v=<batchId>` with a commit marker
+    * written LAST, and the stream recovers from the newest committed
+    * state on restart. The protocol is idempotent against Spark's
+    * replay-last-batch semantics: if the replayed batchId's state is
+    * already committed, the batch is NOT re-applied — its state is
+    * loaded instead (apply-or-load keyed by batchId, the standard
+    * exactly-once foreachBatch pattern). Only the previous state is
+    * retained (older versions are deleted), so storage is O(2·index).
+    * The per-batch state write is O(corpus + edges) — for indexes where
+    * that dominates, lower the trigger cadence; the increment itself
+    * stays O(batch-touching pairs). */
   def knnGraphMaintainStream(vectors: DataFrame, idCol: String, vecCol: String,
                              k: Int, planesPerBand: Int, bands: Int, dim: Int,
                              initialCorpus: DataFrame, checkpointDir: String,
                              onUpdate: DataFrame => Unit,
                              trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
-    var corpus = initialCorpus.select(col(idCol), col(vecCol)).localCheckpoint(false)
-    var edges = graft.ops.Embeddings.knnGraphBanded(corpus, idCol, vecCol,
-      k, planesPerBand, bands, dim).localCheckpoint(false)
+    val spark = initialCorpus.sparkSession
+    val stateRoot = new org.apache.hadoop.fs.Path(checkpointDir, "graft-state")
+    val hfs = stateRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stateDir(v: Long) = new org.apache.hadoop.fs.Path(stateRoot, s"v=$v")
+    def marker(v: Long) = new org.apache.hadoop.fs.Path(stateDir(v), "_COMMIT")
+    def committed(v: Long): Boolean = hfs.exists(marker(v))
+    def loadState(v: Long): (DataFrame, DataFrame) = (
+      spark.read.parquet(new org.apache.hadoop.fs.Path(stateDir(v), "corpus").toString),
+      spark.read.parquet(new org.apache.hadoop.fs.Path(stateDir(v), "edges").toString))
+    def saveState(v: Long, corpus: DataFrame, edges: DataFrame): Unit = {
+      corpus.write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(stateDir(v), "corpus").toString)
+      edges.write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(stateDir(v), "edges").toString)
+      hfs.create(marker(v), true).close() // marker LAST: commit point
+      // bound storage: keep only v and v-1 (the replay window)
+      if (hfs.exists(stateRoot)) hfs.listStatus(stateRoot).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("v=") && name.drop(2).toLong < v - 1)
+          hfs.delete(st.getPath, true)
+      }
+    }
+    // recover the newest committed state, else build from initialCorpus
+    val latest: Option[Long] =
+      if (!hfs.exists(stateRoot)) None
+      else hfs.listStatus(stateRoot).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("v="))
+        .map(_.drop(2).toLong).filter(committed).sorted.lastOption
+    var (corpus, edges) = latest match {
+      case Some(v) =>
+        val (c, e) = loadState(v)
+        (c.localCheckpoint(false), e.localCheckpoint(false))
+      case None =>
+        val c = initialCorpus.select(col(idCol), col(vecCol)).localCheckpoint(false)
+        (c, graft.ops.Embeddings.knnGraphBanded(c, idCol, vecCol,
+          k, planesPerBand, bands, dim).localCheckpoint(false))
+    }
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (committed(batchId)) {
+          // restart replay of an already-applied batch: load, don't re-apply
+          val (c, e) = loadState(batchId)
+          corpus = c.localCheckpoint(false)
+          edges = e.localCheckpoint(false)
+          onUpdate(edges)
+        } else if (!batch.isEmpty) {
           val b = batch.select(col(idCol), col(vecCol)).localCheckpoint(false)
           edges = graft.ops.Embeddings.knnGraphIncrement(edges, corpus, b,
             idCol, vecCol, k, planesPerBand, bands, dim).localCheckpoint(false)
           corpus = corpus.unionByName(b).localCheckpoint(false)
+          saveState(batchId, corpus, edges)
           onUpdate(edges)
         }
       }

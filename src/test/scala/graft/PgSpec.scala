@@ -550,6 +550,24 @@ class PgSpec extends SparkSpec {
     } finally c.close()
   }
 
+  test("result-format count/code violations are 08P01 protocol errors, not XX000") {
+    val c = new Client
+    try {
+      // 2 format codes for a 3-column result: neither 0, 1, nor ncols —
+      // pg's Bind-time validation; here detected at Describe (the first
+      // point the column count is known), never an IndexOutOfBounds
+      val (_, _, errs) = c.extendedQueryBinResults(
+        "SELECT 1 AS a, 2 AS b, 3 AS c", resFmts = Seq(1, 0))
+      assert(errs.exists(e => e.startsWith("[08P01]") && e.contains("2 result formats")), errs)
+      // an unknown format CODE is rejected at Bind itself
+      val (_, _, errs2) = c.extendedQueryBinResults("SELECT 1 AS a", resFmts = Seq(2))
+      assert(errs2.exists(e => e.startsWith("[08P01]") && e.contains("format code 2")), errs2)
+      // connection remains usable afterwards
+      val (_, rowsOk, errsOk) = c.extendedQuery("SELECT 1 AS one")
+      assert(errsOk.isEmpty && rowsOk === Seq(Seq("1")))
+    } finally c.close()
+  }
+
   test("arrays render as pg array literals") {
     val c = new Client
     try {

@@ -824,4 +824,53 @@ class StreamingSpec extends SparkSpec {
     assert(published(0) === rebuild(40L), "after batch 1")
     assert(published(1) === rebuild(50L), "after batch 2 (increments compose)")
   }
+
+  test("kNN maintain stream recovers corpus+edges from checkpointDir after a restart") {
+    val inDir = tmpDir("graft-knnrec-in")
+    val ckDir = tmpDir("graft-knnrec-ck")
+    def vec(seed: Long): Array[Float] = {
+      var x = seed * 6364136223846793005L + 1442695040888963407L
+      Array.fill(32) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        ((x >>> 40).toInt % 1000) / 1000.0f
+      }
+    }
+    val corpus = (0L until 30L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    (30L until 40L).map(i => (i, vec(i)))
+      .toDF("vec_id", "embedding").coalesce(1).write.parquet(inDir + "/b1")
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val published = scala.collection.mutable.ArrayBuffer.empty[Set[(Long, Long, Double)]]
+    def publish(edges: org.apache.spark.sql.DataFrame): Unit =
+      published += edges.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val q1 = StreamingOps.knnGraphMaintainStream(
+      spark.readStream.schema(schema).parquet(inDir + "/b*"),
+      "vec_id", "embedding", k = 3, planesPerBand = 3, bands = 2, dim = 32,
+      corpus, ckDir, publish, Trigger.ProcessingTime("1 second"))
+    q1.processAllAvailable(); q1.stop()
+    // restart against the same checkpoint with an EMPTY initial corpus:
+    // state must come from the persisted graft-state, not the argument —
+    // previously ingested batches would otherwise be silently lost
+    (40L until 50L).map(i => (i, vec(i)))
+      .toDF("vec_id", "embedding").coalesce(1).write.parquet(inDir + "/b2")
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val q2 = StreamingOps.knnGraphMaintainStream(
+      spark.readStream.schema(schema).parquet(inDir + "/b*"),
+      "vec_id", "embedding", k = 3, planesPerBand = 3, bands = 2, dim = 32,
+      empty, ckDir, publish, Trigger.ProcessingTime("1 second"))
+    q2.processAllAvailable(); q2.stop()
+    def rebuild(upTo: Long) = graft.ops.Embeddings.knnGraphBanded(
+        (0L until upTo).map(i => (i, vec(i))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 3, planesPerBand = 3, bands = 2, dim = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(published.head === rebuild(40L), "before restart")
+    assert(published.last === rebuild(50L), "after restart: corpus 0..30 + b1 survived")
+    // the persisted state layout: newest version carries a commit marker
+    val stateRoot = new java.io.File(ckDir, "graft-state")
+    val versions = Option(stateRoot.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("v=")).map(_.getName.drop(2).toLong).sorted
+    assert(versions.nonEmpty)
+    assert(new java.io.File(stateRoot, s"v=${versions.last}/_COMMIT").exists())
+  }
 }
