@@ -1,0 +1,65 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+
+/** The ONE atomicity primitive the lake commit protocol needs:
+  * put-if-absent of a complete, immutable object. Everything else in the
+  * protocol (optimistic retry against the next version, hint checkpoints,
+  * cache seeding) is built on top and store-agnostic.
+  *
+  * Implementations by deployment:
+  *  - [[FileSystemCommitStore]] (default): Hadoop FileSystem — hard-link
+  *    publish on local FS (kernel-atomic create-if-absent), no-clobber
+  *    rename on HDFS. What ManifestRaceSpec races across two JVMs.
+  *  - S3 / GCS / Azure: rename is copy+delete there, NOT atomic — bind
+  *    this trait to the store's conditional write instead: S3
+  *    `PutObject` with `If-None-Match: *` (412 ⇒ lost race), GCS
+  *    `ifGenerationMatch=0`, Azure `If-None-Match: *` — or a
+  *    DynamoDB-style coordination table when the bucket predates
+  *    conditional writes (Delta's S3DynamoDBLogStore pattern; reference
+  *    lean: src/context/delta.rs relies on Delta's LogStore protocol the
+  *    same way). [[InMemoryCommitStore]] models these single-round-trip
+  *    conditional-put semantics and proves the protocol yields a single
+  *    winner per version under thread-level contention (ManifestRaceSpec).
+  */
+trait CommitStore {
+
+  /** Atomically publish `content` at `path` iff nothing exists there.
+    * Returns false ONLY for a detected lost race (the path already holds
+    * a committed object); genuine I/O failures must propagate as
+    * exceptions so callers don't misreport them as concurrent commits. */
+  def putIfAbsent(path: Path, content: String): Boolean
+
+  /** Overwrite publish for advisory objects (version hints): last writer
+    * wins, readers tolerate lag/loss. */
+  def put(path: Path, content: String): Unit
+}
+
+/** Default store: the Hadoop FileSystem commit path (see
+  * LakeIO.writeAtomic for the per-FS atomicity ladder). */
+object FileSystemCommitStore extends CommitStore {
+  override def putIfAbsent(path: Path, content: String): Boolean =
+    LakeIO.writeAtomic(path, content, failIfExists = true)
+  override def put(path: Path, content: String): Unit = {
+    LakeIO.writeAtomic(path, content, failIfExists = false); ()
+  }
+}
+
+/** Conditional-put semantics in memory: one atomic compare-and-insert per
+  * call, exactly the contract of S3 `If-None-Match: *` / GCS
+  * `ifGenerationMatch=0`. Used by ManifestRaceSpec to hammer the commit
+  * protocol with many threads and prove single-winner + loser-retry
+  * without any filesystem in the loop. */
+final class InMemoryCommitStore extends CommitStore {
+  private val objects = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  override def putIfAbsent(path: Path, content: String): Boolean =
+    objects.putIfAbsent(path.toString, content) == null
+
+  override def put(path: Path, content: String): Unit = {
+    objects.put(path.toString, content); ()
+  }
+
+  def get(path: Path): Option[String] = Option(objects.get(path.toString))
+  def size: Int = objects.size()
+}

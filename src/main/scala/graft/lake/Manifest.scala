@@ -288,17 +288,27 @@ object Manifest {
     if (ans < 0) None else Some(vs(ans))
   }
 
-  /** Atomic commit; throws if the version already exists (lost race). */
-  def commit(tableRoot: String, m: TableManifest): Unit = {
+  /** Atomic commit; throws if the version already exists (lost race).
+    * The atomicity primitive is pluggable ([[CommitStore]]): the default
+    * binds to the Hadoop FileSystem ladder (hard link / no-clobber
+    * rename); object-store deployments bind a conditional-put store —
+    * the protocol above the seam (single winner per version, loser
+    * retries against the next version) is identical and is raced in
+    * ManifestRaceSpec both across processes (FS store) and across
+    * threads (in-memory conditional-put store). */
+  def commit(tableRoot: String, m: TableManifest,
+             store: CommitStore = FileSystemCommitStore): Unit = {
     val target = versionPath(tableRoot, m.version)
-    if (!LakeIO.writeAtomic(target, toJson(m), failIfExists = true))
+    if (!store.putIfAbsent(target, toJson(m)))
       throw new IllegalStateException(
         s"concurrent commit: version ${m.version} already exists at $target")
     // the committed manifest is immutable from here — seed the cache so
-    // the first post-write snapshot rebuild reads zero manifests
-    manifestCache.synchronized(manifestCache.put(target.toString, m))
+    // the first post-write snapshot rebuild reads zero manifests (only
+    // for the real store: in-memory commits aren't readable via LakeIO)
+    if (store eq FileSystemCommitStore)
+      manifestCache.synchronized(manifestCache.put(target.toString, m))
     // best-effort checkpoint: readers fall back to a LIST if this is lost
-    try LakeIO.writeAtomic(hintPath(tableRoot), m.version.toString, failIfExists = false)
+    try store.put(hintPath(tableRoot), m.version.toString)
     catch { case scala.util.control.NonFatal(_) => () }
   }
 }

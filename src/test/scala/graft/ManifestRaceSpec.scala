@@ -103,4 +103,40 @@ class ManifestRaceSpec extends SparkSpec {
     }
     assert(Manifest.listVersions(root) === (1 to rounds).map(_.toLong))
   }
+
+  test("conditional-put CommitStore (S3 model): single winner per version, losers retry forward") {
+    // same commit protocol, zero filesystem: the store is the in-memory
+    // conditional-put model of S3 If-None-Match / GCS ifGenerationMatch=0.
+    // 8 threads contend on every version; the seam must deliver exactly
+    // one winner per version and a complete single-writer object.
+    val store = new graft.lake.InMemoryCommitStore
+    val root = "mem://tables/t1"
+    val rounds = 60
+    val wins = new java.util.concurrent.ConcurrentHashMap[Long, java.util.List[String]]()
+    val raced = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 8).map { t =>
+      new Thread(() => (1 to rounds).foreach { v =>
+        val m = TableManifest(v.toLong, 0L, s"""{"committer":"t$t","v":$v}""", Nil)
+        try {
+          Manifest.commit(root, m, store)
+          wins.computeIfAbsent(v.toLong,
+            _ => java.util.Collections.synchronizedList(new java.util.ArrayList[String]()))
+            .add(s"t$t")
+        } catch { case _: IllegalStateException => raced.incrementAndGet(); () }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    (1 to rounds).foreach { v =>
+      val w = Option(wins.get(v.toLong))
+      assert(w.map(_.size).contains(1), s"version $v winners: $w")
+      // the stored object is the complete manifest of THE winner — a
+      // conditional put can never interleave or clobber
+      val stored = store.get(Manifest.versionPath(root, v.toLong)).get
+      assert(stored.contains(s""""committer\\":\\"${w.get.get(0)}"""))
+    }
+    // every version was genuinely contended: 8 attempts, 1 winner, 7 races
+    assert(raced.get() === rounds * 7)
+    // store holds exactly the version objects + the advisory hint
+    assert(store.size === rounds + 1)
+  }
 }
