@@ -614,7 +614,54 @@ object StreamingOps {
                              k: Int, planesPerBand: Int, bands: Int, dim: Int,
                              initialCorpus: DataFrame, checkpointDir: String,
                              onUpdate: DataFrame => Unit,
-                             trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
+                             trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    maintainedIndexStream(vectors, idCol, vecCol, k, planesPerBand, bands, dim,
+      initialCorpus, checkpointDir, onUpdate, trigger) { (corpus, edges, batch) =>
+      val b = batch.select(col(idCol), col(vecCol)).localCheckpoint(false)
+      val e = graft.ops.Embeddings.knnGraphIncrement(edges, corpus, b,
+        idCol, vecCol, k, planesPerBand, bands, dim)
+      (corpus.unionByName(b), e)
+    }
+
+  /** Streaming twin of `Embeddings.knnGraphDelete`: a TOMBSTONE feed (ids
+    * to remove) folds into the maintained (corpus, edges) index, one
+    * delete-repair per micro-batch — never a rebuild: tombstoned nodes'
+    * rows drop, and only survivors whose stored list referenced a
+    * tombstone re-rank (reverse-kNN-bounded backfill through the banded
+    * candidate join). After every batch the edge set is BIT-EQUAL to a
+    * full knnGraphBanded rebuild over the surviving corpus
+    * (StreamingSpec composes inserts + deletes across batches). Shares
+    * knnGraphMaintainStream's crash-recovery state protocol under
+    * `<checkpointDir>/graft-state` — the two streams are the write half
+    * of the ANN index CRUD story (annQueryStream is the read half). */
+  def knnGraphDeleteStream(tombstones: DataFrame, idCol: String, vecCol: String,
+                           k: Int, planesPerBand: Int, bands: Int, dim: Int,
+                           initialCorpus: DataFrame, checkpointDir: String,
+                           onUpdate: DataFrame => Unit,
+                           trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    maintainedIndexStream(tombstones, idCol, vecCol, k, planesPerBand, bands, dim,
+      initialCorpus, checkpointDir, onUpdate, trigger) { (corpus, edges, batch) =>
+      val dels = batch.select(col(idCol)).localCheckpoint(false)
+      val e = graft.ops.Embeddings.knnGraphDelete(edges, corpus, dels,
+        idCol, vecCol, k, planesPerBand, bands, dim)
+      val c = corpus.join(dels.select(col(idCol).cast("long").as("__del")),
+        corpus(idCol).cast("long") === col("__del"), "left_anti")
+      (c, e)
+    }
+
+  /** Shared machinery of the maintained-index streams: driver-held
+    * (corpus, edges) state folded by `applyBatch` in foreachBatch, with
+    * the crash-recovery protocol the checkpointDir contract promises —
+    * state persists as parquet under `<checkpointDir>/graft-state/
+    * v=<batchId>` with a commit marker written LAST, recovery loads the
+    * newest committed state, and a replayed batchId loads instead of
+    * re-applying (idempotent apply-or-load, the exactly-once
+    * foreachBatch pattern). Storage is bounded to two versions. */
+  private def maintainedIndexStream(source: DataFrame, idCol: String, vecCol: String,
+                                    k: Int, planesPerBand: Int, bands: Int, dim: Int,
+                                    initialCorpus: DataFrame, checkpointDir: String,
+                                    onUpdate: DataFrame => Unit, trigger: Trigger)(
+      applyBatch: (DataFrame, DataFrame, DataFrame) => (DataFrame, DataFrame)): StreamingQuery = {
     val spark = initialCorpus.sparkSession
     val stateRoot = new org.apache.hadoop.fs.Path(checkpointDir, "graft-state")
     val hfs = stateRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -652,7 +699,7 @@ object StreamingOps {
         (c, graft.ops.Embeddings.knnGraphBanded(c, idCol, vecCol,
           k, planesPerBand, bands, dim).localCheckpoint(false))
     }
-    vectors.writeStream
+    source.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -663,10 +710,9 @@ object StreamingOps {
           edges = e.localCheckpoint(false)
           onUpdate(edges)
         } else if (!batch.isEmpty) {
-          val b = batch.select(col(idCol), col(vecCol)).localCheckpoint(false)
-          edges = graft.ops.Embeddings.knnGraphIncrement(edges, corpus, b,
-            idCol, vecCol, k, planesPerBand, bands, dim).localCheckpoint(false)
-          corpus = corpus.unionByName(b).localCheckpoint(false)
+          val (c, e) = applyBatch(corpus, edges, batch)
+          corpus = c.localCheckpoint(false)
+          edges = e.localCheckpoint(false)
           saveState(batchId, corpus, edges)
           onUpdate(edges)
         }

@@ -825,6 +825,48 @@ class StreamingSpec extends SparkSpec {
     assert(published(1) === rebuild(50L), "after batch 2 (increments compose)")
   }
 
+  test("streamed kNN tombstones equal the full surviving-corpus rebuild after every micro-batch") {
+    val inDir = tmpDir("graft-knndel-in")
+    val ckDir = tmpDir("graft-knndel-ck")
+    def vec(seed: Long): Array[Float] = {
+      var x = seed * 6364136223846793005L + 1442695040888963407L
+      Array.fill(32) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        ((x >>> 40).toInt % 1000) / 1000.0f
+      }
+    }
+    val all = (0L until 40L).map(i => (i, vec(i)))
+    val corpus = all.toDF("vec_id", "embedding")
+    val del1 = Seq(5L, 12L, 18L)
+    val del2 = Seq(25L, 3L)
+    del1.map(i => (i, vec(i))).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(inDir + "/b1")
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val stream = spark.readStream.schema(schema).parquet(inDir + "/b*")
+    val published = scala.collection.mutable.ArrayBuffer.empty[Set[(Long, Long, Double)]]
+    val q = StreamingOps.knnGraphDeleteStream(stream, "vec_id", "embedding",
+      k = 3, planesPerBand = 3, bands = 2, dim = 32, corpus, ckDir,
+      edges => published += edges.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet,
+      Trigger.ProcessingTime("1 second"))
+    q.processAllAvailable()
+    del2.map(i => (i, vec(i))).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(inDir + "/b2")
+    q.processAllAvailable(); q.stop()
+    def rebuild(dead: Set[Long]) = graft.ops.Embeddings.knnGraphBanded(
+        all.filterNot(p => dead(p._1)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 3, planesPerBand = 3, bands = 2, dim = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(published.size === 2)
+    assert(published(0) === rebuild(del1.toSet), "after tombstone batch 1")
+    assert(published(1) === rebuild((del1 ++ del2).toSet),
+      "after tombstone batch 2 (delete-repairs compose)")
+    // no tombstoned node survives on either side of any edge
+    val dead = (del1 ++ del2).toSet
+    assert(published(1).forall { case (n, nb, _) => !dead(n) && !dead(nb) })
+  }
+
   test("kNN maintain stream recovers corpus+edges from checkpointDir after a restart") {
     val inDir = tmpDir("graft-knnrec-in")
     val ckDir = tmpDir("graft-knnrec-ck")
