@@ -3,17 +3,72 @@ package graft
 import graft.sql.GraftContext
 import org.apache.spark.sql.SparkSession
 
-/** One-off SQL execution against a graft data directory (the analog of the
-  * reference's CLI frontend, `src/cli/mod.rs` one-off mode):
+/** CLI frontend (the analog of the reference's `src/cli/`): one-off SQL
+  * execution, or an interactive REPL when no SQL argument is given.
   *
-  *   scripts/run.sh graft.Shell <dataDir> "<sql>[; <sql>...]"
+  *   scripts/run.sh graft.Shell <dataDir> "<sql>[; <sql>...]"   # one-off
+  *   scripts/run.sh graft.Shell <dataDir>                       # REPL
   *
-  * Executes every statement; prints the last statement's result as
-  * JSON-lines (the same encoding the HTTP frontend streams).
+  * One-off mode executes every statement and prints the last statement's
+  * result as JSON-lines (the same encoding the HTTP frontend streams).
+  *
+  * REPL parity with the reference CLI (`src/cli/commands.rs`):
+  * statements span lines until a terminating `;`; meta-commands execute
+  * immediately — `\d` list tables, `\d <name>` describe a table, `\?`
+  * help, `\q` quit. Errors print and the loop continues (a typo must
+  * never cost the session).
   */
 object Shell {
+
+  private val MetaHelp = Seq(
+    "\\q       quit graft shell",
+    "\\d       list tables",
+    "\\d name  describe table",
+    "\\?       help")
+
+  /** The REPL loop, IO-injected for tests: reads logical statements from
+    * `lines`, writes results/errors to `out`. Returns on EOF or `\q`. */
+  def repl(ctx: GraftContext, lines: Iterator[String],
+           out: java.io.PrintStream, prompt: Boolean = false): Unit = {
+    val buf = new StringBuilder
+    def show(df: org.apache.spark.sql.DataFrame): Unit =
+      df.toJSON.toLocalIterator().forEachRemaining(out.println)
+    if (prompt) out.print("graft> ")
+    for (raw <- lines) {
+      val line = raw.trim
+      if (buf.isEmpty && line.startsWith("\\")) {
+        line.split("\\s+", 2) match {
+          case Array("\\q", _*) => return
+          case Array("\\?") => MetaHelp.foreach(out.println)
+          case Array("\\d") =>
+            show(ctx.executeRead(
+              "SELECT table_schema, table_name FROM information_schema.tables " +
+              "ORDER BY table_schema, table_name"))
+          case Array("\\d", name) =>
+            show(ctx.executeRead(
+              "SELECT column_name, data_type, is_nullable FROM information_schema.columns " +
+              s"WHERE table_name = '${name.replace("'", "''")}' ORDER BY ordinal_position"))
+          case _ => out.println(s"unknown command: $line (\\? for help)")
+        }
+      } else {
+        buf.append(raw).append('\n')
+        if (line.endsWith(";")) {
+          val sql = buf.result().trim.stripSuffix(";")
+          buf.clear()
+          if (sql.nonEmpty) {
+            try show(ctx.locked(ctx.executeAll(sql)))
+            catch { case scala.util.control.NonFatal(e) =>
+              out.println(s"error: ${String.valueOf(e.getMessage).linesIterator.take(3).mkString(" ")}")
+            }
+          }
+        }
+      }
+      if (prompt) out.print(if (buf.isEmpty) "graft> " else "....>  ")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: graft.Shell <dataDir> <sql>")
+    require(args.nonEmpty, "usage: graft.Shell <dataDir> [sql]")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .appName("graft-shell")
@@ -25,8 +80,12 @@ object Shell {
     spark.sparkContext.setLogLevel("WARN")
     graft.Sessions.tune(spark)
     val ctx = new GraftContext(spark, args(0))
-    val result = ctx.executeAll(args.drop(1).mkString(" "))
-    result.toJSON.collect().foreach(println)
+    if (args.length >= 2) {
+      val result = ctx.executeAll(args.drop(1).mkString(" "))
+      result.toJSON.collect().foreach(println)
+    } else {
+      repl(ctx, scala.io.Source.stdin.getLines(), System.out, prompt = true)
+    }
     spark.stop()
   }
 }

@@ -452,7 +452,7 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
   private val reUpdate = """(?is)^UPDATE\s+([\w."]+)\s+SET\s+(.+)$""".r
   private val reDelete = """(?is)^DELETE\s+FROM\s+([\w."]+)(?:\s+WHERE\s+(.+))?$""".r
   private val reTruncate = """(?is)^TRUNCATE\s+(?:TABLE\s+)?([\w."]+)\s*$""".r
-  private val reDropTable = """(?is)^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w."]+)\s*$""".r
+  private val reDropTable = """(?is)^DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w."]+)\s*$""".r
   private val reDropSchema = """(?is)^DROP\s+SCHEMA\s+(?:IF\s+EXISTS\s+)?([\w"]+)\s*$""".r
   private val reRename = """(?is)^ALTER\s+TABLE\s+([\w."]+)\s+RENAME\s+TO\s+([\w."]+)\s*$""".r
   private val reAddColumn =
@@ -663,11 +663,17 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
     case reTruncate(qname) =>
       val (sch, name) = splitName(qname)
       table(sch, name).truncate(); emptyResult
-    case reDropTable(qname) =>
+    case reDropTable(ifExists, qname) =>
       val (sch, name) = splitName(qname)
-      catalog.dropTable(currentDb, sch, name)
-      spark.catalog.dropTempView(if (sch == "public") name else s"${sch}__$name")
-      emptyResult
+      // IF EXISTS: a missing table is a no-op, not an error
+      if (ifExists != null &&
+          !catalog.listTables(currentDb).exists(t => t._1 == sch && t._2 == name)) {
+        emptyResult
+      } else {
+        catalog.dropTable(currentDb, sch, name)
+        spark.catalog.dropTempView(if (sch == "public") name else s"${sch}__$name")
+        emptyResult
+      }
     case reDropSchema(schName) =>
       requireNotStaging(clean(schName))
       catalog.dropSchema(currentDb, clean(schName)); emptyResult

@@ -748,4 +748,40 @@ class ContextSpec extends SparkSpec {
     c.execute("RESTORE TABLE r TO VERSION AS OF 3")
     assert(c.execute("SELECT id FROM r ORDER BY id").collect().map(_.getLong(0)).toSeq === Seq(1L, 9L))
   }
+
+  test("DROP TABLE IF EXISTS on a missing table is a no-op, without it an error") {
+    val c = ctx()
+    c.execute("DROP TABLE IF EXISTS never_created") // no-op
+    intercept[Exception](c.execute("DROP TABLE never_created"))
+    c.execute("CREATE TABLE d1 (id BIGINT)")
+    c.execute("DROP TABLE IF EXISTS d1")
+    intercept[Exception](c.execute("SELECT * FROM d1"))
+  }
+
+  test("shell REPL: multiline statements, meta-commands, error recovery") {
+    val c = ctx()
+    val bytes = new java.io.ByteArrayOutputStream()
+    val out = new java.io.PrintStream(bytes, true, "UTF-8")
+    val script = Seq(
+      "CREATE TABLE sh (id BIGINT, s VARCHAR);",
+      "INSERT INTO sh VALUES",       // multiline: statement spans 2 lines
+      "  (1, 'a'), (2, 'b');",
+      "\\d",                          // meta: list tables
+      "\\d sh",                       // meta: describe
+      "SELECT COUNT(*",               // error: unbalanced — loop must survive
+      ";",
+      "SELECT id FROM sh WHERE s = 'b';",
+      "\\?",
+      "\\q",
+      "SELECT 1;")                    // after \q: never runs
+    graft.Shell.repl(c, script.iterator, out)
+    val o = bytes.toString("UTF-8")
+    assert(o.contains(""""table_name":"sh""""), o)
+    assert(o.contains(""""column_name":"id""""), o)
+    assert(o.contains("error:"), o)
+    assert(o.contains(""""id":2"""), o)
+    assert(o.contains("\\d       list tables"), o)
+    // \q stopped the loop before the trailing SELECT 1
+    assert(!o.contains("{\"1\":1}"), o)
+  }
 }
