@@ -54,8 +54,8 @@ object Relational {
       """SELECT l_returnflag, l_linestatus,
         |  SUM(l_quantity) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(25,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
         |  SUM(l_quantity)/COUNT(*) AS avg_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_price,
         |  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS avg_disc,
@@ -70,8 +70,15 @@ object Relational {
       // oracle's per-row CAST(... AS DECIMAL(25,6)) produces — while the
       // hot aggregation loop runs codegen'd long adds instead of 128-bit
       // decimal arithmetic. The final (6-row) rescale runs through Decimal
-      // division so the double conversion rounds once, like the oracle's
-      // CAST(decimal-sum AS DOUBLE). Headroom: |sum| < 2^63 up to ~sf30;
+      // division so the double conversion rounds once (BigDecimal
+      // .doubleValue — correctly rounded). The oracle's matching cast
+      // goes DECIMAL → VARCHAR → DOUBLE: DuckDB's direct DECIMAL→DOUBLE
+      // converts the unscaled int128 to double BEFORE scaling, which is
+      // no longer correctly rounded once the unscaled value passes 2^53
+      // (sum_charge at sf1 = 2.8e16 micro-units — one group landed a ulp
+      // off); the VARCHAR hop parses the exact decimal text to the
+      // nearest double, matching Spark bit-for-bit at every SF.
+      // Headroom: |sum| < 2^63 up to ~sf30;
       // past that the per-group partial sums need Decimal(25,0) again.
       val epC = round(col("l_extendedprice") * 100).cast(LongType)
       val disc100 = round(col("l_discount") * 100).cast(LongType)
