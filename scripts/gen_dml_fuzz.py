@@ -138,6 +138,12 @@ class Gen:
                "WHERE id IS NOT NULL AND (%s) GROUP BY id" % (o, src_pred))
         kind = self.rnd.choice(["upsert", "update", "delete", "full"])
         del_cond = "u.ma %% %d = 0" % self.rnd.choice([2, 3])
+        # conditional UPDATE half the time: clause-order semantics (rows
+        # taken by an earlier DELETE clause never reach UPDATE; a NULL
+        # condition skips the clause) replay exactly as the decomposition
+        # below because the DELETE physically removes its rows first
+        upd_cond = ("u.mb %% %d <> 1" % self.rnd.choice([3, 5])
+                    if self.rnd.random() < 0.5 else None)
         upd_set = "a = u.ma, b = %s" % self.rnd.choice(
             ["u.mb", "%s.b + 1" % t, "u.ma + u.mb"])
         ins = "(id, a, b, s) VALUES (u.id, u.ma, u.mb, 'm%d')" % j
@@ -150,9 +156,15 @@ class Gen:
             duck.append("DELETE FROM %s USING __src_%d u WHERE %s.id = u.id AND (%s)"
                         % (t, j, t, del_cond))
         if kind in ("update", "upsert", "full"):
-            clauses.append("WHEN MATCHED THEN UPDATE SET %s" % upd_set)
-            duck.append("UPDATE %s SET %s FROM __src_%d u WHERE %s.id = u.id"
-                        % (t, upd_set, j, t))
+            if upd_cond:
+                clauses.append("WHEN MATCHED AND %s THEN UPDATE SET %s"
+                               % (upd_cond, upd_set))
+                duck.append("UPDATE %s SET %s FROM __src_%d u WHERE %s.id = u.id AND (%s)"
+                            % (t, upd_set, j, t, upd_cond))
+            else:
+                clauses.append("WHEN MATCHED THEN UPDATE SET %s" % upd_set)
+                duck.append("UPDATE %s SET %s FROM __src_%d u WHERE %s.id = u.id"
+                            % (t, upd_set, j, t))
         if kind in ("upsert", "full"):
             clauses.append("WHEN NOT MATCHED THEN INSERT %s" % ins)
             duck.append("INSERT INTO %s (id, a, b, s) SELECT u.id, u.ma, u.mb, 'm%d' "
