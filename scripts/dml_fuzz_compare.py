@@ -54,9 +54,17 @@ def main():
                 ok = False
                 continue
             got_tbl = con.execute(
-                "SELECT id, a, b, s FROM read_parquet(%s)" % repr(files)).arrow()
-            want_tbl = con.execute("SELECT id, a, b, s FROM %s" % t).arrow()
-            cols = ["id", "a", "b", "s"]
+                "SELECT * FROM read_parquet(%s)" % repr(files)).arrow()
+            want_tbl = con.execute("SELECT * FROM %s" % t).arrow()
+            # the final column SET is part of the differential (ALTER
+            # TABLE ADD/DROP COLUMN evolves it); order is not
+            gcols = sorted(got_tbl.column_names)
+            wcols = sorted(want_tbl.column_names)
+            if gcols != wcols:
+                print("FAIL %s.%s: schema %s vs %s" % (name, t, gcols, wcols))
+                ok = False
+                continue
+            cols = gcols
             got = norm([tuple(r[c] for c in cols) for r in got_tbl.to_pylist()], cols)
             want = norm([tuple(r[c] for c in cols) for r in want_tbl.to_pylist()], cols)
             if got != want:

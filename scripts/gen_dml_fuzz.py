@@ -35,6 +35,12 @@ class Gen:
         self.seq = seq
         self.next_id = {"fa": 1, "fb": 1}
         self.merge_n = 0
+        # schema evolution state: live ADDed columns per table as
+        # (name, 'I'|'S'). Names are NEVER reused after a drop — graft
+        # deliberately refuses re-adding a dropped name (retention
+        # hazard), so the generator allocates monotonically.
+        self.extra = {"fa": [], "fb": []}
+        self.colctr = 0
 
     # --- scalar fragments --------------------------------------------------
 
@@ -104,8 +110,37 @@ class Gen:
         return "(%d, %s, %s, %s)" % (i, self.lit_i(), self.lit_i(), self.lit_s())
 
     def ins_values(self, t):
-        rows = ", ".join(self.values_row(t) for _ in range(self.rnd.randint(1, 5)))
-        s = "INSERT INTO %s (id, a, b, s) VALUES %s" % (t, rows)
+        # 40% of inserts into an evolved table carry the added columns
+        # explicitly; the rest leave them to NULL-fill (both engines)
+        extras = list(self.extra[t]) if self.rnd.random() < 0.4 else []
+        cols = "id, a, b, s" + "".join(", " + c for c, _ in extras)
+        def row():
+            base = self.values_row(t)
+            ext = "".join(", " + (self.lit_i() if ty == "I" else self.lit_s())
+                          for _, ty in extras)
+            return base[:-1] + ext + ")"
+        rows = ", ".join(row() for _ in range(self.rnd.randint(1, 5)))
+        s = "INSERT INTO %s (%s) VALUES %s" % (t, cols, rows)
+        return [s], [s]
+
+    def add_column(self, t):
+        self.colctr += 1
+        ty = self.rnd.choice(["I", "S"])
+        name = "c%d" % self.colctr
+        self.extra[t].append((name, ty))
+        s = "ALTER TABLE %s ADD COLUMN %s %s" % (
+            t, name, "BIGINT" if ty == "I" else "VARCHAR")
+        return [s], [s]
+
+    def drop_column(self, t):
+        # only ever drops ADDed columns (base columns stay referenced by
+        # later statements); graft hides retained bytes, DuckDB rewrites —
+        # final SELECT * agrees either way
+        if not self.extra[t]:
+            return self.ins_values(t)
+        i = self.rnd.randrange(len(self.extra[t]))
+        name, _ = self.extra[t].pop(i)
+        s = "ALTER TABLE %s DROP COLUMN %s" % (t, name)
         return [s], [s]
 
     def ins_select(self, t, o):
@@ -118,6 +153,11 @@ class Gen:
         sets = []
         for c in self.rnd.sample(["a", "b", "s"], self.rnd.randint(1, 2)):
             sets.append("%s = %s" % (c, self.str_expr() if c == "s" else self.int_expr()))
+        # evolved columns get updated too (expression RHS for ints so the
+        # post-ADD backfill path is exercised, literal for strings)
+        if self.extra[t] and self.rnd.random() < 0.5:
+            name, ty = self.rnd.choice(self.extra[t])
+            sets.append("%s = %s" % (name, self.int_expr() if ty == "I" else self.lit_s()))
         s = "UPDATE %s SET %s WHERE %s" % (t, ", ".join(sets), self.pred())
         return [s], [s]
 
@@ -194,8 +234,9 @@ def gen_sequence(rnd, seq):
         t = rnd.choice(tables)
         o = "fb" if t == "fa" else "fa"
         op = rnd.choices(
-            ["ins_values", "ins_select", "update", "delete", "truncate", "merge"],
-            weights=[22, 16, 24, 18, 4, 16])[0]
+            ["ins_values", "ins_select", "update", "delete", "truncate", "merge",
+             "add_column", "drop_column"],
+            weights=[20, 14, 22, 16, 4, 15, 6, 3])[0]
         if op == "ins_values":
             gs, ds = g.ins_values(t)
         elif op == "ins_select":
@@ -206,6 +247,10 @@ def gen_sequence(rnd, seq):
             gs, ds = g.delete(t)
         elif op == "truncate":
             gs, ds = g.truncate(t)
+        elif op == "add_column":
+            gs, ds = g.add_column(t)
+        elif op == "drop_column":
+            gs, ds = g.drop_column(t)
         else:
             gs, ds = g.merge(t, o)
         graft += gs

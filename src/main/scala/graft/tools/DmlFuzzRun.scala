@@ -49,7 +49,9 @@ object DmlFuzzRun {
       try {
         stmts.foreach(ctx.execute)
         tables.foreach { t =>
-          ctx.executeRead(s"SELECT id, a, b, s FROM $t")
+          // SELECT *: the final COLUMN SET is part of the differential
+          // (ALTER TABLE ADD/DROP COLUMN sequences evolve it)
+          ctx.executeRead(s"SELECT * FROM $t")
             .coalesce(1).write.mode("overwrite").parquet(s"$outDir/${name}_$t")
         }
         ran += 1

@@ -1344,6 +1344,21 @@ class OpsSpec extends SparkSpec {
     assert(w.sliding(2).forall(p => p(0) > p(1)))
   }
 
+  test("Sessions.tune: default raise, graft knob override, user-set value kept") {
+    val s1 = spark.newSession()
+    graft.Sessions.tune(s1)
+    assert(s1.conf.get("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
+      === graft.Sessions.ObjectAggFallbackGroups.toString)
+    val s2 = spark.newSession()
+    s2.conf.set("graft.objectAgg.fallbackGroups", "4096")
+    graft.Sessions.tune(s2)
+    assert(s2.conf.get("spark.sql.objectHashAggregate.sortBased.fallbackThreshold") === "4096")
+    val s3 = spark.newSession()
+    s3.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "777")
+    graft.Sessions.tune(s3)
+    assert(s3.conf.get("spark.sql.objectHashAggregate.sortBased.fallbackThreshold") === "777")
+  }
+
   // ---- real image decode (javax.imageio) behind the multimodal surface ----
 
   /** Grayscale test image whose luma is constant inside each 9×8 dHash
@@ -1394,6 +1409,38 @@ class OpsSpec extends SparkSpec {
     assert(g.width === 90 && g.height === 80)
     // PNG is lossless: decoded luma of a gray pixel equals its channel value
     assert(g.luma(0) === ((77 * 16 + 150 * 16 + 29 * 16) >> 8))
+  }
+
+  test("image decode: BMP and GIF containers decode; corrupt image payloads fall back, never throw") {
+    val a = gridImage(flip = false)
+    def enc(fmt: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(a, fmt, out), s"no $fmt writer")
+      out.toByteArray
+    }
+    // all four containers of the SAME pixels agree on the decoded plane
+    val png = ops.ImageDecode.decodeGray(pngBytes(a)).get
+    for (fmt <- Seq("bmp", "gif")) {
+      val g = ops.ImageDecode.decodeGray(enc(fmt)).get
+      assert(g.width === 90 && g.height === 80, fmt)
+      // BMP is lossless; GIF palettizes but the image is already 8 gray
+      // levels, so the luma plane survives exactly
+      assert(g.luma.toSeq === png.luma.toSeq, s"$fmt plane differs")
+    }
+    // corrupt payload carrying a JPEG magic: decode fails cleanly -> None
+    val corrupt = jpegBytes(a, 0.9f).take(60)
+    assert(ops.ImageDecode.decodeGray(corrupt).isEmpty)
+    // and phash64 falls back to the deterministic byte-stub, no throw
+    import spark.implicits._
+    val ph = Seq((1L, corrupt)).toDF("doc_id", "payload")
+      .select(ops.Multimodal.phash64(col("payload"))).collect().head.getString(0)
+    assert(ph.length === 64 && ph.forall(c => c == '0' || c == '1'))
+    // decompression-bomb guard: a tiny payload declaring a huge canvas is
+    // rejected by the header-first dimension read (PNG IHDR forged dims)
+    val bomb = pngBytes(a).clone()
+    // IHDR width field at offset 16..19 -> 1e9 (payload stays tiny)
+    bomb(16) = 0x3B.toByte; bomb(17) = 0x9A.toByte; bomb(18) = 0xCA.toByte; bomb(19) = 0x00.toByte
+    assert(ops.ImageDecode.decodeGray(bomb).isEmpty)
   }
 
   test("phash64: same picture at two JPEG qualities lands in one band bucket, hamming <= 8") {
