@@ -42,8 +42,19 @@ object Sessions {
     * non-default value). */
   def tune(spark: SparkSession): SparkSession = {
     val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
-    val groups = spark.conf.getOption("graft.objectAgg.fallbackGroups")
-      .map(_.trim.toInt).getOrElse(ObjectAggFallbackGroups)
+    val groups = spark.conf.getOption("graft.objectAgg.fallbackGroups") match {
+      case None => ObjectAggFallbackGroups
+      case Some(raw) =>
+        // validate loudly, naming the key: a malformed templated value
+        // must not surface as a bare NumberFormatException at bootstrap,
+        // and a non-positive threshold would disable hash aggregation
+        val n = try raw.trim.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"graft.objectAgg.fallbackGroups must be a positive integer, got '$raw'")
+        }
+        require(n > 0, s"graft.objectAgg.fallbackGroups must be positive, got $n")
+        n
+    }
     if (spark.conf.getOption(key).forall(_ == "128"))
       spark.conf.set(key, groups.toString)
     spark

@@ -26,6 +26,31 @@ object Shell {
     "\\d name  describe table",
     "\\?       help")
 
+  /** A buffered statement is complete when its last meaningful character
+    * is `;` OUTSIDE any string literal ('' escapes) and outside a `--`
+    * line comment — psql's quote-state rule, so a value like 'a;b' or a
+    * literal spanning lines never triggers premature execution. */
+  private[graft] def terminated(sql: String): Boolean = {
+    var inQuote = false
+    var last = ' '
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inQuote) {
+        if (c == '\'') {
+          if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') i += 1 // '' escape
+          else inQuote = false
+        }
+        last = c
+      } else if (c == '\'') { inQuote = true; last = c }
+      else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
+        while (i < sql.length && sql.charAt(i) != '\n') i += 1 // line comment
+      } else { if (!c.isWhitespace) last = c }
+      i += 1
+    }
+    !inQuote && last == ';'
+  }
+
   /** The REPL loop, IO-injected for tests: reads logical statements from
     * `lines`, writes results/errors to `out`. Returns on EOF or `\q`. */
   def repl(ctx: GraftContext, lines: Iterator[String],
@@ -33,6 +58,13 @@ object Shell {
     val buf = new StringBuilder
     def show(df: org.apache.spark.sql.DataFrame): Unit =
       df.toJSON.toLocalIterator().forEachRemaining(out.println)
+    // every execution arm shares this guard: a typo, a missing table or
+    // a transient failure prints and the loop continues — the invariant
+    // is that NOTHING the user types can cost the session
+    def guarded(f: => Unit): Unit =
+      try f catch { case scala.util.control.NonFatal(e) =>
+        out.println(s"error: ${String.valueOf(e.getMessage).linesIterator.take(3).mkString(" ")}")
+      }
     if (prompt) out.print("graft> ")
     for (raw <- lines) {
       val line = raw.trim
@@ -40,27 +72,24 @@ object Shell {
         line.split("\\s+", 2) match {
           case Array("\\q", _*) => return
           case Array("\\?") => MetaHelp.foreach(out.println)
-          case Array("\\d") =>
+          case Array("\\d") => guarded {
             show(ctx.executeRead(
               "SELECT table_schema, table_name FROM information_schema.tables " +
               "ORDER BY table_schema, table_name"))
-          case Array("\\d", name) =>
+          }
+          case Array("\\d", name) => guarded {
             show(ctx.executeRead(
               "SELECT column_name, data_type, is_nullable FROM information_schema.columns " +
               s"WHERE table_name = '${name.replace("'", "''")}' ORDER BY ordinal_position"))
+          }
           case _ => out.println(s"unknown command: $line (\\? for help)")
         }
       } else {
         buf.append(raw).append('\n')
-        if (line.endsWith(";")) {
+        if (terminated(buf.result())) {
           val sql = buf.result().trim.stripSuffix(";")
           buf.clear()
-          if (sql.nonEmpty) {
-            try show(ctx.locked(ctx.executeAll(sql)))
-            catch { case scala.util.control.NonFatal(e) =>
-              out.println(s"error: ${String.valueOf(e.getMessage).linesIterator.take(3).mkString(" ")}")
-            }
-          }
+          if (sql.nonEmpty) guarded(show(ctx.locked(ctx.executeAll(sql))))
         }
       }
       if (prompt) out.print(if (buf.isEmpty) "graft> " else "....>  ")

@@ -33,6 +33,14 @@ trait CommitStore {
   /** Overwrite publish for advisory objects (version hints): last writer
     * wins, readers tolerate lag/loss. */
   def put(path: Path, content: String): Unit
+
+  /** True when objects committed through this store are readable back
+    * via LakeIO at the same path — the capability Manifest.commit's
+    * cache seeding relies on (the first post-write snapshot rebuild then
+    * reads zero manifests). Wrappers/decorators over a readable store
+    * should return their delegate's value; stores whose objects live
+    * elsewhere (the in-memory test store) return false. */
+  def readableViaLakeIO: Boolean = false
 }
 
 /** Default store: the Hadoop FileSystem commit path (see
@@ -43,6 +51,7 @@ object FileSystemCommitStore extends CommitStore {
   override def put(path: Path, content: String): Unit = {
     LakeIO.writeAtomic(path, content, failIfExists = false); ()
   }
+  override def readableViaLakeIO: Boolean = true
 }
 
 /** Conditional-put semantics in memory: one atomic compare-and-insert per

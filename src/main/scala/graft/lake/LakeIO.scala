@@ -163,13 +163,16 @@ object LakeIO {
             // No hard links on this mount: the JDK reports that as
             // UnsupportedOperationException only for providers that
             // declare it; on Linux, CIFS/SMB, VFAT and some FUSE/overlay
-            // mounts surface EPERM as a generic FileSystemException
-            // instead (FileAlreadyExistsException is excluded above —
-            // that IS the lost-race signal). Both route to the legacy
-            // rename+verify publish rather than failing the commit.
+            // mounts surface EPERM ("Operation not permitted") as a
+            // generic FileSystemException instead. ONLY those downgrade
+            // to the legacy rename+verify publish — a transient
+            // AccessDenied/EIO must propagate loudly, never silently
+            // re-enter the racy rename path the link() publish exists to
+            // replace (FileAlreadyExistsException is excluded above —
+            // that IS the lost-race signal).
             case _: UnsupportedOperationException =>
               return renamePublish(f, tmp, target, content)
-            case _: java.nio.file.FileSystemException =>
+            case e: java.nio.file.FileSystemException if isNoHardLinks(e) =>
               return renamePublish(f, tmp, target, content)
           } finally {
             // drop the temp either way (link copies nothing; the target
@@ -188,6 +191,16 @@ object LakeIO {
       if (f.rename(tmp, target)) true
       else { f.delete(target, false); val ok = f.rename(tmp, target); if (!ok) f.delete(tmp, false); ok }
     }
+  }
+
+  /** EPERM-shaped link(2) failures — what Linux mounts without hard-link
+    * support (CIFS/SMB, VFAT, some FUSE/overlay) report instead of
+    * UnsupportedOperationException. Matched narrowly by reason text so
+    * genuine I/O failures (EACCES, EIO, ENOSPC) keep propagating. */
+  private def isNoHardLinks(e: java.nio.file.FileSystemException): Boolean = {
+    val r = String.valueOf(e.getReason).toLowerCase(java.util.Locale.ROOT)
+    r.contains("operation not permitted") || r.contains("not supported") ||
+      r.contains("invalid cross-device link")
   }
 
   /** Legacy publish for FileSystems without hard links: exists-check +

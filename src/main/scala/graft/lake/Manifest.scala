@@ -303,9 +303,11 @@ object Manifest {
       throw new IllegalStateException(
         s"concurrent commit: version ${m.version} already exists at $target")
     // the committed manifest is immutable from here — seed the cache so
-    // the first post-write snapshot rebuild reads zero manifests (only
-    // for the real store: in-memory commits aren't readable via LakeIO)
-    if (store eq FileSystemCommitStore)
+    // the first post-write snapshot rebuild reads zero manifests. Gated
+    // on the store's own capability declaration (NOT its identity), so
+    // wrapped/decorated filesystem stores keep the optimization and
+    // stores whose objects aren't LakeIO-readable never poison the cache
+    if (store.readableViaLakeIO)
       manifestCache.synchronized(manifestCache.put(target.toString, m))
     // best-effort checkpoint: readers fall back to a LIST if this is lost
     try store.put(hintPath(tableRoot), m.version.toString)

@@ -29,12 +29,18 @@ import java.io.ByteArrayInputStream
   */
 object ImageDecode {
 
-  /** Decoded grayscale image: row-major luma values in [0, 255]. */
-  final case class Gray(width: Int, height: Int, luma: Array[Int])
+  /** Decoded grayscale image: row-major luma values in [0, 255], stored
+    * as bytes (read with `& 0xff`) — one byte per pixel keeps the decode
+    * footprint at W·H, not 4·W·H. */
+  final case class Gray(width: Int, height: Int, luma: Array[Byte])
 
-  /** Decompression-bomb guard: refuse canvases over 64M pixels (a 256 MiB
-    * int luma array) — executors process many rows concurrently. */
-  val MaxPixels: Long = 64L * 1024 * 1024
+  /** Decompression-bomb guard: refuse canvases over 24M pixels (a 6000×
+    * 4000 photo). Transient peak per decode ≈ the codec's raster plus a
+    * one-row RGB buffer plus the W·H luma bytes — sized so the usual
+    * 8–32 concurrent partition tasks per executor fit comfortably; a
+    * 100-byte payload can DECLARE a gigapixel canvas, which the
+    * header-first dimension read rejects before any allocation. */
+  val MaxPixels: Long = 24L * 1024 * 1024
 
   /** Magic-byte sniff. All four signatures start with bytes that are
     * invalid as UTF-8 text prefixes or vanishingly unlikely in prose
@@ -78,13 +84,22 @@ object ImageDecode {
           if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return None
           val img = reader.read(0)
           if (img == null) return None
-          val rgb = img.getRGB(0, 0, w, h, null, 0, w)
-          val luma = new Array[Int](w * h)
-          var i = 0
-          while (i < luma.length) {
-            val v = rgb(i)
-            luma(i) = (77 * ((v >> 16) & 0xff) + 150 * ((v >> 8) & 0xff) + 29 * (v & 0xff)) >> 8
-            i += 1
+          // row-wise RGB extraction: one reused W-int buffer instead of a
+          // full 4·W·H int plane next to the luma bytes
+          val luma = new Array[Byte](w * h)
+          val row = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            img.getRGB(0, y, w, 1, row, 0, w)
+            var x = 0
+            val base = y * w
+            while (x < w) {
+              val v = row(x)
+              luma(base + x) =
+                ((77 * ((v >> 16) & 0xff) + 150 * ((v >> 8) & 0xff) + 29 * (v & 0xff)) >> 8).toByte
+              x += 1
+            }
+            y += 1
           }
           Some(Gray(w, h, luma))
         } finally reader.dispose()
@@ -112,7 +127,7 @@ object ImageDecode {
         while (y < y1) {
           val base = y * W
           var x = x0
-          while (x < x1) { sum += g.luma(base + x); x += 1 }
+          while (x < x1) { sum += g.luma(base + x) & 0xff; x += 1 }
           y += 1
         }
         out(r * w + c) = (sum / ((y1 - y0).toLong * (x1 - x0))).toInt

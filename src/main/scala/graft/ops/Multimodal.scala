@@ -69,14 +69,11 @@ object Multimodal {
   def decodeFeatures(id: Long, payload: Array[Byte]): MediaFeatures =
     ImageDecode.decodeGray(payload) match {
       case Some(g) =>
-        val plane = new Array[Byte](g.luma.length)
-        var i = 0
-        while (i < plane.length) { plane(i) = g.luma(i).toByte; i += 1 }
         val md = java.security.MessageDigest.getInstance("MD5")
         var checksum = 0L
         var j = 0
-        while (j < 4 && j < g.luma.length) { checksum += g.luma(j); j += 1 }
-        MediaFeatures(id, payload.length.toLong, checksum, toHex(md.digest(plane)))
+        while (j < 4 && j < g.luma.length) { checksum += g.luma(j) & 0xff; j += 1 }
+        MediaFeatures(id, payload.length.toLong, checksum, toHex(md.digest(g.luma)))
       case None => decodeStub(id, payload)
     }
 

@@ -222,8 +222,16 @@ class PgFrontend(ctx: GraftContext, port: Int) {
                     sendError(out, "XX000", String.valueOf(e.getMessage)); failed = true
                 }
               case Some(_) =>
-                paramDescription()
-                msg(out, 'n')(_ => ()) // NoData (DDL/DML)
+                try {
+                  // DML/DDL portals have 0 result columns — the Bind-time
+                  // format-code count is validated against that here too
+                  checkResultFmts(descFmts, 0)
+                  paramDescription()
+                  msg(out, 'n')(_ => ()) // NoData (DDL/DML)
+                } catch {
+                  case e: ProtocolViolation =>
+                    sendError(out, "08P01", String.valueOf(e.getMessage)); failed = true
+                }
             }
           case 'E' if !failed => // Execute (maxRows ignored: all rows, no suspend)
             val portal = cstrIn()
@@ -235,7 +243,13 @@ class PgFrontend(ctx: GraftContext, port: Int) {
                 try {
                   if (ctx.isReadOnly(sql))
                     sendRows(ctx.executeRead(sql), out, withDescription = false, resFmts)
-                  else { ctx.locked(ctx.execute(sql)); commandComplete(out, tagFor(sql)) }
+                  else {
+                    // a write returns no result columns: pg validates the
+                    // Bind-time format-code count against that 0-column
+                    // shape too (counts 0 and 1 remain legal)
+                    checkResultFmts(resFmts, 0)
+                    ctx.locked(ctx.execute(sql)); commandComplete(out, tagFor(sql))
+                  }
                 } catch {
                   case e: ProtocolViolation =>
                     sendError(out, "08P01", String.valueOf(e.getMessage)); failed = true

@@ -665,15 +665,21 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
       table(sch, name).truncate(); emptyResult
     case reDropTable(ifExists, qname) =>
       val (sch, name) = splitName(qname)
-      // IF EXISTS: a missing table is a no-op, not an error
-      if (ifExists != null &&
-          !catalog.listTables(currentDb).exists(t => t._1 == sch && t._2 == name)) {
-        emptyResult
-      } else {
-        catalog.dropTable(currentDb, sch, name)
+      // IF EXISTS: a missing table is a no-op, not an error. Implemented
+      // by attempting the drop and suppressing the unknown-table failure
+      // — NOT check-then-drop, which another process could race between
+      // the two steps (ctx.locked is per-process; the catalog file is
+      // shared) and resurface the very error IF EXISTS promises away.
+      val dropped =
+        try { catalog.dropTable(currentDb, sch, name); true }
+        catch {
+          case e: IllegalArgumentException
+              if ifExists != null && String.valueOf(e.getMessage).startsWith("unknown table") =>
+            false
+        }
+      if (dropped)
         spark.catalog.dropTempView(if (sch == "public") name else s"${sch}__$name")
-        emptyResult
-      }
+      emptyResult
     case reDropSchema(schName) =>
       requireNotStaging(clean(schName))
       catalog.dropSchema(currentDb, clean(schName)); emptyResult

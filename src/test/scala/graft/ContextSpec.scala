@@ -758,6 +758,18 @@ class ContextSpec extends SparkSpec {
     intercept[Exception](c.execute("SELECT * FROM d1"))
   }
 
+  test("shell terminator tracks quote and comment state (psql rule)") {
+    import graft.Shell.terminated
+    assert(terminated("SELECT 1;"))
+    assert(terminated("SELECT 1 ; -- trailing comment"))
+    assert(terminated("SELECT 'a;b';"))
+    assert(!terminated("SELECT 'a;"))            // ; inside an open literal
+    assert(!terminated("SELECT 1 -- comment;"))  // ; inside a comment
+    assert(!terminated("SELECT 'it''s;"))        // '' escape keeps quote open
+    assert(terminated("SELECT 'it''s';"))
+    assert(!terminated("SELECT 1"))
+  }
+
   test("shell REPL: multiline statements, meta-commands, error recovery") {
     val c = ctx()
     val bytes = new java.io.ByteArrayOutputStream()
@@ -765,7 +777,7 @@ class ContextSpec extends SparkSpec {
     val script = Seq(
       "CREATE TABLE sh (id BIGINT, s VARCHAR);",
       "INSERT INTO sh VALUES",       // multiline: statement spans 2 lines
-      "  (1, 'a'), (2, 'b');",
+      "  (1, 'a;semicolon'), (2, 'b');", // literal ; must not terminate early
       "\\d",                          // meta: list tables
       "\\d sh",                       // meta: describe
       "SELECT COUNT(*",               // error: unbalanced — loop must survive

@@ -1408,7 +1408,7 @@ class OpsSpec extends SparkSpec {
     val g = ops.ImageDecode.decodeGray(pngBytes(a)).get
     assert(g.width === 90 && g.height === 80)
     // PNG is lossless: decoded luma of a gray pixel equals its channel value
-    assert(g.luma(0) === ((77 * 16 + 150 * 16 + 29 * 16) >> 8))
+    assert((g.luma(0) & 0xff) === ((77 * 16 + 150 * 16 + 29 * 16) >> 8))
   }
 
   test("image decode: BMP and GIF containers decode; corrupt image payloads fall back, never throw") {
@@ -1477,12 +1477,11 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
     // image row: digest is md5 of the DECODED luma plane (container-invariant)
     val g = ops.ImageDecode.decodeGray(png).get
-    val plane = g.luma.map(_.toByte)
     val md = java.security.MessageDigest.getInstance("MD5")
     val (bl1, ck1, dg1) = feats(1L)
     assert(bl1 === png.length.toLong)
-    assert(ck1 === g.luma.take(4).map(_.toLong).sum)
-    assert(dg1 === ops.Multimodal.toHex(md.digest(plane)))
+    assert(ck1 === g.luma.take(4).map(v => (v & 0xff).toLong).sum)
+    assert(dg1 === ops.Multimodal.toHex(md.digest(g.luma)))
     // jpeg re-encode of the same pixels: SAME decode path, different exact
     // pixels (lossy) — but text rows keep the old byte-stub digest exactly
     val (bl2, ck2, dg2) = feats(2L)

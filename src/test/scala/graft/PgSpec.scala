@@ -562,6 +562,14 @@ class PgSpec extends SparkSpec {
       // an unknown format CODE is rejected at Bind itself
       val (_, _, errs2) = c.extendedQueryBinResults("SELECT 1 AS a", resFmts = Seq(2))
       assert(errs2.exists(e => e.startsWith("[08P01]") && e.contains("format code 2")), errs2)
+      // a WRITE portal has 0 result columns: >1 format codes is 08P01
+      // there too (pg validates against the 0-column shape), and the
+      // write must NOT execute
+      val (_, _, errs3) = c.extendedQueryBinResults(
+        "CREATE TABLE fmtv (id BIGINT)", resFmts = Seq(1, 0))
+      assert(errs3.exists(_.startsWith("[08P01]")), errs3)
+      val (_, _, errs4) = c.extendedQuery("SELECT COUNT(*) AS n FROM fmtv")
+      assert(errs4.nonEmpty, "table must not exist after the rejected Execute")
       // connection remains usable afterwards
       val (_, rowsOk, errsOk) = c.extendedQuery("SELECT 1 AS one")
       assert(errsOk.isEmpty && rowsOk === Seq(Seq("1")))
