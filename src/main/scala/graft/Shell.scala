@@ -27,28 +27,41 @@ object Shell {
     "\\?       help")
 
   /** A buffered statement is complete when its last meaningful character
-    * is `;` OUTSIDE any string literal ('' escapes) and outside a `--`
-    * line comment — psql's quote-state rule, so a value like 'a;b' or a
-    * literal spanning lines never triggers premature execution. */
+    * is `;` OUTSIDE any string literal ('' escapes), double-quoted
+    * identifier, `--` line comment, or (nested) `/* */` block comment —
+    * psql's quote-state rule, so a value like 'a;b', a `"quoted;name"`
+    * identifier, or a literal spanning lines never triggers premature
+    * execution, and a statement followed by a trailing block comment
+    * still auto-executes. The lexer states mirror
+    * GraftContext.splitStatements exactly, so what the REPL decides is a
+    * complete input splits the same way when executed. */
   private[graft] def terminated(sql: String): Boolean = {
-    var inQuote = false
+    var inS = false  // '...' string literal ('' escapes via double-toggle)
+    var inD = false  // "..." quoted identifier
     var last = ' '
     var i = 0
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (inQuote) {
-        if (c == '\'') {
-          if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') i += 1 // '' escape
-          else inQuote = false
-        }
-        last = c
-      } else if (c == '\'') { inQuote = true; last = c }
-      else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
+      if (!inS && !inD && c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
         while (i < sql.length && sql.charAt(i) != '\n') i += 1 // line comment
-      } else { if (!c.isWhitespace) last = c }
+      } else if (!inS && !inD && c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+        var depth = 1
+        i += 2
+        while (i < sql.length && depth > 0) {
+          if (sql.startsWith("/*", i)) { depth += 1; i += 2 }
+          else if (sql.startsWith("*/", i)) { depth -= 1; i += 2 }
+          else i += 1
+        }
+        if (depth > 0) return false // unterminated block comment
+        i -= 1 // outer loop re-advances
+      } else {
+        if (c == '\'' && !inD) inS = !inS
+        else if (c == '"' && !inS) inD = !inD
+        if (!c.isWhitespace) last = c
+      }
       i += 1
     }
-    !inQuote && last == ';'
+    !inS && !inD && last == ';'
   }
 
   /** The REPL loop, IO-injected for tests: reads logical statements from
@@ -110,8 +123,10 @@ object Shell {
     graft.Sessions.tune(spark)
     val ctx = new GraftContext(spark, args(0))
     if (args.length >= 2) {
+      // stream partition-by-partition like the REPL and the HTTP frontend
+      // — a large one-off result must not buffer whole on the driver
       val result = ctx.executeAll(args.drop(1).mkString(" "))
-      result.toJSON.collect().foreach(println)
+      result.toJSON.toLocalIterator().forEachRemaining(println(_))
     } else {
       repl(ctx, scala.io.Source.stdin.getLines(), System.out, prompt = true)
     }

@@ -182,8 +182,12 @@ class Catalog(val dataDir: String) {
     }
 
   def dropTable(db: String, schema: String, name: String): String = mutate { s =>
-    val schemas = s.dbs(db)
-    val tables = schemas(schema)
+    // A missing database or schema surfaces as the same "unknown table"
+    // failure a missing table does, so DROP TABLE IF EXISTS bad_schema.t is
+    // a no-op (Postgres semantics) rather than a NoSuchElementException the
+    // caller's suppression filter can't recognise.
+    val schemas = s.dbs.getOrElse(db, throw new IllegalArgumentException(s"unknown table $schema.$name"))
+    val tables = schemas.getOrElse(schema, throw new IllegalArgumentException(s"unknown table $schema.$name"))
     val e = tables.getOrElse(name, throw new IllegalArgumentException(s"unknown table $schema.$name"))
     val next = s.copy(
       dbs = s.dbs.updated(db, schemas.updated(schema, tables - name)),

@@ -172,7 +172,10 @@ object LakeIO {
             // that IS the lost-race signal).
             case _: UnsupportedOperationException =>
               return renamePublish(f, tmp, target, content)
-            case e: java.nio.file.FileSystemException if isNoHardLinks(e) =>
+            case e: java.nio.file.FileSystemException if isNoHardLinks(e) ||
+                !supportsHardLinks(
+                  java.nio.file.Paths.get(tmp.toUri.getPath).getParent,
+                  java.nio.file.Paths.get(target.toUri.getPath).getParent) =>
               return renamePublish(f, tmp, target, content)
           } finally {
             // drop the temp either way (link copies nothing; the target
@@ -201,6 +204,43 @@ object LakeIO {
     val r = String.valueOf(e.getReason).toLowerCase(java.util.Locale.ROOT)
     r.contains("operation not permitted") || r.contains("not supported") ||
       r.contains("invalid cross-device link")
+  }
+
+  private val hardLinkProbe =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Locale-independent hard-link capability check, cached per
+    * (src-dir, dst-dir) pair: strerror text follows LC_MESSAGES, so on a
+    * non-English locale the EPERM a CIFS/VFAT/FUSE mount reports wouldn't
+    * match isNoHardLinks and the publish would fail loudly instead of
+    * downgrading. Instead, link a scratch file from srcDir into dstDir
+    * once and remember the answer (keyed on both dirs so the EXDEV
+    * cross-device case is probed faithfully). A probe failure for an
+    * unrelated reason (e.g. unwritable dir) also reports false — in that
+    * situation renamePublish fails with its own loud error, so no failure
+    * is swallowed. */
+  private def supportsHardLinks(srcDir: java.nio.file.Path,
+                                dstDir: java.nio.file.Path): Boolean = {
+    if (srcDir == null || dstDir == null) return false
+    hardLinkProbe.computeIfAbsent(srcDir.toString + " " + dstDir.toString, { _ =>
+      var src: java.nio.file.Path = null
+      var dst: java.nio.file.Path = null
+      try {
+        src = java.nio.file.Files.createTempFile(srcDir, ".graft-linkprobe", ".tmp")
+        dst = dstDir.resolve(src.getFileName.toString + ".lnk")
+        java.nio.file.Files.createLink(dst, src)
+        java.lang.Boolean.TRUE
+      } catch {
+        case scala.util.control.NonFatal(_) => java.lang.Boolean.FALSE
+      } finally {
+        if (dst != null)
+          try java.nio.file.Files.deleteIfExists(dst)
+          catch { case scala.util.control.NonFatal(_) => () }
+        if (src != null)
+          try java.nio.file.Files.deleteIfExists(src)
+          catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }).booleanValue
   }
 
   /** Legacy publish for FileSystems without hard links: exists-check +

@@ -684,20 +684,28 @@ object StreamingOps {
           hfs.delete(st.getPath, true)
       }
     }
-    // recover the newest committed state, else build from initialCorpus
+    // Recover the newest committed state, else build from initialCorpus.
+    // The in-memory handles are ALWAYS plain scans of the durable state
+    // parquet — never localCheckpoint: a lazily-truncated localCheckpoint
+    // whose executor blocks are lost after saveState deletes v-2 would
+    // recompute through deleted files and fail the stream. Rooting the
+    // lineage in the version the retention window is guaranteed to keep
+    // (only < v-1 is ever deleted; handles rebind to v on every commit)
+    // makes any recomputation re-read live parquet instead.
     val latest: Option[Long] =
       if (!hfs.exists(stateRoot)) None
       else hfs.listStatus(stateRoot).toSeq
         .map(_.getPath.getName).filter(_.startsWith("v="))
         .map(_.drop(2).toLong).filter(committed).sorted.lastOption
     var (corpus, edges) = latest match {
-      case Some(v) =>
-        val (c, e) = loadState(v)
-        (c.localCheckpoint(false), e.localCheckpoint(false))
+      case Some(v) => loadState(v)
       case None =>
-        val c = initialCorpus.select(col(idCol), col(vecCol)).localCheckpoint(false)
-        (c, graft.ops.Embeddings.knnGraphBanded(c, idCol, vecCol,
-          k, planesPerBand, bands, dim).localCheckpoint(false))
+        // persist the bootstrap state as v=-1 so even a pre-first-batch
+        // executor loss recovers from parquet, not from lost blocks
+        val c = initialCorpus.select(col(idCol), col(vecCol))
+        saveState(-1L, c, graft.ops.Embeddings.knnGraphBanded(c, idCol, vecCol,
+          k, planesPerBand, bands, dim))
+        loadState(-1L)
     }
     source.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -706,14 +714,17 @@ object StreamingOps {
         if (committed(batchId)) {
           // restart replay of an already-applied batch: load, don't re-apply
           val (c, e) = loadState(batchId)
-          corpus = c.localCheckpoint(false)
-          edges = e.localCheckpoint(false)
+          corpus = c
+          edges = e
           onUpdate(edges)
         } else if (!batch.isEmpty) {
           val (c, e) = applyBatch(corpus, edges, batch)
-          corpus = c.localCheckpoint(false)
-          edges = e.localCheckpoint(false)
-          saveState(batchId, corpus, edges)
+          saveState(batchId, c, e)
+          // rebind to the just-committed durable copy BEFORE any later
+          // version deletion can touch what the old handles referenced
+          val (c2, e2) = loadState(batchId)
+          corpus = c2
+          edges = e2
           onUpdate(edges)
         }
       }

@@ -756,6 +756,10 @@ class ContextSpec extends SparkSpec {
     c.execute("CREATE TABLE d1 (id BIGINT)")
     c.execute("DROP TABLE IF EXISTS d1")
     intercept[Exception](c.execute("SELECT * FROM d1"))
+    // a missing SCHEMA must also be a no-op (Postgres semantics), not a
+    // NoSuchElementException escaping the unknown-table suppression
+    c.execute("DROP TABLE IF EXISTS no_such_schema.t")
+    intercept[Exception](c.execute("DROP TABLE no_such_schema.t"))
   }
 
   test("shell terminator tracks quote and comment state (psql rule)") {
@@ -768,6 +772,39 @@ class ContextSpec extends SparkSpec {
     assert(!terminated("SELECT 'it''s;"))        // '' escape keeps quote open
     assert(terminated("SELECT 'it''s';"))
     assert(!terminated("SELECT 1"))
+    // block comments and double-quoted identifiers — the states
+    // splitStatements tracks must not desync from the REPL terminator
+    assert(!terminated("SELECT 1 /* block; comment */"))  // ; inside block comment
+    assert(terminated("SELECT 1; /* trailing block */"))  // trailing comment after ;
+    assert(!terminated("SELECT 1; /* unterminated"))      // open block comment
+    assert(!terminated("SELECT /* a /* nested */ ;"))     // nested stays open
+    assert(terminated("SELECT /* a /* nested */ */ 1;"))
+    assert(!terminated("SELECT \"quoted;name\""))         // ; inside quoted ident
+    assert(terminated("SELECT \"quoted;name\";"))
+    assert(!terminated("SELECT \"open;"))                 // unterminated ident
+    assert(terminated("SELECT '/*' ;"))                   // markers inside literal are content
+  }
+
+  test("q01 oracle cast pin: VARCHAR-hop DECIMAL(,6)->DOUBLE is correctly rounded past 2^53") {
+    // q01's oracle SQL converts DECIMAL sums to DOUBLE via a VARCHAR hop
+    // because DuckDB's direct DECIMAL->DOUBLE converts the unscaled int
+    // to double BEFORE scaling — double-rounding once the unscaled value
+    // passes 2^53. This pin asserts, for a concrete witness, that (a) the
+    // engine's BigDecimal path and exact-text parsing (what the VARCHAR
+    // hop relies on) agree, and (b) the naive unscaled->double->scale
+    // path really does land a ulp off — so if either cast path's
+    // semantics ever change, this fails loudly before the oracle drifts.
+    val unscaled = 22572769861406763L      // micro-units, > 2^53
+    val exact = new java.math.BigDecimal(java.math.BigInteger.valueOf(unscaled), 6)
+    val viaBigDecimal = exact.doubleValue                    // engine path
+    val viaText = java.lang.Double.parseDouble(exact.toPlainString) // VARCHAR hop
+    val naive = unscaled.toDouble / 1e6    // DuckDB direct DECIMAL->DOUBLE shape
+    assert(viaBigDecimal == viaText,
+      s"BigDecimal.doubleValue $viaBigDecimal != parsed text $viaText")
+    assert(naive != viaBigDecimal,
+      s"witness no longer double-rounds: naive $naive == correct $viaBigDecimal")
+    assert(viaBigDecimal == 22572769861.40676d)
+    assert(naive == 22572769861.406765d)
   }
 
   test("shell REPL: multiline statements, meta-commands, error recovery") {
