@@ -179,7 +179,7 @@ class PgFrontend(ctx: GraftContext, port: Int) {
                   resFmts.find(f => f != 0 && f != 1).foreach { bad =>
                     throw new ProtocolViolation(s"invalid result format code $bad")
                   }
-                  portals(portal) = Portal(bindParams(p, values), resFmts)
+                  portals(portal) = new Portal(bindParams(p, values), resFmts)
                   msg(out, '2')(_ => ()) // BindComplete
                 } catch {
                   case e: UnsupportedOperationException =>
@@ -233,22 +233,43 @@ class PgFrontend(ctx: GraftContext, port: Int) {
                     sendError(out, "08P01", String.valueOf(e.getMessage)); failed = true
                 }
             }
-          case 'E' if !failed => // Execute (maxRows ignored: all rows, no suspend)
+          case 'E' if !failed => // Execute (honors the row limit: suspend/resume)
             val portal = cstrIn()
+            val maxRows = b.getInt // 0 = no limit
             portals.get(portal) match {
               case None =>
                 sendError(out, "34000", s"portal \"$portal\" does not exist"); failed = true
-              case Some(Portal("", _)) => msg(out, 'I')(_ => ()) // EmptyQueryResponse
-              case Some(Portal(sql, resFmts)) =>
+              case Some(p) if p.sql.isEmpty => msg(out, 'I')(_ => ()) // EmptyQueryResponse
+              case Some(p) =>
                 try {
-                  if (ctx.isReadOnly(sql))
-                    sendRows(ctx.executeRead(sql), out, withDescription = false, resFmts)
-                  else {
+                  if (ctx.isReadOnly(p.sql)) {
+                    if (p.finished) {
+                      // executing a completed portal again: no rows, at end
+                      commandComplete(out, s"SELECT ${p.sent}")
+                    } else {
+                      if (p.rows == null) { // first Execute: open the cursor
+                        val df = ctx.executeRead(p.sql)
+                        checkResultFmts(p.resultFmts, df.schema.fields.length)
+                        p.schema = df.schema
+                        p.rows = df.toLocalIterator()
+                      }
+                      var n = 0L
+                      while (p.rows.hasNext && (maxRows <= 0 || n < maxRows)) {
+                        writeDataRow(p.rows.next(), p.schema, out, p.resultFmts)
+                        n += 1; p.sent += 1
+                      }
+                      if (p.rows.hasNext) msg(out, 's')(_ => ()) // PortalSuspended
+                      else {
+                        p.finished = true; p.rows = null
+                        commandComplete(out, s"SELECT ${p.sent}")
+                      }
+                    }
+                  } else {
                     // a write returns no result columns: pg validates the
                     // Bind-time format-code count against that 0-column
                     // shape too (counts 0 and 1 remain legal)
-                    checkResultFmts(resFmts, 0)
-                    ctx.locked(ctx.execute(sql)); commandComplete(out, tagFor(sql))
+                    checkResultFmts(p.resultFmts, 0)
+                    ctx.locked(ctx.execute(p.sql)); commandComplete(out, tagFor(p.sql))
                   }
                 } catch {
                   case e: ProtocolViolation =>
@@ -301,8 +322,27 @@ class PgFrontend(ctx: GraftContext, port: Int) {
 
   /** A bound portal: the parameter-substituted SQL plus the Bind-time
     * result-format codes (0 text / 1 binary; empty → all text, a single
-    * code applies to every column — the same rule as parameter formats). */
-  private case class Portal(sql: String, resultFmts: Seq[Int])
+    * code applies to every column — the same rule as parameter formats).
+    *
+    * Carries the portal's execution position for cursor suspension
+    * (reference parity: pg's Execute row limit). The first Execute with
+    * a row limit opens `rows` (a partition-at-a-time toLocalIterator —
+    * nothing result-set-sized buffers on the server); hitting the limit
+    * leaves the iterator open and replies PortalSuspended; a later
+    * Execute resumes from the position; exhaustion replies
+    * CommandComplete with the TOTAL rows retrieved over the portal's
+    * lifetime (what psycopg3/PgJDBC surface as rowcount). Close — or a
+    * Bind overwriting the name — simply drops the object, iterator and
+    * all. Portals survive Sync here: with no transaction machinery,
+    * every session behaves like the open transaction PgJDBC requires
+    * for fetchSize streaming (autocommit off), so chunked fetch works
+    * out of the box. */
+  private final class Portal(val sql: String, val resultFmts: Seq[Int]) {
+    var rows: java.util.Iterator[org.apache.spark.sql.Row] = null
+    var schema: StructType = null
+    var sent: Long = 0L
+    var finished = false
+  }
 
   /** Distinguishes binary-parameter DECODE failures (SQLSTATE 22P03,
     * invalid_binary_representation) from text-literal failures (22P02). */
@@ -531,26 +571,29 @@ class PgFrontend(ctx: GraftContext, port: Int) {
     val it = df.toLocalIterator()
     var n = 0L
     while (it.hasNext) {
-      val row = it.next()
-      msg(out, 'D') { d =>
-        d.writeShort(schema.fields.length)
-        var i = 0
-        while (i < schema.fields.length) {
-          if (row.isNullAt(i)) d.writeInt(-1)
-          else {
-            val bytes =
-              if (fmtCode(resultFmts, i) == 1)
-                pgBinary(row.get(i), schema.fields(i).dataType)
-              else pgText(row.get(i), schema.fields(i).dataType).getBytes(UTF_8)
-            d.writeInt(bytes.length); d.write(bytes)
-          }
-          i += 1
-        }
-      }
+      writeDataRow(it.next(), schema, out, resultFmts)
       n += 1
     }
     commandComplete(out, s"SELECT $n")
   }
+
+  private def writeDataRow(row: org.apache.spark.sql.Row, schema: StructType,
+                           out: DataOutputStream, resultFmts: Seq[Int]): Unit =
+    msg(out, 'D') { d =>
+      d.writeShort(schema.fields.length)
+      var i = 0
+      while (i < schema.fields.length) {
+        if (row.isNullAt(i)) d.writeInt(-1)
+        else {
+          val bytes =
+            if (fmtCode(resultFmts, i) == 1)
+              pgBinary(row.get(i), schema.fields(i).dataType)
+            else pgText(row.get(i), schema.fields(i).dataType).getBytes(UTF_8)
+          d.writeInt(bytes.length); d.write(bytes)
+        }
+        i += 1
+      }
+    }
 
   // --- pg text encoding -----------------------------------------------------
 

@@ -260,6 +260,47 @@ class PgSpec extends SparkSpec {
       }
       (types.result(), rows.result(), errs.result())
     }
+
+    /** Pipelines Parse + Bind of `sql` into portal "pc", then the given
+      * Execute(maxRows)/Close sequence, Sync last; returns the ordered
+      * reply stream with DataRow cells joined by '|', CommandComplete as
+      * its tag, errors as "[SQLSTATE] message" — the raw shape a cursor
+      * client (PgJDBC setFetchSize) sees. */
+    def portalSession(sql: String, ops: Seq[Either[Int, Unit]]): Seq[(Char, String)] = {
+      sendMsg('P') { d => cs(d, "sc"); cs(d, sql); d.writeShort(0) }
+      sendMsg('B') { d => cs(d, "pc"); cs(d, "sc"); d.writeShort(0); d.writeShort(0); d.writeShort(0) }
+      ops.foreach {
+        case Left(maxRows) => sendMsg('E') { d => cs(d, "pc"); d.writeInt(maxRows) }
+        case Right(()) => sendMsg('C') { d => d.writeByte('P'); cs(d, "pc") }
+      }
+      sendMsg('S')(_ => ())
+      out.flush()
+      drainUntilReady().collect {
+        case ('D', p) =>
+          val b = java.nio.ByteBuffer.wrap(p)
+          val n = b.getShort
+          ('D', (0 until n).map { _ =>
+            val len = b.getInt
+            if (len < 0) "NULL"
+            else { val bs = new Array[Byte](len); b.get(bs); new String(bs, UTF_8) }
+          }.mkString("|"))
+        case ('C', p) => ('C', new String(p, 0, p.length - 1, UTF_8))
+        case ('E', p) =>
+          val b = java.nio.ByteBuffer.wrap(p)
+          var code = b.get
+          var state = ""; var m = ""
+          while (code != 0) {
+            val s = new StringBuilder
+            var c = b.get
+            while (c != 0) { s += c.toChar; c = b.get }
+            if (code == 'M') m = s.result()
+            if (code == 'C') state = s.result()
+            code = b.get
+          }
+          ('E', s"[$state] $m")
+        case (t, _) if t == 's' || t == '3' || t == 'Z' => (t, "")
+      }
+    }
   }
 
   test("startup + typed simple query round-trip") {
@@ -582,6 +623,39 @@ class PgSpec extends SparkSpec {
       val (_, rows, _, errs) = c.query("SELECT array(1, 2, 3) AS xs, array('a b', 'c') AS ss")
       assert(errs.isEmpty, errs)
       assert(rows === Seq(Seq("{1,2,3}", "{\"a b\",c}")))
+    } finally c.close()
+  }
+
+  test("cursor suspension: Execute row limit suspends, re-Execute resumes with row accounting") {
+    val c = new Client
+    try {
+      // 5 ordered rows fetched 2-2-1: two PortalSuspended then the final
+      // CommandComplete carries the TOTAL retrieved (rowcount semantics);
+      // a further Execute on the finished portal returns no rows, same tag
+      val r = c.portalSession(
+        "SELECT * FROM (VALUES (1),(2),(3),(4),(5)) AS t(n) ORDER BY n",
+        Seq(Left(2), Left(2), Left(2), Left(2)))
+      val shape = r.map { case (t, s) => if (t == 'D') s"D:$s" else if (t == 's') "s" else if (t == 'C') s"C:$s" else t.toString }
+      assert(shape.containsSlice(Seq("D:1", "D:2", "s", "D:3", "D:4", "s", "D:5", "C:SELECT 5", "C:SELECT 5")), shape)
+      // maxRows = 0 on a fresh portal still fetches everything, no suspend
+      val all = c.portalSession("SELECT * FROM (VALUES (7),(8)) AS t(n) ORDER BY n", Seq(Left(0)))
+      assert(all.map(_._1).count(_ == 'D') === 2, all)
+      assert(all.exists { case (t, s) => t == 'C' && s == "SELECT 2" }, all)
+      assert(!all.exists(_._1 == 's'), all)
+    } finally c.close()
+  }
+
+  test("cursor suspension: Close mid-portal discards it; re-Execute is 34000") {
+    val c = new Client
+    try {
+      val r = c.portalSession(
+        "SELECT * FROM (VALUES (1),(2),(3)) AS t(n) ORDER BY n",
+        Seq(Left(1), Right(()), Left(1)))
+      val types = r.map(_._1)
+      // one row, suspended, CloseComplete, then the resumed Execute fails
+      assert(types.containsSlice(Seq('D', 's', '3', 'E')), r)
+      assert(r.collect { case ('E', m) => m }.exists(_.contains("[34000]")), r)
+      assert(r.count(_._1 == 'D') === 1, r)
     } finally c.close()
   }
 }
