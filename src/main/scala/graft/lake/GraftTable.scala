@@ -250,77 +250,119 @@ class GraftTable(val spark: SparkSession, val root: String) {
     }
   }
 
-  private def commitNext(files: Seq[FileEntry], schemaJson: String,
-                         dropped: Seq[String]): Long = {
-    val next = Manifest.latestVersion(root).map(_ + 1).getOrElse(0L)
+  /** Commit the next version ANCHORED TO THE SNAPSHOT the operation
+    * planned against: version = base.version + 1, so a concurrent commit
+    * that landed after `base` was read makes the put-if-absent fail with
+    * [[Manifest.CommitConflict]] instead of being silently overwritten.
+    * (The old shape — re-reading latestVersion at commit time — turned
+    * an interleaved writer's committed version into a lost update: this
+    * op's file set, computed from the stale snapshot, would commit right
+    * on top of it.) Callers wrap their read-compute-commit closure in
+    * [[retryCommit]] so a lost race re-plans from the fresh snapshot. */
+  private def commitNext(base: TableManifest, files: Seq[FileEntry],
+                         schemaJson: String, dropped: Seq[String]): Long = {
+    val next = base.version + 1
     Manifest.commit(root,
       TableManifest(next, System.currentTimeMillis, schemaJson, files, dropped))
+    GraftTable.onCommit(root, next)
     next
   }
 
+  /** Statement-level optimistic concurrency: runs `op` — which must
+    * re-read `latestManifest` and recompute everything it writes from
+    * that fresh snapshot — retrying with jittered backoff while the
+    * manifest commit loses the version race. Each successful commit at
+    * version v+1 therefore had its inputs derived from version v with no
+    * interleaving writer, which makes any mix of concurrent statements
+    * SERIALIZABLE in commit order (the concurrent DML fuzz replays that
+    * serial order and diffs final state). Orphan parquet from abandoned
+    * attempts is unreferenced by any manifest — VACUUM's existing sweep
+    * collects it, the same story as failed-DML safety. */
+  def retryCommit[T](op: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return op
+      catch {
+        case e: Manifest.CommitConflict =>
+          attempt += 1
+          if (attempt >= GraftTable.MaxCommitRetries) throw e
+          Thread.sleep(
+            5L + scala.util.Random.nextInt(20 * math.min(attempt, 8)).toLong)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** INSERT/CTAS append; returns the new version. */
-  def append(df: DataFrame, maxRecordsPerFile: Long = GraftTable.DefaultMaxRecordsPerFile): Long = {
+  def append(df: DataFrame, maxRecordsPerFile: Long = GraftTable.DefaultMaxRecordsPerFile): Long = retryCommit {
     val m = latestManifest
     val sch = schemaOf(m)
     val entries = writeFiles(align(df, sch), maxRecordsPerFile)
-    commitNext(m.files ++ entries, m.schemaJson, m.droppedColumns)
+    commitNext(m, m.files ++ entries, m.schemaJson, m.droppedColumns)
   }
 
   /** UPDATE ... SET assignments WHERE predSql. Affected files (by stats)
     * are fused and rewritten; untouched files inherited. */
-  def update(assignments: Seq[(String, String)], predSql: Option[String]): Long = {
+  def update(assignments: Seq[(String, String)], predSql: Option[String]): Long = retryCommit {
     val m = latestManifest
     val sch = schemaOf(m)
     val (affected, untouched) = predSql match {
       case Some(p) => Pruning.partition(m.files, p, sch)
       case None => (m.files, Seq.empty[FileEntry])
     }
-    if (affected.isEmpty) return commitNext(m.files, m.schemaJson, m.droppedColumns)
-    val src = readFiles(affected, sch)
-    val pred = predSql.map(expr).getOrElse(lit(true))
-    val assignMap = assignments.map { case (c, e) => c.toLowerCase -> expr(e) }.toMap
-    val updated = src.select(sch.fields.map { f =>
-      assignMap.get(f.name.toLowerCase) match {
-        case Some(e) => when(pred, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
-        case None => col(f.name)
-      }
-    }.toIndexedSeq: _*)
-    val entries = writeFiles(updated, GraftTable.DefaultMaxRecordsPerFile)
-    commitNext(untouched ++ entries, m.schemaJson, m.droppedColumns)
+    if (affected.isEmpty) commitNext(m, m.files, m.schemaJson, m.droppedColumns)
+    else {
+      val src = readFiles(affected, sch)
+      val pred = predSql.map(expr).getOrElse(lit(true))
+      val assignMap = assignments.map { case (c, e) => c.toLowerCase -> expr(e) }.toMap
+      val updated = src.select(sch.fields.map { f =>
+        assignMap.get(f.name.toLowerCase) match {
+          case Some(e) => when(pred, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }.toIndexedSeq: _*)
+      val entries = writeFiles(updated, GraftTable.DefaultMaxRecordsPerFile)
+      commitNext(m, untouched ++ entries, m.schemaJson, m.droppedColumns)
+    }
   }
 
   /** DELETE FROM ... WHERE predSql: rewrite affected files keeping
     * NOT(pred) rows; no predicate = remove all files. */
-  def delete(predSql: Option[String]): Long = {
+  def delete(predSql: Option[String]): Long = retryCommit {
     val m = latestManifest
     predSql match {
-      case None => commitNext(Seq.empty, m.schemaJson, m.droppedColumns)
+      case None => commitNext(m, Seq.empty, m.schemaJson, m.droppedColumns)
       case Some(p) =>
         val sch = schemaOf(m)
         val (affected, untouched) = Pruning.partition(m.files, p, sch)
-        if (affected.isEmpty) return commitNext(m.files, m.schemaJson, m.droppedColumns)
-        val src = readFiles(affected, sch)
-        val kept = src.filter(!coalesce(expr(p), lit(false)))
-        val entries = writeFiles(kept, GraftTable.DefaultMaxRecordsPerFile)
-        commitNext(untouched ++ entries, m.schemaJson, m.droppedColumns)
+        if (affected.isEmpty) commitNext(m, m.files, m.schemaJson, m.droppedColumns)
+        else {
+          val src = readFiles(affected, sch)
+          val kept = src.filter(!coalesce(expr(p), lit(false)))
+          val entries = writeFiles(kept, GraftTable.DefaultMaxRecordsPerFile)
+          commitNext(m, untouched ++ entries, m.schemaJson, m.droppedColumns)
+        }
     }
   }
 
   /** Commit a version where `affected` files are replaced by the rows of
     * `replacement` (written as new files) and `untouched` are inherited —
-    * the merge-rewrite primitive used by CDC sync. */
-  def replaceFiles(affected: Seq[FileEntry], untouched: Seq[FileEntry],
-                   replacement: DataFrame): Long = {
-    val m = latestManifest
-    val sch = schemaOf(m)
+    * the merge-rewrite primitive used by CDC sync and MERGE INTO. The
+    * caller passes the snapshot (`base`) it planned affected/untouched
+    * against; the commit anchors to it, so a writer that slipped in
+    * between raises [[Manifest.CommitConflict]] and the CALLER re-plans
+    * (an internal retry here would re-commit stale file sets). */
+  def replaceFiles(base: TableManifest, affected: Seq[FileEntry],
+                   untouched: Seq[FileEntry], replacement: DataFrame): Long = {
+    val sch = schemaOf(base)
     val entries = writeFiles(align(replacement, sch), GraftTable.DefaultMaxRecordsPerFile)
-    commitNext(untouched ++ entries, m.schemaJson, m.droppedColumns)
+    commitNext(base, untouched ++ entries, base.schemaJson, base.droppedColumns)
   }
 
-  def truncate(): Long = {
+  def truncate(): Long = retryCommit {
     val m = latestManifest
     // no retained files → no dropped-column bytes can survive
-    commitNext(Seq.empty, m.schemaJson, Nil)
+    commitNext(m, Seq.empty, m.schemaJson, Nil)
   }
 
   /** Schema evolution WITHOUT rewrite — ADD COLUMN commits the SAME file
@@ -330,7 +372,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * under ITS schema. The new column starts stat-less, which Pruning
     * treats conservatively (never skips on it until a rewrite collects
     * stats). */
-  def addColumn(name: String, dt: DataType): Long = {
+  def addColumn(name: String, dt: DataType): Long = retryCommit {
     val m = latestManifest
     val sch = schemaOf(m)
     require(!sch.fieldNames.exists(_.equalsIgnoreCase(name)),
@@ -345,7 +387,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
       s"column $name was previously dropped and its data may survive in " +
         "retained files; rewrite the table first (CLUSTER BY / ZORDER BY " +
         "/ TRUNCATE) or pick a different name")
-    commitNext(m.files,
+    commitNext(m, m.files,
       StructType(sch.fields :+ StructField(name, dt, nullable = true)).json,
       m.droppedColumns)
   }
@@ -355,13 +397,13 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * every read projects through the manifest schema so the column is
     * gone immediately. CHECK constraints referencing it will fail loudly
     * on the next write — drop them first. */
-  def dropColumn(name: String): Long = {
+  def dropColumn(name: String): Long = retryCommit {
     val m = latestManifest
     val sch = schemaOf(m)
     require(sch.fieldNames.exists(_.equalsIgnoreCase(name)), s"unknown column: $name")
     val next = StructType(sch.fields.filterNot(_.name.equalsIgnoreCase(name)))
     require(next.fields.nonEmpty, "cannot drop a table's last column")
-    commitNext(m.files, next.json,
+    commitNext(m, m.files, next.json,
       (m.droppedColumns :+ name.toLowerCase).distinct)
   }
 
@@ -371,9 +413,11 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * size, the Delta RESTORE semantics. Valid while v's files are
     * retained (VACUUM keeps only the latest version's files, so restore
     * before vacuuming). */
-  def restore(version: Long): Long = {
+  def restore(version: Long): Long = retryCommit {
     val m = Manifest.read(root, version)
-    commitNext(m.files, m.schemaJson, m.droppedColumns)
+    // anchored to the CURRENT head, not to the restored-from version —
+    // a restore is a new commit on top of whatever is latest
+    commitNext(latestManifest, m.files, m.schemaJson, m.droppedColumns)
   }
 
   /** SHALLOW CLONE into `destRoot`: a ZERO-COPY table whose v0 manifest
@@ -417,14 +461,16 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * version (unchanged file set committed when <2 small files exist).
     */
   def compact(smallBytes: Long = 32L << 20,
-              maxRecordsPerFile: Long = GraftTable.DefaultMaxRecordsPerFile): Long = {
+              maxRecordsPerFile: Long = GraftTable.DefaultMaxRecordsPerFile): Long = retryCommit {
     val m = latestManifest
     val (small, big) = m.files.partition(_.size < smallBytes)
-    if (small.size <= 1) return commitNext(m.files, m.schemaJson, m.droppedColumns)
-    val src = readFiles(small, schemaOf(m))
-    val entries = writeFiles(
-      src.coalesce(ceilDiv(small.map(_.numRecords).sum, maxRecordsPerFile)), maxRecordsPerFile)
-    commitNext(big ++ entries, m.schemaJson, m.droppedColumns)
+    if (small.size <= 1) commitNext(m, m.files, m.schemaJson, m.droppedColumns)
+    else {
+      val src = readFiles(small, schemaOf(m))
+      val entries = writeFiles(
+        src.coalesce(ceilDiv(small.map(_.numRecords).sum, maxRecordsPerFile)), maxRecordsPerFile)
+      commitNext(m, big ++ entries, m.schemaJson, m.droppedColumns)
+    }
   }
 
   /** Re-cluster the WHOLE table by `cols`: range-repartition + sort so
@@ -448,17 +494,19 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * any helper columns, and commit the rewritten file set. */
   private def rewriteClustered(sortCols: Seq[Column], maxRecordsPerFile: Long,
                                dropAfter: Seq[String])
-                              (prep: DataFrame => DataFrame): Long = {
+                              (prep: DataFrame => DataFrame): Long = retryCommit {
     val m = latestManifest
-    if (m.files.isEmpty) return commitNext(m.files, m.schemaJson, m.droppedColumns)
-    val nParts = ceilDiv(m.files.map(_.numRecords).sum, maxRecordsPerFile)
-    val clustered = prep(readFiles(m.files, schemaOf(m)))
-      .repartitionByRange(nParts, sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-    val entries = writeFiles(dropAfter.foldLeft(clustered)(_ drop _), maxRecordsPerFile)
-    // every file was rewritten under the current schema: dropped-column
-    // bytes are gone, the names become safe to reuse
-    commitNext(entries, m.schemaJson, Nil)
+    if (m.files.isEmpty) commitNext(m, m.files, m.schemaJson, m.droppedColumns)
+    else {
+      val nParts = ceilDiv(m.files.map(_.numRecords).sum, maxRecordsPerFile)
+      val clustered = prep(readFiles(m.files, schemaOf(m)))
+        .repartitionByRange(nParts, sortCols: _*)
+        .sortWithinPartitions(sortCols: _*)
+      val entries = writeFiles(dropAfter.foldLeft(clustered)(_ drop _), maxRecordsPerFile)
+      // every file was rewritten under the current schema: dropped-column
+      // bytes are gone, the names become safe to reuse
+      commitNext(m, entries, m.schemaJson, Nil)
+    }
   }
 
   /** Z-order re-cluster by 2-3 numeric columns: each column is bucketed
@@ -476,7 +524,10 @@ class GraftTable(val spark: SparkSession, val root: String) {
                maxRecordsPerFile: Long = GraftTable.DefaultMaxRecordsPerFile): Long = {
     require(cols.size >= 2 && cols.size <= 3, "zcluster takes 2-3 columns")
     val m = latestManifest
-    if (m.files.isEmpty) return commitNext(m.files, m.schemaJson, m.droppedColumns)
+    if (m.files.isEmpty) return retryCommit {
+      val cur = latestManifest
+      commitNext(cur, cur.files, cur.schemaJson, cur.droppedColumns)
+    }
     val mmAggs = cols.flatMap(c => Seq(
       min(col(c).cast(DoubleType)).as(s"mn_$c"),
       max(col(c).cast(DoubleType)).as(s"mx_$c")))
@@ -509,14 +560,14 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * bloom_filter_agg per column); sidecars land under `_bloom/` as
     * write-once blobs, the manifest stays listing-sized. Sized at 8
     * bits/item for the largest file's record count (~2% FPP). */
-  def bloom(cols: Seq[String]): Long = {
+  def bloom(cols: Seq[String]): Long = retryCommit {
     val m = latestManifest
     val sch = schemaOf(m)
     val resolved = cols.map { c =>
       sch.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
         throw new IllegalArgumentException(s"unknown BLOOM BY column: $c"))
     }
-    if (m.files.isEmpty) return commitNext(m.files, m.schemaJson, m.droppedColumns)
+    if (m.files.isEmpty) return commitNext(m, m.files, m.schemaJson, m.droppedColumns)
     val estItems = math.max(1L, m.files.map(_.numRecords).max)
     val aggs = resolved.map { c =>
       graft.functions.BloomFunctions
@@ -545,7 +596,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
         updated(p) = byPath(p).copy(blooms = byPath(p).blooms ++ sidecars)
       }
     }
-    commitNext(m.files.map(f => updated.getOrElse(f.path, f)), m.schemaJson, m.droppedColumns)
+    commitNext(m, m.files.map(f => updated.getOrElse(f.path, f)), m.schemaJson, m.droppedColumns)
   }
 
   // --- retention window ---------------------------------------------------
@@ -633,10 +684,22 @@ object GraftTable {
     * (1,048,576 rows/file, `src/config/schema.rs:283`). */
   val DefaultMaxRecordsPerFile: Long = 1L << 20
 
+  /** Bound on optimistic commit retries per statement — far above what
+    * two contending writers can produce, low enough that a livelocked
+    * store fails loudly instead of spinning forever. */
+  val MaxCommitRetries: Int = 50
+
+  /** Observability seam: invoked after EVERY successful manifest commit
+    * with (tableRoot, newVersion). The concurrent-writer DML fuzz hooks
+    * it to map statements to commit order; a metrics layer would bind
+    * the same point. Process-wide, default no-op. */
+  @volatile var onCommit: (String, Long) => Unit = (_, _) => ()
+
   /** Create a new empty table directory with schema (version 0). */
   def create(spark: SparkSession, root: String, schema: StructType): GraftTable = {
     LakeIO.mkdirs(new org.apache.hadoop.fs.Path(root))
     Manifest.commit(root, TableManifest(0L, System.currentTimeMillis, schema.json, Seq.empty))
+    onCommit(root, 0L)
     new GraftTable(spark, root)
   }
 

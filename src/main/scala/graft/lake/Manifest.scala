@@ -296,11 +296,17 @@ object Manifest {
     * retries against the next version) is identical and is raced in
     * ManifestRaceSpec both across processes (FS store) and across
     * threads (in-memory conditional-put store). */
+  /** Thrown when a commit loses the version race to a concurrent writer.
+    * Subclasses IllegalStateException so existing catch sites keep
+    * working; GraftTable.retryCommit matches on the type to re-run the
+    * whole statement closure against the fresh snapshot. */
+  final class CommitConflict(msg: String) extends IllegalStateException(msg)
+
   def commit(tableRoot: String, m: TableManifest,
              store: CommitStore = FileSystemCommitStore): Unit = {
     val target = versionPath(tableRoot, m.version)
     if (!store.putIfAbsent(target, toJson(m)))
-      throw new IllegalStateException(
+      throw new CommitConflict(
         s"concurrent commit: version ${m.version} already exists at $target")
     // the committed manifest is immutable from here — seed the cache so
     // the first post-write snapshot rebuild reads zero manifests. Gated

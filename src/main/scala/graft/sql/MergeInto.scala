@@ -235,11 +235,19 @@ object MergeInto {
   }
 
   /** Execute a parsed MERGE against `table` with `src` as the resolved
-    * source frame. Returns the committed version. */
-  def execute(table: GraftTable, src0: DataFrame, p: Parsed): Long = {
+    * source frame. Returns the committed version. The whole plan —
+    * snapshot read, file pruning, matched-region rewrite — re-runs under
+    * the table's optimistic-retry loop: a concurrent commit between our
+    * snapshot and our replaceFiles raises CommitConflict, and replaying
+    * the planning against the fresh snapshot is the only correct
+    * response (re-committing the stale file sets would lose the other
+    * writer's rows). */
+  def execute(table: GraftTable, src0: DataFrame, p: Parsed): Long = table.retryCommit {
     val spark = table.spark
     val m = table.latestManifest
-    val sch = table.schema
+    // schema from the SAME snapshot the file sets are planned against
+    val sch = org.apache.spark.sql.types.DataType
+      .fromJson(m.schemaJson).asInstanceOf[org.apache.spark.sql.types.StructType]
     val updC = p.clauses.collectFirst { case c: UpdateClause => c }
     val delC = p.clauses.collectFirst { case c: DeleteClause => c }
     val insC = p.clauses.collectFirst { case c: InsertClause => c }
@@ -366,7 +374,7 @@ object MergeInto {
         case (None, None) => throw new IllegalArgumentException(
           "MERGE needs at least one WHEN clause")
       }
-      table.replaceFiles(affected, untouched ++ (if (hasMatched) Nil else affected0),
+      table.replaceFiles(m, affected, untouched ++ (if (hasMatched) Nil else affected0),
         replacement)
     } finally src.unpersist()
   }

@@ -834,8 +834,8 @@ object StreamingOps {
         if (!batch.isEmpty) {
           val m = table.latestManifest
           val next = graft.ops.Scd2.applyChanges(
-            table.read(), batch, pkCols, tsCol, attrCols)
-          table.replaceFiles(m.files, Seq.empty, next): Unit
+            table.read(Some(m.version)), batch, pkCols, tsCol, attrCols)
+          table.replaceFiles(m, m.files, Seq.empty, next): Unit
         }
       }
       .start()

@@ -32,12 +32,17 @@ import org.apache.spark.sql.functions._
   */
 object SyncMerge {
 
-  /** Merge a change batch into the table; returns the new version. */
+  /** Merge a change batch into the table; returns the new version. The
+    * snapshot read + prune + rewrite replays as a unit under the table's
+    * optimistic-retry loop, so a writer that commits between our
+    * snapshot and our replaceFiles triggers a re-plan instead of a lost
+    * update (the append fast path retries inside `append` itself). */
   def merge(table: GraftTable, changes: DataFrame,
-            pkCols: Seq[String], valueCols: Seq[String]): Long = {
+            pkCols: Seq[String], valueCols: Seq[String]): Long = table.retryCommit {
     val spark = table.spark
     val m = table.latestManifest
-    val schema = table.schema
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(m.schemaJson).asInstanceOf[org.apache.spark.sql.types.StructType]
 
     def oldPk(c: String) = col(s"old_$c")
     def newPk(c: String) = col(s"new_$c")
@@ -111,7 +116,7 @@ object SyncMerge {
     // 4. rewrite affected region
     val result = keptBase.unionByName(resolved, allowMissingColumns = false)
     squashed.unpersist()
-    table.replaceFiles(affected, untouched, result)
+    table.replaceFiles(m, affected, untouched, result)
   }
 
   private def sqlLit(v: Any): String = v match {
