@@ -34,11 +34,21 @@ object IcebergScan {
   import Manifest.Json
   import Manifest.Json._
 
-  def read(spark: SparkSession, location: String): DataFrame = {
+  def read(spark: SparkSession, location: String): DataFrame =
+    read(spark, location, None)
+
+  /** Snapshot time travel: `asOfMs` pins the read to the latest snapshot
+    * whose `timestamp-ms` is at or before the given epoch millis — the
+    * static-snapshot read the reference performs when a table is
+    * registered at a point in time (`src/context/iceberg.rs`); the
+    * metadata walk already parses the full snapshot list, so pinning is
+    * a selection, not a new format path. No snapshot at or before the
+    * timestamp fails loudly (same contract as the lake's `t('<ts>')`). */
+  def read(spark: SparkSession, location: String, asOfMs: Option[Long]): DataFrame = {
     val metaPath = resolveMetadata(location)
     val meta = Json.parse(LakeIO.readString(metaPath)).asInstanceOf[O].m
 
-    currentSnapshot(meta) match {
+    selectSnapshot(meta, asOfMs) match {
       case None =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           schemaOf(meta))
@@ -121,6 +131,23 @@ object IcebergScan {
         new Path(metaDir, candidates.max) // vN sorts lexicographically for fixed width; best effort
       }
     }
+  }
+
+  private def selectSnapshot(meta: Map[String, V],
+                             asOfMs: Option[Long]): Option[Map[String, V]] = asOfMs match {
+    case None => currentSnapshot(meta)
+    case Some(ts) =>
+      def tsOf(s: Map[String, V]): Long = s.get("timestamp-ms") match {
+        case Some(N(n)) => n.toLong
+        case _ => Long.MaxValue // a snapshot without a timestamp never matches
+      }
+      val candidates = meta.get("snapshots") match {
+        case Some(A(xs)) => xs.collect { case O(s) if tsOf(s) <= ts => s }
+        case _ => Vector.empty
+      }
+      if (candidates.isEmpty) throw new IllegalArgumentException(
+        s"no iceberg snapshot at or before ${java.time.Instant.ofEpochMilli(ts)}")
+      Some(candidates.maxBy(tsOf))
   }
 
   private def currentSnapshot(meta: Map[String, V]): Option[Map[String, V]] = {

@@ -226,8 +226,15 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
     case "PARQUET" => s.read.parquet(loc)
     case "ICEBERG" =>
       // read-only iceberg scan via the spec's JSON+Avro metadata layer
-      // (reference src/catalog/metastore.rs:237-246)
-      graft.sources.IcebergScan.read(s, loc)
+      // (reference src/catalog/metastore.rs:237-246). OPTIONS
+      // ('as_of' '<ISO instant|epoch ms>') pins the read to the latest
+      // snapshot at or before the timestamp (static-snapshot registration,
+      // reference src/context/iceberg.rs).
+      val asOf = options.get("as_of").map { v =>
+        scala.util.Try(java.time.Instant.parse(v).toEpochMilli)
+          .getOrElse(v.trim.toLong)
+      }
+      graft.sources.IcebergScan.read(s, loc, asOf)
     case "DELTA" | "DELTATABLE" =>
       // read-only interop scan of a real Delta Lake (_delta_log) table —
       // what the reference's delta-rs storage layer itself writes

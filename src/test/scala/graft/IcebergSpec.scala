@@ -281,4 +281,56 @@ class IcebergSpec extends SparkSpec {
       graft.sources.IcebergScan.read(spark, meta))
     assert(ex.getMessage.contains("parquet only"))
   }
+
+  test("snapshot time travel: as-of pins to the latest snapshot at or before the timestamp") {
+    val root = tmpDir("iceberg-tt")
+    val Seq(f0, f1) = writeDataFiles(root) // ids [0,500) / [500,1000)
+    val metaDir = s"$root/metadata"
+    Files.createDirectories(Paths.get(metaDir))
+    // snapshot 10 (t=1000...0): only f0; snapshot 20 (t=+60s): f0+f1
+    def manifestList(name: String, entries: Seq[GenericRecord]): String = {
+      val mPath = s"$metaDir/m_$name.avro"
+      writeAvro(mPath, manifestEntrySchema, entries)
+      val lPath = s"$metaDir/snap_$name.avro"
+      val mf = new GenericData.Record(manifestFileSchema)
+      mf.put("manifest_path", mPath)
+      mf.put("content", 0)
+      writeAvro(lPath, manifestFileSchema, Seq(mf))
+      lPath
+    }
+    val l1 = manifestList("s10", Seq(dataFileRecord(f0)))
+    val l2 = manifestList("s20", Seq(dataFileRecord(f0), dataFileRecord(f1)))
+    val t1 = 1700000000000L
+    val t2 = t1 + 60000L
+    val metaPath = s"$metaDir/v1.metadata.json"
+    Files.write(Paths.get(metaPath),
+      s"""{
+         |  "format-version": 2, "table-uuid": "0f3768f5-0000-4000-8000-000000000001",
+         |  "location": "$root", "current-snapshot-id": 20, "current-schema-id": 0,
+         |  "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+         |    {"id": 1, "name": "id", "required": true, "type": "long"},
+         |    {"id": 2, "name": "label", "required": false, "type": "string"}]}],
+         |  "snapshots": [
+         |    {"snapshot-id": 10, "timestamp-ms": $t1, "manifest-list": "$l1"},
+         |    {"snapshot-id": 20, "timestamp-ms": $t2, "manifest-list": "$l2"}
+         |  ]
+         |}""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    // default read = current snapshot (both files)
+    assert(graft.sources.IcebergScan.read(spark, metaPath).count() === 1000L)
+    // pinned between the snapshots = snapshot 10 only
+    assert(graft.sources.IcebergScan.read(spark, metaPath, Some(t1 + 1000)).count() === 500L)
+    // exactly at a snapshot's timestamp includes it
+    assert(graft.sources.IcebergScan.read(spark, metaPath, Some(t2)).count() === 1000L)
+    // before the first snapshot fails loudly
+    val ex = intercept[IllegalArgumentException](
+      graft.sources.IcebergScan.read(spark, metaPath, Some(t1 - 1)))
+    assert(ex.getMessage.contains("no iceberg snapshot"))
+    // the SQL surface: OPTIONS ('as_of' '<ISO>') on the external table
+    val c = new GraftContext(spark, tmpDir("graft-iceberg-tt"))
+    val iso = java.time.Instant.ofEpochMilli(t1 + 1000).toString
+    c.execute(s"CREATE EXTERNAL TABLE ice_tt STORED AS ICEBERG LOCATION '$metaPath' " +
+      s"OPTIONS ('as_of' '$iso')")
+    val n = c.execute("SELECT count(*) AS n FROM staging.ice_tt").collect().head.getLong(0)
+    assert(n === 500L)
+  }
 }
