@@ -37,12 +37,33 @@ object SyncMerge {
     * optimistic-retry loop, so a writer that commits between our
     * snapshot and our replaceFiles triggers a re-plan instead of a lost
     * update (the append fast path retries inside `append` itself). */
-  def merge(table: GraftTable, changes: DataFrame,
+  def merge(table: GraftTable, changes0: DataFrame,
             pkCols: Seq[String], valueCols: Seq[String]): Long = table.retryCommit {
     val spark = table.spark
     val m = table.latestManifest
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(m.schemaJson).asInstanceOf[org.apache.spark.sql.types.StructType]
+
+    // Schema completion: a JSON batch whose rows are ALL NULL in some
+    // role column loses that column at read.json inference (Spark drops
+    // null-only keys) — a pure-delete batch carries no value payload at
+    // all, and the resolution projection below would then fail to
+    // resolve `col(value)`. Materialize every expected role column,
+    // typed from the table schema, before anything else touches the
+    // frame. (Found by the CDC-vs-DML differential fuzz, seed 502.)
+    val changes = {
+      def tpe(c: String) = schema.fields
+        .find(_.name.equalsIgnoreCase(c))
+        .map(_.dataType)
+        .getOrElse(throw new IllegalArgumentException(s"unknown sync column $c"))
+      val have = changes0.columns.map(_.toLowerCase).toSet
+      val want = pkCols.flatMap(c => Seq(s"old_$c" -> c, s"new_$c" -> c)) ++
+        valueCols.map(c => c -> c)
+      want.foldLeft(changes0) { case (df, (name, src)) =>
+        if (have(name.toLowerCase)) df
+        else df.withColumn(name, lit(null).cast(tpe(src)))
+      }
+    }
 
     def oldPk(c: String) = col(s"old_$c")
     def newPk(c: String) = col(s"new_$c")

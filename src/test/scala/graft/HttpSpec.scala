@@ -174,6 +174,27 @@ class HttpSpec extends SparkSpec {
     assert(q2.body() === "{\"id\":7,\"bal\":99.0,\"tag\":\"moved\"}\n")
   }
 
+  test("CDC sync: a pure-delete batch (no value payload anywhere) merges cleanly") {
+    // read.json drops keys that are null in EVERY row, so a delete-only
+    // batch arrives with NO value columns at all — SyncMerge must
+    // materialize the missing role columns instead of failing resolution
+    // (caught by the CDC-vs-DML differential fuzz, seed 502)
+    post("/q", "CREATE TABLE puredel (id BIGINT, bal DOUBLE, tag VARCHAR)", auth)
+    val ins = Seq(
+      """{"old_id":null,"new_id":1,"bal":10.0,"tag":"a","_seq":1}""",
+      """{"old_id":null,"new_id":2,"bal":20.0,"tag":"b","_seq":2}""",
+      """{"old_id":null,"new_id":3,"bal":30.0,"tag":"c","_seq":3}""").mkString("\n")
+    assert(post("/sync/public/puredel?pk=id&values=bal,tag", ins, auth).statusCode() === 200)
+    val del = Seq(
+      """{"old_id":1,"new_id":null,"bal":null,"tag":null,"_seq":4}""",
+      """{"old_id":3,"new_id":null,"bal":null,"tag":null,"_seq":5}""").mkString("\n")
+    val r = post("/sync/public/puredel?pk=id&values=bal,tag", del, auth)
+    assert(r.statusCode() === 200, r.body())
+    val q = get("/q/" + java.net.URLEncoder.encode(
+      "SELECT id, bal, tag FROM puredel ORDER BY id", UTF_8))
+    assert(q.body() === "{\"id\":2,\"bal\":20.0,\"tag\":\"b\"}\n")
+  }
+
   test("oversized uploads are rejected with 413") {
     val tiny = new HttpFrontend(ctx, 0, writeToken = Some("w0bble"), maxUploadBytes = 16)
     tiny.start()
