@@ -719,8 +719,14 @@ object GraftTable {
     val df = spark.read.parquet(root)
     val t = new GraftTable(spark, root)
     val entries = t.collectStats(root, "", df.schema)
-    val next = Manifest.latestVersion(root).map(_ + 1).getOrElse(0L)
-    Manifest.commit(root, TableManifest(next, System.currentTimeMillis, df.schema.json, entries))
+    // version-slot contention only (the file set comes from the directory,
+    // not from a snapshot): re-read latest and retry on a lost race rather
+    // than silently overwriting a concurrent writer's slot
+    t.retryCommit {
+      val next = Manifest.latestVersion(root).map(_ + 1).getOrElse(0L)
+      Manifest.commit(root, TableManifest(next, System.currentTimeMillis, df.schema.json, entries))
+      onCommit(root, next)
+    }
     t
   }
 }

@@ -486,4 +486,32 @@ class LakeSpec extends SparkSpec {
     graft.lake.BloomIndex.clearCacheForTests()
     assert(t.read().filter(col("id") === 2L).count() === 1)
   }
+
+  test("concurrent table ops retry on commit conflicts: dense versions, no lost update") {
+    import spark.implicits._
+    val root = tmpDir("graft-race-ops")
+    val t = graft.lake.GraftTable.create(spark, root,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("w", org.apache.spark.sql.types.LongType))))
+    // 4 threads × 4 appends through the OPTIMISTIC RETRY path (not the
+    // raw commit primitive ManifestRaceSpec races): every append must
+    // land, versions must be dense, and no thread's rows may be lost to
+    // a stale-snapshot overwrite
+    val threads = (0 until 4).map { w =>
+      new Thread(() => {
+        val mine = new graft.lake.GraftTable(spark, root)
+        (0 until 4).foreach { i =>
+          mine.append(Seq((w * 100L + i, w.toLong)).toDF("id", "w"))
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val versions = graft.lake.Manifest.listVersions(root)
+    assert(versions === (0L to 16L), s"versions not dense: $versions")
+    // all 16 rows present — a lost update would drop a whole append
+    assert(t.read().count() === 16L)
+    assert(t.read().groupBy("w").count().collect().map(_.getLong(1)).toSeq === Seq(4L, 4L, 4L, 4L))
+  }
 }
