@@ -44,6 +44,12 @@ def gen_sequence(rnd, seq):
     prog = []
     ver = {}        # table -> current version
     minlive = {}    # table -> oldest still-readable version
+    # VACUUM ... RETAIN n PERSISTS the table's standing retention window
+    # (GraftTable.setRetention — the background sweep honors it too), so a
+    # later BARE vacuum uses the persisted n, not the default 1. The
+    # model must track it or it mispredicts which versions die (seed 402
+    # taught this: 4 false dead-version probes before this line existed).
+    retention = {"fa": 1, "fb": 1}
     snaps = {"fa": {}, "fb": {}}  # table -> version -> extra-columns copy
     # table -> version -> prog prefix length whose replay IS that version
     verprefix = {"fa": {}, "fb": {}}
@@ -84,10 +90,13 @@ def gen_sequence(rnd, seq):
             g.extra[t] = list(snaps[t][v])
             commit(t)
         elif op == "vacuum":
-            retain = rnd.choice([0, 0, 2])  # 0 = default (latest only)
+            retain = rnd.choice([0, 0, 2])  # 0 = bare (persisted window)
             stmt = ("VACUUM TABLE %s" % t if retain == 0
                     else "VACUUM TABLE %s RETAIN %d VERSIONS" % (t, retain))
-            new_min = max(minlive[t], ver[t] - (retain - 1 if retain else 0))
+            if retain:
+                retention[t] = retain
+            eff = retention[t]
+            new_min = max(minlive[t], ver[t] - (eff - 1))
             probe_dead = minlive[t] if minlive[t] < new_min else None
             prog.append({"k": "vacuum", "t": t, "g": stmt,
                          "probe_dead": probe_dead, "probe_live": ver[t]})
