@@ -273,11 +273,20 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * that fresh snapshot — retrying with jittered backoff while the
     * manifest commit loses the version race. Each successful commit at
     * version v+1 therefore had its inputs derived from version v with no
-    * interleaving writer, which makes any mix of concurrent statements
-    * SERIALIZABLE in commit order (the concurrent DML fuzz replays that
-    * serial order and diffs final state). Orphan parquet from abandoned
-    * attempts is unreferenced by any manifest — VACUUM's existing sweep
-    * collects it, the same story as failed-DML safety. */
+    * interleaving writer, which makes concurrent statements SERIALIZABLE
+    * in commit order PROVIDED the statement's entire read set is
+    * re-derived from `latestManifest` inside `op` each attempt (all
+    * engine-planned DML — UPDATE/DELETE/MERGE/sync — does this; the
+    * concurrent DML fuzz replays that serial order and diffs final
+    * state). The guarantee narrows to Delta-style WriteSerializable when
+    * a CALLER-supplied DataFrame pins its scan snapshot at plan time and
+    * that frame reads this same table (e.g. `append(df)` where df
+    * selects from the target): a retry re-commits results computed from
+    * the pre-conflict snapshot — classic write skew. Callers needing
+    * full serializability for self-referencing inputs must rebuild the
+    * input frame inside the retried closure. Orphan parquet from
+    * abandoned attempts is unreferenced by any manifest — VACUUM's
+    * existing sweep collects it, the same story as failed-DML safety. */
   def retryCommit[T](op: => T): T = {
     var attempt = 0
     while (true) {

@@ -172,11 +172,19 @@ object LakeIO {
             // that IS the lost-race signal).
             case _: UnsupportedOperationException =>
               return renamePublish(f, tmp, target, content)
-            case e: java.nio.file.FileSystemException if isNoHardLinks(e) ||
-                !supportsHardLinks(
-                  java.nio.file.Paths.get(tmp.toUri.getPath).getParent,
-                  java.nio.file.Paths.get(target.toUri.getPath).getParent) =>
-              return renamePublish(f, tmp, target, content)
+            case e: java.nio.file.FileSystemException =>
+              if (isNoHardLinks(e)) return renamePublish(f, tmp, target, content)
+              probeHardLinks(
+                java.nio.file.Paths.get(tmp.toUri.getPath).getParent,
+                java.nio.file.Paths.get(target.toUri.getPath).getParent) match {
+                case Some(false) => return renamePublish(f, tmp, target, content)
+                // Some(true): links demonstrably work on this dir pair,
+                // so e is a REAL I/O failure — propagate it. None: the
+                // probe itself could not run (unwritable dir, disk
+                // full) and proved nothing — propagate rather than
+                // silently re-enter the racy rename path.
+                case _ => throw e
+              }
           } finally {
             // drop the temp either way (link copies nothing; the target
             // now shares the inode). Checksum sidecar goes with it —
@@ -206,41 +214,62 @@ object LakeIO {
       r.contains("invalid cross-device link")
   }
 
+  /** (supported, nanoTime re-probe deadline). Positives carry
+    * Long.MaxValue — hard-link support is a property of the mount, it
+    * never degrades. Negatives EXPIRE: a probe that failed transiently
+    * (brief EIO, ENOSPC on the inode table) must not forever route a
+    * link-capable filesystem onto the legacy rename+verify publish —
+    * that would both mask genuine I/O errors and silently re-open the
+    * two-winner rename race the link(2) publish exists to eliminate. */
   private val hardLinkProbe =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Boolean, Long)]()
+  private[lake] val NegativeProbeTtlNanos = 60L * 1000 * 1000 * 1000
 
   /** Locale-independent hard-link capability check, cached per
     * (src-dir, dst-dir) pair: strerror text follows LC_MESSAGES, so on a
     * non-English locale the EPERM a CIFS/VFAT/FUSE mount reports wouldn't
     * match isNoHardLinks and the publish would fail loudly instead of
     * downgrading. Instead, link a scratch file from srcDir into dstDir
-    * once and remember the answer (keyed on both dirs so the EXDEV
-    * cross-device case is probed faithfully). A probe failure for an
-    * unrelated reason (e.g. unwritable dir) also reports false — in that
-    * situation renamePublish fails with its own loud error, so no failure
-    * is swallowed. */
-  private def supportsHardLinks(srcDir: java.nio.file.Path,
-                                dstDir: java.nio.file.Path): Boolean = {
-    if (srcDir == null || dstDir == null) return false
-    hardLinkProbe.computeIfAbsent(srcDir.toString + " " + dstDir.toString, { _ =>
-      var src: java.nio.file.Path = null
-      var dst: java.nio.file.Path = null
+    * and remember the answer (keyed on both dirs so the EXDEV
+    * cross-device case is probed faithfully).
+    *
+    * Three-valued: Some(true) = links work here (cached permanently);
+    * Some(false) = the probe's own link failed, capability-shaped
+    * (cached for [[NegativeProbeTtlNanos]], then re-probed); None = the
+    * probe could not run at all (scratch file creation failed — dir
+    * unwritable, disk full). None is NEVER cached and the caller must
+    * propagate its original exception rather than downgrade: a probe
+    * that never linked anything proved nothing about capability. */
+  private[lake] def probeHardLinks(srcDir: java.nio.file.Path,
+                                   dstDir: java.nio.file.Path,
+                                   negativeTtlNanos: Long = NegativeProbeTtlNanos): Option[Boolean] = {
+    if (srcDir == null || dstDir == null) return None
+    val key = srcDir.toString + " " + dstDir.toString
+    val cached = hardLinkProbe.get(key)
+    if (cached != null && (cached._1 || System.nanoTime() < cached._2))
+      return Some(cached._1)
+    var src: java.nio.file.Path = null
+    try src = java.nio.file.Files.createTempFile(srcDir, ".graft-linkprobe", ".tmp")
+    catch { case scala.util.control.NonFatal(_) => return None }
+    var dst: java.nio.file.Path = null
+    try {
+      dst = dstDir.resolve(src.getFileName.toString + ".lnk")
       try {
-        src = java.nio.file.Files.createTempFile(srcDir, ".graft-linkprobe", ".tmp")
-        dst = dstDir.resolve(src.getFileName.toString + ".lnk")
         java.nio.file.Files.createLink(dst, src)
-        java.lang.Boolean.TRUE
+        hardLinkProbe.put(key, (true, Long.MaxValue))
+        Some(true)
       } catch {
-        case scala.util.control.NonFatal(_) => java.lang.Boolean.FALSE
-      } finally {
-        if (dst != null)
-          try java.nio.file.Files.deleteIfExists(dst)
-          catch { case scala.util.control.NonFatal(_) => () }
-        if (src != null)
-          try java.nio.file.Files.deleteIfExists(src)
-          catch { case scala.util.control.NonFatal(_) => () }
+        case scala.util.control.NonFatal(_) =>
+          hardLinkProbe.put(key, (false, System.nanoTime() + negativeTtlNanos))
+          Some(false)
       }
-    }).booleanValue
+    } finally {
+      if (dst != null)
+        try java.nio.file.Files.deleteIfExists(dst)
+        catch { case scala.util.control.NonFatal(_) => () }
+      try java.nio.file.Files.deleteIfExists(src)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   /** Legacy publish for FileSystems without hard links: exists-check +

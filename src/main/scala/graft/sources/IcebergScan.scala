@@ -141,13 +141,42 @@ object IcebergScan {
         case Some(N(n)) => n.toLong
         case _ => Long.MaxValue // a snapshot without a timestamp never matches
       }
-      val candidates = meta.get("snapshots") match {
-        case Some(A(xs)) => xs.collect { case O(s) if tsOf(s) <= ts => s }
-        case _ => Vector.empty
+      // Per the Iceberg spec, timestamp travel resolves through the
+      // snapshot LOG (the current table state's ancestry): after a
+      // rollback the log drops the abandoned branch, while the raw
+      // `snapshots` array may still carry those orphans until they
+      // expire — picking max(timestamp) over the array could pin a
+      // snapshot that was never an ancestor. Fall back to the array
+      // only for metadata written without a log.
+      val logIds: Map[Long, Long] = meta.get("snapshot-log") match {
+        case Some(A(xs)) => xs.collect {
+          case O(e) => (e.get("timestamp-ms"), e.get("snapshot-id")) match {
+            case (Some(N(t)), Some(N(id))) => Some(t.toLong -> id.toLong)
+            case _ => None
+          }
+        }.flatten.toMap
+        case _ => Map.empty
       }
-      if (candidates.isEmpty) throw new IllegalArgumentException(
+      def byId(id: Long): Option[Map[String, V]] = meta.get("snapshots") match {
+        case Some(A(xs)) => xs.collectFirst {
+          case O(s) if s.get("snapshot-id").exists {
+            case N(n) => n.toLong == id; case _ => false } => s
+        }
+        case _ => None
+      }
+      val picked =
+        if (logIds.nonEmpty) {
+          val eligible = logIds.filter { case (t, _) => t <= ts }
+          eligible.toSeq.sortBy(_._1).lastOption.flatMap { case (_, id) => byId(id) }
+        } else meta.get("snapshots") match {
+          case Some(A(xs)) =>
+            val cs = xs.collect { case O(s) if tsOf(s) <= ts => s }
+            if (cs.isEmpty) None else Some(cs.maxBy(tsOf))
+          case _ => None
+        }
+      if (picked.isEmpty) throw new IllegalArgumentException(
         s"no iceberg snapshot at or before ${java.time.Instant.ofEpochMilli(ts)}")
-      Some(candidates.maxBy(tsOf))
+      picked
   }
 
   private def currentSnapshot(meta: Map[String, V]): Option[Map[String, V]] = {

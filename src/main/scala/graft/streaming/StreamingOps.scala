@@ -831,7 +831,11 @@ object StreamingOps {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
+        // retryCommit: a concurrent writer (compact/VACUUM on the same
+        // table) landing between latestManifest and the commit raises
+        // CommitConflict; re-plan the whole batch against the fresh
+        // snapshot instead of terminating the streaming query.
+        if (!batch.isEmpty) table.retryCommit {
           val m = table.latestManifest
           val next = graft.ops.Scd2.applyChanges(
             table.read(Some(m.version)), batch, pkCols, tsCol, attrCols)

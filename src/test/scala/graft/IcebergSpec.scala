@@ -333,4 +333,52 @@ class IcebergSpec extends SparkSpec {
     val n = c.execute("SELECT count(*) AS n FROM staging.ice_tt").collect().head.getLong(0)
     assert(n === 500L)
   }
+
+  test("as-of resolves through snapshot-log ancestry, never a rolled-back orphan") {
+    val root = tmpDir("iceberg-tt-log")
+    val Seq(f0, f1) = writeDataFiles(root) // ids [0,500) / [500,1000)
+    val metaDir = s"$root/metadata"
+    Files.createDirectories(Paths.get(metaDir))
+    def manifestList(name: String, entries: Seq[GenericRecord]): String = {
+      val mPath = s"$metaDir/m_$name.avro"
+      writeAvro(mPath, manifestEntrySchema, entries)
+      val lPath = s"$metaDir/snap_$name.avro"
+      val mf = new GenericData.Record(manifestFileSchema)
+      mf.put("manifest_path", mPath)
+      mf.put("content", 0)
+      writeAvro(lPath, manifestFileSchema, Seq(mf))
+      lPath
+    }
+    val l1 = manifestList("s10", Seq(dataFileRecord(f0)))
+    val l2 = manifestList("s20", Seq(dataFileRecord(f0), dataFileRecord(f1)))
+    val t1 = 1700000000000L
+    val t2 = t1 + 60000L
+    // Snapshot 20 (t2) was created then ROLLED BACK: the snapshot-log —
+    // the current state's ancestry — carries only snapshot 10, while the
+    // raw snapshots array still lists the not-yet-expired orphan 20.
+    // Per the Iceberg spec, timestamp travel resolves via the log, so
+    // as_of at t2+… must pin snapshot 10, not the orphan.
+    val metaPath = s"$metaDir/v1.metadata.json"
+    Files.write(Paths.get(metaPath),
+      s"""{
+         |  "format-version": 2, "table-uuid": "0f3768f5-0000-4000-8000-000000000002",
+         |  "location": "$root", "current-snapshot-id": 10, "current-schema-id": 0,
+         |  "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+         |    {"id": 1, "name": "id", "required": true, "type": "long"},
+         |    {"id": 2, "name": "label", "required": false, "type": "string"}]}],
+         |  "snapshots": [
+         |    {"snapshot-id": 10, "timestamp-ms": $t1, "manifest-list": "$l1"},
+         |    {"snapshot-id": 20, "timestamp-ms": $t2, "manifest-list": "$l2"}
+         |  ],
+         |  "snapshot-log": [
+         |    {"timestamp-ms": $t1, "snapshot-id": 10}
+         |  ]
+         |}""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    assert(graft.sources.IcebergScan.read(spark, metaPath, Some(t2 + 1000)).count() === 500L)
+    assert(graft.sources.IcebergScan.read(spark, metaPath, Some(t1)).count() === 500L)
+    // before the first LOG entry fails loudly even though no array probe ran
+    val ex = intercept[IllegalArgumentException](
+      graft.sources.IcebergScan.read(spark, metaPath, Some(t1 - 1)))
+    assert(ex.getMessage.contains("no iceberg snapshot"))
+  }
 }
