@@ -262,6 +262,9 @@ class GraftTable(val spark: SparkSession, val root: String) {
   private def commitNext(base: TableManifest, files: Seq[FileEntry],
                          schemaJson: String, dropped: Seq[String]): Long = {
     val next = base.version + 1
+    // data parquet is on disk, manifest is not: a death here must leave
+    // the table at `base` with only VACUUM-collectable orphans
+    Faults.crashPoint("pre-manifest")
     Manifest.commit(root,
       TableManifest(next, System.currentTimeMillis, schemaJson, files, dropped))
     GraftTable.onCommit(root, next)
@@ -633,7 +636,23 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * stay fully readable (time travel + RESTORE within the window keep
     * working); data files referenced by NONE of them are deleted, as are
     * the manifests of everything older. retainVersions = 1 is the
-    * reference-parity behavior (only the latest survives). */
+    * reference-parity behavior (only the latest survives).
+    *
+    * CONTRACT vs concurrent pinned readers: a read planned against a
+    * version outside the retention window — `read(Some(v))` / `t('<ts>')`
+    * — races any concurrent VACUUM for that version's files. The defined
+    * outcomes are (a) the read completes from files VACUUM had not yet
+    * deleted, or (b) it fails LOUDLY with the scan's FileNotFoundException
+    * — never silent partial rows. The loud half is pinned per-scan
+    * (GraftRelations.parquetScan forces ignoreMissingFiles=false on the
+    * relation, overriding any lenient session conf) and raced in LakeSpec.
+    * This mirrors Delta's documented VACUUM hazard for long-running
+    * readers; deployments needing grace use a retention window sized to
+    * their longest reader instead of a read-side lease. VACUUM deletes
+    * data files BEFORE the old manifests, so a crash mid-sweep leaves no
+    * manifest claiming readability it no longer has beyond that same
+    * loud-failure contract, and a re-run completes the sweep
+    * (idempotent: the keep-set is recomputed from retained manifests). */
   def vacuum(retainVersions: Int): (Int, Int) = {
     require(retainVersions >= 1, s"must retain >= 1 versions, got $retainVersions")
     val versions = Manifest.listVersions(root).sorted
@@ -642,7 +661,12 @@ class GraftTable(val spark: SparkSession, val root: String) {
     val keep = manifests.flatMap(_.files.map(_.path)).toSet
     val dataFiles = listDataFiles()
     val toDelete = dataFiles.filterNot(keep.contains)
-    toDelete.foreach(p => LakeIO.delete(LakeIO.path(root, p)))
+    toDelete.foreach { p =>
+      LakeIO.delete(LakeIO.path(root, p))
+      // a death mid-sweep leaves retained versions fully readable and a
+      // re-run completes the sweep (crash_fuzz kills here and asserts both)
+      Faults.crashPoint("vacuum-sweep")
+    }
     // bloom sidecars whose owning entry is gone (or whose mapping was
     // dropped by a rewrite) are garbage once old manifests go
     val keepBlooms = manifests.flatMap(_.files.flatMap(_.blooms.values)).toSet

@@ -315,6 +315,9 @@ object Manifest {
     // stores whose objects aren't LakeIO-readable never poison the cache
     if (store.readableViaLakeIO)
       manifestCache.synchronized(manifestCache.put(target.toString, m))
+    // the version IS committed from here: a death before the hint write
+    // must leave it resolvable (readers probe past the stale hint)
+    Faults.crashPoint("post-manifest")
     // best-effort checkpoint: readers fall back to a LIST if this is lost
     try store.put(hintPath(tableRoot), m.version.toString)
     catch { case scala.util.control.NonFatal(_) => () }

@@ -26,10 +26,23 @@ object GraftRelations {
   import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
   import org.apache.spark.sql.types.StructType
 
+  /** A graft scan reads a PINNED snapshot whose manifest enumerates the
+    * exact file set — a file missing at execution can only mean the
+    * version was destroyed underneath the reader (VACUUM won the race).
+    * The contract is LOUD failure, never silent partial rows, so the
+    * lenient flags are pinned off per-relation: FileSourceOptions reads
+    * relation options before the session conf, making the contract hold
+    * even when a user sets spark.sql.files.ignoreMissingFiles=true
+    * globally for their non-graft scans (LakeSpec races a pinned reader
+    * against VACUUM to hold this). */
+  private val strictScanOptions = Map(
+    "ignoreMissingFiles" -> "false",
+    "ignoreCorruptFiles" -> "false")
+
   def parquetScan(spark: SparkSession, index: FileIndex, schema: StructType): DataFrame = {
     val cs = spark.asInstanceOf[classic.SparkSession]
     val rel = HadoopFsRelation(index, StructType(Nil), schema, None,
-      new ParquetFileFormat, Map.empty[String, String])(cs)
+      new ParquetFileFormat, strictScanOptions)(cs)
     classic.Dataset.ofRows(cs, LogicalRelation(rel, isStreaming = false))
   }
 

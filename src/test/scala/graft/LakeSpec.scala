@@ -514,4 +514,55 @@ class LakeSpec extends SparkSpec {
     assert(t.read().count() === 16L)
     assert(t.read().groupBy("w").count().collect().map(_.getLong(1)).toSeq === Seq(4L, 4L, 4L, 4L))
   }
+
+  test("VACUUM vs pinned reader: loud failure or complete rows, never silent partial") {
+    val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+    // full-table rewrite so v1's files are unreferenced by the new head
+    t.update(Seq("score" -> "score + 100"), None)
+    // adversarial session: a user who globalized the lenient flag must
+    // NOT be able to turn the race into silent partial rows — the scan
+    // pins ignoreMissingFiles=false at the relation
+    val prev = spark.conf.getOption("spark.sql.files.ignoreMissingFiles")
+    spark.conf.set("spark.sql.files.ignoreMissingFiles", "true")
+    try {
+      val planned = new java.util.concurrent.CountDownLatch(1)
+      val vacuumed = new java.util.concurrent.CountDownLatch(1)
+      @volatile var outcome: Either[Throwable, Array[org.apache.spark.sql.Row]] = null
+      val reader = new Thread(() => {
+        // PLAN against the pinned old version (manifest read, file list
+        // fixed in the FileIndex) before the vacuum runs...
+        val pinned = t.read(Some(1L))
+        planned.countDown()
+        vacuumed.await()
+        // ...then EXECUTE after it deleted those files
+        outcome =
+          try Right(pinned.collect())
+          catch { case e: Throwable => Left(e) }
+      })
+      reader.start()
+      planned.await()
+      val (deleted, _) = t.vacuum()
+      assert(deleted > 0, "vacuum should have removed v1's files")
+      vacuumed.countDown()
+      reader.join()
+      outcome match {
+        case Right(rows) =>
+          // complete result is an allowed outcome (e.g. page-cached reads);
+          // PARTIAL is the contract violation
+          assert(rows.length === 3, s"silent partial rows: got ${rows.length} of 3")
+        case Left(e) =>
+          val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
+          assert(chain.exists(c => c.isInstanceOf[java.io.FileNotFoundException] ||
+              String.valueOf(c.getMessage).contains("does not exist")),
+            s"expected a loud missing-file failure, got: $e")
+      }
+      // the latest version stays fully readable through and after the sweep
+      assert(t.read().count() === 3)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.files.ignoreMissingFiles", v)
+        case None => spark.conf.unset("spark.sql.files.ignoreMissingFiles")
+      }
+    }
+  }
 }
