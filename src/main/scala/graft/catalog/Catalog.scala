@@ -160,12 +160,46 @@ class Catalog(val dataDir: String) {
     (s.copy(dbs = s.dbs.updated(db, Map("public" -> Map.empty))), ())
   }
 
+  /** Single-step create for callers with NO storage to build first
+    * (tests, metadata-only tables). Statement paths that write storage
+    * (manifest v0, data files) must use reserve → build → publish
+    * instead: committing the name BEFORE the manifest exists opens a
+    * cross-process window where an unrelated reader's snapshot rebuild
+    * trips over a cataloged-but-manifestless table (found by
+    * scripts/catalog_fuzz.py). */
   def createTable(db: String, schema: String, name: String): String = mutate { s =>
+    val uuid = UUID.randomUUID.toString
+    (withTable(s, db, schema, name, uuid), uuid)
+  }
+
+  /** Fail-fast pre-check + uuid reservation, NO state change: the
+    * authoritative uniqueness check happens at [[publishTable]], after
+    * the caller has written the table's storage under the reserved uuid
+    * (publish-last, the same durable-first discipline as the manifest
+    * ladder). A reservation abandoned by a crash leaves only an
+    * unreferenced storage directory — invisible garbage — instead of a
+    * permanently unreadable catalog row. */
+  def reserveTable(db: String, schema: String, name: String): String = {
+    val s = load()
     val schemas = s.dbs.getOrElse(db, throw new IllegalArgumentException(s"unknown database $db"))
     val tables = schemas.getOrElse(schema, throw new IllegalArgumentException(s"unknown schema $schema"))
     require(!tables.contains(name), s"table $schema.$name already exists")
-    val uuid = UUID.randomUUID.toString
-    (s.copy(dbs = s.dbs.updated(db, schemas.updated(schema, tables.updated(name, TableEntry(uuid))))), uuid)
+    UUID.randomUUID.toString
+  }
+
+  /** Publish a reserved table AFTER its storage exists — atomic,
+    * exactly-one-winner per name; a loser must delete its unpublished
+    * storage and propagate the already-exists error. */
+  def publishTable(db: String, schema: String, name: String, uuid: String): Unit = mutate { s =>
+    (withTable(s, db, schema, name, uuid), ())
+  }
+
+  private def withTable(s: State, db: String, schema: String, name: String,
+                        uuid: String): State = {
+    val schemas = s.dbs.getOrElse(db, throw new IllegalArgumentException(s"unknown database $db"))
+    val tables = schemas.getOrElse(schema, throw new IllegalArgumentException(s"unknown schema $schema"))
+    require(!tables.contains(name), s"table $schema.$name already exists")
+    s.copy(dbs = s.dbs.updated(db, schemas.updated(schema, tables.updated(name, TableEntry(uuid)))))
   }
 
   def listDatabases: Seq[String] = load().dbs.keys.toSeq.sorted

@@ -278,8 +278,11 @@ class HttpFrontend(ctx: GraftContext, port: Int,
       ctx.catalog.getTable(ctx.currentDb, schema, table) match {
         case Some(uuid) => new graft.lake.GraftTable(ctx.spark, ctx.catalog.tableRoot(uuid)).append(df)
         case None =>
-          val uuid = ctx.catalog.createTable(ctx.currentDb, schema, table)
-          graft.lake.GraftTable.createAs(ctx.spark, ctx.catalog.tableRoot(uuid), df)
+          // publish-last (see GraftContext.createPublishLast): storage
+          // first, catalog row only once the manifest is readable
+          ctx.createPublishLast(schema, table) { root =>
+            graft.lake.GraftTable.createAs(ctx.spark, root, df); ()
+          }
       }
       ctx.markDirty()
     }

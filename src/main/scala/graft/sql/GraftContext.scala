@@ -65,6 +65,31 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
     new GraftTable(spark, catalog.tableRoot(uuid))
   }
 
+  /** CREATE-flow discipline for every path that materializes storage:
+    * reserve a uuid, build the table's storage (manifest v0 + any data)
+    * in the still-unreferenced directory, THEN publish the catalog row.
+    * Publish-last means no process can ever observe a cataloged table
+    * without a readable manifest — with the inverted order,
+    * scripts/catalog_fuzz.py caught cross-process snapshot rebuilds
+    * failing on an UNRELATED table mid-create. A lost publish race (the
+    * name was taken meanwhile) deletes the orphaned storage and
+    * propagates the already-exists error; a crash between build and
+    * publish leaves only an unreferenced directory — invisible garbage —
+    * instead of a permanently unreadable catalog row. */
+  def createPublishLast(schema: String, name: String)(build: String => Unit): String = {
+    val uuid = catalog.reserveTable(currentDb, schema, name)
+    val root = catalog.tableRoot(uuid)
+    build(root)
+    try catalog.publishTable(currentDb, schema, name, uuid)
+    catch {
+      case e: Throwable =>
+        try LakeIO.delete(new HPath(root), recursive = true)
+        catch { case scala.util.control.NonFatal(_) => () }
+        throw e
+    }
+    uuid
+  }
+
   /** One background GC sweep (the reference's `misc.gc_interval` loop —
     * src/config/schema.rs:273,284, `gc_databases` src/utils.rs:50):
     * purge the dropped-tables ledger, then vacuum EVERY table of every
@@ -258,7 +283,14 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
     org.apache.spark.sql.GraftSessions.clearTempViews(s)
     catalog.listTables(db).foreach { case (sch, name, uuid) =>
       val view = if (sch == "public") name else s"${sch}__$name"
-      new GraftTable(s, catalog.tableRoot(uuid)).read().createOrReplaceTempView(view)
+      val t = new GraftTable(s, catalog.tableRoot(uuid))
+      // creates are publish-last (createPublishLast), so a cataloged
+      // table with NO manifest can only mean it was dropped + collected
+      // by another process after our catalog load — skip it (this
+      // snapshot serializes after that drop) instead of failing the
+      // whole rebuild on a table the query may never touch
+      if (graft.lake.Manifest.latestVersion(catalog.tableRoot(uuid)).isDefined)
+        t.read().createOrReplaceTempView(view)
     }
     // staging external tables are session-global (transient, not per-db)
     stagingTables.foreach { case (name, (fmt, loc, opts)) =>
@@ -344,11 +376,15 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
     * Skipped entirely when nothing changed since the last registration. */
   private def registerAll(): Unit = {
     if (!catalogDirty) return
-    val fresh = catalog.listTables(currentDb).map { case (sch, name, uuid) =>
-      val t = new GraftTable(spark, catalog.tableRoot(uuid))
+    val fresh = catalog.listTables(currentDb).flatMap { case (sch, name, uuid) =>
       val view = if (sch == "public") name else s"${sch}__$name"
-      t.read().createOrReplaceTempView(view)
-      view
+      // same tolerance as buildSnapshot: a manifestless catalog row can
+      // only be a concurrent cross-process drop+collect (creates are
+      // publish-last) — skip rather than fail the unrelated statement
+      if (graft.lake.Manifest.latestVersion(catalog.tableRoot(uuid)).isDefined) {
+        new GraftTable(spark, catalog.tableRoot(uuid)).read().createOrReplaceTempView(view)
+        Some(view)
+      } else None
     }.toSet
     (registeredViews -- fresh).foreach(spark.catalog.dropTempView(_): Unit)
     registeredViews = fresh
@@ -598,8 +634,9 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
       val (ds, dn) = splitName(dst)
       val (ss, sn) = splitName(src)
       val srcTable = table(ss, sn) // resolve source BEFORE creating dst
-      val uuid = catalog.createTable(currentDb, ds, dn)
-      srcTable.cloneTo(catalog.tableRoot(uuid), Option(ver).map(_.toLong))
+      createPublishLast(ds, dn) { root =>
+        srcTable.cloneTo(root, Option(ver).map(_.toLong)); ()
+      }
       emptyResult
     case reRestore(qname, ver) =>
       // beyond-reference lake op: version rollback as a NEW commit
@@ -611,15 +648,13 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
       requireNotStaging(sch)
       registerAll()
       val df = spark.sql(rewriteQuery(query))
-      val uuid = catalog.createTable(currentDb, sch, name)
-      GraftTable.createAs(spark, catalog.tableRoot(uuid), df)
+      createPublishLast(sch, name)(root => GraftTable.createAs(spark, root, df): Unit)
       emptyResult
     case reCreateTable(qname, cols) =>
       val (sch, name) = splitName(qname)
       requireNotStaging(sch)
       val schema = parseColumns(cols)
-      val uuid = catalog.createTable(currentDb, sch, name)
-      GraftTable.create(spark, catalog.tableRoot(uuid), schema)
+      createPublishLast(sch, name)(root => GraftTable.create(spark, root, schema): Unit)
       emptyResult
     case reInsertSel(qname, colList, query) =>
       val (sch, name) = splitName(qname)
@@ -758,18 +793,22 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
       table(sch, name).compact(); emptyResult
     case reConvert(loc, qname) =>
       val (sch, name) = splitName(qname)
-      // idempotent: CONVERT of an already-converted table refreshes it
-      // (reference tests/statements/convert.rs:168)
-      val uuid = catalog.getTable(currentDb, sch, name)
-        .getOrElse(catalog.createTable(currentDb, sch, name))
-      val root = catalog.tableRoot(uuid)
       // register in place: copy the parquet files into the table dir, then
       // build the manifest over them (no rewrite of row data)
-      LakeIO.mkdirs(new HPath(root))
-      LakeIO.listStatus(new HPath(loc))
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .foreach(s => LakeIO.copyFile(s.getPath, LakeIO.path(root, s.getPath.getName)))
-      GraftTable.convert(spark, root)
+      def convertInto(root: String): Unit = {
+        LakeIO.mkdirs(new HPath(root))
+        LakeIO.listStatus(new HPath(loc))
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .foreach(s => LakeIO.copyFile(s.getPath, LakeIO.path(root, s.getPath.getName)))
+        GraftTable.convert(spark, root)
+        ()
+      }
+      catalog.getTable(currentDb, sch, name) match {
+        // idempotent: CONVERT of an already-converted table refreshes it
+        // (reference tests/statements/convert.rs:168)
+        case Some(uuid) => convertInto(catalog.tableRoot(uuid))
+        case None => createPublishLast(sch, name)(convertInto)
+      }
       emptyResult
     case reCreateFn(orReplace, name, json) =>
       Functions.create(this, clean(name), json, orReplace != null); emptyResult

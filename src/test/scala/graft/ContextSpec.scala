@@ -833,4 +833,55 @@ class ContextSpec extends SparkSpec {
     // \q stopped the loop before the trailing SELECT 1
     assert(!o.contains("{\"1\":1}"), o)
   }
+
+  test("CREATE is publish-last: a lost name race cleans its storage, winner intact") {
+    val c = ctx()
+    var loserRoot: String = null
+    // simulate the cross-process race deterministically: the winner's
+    // catalog row lands while the loser is still building its storage
+    // in the reserved (unreferenced) directory — publish must lose,
+    // delete the orphan storage, and surface already-exists
+    val e = intercept[IllegalArgumentException] {
+      c.createPublishLast("public", "pub_race") { root =>
+        loserRoot = root
+        graft.lake.GraftTable.create(spark, root,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("x",
+              org.apache.spark.sql.types.LongType))))
+        c.catalog.createTable("default", "public", "pub_race") // winner
+        ()
+      }
+    }
+    assert(e.getMessage.contains("already exists"))
+    assert(!graft.lake.LakeIO.exists(new org.apache.hadoop.fs.Path(loserRoot)),
+      "loser's unpublished storage must be deleted")
+    // the winner's row is intact and — the invariant the catalog fuzz
+    // holds — every cataloged table resolves a readable manifest: the
+    // winner here was created row-first via the raw catalog API, so
+    // give it storage before reading through the SQL surface
+    val uuid = c.catalog.getTable("default", "public", "pub_race").get
+    graft.lake.GraftTable.create(spark, c.catalog.tableRoot(uuid),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.LongType))))
+    assert(c.executeRead("SELECT * FROM pub_race").count() === 0)
+  }
+
+  test("snapshot readers skip a cataloged table whose storage was collected") {
+    val c = ctx()
+    c.execute("CREATE TABLE alive_t (x BIGINT)")
+    c.execute("INSERT INTO alive_t VALUES (1)")
+    c.execute("CREATE TABLE doomed_t (x BIGINT)")
+    // emulate another process's drop+GC landing between this reader's
+    // catalog load and its manifest reads: destroy the storage directly
+    val uuid = c.catalog.getTable("default", "public", "doomed_t").get
+    graft.lake.LakeIO.delete(
+      new org.apache.hadoop.fs.Path(c.catalog.tableRoot(uuid)), recursive = true)
+    c.markDirty()
+    // unrelated reads keep working (the rebuild skips the gone table)...
+    assert(c.executeRead("SELECT count(*) AS n FROM alive_t").collect()(0).getLong(0) === 1)
+    // ...and the gone table itself fails loudly as unknown, not half-read
+    val e = intercept[Exception](c.executeRead("SELECT * FROM doomed_t").collect())
+    assert(e.getMessage.toLowerCase.contains("doomed_t"))
+  }
 }
