@@ -105,6 +105,7 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
     * Returns (tables swept, data files deleted, old versions deleted). */
   def gcSweep(graceMs: Long = 0L): (Int, Int, Int) = locked {
     catalog.gcDropped()
+    sweepUnpublished()
     val cutoff = System.currentTimeMillis() - graceMs
     var tables = 0; var files = 0; var versions = 0
     for (db <- catalog.listDatabases; (_, _, uuid) <- catalog.listTables(db)) {
@@ -117,6 +118,36 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
       }
     }
     (tables, files, versions)
+  }
+
+  /** Collect storage directories no catalog row and no dropped-ledger
+    * entry references — the garbage a crash between createPublishLast's
+    * build and publish steps leaves behind (the price of publish-last;
+    * the inverse order left permanently unreadable catalog rows
+    * instead). Age-guarded: only dirs untouched for
+    * [[GraftContext.UnpublishedGraceMs]] are deleted, so a LIVE create
+    * still building its storage in another process is never swept.
+    * Returns the deleted uuids. */
+  private[graft] def sweepUnpublished(
+      graceMs: Long = GraftContext.UnpublishedGraceMs): Seq[String] = {
+    val referenced: Set[String] =
+      (catalog.listDatabases.flatMap(db => catalog.listTables(db).map(_._3)) ++
+        catalog.droppedTables.map(_.uuid)).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    LakeIO.listStatus(new HPath(dataDir))
+      // only uuid-shaped dirs are ours to collect — anything else under
+      // the data dir (user files, tooling scratch) is off limits
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"))
+      .filterNot(s => referenced.contains(s.getPath.getName))
+      // mtime check on the newest file inside, not just the dir: a build
+      // in progress keeps writing, so its newest child stays young
+      .filter { s =>
+        val newest = (s.getModificationTime +:
+          LakeIO.listFilesRecursive(s.getPath).map(_.getModificationTime)).max
+        newest <= cutoff
+      }
+      .map { s => LakeIO.delete(s.getPath, recursive = true); s.getPath.getName }
   }
 
   private def emptyResult: DataFrame =
@@ -983,6 +1014,11 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
 /** Inline-metastore request model (reference `clade/proto/schema.proto`:
   * SchemaObject / TableObject / StorageLocation). */
 object GraftContext {
+  /** Unreferenced-storage dirs younger than this survive the GC sweep —
+    * sized so the slowest realistic CTAS build (a large query writing
+    * into its reserved dir) finishes well inside the window. */
+  val UnpublishedGraceMs: Long = 60L * 60 * 1000
+
   case class InlineTable(name: String, path: String, store: Option[String], format: String)
   case class InlineSchema(name: String, tables: Seq[InlineTable])
   case class InlineStore(name: String, location: String)

@@ -867,6 +867,29 @@ class ContextSpec extends SparkSpec {
     assert(c.executeRead("SELECT * FROM pub_race").count() === 0)
   }
 
+  test("GC sweep collects crash-orphaned unpublished storage behind the grace window") {
+    val c = ctx()
+    c.execute("CREATE TABLE keep_t (x BIGINT)")
+    // emulate a crash between createPublishLast's build and publish: a
+    // uuid-shaped dir with a manifest that no catalog row references
+    val orphan = java.util.UUID.randomUUID.toString
+    graft.lake.GraftTable.create(spark, s"${c.dataDir}/$orphan",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.LongType))))
+    val orphanPath = new org.apache.hadoop.fs.Path(s"${c.dataDir}/$orphan")
+    // young orphan survives (a live create may still be building here)
+    assert(c.sweepUnpublished() === Seq.empty)
+    assert(graft.lake.LakeIO.exists(orphanPath))
+    // past the grace window it is garbage
+    assert(c.sweepUnpublished(graceMs = 0L) === Seq(orphan))
+    assert(!graft.lake.LakeIO.exists(orphanPath))
+    // published tables and the dropped ledger are never touched
+    c.execute("DROP TABLE keep_t")
+    assert(c.sweepUnpublished(graceMs = 0L) === Seq.empty)
+    assert(c.catalog.droppedTables.nonEmpty)
+  }
+
   test("snapshot readers skip a cataloged table whose storage was collected") {
     val c = ctx()
     c.execute("CREATE TABLE alive_t (x BIGINT)")
