@@ -19,6 +19,11 @@ object GenScale {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/tmp/sf1")
     val replicas = args.lift(2).map(_.toInt).getOrElse(10)
+    // optional comma-separated table subset (regenerating one table
+    // after a generator fix without paying for the rest)
+    val only: Option[Set[String]] =
+      args.lift(3).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    def wanted(t: String): Boolean = only.forall(_.contains(t))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -29,15 +34,17 @@ object GenScale {
     spark.sparkContext.setLogLevel("ERROR")
 
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
-    def write(t: String)(build: Int => DataFrame): Unit = {
+    def write(t: String)(build: Int => DataFrame): Unit = if (wanted(t)) {
       val all = (0 until replicas).map(build).reduce(_ unionAll _)
-      all.repartition(8).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      // file count scales with the multiplier so per-file size stays
+      // bounded at 100x (and scan parallelism with it)
+      all.repartition(math.max(8, replicas)).write.mode("overwrite").parquet(s"$dst/$t.parquet")
       println(s"$t: ${spark.read.parquet(s"$dst/$t.parquet").count()} rows")
     }
     def shift(c: String, r: Int) = col(c) + lit(r * Stride)
 
     // dimensions: copy untouched
-    Seq("region", "nation").foreach { t =>
+    Seq("region", "nation").filter(wanted).foreach { t =>
       read(t).write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }
     write("customer") { r => read("customer").withColumn("c_custkey", shift("c_custkey", r)) }
@@ -61,10 +68,31 @@ object GenScale {
     }
     val alpha = "abcdefghijklmnopqrstuvwxyz"
     write("documents") { r =>
-      val rot = alpha.drop(r % 26) + alpha.take(r % 26)
+      // replicas 0-25 keep the original caesar rotation (the standing
+      // sf1 corpus stays byte-identical); beyond 26 the rotation RECYCLES
+      // — replicas 0 and 26 produced IDENTICAL text, planting 109k
+      // real duplicate groups in a 100x corpus and turning every dedup
+      // probe quadratic on data the generator invented (round-20 sf10
+      // probe found dd18 at 57x growth from exactly this). A seeded
+      // per-replica letter PERMUTATION keeps replicas pairwise
+      // textually disjoint at any multiplier (~1 expected fixed point
+      // per permutation pair → negligible shingle overlap).
+      val mapped =
+        if (r < 26) alpha.drop(r) + alpha.take(r)
+        else {
+          val arr = alpha.toCharArray
+          val rnd = new scala.util.Random(0x9E3779B9L * r)
+          var i = arr.length - 1
+          while (i > 0) {
+            val j = rnd.nextInt(i + 1)
+            val t = arr(i); arr(i) = arr(j); arr(j) = t
+            i -= 1
+          }
+          new String(arr)
+        }
       read("documents")
         .withColumn("doc_id", shift("doc_id", r))
-        .withColumn("text", translate(col("text"), alpha, rot))
+        .withColumn("text", translate(col("text"), alpha, mapped))
     }
     write("embeddings") { r =>
       read("embeddings")
