@@ -260,13 +260,20 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * on top of it.) Callers wrap their read-compute-commit closure in
     * [[retryCommit]] so a lost race re-plans from the fresh snapshot. */
   private def commitNext(base: TableManifest, files: Seq[FileEntry],
-                         schemaJson: String, dropped: Seq[String]): Long = {
+                         schemaJson: String, dropped: Seq[String],
+                         syncSeqUpdate: Map[String, Long] = Map.empty): Long = {
     val next = base.version + 1
+    // per-origin CDC watermarks ride the SAME atomic commit as the data
+    // (monotone merge: an update can only advance an origin's sequence) —
+    // see TableManifest.syncSeq for why this must never be a second write
+    val sync = base.syncSeq ++ syncSeqUpdate.map { case (o, n) =>
+      o -> math.max(n, base.syncSeq.getOrElse(o, Long.MinValue))
+    }
     // data parquet is on disk, manifest is not: a death here must leave
     // the table at `base` with only VACUUM-collectable orphans
     Faults.crashPoint("pre-manifest")
     Manifest.commit(root,
-      TableManifest(next, System.currentTimeMillis, schemaJson, files, dropped))
+      TableManifest(next, System.currentTimeMillis, schemaJson, files, dropped, sync))
     GraftTable.onCommit(root, next)
     next
   }
@@ -305,12 +312,15 @@ class GraftTable(val spark: SparkSession, val root: String) {
     throw new IllegalStateException("unreachable")
   }
 
-  /** INSERT/CTAS append; returns the new version. */
-  def append(df: DataFrame, maxRecordsPerFile: Long = GraftTable.DefaultMaxRecordsPerFile): Long = retryCommit {
+  /** INSERT/CTAS append; returns the new version. `syncSeqUpdate`
+    * advances CDC origin watermarks atomically with this commit (the
+    * sync append fast path). */
+  def append(df: DataFrame, maxRecordsPerFile: Long = GraftTable.DefaultMaxRecordsPerFile,
+             syncSeqUpdate: Map[String, Long] = Map.empty): Long = retryCommit {
     val m = latestManifest
     val sch = schemaOf(m)
     val entries = writeFiles(align(df, sch), maxRecordsPerFile)
-    commitNext(m, m.files ++ entries, m.schemaJson, m.droppedColumns)
+    commitNext(m, m.files ++ entries, m.schemaJson, m.droppedColumns, syncSeqUpdate)
   }
 
   /** UPDATE ... SET assignments WHERE predSql. Affected files (by stats)
@@ -365,10 +375,12 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * between raises [[Manifest.CommitConflict]] and the CALLER re-plans
     * (an internal retry here would re-commit stale file sets). */
   def replaceFiles(base: TableManifest, affected: Seq[FileEntry],
-                   untouched: Seq[FileEntry], replacement: DataFrame): Long = {
+                   untouched: Seq[FileEntry], replacement: DataFrame,
+                   syncSeqUpdate: Map[String, Long] = Map.empty): Long = {
     val sch = schemaOf(base)
     val entries = writeFiles(align(replacement, sch), GraftTable.DefaultMaxRecordsPerFile)
-    commitNext(base, untouched ++ entries, base.schemaJson, base.droppedColumns)
+    commitNext(base, untouched ++ entries, base.schemaJson, base.droppedColumns,
+      syncSeqUpdate)
   }
 
   def truncate(): Long = retryCommit {
@@ -448,9 +460,11 @@ class GraftTable(val spark: SparkSession, val root: String) {
     val files = m.files.map(f => f.copy(
       path = Manifest.resolveData(qual, f.path), blooms = Map.empty))
     LakeIO.mkdirs(new HPath(destRoot))
+    // syncSeq travels: a clone that forks a CDC-fed table must refuse
+    // the same already-applied sequences its source would
     Manifest.commit(destRoot,
       TableManifest(0L, System.currentTimeMillis, m.schemaJson, files,
-        m.droppedColumns))
+        m.droppedColumns, m.syncSeq))
     // table metadata travels with the clone (Delta shallow-clone
     // semantics): CHECK constraints keep validating writes into the
     // clone instead of silently lapsing, and an established retention
@@ -757,7 +771,12 @@ object GraftTable {
     // than silently overwriting a concurrent writer's slot
     t.retryCommit {
       val next = Manifest.latestVersion(root).map(_ + 1).getOrElse(0L)
-      Manifest.commit(root, TableManifest(next, System.currentTimeMillis, df.schema.json, entries))
+      // a RE-convert of an existing graft table must not lose its CDC
+      // watermarks (dropping them would reopen the redelivery window)
+      val sync = if (next == 0L) Map.empty[String, Long]
+        else Manifest.read(root, next - 1).syncSeq
+      Manifest.commit(root, TableManifest(next, System.currentTimeMillis, df.schema.json,
+        entries, Nil, sync))
       onCommit(root, next)
     }
     t

@@ -45,7 +45,17 @@ object Manifest {
       // in retained files; ADD COLUMN refuses these names until a
       // whole-table rewrite purges the bytes (else parquet by-name
       // resolution would resurrect pre-drop values — a retention hazard)
-      droppedColumns: Seq[String] = Nil)
+      droppedColumns: Seq[String] = Nil,
+      // CDC origin -> highest sequence APPLIED TO THIS TABLE, written
+      // atomically with the commit that applied it (the reference stores
+      // sync sequences in Delta commit app metadata for exactly this
+      // reason, src/sync/writer.rs): a crash between the data commit and
+      // any external watermark write can no longer open a redelivery
+      // window — the ingest check reads the watermark from the same
+      // atomic unit as the data. Carried forward by every commit;
+      // RESTORE keeps the HEAD's watermarks (data rolls back, applied
+      // sequences never do — re-applying them would corrupt).
+      syncSeq: Map[String, Long] = Map.empty)
 
   // --- tiny hand-rolled JSON (no deps beyond the JDK; values are simple) --
 
@@ -78,7 +88,11 @@ object Manifest {
     val dropped =
       if (m.droppedColumns.isEmpty) ""
       else m.droppedColumns.map(jstr).mkString(""","droppedColumns":[""", ",", "]")
-    s"""{"version":${m.version},"timestampMs":${m.timestampMs},"schemaJson":${jstr(m.schemaJson)},"files":$files$dropped}"""
+    val sync =
+      if (m.syncSeq.isEmpty) ""
+      else m.syncSeq.toSeq.sortBy(_._1).map { case (o, n) => s"${jstr(o)}:$n" }
+        .mkString(""","syncSeq":{""", ",", "}")
+    s"""{"version":${m.version},"timestampMs":${m.timestampMs},"schemaJson":${jstr(m.schemaJson)},"files":$files$dropped$sync}"""
   }
 
   /** Minimal recursive-descent JSON parser (objects/arrays/strings/numbers/
@@ -179,8 +193,12 @@ object Manifest {
       case Some(a: A) => a.xs.map(str)
       case _ => Nil
     }
+    val sync = o.get("syncSeq") match {
+      case Some(so: O) => so.m.map { case (k, v) => k -> lng(v) }
+      case _ => Map.empty[String, Long]
+    }
     TableManifest(lng(o("version")), lng(o("timestampMs")), str(o("schemaJson")), files,
-      dropped)
+      dropped, sync)
   }
 
   // --- log directory operations ------------------------------------------

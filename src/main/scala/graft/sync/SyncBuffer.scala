@@ -65,8 +65,16 @@ class SyncBuffer(ctx: GraftContext,
           origin: Option[String], seq: Option[Long]): SyncResult = synchronized {
     (origin, seq) match {
       case (Some(o), Some(n)) =>
+        // three watermark sources, highest wins: the catalog (global,
+        // advanced AFTER the flush — may LAG a crash), the TABLE
+        // MANIFEST (written atomically WITH the applying commit — the
+        // authoritative crash-safe mark; a redelivery after a death
+        // between the data commit and the catalog advance is caught
+        // exactly here), and the in-memory acked-but-unflushed sequence
         val durable = ctx.catalog.syncProgress.get(o).getOrElse(Long.MinValue)
-        val acknowledged = math.max(durable, memSeq.getOrElse(o, Long.MinValue))
+        val applied = manifestSeq(db, schema, table, o)
+        val acknowledged = math.max(math.max(durable, applied),
+          memSeq.getOrElse(o, Long.MinValue))
         if (acknowledged >= n) return Skipped(o, acknowledged)
       case _ =>
     }
@@ -98,6 +106,17 @@ class SyncBuffer(ctx: GraftContext,
     queues.keys.toSeq.foreach(flushKey)
   }
 
+  /** The table-manifest watermark for `origin` — Long.MinValue when the
+    * table is unknown/empty (the POST handler rejects unknown tables
+    * before acknowledging anyway). */
+  private def manifestSeq(db: String, schema: String, table: String,
+                          origin: String): Long =
+    (for {
+      uuid <- ctx.catalog.getTable(db, schema, table)
+      m <- graft.lake.Manifest.readLatest(ctx.catalog.tableRoot(uuid))
+      n <- m.syncSeq.get(origin)
+    } yield n).getOrElse(Long.MinValue)
+
   // caller holds the buffer lock
   private def flushKey(key: Key): Long = {
     val batches = queues.remove(key).getOrElse(return -1L)
@@ -108,11 +127,15 @@ class SyncBuffer(ctx: GraftContext,
       val valueCols = batches.head.valueCols
       val squashed = squashChains(batches.iterator.flatMap(_.lines), pkCols, valueCols)
       val all = spark.read.json(spark.createDataset(squashed)(Encoders.STRING))
+      // per-origin max over the flushed window: rides the merge's commit
+      // so data + watermark are one atomic unit
+      val seqUpdate = batches.flatMap(b => b.origin.zip(b.seq))
+        .groupBy(_._1).map { case (o, xs) => o -> xs.map(_._2).max }
       ctx.locked {
         val uuid = ctx.catalog.getTable(key.db, key.schema, key.table).getOrElse(
           throw new IllegalArgumentException(s"unknown table ${key.schema}.${key.table}"))
         val table = new graft.lake.GraftTable(spark, ctx.catalog.tableRoot(uuid))
-        val version = SyncMerge.merge(table, all, pkCols, valueCols)
+        val version = SyncMerge.merge(table, all, pkCols, valueCols, seqUpdate)
         ctx.markDirty()
         // durable watermarks advance only AFTER the merge committed, and
         // never past a LOWER sequence from the same origin still buffered
@@ -120,13 +143,11 @@ class SyncBuffer(ctx: GraftContext,
         // redeliver data a crash could still lose
         val stillBuffered = queues.values.flatten
           .flatMap(b => b.origin.zip(b.seq)).toSeq.groupBy(_._1)
-        batches.flatMap(b => b.origin.zip(b.seq))
-          .groupBy(_._1).map { case (o, xs) => o -> xs.map(_._2).max }
-          .foreach { case (o, n) =>
-            val cap = stillBuffered.get(o).map(_.map(_._2).min - 1).getOrElse(n)
-            val adv = math.min(n, cap)
-            if (adv > Long.MinValue) ctx.catalog.advanceSyncSeq(o, adv)
-          }
+        seqUpdate.foreach { case (o, n) =>
+          val cap = stillBuffered.get(o).map(_.map(_._2).min - 1).getOrElse(n)
+          val adv = math.min(n, cap)
+          if (adv > Long.MinValue) ctx.catalog.advanceSyncSeq(o, adv)
+        }
         version
       }
     } catch {

@@ -36,11 +36,27 @@ object SyncMerge {
     * snapshot read + prune + rewrite replays as a unit under the table's
     * optimistic-retry loop, so a writer that commits between our
     * snapshot and our replaceFiles triggers a re-plan instead of a lost
-    * update (the append fast path retries inside `append` itself). */
+    * update (the append fast path retries inside `append` itself).
+    *
+    * `seqUpdate` (origin -> max sequence contained in this flush) makes
+    * the apply EXACTLY-ONCE across crashes: the watermarks land in the
+    * SAME manifest commit as the data (TableManifest.syncSeq), and a
+    * flush whose every origin is already at-or-past its sequence in the
+    * current manifest is a REPLAY — skipped wholesale, because
+    * re-applying an already-applied batch is not idempotent (a re-applied
+    * PK move finds no base row and materializes changed=false sentinel
+    * values; a re-applied insert duplicates its row). Partial replays
+    * cannot reach here: the enqueue-side check (SyncBuffer.add) skips
+    * per-batch against the same manifest watermark, so a flush is either
+    * all-new or (cross-process double-apply) all-replayed. */
   def merge(table: GraftTable, changes0: DataFrame,
-            pkCols: Seq[String], valueCols: Seq[String]): Long = table.retryCommit {
+            pkCols: Seq[String], valueCols: Seq[String],
+            seqUpdate: Map[String, Long] = Map.empty): Long = table.retryCommit {
     val spark = table.spark
     val m = table.latestManifest
+    if (seqUpdate.nonEmpty &&
+        seqUpdate.forall { case (o, n) => m.syncSeq.get(o).exists(_ >= n) })
+      return m.version
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(m.schemaJson).asInstanceOf[org.apache.spark.sql.types.StructType]
 
@@ -81,12 +97,12 @@ object SyncMerge {
       .drop("__rn", "__key")
       .cache()
 
-    // fast path: append-only batch
+    // fast path: append-only batch (watermarks ride the append's commit)
     val appendOnly = squashed.filter(anyOld).isEmpty
     if (appendOnly) {
       val inserts = squashed.select(
         pkCols.map(c => newPk(c).as(c)) ++ valueCols.map(col): _*)
-      val v = table.append(inserts)
+      val v = table.append(inserts, syncSeqUpdate = seqUpdate)
       squashed.unpersist() // don't leak the cache on the common hot path
       return v
     }
@@ -134,10 +150,10 @@ object SyncMerge {
         else newV.as(c)
       }: _*)
 
-    // 4. rewrite affected region
+    // 4. rewrite affected region (+ watermarks, one atomic commit)
     val result = keptBase.unionByName(resolved, allowMissingColumns = false)
     squashed.unpersist()
-    table.replaceFiles(m, affected, untouched, result)
+    table.replaceFiles(m, affected, untouched, result, syncSeqUpdate = seqUpdate)
   }
 
   private def sqlLit(v: Any): String = v match {

@@ -496,6 +496,50 @@ class HttpSpec extends SparkSpec {
     assert(prog.body().contains("\"cdc1\":{\"durable\":11,\"memory\":11}"), prog.body())
   }
 
+  test("CDC watermark is ATOMIC with the applying commit: crash-window redelivery is safe") {
+    // the crash being modeled: a flush commits the merge, the process
+    // dies BEFORE the catalog watermark advances, the source redelivers.
+    // Pre-fix, only the catalog guarded redelivery — the replayed batch
+    // re-applied and corrupted (a re-applied PK move finds no base row
+    // and materializes its changed=false sentinel; a re-applied insert
+    // duplicates). Now the watermark lives in the manifest of the SAME
+    // commit (TableManifest.syncSeq), so the redelivery is caught even
+    // with the catalog arbitrarily behind.
+    ctx.execute("CREATE TABLE wmk (id BIGINT, v DOUBLE, tag VARCHAR)")
+    val t = ctx.table("public", "wmk")
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    t.append(Seq((1L, 1.0, "base")).toDF("id", "v", "tag"))
+    // a move 1 -> 2 carrying a changed=false sentinel for tag, applied
+    // DIRECTLY through SyncMerge with its seqUpdate — NO catalog write
+    // at all (the crash window, maximally wide)
+    val mv = spark.read.json(spark.createDataset(Seq(
+      """{"old_id":1,"new_id":2,"v":5.0,"changed_v":true,"tag":"GARBAGE","changed_tag":false,"_seq":1}"""))(
+      org.apache.spark.sql.Encoders.STRING))
+    val v1 = graft.sync.SyncMerge.merge(t, mv, Seq("id"), Seq("v", "tag"),
+      seqUpdate = Map("wm_origin" -> 7L))
+    assert(t.latestManifest.syncSeq === Map("wm_origin" -> 7L))
+    // redelivery of the same flush straight into the merge: must no-op
+    val v2 = graft.sync.SyncMerge.merge(t, mv, Seq("id"), Seq("v", "tag"),
+      seqUpdate = Map("wm_origin" -> 7L))
+    assert(v2 === v1, "replayed flush must not commit a new version")
+    val rows = t.read().orderBy("id").collect()
+    assert(rows.length === 1 && rows(0).getLong(0) === 2L
+      && rows(0).getString(2) === "base",
+      s"replay corrupted the table: ${rows.mkString("; ")}")
+    // and through the HTTP path: catalog watermark for this origin is
+    // still ABSENT (we never advanced it), yet the POST must be skipped
+    // off the manifest watermark alone
+    val r = post("/sync/public/wmk?pk=id&values=v,tag&origin=wm_origin&seq=7",
+      """{"old_id":1,"new_id":2,"v":5.0,"changed_v":true,"tag":"GARBAGE","changed_tag":false,"_seq":1}""",
+      auth)
+    assert(r.body().contains("\"skipped\":true"), r.body())
+    assert(t.read().count() === 1)
+    // watermarks survive the non-sync commits that follow
+    ctx.execute("INSERT INTO wmk VALUES (9, 9.0, 'x')")
+    assert(ctx.table("public", "wmk").latestManifest.syncSeq === Map("wm_origin" -> 7L))
+  }
+
   test("CDC buffering: 50 small syncs coalesce into a handful of versions") {
     post("/q", "CREATE TABLE buf_t (id BIGINT, bal DOUBLE)", auth)
     // 16-batch flush threshold, age flush effectively off: 50 POSTs must
