@@ -781,7 +781,9 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
       spark.catalog.dropTempView(if (fs == "public") fn else s"${fs}__$fn")
       emptyResult
     case reVacuumDb(_) =>
-      catalog.gcDropped(); emptyResult
+      // dropped-table storage + crash-orphaned unpublished dirs (the
+      // same pair the background gcSweep collects)
+      catalog.gcDropped(); sweepUnpublished(); emptyResult
     case reVacuumTable(qname, retain) =>
       val (sch, name) = splitName(qname)
       val t = table(sch, name)
