@@ -136,6 +136,11 @@ class SyncBuffer(ctx: GraftContext,
           throw new IllegalArgumentException(s"unknown table ${key.schema}.${key.table}"))
         val table = new graft.lake.GraftTable(spark, ctx.catalog.tableRoot(uuid))
         val version = SyncMerge.merge(table, all, pkCols, valueCols, seqUpdate)
+        // the historical corruption window: flush committed, catalog
+        // watermark not yet advanced. Data + manifest watermark are one
+        // atomic commit now, so a death here must be fully redeliverable
+        // (scripts/sync_crash_fuzz.py kills at this point and replays)
+        graft.lake.Faults.crashPoint("post-sync-commit")
         ctx.markDirty()
         // durable watermarks advance only AFTER the merge committed, and
         // never past a LOWER sequence from the same origin still buffered
