@@ -127,10 +127,16 @@ class Catalog(val dataDir: String) {
       failIfExists = true)
     if (ok) {
       // prune superseded versions best-effort; latest is never touched, so
-      // a concurrent reader always finds a complete state
-      listStateVersions.filter(_ <= next - 8)
-        .foreach(v => LakeIO.delete(versionFile(v)))
-      if (LakeIO.exists(legacyFile)) LakeIO.delete(legacyFile)
+      // a concurrent reader always finds a complete state. Exception-guarded:
+      // the state commit already landed, so a failed prune (transient store
+      // error) must not surface as a failed mutate — createPublishLast's
+      // failure cleanup would then delete a PUBLISHED table's storage,
+      // recreating the cataloged-but-manifestless row publish-last prevents.
+      try {
+        listStateVersions.filter(_ <= next - 8)
+          .foreach(v => LakeIO.delete(versionFile(v)))
+        if (LakeIO.exists(legacyFile)) LakeIO.delete(legacyFile)
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
     ok
   }

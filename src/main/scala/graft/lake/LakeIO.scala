@@ -244,7 +244,7 @@ object LakeIO {
                                    dstDir: java.nio.file.Path,
                                    negativeTtlNanos: Long = NegativeProbeTtlNanos): Option[Boolean] = {
     if (srcDir == null || dstDir == null) return None
-    val key = srcDir.toString + " " + dstDir.toString
+    val key = srcDir.toString + "\u0000" + dstDir.toString
     val cached = hardLinkProbe.get(key)
     if (cached != null && (cached._1 || System.nanoTime() < cached._2))
       return Some(cached._1)

@@ -82,7 +82,14 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
     build(root)
     try catalog.publishTable(currentDb, schema, name, uuid)
     catch {
-      case e: Throwable =>
+      // delete the orphaned storage only when the row VERIFIABLY did not
+      // commit (lost the name race / namespace vanished — the
+      // IllegalArgumentException family from Catalog.withTable). Anything
+      // else (store I/O mid-mutate) is ambiguous: the commit may have
+      // landed, and deleting storage under a published row is exactly the
+      // corruption publish-last exists to prevent. The unreferenced dir,
+      // if any, is invisible garbage sweepUnpublished collects.
+      case e: IllegalArgumentException =>
         try LakeIO.delete(new HPath(root), recursive = true)
         catch { case scala.util.control.NonFatal(_) => () }
         throw e

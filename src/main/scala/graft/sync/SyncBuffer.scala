@@ -53,6 +53,12 @@ class SyncBuffer(ctx: GraftContext,
   private val queues = mutable.LinkedHashMap.empty[Key, mutable.ArrayBuffer[Batch]]
   // origin -> highest acknowledged (possibly unflushed) sequence
   private val memSeq = mutable.Map.empty[String, Long]
+  // (table, origin) -> highest manifest watermark this process has
+  // observed (monotone, so a cached value deciding a skip is always
+  // safe); advanced by our own flushes, refreshed from the manifest only
+  // when neither memSeq nor the catalog already decides — keeps the
+  // per-POST hot path free of manifest I/O under the buffer lock
+  private val manifestSeqCache = mutable.Map.empty[(Key, String), Long]
 
   /** Memory watermarks (>= durable for every origin with buffered data). */
   def memoryProgress: Map[String, Long] = synchronized(memSeq.toMap)
@@ -65,17 +71,30 @@ class SyncBuffer(ctx: GraftContext,
           origin: Option[String], seq: Option[Long]): SyncResult = synchronized {
     (origin, seq) match {
       case (Some(o), Some(n)) =>
-        // three watermark sources, highest wins: the catalog (global,
-        // advanced AFTER the flush — may LAG a crash), the TABLE
+        // three watermark sources, highest wins: the in-memory
+        // acked-but-unflushed sequence (free), the catalog (global,
+        // advanced AFTER the flush — may LAG a crash), and the TABLE
         // MANIFEST (written atomically WITH the applying commit — the
         // authoritative crash-safe mark; a redelivery after a death
         // between the data commit and the catalog advance is caught
-        // exactly here), and the in-memory acked-but-unflushed sequence
+        // exactly here). Checked cheapest-first and short-circuiting:
+        // the manifest read (hint file + manifest I/O under the buffer
+        // lock) only happens when neither the memory mark nor the
+        // catalog already decides the skip — in steady state memSeq
+        // answers every redelivery with zero I/O. Watermarks are
+        // monotone, so a cached manifest mark that decides a skip is
+        // always safe; when the cache can't decide, one fresh read
+        // refreshes it (and our own flushes advance it directly).
+        val mem = memSeq.getOrElse(o, Long.MinValue)
+        if (mem >= n) return Skipped(o, mem)
         val durable = ctx.catalog.syncProgress.get(o).getOrElse(Long.MinValue)
+        if (durable >= n) return Skipped(o, durable)
+        val cacheKey = (Key(db, schema, table), o)
+        val cached = manifestSeqCache.getOrElse(cacheKey, Long.MinValue)
+        if (cached >= n) return Skipped(o, cached)
         val applied = manifestSeq(db, schema, table, o)
-        val acknowledged = math.max(math.max(durable, applied),
-          memSeq.getOrElse(o, Long.MinValue))
-        if (acknowledged >= n) return Skipped(o, acknowledged)
+        manifestSeqCache(cacheKey) = math.max(cached, applied)
+        if (applied >= n) return Skipped(o, applied)
       case _ =>
     }
     val key = Key(db, schema, table)
@@ -125,30 +144,60 @@ class SyncBuffer(ctx: GraftContext,
       import org.apache.spark.sql.Encoders
       val pkCols = batches.head.pkCols
       val valueCols = batches.head.valueCols
-      val squashed = squashChains(batches.iterator.flatMap(_.lines), pkCols, valueCols)
-      val all = spark.read.json(spark.createDataset(squashed)(Encoders.STRING))
-      // per-origin max over the flushed window: rides the merge's commit
-      // so data + watermark are one atomic unit
-      val seqUpdate = batches.flatMap(b => b.origin.zip(b.seq))
-        .groupBy(_._1).map { case (o, xs) => o -> xs.map(_._2).max }
       ctx.locked {
         val uuid = ctx.catalog.getTable(key.db, key.schema, key.table).getOrElse(
           throw new IllegalArgumentException(s"unknown table ${key.schema}.${key.table}"))
         val table = new graft.lake.GraftTable(spark, ctx.catalog.tableRoot(uuid))
-        val version = SyncMerge.merge(table, all, pkCols, valueCols, seqUpdate)
+        val version = table.retryCommit {
+          val m = table.latestManifest
+          // PER-BATCH replay filter against the FRESH manifest, inside
+          // the retried closure (filter + commit anchor to the same
+          // snapshot). With concurrent cross-process sync writers one
+          // flush can MIX an already-applied sequence with a new one —
+          // an all-or-nothing skip would either re-apply the applied
+          // batch (duplicate inserts, materialized changed=false
+          // sentinels) or silently drop the new ones. Origin-less
+          // batches carry no watermark and are always live.
+          val live = batches.filterNot { b =>
+            b.origin.zip(b.seq).exists { case (o, n) =>
+              m.syncSeq.get(o).exists(_ >= n)
+            }
+          }
+          if (live.isEmpty) m.version
+          else {
+            val squashed = squashChains(live.iterator.flatMap(_.lines), pkCols, valueCols)
+            val all = spark.read.json(spark.createDataset(squashed)(Encoders.STRING))
+            // per-origin max over the LIVE window: rides the merge's
+            // commit so data + watermark are one atomic unit
+            val seqUpdate = live.flatMap(b => b.origin.zip(b.seq))
+              .groupBy(_._1).map { case (o, xs) => o -> xs.map(_._2).max }
+            SyncMerge.applyResolved(table, m, all, pkCols, valueCols, seqUpdate)
+          }
+        }
         // the historical corruption window: flush committed, catalog
         // watermark not yet advanced. Data + manifest watermark are one
         // atomic commit now, so a death here must be fully redeliverable
         // (scripts/sync_crash_fuzz.py kills at this point and replays)
         graft.lake.Faults.crashPoint("post-sync-commit")
         ctx.markDirty()
+        // this flush's window is now at-or-past its marks in the manifest
+        // (applied here, or filtered as already applied elsewhere) — keep
+        // the enqueue-side cache warm without re-reading the manifest
+        batches.flatMap(b => b.origin.zip(b.seq)).groupBy(_._1)
+          .foreach { case (o, xs) =>
+            val k = (key, o)
+            manifestSeqCache(k) =
+              math.max(manifestSeqCache.getOrElse(k, Long.MinValue), xs.map(_._2).max)
+          }
         // durable watermarks advance only AFTER the merge committed, and
         // never past a LOWER sequence from the same origin still buffered
         // for another table — overshooting would tell the source not to
         // redeliver data a crash could still lose
+        val flushedSeqs = batches.flatMap(b => b.origin.zip(b.seq))
+          .groupBy(_._1).map { case (o, xs) => o -> xs.map(_._2).max }
         val stillBuffered = queues.values.flatten
           .flatMap(b => b.origin.zip(b.seq)).toSeq.groupBy(_._1)
-        seqUpdate.foreach { case (o, n) =>
+        flushedSeqs.foreach { case (o, n) =>
           val cap = stillBuffered.get(o).map(_.map(_._2).min - 1).getOrElse(n)
           val adv = math.min(n, cap)
           if (adv > Long.MinValue) ctx.catalog.advanceSyncSeq(o, adv)

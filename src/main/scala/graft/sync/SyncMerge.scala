@@ -32,31 +32,46 @@ import org.apache.spark.sql.functions._
   */
 object SyncMerge {
 
-  /** Merge a change batch into the table; returns the new version. The
+  /** Merge ONE change batch into the table; returns the new version. The
     * snapshot read + prune + rewrite replays as a unit under the table's
     * optimistic-retry loop, so a writer that commits between our
     * snapshot and our replaceFiles triggers a re-plan instead of a lost
-    * update (the append fast path retries inside `append` itself).
+    * update.
     *
-    * `seqUpdate` (origin -> max sequence contained in this flush) makes
+    * `seqUpdate` (origin -> max sequence contained in this batch) makes
     * the apply EXACTLY-ONCE across crashes: the watermarks land in the
     * SAME manifest commit as the data (TableManifest.syncSeq), and a
-    * flush whose every origin is already at-or-past its sequence in the
-    * current manifest is a REPLAY — skipped wholesale, because
-    * re-applying an already-applied batch is not idempotent (a re-applied
-    * PK move finds no base row and materializes changed=false sentinel
-    * values; a re-applied insert duplicates its row). Partial replays
-    * cannot reach here: the enqueue-side check (SyncBuffer.add) skips
-    * per-batch against the same manifest watermark, so a flush is either
-    * all-new or (cross-process double-apply) all-replayed. */
+    * batch whose every origin is already at-or-past its sequence in the
+    * current manifest is a REPLAY — skipped, because re-applying an
+    * already-applied batch is not idempotent (a re-applied PK move finds
+    * no base row and materializes changed=false sentinel values; a
+    * re-applied insert duplicates its row). This entry point is
+    * single-batch (the forall is exact for one origin window); a flush
+    * that MIXES batches from several origins must filter replays
+    * per-batch against the fresh manifest inside the retried closure —
+    * SyncBuffer.flushKey does exactly that, then calls [[applyResolved]]
+    * directly. */
   def merge(table: GraftTable, changes0: DataFrame,
             pkCols: Seq[String], valueCols: Seq[String],
             seqUpdate: Map[String, Long] = Map.empty): Long = table.retryCommit {
-    val spark = table.spark
     val m = table.latestManifest
     if (seqUpdate.nonEmpty &&
         seqUpdate.forall { case (o, n) => m.syncSeq.get(o).exists(_ >= n) })
       return m.version
+    applyResolved(table, m, changes0, pkCols, valueCols, seqUpdate)
+  }
+
+  /** The merge plan applied against an EXPLICIT snapshot `m`, with NO
+    * retry and NO replay check — the caller decided both (SyncBuffer's
+    * flush filters replayed batches against the same fresh manifest it
+    * passes here, so filter + commit are one atomic unit: the commit is
+    * anchored to `m` and a concurrent writer raises CommitConflict for
+    * the caller's retry loop to re-plan, re-filter included). */
+  private[sync] def applyResolved(table: GraftTable, m: graft.lake.Manifest.TableManifest,
+                                  changes0: DataFrame,
+                                  pkCols: Seq[String], valueCols: Seq[String],
+                                  seqUpdate: Map[String, Long]): Long = {
+    val spark = table.spark
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(m.schemaJson).asInstanceOf[org.apache.spark.sql.types.StructType]
 
@@ -97,12 +112,16 @@ object SyncMerge {
       .drop("__rn", "__key")
       .cache()
 
-    // fast path: append-only batch (watermarks ride the append's commit)
+    // fast path: append-only batch (watermarks ride the append's commit).
+    // Anchored to `m` (replaceFiles with an empty affected set ≡ append),
+    // NOT table.append's internal retry: the caller's replay filter was
+    // evaluated against `m`, so a commit that silently re-anchored to a
+    // newer manifest could apply a batch another process just applied.
     val appendOnly = squashed.filter(anyOld).isEmpty
     if (appendOnly) {
       val inserts = squashed.select(
         pkCols.map(c => newPk(c).as(c)) ++ valueCols.map(col): _*)
-      val v = table.append(inserts, syncSeqUpdate = seqUpdate)
+      val v = table.replaceFiles(m, Seq.empty, m.files, inserts, syncSeqUpdate = seqUpdate)
       squashed.unpersist() // don't leak the cache on the common hot path
       return v
     }

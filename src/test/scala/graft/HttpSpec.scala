@@ -540,6 +540,47 @@ class HttpSpec extends SparkSpec {
     assert(ctx.table("public", "wmk").latestManifest.syncSeq === Map("wm_origin" -> 7L))
   }
 
+  test("CDC flush mixing replayed and new origin sequences filters per-batch") {
+    // Cross-process scenario: a batch is acknowledged into THIS buffer,
+    // then ANOTHER process applies the same (origin, seq) to the table
+    // before our flush runs. The flush window now MIXES one replayed
+    // batch with new ones — an all-or-nothing skip either re-applies the
+    // replayed batch (duplicate insert) or silently drops the new ones.
+    // The flush must filter per-batch against the fresh manifest.
+    ctx.execute("CREATE TABLE mixf (id BIGINT, v DOUBLE)")
+    val t = ctx.table("public", "mixf")
+    val buf = new graft.sync.SyncBuffer(ctx, maxRows = 1000000, maxBatches = 64,
+      maxAgeMs = 600000)
+    def enq(line: String, origin: Option[String], seq: Option[Long]) =
+      buf.add("default", "public", "mixf", Array(line), Seq("id"), Seq("v"), origin, seq)
+    // three batches into one queue: A (origin mxA seq 5), B (origin mxB
+    // seq 3), C (origin-less) — all buffered, nothing flushed yet
+    assert(enq("""{"old_id":null,"new_id":1,"v":1.0,"_seq":1}""", Some("mxA"), Some(5L))
+      .isInstanceOf[buf.Buffered])
+    assert(enq("""{"old_id":null,"new_id":2,"v":2.0,"_seq":1}""", Some("mxB"), Some(3L))
+      .isInstanceOf[buf.Buffered])
+    assert(enq("""{"old_id":null,"new_id":3,"v":3.0,"_seq":1}""", None, None)
+      .isInstanceOf[buf.Buffered])
+    // "another process" applies A's content with the same watermark — the
+    // manifest mark for mxA is now 5 while our buffer still holds A
+    val other = spark.read.json(spark.createDataset(Seq(
+      """{"old_id":null,"new_id":1,"v":1.0,"_seq":1}"""))(
+      org.apache.spark.sql.Encoders.STRING))
+    graft.sync.SyncMerge.merge(t, other, Seq("id"), Seq("v"),
+      seqUpdate = Map("mxA" -> 5L))
+    assert(t.read().count() === 1)
+    // flush: A must be filtered as a replay; B and C must still apply
+    buf.flushAll()
+    ctx.markDirty()
+    val rows = ctx.table("public", "mixf").read().orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L),
+      s"mixed flush mis-applied: ${rows.mkString("; ")}")
+    assert(rows.map(_.getDouble(1)).toSeq === Seq(1.0, 2.0, 3.0))
+    // both origins' marks are durable in the manifest
+    val marks = ctx.table("public", "mixf").latestManifest.syncSeq
+    assert(marks === Map("mxA" -> 5L, "mxB" -> 3L), marks.toString)
+  }
+
   test("CDC buffering: 50 small syncs coalesce into a handful of versions") {
     post("/q", "CREATE TABLE buf_t (id BIGINT, bal DOUBLE)", auth)
     // 16-batch flush threshold, age flush effectively off: 50 POSTs must
