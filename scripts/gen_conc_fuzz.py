@@ -54,14 +54,23 @@ def gen_writer_stmts(g, rnd, n):
     where graft[i] is ONE statement and duck[i] a replay LIST."""
     graft, duck = [], []
     for _ in range(n):
+        # ins_self / merge_self read the CONTENDED TARGET itself — the
+        # write-skew shape (INSERT INTO t SELECT FROM t under contention)
+        # that distinguishes full serializability from WriteSerializable:
+        # the engine must rebuild the self-referencing input frame inside
+        # its retry loop, or the commit-order DuckDB replay diverges.
         op = rnd.choices(
             ["ins_values", "ins_select", "update", "delete", "merge",
-             "truncate", "add_column", "drop_column"],
-            weights=[22, 16, 24, 16, 14, 2, 4, 2])[0]
+             "truncate", "add_column", "drop_column", "ins_self", "merge_self"],
+            weights=[18, 12, 22, 14, 10, 2, 4, 2, 10, 6])[0]
         if op == "ins_values":
             gs, ds = g.ins_values("t")
         elif op == "ins_select":
             gs, ds = g.ins_select("t", "src")
+        elif op == "ins_self":
+            gs, ds = g.ins_select("t", "t")
+        elif op == "merge_self":
+            gs, ds = g.merge("t", "t")
         elif op == "update":
             gs, ds = g.update("t")
         elif op == "delete":

@@ -5,8 +5,14 @@ DuckDB over the same sf directory, and compares values with columns
 sorted by name and rows sorted by all columns.
 
 Usage: verify_local.py <sfDir> <verifyOutDir> [query ...]
+
+VERIFY_ORACLE_TIMEOUT=<sec> (env) arms a per-oracle watchdog: a DuckDB
+oracle that exceeds it is interrupted and charged as a loud DNF (counted
+and listed, distinct from a value FAIL) — the big-SF legs need this
+because some oracle spellings blow up super-linearly (dd15's recursive
+closure DNF'd >300 s at sf1 while the engine ran it in seconds).
 """
-import sys, os, json, glob
+import sys, os, json, glob, threading
 import duckdb
 import pandas as pd
 
@@ -33,7 +39,32 @@ def main():
             path = f"{path}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
-    n_pass = n_fail = 0
+    timeout = float(os.environ.get("VERIFY_ORACLE_TIMEOUT", "0"))
+
+    def run_oracle(sql):
+        """Execute with an optional watchdog; returns ('ok', df) /
+        ('dnf', None) / raises the oracle's own error."""
+        if timeout <= 0:
+            return "ok", con.execute(sql).fetchdf()
+        done = threading.Event()
+        timed_out = []
+        def watchdog():
+            if not done.wait(timeout):
+                timed_out.append(True)
+                con.interrupt()
+        w = threading.Thread(target=watchdog, daemon=True)
+        w.start()
+        try:
+            df = con.execute(sql).fetchdf()
+            return "ok", df
+        except Exception:
+            if timed_out:
+                return "dnf", None
+            raise
+        finally:
+            done.set()
+    n_pass = n_fail = n_dnf = 0
+    dnfs = []
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
     for name in names:
@@ -48,9 +79,12 @@ def main():
             print(f"SKIP {name}: no oracle (rows-only: {len(got)} rows)")
             continue
         try:
-            want = con.execute(oracle[name]).fetchdf()
+            status, want = run_oracle(oracle[name])
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
+        if status == "dnf":
+            print(f"DNF {name}: oracle exceeded {timeout:.0f}s (interrupted)")
+            n_dnf += 1; dnfs.append(name); continue
         g, w = norm(got), norm(want)
         if list(g.columns) != list(w.columns):
             print(f"FAIL {name}: columns {list(g.columns)} vs {list(w.columns)}")
@@ -69,7 +103,8 @@ def main():
         except AssertionError as e:
             print(f"FAIL {name}: value mismatch\n  {str(e)[:500]}")
             n_fail += 1
-    print(f"\n{n_pass} passed, {n_fail} failed")
+    tail = f", {n_dnf} oracle DNF ({', '.join(dnfs)})" if n_dnf else ""
+    print(f"\n{n_pass} passed, {n_fail} failed{tail}")
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":

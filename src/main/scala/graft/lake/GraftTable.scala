@@ -288,13 +288,19 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * re-derived from `latestManifest` inside `op` each attempt (all
     * engine-planned DML — UPDATE/DELETE/MERGE/sync — does this; the
     * concurrent DML fuzz replays that serial order and diffs final
-    * state). The guarantee narrows to Delta-style WriteSerializable when
-    * a CALLER-supplied DataFrame pins its scan snapshot at plan time and
-    * that frame reads this same table (e.g. `append(df)` where df
-    * selects from the target): a retry re-commits results computed from
-    * the pre-conflict snapshot — classic write skew. Callers needing
-    * full serializability for self-referencing inputs must rebuild the
-    * input frame inside the retried closure. Orphan parquet from
+    * state). EVERY engine statement path now rebuilds its input frame
+    * inside the retried closure — UPDATE/DELETE/sync re-derive from
+    * `latestManifest`, INSERT…SELECT re-pins its views and anchors via
+    * `replaceFiles` (GraftContext), MERGE takes its source BY-NAME and
+    * re-evaluates it per attempt (MergeInto.execute) — so the SQL surface
+    * is fully serializable under contention, self-referencing statements
+    * included (the conc-DML fuzz's ins_self/merge_self shapes replay it).
+    * The guarantee narrows to Delta-style WriteSerializable only for
+    * DIRECT API callers that pass a pre-pinned DataFrame reading this
+    * same table (e.g. `append(df)` where df selects from the target): a
+    * retry re-commits results computed from the pre-conflict snapshot —
+    * classic write skew. Such callers must rebuild the frame inside
+    * their own retried closure. Orphan parquet from
     * abandoned attempts is unreferenced by any manifest — VACUUM's
     * existing sweep collects it, the same story as failed-DML safety. */
   def retryCommit[T](op: => T): T = {

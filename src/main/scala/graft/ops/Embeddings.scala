@@ -43,10 +43,34 @@ object Embeddings {
   /** All pairs with cosine >= threshold within a blocking key (e.g. a
     * cluster/label column): the standard scale pattern — block first so the
     * quadratic pairwise stays within blocks, shuffled on the block key.
+    *
+    * SIZING GUARD: the pair work is Θ(Σ blockSize²) — a FIXED-cardinality
+    * block key goes quadratic as the corpus grows (the round-15 sf10
+    * probe measured 60× cost for 10× rows on a 10-value key). A block
+    * larger than `maxBlockRows` therefore fails LOUDLY (one cheap
+    * map-side-combined count on the block key, before any pair is
+    * produced) instead of silently burning the cluster; the fix at scale
+    * is a key whose cardinality grows with N, or the banded family
+    * (knnGraphBanded / bandedNearDupPairs) whose candidate count is the
+    * tunable bands·N²/2^planes instead of N²/blocks. Pass
+    * maxBlockRows = 0 to disable (oracle replays on fixture constants).
     */
   def blockedNearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
-                          blockCol: String, threshold: Double): DataFrame = {
+                          blockCol: String, threshold: Double,
+                          maxBlockRows: Long = 1L << 17): DataFrame = {
     val p = prepared(vecs, idCol, vecCol, Seq(blockCol))
+    if (maxBlockRows > 0) {
+      val worst = p.groupBy(col(blockCol)).count()
+        .orderBy(col("count").desc).limit(1).collect()
+      worst.headOption.filter(_.getLong(1) > maxBlockRows).foreach { r =>
+        throw new IllegalArgumentException(
+          s"blockedNearDupPairs: block ${r.get(0)} holds ${r.getLong(1)} rows " +
+            s"(> $maxBlockRows) — ${r.getLong(1)}²/2 pairs in one block will not " +
+            "scale. Use a block key whose cardinality grows with the corpus, " +
+            "or the banded LSH family (knnGraphBanded) whose candidate count " +
+            "is tunable; pass maxBlockRows = 0 only to force the quadratic.")
+      }
+    }
     p.as("a").join(p.as("b"),
         col(s"a.$blockCol") === col(s"b.$blockCol") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
@@ -573,24 +597,36 @@ object Embeddings {
     * projection against plan-baked centroids; the duplicate set comes
     * back as a broadcast-able id list (bounded by the duplicate count,
     * not the corpus).
+    *
+    * SIZING RULE (numCells = 0 → auto): pair work is Θ(N²/K) and
+    * training cost Θ(N·K), so K = ⌈√N⌉ balances them at Θ(N^1.5) total —
+    * the round-15 sf10 probe measured the fixture's FIXED K=8 at ~60×
+    * cost for 10× rows, and K ∝ √N returning 63× of it (329.6 → 5.2 s at
+    * 200k vectors, matching prune quality). numCells = 0 runs one count
+    * job and uses ⌈√N⌉; explicit values are for oracle replays (training
+    * must be reproducible) and for callers with a measured better K.
     */
   def semDedup(vecs: DataFrame, idCol: String, vecCol: String,
                numCells: Int, threshold: Double,
                lloydIters: Int = 1, coarseCells: Int = 0,
                wCoarse: Int = 4): DataFrame = {
+    require(numCells >= 0, s"numCells must be >= 0 (0 = auto ⌈√N⌉), got $numCells")
     val p = prepared(vecs, idCol, vecCol)
+    val cells =
+      if (numCells > 0) numCells
+      else math.max(1, math.ceil(math.sqrt(p.count().toDouble)).toInt)
     def empty = p.limit(0).select(col("vec_id"), col("vec_id").as("cell"),
       lit(1L).as("kept"))
     // coarseCells > 0 routes assignment through the two-level quantizer —
     // the K ≫ 10³ path where flat per-row scoring stops being free
     val index =
       if (coarseCells > 0) {
-        val idx = trainHierarchicalIndex(vecs, idCol, vecCol, numCells,
+        val idx = trainHierarchicalIndex(vecs, idCol, vecCol, cells,
           coarseCells, lloydIters)
         if (idx.coarse.isEmpty) return empty
         assignCellsH(p, idx, wCoarse)
       } else {
-        val cents = trainCentroids(p, numCells, lloydIters)
+        val cents = trainCentroids(p, cells, lloydIters)
         if (cents.isEmpty) return empty
         assignCells(p, cents)
       }

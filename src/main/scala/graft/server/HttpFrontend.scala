@@ -50,7 +50,12 @@ class HttpFrontend(ctx: GraftContext, port: Int,
                    // this old: an in-flight lock-free reader pinned to
                    // the PREVIOUS version finishes inside the grace
                    // window, so the sweep never deletes files under it
-                   gcGraceMs: Long = 10 * 60 * 1000L) {
+                   gcGraceMs: Long = 10 * 60 * 1000L,
+                   // cancel any single statement running longer than this
+                   // (0 = no timeout) — the runaway-query bound; cancelled
+                   // statements answer 408 (or truncate an already-started
+                   // chunked stream)
+                   statementTimeoutMs: Long = 0) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   private val handlerPool = java.util.concurrent.Executors.newFixedThreadPool(8)
@@ -149,7 +154,10 @@ class HttpFrontend(ctx: GraftContext, port: Int,
         if (stmts.size != 1 || !ctx.isReadOnly(stmts.head))
           return respond(ex, 400, "inline-metastore queries must be a single read statement\n")
         val t0 = System.nanoTime()
-        val (body, mime) = renderWith(ex, ctx.executeInline(stmts.head, schemas, stores))
+        val (body, mime) = Statements.run(ctx.spark, Statements.newGroupId("http"),
+          stmts.head, statementTimeoutMs) {
+          renderWith(ex, ctx.executeInline(stmts.head, schemas, stores))
+        }
         ex.getResponseHeaders.add("Content-Type", mime)
         ex.getResponseHeaders.add("X-Graft-Query-Time", ((System.nanoTime() - t0) / 1e9).toString)
         return respondBytes(ex, 200, body)
@@ -162,24 +170,29 @@ class HttpFrontend(ctx: GraftContext, port: Int,
     if (reads.size > 1 || reads.exists(_._2 != stmts.size - 1))
       return respond(ex, 400, "a read statement must be the only or last statement\n")
     val t0 = System.nanoTime()
-    val (body, mime) =
-      if (stmts.size == 1 && ctx.isReadOnly(stmts.head))
-        // pure read: runs lock-free on the current catalog snapshot —
-        // one slow analytical POST never blocks other clients
-        renderWith(ex, ctx.executeRead(stmts.head, dbPrefix))
-      else ctx.locked {
+    if (stmts.size == 1 && ctx.isReadOnly(stmts.head))
+      // pure read: runs lock-free on the current catalog snapshot —
+      // one slow analytical POST never blocks other clients — and
+      // STREAMS chunked (a 100 GB result never sits on the server heap)
+      respondRead(ex, ctx.executeRead(stmts.head, dbPrefix), stmts.head, t0)
+    else {
+      val (body, mime) = ctx.locked {
         // writes (or write+read batches) hold the context lock through
         // execute + render: currentDb and the main session's registered
-        // views are shared across the handler pool
-        def runAll() = stmts.map(ctx.execute).last
-        renderWith(ex, dbPrefix match {
-          case Some(db) => ctx.withDb(db)(runAll())
-          case None => runAll()
-        })
+        // views are shared across the handler pool. The statement guard
+        // bounds how long a runaway write can hold that lock.
+        Statements.run(ctx.spark, Statements.newGroupId("http"), sql, statementTimeoutMs) {
+          def runAll() = stmts.map(ctx.execute).last
+          renderWith(ex, dbPrefix match {
+            case Some(db) => ctx.withDb(db)(runAll())
+            case None => runAll()
+          })
+        }
       }
-    ex.getResponseHeaders.add("Content-Type", mime)
-    ex.getResponseHeaders.add("X-Graft-Query-Time", ((System.nanoTime() - t0) / 1e9).toString)
-    respondBytes(ex, 200, body)
+      ex.getResponseHeaders.add("Content-Type", mime)
+      ex.getResponseHeaders.add("X-Graft-Query-Time", ((System.nanoTime() - t0) / 1e9).toString)
+      respondBytes(ex, 200, body)
+    }
   }
 
   private def getCachedQuery(ex: HttpExchange): Unit = {
@@ -219,9 +232,60 @@ class HttpFrontend(ctx: GraftContext, port: Int,
     ex.getResponseHeaders.add("Vary", "Authorization, X-Graft-Query, Accept")
     if (inm.exists(_.split(",").map(_.trim).contains(etag)))
       return respondBytes(ex, 304, Array.emptyByteArray) // not executed
-    val (body, mime) = renderWith(ex, df)
-    ex.getResponseHeaders.add("Content-Type", mime)
-    respondBytes(ex, 200, body)
+    respondRead(ex, df, sql, System.nanoTime())
+  }
+
+  /** Execute + answer a read-only statement under a statement job group:
+    * the per-statement timeout cancels it, and a client that disconnects
+    * while the response streams cancels it too (the jobs stop paying for
+    * a result nobody reads — at 100 TB an abandoned SELECT would
+    * otherwise hold executors to completion). JSON-lines responses
+    * stream CHUNKED with the first partition pre-fetched inside the
+    * guard, so execution errors still map to status codes before any
+    * header goes out, and the server never buffers a result set; a
+    * failure after headers truncates the chunked stream — the standard
+    * wire signal for a mid-flight abort. Arrow responses buffer (the IPC
+    * writer wants the whole stream) but honor the same timeout. */
+  private def respondRead(ex: HttpExchange, df: DataFrame, sql: String, t0: Long): Unit = {
+    val groupId = Statements.newGroupId("http")
+    if (wantsArrow(ex)) {
+      val bos = new ByteArrayOutputStream()
+      Statements.run(ctx.spark, groupId, sql, statementTimeoutMs) {
+        org.apache.spark.sql.GraftArrow.writeIpcStream(df, bos)
+      }
+      ex.getResponseHeaders.add("Content-Type", ArrowMime)
+      ex.getResponseHeaders.add("X-Graft-Query-Time", ((System.nanoTime() - t0) / 1e9).toString)
+      respondBytes(ex, 200, bos.toByteArray)
+    } else {
+      var headersSent = false
+      try {
+        Statements.run(ctx.spark, groupId, sql, statementTimeoutMs) {
+          val it = df.toLocalIterator()
+          it.hasNext // first job inside the guard, BEFORE headers commit
+          ex.getResponseHeaders.add("Content-Type", "application/json")
+          // for streamed responses this is time-to-first-row (headers
+          // must go out before the tail is known)
+          ex.getResponseHeaders.add("X-Graft-Query-Time",
+            ((System.nanoTime() - t0) / 1e9).toString)
+          ex.sendResponseHeaders(200, 0) // chunked
+          headersSent = true
+          val out = ex.getResponseBody
+          try {
+            JsonLines.writeRows(it, df.schema, out)
+            out.close()
+          } catch {
+            case _: java.io.IOException =>
+              // the client went away mid-response: stop paying for it
+              Statements.cancel(ctx.spark, groupId, "client disconnected mid-response")
+          }
+        }
+      } catch {
+        // cancelled/failed after the status line: nothing left to say on
+        // this exchange — the truncated chunked body is the error signal.
+        // Before headers, propagate so safely() maps to 408/500.
+        case _: Throwable if headersSent => ()
+      } finally if (headersSent) ex.close()
+    }
   }
 
   private def upload(ex: HttpExchange): Unit = {
@@ -468,6 +532,7 @@ class HttpFrontend(ctx: GraftContext, port: Int,
 
   private def safely(ex: HttpExchange)(f: => Unit): Unit =
     try f catch {
+      case e: Statements.Cancelled => respond(ex, 408, s"statement cancelled: ${e.getMessage}\n")
       case e: IllegalArgumentException => respond(ex, 400, s"${e.getMessage}\n")
       case e: org.apache.spark.sql.catalyst.parser.ParseException =>
         respond(ex, 400, s"parse error: ${e.getMessage}\n")
@@ -496,12 +561,14 @@ object ServerMain {
     spark.sparkContext.setLogLevel("WARN")
     graft.Sessions.tune(spark)
     val ctx = new GraftContext(spark, dataDir)
+    val stmtTimeout = sys.env.get("GRAFT_STATEMENT_TIMEOUT_MS").map(_.toLong).getOrElse(0L)
     val fe = new HttpFrontend(ctx, port,
-      writeToken = sys.env.get("GRAFT_WRITE_TOKEN"), readToken = sys.env.get("GRAFT_READ_TOKEN"))
+      writeToken = sys.env.get("GRAFT_WRITE_TOKEN"), readToken = sys.env.get("GRAFT_READ_TOKEN"),
+      statementTimeoutMs = stmtTimeout)
     fe.start()
     // optional PostgreSQL wire frontend (psql/BI tools)
     sys.env.get("GRAFT_PG_PORT").map(_.toInt).foreach { pgPort =>
-      new PgFrontend(ctx, pgPort).start()
+      new PgFrontend(ctx, pgPort, statementTimeoutMs = stmtTimeout).start()
       System.err.println(s"graft pg wire listening on :$pgPort")
     }
     System.err.println(s"graft server listening on :$port, data dir $dataDir")

@@ -56,9 +56,14 @@ object JsonLines {
     }.mkString("{", ",", "}")
 
   /** Stream df as JSON-lines without materializing everything at once. */
-  def write(df: DataFrame, out: java.io.OutputStream): Long = {
-    val schema = df.schema
-    val it = df.toLocalIterator()
+  def write(df: DataFrame, out: java.io.OutputStream): Long =
+    writeRows(df.toLocalIterator(), df.schema, out)
+
+  /** Same, from an already-open row cursor (the HTTP frontend pre-fetches
+    * the first partition inside its statement guard so execution errors
+    * surface BEFORE response headers go out, then hands the cursor here). */
+  def writeRows(it: java.util.Iterator[Row], schema: StructType,
+                out: java.io.OutputStream): Long = {
     var n = 0L
     val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(out, "UTF-8"))
     while (it.hasNext) {

@@ -32,9 +32,37 @@ import org.apache.spark.sql.types._
   *    Bind's result-format codes (`pgBinary`), with RowDescription
   *    echoing the portal's format codes.
   */
-class PgFrontend(ctx: GraftContext, port: Int) {
+class PgFrontend(ctx: GraftContext, port: Int,
+                 // cancel any single statement running longer than this
+                 // (0 = no timeout) — the runaway-query bound
+                 statementTimeoutMs: Long = 0) {
 
   private val server = new ServerSocket(port)
+
+  // --- query cancellation (pg BackendKeyData / CancelRequest protocol) ------
+  // Every connection gets a (pid, secret) pair announced in BackendKeyData;
+  // a CancelRequest arrives on a NEW connection carrying them, and cancels
+  // whatever statement the addressed backend is running via its Spark job
+  // group (reference anchor: src/frontend/postgres.rs:49-75 — DataFusion
+  // aborts by dropping the stream; Spark needs the job group built).
+  private val nextPid = new java.util.concurrent.atomic.AtomicInteger(1)
+  private val cancelRng = new java.security.SecureRandom()
+  // pid -> (secret, the connection's CURRENT statement job-group id —
+  // groupIds are per-statement so a stale cancel/timeout can never hit
+  // the next statement; "" = idle)
+  private val backends = new java.util.concurrent.ConcurrentHashMap[
+    Int, (Int, java.util.concurrent.atomic.AtomicReference[String])]()
+
+  /** Run one statement under a FRESH job group registered as `ref`'s
+    * current — the scope a CancelRequest or the statement timeout kills. */
+  private def runGuarded[T](prefix: String,
+                            ref: java.util.concurrent.atomic.AtomicReference[String],
+                            sql: String)(f: => T): T = {
+    val gid = Statements.newGroupId(prefix)
+    ref.set(gid)
+    try Statements.run(ctx.spark, gid, sql, statementTimeoutMs)(f)
+    finally ref.set("")
+  }
   // one thread per LIVE connection (pg sessions are long-lived and spend
   // their time blocked on read — a fixed pool would wedge the N+1th
   // client behind idle sessions forever), but CAPPED like postgres's
@@ -86,8 +114,17 @@ class PgFrontend(ctx: GraftContext, port: Int) {
   private def serve(sock: Socket): Unit = {
     val in = new DataInputStream(sock.getInputStream)
     val out = new DataOutputStream(new java.io.BufferedOutputStream(sock.getOutputStream))
+    val pid = nextPid.getAndIncrement()
+    val secret = cancelRng.nextInt()
+    val currentGroup = new java.util.concurrent.atomic.AtomicReference[String]("")
+    backends.put(pid, (secret, currentGroup))
+    // every statement this connection runs is tagged to its own fresh job
+    // group so a CancelRequest (or the statement timeout) can kill it
+    // mid-flight without leaking into the next statement
+    def guarded[T](sql: String)(f: => T): T =
+      runGuarded(s"pg-$pid", currentGroup, sql)(f)
     try {
-      if (!handshake(in, out)) return
+      if (!handshake(in, out, pid, secret)) return
       // extended-protocol session state
       val prepared = scala.collection.mutable.Map.empty[String, Prepared] // name -> stmt
       val portals = scala.collection.mutable.Map.empty[String, Portal] // name -> bound sql + result fmts
@@ -111,7 +148,7 @@ class PgFrontend(ctx: GraftContext, port: Int) {
           case 'Q' =>
             failed = false
             val sql = new String(payload, 0, math.max(0, len - 1), UTF_8) // NUL-terminated
-            simpleQuery(sql, out)
+            simpleQuery(sql, out, s"pg-$pid", currentGroup)
             readyForQuery(out)
           case 'X' => open = false
           case 'H' => out.flush() // Flush
@@ -246,7 +283,11 @@ class PgFrontend(ctx: GraftContext, port: Int) {
                     if (p.finished) {
                       // executing a completed portal again: no rows, at end
                       commandComplete(out, s"SELECT ${p.sent}")
-                    } else {
+                    } else guarded(p.sql) {
+                      // the whole cursor pump runs inside the job group:
+                      // toLocalIterator triggers its per-partition jobs on
+                      // THIS thread, so a cancel kills a suspended portal's
+                      // resume exactly like a first execute
                       if (p.rows == null) { // first Execute: open the cursor
                         val df = ctx.executeRead(p.sql)
                         checkResultFmts(p.resultFmts, df.schema.fields.length)
@@ -269,11 +310,17 @@ class PgFrontend(ctx: GraftContext, port: Int) {
                     // Bind-time format-code count against that 0-column
                     // shape too (counts 0 and 1 remain legal)
                     checkResultFmts(p.resultFmts, 0)
-                    ctx.locked(ctx.execute(p.sql)); commandComplete(out, tagFor(p.sql))
+                    guarded(p.sql)(ctx.locked(ctx.execute(p.sql)))
+                    commandComplete(out, tagFor(p.sql))
                   }
                 } catch {
                   case e: ProtocolViolation =>
                     sendError(out, "08P01", String.valueOf(e.getMessage)); failed = true
+                  case e: Statements.Cancelled =>
+                    // a cancelled portal is dead: drop its iterator so the
+                    // session can move on (pg's own cancel aborts the portal)
+                    p.rows = null; p.finished = true
+                    sendError(out, "57014", String.valueOf(e.getMessage)); failed = true
                   case e: Throwable =>
                     sendError(out, "XX000",
                       Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
@@ -292,11 +339,16 @@ class PgFrontend(ctx: GraftContext, port: Int) {
         }
       }
     } catch { case _: Throwable => () }
-    finally sock.close()
+    finally {
+      backends.remove(pid)
+      sock.close()
+    }
   }
 
-  /** Returns false if the client went away (e.g. after SSL refusal). */
-  private def handshake(in: DataInputStream, out: DataOutputStream): Boolean = {
+  /** Returns false if the client went away (SSL refusal) or the
+    * connection was a CancelRequest (handled, then closed per protocol). */
+  private def handshake(in: DataInputStream, out: DataOutputStream,
+                        pid: Int, secret: Int): Boolean = {
     var len = in.readInt() - 4
     var code = in.readInt()
     if (code == 80877103) { // SSLRequest → no TLS
@@ -304,14 +356,28 @@ class PgFrontend(ctx: GraftContext, port: Int) {
       len = in.readInt() - 4
       code = in.readInt()
     }
-    if (code == 80877102) return false // CancelRequest: nothing to cancel
+    if (code == 80877102) {
+      // CancelRequest: pid + secret follow; on a match, kill the addressed
+      // backend's running statement via its job group. No response either
+      // way (the pg protocol: cancel connections are fire-and-forget, and
+      // a mismatched secret is silently ignored)
+      val reqPid = in.readInt()
+      val reqSecret = in.readInt()
+      Option(backends.get(reqPid)).foreach { case (sec, ref) =>
+        val gid = ref.get()
+        if (sec == reqSecret && gid.nonEmpty)
+          Statements.cancel(ctx.spark, gid, "canceling statement due to user request")
+      }
+      return false
+    }
     require(code == 196608, s"unsupported protocol version $code")
     in.skipBytes(len - 4) // startup parameters (user/database) — trust auth
     msg(out, 'R')(_.writeInt(0)) // AuthenticationOk
     Seq("server_version" -> "15.0 (graft)", "server_encoding" -> "UTF8",
       "client_encoding" -> "UTF8", "DateStyle" -> "ISO", "integer_datetimes" -> "on")
       .foreach { case (k, v) => msg(out, 'S') { d => cstr(d, k); cstr(d, v) } }
-    msg(out, 'K') { d => d.writeInt(0); d.writeInt(0) } // BackendKeyData
+    // real backend key: what psql's Ctrl-C sends back in its CancelRequest
+    msg(out, 'K') { d => d.writeInt(pid); d.writeInt(secret) }
     readyForQuery(out)
     true
   }
@@ -510,19 +576,25 @@ class PgFrontend(ctx: GraftContext, port: Int) {
 
   // --- query execution ------------------------------------------------------
 
-  private def simpleQuery(sql: String, out: DataOutputStream): Unit = {
+  private def simpleQuery(sql: String, out: DataOutputStream,
+                          prefix: String,
+                          ref: java.util.concurrent.atomic.AtomicReference[String]): Unit = {
     val stmts = try ctx.splitStatements(sql) catch {
       case e: Throwable => sendError(out, "42601", String.valueOf(e.getMessage)); return
     }
     if (stmts.isEmpty) { msg(out, 'I')(_ => ()); return } // EmptyQueryResponse
+    def guarded[T](stmt: String)(f: => T): T = runGuarded(prefix, ref, stmt)(f)
     stmts.foreach { stmt =>
       try {
-        if (ctx.isReadOnly(stmt)) sendRows(ctx.executeRead(stmt), out)
+        if (ctx.isReadOnly(stmt)) guarded(stmt)(sendRows(ctx.executeRead(stmt), out))
         else {
-          ctx.locked(ctx.execute(stmt))
+          guarded(stmt)(ctx.locked(ctx.execute(stmt)): Unit)
           commandComplete(out, tagFor(stmt))
         }
       } catch {
+        case e: Statements.Cancelled =>
+          sendError(out, "57014", String.valueOf(e.getMessage))
+          return // cancel aborts the rest of the query string too
         case e: Throwable =>
           sendError(out, "XX000", Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
           return // per-protocol: abort the rest of the query string

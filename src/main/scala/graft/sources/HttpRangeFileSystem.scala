@@ -125,6 +125,12 @@ class HttpsRangeFileSystem extends HttpRangeFileSystem
 object HttpRangeFileSystem {
   val DefaultChunkBytes: Int = 1 << 20 // reference cache.rs:35 min fetch chunk
   val BlockSize: Long = 128L << 20
+  /** Re-issues per range GET for transient faults (5xx, truncated bodies,
+    * mid-body connection drops) before failing loudly. */
+  val MaxFetchRetries: Int = 3
+
+  /** A definitive (4xx-class) fetch failure: never retried. */
+  private[sources] final class PermanentFetchError(m: String) extends IOException(m)
 
   /** Shared client + instrumentation (request count / bytes fetched) so
     * specs can assert SELECTIVE reading, not just correct results. */
@@ -256,25 +262,64 @@ private[sources] class HttpRangeInputStream(url: String, len: Long, chunkBytes: 
       throw new EOFException(s"$url returned an empty range body at $at (len $len)")
   }
 
+  /** One range GET with bounded retries for TRANSIENT faults (5xx,
+    * connection drops mid-body — both routine on object stores and both
+    * idempotent to re-issue) and LOUD failure for everything else. A
+    * window shorter than requested is an error, never returned: a short
+    * buffer would be cached and then served forever, and the read loop
+    * above would degenerate to read()=0 (a hang for every consumer that
+    * loops on read) — the adversarial range fuzz (HttpRangeFuzzSpec)
+    * pins both the retry path and the loud truncation. */
   private def httpFetch(start: Long, end: Long): Array[Byte] = {
-    val resp = HttpRangeFileSystem.send(
-      HttpRequest.newBuilder(URI.create(url)).GET()
-        .header("Range", s"bytes=$start-$end").build(),
-      HttpResponse.BodyHandlers.ofByteArray())
-    val window = resp.statusCode() match {
-      case 206 => resp.body()
-      case 200 =>
-        // server ignored Range: the body is the whole object — keep only
-        // the requested window so memory stays bounded by chunk size
-        val whole = resp.body()
-        val from = math.min(start, whole.length.toLong).toInt
-        val until = math.min(end + 1, whole.length.toLong).toInt
-        java.util.Arrays.copyOfRange(whole, from, until)
-      case other =>
-        throw new IOException(s"$url range [$start,$end] returned HTTP $other")
+    val want = (end - start + 1).toInt
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val outcome: Either[String, Array[Byte]] =
+        try {
+          val resp = HttpRangeFileSystem.send(
+            HttpRequest.newBuilder(URI.create(url)).GET()
+              .header("Range", s"bytes=$start-$end").build(),
+            HttpResponse.BodyHandlers.ofByteArray())
+          resp.statusCode() match {
+            case 206 =>
+              val body = resp.body()
+              if (body.length == want) Right(body)
+              // off-spec short/long 206 body: transient-retryable (a
+              // proxy may have truncated); persistent → loud below
+              else Left(s"206 body carried ${body.length} bytes, range asked $want")
+            case 200 =>
+              // server ignored Range: the body is the whole object — keep
+              // only the requested window so memory stays bounded. A whole
+              // body SHORTER than the object length seen at open() means
+              // the object changed or was truncated mid-read: loud, never
+              // a silent short window.
+              val whole = resp.body()
+              if (whole.length < end + 1)
+                Left(s"200 body carried ${whole.length} bytes, object had $len at open")
+              else Right(java.util.Arrays.copyOfRange(whole, start.toInt, (end + 1).toInt))
+            case s if s >= 500 => Left(s"HTTP $s") // transient server fault
+            case other => // 4xx: definitive, never retried
+              throw new HttpRangeFileSystem.PermanentFetchError(
+                s"$url range [$start,$end] returned HTTP $other")
+          }
+        } catch {
+          case e: HttpRangeFileSystem.PermanentFetchError => throw e
+          case e: IOException =>
+            Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") // drop mid-body etc.
+        }
+      outcome match {
+        case Right(window) =>
+          HttpRangeFileSystem.bytesFetched.addAndGet(window.length.toLong)
+          return window
+        case Left(reason) =>
+          if (attempt > HttpRangeFileSystem.MaxFetchRetries)
+            throw new IOException(
+              s"$url range [$start,$end] failed after $attempt attempts: $reason")
+          Thread.sleep(20L * attempt)
+      }
     }
-    HttpRangeFileSystem.bytesFetched.addAndGet(window.length.toLong)
-    window
+    throw new IllegalStateException("unreachable")
   }
 
   override def close(): Unit = { closed = true; buf = Array.emptyByteArray }

@@ -695,34 +695,66 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
       createPublishLast(sch, name)(root => GraftTable.create(spark, root, schema): Unit)
       emptyResult
     case reInsertSel(qname, colList, query) =>
-      val (sch, name) = splitName(qname)
-      val t = table(sch, name)
-      registerAll()
-      var df = spark.sql(rewriteQuery(query))
-      Option(colList).map(_.trim).filter(_.nonEmpty) match {
-        case Some(cl) =>
-          val names = cl.split(',').map(_.trim.replace("\"", ""))
-          require(names.length == df.columns.length,
-            s"INSERT column list has ${names.length} columns, query produces ${df.columns.length}")
-          df = df.toDF(names.toIndexedSeq: _*)
-        case None =>
-          // no column list: positional mapping onto the table schema
-          // (cast-by-position, reference src/context/physical.rs:193-215)
-          val sch = t.schema
-          require(df.columns.length <= sch.fields.length,
-            s"INSERT provides ${df.columns.length} columns, table has ${sch.fields.length}")
-          df = df.toDF(sch.fields.take(df.columns.length).map(_.name).toIndexedSeq: _*)
+      val (sch0, name) = splitName(qname)
+      val t = table(sch0, name)
+      // FULL serializability even when the query reads its own target
+      // (INSERT INTO t SELECT … FROM t): the input frame is REBUILT
+      // inside the retried closure against freshly re-pinned views, and
+      // the commit anchors to a manifest read BEFORE the re-pin — a
+      // writer that slips in between raises CommitConflict and the whole
+      // read-plan-write replays. (A plain `t.append(df)` retries with
+      // the PRE-conflict frame — Delta-style WriteSerializable, i.e.
+      // write skew; the conc-DML fuzz's self-referencing shapes pin the
+      // stronger guarantee.)
+      var attempts = 0
+      t.retryCommit {
+        val m = t.latestManifest
+        // retries re-pin the views even against CROSS-PROCESS commits
+        // (which never set our dirty flag); the first attempt is already
+        // dirty from execute()'s own markDirty — skipping the extra
+        // generation bump keeps the common path at one snapshot rebuild
+        if (attempts > 0) markDirty()
+        attempts += 1
+        registerAll()
+        var df = spark.sql(rewriteQuery(query))
+        Option(colList).map(_.trim).filter(_.nonEmpty) match {
+          case Some(cl) =>
+            val names = cl.split(',').map(_.trim.replace("\"", ""))
+            require(names.length == df.columns.length,
+              s"INSERT column list has ${names.length} columns, query produces ${df.columns.length}")
+            df = df.toDF(names.toIndexedSeq: _*)
+          case None =>
+            // no column list: positional mapping onto the table schema
+            // (cast-by-position, reference src/context/physical.rs:193-215)
+            val sch = t.schema
+            require(df.columns.length <= sch.fields.length,
+              s"INSERT provides ${df.columns.length} columns, table has ${sch.fields.length}")
+            df = df.toDF(sch.fields.take(df.columns.length).map(_.name).toIndexedSeq: _*)
+        }
+        // replaceFiles with an empty affected set ≡ append ANCHORED to m
+        // (append's internal retry would silently re-anchor, reopening
+        // the stale-frame window the rebuild closes)
+        t.replaceFiles(m, Seq.empty, m.files, df)
       }
-      t.append(df); emptyResult
+      emptyResult
     case s if MergeInto.isMerge(s) =>
       val p = MergeInto.parse(s)
       val (sch, name) = splitName(p.target)
       val t = table(sch, name)
-      registerAll()
-      val srcDf =
+      // by-name source: MergeInto.execute re-evaluates it on every retry
+      // attempt, so a MERGE whose source reads its own target re-plans
+      // from the fresh snapshot instead of re-committing a stale frame
+      // (same full-serializability closure as INSERT … SELECT above)
+      var srcAttempts = 0
+      def srcDf = {
+        // same retry-only re-pin as INSERT…SELECT above
+        if (srcAttempts > 0) markDirty()
+        srcAttempts += 1
+        registerAll()
         if (p.source.startsWith("("))
           spark.sql(rewriteQuery(p.source.trim.stripPrefix("(").stripSuffix(")")))
         else spark.sql(rewriteQuery(s"SELECT * FROM ${p.source}"))
+      }
       MergeInto.execute(t, srcDf, p)
       emptyResult
     case reUpdate(qname, setAndWhere) =>

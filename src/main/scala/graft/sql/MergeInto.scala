@@ -241,8 +241,12 @@ object MergeInto {
     * snapshot and our replaceFiles raises CommitConflict, and replaying
     * the planning against the fresh snapshot is the only correct
     * response (re-committing the stale file sets would lose the other
-    * writer's rows). */
-  def execute(table: GraftTable, src0: DataFrame, p: Parsed): Long = table.retryCommit {
+    * writer's rows). `src0` is BY-NAME and re-evaluated after the
+    * snapshot read on every attempt, so a source that reads the target
+    * table itself re-plans from fresh data too (full serializability;
+    * the caller's thunk re-pins its views — GraftContext passes one that
+    * does `markDirty(); registerAll()` first). */
+  def execute(table: GraftTable, src0: => DataFrame, p: Parsed): Long = table.retryCommit {
     val spark = table.spark
     val m = table.latestManifest
     // schema from the SAME snapshot the file sets are planned against

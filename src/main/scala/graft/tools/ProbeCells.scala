@@ -40,6 +40,12 @@ object ProbeCells {
           numCells = c, threshold = 0.4).filter("kept = 0").count()
       }
     }
+    // the library default: numCells = 0 auto-sizes to ⌈√N⌉ — must land on
+    // the same near-linear shape as the explicit √N run above
+    time("semdedup_auto_sqrtN") {
+      graft.ops.Embeddings.semDedup(emb, "vec_id", "embedding",
+        numCells = 0, threshold = 0.4).filter("kept = 0").count()
+    }
     // the K >> 1e3 path: two-level quantizer, multi-probe assignment
     time("semdedup_hier_1024x32") {
       graft.ops.Embeddings.semDedup(emb, "vec_id", "embedding",

@@ -71,7 +71,8 @@ object ProbeSoak {
     val counts = Map(
       "reads" -> new AtomicLong, "writes" -> new AtomicLong,
       "syncs" -> new AtomicLong, "vacuums" -> new AtomicLong,
-      "pg_abandoned" -> new AtomicLong, "pg_rebinds" -> new AtomicLong)
+      "pg_abandoned" -> new AtomicLong, "pg_rebinds" -> new AtomicLong,
+      "pg_cancels" -> new AtomicLong, "http_aborts" -> new AtomicLong)
     val failures = new AtomicLong
     val firstFailure = new AtomicReference[String](null)
     def noteFail(s: String): Unit = { failures.incrementAndGet(); firstFailure.compareAndSet(null, s.take(300)); () }
@@ -141,20 +142,22 @@ object ProbeSoak {
 
     // --- pg wire: raw v3 clients ------------------------------------------
 
-    def pgConnect(): (Socket, DataInputStream, DataOutputStream) = {
+    def pgConnect(): (Socket, DataInputStream, DataOutputStream, Int, Int) = {
       val sock = new Socket("127.0.0.1", pg.boundPort)
       val in = new DataInputStream(sock.getInputStream)
       val out = new DataOutputStream(sock.getOutputStream)
       val params = "user\u0000graft\u0000database\u0000default\u0000\u0000".getBytes(UTF_8)
       out.writeInt(8 + params.length); out.writeInt(196608); out.write(params); out.flush()
       var done = false
+      var pid = 0; var secret = 0
       while (!done) {
         val tpe = in.readByte().toChar
         val len = in.readInt() - 4
-        in.skipNBytes(len)
+        if (tpe == 'K') { pid = in.readInt(); secret = in.readInt() }
+        else in.skipNBytes(len)
         if (tpe == 'Z') done = true
       }
-      (sock, in, out)
+      (sock, in, out, pid, secret)
     }
     def cs(d: DataOutputStream, s: String): Unit = { d.write(s.getBytes(UTF_8)); d.writeByte(0) }
     def msg(out: DataOutputStream, tpe: Char)(body: DataOutputStream => Unit): Unit = {
@@ -182,7 +185,7 @@ object ProbeSoak {
     threads += new Thread(() => {
       while (!stop.get()) {
         try {
-          val (sock, in, out) = pgConnect()
+          val (sock, in, out, _, _) = pgConnect()
           suspendPortal(in, out, "pab")
           sock.close() // abandon WITHOUT Close — disconnect cleanup owns it
           counts("pg_abandoned").incrementAndGet()
@@ -193,7 +196,7 @@ object ProbeSoak {
 
     threads += new Thread(() => {
       try {
-        val (sock, in, out) = pgConnect()
+        val (sock, in, out, _, _) = pgConnect()
         while (!stop.get()) {
           suspendPortal(in, out, "povr") // same name every time: overwrite path
           counts("pg_rebinds").incrementAndGet()
@@ -202,6 +205,81 @@ object ProbeSoak {
         sock.close()
       } catch { case e: Throwable => if (!stop.get()) noteFail(s"pg-rebind ${e.getClass.getSimpleName}: ${e.getMessage}") }
     }, "soak-pg-rebind")
+
+    // mid-flight cancellation churn: start a statement too big to finish,
+    // kill it via the pg cancel protocol, verify the session answers and
+    // stays usable — the leak surface is job-group bookkeeping + the
+    // cancelled portal/iterator state
+    threads += new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val (sock, in, out, pid, secret) = pgConnect()
+          // simple query: a cross join ~4e10 combinations (minutes if left alone)
+          val q = "SELECT max(a.id * b.id) FROM range(200000) a CROSS JOIN range(200000) b"
+          val body = q.getBytes(UTF_8)
+          out.writeByte('Q'); out.writeInt(4 + body.length + 1); out.write(body); out.writeByte(0)
+          out.flush()
+          Thread.sleep(300) // let the jobs start
+          val s2 = new Socket("127.0.0.1", pg.boundPort)
+          val o2 = new DataOutputStream(s2.getOutputStream)
+          o2.writeInt(16); o2.writeInt(80877102); o2.writeInt(pid); o2.writeInt(secret)
+          o2.flush(); s2.close()
+          // drain to ReadyForQuery: an ErrorResponse (cancelled) or, if the
+          // query won the race, its rows — either way the session answers
+          sock.setSoTimeout(120000)
+          var done = false
+          while (!done) {
+            val tpe = in.readByte().toChar
+            val len = in.readInt() - 4
+            in.skipNBytes(len)
+            if (tpe == 'Z') done = true
+          }
+          // session stays usable after its cancelled statement
+          val chk = "SELECT 1".getBytes(UTF_8)
+          out.writeByte('Q'); out.writeInt(4 + chk.length + 1); out.write(chk); out.writeByte(0)
+          out.flush()
+          done = false
+          var sawRow = false
+          while (!done) {
+            val tpe = in.readByte().toChar
+            val len = in.readInt() - 4
+            in.skipNBytes(len)
+            if (tpe == 'D') sawRow = true
+            if (tpe == 'Z') done = true
+          }
+          if (!sawRow) noteFail("pg-cancel: session unusable after cancel")
+          sock.close()
+          counts("pg_cancels").incrementAndGet()
+        } catch { case e: Throwable => if (!stop.get()) noteFail(s"pg-cancel ${e.getClass.getSimpleName}: ${e.getMessage}") }
+        Thread.sleep(1500)
+      }
+    }, "soak-pg-cancel")
+
+    // HTTP client that hangs up mid-stream: the response-write failure
+    // must cancel the statement's jobs instead of computing for nobody
+    threads += new Thread(() => {
+      val abortSql = java.net.URLEncoder.encode(
+        "SELECT id, sha2(repeat(cast(id AS string), 256), 256) FROM range(0, 50000000, 1, 200)", "UTF-8")
+      while (!stop.get()) {
+        try {
+          val sock = new Socket("127.0.0.1", fe.boundPort)
+          val o = sock.getOutputStream
+          o.write(s"GET /q/$abortSql HTTP/1.1\r\nHost: x\r\nConnection: close\r\n\r\n".getBytes(UTF_8))
+          o.flush()
+          val i = sock.getInputStream
+          var got = 0
+          val buf = new Array[Byte](4096)
+          sock.setSoTimeout(60000)
+          while (got < 4096) {
+            val n = i.read(buf)
+            if (n < 0) got = 4096 else got += n
+          }
+          sock.close() // hang up mid-stream
+          counts("http_aborts").incrementAndGet()
+        } catch { case e: Throwable => if (!stop.get()) noteFail(s"http-abort ${e.getClass.getSimpleName}: ${e.getMessage}") }
+        Thread.sleep(2000)
+      }
+    }, "soak-http-abort")
 
     // --- run + sample -------------------------------------------------------
 

@@ -540,6 +540,76 @@ class HttpSpec extends SparkSpec {
     assert(ctx.table("public", "wmk").latestManifest.syncSeq === Map("wm_origin" -> 7L))
   }
 
+  test("per-statement timeout cancels a runaway POST read with 408") {
+    // 5 s: the timeout covers the whole statement incl. a possible cold
+    // snapshot-session rebuild (~2 s in the loaded suite JVM)
+    val tfe = new HttpFrontend(ctx, 0, writeToken = Some("w0bble"),
+      statementTimeoutMs = 5000)
+    tfe.start()
+    try {
+      val tbase = s"http://127.0.0.1:${tfe.boundPort}"
+      def tpost(body: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(URI.create(tbase + "/q"))
+          .POST(HttpRequest.BodyPublishers.ofString(body, UTF_8))
+          .header("Authorization", "Bearer w0bble").build(),
+          HttpResponse.BodyHandlers.ofString())
+      val t0 = System.nanoTime()
+      // 1e12-combination cross join: would run for many minutes uncancelled
+      val r = tpost(
+        "SELECT max(a.id * b.id) AS m FROM range(1000000) a CROSS JOIN range(1000000) b")
+      val elapsedSec = (System.nanoTime() - t0) / 1e9
+      assert(r.statusCode() === 408, s"${r.statusCode()}: ${r.body()}")
+      assert(r.body().contains("timeout"), r.body())
+      assert(elapsedSec < 60, s"timeout took ${elapsedSec}s to fire")
+      // scheduler drains and the frontend keeps serving
+      val t1 = System.nanoTime()
+      while (spark.sparkContext.statusTracker.getActiveJobIds().nonEmpty
+             && (System.nanoTime() - t1) < 30e9) Thread.sleep(50)
+      assert(spark.sparkContext.statusTracker.getActiveJobIds().isEmpty,
+        "timed-out statement left active jobs")
+      // retry: interrupted zombie tasks from the cancelled cross join can
+      // briefly starve the 4 local slots, pushing an innocent statement
+      // past the 5 s budget — the property under test is that the
+      // frontend RECOVERS, not that the box is instantly idle
+      var ok = tpost("SELECT 1 AS x")
+      val t2 = System.nanoTime()
+      while (ok.statusCode() != 200 && (System.nanoTime() - t2) < 60e9) {
+        Thread.sleep(500); ok = tpost("SELECT 1 AS x")
+      }
+      assert(ok.statusCode() === 200 && ok.body() === "{\"x\":1}\n", ok.body())
+    } finally tfe.stop()
+  }
+
+  test("client disconnect mid-stream cancels the statement's jobs") {
+    // a large streamed read: many partitions, each expensive enough that
+    // the full result takes minutes — the client reads a few KB and hangs
+    // up; the server must stop paying for the rest
+    val sql = "SELECT id, sha2(repeat(cast(id AS string), 512), 256) AS h " +
+      "FROM range(0, 100000000, 1, 400)"
+    val enc = java.net.URLEncoder.encode(sql, UTF_8)
+    val sock = new java.net.Socket("127.0.0.1", fe.boundPort)
+    val out = sock.getOutputStream
+    out.write((s"GET /q/$enc HTTP/1.1\r\nHost: x\r\nConnection: close\r\n\r\n").getBytes(UTF_8))
+    out.flush()
+    val in = sock.getInputStream
+    // read a chunk of the streamed response, then vanish
+    val buf = new Array[Byte](8192)
+    var got = 0
+    while (got < 4096) {
+      val n = in.read(buf)
+      assert(n > 0, "no response bytes before disconnect")
+      got += n
+    }
+    sock.close()
+    // the write failure must cancel the job group: active jobs drain far
+    // sooner than the ~minutes the full result would take
+    val t0 = System.nanoTime()
+    while (spark.sparkContext.statusTracker.getActiveJobIds().nonEmpty
+           && (System.nanoTime() - t0) < 60e9) Thread.sleep(100)
+    assert(spark.sparkContext.statusTracker.getActiveJobIds().isEmpty,
+      "disconnected client's statement still holds scheduler jobs after 60s")
+  }
+
   test("CDC flush mixing replayed and new origin sequences filters per-batch") {
     // Cross-process scenario: a batch is acknowledged into THIS buffer,
     // then ANOTHER process applies the same (origin, seq) to the table

@@ -166,6 +166,41 @@ class OpsSpec extends SparkSpec {
     assert(out.count(_._3 == 0L) >= 4)
   }
 
+  test("semDedup(numCells = 0) auto-sizes to ceil(sqrt(N)) and matches the explicit run") {
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(8)(Array.fill(16)(rnd.nextGaussian()))
+    val vecs = (0 until 80).map { i =>
+      val b = base(i % 8)
+      val v = if (i % 10 == 9) ((i - 1).toLong, b)
+        else (i.toLong, b.map(x => x + 0.3 * rnd.nextGaussian()))
+      (i.toLong, v._2.map(x => (x + 0.001 * i).toFloat))
+    }.toDF("vec_id", "embedding")
+    def runOf(k: Int) = ops.Embeddings.semDedup(vecs, "vec_id", "embedding",
+        numCells = k, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    // N = 80 → auto K = ⌈√80⌉ = 9; training is deterministic (seeds =
+    // lowest ids), so auto must be BIT-EQUAL to the explicit run
+    assert(runOf(0) === runOf(9))
+    assert(runOf(0).map(_._2).distinct.length > 1, "auto sizing must actually cluster")
+  }
+
+  test("blockedNearDupPairs refuses a block past the sizing guard; 0 forces through") {
+    // one 100-row block: 4950 pairs — fine normally, over a 50-row guard
+    val vecs = (0 until 100).map(i =>
+      (i.toLong, Array.fill(4)((i % 7 + 1).toFloat), "allsame")).toDF("id", "v", "blk")
+    val e = intercept[IllegalArgumentException] {
+      ops.Embeddings.blockedNearDupPairs(vecs, "id", "v", "blk", 0.5, maxBlockRows = 50)
+    }
+    assert(e.getMessage.contains("banded"), e.getMessage)
+    // maxBlockRows = 0 disables the guard (oracle-replay escape hatch)
+    val forced = ops.Embeddings.blockedNearDupPairs(vecs, "id", "v", "blk", -1.0,
+      maxBlockRows = 0).count()
+    assert(forced === 100L * 99 / 2)
+    // and the default guard admits sane blocks
+    assert(ops.Embeddings.blockedNearDupPairs(vecs, "id", "v", "blk", -1.0).count()
+      === 100L * 99 / 2)
+  }
+
   test("banded knn graph: multi-band recall beats one wide signature; pairs rank once") {
     val rnd = new scala.util.Random(37)
     val base = Array.fill(10)(Array.fill(32)(rnd.nextGaussian()))

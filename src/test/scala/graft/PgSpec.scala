@@ -17,17 +17,26 @@ class PgSpec extends SparkSpec {
   private lazy val fe = { val f = new PgFrontend(ctx, 0); f.start(); f }
 
   /** Tiny pgwire client: connect + startup, then simple queries. */
-  private class Client {
-    private val sock = new Socket("127.0.0.1", fe.boundPort)
+  private class Client(port: Int = fe.boundPort) {
+    private val sock = new Socket("127.0.0.1", port)
     private val in = new DataInputStream(sock.getInputStream)
     private val out = new DataOutputStream(sock.getOutputStream)
+    // the BackendKeyData pair announced at startup — what a CancelRequest
+    // must echo to address this session
+    var backendPid: Int = 0
+    var backendSecret: Int = 0
     // StartupMessage: protocol 3.0 + user/database params
     private val params = "user\u0000graft\u0000database\u0000default\u0000\u0000".getBytes(UTF_8)
     out.writeInt(8 + params.length)
     out.writeInt(196608)
     out.write(params)
     out.flush()
-    drainUntilReady() // AuthenticationOk .. ReadyForQuery
+    drainUntilReady().foreach { // AuthenticationOk .. ReadyForQuery
+      case ('K', p) =>
+        val b = java.nio.ByteBuffer.wrap(p)
+        backendPid = b.getInt; backendSecret = b.getInt
+      case _ => ()
+    }
 
     private def readMsg(): (Char, Array[Byte]) = {
       val tpe = in.readByte().toChar
@@ -657,5 +666,100 @@ class PgSpec extends SparkSpec {
       assert(r.collect { case ('E', m) => m }.exists(_.contains("[34000]")), r)
       assert(r.count(_._1 == 'D') === 1, r)
     } finally c.close()
+  }
+
+  // a cross join far too large to finish (1e12 combinations on 4 local
+  // cores ≈ tens of minutes) — the runaway statement the cancellation
+  // machinery exists for
+  private val runawaySql =
+    "SELECT max(a.id * b.id) AS m FROM range(1000000) a CROSS JOIN range(1000000) b"
+
+  test("CancelRequest kills a running statement mid-flight; session stays usable") {
+    val c = new Client
+    try {
+      assert(c.backendPid > 0, "BackendKeyData must carry a real pid")
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fut = Future(c.query(runawaySql))
+      // wait until the query's Spark jobs are actually running
+      val t0 = System.nanoTime()
+      while (spark.sparkContext.statusTracker.getActiveJobIds().isEmpty
+             && (System.nanoTime() - t0) < 30e9) Thread.sleep(20)
+      assert(spark.sparkContext.statusTracker.getActiveJobIds().nonEmpty,
+        "runaway query never started a job")
+      // CancelRequest on a NEW connection with the backend key (the pg
+      // cancel protocol: len=16, code 80877102, pid, secret)
+      val s2 = new Socket("127.0.0.1", fe.boundPort)
+      val o2 = new DataOutputStream(s2.getOutputStream)
+      o2.writeInt(16); o2.writeInt(80877102)
+      o2.writeInt(c.backendPid); o2.writeInt(c.backendSecret)
+      o2.flush(); s2.close()
+      // the statement must die promptly (it would otherwise run ~1e12 rows)
+      val (_, _, _, errs) = Await.result(fut, 60.seconds)
+      assert(errs.exists(_.toLowerCase.contains("cancel")), errs)
+      // the scheduler drains: no jobs left running from the dead statement
+      val t1 = System.nanoTime()
+      while (spark.sparkContext.statusTracker.getActiveJobIds().nonEmpty
+             && (System.nanoTime() - t1) < 30e9) Thread.sleep(50)
+      assert(spark.sparkContext.statusTracker.getActiveJobIds().isEmpty,
+        "cancelled statement left active jobs in the scheduler")
+      // the session survives its cancelled statement
+      val (_, rows, _, errs2) = c.query("SELECT 1 AS one")
+      assert(errs2.isEmpty && rows === Seq(Seq("1")), (rows, errs2))
+    } finally c.close()
+  }
+
+  test("a mismatched cancel secret is ignored (statement keeps running)") {
+    val c = new Client
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fut = Future(c.query(runawaySql))
+      val t0 = System.nanoTime()
+      while (spark.sparkContext.statusTracker.getActiveJobIds().isEmpty
+             && (System.nanoTime() - t0) < 30e9) Thread.sleep(20)
+      val s2 = new Socket("127.0.0.1", fe.boundPort)
+      val o2 = new DataOutputStream(s2.getOutputStream)
+      o2.writeInt(16); o2.writeInt(80877102)
+      o2.writeInt(c.backendPid); o2.writeInt(c.backendSecret + 1) // wrong secret
+      o2.flush(); s2.close()
+      // the statement must still be making progress afterwards (poll past
+      // the gap between its broadcast job and its main job)
+      Thread.sleep(500)
+      val tp = System.nanoTime()
+      while (spark.sparkContext.statusTracker.getActiveJobIds().isEmpty
+             && !fut.isCompleted && (System.nanoTime() - tp) < 20e9) Thread.sleep(50)
+      assert(spark.sparkContext.statusTracker.getActiveJobIds().nonEmpty && !fut.isCompleted,
+        "a forged CancelRequest must not kill the statement")
+      // now cancel for real so the suite doesn't wait out the cross join
+      val s3 = new Socket("127.0.0.1", fe.boundPort)
+      val o3 = new DataOutputStream(s3.getOutputStream)
+      o3.writeInt(16); o3.writeInt(80877102)
+      o3.writeInt(c.backendPid); o3.writeInt(c.backendSecret)
+      o3.flush(); s3.close()
+      val (_, _, _, errs) = Await.result(fut, 60.seconds)
+      assert(errs.exists(_.toLowerCase.contains("cancel")), errs)
+    } finally c.close()
+  }
+
+  test("per-statement timeout cancels a runaway query with SQLSTATE 57014") {
+    // 5 s: the timeout covers the WHOLE statement (snapshot build +
+    // planning + jobs) — a cold snapshot rebuild alone can cost ~2 s in
+    // the loaded suite JVM, so a tighter bound cancels innocent queries
+    val tfe = new PgFrontend(ctx, 0, statementTimeoutMs = 5000)
+    tfe.start()
+    val c = new Client(tfe.boundPort)
+    try {
+      val t0 = System.nanoTime()
+      val (_, _, _, errs) = c.query(runawaySql)
+      val elapsedSec = (System.nanoTime() - t0) / 1e9
+      assert(errs.exists(_.contains("timeout")), errs)
+      assert(elapsedSec < 45, s"timeout took ${elapsedSec}s to fire")
+      // connection stays usable after its timed-out statement
+      val (_, rows, _, errs2) = c.query("SELECT 2 AS two")
+      assert(errs2.isEmpty && rows === Seq(Seq("2")), (rows, errs2))
+    } finally { c.close(); tfe.stop() }
   }
 }
