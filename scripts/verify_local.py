@@ -49,9 +49,15 @@ def main():
         done = threading.Event()
         timed_out = []
         def watchdog():
-            if not done.wait(timeout):
-                timed_out.append(True)
+            if done.wait(timeout):
+                return
+            timed_out.append(True)
+            # re-interrupt until the query actually dies: an interrupt
+            # that lands BEFORE execution starts is a no-op, so one shot
+            # can race the executor and never fire
+            while not done.is_set():
                 con.interrupt()
+                done.wait(0.2)
         w = threading.Thread(target=watchdog, daemon=True)
         w.start()
         try:

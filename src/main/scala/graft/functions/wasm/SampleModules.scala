@@ -62,7 +62,7 @@ object SampleModules {
   private val ADD = b(0x6a); private val SUB = b(0x6b)
   private val AND = b(0x71); private val OR = b(0x72); private val SHL = b(0x74)
   private val EQ = b(0x46); private val NE = b(0x47); private val EQZ = b(0x45)
-  private val LTU = b(0x49); private val GEU = b(0x4f)
+  private val LTU = b(0x49); private val GEU = b(0x4f); private val GTU = b(0x4b)
   private val I64ADD = b(0x7c); private val I64SHL = b(0x86)
   private val I64OR = b(0x84); private val I64SHRU = b(0x88)
   private val EXTU = b(0xad); private val WRAP = b(0xa7)
@@ -84,9 +84,16 @@ object SampleModules {
   private val checkFixarr1 =
     cat(GETL(0), LOAD8U(4), I32C(0x91), NE, IFV(UNREACH))
 
-  // alloc(size): old = heap; heap += size; return old
-  private val allocBody = func(Nil,
-    cat(GETG(0), GETG(0), GETL(0), ADD, SETG(0)))
+  // alloc(size): WRAPPING bump allocator — when heap+size would pass the
+  // 4-page memory end, reset to the base first. Valid for this ABI: a
+  // call's buffers never outlive the call (host reads the framed result
+  // before the next invocation), so reuse can't corrupt live data — and
+  // without the wrap a long scan exhausts memory after ~6k rows (the
+  // throughput probe found exactly that as an out-of-bounds host write).
+  private val allocBody = func(Nil, cat(
+    GETG(0), GETL(0), ADD, I32C(4 * 65536), GTU,
+    IFV(cat(I32C(65536), SETG(0))),
+    GETG(0), GETG(0), GETL(0), ADD, SETG(0)))
 
   private val deallocBody = func(Nil, Array.emptyByteArray)
 

@@ -14,6 +14,16 @@ import org.apache.spark.sql.types._
   * NULL in any argument yields NULL (Arrow kernels skip nulls the same
   * way). Modules parse once per content hash; each executor thread gets
   * its own instance (linear memory is mutable state).
+  *
+  * INTERPRETER BUDGET (ProbeWasm, 5M rows, local[32], min-of-3): the
+  * embedded MVP interpreter runs the reference's sintau module at
+  * ~10M rows/s vs ~26M rows/s for the same math as a native Scala UDF —
+  * a 2-3× per-row penalty (≈3 µs CPU/row for a small numeric kernel).
+  * The msgpack ABI adds buffer framing on top: ~4.3M rows/s for a string
+  * reverse vs ~25M native (≈6×, ≈7.5 µs CPU/row). Fine inside a
+  * filter-reduced scan or over dimension-sized inputs; for a full
+  * 100 TB-scan hot path, prefer a native Catalyst expression and keep
+  * WASM for user-supplied logic where isolation is the point.
   */
 object WasmUdf {
 
