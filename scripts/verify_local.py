@@ -69,6 +69,16 @@ def main():
             raise
         finally:
             done.set()
+            if timed_out:
+                # the watchdog's last interrupt can land AFTER this query
+                # finished and kill the NEXT oracle (miscounted as a value
+                # FAIL instead of a DNF): drain any pending interrupt with
+                # a sacrificial no-op before the next query runs
+                w.join(5)
+                try:
+                    con.execute("SELECT 1").fetchall()
+                except Exception:
+                    pass
     n_pass = n_fail = n_dnf = 0
     dnfs = []
     names = sorted(d for d in os.listdir(out_dir)
@@ -111,7 +121,11 @@ def main():
             n_fail += 1
     tail = f", {n_dnf} oracle DNF ({', '.join(dnfs)})" if n_dnf else ""
     print(f"\n{n_pass} passed, {n_fail} failed{tail}")
-    sys.exit(1 if n_fail else 0)
+    # DNFs exit with a DISTINCT nonzero code: a too-tight timeout (or a
+    # systemic oracle hang) must not silently degrade the value-exactness
+    # gate to "exit 0 with fewer checks run". 1 = value failures, 3 = all
+    # values that ran matched but some oracles never finished.
+    sys.exit(1 if n_fail else (3 if n_dnf else 0))
 
 if __name__ == "__main__":
     main()

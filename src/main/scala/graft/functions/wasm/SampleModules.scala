@@ -84,18 +84,23 @@ object SampleModules {
   private val checkFixarr1 =
     cat(GETL(0), LOAD8U(4), I32C(0x91), NE, IFV(UNREACH))
 
-  // alloc(size): WRAPPING bump allocator — when heap+size would pass the
-  // 4-page memory end, reset to the base first. Valid for this ABI: a
-  // call's buffers never outlive the call (host reads the framed result
-  // before the next invocation), so reuse can't corrupt live data — and
-  // without the wrap a long scan exhausts memory after ~6k rows (the
-  // throughput probe found exactly that as an out-of-bounds host write).
+  // alloc(size): bump allocator over a per-ROW arena. The host deallocs
+  // both buffers after decoding each row's result (WasmMsgPackUdf's
+  // dealloc(inPtr)/dealloc(outPtr) pair), and dealloc resets the bump
+  // pointer to the base — so a long scan never exhausts memory (the
+  // throughput probe found the no-reuse version dying after ~6k rows).
+  // When one CALL's allocations can't fit the 4-page region, TRAP
+  // (unreachable) instead of wrapping mid-call: a wrap here would hand
+  // out a result buffer overlapping the still-live argument buffer and
+  // silently corrupt the result — for a conformance fixture, loud > fast.
   private val allocBody = func(Nil, cat(
     GETG(0), GETL(0), ADD, I32C(4 * 65536), GTU,
-    IFV(cat(I32C(65536), SETG(0))),
+    IFV(UNREACH),
     GETG(0), GETG(0), GETL(0), ADD, SETG(0)))
 
-  private val deallocBody = func(Nil, Array.emptyByteArray)
+  // dealloc(ptr, size): arena reset. Called only after the host has read
+  // the framed result, so no allocation is live when the pointer rewinds.
+  private val deallocBody = func(Nil, cat(I32C(65536), SETG(0)))
 
   // rev(p): locals len=1 src=2 out=3 i=4 hdr=5 tmp=6
   private val revBody = func(Seq((6, 0x7f)), cat(

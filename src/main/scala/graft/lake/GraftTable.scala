@@ -650,7 +650,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
 
   /** Delete data files not referenced by the latest version and all
     * manifests except the latest. Returns (filesDeleted, versionsDeleted). */
-  def vacuum(): (Int, Int) = vacuum(1)
+  def vacuum(): (Int, Int) = vacuum(1, 0L)
 
   /** VACUUM with a RETENTION window: the newest `retainVersions` versions
     * stay fully readable (time travel + RESTORE within the window keep
@@ -672,15 +672,35 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * data files BEFORE the old manifests, so a crash mid-sweep leaves no
     * manifest claiming readability it no longer has beyond that same
     * loud-failure contract, and a re-run completes the sweep
-    * (idempotent: the keep-set is recomputed from retained manifests). */
-  def vacuum(retainVersions: Int): (Int, Int) = {
+    * (idempotent: the keep-set is recomputed from retained manifests).
+    *
+    * CONTRACT vs concurrent WRITERS — `minUnrefFileAgeMs`: writers commit
+    * by optimistic manifest CAS, NOT under any lock this sweep holds, and
+    * they write their parquet BEFORE the manifest that references it. So
+    * an unreferenced file is either garbage (a dead commit attempt) or an
+    * IN-FLIGHT commit's payload — indistinguishable by path. The age
+    * guard disambiguates by time, exactly like Delta's VACUUM retention:
+    * only unreferenced files last modified more than `minUnrefFileAgeMs`
+    * ago are deleted. It also closes the keep-set TOCTOU (a commit
+    * landing after this listing would otherwise lose its just-referenced
+    * files SILENTLY — the corrupted-version hazard, not just a loud
+    * abort). 0 (the explicit `VACUUM TABLE` default, reference parity)
+    * means the caller asserts no concurrent writers; the background
+    * sweep always passes [[GraftTable.WriterGraceMs]] or more. Pinned by
+    * ManifestRaceSpec's rebuild-vs-gcSweep churn test (caught live:
+    * an INSERT's stats pass FNF'd on its own just-written file). */
+  def vacuum(retainVersions: Int, minUnrefFileAgeMs: Long = 0L): (Int, Int) = {
     require(retainVersions >= 1, s"must retain >= 1 versions, got $retainVersions")
     val versions = Manifest.listVersions(root).sorted
     val retained = versions.takeRight(retainVersions)
     val manifests = retained.map(v => Manifest.read(root, v))
     val keep = manifests.flatMap(_.files.map(_.path)).toSet
     val dataFiles = listDataFiles()
-    val toDelete = dataFiles.filterNot(keep.contains)
+    val ageCutoff = System.currentTimeMillis() - minUnrefFileAgeMs
+    val toDelete = dataFiles.filterNot(keep.contains).filter { p =>
+      minUnrefFileAgeMs <= 0L ||
+        LakeIO.statusOpt(LakeIO.path(root, p)).forall(_.getModificationTime <= ageCutoff)
+    }
     toDelete.foreach { p =>
       LakeIO.delete(LakeIO.path(root, p))
       // a death mid-sweep leaves retained versions fully readable and a
@@ -691,6 +711,10 @@ class GraftTable(val spark: SparkSession, val root: String) {
     // dropped by a rewrite) are garbage once old manifests go
     val keepBlooms = manifests.flatMap(_.files.flatMap(_.blooms.values)).toSet
     BloomIndex.listSidecars(root).filterNot(keepBlooms.contains)
+      .filter { p => // same in-flight-writer age guard as the data files
+        minUnrefFileAgeMs <= 0L ||
+          LakeIO.statusOpt(LakeIO.path(root, p)).forall(_.getModificationTime <= ageCutoff)
+      }
       .foreach(p => LakeIO.delete(LakeIO.path(root, p)))
     val oldVersions = versions.filterNot(retained.contains)
     oldVersions.foreach { v =>
@@ -724,11 +748,15 @@ class GraftTable(val spark: SparkSession, val root: String) {
     p.getFileSystem(LakeIO.conf).makeQualified(p)
   }
 
-  /** (version, timestampMs, numFiles, numRecords) per version. */
+  /** (version, timestampMs, numFiles, numRecords) per version. Versions
+    * vacuumed between the listing and the read are skipped (readOpt) —
+    * history is a lock-free walk racing the background GC like
+    * system.table_versions. */
   def history(): Seq[(Long, Long, Int, Long)] =
-    Manifest.listVersions(root).map { v =>
-      val m = Manifest.read(root, v)
-      (v, m.timestampMs, m.files.size, m.files.map(_.numRecords).sum)
+    Manifest.listVersions(root).flatMap { v =>
+      Manifest.readOpt(root, v).map { m =>
+        (v, m.timestampMs, m.files.size, m.files.map(_.numRecords).sum)
+      }
     }
 }
 
@@ -741,6 +769,16 @@ object GraftTable {
     * two contending writers can produce, low enough that a livelocked
     * store fails loudly instead of spinning forever. */
   val MaxCommitRetries: Int = 50
+
+  /** Floor on `vacuum`'s unreferenced-file age guard for BACKGROUND
+    * sweeps: an unreferenced data file younger than this is presumed to
+    * be an in-flight commit's payload (writers put parquet before the
+    * manifest CAS that references it) and survives until the next sweep.
+    * 60 s is orders of magnitude above any single commit's write→CAS
+    * window while delaying true garbage collection by at most one sweep
+    * interval. Explicit `VACUUM TABLE` keeps the reference's
+    * delete-immediately behavior (age 0). */
+  val WriterGraceMs: Long = 60 * 1000L
 
   /** Observability seam: invoked after EVERY successful manifest commit
     * with (tableRoot, newVersion). The concurrent-writer DML fuzz hooks

@@ -75,15 +75,41 @@ object LakeIO {
   }
 
   /** Recursive file listing — one round trip on object stores (S3 LIST)
-    * instead of a per-directory walk; empty for a missing directory. */
+    * instead of a per-directory walk; empty for a missing directory.
+    *
+    * LIVE-TREE tolerance: callers (vacuum's data-file sweep) list roots
+    * that concurrent committers are mutating — a file can vanish between
+    * the LIST page and the iterator's lazy stat of it (on the local FS
+    * that surfaces as a RuntimeException from the permission loader, not
+    * FileNotFoundException — caught live by ManifestRaceSpec's gc-churn
+    * test on a manifest commit's .tmp rename). A vanished entry just
+    * means the snapshot is already stale there; retry the listing, and
+    * if the tree churns faster than listFiles can walk it, fall back to
+    * a per-directory listStatus walk that skips vanished entries
+    * individually instead of aborting the whole listing. */
   def listFilesRecursive(p: Path): Seq[FileStatus] = {
-    listCalls.incrementAndGet()
-    try {
+    def attempt(): Seq[FileStatus] = {
+      listCalls.incrementAndGet()
       val it = fs(p).listFiles(p, true)
       val b = Seq.newBuilder[FileStatus]
       while (it.hasNext) b += it.next()
       b.result()
-    } catch { case _: FileNotFoundException => Seq.empty }
+    }
+    def walk(dir: Path): Seq[FileStatus] =
+      listStatus(dir).flatMap { st => // listStatus: empty on vanished dir
+        if (st.isDirectory) walk(st.getPath) else Seq(st)
+      }
+    var tries = 0
+    while (tries < 3) {
+      tries += 1
+      try return attempt()
+      catch {
+        case _: FileNotFoundException => return Seq.empty
+        case scala.util.control.NonFatal(_) if tries < 3 => () // churn: retry
+        case scala.util.control.NonFatal(_) => return walk(p)
+      }
+    }
+    walk(p) // unreachable; keeps the compiler's definite-return analysis happy
   }
 
   def readString(p: Path): String = {

@@ -286,8 +286,29 @@ object Manifest {
     }
   }
 
+  /** [[read]] that tolerates the version file having been DELETED between
+    * a `listVersions` and this read — the lock-free-reader vs background
+    * `gcSweep` race: VACUUM prunes old version files without coordinating
+    * with readers (by design), so any walk over a version listing must
+    * treat a vanished file as "vacuumed concurrently" and skip it, not
+    * fail the walk. Pinned-version reads of CURRENT data keep using
+    * [[read]]: there a missing file is real corruption (or a time-travel
+    * read past retention) and must stay loud. */
+  def readOpt(tableRoot: String, v: Long): Option[TableManifest] =
+    try Some(read(tableRoot, v))
+    catch { case _: java.io.FileNotFoundException => None }
+
   def readLatest(tableRoot: String): Option[TableManifest] =
     latestVersion(tableRoot).map(read(tableRoot, _))
+
+  /** [[readLatest]] that tolerates the whole TABLE vanishing between the
+    * caller's catalog listing and this read (DROP + gc in another
+    * process/thread): the latest version file can disappear after
+    * `latestVersion` probed its existence. Catalog-snapshot rebuild paths
+    * use this so an unrelated table's concurrent drop never fails a
+    * served query. */
+  def readLatestOpt(tableRoot: String): Option[TableManifest] =
+    latestVersion(tableRoot).flatMap(readOpt(tableRoot, _))
 
   /** Version pinned as of an epoch-millis timestamp (latest manifest with
     * timestampMs <= ts) — the time-travel resolution rule. Binary search

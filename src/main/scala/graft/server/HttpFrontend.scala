@@ -282,8 +282,13 @@ class HttpFrontend(ctx: GraftContext, port: Int,
       } catch {
         // cancelled/failed after the status line: nothing left to say on
         // this exchange — the truncated chunked body is the error signal.
-        // Before headers, propagate so safely() maps to 408/500.
-        case _: Throwable if headersSent => ()
+        // Before headers, propagate so safely() maps to 408/500. NonFatal
+        // ONLY: an OutOfMemoryError must not be swallowed on a pooled
+        // handler thread, and an interrupt must keep its flag set for
+        // the pool's own shutdown handling.
+        case _: InterruptedException if headersSent =>
+          Thread.currentThread().interrupt(); ()
+        case scala.util.control.NonFatal(_) if headersSent => ()
       } finally if (headersSent) ex.close()
     }
   }

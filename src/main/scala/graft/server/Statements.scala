@@ -58,6 +58,14 @@ object Statements {
     * connection's next statement. */
   def cancel(spark: SparkSession, groupId: String, reason: String): Unit = {
     cancelled.put(groupId, reason)
+    // a cancel racing the statement's completion can land AFTER run()'s
+    // finally removed the entry — and groupIds are never reused, so that
+    // entry would otherwise live forever on a long-lived server. The
+    // timer guarantees removal; 15 min is far past any window in which
+    // run() could still need the reason.
+    timer.schedule(new Runnable {
+      def run(): Unit = { cancelled.remove(groupId); () }
+    }, 15, TimeUnit.MINUTES)
     spark.sparkContext.cancelJobGroupAndFutureJobs(groupId, reason)
   }
 

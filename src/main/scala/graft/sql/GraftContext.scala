@@ -101,14 +101,19 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
     * src/config/schema.rs:273,284, `gc_databases` src/utils.rs:50):
     * purge the dropped-tables ledger, then vacuum EVERY table of every
     * database (delete files unreferenced by the latest version + all
-    * non-latest manifests — the same work as VACUUM TABLE). Runs under
-    * the context write lock so a sweep never races a committing writer.
+    * non-latest manifests — the same work as VACUUM TABLE). The context
+    * write lock serializes it against THIS context's maintenance, but
+    * writers commit by optimistic manifest CAS and readers are lock-free
+    * — the sweep coordinates with neither. Two time guards cover them:
     * `graceMs`: tables whose LATEST version is younger than this are
     * skipped — a lock-free reader pinned to the previous version (it
     * planned before the newest commit) finishes inside the grace window,
     * so the background sweep never deletes files under an in-flight
     * read; a time-travel read of an already-vacuumed old version fails
-    * exactly as after an explicit VACUUM.
+    * exactly as after an explicit VACUUM. In-flight WRITERS (whose
+    * just-written files no manifest references yet) are protected by the
+    * per-file age guard `max(graceMs, WriterGraceMs)` passed down to
+    * vacuum — see the contract on [[GraftTable.vacuum]].
     * Returns (tables swept, data files deleted, old versions deleted). */
   def gcSweep(graceMs: Long = 0L): (Int, Int, Int) = locked {
     catalog.gcDropped()
@@ -117,10 +122,13 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
     var tables = 0; var files = 0; var versions = 0
     for (db <- catalog.listDatabases; (_, _, uuid) <- catalog.listTables(db)) {
       val t = new GraftTable(spark, catalog.tableRoot(uuid))
-      if (t.latestManifest.timestampMs <= cutoff) {
+      // readLatestOpt: a table dropped + collected by ANOTHER process
+      // mid-sweep (this lock is per-context, not cross-process) must be
+      // skipped, not abort the whole sweep on its vanished manifest
+      if (Manifest.readLatestOpt(catalog.tableRoot(uuid)).exists(_.timestampMs <= cutoff)) {
         // honor each table's persisted retention window — a sweep must
         // never collapse a `RETAIN n VERSIONS` guarantee back to 1
-        val (f, v) = t.vacuum(t.retentionVersions)
+        val (f, v) = t.vacuum(t.retentionVersions, math.max(graceMs, GraftTable.WriterGraceMs))
         tables += 1; files += f; versions += v
       }
     }
@@ -326,9 +334,14 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
       // table with NO manifest can only mean it was dropped + collected
       // by another process after our catalog load — skip it (this
       // snapshot serializes after that drop) instead of failing the
-      // whole rebuild on a table the query may never touch
-      if (graft.lake.Manifest.latestVersion(catalog.tableRoot(uuid)).isDefined)
-        t.read().createOrReplaceTempView(view)
+      // whole rebuild on a table the query may never touch.
+      // readLatestOpt (not an exists-probe + read): the manifest can
+      // ALSO vanish between a probe and the read — the same drop+gc race,
+      // just a narrower window; resolving the manifest once and pinning
+      // the view to it closes the window entirely
+      graft.lake.Manifest.readLatestOpt(catalog.tableRoot(uuid)).foreach { m =>
+        t.read(Some(m.version)).createOrReplaceTempView(view)
+      }
     }
     // staging external tables are session-global (transient, not per-db)
     stagingTables.foreach { case (name, (fmt, loc, opts)) =>

@@ -20,11 +20,19 @@ object SystemTables {
 
     val tables = ctx.catalog.listTables(db)
 
-    // system.table_versions: one row per (table, version)
+    // system.table_versions: one row per (table, version). Reads are
+    // lock-free, so this enumeration RACES the background GC sweep
+    // (GraftContext.gcSweep vacuums non-latest manifests without
+    // coordinating with readers, by design): a version file can vanish
+    // between listVersions and the read. Treat that as "vacuumed
+    // concurrently" and skip the row — this snapshot serializes after the
+    // sweep — exactly like buildSnapshot skips a manifestless table. A
+    // pure SELECT must never fail on an unrelated table's retention sweep.
     val versions = tables.flatMap { case (sch, name, uuid) =>
-      Manifest.listVersions(ctx.catalog.tableRoot(uuid)).map { v =>
-        val m = Manifest.read(ctx.catalog.tableRoot(uuid), v)
-        (sch, name, v, v, m.timestampMs / 1000)
+      Manifest.listVersions(ctx.catalog.tableRoot(uuid)).flatMap { v =>
+        Manifest.readOpt(ctx.catalog.tableRoot(uuid), v).map { m =>
+          (sch, name, v, v, m.timestampMs / 1000)
+        }
       }
     }
     versions.toDF("table_schema", "table_name", "table_version_id", "version", "creation_time")
@@ -48,8 +56,10 @@ object SystemTables {
     infoTables.toDF("table_catalog", "table_schema", "table_name", "table_type")
       .createOrReplaceTempView("information_schema__tables")
 
+    // readLatestOpt (not readLatest): the whole table can be dropped +
+    // collected by another process between our catalog listing and here
     val cols = tables.flatMap { case (sch, name, uuid) =>
-      Manifest.readLatest(ctx.catalog.tableRoot(uuid)).toSeq.flatMap { m =>
+      Manifest.readLatestOpt(ctx.catalog.tableRoot(uuid)).toSeq.flatMap { m =>
         val st = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
           .asInstanceOf[org.apache.spark.sql.types.StructType]
         st.fields.zipWithIndex.map { case (f, i) =>
@@ -101,8 +111,12 @@ object SystemTables {
     // information_schema.table_constraints + check_constraints: the
     // standard two-view layout over the lake tables' CHECK constraints
     val constraints = tables.flatMap { case (sch, name, uuid) =>
-      new graft.lake.GraftTable(spark, ctx.catalog.tableRoot(uuid)).constraints
-        .map { case (cn, ce) => (db, sch, name, cn, ce) }
+      // tolerate the table vanishing under us (drop + gc in another
+      // process between the exists probe and the read), same rationale
+      // as the version walk above
+      val cs = try new graft.lake.GraftTable(spark, ctx.catalog.tableRoot(uuid)).constraints
+        catch { case _: java.io.FileNotFoundException => Nil }
+      cs.map { case (cn, ce) => (db, sch, name, cn, ce) }
     }
     constraints.map { case (cat, sch, name, cn, _) => (cat, sch, cn, cat, sch, name, "CHECK") }
       .toDF("constraint_catalog", "constraint_schema", "constraint_name",
