@@ -53,11 +53,20 @@ object Faults {
 
   private val hits = new ConcurrentHashMap[String, AtomicLong]()
 
+  /** In-process interrupt seam: invoked at every armed crash point with
+    * the point's name BEFORE the halt check. The cancellation tests bind
+    * `Statements.cancel` here to land a cancel at an exact commit-ladder
+    * phase (the async-cancel twin of the kill -9 harness — same
+    * boundaries, statement survives to observe the outcome). Process-wide,
+    * default no-op: production cost is one volatile read per point. */
+  @volatile var onPoint: String => Unit = _ => ()
+
   /** Exit code a planted crash halts with — distinguishes "died at the
     * planted point" from any real failure in the harness. */
   val HaltExitCode = 137
 
-  def crashPoint(name: String): Unit =
+  def crashPoint(name: String): Unit = {
+    onPoint(name)
     if (spec.nonEmpty && armed) {
       spec.get(name).foreach { n =>
         val c = hits.computeIfAbsent(name, _ => new AtomicLong).incrementAndGet()
@@ -68,4 +77,5 @@ object Faults {
         }
       }
     }
+  }
 }

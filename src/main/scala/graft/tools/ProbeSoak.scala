@@ -60,6 +60,10 @@ object ProbeSoak {
     ctx.execute("CREATE TABLE kv (k BIGINT, v DOUBLE)")
     ctx.execute("INSERT INTO kv SELECT id, id * 1.5 FROM range(20000)")
     ctx.execute("CREATE TABLE sync_t (id BIGINT, a BIGINT, s VARCHAR)")
+    // dedicated table for the write-cancel leg: nothing else touches it,
+    // so DML atomicity under cancellation is assertable by sum
+    ctx.execute("CREATE TABLE cxl (k BIGINT, v BIGINT)")
+    ctx.execute("INSERT INTO cxl SELECT id, 0 FROM range(500000)")
     val fe = new HttpFrontend(ctx, 0, writeToken = Some("tok"))
     fe.start()
     val pg = new PgFrontend(ctx, 0)
@@ -72,7 +76,8 @@ object ProbeSoak {
       "reads" -> new AtomicLong, "writes" -> new AtomicLong,
       "syncs" -> new AtomicLong, "vacuums" -> new AtomicLong,
       "pg_abandoned" -> new AtomicLong, "pg_rebinds" -> new AtomicLong,
-      "pg_cancels" -> new AtomicLong, "http_aborts" -> new AtomicLong)
+      "pg_cancels" -> new AtomicLong, "http_aborts" -> new AtomicLong,
+      "write_cancels" -> new AtomicLong, "write_cancel_commits" -> new AtomicLong)
     val failures = new AtomicLong
     val firstFailure = new AtomicReference[String](null)
     def noteFail(s: String): Unit = { failures.incrementAndGet(); firstFailure.compareAndSet(null, s.take(300)); () }
@@ -132,7 +137,7 @@ object ProbeSoak {
     threads += new Thread(() => {
       while (!stop.get()) {
         (0 until 120).foreach(_ => if (!stop.get()) Thread.sleep(500))
-        if (!stop.get()) Seq("kv", "sync_t").foreach { t =>
+        if (!stop.get()) Seq("kv", "sync_t", "cxl").foreach { t =>
           val r = post("/q", s"""{"query": "VACUUM TABLE $t"}""")
           if (r.statusCode == 200) counts("vacuums").incrementAndGet()
           else noteFail(s"vacuum ${r.statusCode}: ${r.body}")
@@ -254,6 +259,72 @@ object ProbeSoak {
         Thread.sleep(1500)
       }
     }, "soak-pg-cancel")
+
+    // mid-flight cancellation of WRITES: a heavy UPDATE rewrite gets a pg
+    // CancelRequest while its jobs run; the commit ladder must stay
+    // atomic — after the drain the table's sum is EXACTLY base or
+    // base + 64*N (all rows rewrote and committed, or none did), the
+    // manifest chain has no partial version, and the session still
+    // answers. The abandoned attempt's parquet is the vacuum leg's food.
+    threads += new Thread(() => {
+      def readSum(in: DataInputStream, out: DataOutputStream): Option[Long] = {
+        val q = "SELECT sum(v) AS s FROM cxl".getBytes(UTF_8)
+        out.writeByte('Q'); out.writeInt(4 + q.length + 1); out.write(q); out.writeByte(0)
+        out.flush()
+        var done = false; var sum: Option[Long] = None
+        while (!done) {
+          val tpe = in.readByte().toChar
+          val len = in.readInt() - 4
+          if (tpe == 'D') {
+            val b = new Array[Byte](len); in.readFully(b)
+            val d = new DataInputStream(new java.io.ByteArrayInputStream(b))
+            d.readShort() // ncols = 1
+            val vlen = d.readInt()
+            if (vlen > 0) {
+              val vb = new Array[Byte](vlen); d.readFully(vb)
+              sum = Some(new String(vb, UTF_8).toLong)
+            }
+          } else in.skipNBytes(len)
+          if (tpe == 'Z') done = true
+        }
+        sum
+      }
+      var base = 0L
+      val rows = 500000L
+      while (!stop.get()) {
+        try {
+          val (sock, in, out, pid, secret) = pgConnect()
+          sock.setSoTimeout(180000)
+          // per-row sha2 over a 2 KiB repeat stretches the rewrite to
+          // ~1-2 s of genuinely running tasks; the +64 is its length
+          val upd = ("UPDATE cxl SET v = v + length(sha2(repeat(cast(k AS string), 256), 256))")
+            .getBytes(UTF_8)
+          out.writeByte('Q'); out.writeInt(4 + upd.length + 1); out.write(upd); out.writeByte(0)
+          out.flush()
+          Thread.sleep(300 + new scala.util.Random().nextInt(500)) // land inside the rewrite jobs
+          val s2 = new Socket("127.0.0.1", pg.boundPort)
+          val o2 = new DataOutputStream(s2.getOutputStream)
+          o2.writeInt(16); o2.writeInt(80877102); o2.writeInt(pid); o2.writeInt(secret)
+          o2.flush(); s2.close()
+          var done = false
+          while (!done) { // ErrorResponse (57014) or CommandComplete — either is legal
+            val tpe = in.readByte().toChar
+            val len = in.readInt() - 4
+            in.skipNBytes(len)
+            if (tpe == 'Z') done = true
+          }
+          readSum(in, out) match {
+            case Some(s) if s == base => () // cancelled before the commit: atomic no-op
+            case Some(s) if s == base + 64L * rows => // commit won the race: atomic, full
+              base = s; counts("write_cancel_commits").incrementAndGet()
+            case other => noteFail(s"write-cancel: NON-ATOMIC sum $other (base $base)")
+          }
+          sock.close()
+          counts("write_cancels").incrementAndGet()
+        } catch { case e: Throwable => if (!stop.get()) noteFail(s"write-cancel ${e.getClass.getSimpleName}: ${e.getMessage}") }
+        Thread.sleep(2500)
+      }
+    }, "soak-write-cancel")
 
     // HTTP client that hangs up mid-stream: the response-write failure
     // must cancel the statement's jobs instead of computing for nobody
