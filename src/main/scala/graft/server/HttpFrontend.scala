@@ -561,6 +561,11 @@ object ServerMain {
       // a serving workload compiles many distinct plans; the default
       // 100-entry generated-class cache thrashes under variety
       .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // FAIR root scheduler + Statements' per-statement pools: one heavy
+      // analytical scan must not queue every floor query behind it
+      // (FIFO would). Must be set before SparkContext start.
+      .config("spark.scheduler.mode", sys.env.getOrElse("GRAFT_SCHEDULER_MODE", "FAIR"))
+      .config("spark.scheduler.allocation.file", Statements.writeFairPoolsFile())
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -49,6 +49,55 @@ object Statements {
   /** Fresh process-unique job-group id for one statement scope. */
   def newGroupId(prefix: String): String = s"$prefix-${seq.incrementAndGet()}"
 
+  /** Per-statement FAIR-scheduler pools, from a BOUNDED ring. Job groups
+    * isolate cancellation but not scheduling: under Spark's default FIFO
+    * root, one monster scan queues every floor query behind it until it
+    * finishes — the reference gets per-query fairness for free from
+    * tokio (`src/frontend/http.rs` serving). With
+    * `spark.scheduler.mode=FAIR` (set by ServerMain/probes at session
+    * build; it cannot change after SparkContext start) each statement
+    * runs in its own pool, and FAIR's root scheduler round-robins task
+    * slots ACROSS pools — the monster degrades floor latency by its
+    * share, not by its runtime. The ring is bounded because Spark never
+    * removes on-demand pools from the root: a pool per statement would
+    * leak Pool objects (and per-scheduling-round iteration cost) forever
+    * on a long-lived server. 64 pools = up to 64 CONCURRENT statements
+    * with zero sharing; past that, statements share pools FIFO (two
+    * simultaneous monsters landing 64 apart is the only way a floor
+    * query queues behind one). Statements run in the "default" pool —
+    * same behavior as FIFO mode — when the session was not built with
+    * FAIR; the property set below is ignored there. */
+  private val PoolRing = 64
+
+  /** Write the FAIR allocation file for the statement-pool ring and
+    * return its path (for `spark.scheduler.allocation.file`, set at
+    * session build). Every pool gets `minShare` task slots: a pool BELOW
+    * its minShare is scheduled before any weight-based sharing, so a
+    * freshly arrived floor query's first tasks pre-empt the next wave of
+    * a long scan's backlog instead of waiting for their 1/N weight share
+    * — this is what keeps the floor's tail (not just its median) flat
+    * under a monster scan (ProbeServe fairness leg measures both).
+    * minShare is a scheduling PRIORITY, not a reservation: an idle pool
+    * consumes nothing. */
+  def writeFairPoolsFile(minShare: Int = 2): String = {
+    val f = java.nio.file.Files.createTempFile("graft-fair-pools", ".xml")
+    val pools = (0 until PoolRing).map { i =>
+      s"""  <pool name="graft-pool-$i"><schedulingMode>FIFO</schedulingMode><weight>1</weight><minShare>$minShare</minShare></pool>"""
+    }.mkString("\n")
+    java.nio.file.Files.writeString(f,
+      s"""<?xml version="1.0"?>\n<allocations>\n$pools\n</allocations>\n""")
+    f.toFile.deleteOnExit()
+    f.toString
+  }
+
+  private[server] def poolFor(groupId: String): String = {
+    val i = groupId.lastIndexOf('-')
+    val n =
+      try groupId.substring(i + 1).toLong
+      catch { case _: NumberFormatException => (groupId.hashCode.toLong & 0x7fffffffL) }
+    s"graft-pool-${n % PoolRing}"
+  }
+
   /** Cancel `groupId`: kills its ACTIVE jobs and fails its FUTURE job
     * submissions (sticky — a cancel that lands in the gap between two of
     * a statement's jobs, e.g. after the broadcast job and before the main
@@ -78,6 +127,9 @@ object Statements {
              timeoutMs: Long)(f: => T): T = {
     val sc = spark.sparkContext
     sc.setJobGroup(groupId, desc.take(256), interruptOnCancel = true)
+    // per-statement fair-share pool (see poolFor): thread-local, cleared
+    // in the finally with the job group
+    sc.setLocalProperty("spark.scheduler.pool", poolFor(groupId))
     val deadline: Option[ScheduledFuture[_]] =
       if (timeoutMs > 0)
         Some(timer.schedule(new Runnable {
@@ -96,6 +148,7 @@ object Statements {
     } finally {
       deadline.foreach(_.cancel(false))
       sc.clearJobGroup()
+      sc.setLocalProperty("spark.scheduler.pool", null)
       cancelled.remove(groupId)
     }
   }

@@ -34,6 +34,9 @@ object ProbeServe {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // serving default; GRAFT_SCHEDULER_MODE=FIFO records the number FAIR beats
+      .config("spark.scheduler.mode", sys.env.getOrElse("GRAFT_SCHEDULER_MODE", "FAIR"))
+      .config("spark.scheduler.allocation.file", graft.server.Statements.writeFairPoolsFile())
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -136,7 +139,6 @@ object ProbeServe {
     readerThreads.foreach(_.join(10000)); condThreads.foreach(_.join(10000))
     writerThread.join(10000)
     val wallS = (System.nanoTime() - t0) / 1e9
-    fe.stop()
 
     def pctOf(q: java.util.concurrent.ConcurrentLinkedQueue[Long])(p: Double): Double = {
       val lat = q.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
@@ -155,6 +157,71 @@ object ProbeServe {
       s""""hits_304":${hits304.get()},"share_304":${if (tot304 == 0) -1 else hits304.get().toDouble / tot304},""" +
       s""""p50_304_ms":${p304(0.5)},"p99_304_ms":${p304(0.99)}}""")
     Option(firstFailure.get()).foreach(f => println(s"first failure: $f"))
+
+    // --- fairness leg: one monster scan vs 6 floor readers ------------------
+    // Job groups isolate cancellation, not scheduling: under the default
+    // FIFO root one heavy scan's task waves queue every floor query behind
+    // them until the scan drains (floor p99 ≈ remaining monster runtime).
+    // With spark.scheduler.mode=FAIR + Statements' per-statement pools,
+    // FAIR round-robins freed task slots across pools, so the floor rides
+    // between the monster's task completions (p99 ≈ a task duration).
+    // Run with GRAFT_SCHEDULER_MODE=FIFO to record the number FAIR beats.
+    def floorRun(secs: Long): (Long, Double, Double) = {
+      val lats = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val n = new AtomicLong(0)
+      val fstop = new AtomicBoolean(false)
+      val ts = (0 until 6).map { i =>
+        new Thread(() => {
+          val rnd = new scala.util.Random(77 + i)
+          while (!fstop.get()) {
+            val lo = rnd.nextInt(math.max(1, rows - 1000))
+            val q = java.net.URLEncoder.encode(
+              s"SELECT count(*) AS n, sum(v) AS s FROM kv WHERE k BETWEEN $lo AND ${lo + 999}",
+              "UTF-8")
+            val tq = System.nanoTime()
+            val resp = client.send(
+              HttpRequest.newBuilder(URI.create(s"$base/q/$q")).GET().build(),
+              HttpResponse.BodyHandlers.ofString())
+            if (resp.statusCode() == 200) { n.incrementAndGet(); lats.add(System.nanoTime() - tq) }
+            else firstFailure.compareAndSet(null, s"floor ${resp.statusCode()}: ${resp.body().take(200)}")
+          }
+        })
+      }
+      ts.foreach(_.start()); Thread.sleep(secs * 1000L); fstop.set(true); ts.foreach(_.join(10000))
+      (n.get(), pctOf(lats)(0.5), pctOf(lats)(0.99))
+    }
+    Thread.sleep(2000) // let the main legs' last aborted jobs drain
+    val (idleN, idleP50, idleP99) = floorRun(8)
+    // ~2000 short CPU-bound tasks: enough waves that FIFO visibly starves
+    // the floor while FAIR lets it through per wave. Allocation-free
+    // arithmetic (not string hashing) — an allocation-heavy monster's GC
+    // pauses would smear the floor tail in ANY scheduling mode and mask
+    // what this leg measures
+    val monsterSec = new AtomicLong(0)
+    val monster = new Thread(() => {
+      val q = java.net.URLEncoder.encode(
+        // products stay < 1e12: no ANSI overflow on the 4e11-row scan
+        "SELECT max((id % 999983) * (id % 1000003)) AS m " +
+          "FROM range(0, 400000000000, 1, 2000)", "UTF-8")
+      val tq = System.nanoTime()
+      val r = client.send(HttpRequest.newBuilder(URI.create(s"$base/q/$q")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      monsterSec.set((System.nanoTime() - tq) / 1000000000L)
+      if (r.statusCode() != 200)
+        firstFailure.compareAndSet(null, s"monster ${r.statusCode()}: ${r.body().take(200)}")
+    })
+    monster.start()
+    Thread.sleep(1500) // let the monster's waves occupy the scheduler
+    val (contN, contP50, contP99) = floorRun(8)
+    monster.join(300000)
+    val mode = spark.sparkContext.getConf.get("spark.scheduler.mode", "FIFO")
+    println(
+      s"""{"fairness_leg":{"scheduler":"$mode","floor_idle_reads":$idleN,""" +
+      s""""floor_idle_p50_ms":$idleP50,"floor_idle_p99_ms":$idleP99,""" +
+      s""""floor_contended_reads":$contN,"floor_contended_p50_ms":$contP50,""" +
+      s""""floor_contended_p99_ms":$contP99,"monster_sec":${monsterSec.get()}}}""")
+    Option(firstFailure.get()).foreach(f => println(s"first failure: $f"))
+    fe.stop()
     spark.stop()
   }
 }

@@ -51,6 +51,8 @@ object ProbeSoak {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.scheduler.mode", sys.env.getOrElse("GRAFT_SCHEDULER_MODE", "FAIR"))
+      .config("spark.scheduler.allocation.file", graft.server.Statements.writeFairPoolsFile())
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.Sessions.tune(spark)
