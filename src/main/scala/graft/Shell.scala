@@ -65,12 +65,20 @@ object Shell {
   }
 
   /** The REPL loop, IO-injected for tests: reads logical statements from
-    * `lines`, writes results/errors to `out`. Returns on EOF or `\q`. */
+    * `lines`, writes results/errors to `out`. Returns on EOF or `\q`.
+    * `statementTimeoutMs` > 0 arms the same per-statement cancel bound
+    * the server frontends use (GRAFT_STATEMENT_TIMEOUT_MS in main). */
   def repl(ctx: GraftContext, lines: Iterator[String],
-           out: java.io.PrintStream, prompt: Boolean = false): Unit = {
+           out: java.io.PrintStream, prompt: Boolean = false,
+           statementTimeoutMs: Long = 0L): Unit = {
     val buf = new StringBuilder
     def show(df: org.apache.spark.sql.DataFrame): Unit =
       df.toJSON.toLocalIterator().forEachRemaining(out.println)
+    // per-statement job group + timeout, REPL twin of the server path;
+    // a timed-out statement prints its error and the session continues
+    def timed[T](sql: String)(f: => T): T =
+      graft.server.Statements.run(ctx.spark,
+        graft.server.Statements.newGroupId("cli"), sql, statementTimeoutMs)(f)
     // every execution arm shares this guard: a typo, a missing table or
     // a transient failure prints and the loop continues — the invariant
     // is that NOTHING the user types can cost the session
@@ -102,7 +110,7 @@ object Shell {
         if (terminated(buf.result())) {
           val sql = buf.result().trim.stripSuffix(";")
           buf.clear()
-          if (sql.nonEmpty) guarded(show(ctx.locked(ctx.executeAll(sql))))
+          if (sql.nonEmpty) guarded(timed(sql)(show(ctx.locked(ctx.executeAll(sql)))))
         }
       }
       if (prompt) out.print(if (buf.isEmpty) "graft> " else "....>  ")
@@ -122,13 +130,19 @@ object Shell {
     spark.sparkContext.setLogLevel("WARN")
     graft.Sessions.tune(spark)
     val ctx = new GraftContext(spark, args(0))
+    // same runaway-statement bound the server frontends honor
+    val stmtTimeout = sys.env.get("GRAFT_STATEMENT_TIMEOUT_MS").map(_.trim.toLong).getOrElse(0L)
     if (args.length >= 2) {
       // stream partition-by-partition like the REPL and the HTTP frontend
       // — a large one-off result must not buffer whole on the driver
-      val result = ctx.executeAll(args.drop(1).mkString(" "))
-      result.toJSON.toLocalIterator().forEachRemaining(println(_))
+      graft.server.Statements.run(spark,
+        graft.server.Statements.newGroupId("cli"), args(1), stmtTimeout) {
+        val result = ctx.executeAll(args.drop(1).mkString(" "))
+        result.toJSON.toLocalIterator().forEachRemaining(println(_))
+      }
     } else {
-      repl(ctx, scala.io.Source.stdin.getLines(), System.out, prompt = true)
+      repl(ctx, scala.io.Source.stdin.getLines(), System.out, prompt = true,
+        statementTimeoutMs = stmtTimeout)
     }
     spark.stop()
   }

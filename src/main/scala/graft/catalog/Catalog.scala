@@ -47,6 +47,37 @@ class Catalog(val dataDir: String) {
 
   def tableRoot(uuid: String): String = s"$dataDir/$uuid"
 
+  // --- cross-process data-change trigger -----------------------------------
+
+  // DML commits live in per-table manifests and never rewrite the catalog
+  // state file, so ANOTHER server process over the same dataDir has no
+  // single cheap thing to watch for "something changed". This trigger file
+  // is that thing: every mutation's markDirty touches it with a fresh
+  // unique value; other processes poll it (one tiny read, TTL-bounded —
+  // GraftContext.snapshotSession) instead of probing every table's
+  // manifest hint per query. Best-effort by design: concurrent touches
+  // overwrite each other, but any surviving value still DIFFERS from what
+  // a peer last saw, which is the only property the poll needs. The
+  // reference rebuilds its DataFusion context from the catalog DB per
+  // query — always fresh, at per-query catalog-read cost; this is the
+  // bounded-staleness analog for object-store deployments.
+  private val dataGenFile: HPath = new HPath(dir, "_data.gen")
+  private val touchSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Record "data changed" for peer processes; returns the written value
+    * so the caller can exempt its own touch from its next poll. */
+  def touchDataGen(): String = {
+    val v = s"${ProcessHandle.current.pid}-${touchSeq.incrementAndGet()}-${System.nanoTime()}"
+    try LakeIO.writeString(dataGenFile, v)
+    catch { case scala.util.control.NonFatal(_) => () } // advisory only
+    v
+  }
+
+  /** Last written trigger value ("" when never touched / racing a write). */
+  def readDataGen(): String =
+    try { if (LakeIO.exists(dataGenFile)) LakeIO.readString(dataGenFile) else "" }
+    catch { case scala.util.control.NonFatal(_) => "" }
+
   // --- persistence --------------------------------------------------------
 
   private def esc(s: String): String = s.flatMap {

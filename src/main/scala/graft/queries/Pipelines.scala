@@ -11,9 +11,15 @@ import org.apache.spark.sql.functions._
 object PipelinesDedup {
 
   // Shared DuckDB CTE: distinct (doc_id, 5-gram shingle) pairs.
+  // AS MATERIALIZED: `sh` is referenced 3-4x downstream (sig, sizes, both
+  // sides of the intersection join); DuckDB 1.0's default inlining
+  // re-expands the shingle explode per reference, and in the chained
+  // oracles (dd15's closure, dd18's 3-method agreement) the re-expansion
+  // compounds into sf10 DNFs (>900 s) — materialization is the documented
+  // cure and a semantic no-op (sf0.01 hashes unchanged).
   private val shingleCte =
     """words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS shingle
+      |sh AS MATERIALIZED (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS shingle
       |       FROM words, UNNEST(range(1, len(w)-3)) AS t(i))""".stripMargin
 
   private val K = 16
@@ -40,12 +46,16 @@ object PipelinesDedup {
 
   // full minhash-LSH pipeline as a CTE chain ending in `pairs` (shared by
   // dd3 and the dd6 grouping closure)
+  // sig/buckets/pairs MATERIALIZED for the same reason as `sh` above:
+  // buckets self-joins (2 refs), pairs feeds both directions of dd6/dd15's
+  // edge closure (2 refs) — inlined, each reference re-runs the whole
+  // upstream minhash pipeline
   private lazy val minhashPairCtes =
     s"""$shingleCte,
-       |sig AS (SELECT doc_id,
+       |sig AS MATERIALIZED (SELECT doc_id,
        |    $sigSelect
        |  FROM sh GROUP BY doc_id),
-       |buckets AS (
+       |buckets AS MATERIALIZED (
        |  $bandUnion),
        |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
        |         FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
@@ -54,7 +64,7 @@ object PipelinesDedup {
        |          FROM cand JOIN sh sa ON sa.doc_id = id1
        |          JOIN sh sb ON sb.doc_id = id2 AND sb.shingle = sa.shingle
        |          GROUP BY 1, 2),
-       |pairs AS (SELECT id1, id2, CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) AS jaccard
+       |pairs AS MATERIALIZED (SELECT id1, id2, CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) AS jaccard
        |          FROM inter JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
        |          WHERE CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) >= 0.8)""".stripMargin
 
@@ -370,8 +380,11 @@ object PipelinesDedup {
     // interesting reviews (paraphrases only semantics sees; boilerplate
     // edits only shingles see).
     QueryDef("dd18_method_agreement", {
+      // native vector product (6.7x the list-comprehension lambda in
+      // DuckDB 1.0; exact — products <= 64e12 < 2^53); the oracle's cost
+      // is 1.6M+ pairwise dots, where lambda overhead was the sf10 DNF
       def dot(a: String, b: String) =
-        s"CAST(list_sum([$a[i]*$b[i] FOR i IN range(1, 65)]) AS BIGINT)"
+        s"CAST(list_dot_product($a, $b) AS BIGINT)"
       def n2(a: String) = dot(a, a)
       def cos(d: String, na: String, nb: String) =
         s"CAST($d AS DOUBLE)/(sqrt(CAST($na AS DOUBLE))*sqrt(CAST($nb AS DOUBLE)))"
@@ -380,7 +393,7 @@ object PipelinesDedup {
          |q0 AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
          |         [CAST(ROUND(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) FOR x IN embedding] AS qe
          |       FROM embeddings),
-         |q AS (SELECT vec_id, qe, ${n2("qe")} AS n2 FROM q0),
+         |q AS MATERIALIZED (SELECT vec_id, qe, ${n2("qe")} AS n2 FROM q0),
          |seeds AS (SELECT vec_id AS cell, qe AS cent FROM q ORDER BY vec_id LIMIT 8),
          |sd AS (SELECT cell, cent, ${n2("cent")} AS c_n2 FROM seeds),
          |a0 AS (SELECT q.vec_id, q.qe, q.n2, sd.cell FROM q, sd
@@ -390,7 +403,7 @@ object PipelinesDedup {
          |       FROM a0, range(1, 65) t(i) GROUP BY cell, i),
          |cent AS (SELECT cell, list(s // c ORDER BY i) AS cent FROM cm GROUP BY cell),
          |cd AS (SELECT cell, cent, ${n2("cent")} AS c_n2 FROM cent),
-         |a1 AS (SELECT q.vec_id, q.qe, q.n2, cd.cell FROM q, cd
+         |a1 AS MATERIALIZED (SELECT q.vec_id, q.qe, q.n2, cd.cell FROM q, cd
          |       QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
          |         ORDER BY q.n2 - 2*${dot("q.qe", "cd.cent")} + cd.c_n2, cd.cell) = 1),
          |pr AS (SELECT DISTINCT a.vec_id FROM a1 a JOIN a1 b
@@ -556,7 +569,7 @@ object PipelinesDedup {
          |sig AS (SELECT doc_id,
          |    $sigSelect
          |  FROM sh GROUP BY doc_id),
-         |buckets AS (
+         |buckets AS MATERIALIZED (
          |  $bandUnion),
          |owners AS (SELECT bucket, MIN(doc_id) AS owner FROM buckets GROUP BY bucket),
          |flags AS (SELECT b.doc_id,
@@ -571,7 +584,7 @@ object PipelinesDedup {
          |q AS (SELECT dd.*,
          |        CASE WHEN f.doc_id IS NULL OR f.all_own = 1 THEN 1 ELSE 0 END AS keep
          |      FROM dd LEFT JOIN flags f ON f.doc_id = dd.doc_id),
-         |q2 AS (SELECT *, CASE WHEN keep = 1 AND tok >= 20 THEN 1 ELSE 0 END AS qual FROM q),
+         |q2 AS MATERIALIZED (SELECT *, CASE WHEN keep = 1 AND tok >= 20 THEN 1 ELSE 0 END AS qual FROM q),
          |ws AS (SELECT source, MIN(w) AS w FROM q2 GROUP BY 1),
          |tot AS (SELECT SUM(w) AS sw FROM ws),
          |b AS (SELECT source, w, 20000 * w // sw AS budget FROM ws, tot),

@@ -599,9 +599,9 @@ object Similarity {
     QueryDef("sim16_knn_increment",
       s"""WITH $quantCte,
          |sigs AS (SELECT a.vec_id, a.qe, a.n2, ${bandedSigSql("a", 6, 3)} AS bsigs FROM q a),
-         |e AS (SELECT vec_id, qe, n2, UNNEST(bsigs) AS sig FROM sigs),
+         |e AS MATERIALIZED (SELECT vec_id, qe, n2, UNNEST(bsigs) AS sig FROM sigs),
          |s AS (SELECT DISTINCT b.vec_id AS node_id, a.vec_id AS neighbor_id,
-         |        ${cosSql("CAST(list_sum([a.qe[i]*b.qe[i] FOR i IN range(1, len(a.qe)+1)]) AS BIGINT)", "a.n2", "b.n2")} AS cos
+         |        ${cosSql("CAST(list_dot_product(a.qe, b.qe) AS BIGINT)", "a.n2", "b.n2")} AS cos
          |      FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id <> b.vec_id),
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY node_id ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
          |SELECT node_id, neighbor_id, cos, CAST(rnk AS BIGINT) AS rnk
@@ -633,9 +633,9 @@ object Similarity {
          |        CAST(list_sum([qe[i]*qe[i] FOR i IN range(1, len(qe)+1)]) AS BIGINT) AS n2
          |      FROM q0),
          |sigs AS (SELECT a.vec_id, a.qe, a.n2, ${bandedSigSql("a", 6, 3)} AS bsigs FROM q a),
-         |e AS (SELECT vec_id, qe, n2, UNNEST(bsigs) AS sig FROM sigs),
+         |e AS MATERIALIZED (SELECT vec_id, qe, n2, UNNEST(bsigs) AS sig FROM sigs),
          |s AS (SELECT DISTINCT b.vec_id AS node_id, a.vec_id AS neighbor_id,
-         |        ${cosSql("CAST(list_sum([a.qe[i]*b.qe[i] FOR i IN range(1, len(a.qe)+1)]) AS BIGINT)", "a.n2", "b.n2")} AS cos
+         |        ${cosSql("CAST(list_dot_product(a.qe, b.qe) AS BIGINT)", "a.n2", "b.n2")} AS cos
          |      FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id <> b.vec_id),
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY node_id ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
          |SELECT node_id, neighbor_id, cos, CAST(rnk AS BIGINT) AS rnk
@@ -697,9 +697,9 @@ object Similarity {
            |       FROM l${i - 1} l LEFT JOIN b$i b USING(node))""".stripMargin
       s"""WITH $quantCte,
          |sigs AS (SELECT a.vec_id, a.qe, a.n2, ${bandedSigSql("a", 6, 3)} AS bsigs FROM q a),
-         |e AS (SELECT vec_id, qe, n2, UNNEST(bsigs) AS sig FROM sigs),
+         |e AS MATERIALIZED (SELECT vec_id, qe, n2, UNNEST(bsigs) AS sig FROM sigs),
          |s AS (SELECT DISTINCT b.vec_id AS node_id, a.vec_id AS neighbor_id,
-         |        ${cosSql("CAST(list_sum([a.qe[i]*b.qe[i] FOR i IN range(1, len(a.qe)+1)]) AS BIGINT)", "a.n2", "b.n2")} AS cos
+         |        ${cosSql("CAST(list_dot_product(a.qe, b.qe) AS BIGINT)", "a.n2", "b.n2")} AS cos
          |      FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id <> b.vec_id),
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY node_id ORDER BY cos DESC, neighbor_id) AS rnk FROM s),
          |knn AS (SELECT node_id, neighbor_id FROM r WHERE rnk <= 3),

@@ -878,15 +878,21 @@ object TextQueries {
     * vocab v$i. */
   private def bpeCtes(merges: Int): String = {
     val rounds = (1 to merges).map { i =>
+      // m$i / v$i MATERIALIZED: round i references v_{i-1} TWICE (pair
+      // count + replace), and the encode oracles cross-join EVERY m$i —
+      // DuckDB 1.0's default inlining re-expands each reference's whole
+      // upstream chain (2^rounds), the exact shape behind tx33's sf10
+      // DNF. Semantic no-op; sf0.01 hashes unchanged (tx30-tx33 share
+      // this trainer).
       s"""p$i AS (SELECT s[j] AS lhs, s[j+1] AS rhs, CAST(SUM(wc) AS BIGINT) AS freq
          |        FROM (SELECT string_split(trim(seq), ' ') AS s, wc FROM v${i - 1}),
          |             UNNEST(range(1, len(s))) AS t(j)
          |        GROUP BY 1, 2),
-         |m$i AS (SELECT lhs, rhs, freq FROM p$i ORDER BY freq DESC, lhs, rhs LIMIT 1),
-         |v$i AS (SELECT replace(seq, ' '||lhs||' '||rhs||' ', ' '||lhs||rhs||' ') AS seq, wc
+         |m$i AS MATERIALIZED (SELECT lhs, rhs, freq FROM p$i ORDER BY freq DESC, lhs, rhs LIMIT 1),
+         |v$i AS MATERIALIZED (SELECT replace(seq, ' '||lhs||' '||rhs||' ', ' '||lhs||rhs||' ') AS seq, wc
          |        FROM v${i - 1}, m$i)""".stripMargin
     }.mkString(",\n")
-    s"""v0 AS (
+    s"""v0 AS MATERIALIZED (
        |  SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq,
        |         CAST(COUNT(*) AS BIGINT) AS wc
        |  FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)

@@ -571,9 +571,24 @@ object ServerMain {
     spark.sparkContext.setLogLevel("WARN")
     graft.Sessions.tune(spark)
     val ctx = new GraftContext(spark, dataDir)
-    val stmtTimeout = sys.env.get("GRAFT_STATEMENT_TIMEOUT_MS").map(_.toLong).getOrElse(0L)
+    // deployment knobs (all optional; defaults match the reference):
+    //   GRAFT_STATEMENT_TIMEOUT_MS  cancel any statement running longer (0 = off)
+    //   GRAFT_GC_INTERVAL_MS        background vacuum sweep period (0 = off,
+    //                               reference misc.gc_interval default)
+    //   GRAFT_GC_GRACE_MS           sweep skips tables committed within this
+    //                               window (pinned-reader protection; in-flight
+    //                               writers additionally get WriterGraceMs)
+    def envMs(name: String, dflt: Long): Long =
+      sys.env.get(name).map { v =>
+        try v.trim.toLong
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"$name must be a millisecond count, got '$v'") }
+      }.getOrElse(dflt)
+    val stmtTimeout = envMs("GRAFT_STATEMENT_TIMEOUT_MS", 0L)
     val fe = new HttpFrontend(ctx, port,
       writeToken = sys.env.get("GRAFT_WRITE_TOKEN"), readToken = sys.env.get("GRAFT_READ_TOKEN"),
+      gcIntervalMs = envMs("GRAFT_GC_INTERVAL_MS", 0L),
+      gcGraceMs = envMs("GRAFT_GC_GRACE_MS", 10 * 60 * 1000L),
       statementTimeoutMs = stmtTimeout)
     fe.start()
     // optional PostgreSQL wire frontend (psql/BI tools)

@@ -273,8 +273,39 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
   private val generation = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Callers that mutate tables outside `execute` (upload/sync endpoints)
-    * must invalidate the registered views. */
-  def markDirty(): Unit = { catalogDirty = true; generation.incrementAndGet() }
+    * must invalidate the registered views. Also touches the catalog's
+    * cross-process trigger so OTHER server processes over this dataDir
+    * learn something changed (their poll in snapshotSession). */
+  def markDirty(): Unit = {
+    catalogDirty = true
+    generation.incrementAndGet()
+    lastSeenDataGen = catalog.touchDataGen() // own touch must not re-bump us
+  }
+
+  // --- cross-process staleness poll ----------------------------------------
+
+  // How often a read is willing to pay one tiny file read to discover
+  // another PROCESS's commits (in-process commits invalidate instantly via
+  // markDirty). Bounded staleness: a peer's write becomes visible within
+  // this window plus one snapshot rebuild. 0 disables polling (single-
+  // process deployments pay nothing).
+  private val dataGenPollMs: Long =
+    spark.conf.getOption("graft.catalog.pollMs").map(_.trim.toLong).getOrElse(250L)
+  @volatile private var lastSeenDataGen: String = catalog.readDataGen()
+  @volatile private var lastPollNanos: Long = 0L
+
+  private def pollPeerCommits(): Unit = {
+    if (dataGenPollMs <= 0) return
+    val now = System.nanoTime()
+    if (now - lastPollNanos < dataGenPollMs * 1000000L) return
+    lastPollNanos = now // racy double-poll is harmless (idempotent compare)
+    val seen = catalog.readDataGen()
+    if (seen != lastSeenDataGen) {
+      lastSeenDataGen = seen
+      catalogDirty = true
+      generation.incrementAndGet()
+    }
+  }
 
   // --- concurrent read path ----------------------------------------------
 
@@ -357,6 +388,7 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
     * generations are evicted from the cache; in-flight queries keep
     * their session object alive regardless. */
   private def snapshotSession(db: String): SparkSession = {
+    pollPeerCommits() // cross-process visibility, TTL-bounded
     require(catalog.listDatabases.contains(db), s"unknown database $db")
     val gen = generation.get()
     val s = readSessions.computeIfAbsent((db, gen), _ => buildSnapshot(db))
@@ -583,6 +615,7 @@ class GraftContext(val spark: SparkSession, val dataDir: String) {
 
   /** Execute one statement; returns its result (DDL/DML → empty). */
   def execute(sql: String): DataFrame = {
+    pollPeerCommits() // another process's commits, TTL-bounded (reads too)
     val res = executeInternal(sql)
     if (!isReadOnly(sql)) markDirty() // writes invalidate registered views
     res

@@ -834,6 +834,54 @@ class ContextSpec extends SparkSpec {
     assert(!o.contains("{\"1\":1}"), o)
   }
 
+  test("shell REPL statement timeout: the runaway statement dies, the session survives") {
+    val c = ctx()
+    val bytes = new java.io.ByteArrayOutputStream()
+    val out = new java.io.PrintStream(bytes, true, "UTF-8")
+    val script = Seq(
+      "CREATE TABLE tm (id BIGINT);",
+      "INSERT INTO tm VALUES (7);",
+      // a scan far past the 8 s budget (same monster shape the serving
+      // tier's cancel tests use) — the timeout must cancel it. Budget
+      // >= 5 s: a cold snapshot rebuild + the cancelled tasks' drain
+      // both land inside the NEXT statement's window (verify skill note)
+      "SELECT max(a.id * b.id) AS m FROM range(2000000) a CROSS JOIN range(2000000) b;",
+      // ...and the NEXT statement (fresh job group) must still run
+      "SELECT id FROM tm;")
+    graft.Shell.repl(c, script.iterator, out, statementTimeoutMs = 8000)
+    val o = bytes.toString("UTF-8")
+    assert(o.contains("error:"), o)        // the timeout surfaced, loudly
+    assert(o.contains(""""id":7"""), o)    // session usable afterwards
+  }
+
+  test("peer-process commits become visible through the catalog trigger poll") {
+    // two contexts over ONE dataDir = the two-server deployment shape.
+    // B's snapshot cache is keyed by ITS generation; without the trigger
+    // poll a peer's DML (which never rewrites the catalog state file)
+    // would stay invisible forever. pollMs=1 makes the bound tight here;
+    // production default is 250 ms of staleness.
+    val dir = tmpDir("graft-xproc")
+    val a = new GraftContext(spark, dir)
+    val b = {
+      val s = org.apache.spark.sql.GraftSessions.cloneSession(spark)
+      s.conf.set("graft.catalog.pollMs", "1")
+      new GraftContext(s, dir)
+    }
+    a.execute("CREATE TABLE xp (id BIGINT)")
+    a.execute("INSERT INTO xp VALUES (1)")
+    Thread.sleep(5)
+    // DDL + first write visible to B (fresh catalog load + trigger)
+    assert(b.executeRead("SELECT count(*) AS n FROM xp").collect().head.getLong(0) === 1L)
+    // a subsequent peer DML — the case the catalog file alone can't signal
+    a.execute("INSERT INTO xp VALUES (2)")
+    Thread.sleep(5)
+    assert(b.executeRead("SELECT count(*) AS n FROM xp").collect().head.getLong(0) === 2L)
+    // and B's writes flow back to A the same way
+    b.execute("INSERT INTO xp VALUES (3)")
+    Thread.sleep(5)
+    assert(a.executeRead("SELECT count(*) AS n FROM xp").collect().head.getLong(0) === 3L)
+  }
+
   test("CREATE is publish-last: a lost name race cleans its storage, winner intact") {
     val c = ctx()
     var loserRoot: String = null
