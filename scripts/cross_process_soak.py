@@ -64,6 +64,10 @@ def http(method, url, body=None, token=None, timeout=120):
             return r.status, r.read().decode()
     except urllib.error.HTTPError as e:
         return e.code, e.read().decode()
+    except Exception as e:
+        # network-level failure (timeout, reset): surface as a status the
+        # caller counts as a failure instead of killing the load thread
+        return -1, f"{type(e).__name__}: {e}"
 
 
 def q_get(base, sql):

@@ -41,6 +41,11 @@ trait CommitStore {
     * should return their delegate's value; stores whose objects live
     * elsewhere (the in-memory test store) return false. */
   def readableViaLakeIO: Boolean = false
+
+  /** Read back an advisory object; None when absent (or the store can't
+    * read). Used by the MONOTONE hint update (Manifest.refreshHint) so a
+    * slow committer's late hint write can't regress the checkpoint. */
+  def getOpt(path: Path): Option[String] = None
 }
 
 /** Default store: the Hadoop FileSystem commit path (see
@@ -52,6 +57,8 @@ object FileSystemCommitStore extends CommitStore {
     LakeIO.writeAtomic(path, content, failIfExists = false); ()
   }
   override def readableViaLakeIO: Boolean = true
+  override def getOpt(path: Path): Option[String] =
+    if (LakeIO.exists(path)) Some(LakeIO.readString(path)) else None
 }
 
 /** Conditional-put semantics in memory: one atomic compare-and-insert per
@@ -70,5 +77,6 @@ final class InMemoryCommitStore extends CommitStore {
   }
 
   def get(path: Path): Option[String] = Option(objects.get(path.toString))
+  override def getOpt(path: Path): Option[String] = get(path)
   def size: Int = objects.size()
 }

@@ -272,6 +272,16 @@ class GraftTable(val spark: SparkSession, val root: String) {
     // data parquet is on disk, manifest is not: a death here must leave
     // the table at `base` with only VACUUM-collectable orphans
     Faults.crashPoint("pre-manifest")
+    // stale-anchor guard (round-17 soak): create-if-absent alone cannot
+    // reject an anchor whose successor SLOT was vacuumed open — re-resolve
+    // the tip right before the create and conflict if the chain moved.
+    // One hint read per commit; the fork now needs the chain to advance
+    // AND be vacuumed inside this check-to-create window (microseconds)
+    // instead of the whole statement duration (seconds-minutes).
+    val tip = Manifest.latestVersion(root)
+    if (tip.exists(_ != base.version))
+      throw new Manifest.CommitConflict(
+        s"stale anchor: planned against v${base.version} but tip is v${tip.get} at $root")
     Manifest.commit(root,
       TableManifest(next, System.currentTimeMillis, schemaJson, files, dropped, sync))
     GraftTable.onCommit(root, next)
@@ -716,7 +726,25 @@ class GraftTable(val spark: SparkSession, val root: String) {
           LakeIO.statusOpt(LakeIO.path(root, p)).forall(_.getModificationTime <= ageCutoff)
       }
       .foreach(p => LakeIO.delete(LakeIO.path(root, p)))
-    val oldVersions = versions.filterNot(retained.contains)
+    // CHAIN-REWIND guards (round-17 cross-process soak caught the real
+    // loss): deleting an old version FILE reopens its version SLOT for
+    // create-if-absent — a writer whose anchor predates that version can
+    // then commit into the hole, forking the chain; with the hint also
+    // regressed, latestVersion() resolves the fork and every commit
+    // between fork and true tip is silently dropped. Three layers close
+    // it: (1) refresh the hint to the retained tip BEFORE any manifest
+    // deletion (and hint writes are monotone — Manifest.refreshHint);
+    // (2) background sweeps age-guard old manifests exactly like data
+    // files (minUnrefFileAgeMs): a slot is reopened only once it has
+    // been SUPERSEDED for longer than any anchor-to-commit window —
+    // Delta's log-retention argument; (3) commitNext re-resolves the tip
+    // right before the slot create and conflicts a stale anchor.
+    Manifest.refreshHint(root, retained.last)
+    val oldVersions = versions.filterNot(retained.contains).filter { v =>
+      minUnrefFileAgeMs <= 0L ||
+        LakeIO.statusOpt(Manifest.versionPath(root, v))
+          .forall(_.getModificationTime <= ageCutoff)
+    }
     oldVersions.foreach { v =>
       LakeIO.delete(Manifest.versionPath(root, v))
       Manifest.evict(root, v)
@@ -770,15 +798,23 @@ object GraftTable {
     * store fails loudly instead of spinning forever. */
   val MaxCommitRetries: Int = 50
 
-  /** Floor on `vacuum`'s unreferenced-file age guard for BACKGROUND
-    * sweeps: an unreferenced data file younger than this is presumed to
-    * be an in-flight commit's payload (writers put parquet before the
-    * manifest CAS that references it) and survives until the next sweep.
-    * 60 s is orders of magnitude above any single commit's write→CAS
-    * window while delaying true garbage collection by at most one sweep
-    * interval. Explicit `VACUUM TABLE` keeps the reference's
-    * delete-immediately behavior (age 0). */
-  val WriterGraceMs: Long = 60 * 1000L
+  /** Floor on `vacuum`'s age guard for BACKGROUND sweeps, covering BOTH
+    * unreferenced data files (an in-flight commit's payload — writers
+    * put parquet before the manifest CAS that references it) AND
+    * superseded version manifests (deleting one reopens its version SLOT
+    * for create-if-absent — the chain-rewind hazard the round-17
+    * cross-process soak caught as real data loss). The guard must exceed
+    * any statement's anchor-to-commit window; 5 min covers everything a
+    * bounded statement timeout allows while delaying true garbage by at
+    * most one sweep interval (storage cost: tiny JSON manifests + dead
+    * parquet linger one window longer). Deployments running UNBOUNDED
+    * statements against concurrent background GC should raise
+    * GRAFT_GC_GRACE_MS to their longest expected statement — the same
+    * time-retention argument Delta makes for its 30-day log cleanup.
+    * Explicit `VACUUM TABLE` keeps the reference's delete-immediately
+    * behavior (age 0) and with it the documented concurrent-writer
+    * hazard. */
+  val WriterGraceMs: Long = 5 * 60 * 1000L
 
   /** Observability seam: invoked after EVERY successful manifest commit
     * with (tableRoot, newVersion). The concurrent-writer DML fuzz hooks

@@ -358,7 +358,25 @@ object Manifest {
     // must leave it resolvable (readers probe past the stale hint)
     Faults.crashPoint("post-manifest")
     // best-effort checkpoint: readers fall back to a LIST if this is lost
-    try store.put(hintPath(tableRoot), m.version.toString)
-    catch { case scala.util.control.NonFatal(_) => () }
+    refreshHint(tableRoot, m.version, store)
   }
+
+  /** MONOTONE best-effort hint update: never writes a value at or below
+    * the current one. The plain unconditional write let a SLOW committer
+    * REGRESS the hint (its post-commit hint write landing after faster
+    * commits advanced it) — and a regressed hint pointing below a
+    * VACUUM-pruned gap makes the forward probe stop early, resolving an
+    * ancient version as "latest". That mis-resolution was one leg of the
+    * chain-rewind data loss the cross-process soak caught (round 17);
+    * see GraftTable.vacuum for the other legs. Read-check-write still
+    * races, but the window is the microseconds between the read and the
+    * write, not the SECONDS a statement spends between commit and hint
+    * update. Failures are swallowed: the hint is advisory. */
+  def refreshHint(tableRoot: String, v: Long,
+                  store: CommitStore = FileSystemCommitStore): Unit =
+    try {
+      val cur = store.getOpt(hintPath(tableRoot)).map(_.trim.toLong)
+        .getOrElse(Long.MinValue)
+      if (v > cur) store.put(hintPath(tableRoot), v.toString)
+    } catch { case scala.util.control.NonFatal(_) => () }
 }

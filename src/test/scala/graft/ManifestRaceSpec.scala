@@ -154,6 +154,61 @@ class ManifestRaceSpec extends SparkSpec {
     intercept[java.io.FileNotFoundException](Manifest.read(root, 0L)) // pinned reads stay loud
   }
 
+  test("a stale anchor cannot commit into a vacuumed version slot (chain-rewind guard)") {
+    // The round-17 cross-process soak caught REAL data loss: a slow
+    // writer anchored at v5 commits v6 by create-if-absent AFTER a sweep
+    // deleted v6's file — the reopened slot accepts the create, forking
+    // the chain; with the hint regressed, every commit v6..tip is then
+    // silently dropped. commitNext now re-resolves the tip immediately
+    // before the create and conflicts the stale anchor instead.
+    import spark.implicits._
+    val root = tmpDir("graft-rewind")
+    val t = graft.lake.GraftTable.create(spark, root,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))))
+    (1 to 10).foreach(i => t.append(Seq(i.toLong).toDF("id"))) // v1..v10
+    val m5 = Manifest.read(root, 5L)
+    // reopen slot 6 the way an (age-guard-bypassed) sweep would
+    graft.lake.LakeIO.delete(Manifest.versionPath(root, 6L))
+    Manifest.evict(root, 6L)
+    val e = intercept[Manifest.CommitConflict] {
+      t.replaceFiles(m5, Seq.empty, m5.files, Seq(99L).toDF("id"))
+    }
+    assert(e.getMessage.contains("stale anchor"), e.getMessage)
+    // the chain is intact: tip still v10, all ten rows readable
+    assert(Manifest.latestVersion(root) === Some(10L))
+    assert(t.read().count() === 10L)
+  }
+
+  test("hint writes are monotone, and vacuum repairs the hint before pruning slots") {
+    // the other two rewind legs: a slow committer's LATE hint write used
+    // to regress the checkpoint, and a sweep used to delete old version
+    // files while the hint pointed below them — forward-probing from the
+    // regressed hint then stopped at the hole and resolved an ancient
+    // version as "latest"
+    import spark.implicits._
+    val root = tmpDir("graft-hint")
+    val t = graft.lake.GraftTable.create(spark, root,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))))
+    (1 to 10).foreach(i => t.append(Seq(i.toLong).toDF("id"))) // v1..v10
+    val hint = graft.lake.LakeIO.path(root, "_log/_latest.hint")
+    def hintVal = graft.lake.LakeIO.readString(hint).trim
+    assert(hintVal === "10")
+    // a late, lower hint write is a no-op now (monotone)
+    Manifest.refreshHint(root, 3L)
+    assert(hintVal === "10")
+    // simulate the legacy regressed state directly, then vacuum: it must
+    // repair the hint to the retained tip BEFORE deleting old slots
+    graft.lake.LakeIO.writeString(hint, "3")
+    t.vacuum()
+    assert(hintVal === "10")
+    assert(Manifest.latestVersion(root) === Some(10L)) // not "3"
+    assert(t.read().count() === 10L)
+  }
+
   test("snapshot rebuild vs background GC sweep: a served SELECT never fails " +
     "on a concurrently vacuumed version") {
     // The round-16 judge's full-suite run caught a pure SELECT failing
@@ -194,9 +249,25 @@ class ManifestRaceSpec extends SparkSpec {
       ctx.execute(s"INSERT INTO rt$i VALUES ($i, 'x')")
       ()
     }
+    // The background sweep now age-guards superseded manifests (5-min
+    // floor — the chain-rewind fix), so gcSweep(0) can no longer delete
+    // the FRESH manifests this churn produces. Prune them directly —
+    // byte-for-byte what a sweep does to manifests older than the floor
+    // (delete non-latest version files + evict) — so the reader-facing
+    // race this test exists for (enumeration vs vanishing version files)
+    // still happens hundreds of times per run. gcSweep itself still runs
+    // for the ledger/orphan arms.
     val gc = loop("gc") {
-      val (_, _, v) = ctx.gcSweep(graceMs = 0L)
-      versionsPruned.addAndGet(v); ()
+      ctx.gcSweep(graceMs = 0L)
+      for (db <- ctx.catalog.listDatabases; (_, _, uuid) <- ctx.catalog.listTables(db)) {
+        val root = ctx.catalog.tableRoot(uuid)
+        graft.lake.Manifest.listVersions(root).dropRight(1).foreach { v =>
+          if (graft.lake.LakeIO.delete(graft.lake.Manifest.versionPath(root, v))) {
+            graft.lake.Manifest.evict(root, v)
+            versionsPruned.incrementAndGet()
+          }
+        }
+      }
     }
     // two readers on the SERVED path (full snapshot rebuild incl. system
     // tables) + one hammering the racing enumeration directly for a much
