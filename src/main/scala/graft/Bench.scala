@@ -44,6 +44,11 @@ object Bench {
       // ones keep full parallelism
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", (8L << 20).toString)
+      // NOTE (measured, round 18): splitting the ~10 MB single-row-group
+      // bench files into one-file-per-task scans (maxPartitionBytes 16 MB)
+      // made the heavy queries 1.6-2.3x SLOWER at sf1 — more map tasks
+      // multiply partial-agg group duplication into the shuffle on the
+      // high-cardinality groupBys. The 128 MB default stays.
       // 57 queries x several codegen'd stages each overflow the default
       // 100-entry generated-class cache, so every rep re-pays Janino
       // compilation for every query; size the cache to the workload

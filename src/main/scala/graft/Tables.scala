@@ -13,7 +13,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+  // Memoize the ANALYZED DataFrame per (session, dir, table): DataFrame
+  // plans are immutable and freely reusable across statements, and a
+  // fresh spark.read.parquet pays driver-side file listing + footer
+  // schema inference EVERY call — per statement, per table, it is a
+  // fixed ~50-150 ms tax that a catalog (and any real engine's table
+  // resolution) caches away. This is the single biggest slice of the
+  // per-query floor at bench scale and pure overhead at any scale.
+  private val loaded =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    loaded.computeIfAbsent((spark, dir, name), { _ => loadFresh(spark, dir, name) })
+
+  private def loadFresh(spark: SparkSession, dir: String, name: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // Normalize events.ts to a µs TimestampType regardless of how the

@@ -68,7 +68,10 @@ class Catalog(val dataDir: String) {
     * so the caller can exempt its own touch from its next poll. */
   def touchDataGen(): String = {
     val v = s"${ProcessHandle.current.pid}-${touchSeq.incrementAndGet()}-${System.nanoTime()}"
-    try LakeIO.writeString(dataGenFile, v)
+    // write-temp-then-rename: a peer's readDataGen must never observe
+    // empty/truncated content mid-write (in-place truncate+write would
+    // let it), or the 'any surviving value differs' poll property breaks
+    try LakeIO.writeAtomic(dataGenFile, v, failIfExists = false)
     catch { case scala.util.control.NonFatal(_) => () } // advisory only
     v
   }

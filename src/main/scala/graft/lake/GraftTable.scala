@@ -703,10 +703,24 @@ class GraftTable(val spark: SparkSession, val root: String) {
     require(retainVersions >= 1, s"must retain >= 1 versions, got $retainVersions")
     val versions = Manifest.listVersions(root).sorted
     val retained = versions.takeRight(retainVersions)
-    val manifests = retained.map(v => Manifest.read(root, v))
+    val ageCutoff = System.currentTimeMillis() - minUnrefFileAgeMs
+    // Decide manifest survival FIRST so the data-file keep-set can be
+    // symmetric with it: a young superseded manifest survives the age
+    // guard below, so every data file it references must survive this
+    // sweep too — otherwise history()/time-travel lists a version whose
+    // read FNFs for up to the grace window instead of a clean
+    // version-not-found once the manifest is actually pruned.
+    val oldVersions = versions.filterNot(retained.contains).filter { v =>
+      minUnrefFileAgeMs <= 0L ||
+        LakeIO.statusOpt(Manifest.versionPath(root, v))
+          .forall(_.getModificationTime <= ageCutoff)
+    }
+    val survivingOld = versions.filterNot(retained.contains)
+      .filterNot(oldVersions.contains)
+    val manifests = retained.map(v => Manifest.read(root, v)) ++
+      survivingOld.flatMap(v => Manifest.readOpt(root, v))
     val keep = manifests.flatMap(_.files.map(_.path)).toSet
     val dataFiles = listDataFiles()
-    val ageCutoff = System.currentTimeMillis() - minUnrefFileAgeMs
     val toDelete = dataFiles.filterNot(keep.contains).filter { p =>
       minUnrefFileAgeMs <= 0L ||
         LakeIO.statusOpt(LakeIO.path(root, p)).forall(_.getModificationTime <= ageCutoff)
@@ -740,11 +754,6 @@ class GraftTable(val spark: SparkSession, val root: String) {
     // Delta's log-retention argument; (3) commitNext re-resolves the tip
     // right before the slot create and conflicts a stale anchor.
     Manifest.refreshHint(root, retained.last)
-    val oldVersions = versions.filterNot(retained.contains).filter { v =>
-      minUnrefFileAgeMs <= 0L ||
-        LakeIO.statusOpt(Manifest.versionPath(root, v))
-          .forall(_.getModificationTime <= ageCutoff)
-    }
     oldVersions.foreach { v =>
       LakeIO.delete(Manifest.versionPath(root, v))
       Manifest.evict(root, v)

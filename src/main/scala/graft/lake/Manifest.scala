@@ -375,8 +375,14 @@ object Manifest {
   def refreshHint(tableRoot: String, v: Long,
                   store: CommitStore = FileSystemCommitStore): Unit =
     try {
-      val cur = store.getOpt(hintPath(tableRoot)).map(_.trim.toLong)
-        .getOrElse(Long.MinValue)
+      // parse failure of the EXISTING hint (torn/corrupt content) must not
+      // abort the refresh — treat it as MinValue so the monotone write
+      // overwrites and self-heals it; otherwise every later refresh throws
+      // before the put and latestVersion degrades to a full LIST forever
+      val cur =
+        try store.getOpt(hintPath(tableRoot)).map(_.trim.toLong)
+          .getOrElse(Long.MinValue)
+        catch { case scala.util.control.NonFatal(_) => Long.MinValue }
       if (v > cur) store.put(hintPath(tableRoot), v.toString)
     } catch { case scala.util.control.NonFatal(_) => () }
 }

@@ -455,7 +455,14 @@ class HttpSpec extends SparkSpec {
     assert(rows === Seq("{\"id\":1,\"v\":5.0}", "{\"id\":2,\"v\":6.0}"), rows)
   }
 
-  test("background GC sweep vacuums old versions on the configured interval") {
+  test("background GC sweep age-guards fresh manifests; explicit VACUUM prunes now") {
+    // The sweep contract after the chain-rewind fix (GraftTable.WriterGraceMs):
+    // a BACKGROUND sweep must NOT delete a version manifest superseded more
+    // recently than the writer-grace floor — deleting one reopens its version
+    // slot for create-if-absent, and a writer anchored before that version
+    // could commit into the hole, forking the chain (real data loss, caught
+    // by the round-17 cross-process soak). Explicit VACUUM TABLE keeps the
+    // reference's delete-immediately behavior.
     post("/q", "CREATE TABLE gc_t (id BIGINT)", auth)
     post("/q", "INSERT INTO gc_t VALUES (1); INSERT INTO gc_t VALUES (2)", auth)
     val root = ctx.catalog.tableRoot(
@@ -465,11 +472,16 @@ class HttpSpec extends SparkSpec {
       gcIntervalMs = 200, gcGraceMs = 0)
     gfe.start()
     try {
-      val deadline = System.currentTimeMillis + 10000
-      while (graft.lake.Manifest.listVersions(root).size > 1 &&
-          System.currentTimeMillis < deadline) Thread.sleep(100)
-      // the sweep ran unprompted: only the latest manifest survives, and
-      // the table still reads correctly
+      // Arm 1: let several sweep intervals elapse; the just-written
+      // superseded manifests are younger than WriterGraceMs, so the
+      // background sweep must retain ALL of them.
+      Thread.sleep(1200)
+      assert(graft.lake.Manifest.listVersions(root).size >= 3,
+        "background sweep deleted a manifest inside the writer-grace window")
+      // Arm 2: explicit VACUUM TABLE is the operator's informed choice and
+      // prunes immediately (age 0), leaving only the retained tip; the
+      // table still reads correctly afterwards.
+      post("/q", "VACUUM TABLE gc_t", auth)
       assert(graft.lake.Manifest.listVersions(root).size === 1)
       val rows = get("/q/" + java.net.URLEncoder.encode(
         "SELECT count(*) AS n FROM gc_t", UTF_8)).body()

@@ -109,6 +109,42 @@ class LakeSpec extends SparkSpec {
     assert(t.read().count() === 2) // latest version intact
   }
 
+  test("age-guarded vacuum keeps data files of surviving superseded manifests") {
+    // The asymmetry this pins: a superseded manifest YOUNGER than the age
+    // guard survives the sweep, so any OLD data file it references (even
+    // one the retained tip dropped) must survive too — otherwise
+    // history()/time-travel lists a version whose read FNFs until the
+    // manifest itself ages out.
+    val t = freshTable(Seq((1L, "a", 1.0)))         // v0 create + v1 append (file F1)
+    t.append(Seq((2L, "b", 2.0)).toDF("id", "name", "score")) // v2: refs F1+F2
+    t.update(Seq("score" -> "0.0"), None)            // v3 tip: rewrites everything → F3 only
+    // Backdate v0/v1 manifests AND v2's data files past the guard, keeping
+    // v2's MANIFEST young — the exact shape the asymmetry bites: old files
+    // uniquely referenced by a young surviving manifest.
+    val old = System.currentTimeMillis() - 10 * 60 * 1000L
+    Seq(0L, 1L).foreach { v =>
+      new java.io.File(new java.net.URI(Manifest.versionPath(t.root, v).toString).getPath)
+        .setLastModified(old)
+    }
+    Manifest.read(t.root, 2L).files.foreach { f =>
+      new java.io.File(new java.net.URI(
+        graft.lake.LakeIO.path(t.root, f.path).toUri.toString).getPath)
+        .setLastModified(old)
+    }
+    val (_, versionsPruned) = t.vacuum(1, minUnrefFileAgeMs = 60 * 1000L)
+    // v0/v1 manifests are past the guard → pruned; v2 is young → survives
+    assert(versionsPruned === 2)
+    val left = Manifest.listVersions(t.root).sorted
+    assert(left === Seq(2L, 3L), left)
+    // the surviving superseded v2 must still READ — its old file F1 was
+    // dropped by the tip but is kept because v2's manifest survived
+    assert(t.read(Some(2L)).count() === 2)
+    assert(t.read().count() === 2) // tip intact
+    // explicit full vacuum (age 0) then prunes v2 immediately
+    t.vacuum(1)
+    assert(Manifest.listVersions(t.root) === Seq(3L))
+  }
+
   test("pruning is conservative and correct") {
     val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0), (10L, "c", 3.0)), maxPerFile = 2)
     val m = t.latestManifest
