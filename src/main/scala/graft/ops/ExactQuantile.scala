@@ -97,6 +97,17 @@ object ExactQuantile {
       .select(col("__k"), col("__s.__i").as("__i"), col("__s.value").as("value"), col("n"))
   }
 
+  /** Exact order statistics at caller-supplied 1-based rank EXPRESSIONS
+    * (SQL in terms of `__n`, the per-key row count) — the generalized
+    * entry behind rankStatsByKey for callers whose ranks are not
+    * percentile-shaped (q46's equi-depth bin boundaries: ranks in terms
+    * of `__n DIV k` and `__n % k`). Same ONE-histogram + ONE-refine
+    * distributed shape; returns (__k, __i = index into rankExprs, value, n).
+    */
+  def orderStatsAtRankExprs(df: DataFrame, key: Column, value: Column,
+                            rankExprs: Seq[String], bucketShift: Int = 14): DataFrame =
+    orderStatsAtRanks(df, key, value, rankExprs, bucketShift)
+
   private def orderStatsAtRanks(df: DataFrame, key: Column, value: Column,
                                 rankExprs: Seq[String], bucketShift: Int): DataFrame = {
     val vals = df.select(key.as("__k"), value.as("__v")).filter(col("__v").isNotNull)

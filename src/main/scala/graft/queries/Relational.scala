@@ -1056,20 +1056,41 @@ object Relational {
         |  CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(MIN(c) AS BIGINT) AS lo_cents, CAST(MAX(c) AS BIGINT) AS hi_cents
         |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
-      // NOT Window.partitionBy(f).ntile: parallelism would equal the key
-      // cardinality (3 monster sort tasks at scale — measured 9.8 s at
-      // sf1). DistributedRank evaluates the identical assignment with
-      // slices × keys parallelism via range-partitioned local ranks + a
-      // tiny broadcast offset table.
+      // Equi-depth bins WITHOUT materializing a per-row ntile: the bin
+      // order's LEADING key is c, so a bin's min/max c are simply the
+      // values at the bin's first/last global rank — 20 exact order
+      // statistics from ONE histogram + ONE refine pass (ExactQuantile) —
+      // and the bin SIZES are pure arithmetic on the per-key count
+      // (standard ntile: the first n % k bins absorb the remainder). The
+      // tie-break columns (l_orderkey, l_linenumber) order rows only
+      // WITHIN equal-c runs, so they cannot move any bin's min/max c:
+      // this assignment-free spelling is value-identical to windowed
+      // NTILE for every input. The old path ranked every row (windowed
+      // ntile below the 16 MiB gate / DistributedRank slices above it) —
+      // a full per-key sort of the corpus, ~1.0 s of sort+agg at sf0.1
+      // and the dominant q46 cost at sf1; ranks-only needs no row ever
+      // sorted.
       val b = li(s, d)
-        .select(col("l_returnflag").as("f"), col("l_orderkey"), col("l_linenumber"),
+        .select(col("l_returnflag").as("f"),
           round(col("l_extendedprice") * 100).cast(LongType).as("c"))
-      graft.ops.DistributedRank.ntileByKey(b, Seq("f"),
-          Seq("c", "l_orderkey", "l_linenumber"), k = 10)
-        .groupBy("f", "bin")
-        .agg(count(lit(1)).as("n"), min("c").as("lo_cents"), max("c").as("hi_cents"))
-        .select(col("f").as("l_returnflag"), col("bin"), col("n"),
-          col("lo_cents"), col("hi_cents"))
+      def binEnd(i: Int) =
+        s"(CAST($i AS BIGINT) * (__n DIV 10) + LEAST(CAST($i AS BIGINT), __n % 10))"
+      val ranks = (1 to 10).flatMap(i => Seq(s"(${binEnd(i - 1)} + 1)", binEnd(i)))
+      val stats = graft.ops.ExactQuantile
+        .orderStatsAtRankExprs(b, col("f"), col("c"), ranks)
+      val acc = first(col("n")).as("n") +: (1 to 10).flatMap(i => Seq(
+        max(when(col("__i") === (i - 1) * 2, col("value"))).as(s"lo$i"),
+        max(when(col("__i") === (i - 1) * 2 + 1, col("value"))).as(s"hi$i")))
+      def endN(i: Int) =
+        s"(CAST($i AS BIGINT) * (n DIV 10) + LEAST(CAST($i AS BIGINT), n % 10))"
+      val rows = (1 to 10).map(i => struct(lit(i.toLong).as("bin"),
+        expr(s"${endN(i)} - ${endN(i - 1)}").as("nb"),
+        col(s"lo$i").as("lo_cents"), col(s"hi$i").as("hi_cents")))
+      stats.groupBy(col("__k").as("f")).agg(acc.head, acc.tail: _*)
+        .select(col("f"), explode(array(rows: _*)).as("s"))
+        .select(col("f").as("l_returnflag"), col("s.bin").as("bin"),
+          col("s.nb").as("n"), col("s.lo_cents"), col("s.hi_cents"))
+        .filter(col("n") > 0) // ntile emits no empty bins (n < 10 keys)
         .orderBy("l_returnflag", "bin")
     },
 
@@ -1191,31 +1212,53 @@ object Relational {
       // every bench SF — the loop is exercised, not unrolled away); the
       // edge table is 8× |part| rows, broadcastable at any SF where part
       // itself is (it would be bucketed at cluster scale).
-      val allEdges = part(s, d)
-        .select(expr("CAST(FLOOR(p_partkey / 2) AS BIGINT)").as("parent"),
-          col("p_partkey").as("child"))
-      // prune to LIVE edges: the frontier only ever holds real parts, so
-      // an edge whose parent id is not itself a part can never fire —
-      // with sparse keys this semi-join shrinks the hop table from
-      // O(|part|) to O(|reachable subtree|) before composition
-      val edges = allEdges.join(
-        broadcast(part(s, d).select(col("p_partkey").as("parent"))),
-        Seq("parent"), "leftsemi")
-      val h1 = edges.select(col("parent"), col("child"), lit(1L).as("d")).persist()
-      // doubling build: H(1..2k) = H(1..k) ∪ H(1..k)∘h(k) — 2·log2(B)
-      // joins instead of B-1 for batch size B, one broadcast of the
-      // composing relation per doubling step
-      val hops = (1 to 3).foldLeft((h1, h1)) { case ((acc, hk), _) =>
-        val h2k = hk.alias("a")
-          .join(broadcast(hk.alias("b")), col("a.child") === col("b.parent"))
-          .select(col("a.parent"), col("b.child").as("child"),
-            (col("a.d") + col("b.d")).as("d"))
-        val acc2 = acc.unionByName(acc.alias("a")
-          .join(broadcast(hk.alias("b")), col("a.child") === col("b.parent"))
-          .select(col("a.parent"), col("b.child").as("child"),
-            (col("a.d") + col("b.d")).as("d")))
-        (acc2, h2k)
-      }._1.persist()
+      // Dense-domain fast path (one 1-row aggregate decides): the BOM is
+      // arithmetic (parent = floor(child/2) = child >> 1), so a d-hop
+      // ancestor is child >> d and every intermediate node child >> j
+      // (j < d) sits BETWEEN parent and child in key value. When the part
+      // key domain is a dense interval [kmin, kmax] — count == span, true
+      // for this generator at every SF — each intermediate is therefore
+      // itself a part, and the 1..8-hop edge table is EXACTLY
+      // {(c >> d, c, d) : c ∈ part, c >> d ≥ kmin}: a projection + an
+      // 8-row explode, ZERO joins. The sparse-domain fallback below keeps
+      // the bit-equal doubling build (whose joins enforce intermediate
+      // existence row by row); the old path cost 6 broadcast joins + 2
+      // persists = 19 jobs, ~0.8 s of pure job-chain floor at sf0.1.
+      val mm = part(s, d).agg(min("p_partkey"), max("p_partkey"), count(lit(1))).head()
+      val dense = mm.getLong(2) > 0 && mm.getLong(1) - mm.getLong(0) + 1 == mm.getLong(2)
+      val hops = (if (dense) {
+        part(s, d).select(col("p_partkey").as("child"))
+          .select(explode(expr("sequence(1, 8)")).as("hd"), col("child"))
+          .select(expr("shiftright(child, hd)").as("parent"), col("child"),
+            col("hd").cast(LongType).as("d"))
+          .filter(col("parent") >= lit(mm.getLong(0)))
+      } else {
+        val allEdges = part(s, d)
+          .select(expr("CAST(FLOOR(p_partkey / 2) AS BIGINT)").as("parent"),
+            col("p_partkey").as("child"))
+        // prune to LIVE edges: the frontier only ever holds real parts, so
+        // an edge whose parent id is not itself a part can never fire —
+        // with sparse keys this semi-join shrinks the hop table from
+        // O(|part|) to O(|reachable subtree|) before composition
+        val edges = allEdges.join(
+          broadcast(part(s, d).select(col("p_partkey").as("parent"))),
+          Seq("parent"), "leftsemi")
+        val h1 = edges.select(col("parent"), col("child"), lit(1L).as("d")).persist()
+        // doubling build: H(1..2k) = H(1..k) ∪ H(1..k)∘h(k) — 2·log2(B)
+        // joins instead of B-1 for batch size B, one broadcast of the
+        // composing relation per doubling step
+        (1 to 3).foldLeft((h1, h1)) { case ((acc, hk), _) =>
+          val h2k = hk.alias("a")
+            .join(broadcast(hk.alias("b")), col("a.child") === col("b.parent"))
+            .select(col("a.parent"), col("b.child").as("child"),
+              (col("a.d") + col("b.d")).as("d"))
+          val acc2 = acc.unionByName(acc.alias("a")
+            .join(broadcast(hk.alias("b")), col("a.child") === col("b.parent"))
+            .select(col("a.parent"), col("b.child").as("child"),
+              (col("a.d") + col("b.d")).as("d")))
+          (acc2, h2k)
+        }._1
+      }).persist()
       hops.createOrReplaceTempView("q49_hops")
       part(s, d).select(col("p_partkey"), col("p_retailprice"))
         .createOrReplaceTempView("q49_part")

@@ -36,18 +36,30 @@ object ProbeStages {
     spark.catalog.clearCache()
 
     case class St(id: Int, name: String, tasks: Int, var taskMs: Long,
-                  var t0: Long, var t1: Long)
+                  var t0: Long, var t1: Long, var deserMs: Long = 0L,
+                  var gcMs: Long = 0L, var launchSpreadMs: Long = 0L)
     val stages = mutable.LinkedHashMap[Int, St]()
     val jobs = mutable.LinkedHashMap[Int, (Long, Long)]()
+    val taskAgg = mutable.HashMap[Int, (Long, Long, Long, Long, Long)]() // stage -> (taskMs, deserMs, gcMs, minLaunch, maxLaunch)
     val l = new SparkListener {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val si = e.stageInfo
+        val (tm, dm, gm, l0, l1) = taskAgg.getOrElse(si.stageId, (0L, 0L, 0L, 0L, 0L))
         val st = St(si.stageId, si.name.takeWhile(_ != '\n').take(70),
-          si.numTasks, 0L,
-          si.submissionTime.getOrElse(0L), si.completionTime.getOrElse(0L))
+          si.numTasks, tm,
+          si.submissionTime.getOrElse(0L), si.completionTime.getOrElse(0L),
+          dm, gm, l1 - l0)
         stages(si.stageId) = st
       }
-      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = ()
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        val ti = e.taskInfo
+        if (m != null && ti != null) {
+          val (tm, dm, gm, l0, l1) = taskAgg.getOrElse(e.stageId, (0L, 0L, 0L, Long.MaxValue, 0L))
+          taskAgg(e.stageId) = (tm + ti.duration, dm + m.executorDeserializeTime,
+            gm + m.jvmGCTime, math.min(l0, ti.launchTime), math.max(l1, ti.launchTime))
+        }
+      }
       override def onJobStart(e: SparkListenerJobStart): Unit =
         jobs(e.jobId) = (System.currentTimeMillis, 0L)
       override def onJobEnd(e: SparkListenerJobEnd): Unit =
@@ -65,7 +77,7 @@ object ProbeStages {
     }
     println("stages (wall span / tasks):")
     stages.values.toSeq.sortBy(_.t0).foreach { s =>
-      println(f"  stage ${s.id}%4d ${(s.t1 - s.t0) / 1e3}%7.3f s  tasks=${s.tasks}%3d  ${s.name}")
+      println(f"  stage ${s.id}%4d ${(s.t1 - s.t0) / 1e3}%7.3f s  tasks=${s.tasks}%3d taskSum=${s.taskMs / 1e3}%7.3f deser=${s.deserMs / 1e3}%6.3f gc=${s.gcMs / 1e3}%6.3f launchSpread=${s.launchSpreadMs / 1e3}%6.3f  ${s.name}")
     }
     spark.stop()
   }

@@ -1532,4 +1532,86 @@ class OpsSpec extends SparkSpec {
     assert(rs.getString(3) ===
       ops.Multimodal.toHex(md.digest(ops.Multimodal.toHex(thumb).getBytes("UTF-8"))))
   }
+
+  // ---- round-18 optimization pins ------------------------------------
+
+  test("orderStatsAtRankExprs answers arithmetic rank expressions exactly (equi-depth ranks)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(91)
+    // heavy ties (values 0..39) + a key with n < 10 so some ranks exceed
+    // earlier bins' spans; both drive the ntile-boundary arithmetic
+    val rows = (1 to 2500).map(_ => (s"k${rnd.nextInt(3)}", rnd.nextInt(40).toLong)) ++
+      (1 to 7).map(i => ("tiny", i.toLong * 3))
+    val df = rows.toDF("k", "v").repartition(8)
+    def binEnd(i: Int) =
+      s"(CAST($i AS BIGINT) * (__n DIV 10) + LEAST(CAST($i AS BIGINT), __n % 10))"
+    val ranks = (1 to 10).flatMap(i => Seq(s"(${binEnd(i - 1)} + 1)", binEnd(i)))
+    val got = ops.ExactQuantile.orderStatsAtRankExprs(df, col("k"), col("v"), ranks)
+      .collect().map(r => ((r.getString(0), r.getInt(1)), r.getLong(2))).toMap
+    rows.groupBy(_._1).foreach { case (k, g) =>
+      val sorted = g.map(_._2).sorted
+      val n = sorted.length
+      def end(i: Int) = i.toLong * (n / 10) + math.min(i.toLong, n % 10)
+      (1 to 10).foreach { i =>
+        val (lo, hi) = (end(i - 1) + 1, end(i))
+        if (hi >= lo) { // empty bins produce no row for either rank
+          assert(got((k, (i - 1) * 2)) === sorted(lo.toInt - 1), s"key=$k bin=$i lo")
+          assert(got((k, (i - 1) * 2 + 1)) === sorted(hi.toInt - 1), s"key=$k bin=$i hi")
+        }
+      }
+    }
+  }
+
+  test("q46's rank-derived bins equal the windowed NTILE aggregate end-to-end") {
+    val d = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q46_equidepth_bins")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    Tables.load(spark, d, "lineitem").createOrReplaceTempView("q46eq_li")
+    val want = spark.sql(
+      """WITH b AS (SELECT l_returnflag AS f, l_orderkey, l_linenumber,
+        |             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c
+        |           FROM q46eq_li),
+        |t AS (SELECT f, c, NTILE(10) OVER (PARTITION BY f
+        |        ORDER BY c, l_orderkey, l_linenumber) AS bin FROM b)
+        |SELECT f, CAST(bin AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |  CAST(MIN(c) AS BIGINT), CAST(MAX(c) AS BIGINT)
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("q49's dense-domain hop fast path and the sparse join fallback both match plain recursion") {
+    import spark.implicits._
+    def plainRecursion(d: String): Seq[(Long, Long, Long, Long)] = {
+      Tables.load(spark, d, "part").createOrReplaceTempView("q49eq_part")
+      spark.sql(
+        """WITH RECURSIVE bom (root, node, lvl) AS (
+          |  SELECT p_partkey, p_partkey, CAST(0 AS BIGINT) FROM q49eq_part
+          |  WHERE p_partkey BETWEEN 8 AND 15
+          |  UNION ALL
+          |  SELECT b.root, p.p_partkey, b.lvl + 1
+          |  FROM bom b JOIN q49eq_part p ON CAST(FLOOR(p.p_partkey / 2) AS BIGINT) = b.node
+          |)
+          |SELECT root, CAST(COUNT(*) AS BIGINT), MAX(lvl),
+          |  CAST(SUM(CAST(FLOOR(p.p_retailprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+          |FROM bom JOIN q49eq_part p ON p.p_partkey = bom.node
+          |GROUP BY root ORDER BY root""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    }
+    def runQ49(d: String): Seq[(Long, Long, Long, Long)] =
+      SparkEntry.queries("q49_recursive_cte")(spark, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // dense domain (the generator's shape): arithmetic fast path
+    val dense = "/root/testdata/sf0.001"
+    assert(runQ49(dense) === plainRecursion(dense))
+    // SPARSE domain: knock out interior keys so intermediate-node
+    // existence genuinely prunes paths — must take the doubling-join
+    // fallback and still match the plain recursion exactly
+    val d2 = tmpDir("q49sparse")
+    (1L to 400L).filterNot(k => k % 7 == 3 || k == 25)
+      .map(k => (k, 1000.0 + k % 97 + 0.25))
+      .toDF("p_partkey", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$d2/part.parquet")
+    assert(runQ49(d2) === plainRecursion(d2))
+  }
 }
