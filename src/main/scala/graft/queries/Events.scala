@@ -405,7 +405,7 @@ object Events {
       val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
       val e = ev(s, d).select(col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("tus"),
-        round(col("value") * 1000).cast(LongType).as("xm"))
+        floor(col("value") * 1000 + 0.5).cast(LongType).as("xm"))
       val num = (0 until EwmaN).map { j =>
         if (j == 0) col("xm") * lit(1L << (EwmaN - 1))
         else coalesce(lag(col("xm"), j).over(w) * lit(1L << (EwmaN - 1 - j)), lit(0L))
@@ -484,7 +484,7 @@ object Events {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       ev(s, d)
         .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"),
-          round(col("value") * 1000).cast(LongType).as("xm"))
+          floor(col("value") * 1000 + 0.5).cast(LongType).as("xm"))
         .withColumn("pp", sum(col("xm") - lit(CusumTarget)).over(w))
         .withColumn("cusum", col("pp") - min("pp").over(w))
         .where(col("cusum") >= CusumH)
@@ -551,7 +551,7 @@ object Events {
       val w8 = w.rowsBetween(-7, Window.currentRow)
       ev(s, d)
         .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"),
-          round(col("value") * 1000).cast(LongType).as("y"))
+          floor(col("value") * 1000 + 0.5).cast(LongType).as("y"))
         .withColumn("x", row_number().over(w).cast(LongType))
         .withColumn("sx", sum("x").over(w8))
         .withColumn("sy", sum("y").over(w8))
@@ -593,7 +593,7 @@ object Events {
         |    AS significant
         |FROM p ORDER BY 1""".stripMargin) { (s, d) =>
       val d38 = DecimalType(38, 0)
-      val vm = round(col("value") * 1000).cast(LongType)
+      val vm = floor(col("value") * 1000 + 0.5).cast(LongType)
       val m = ev(s, d).filter(col("event_type").isin("view", "purchase"))
         .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
         .agg(count(lit(1)).cast(d38).as("n"),
@@ -663,7 +663,7 @@ object Events {
       val d38 = DecimalType(38, 0)
       val u = ev(s, d).filter(col("event_type") === "purchase")
         .groupBy("user_id")
-        .agg(sum(round(col("value") * 1000).cast(LongType)).cast(LongType).as("vm"))
+        .agg(sum(floor(col("value") * 1000 + 0.5).cast(LongType)).cast(LongType).as("vm"))
       // global row_number via DistributedRank (rank-offset composition at
       // scale — users are unbounded, a single-task global sort is not)
       val r = graft.ops.DistributedRank.rowNumberByKey(
@@ -702,7 +702,7 @@ object Events {
         |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
       val p = ev(s, d).filter(col("event_type") === "purchase")
         .select(col("user_id"), unix_micros(col("ts")).as("tus"),
-          round(col("value") * 1000).cast(LongType).as("vm"))
+          floor(col("value") * 1000 + 0.5).cast(LongType).as("vm"))
       // the per-user aggregate is checkpointed ONCE (bounded by |users|,
       // the standard materialization a three-way rank fans out from) so
       // the three quintile passes don't each re-aggregate events — and
@@ -957,7 +957,7 @@ object Events {
         .groupBy(col("cohort"),
           datediff(to_date(date_trunc("day", col("ts"))), to_date(col("cohort")))
             .cast(LongType).as("age"))
-        .agg(sum(round(col("value") * 1000).cast(LongType)).as("rev"),
+        .agg(sum(floor(col("value") * 1000 + 0.5).cast(LongType)).as("rev"),
           count(lit(1)).as("n"))
       g.select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"), col("age"),
           col("n").as("n_purchases"), col("rev").cast(LongType).as("rev_milli"),
@@ -1116,7 +1116,7 @@ object Events {
         .select(col("user_id"), col("valid_from").as("tus"), col("item"))
       val facts = evd.filter(col("event_type") === "purchase")
         .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("event_id"),
-          round(col("value") * 1000).cast(LongType).as("value_milli"))
+          floor(col("value") * 1000 + 0.5).cast(LongType).as("value_milli"))
       graft.ops.TimeSeriesOps.asOfJoin(facts, dim, "user_id", "tus", "item", "item_at_purchase")
         .select("user_id", "event_id", "value_milli", "item_at_purchase")
         .orderBy("user_id", "event_id")
@@ -1163,7 +1163,7 @@ object Events {
       val base = ev(s, d).filter(col("event_type").isin("view", "purchase"))
         .select(date_trunc("day", col("ts")).as("day"),
           when(col("event_type") === "view", 1L).otherwise(0L).as("g"),
-          round(col("value") * 1000).cast(LongType).as("vm"))
+          floor(col("value") * 1000 + 0.5).cast(LongType).as("vm"))
       val tv = base.groupBy("day", "vm")
         .agg(count(lit(1)).cast(d38).as("t"), sum("g").cast(d38).as("t1"))
       val w = Window.partitionBy("day").orderBy("vm")
