@@ -23,7 +23,7 @@ object ProbeFloor {
     val only = args.drop(1).headOption.filter(_.nonEmpty).map(_.split(',').toSeq)
     val conf = args.drop(2).headOption.getOrElse("")
     var b = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
