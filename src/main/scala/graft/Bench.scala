@@ -18,16 +18,23 @@ object Bench {
     // Shuffle width is DATA-DERIVED, capped by the thread count: every
     // task in this environment carries a measured ~40-70 ms fixed cost
     // (launch + deserialize + shuffle bookkeeping), so tiny shuffles must
-    // not be cut into per-core slivers. ceil(inputBytes / 8 MiB) tracks
-    // the corpus (sf0.1's 17.5 MB parquet → 4 partitions, the measured
-    // knee of the width sweep: 126 s at 16 → 85 s at 4, reps=2 control;
-    // 2 partitions regresses the compute-bound tail — q46 1.2→2.0 s),
-    // while the cpus/2 cap keeps compute-scale runs at full width
-    // (sf1 → 16 at 32 threads, unchanged from the round-17 tuning). A
-    // cluster deployment sizes the cap to cluster width; it is a session
-    // config, not a plan property (SPARK_GRAFT_BENCH_CONF overrides).
-    val inputBytes = Option(new java.io.File(sfDir).listFiles())
-      .map(_.map(_.length).sum).getOrElse(0L)
+    // not be cut into per-core slivers. The width is
+    // max(4, ceil(inputBytes / 8 MiB)) capped at cpus/2 — at sf0.1
+    // (17.5 MB → ceil = 3) the max(4,·) FLOOR is what yields 4, the
+    // measured knee of the width sweep (126 s at 16 → 85 s at 4, reps=2
+    // control; 2 partitions regresses the compute-bound tail — q46
+    // 1.2→2.0 s); at sf1 the byte term takes over (→ 16 at 32 threads,
+    // unchanged from the round-17 tuning). The cpus/2 cap keeps the
+    // driver's low-core scaling legs meaningful — benches are expected
+    // to run with SPARK_GRAFT_CPUS >= 8 (the default 4 would cap the
+    // width at 2, below the knee). A cluster deployment sizes the cap to
+    // cluster width; it is a session config, not a plan property
+    // (SPARK_GRAFT_BENCH_CONF overrides). File sizes sum RECURSIVELY so
+    // a directory-per-table parquet corpus is not undercounted.
+    def dirBytes(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(dirBytes).sum).getOrElse(0L)
+      else f.length
+    val inputBytes = dirBytes(new java.io.File(sfDir))
     val widthCap = math.max(1, cpus.toInt / 2)
     val width = math.min(widthCap.toLong,
       math.max(4L, (inputBytes + (8L << 20) - 1) / (8L << 20))).toInt

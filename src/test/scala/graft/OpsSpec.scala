@@ -1614,4 +1614,37 @@ class OpsSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$d2/part.parquet")
     assert(runQ49(d2) === plainRecursion(d2))
   }
+
+  // ---- round-19 optimization pins ------------------------------------
+
+  test("quantization data convention: every floor-half column is nonnegative " +
+    "with x*scale far from any rounding tie") {
+    // The suite spells HALF_UP rounding as floor(x*scale + 0.5) (round()
+    // on DoubleType allocates a BigDecimal per row — ~25% of a scan-agg
+    // pass). That spelling equals round() ONLY while every quantized
+    // value is nonnegative and x*scale never lands on an exact .5 tie
+    // (k-decimal values stored as double are an integer ± ~1e-11 after
+    // the scale multiply). This pin makes generator drift fail LOUDLY:
+    // a negative value or a >k-decimal value in any quantized column
+    // breaks the equivalence silently at the oracle otherwise.
+    val sites = Seq( // (table, column, scale) — every floor-half site
+      ("lineitem", "l_extendedprice", 100.0),
+      ("lineitem", "l_discount", 100.0),
+      ("lineitem", "l_tax", 100.0),
+      ("lineitem", "l_quantity", 100.0),
+      ("part", "p_retailprice", 100.0),
+      ("events", "value", 1000.0),
+      ("events", "value", 1000000.0))
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01");
+         (t, c, scale) <- sites) {
+      val bad = Tables.load(spark, d, t)
+        .filter(col(c).isNotNull)
+        .filter(col(c) < 0.0 ||
+          // distance from the chosen integer must stay far from the 0.5
+          // tie in BOTH directions: |x*scale - floor(x*scale + 0.5)| < 0.25
+          abs(col(c) * scale - floor(col(c) * scale + 0.5)) >= 0.25)
+        .count()
+      assert(bad === 0L, s"$d $t.$c*$scale violates the floor-half convention")
+    }
+  }
 }

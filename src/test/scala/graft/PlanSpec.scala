@@ -421,8 +421,34 @@ class PlanSpec extends SparkSpec {
   }
 
   test("fused percentiles pay ONE histogram + ONE refine scan for both ranks (q45)") {
-    val p = planOf("q45_quantile_disc")
-    assert(scanCount(p) == 2, s"expected 2 scans:\n${p.take(3000)}")
+    // round 19: the two bounded passes run as collect JOBS during frame
+    // construction (bucket histogram, then the in-bucket refine — both
+    // ranks share both), and the FINAL plan is LocalRelation-only: no
+    // corpus scan, window, or broadcast chain survives to execution
+    Tables.load(spark, dir, "lineitem") // footer reads outside the group
+    // AQE materializes every exchange as its own job — pin it off so the
+    // job count below is the operator's, not the scheduler mode's (the
+    // bench session runs AQE-off too)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sparkContext.setJobGroup("q45pin", "q45 scan-count pin")
+    val df =
+      try SparkEntry.queries("q45_quantile_disc")(spark, dir)
+      finally {
+        spark.sparkContext.clearJobGroup()
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      }
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(scanCount(p) == 0, s"final plan must be scan-free:\n${p.take(3000)}")
+    assert(p.contains("LocalTableScan"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    // exactly one histogram job + one refine job (status tracker is fed
+    // asynchronously — poll until it has seen both)
+    def jobs = spark.sparkContext.statusTracker.getJobIdsForGroup("q45pin").length
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (jobs < 2 && System.nanoTime() < deadline) Thread.sleep(20)
+    Thread.sleep(200) // catch any unexpected THIRD job before asserting
+    assert(jobs === 2, "expected exactly histogram + refine jobs")
   }
 
   test("EWMA is one keyed window pass, zero joins (ev15)") {
