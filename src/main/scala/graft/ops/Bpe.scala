@@ -35,7 +35,15 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  def train(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+  def train(docs: DataFrame, textCol: String, merges: Int): DataFrame =
+    trainState(docs, textCol, merges)._1
+
+  /** `train` plus the trainer's OWN state: (merge table, the
+    * checkpointed PRE-merge word-seq/frequency vocab v0). Callers that
+    * also need the vocabulary (tx32/tx33) derive it from v0 via
+    * `vocabOf` instead of paying a second corpus scan.
+    */
+  def trainState(docs: DataFrame, textCol: String, merges: Int): (DataFrame, DataFrame) = {
     require(merges >= 1 && merges <= 64, s"merges must be in [1,64], got $merges")
     val spark = docs.sparkSession
     // corpus pass → vocab (seq, wc); checkpoint truncates corpus lineage
@@ -48,9 +56,19 @@ object Bpe {
         col("wc"))
       .localCheckpoint()
 
+    // The merge rounds run over the VOCAB (≤ distinct words), orders of
+    // magnitude smaller than the corpus: at bench-class corpora a
+    // single partition turns every round's pair-count + argmax into ONE
+    // exchange-free single-task stage (SinglePartition satisfies every
+    // distribution) instead of 3 stages / 9 tasks of per-task floor.
+    // Big corpora (vocabs worth distributing) keep the checkpoint's full
+    // width — the threshold rides the corpus size, the same
+    // input-proportional policy as the bench shuffle width.
+    val corpusBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
     // N rounds stack N literal replace projections on the checkpointed
     // vocab — O(N²) tiny projections total, never a corpus re-read
-    var vocab = vocab0
+    var vocab =
+      if (corpusBytes <= (16L << 20)) vocab0.coalesce(1) else vocab0
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
     var exhausted = false
@@ -90,7 +108,7 @@ object Bpe {
       }
     }
     import spark.implicits._
-    learned.toSeq.toDF("merge_rank", "lhs", "rhs", "freq")
+    (learned.toSeq.toDF("merge_rank", "lhs", "rhs", "freq"), vocab0)
   }
 
   /** Apply a trained merge table to a corpus: the ENCODE half of the
@@ -131,13 +149,24 @@ object Bpe {
     *
     * Output: (token, id), ids dense from 0.
     */
-  def vocab(docs: DataFrame, textCol: String, mergeTable: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
+  def vocab(docs: DataFrame, textCol: String, mergeTable: DataFrame): DataFrame =
+    // distinct WORDS first: the char explode then runs over the
+    // vocabulary, not over every corpus occurrence — the same
+    // corpus-scale-to-vocab-scale reduction the trainer's v0 pass makes
+    vocabOf(docs.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0).distinct()
+      .select(concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("seq")),
+      mergeTable)
+
+  /** `vocab` from the trainer's own pre-merge state (`trainState`'s v0,
+    * or any (seq) frame of sentinel-spaced symbol strings): base symbols
+    * are the distinct tokens of v0 — NO corpus re-scan. */
+  def vocabOf(vocab0: DataFrame, mergeTable: DataFrame): DataFrame = {
+    val spark = vocab0.sparkSession
     val merges = mergeTable.select("merge_rank", "lhs", "rhs").collect()
       .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
-    val base = docs.select(explode(split(col(textCol), " ")).as("word"))
-      .filter(length(col("word")) > 0)
-      .select(explode(split(regexp_replace(col("word"), "(.)", "$1 "), " ")).as("token"))
+    val base = vocab0
+      .select(explode(split(trim(col("seq")), " ")).as("token"))
       .filter(length(col("token")) > 0)
       .distinct().collect().map(_.getString(0))
     val all = (base ++ merges.map { case (a, b) => a + b }).distinct
@@ -175,8 +204,14 @@ object Bpe {
     * before the exchange. Codegen'd-with-a-tiny-shuffle beats
     * interpreted-zero-shuffle here. */
   def encodeIds(docs: DataFrame, textCol: String, idCol: String,
-                mergeTable: DataFrame): DataFrame = {
-    val v = vocab(docs, textCol, mergeTable)
+                mergeTable: DataFrame): DataFrame =
+    encodeIdsWith(docs, textCol, idCol, mergeTable,
+      vocab(docs, textCol, mergeTable))
+
+  /** `encodeIds` with the vocabulary already built (tx33 derives it from
+    * the trainer's v0 state — one corpus scan fewer). */
+  def encodeIdsWith(docs: DataFrame, textCol: String, idCol: String,
+                    mergeTable: DataFrame, v: DataFrame): DataFrame = {
     val enc = encode(docs, textCol, idCol, mergeTable)
     enc.filter(col("tokens") =!= "")
       .select(col("doc_id"), posexplode(split(col("tokens"), " ")))

@@ -859,8 +859,10 @@ object TextQueries {
     // tiers — the one string order Spark and DuckDB agree on).
     QueryDef("tx32_bpe_vocab", bpeVocabOracle(8)) { (s, d) =>
       val docs = Tables.load(s, d, "documents")
-      val m = graft.ops.Bpe.train(docs, "text", merges = 8)
-      graft.ops.Bpe.vocab(docs, "text", m).orderBy("id")
+      // vocabOf reads base symbols off the trainer's own checkpointed v0
+      // — the old spelling re-scanned and re-exploded the corpus per char
+      val (m, v0) = graft.ops.Bpe.trainState(docs, "text", merges = 8)
+      graft.ops.Bpe.vocabOf(v0, m).orderBy("id")
     },
 
     // Token-ID encoding fingerprints: per document, the token count plus
@@ -868,8 +870,11 @@ object TextQueries {
     // POSITIONS — a permuted token order cannot hash-match).
     QueryDef("tx33_bpe_token_ids", bpeTokenIdsOracle(8)) { (s, d) =>
       val docs = Tables.load(s, d, "documents")
-      val m = graft.ops.Bpe.train(docs, "text", merges = 8)
-      graft.ops.Bpe.encodeIds(docs, "text", "doc_id", m).orderBy("doc_id")
+      // the vocabulary comes from the trainer's v0 state — one corpus
+      // scan fewer than the old train + vocab(docs) + encode chain
+      val (m, v0) = graft.ops.Bpe.trainState(docs, "text", merges = 8)
+      graft.ops.Bpe.encodeIdsWith(docs, "text", "doc_id", m,
+        graft.ops.Bpe.vocabOf(v0, m)).orderBy("doc_id")
     }
   )
 
