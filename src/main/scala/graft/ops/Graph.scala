@@ -696,7 +696,7 @@ object Graph {
       col("user_id"),
       unix_micros(col("ts")).as("tus"),
       col("event_id"),
-      get_json_object(col("props"), "$.k").cast(LongType).as("item"))
+      graft.ops.EventProps.propsK(col("props")).as("item"))
     val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
     it.withColumn("src", lag("item", 1).over(w))
       .where(col("src").isNotNull && col("src") =!= col("item"))

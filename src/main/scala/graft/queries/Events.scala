@@ -517,7 +517,7 @@ object Events {
         |FROM iv ORDER BY user_id, valid_from_us""".stripMargin) { (s, d) =>
       val log = ev(s, d).filter(col("event_type") === "view")
         .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("event_id"),
-          get_json_object(col("props"), "$.k").cast(LongType).as("item"))
+          graft.ops.EventProps.propsK(col("props")).as("item"))
         .groupBy("user_id", "tus")
         .agg(max_by(col("item"), col("event_id")).as("item"))
       graft.ops.Scd2.fromHistory(log, Seq("user_id"), "tus", Seq("item"))
@@ -626,7 +626,7 @@ object Events {
         |FROM pd, base WHERE d >= d0 GROUP BY item
         |ORDER BY score_scaled DESC, item LIMIT 10""".stripMargin) { (s, d) =>
       val v = ev(s, d).filter(col("event_type") === "view")
-        .select(get_json_object(col("props"), "$.k").cast(LongType).as("item"),
+        .select(graft.ops.EventProps.propsK(col("props")).as("item"),
           datediff(date_trunc("day", col("ts")),
             to_timestamp(lit("1995-01-01 00:00:00"))).cast(LongType).as("d"))
       val base = v.agg((max("d") - 44).as("d0"))
@@ -789,7 +789,7 @@ object Events {
         |ORDER BY lift_ppm DESC, i1, i2 LIMIT 50""".stripMargin) { (s, d) =>
       val it = ev(s, d).filter(col("event_type") === "view")
         .select(col("user_id"),
-          get_json_object(col("props"), "$.k").cast(LongType).as("item"))
+          graft.ops.EventProps.propsK(col("props")).as("item"))
         .distinct()
       val b = it.withColumn("rn", row_number().over(
           Window.partitionBy("user_id").orderBy("item")))
@@ -1109,7 +1109,7 @@ object Events {
       val evd = ev(s, d)
       val log = evd.filter(col("event_type") === "view")
         .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("event_id"),
-          get_json_object(col("props"), "$.k").cast(LongType).as("item"))
+          graft.ops.EventProps.propsK(col("props")).as("item"))
         .groupBy("user_id", "tus")
         .agg(max_by(col("item"), col("event_id")).as("item"))
       val dim = graft.ops.Scd2.fromHistory(log, Seq("user_id"), "tus", Seq("item"))

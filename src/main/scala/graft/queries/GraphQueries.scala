@@ -224,7 +224,7 @@ object GraphQueries {
         .select(
           concat(lit("u:"), col("user_id").cast(StringType)).as("a"),
           concat(lit("i:"),
-            get_json_object(col("props"), "$.k").cast(LongType).cast(StringType)).as("b"))
+            graft.ops.EventProps.propsK(col("props")).cast(StringType)).as("b"))
       graft.ops.Graph.kCorePeel(bip, "a", "b", k = KcK, rounds = KcRounds)
         .orderBy("peel_round", "node")
     },
@@ -324,7 +324,7 @@ object GraphQueries {
       val it = Tables.load(s, d, "events")
         .filter(col("event_type") === "view")
         .select(col("user_id"),
-          get_json_object(col("props"), "$.k").cast(LongType).as("item"))
+          graft.ops.EventProps.propsK(col("props")).as("item"))
         .distinct()
       val b = it
         .withColumn("rn", row_number().over(

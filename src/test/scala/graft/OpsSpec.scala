@@ -1647,4 +1647,20 @@ class OpsSpec extends SparkSpec {
       assert(bad === 0L, s"$d $t.$c*$scale violates the floor-half convention")
     }
   }
+
+  test("events.props fixed-layout convention: propsK equals get_json_object row-for-row") {
+    // EventProps.propsK spells CAST(props->>'k' AS BIGINT) as a byte
+    // slice because the generator writes props as exactly {"k": N}. If
+    // the generator ever emits escapes, reordered keys, or different
+    // whitespace, this pin fails loudly before the oracle silently
+    // diverges. (JSON-surface queries keep real get_json_object.)
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                  "/root/testdata/sf0.1")) {
+      val bad = Tables.load(spark, d, "events")
+        .filter(!(ops.EventProps.propsK(col("props")) <=>
+          get_json_object(col("props"), "$.k").cast("long")))
+        .count()
+      assert(bad === 0L, s"$d events.props violates the fixed-layout convention")
+    }
+  }
 }
