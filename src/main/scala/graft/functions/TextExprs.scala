@@ -178,6 +178,91 @@ object TextExprs {
   def shingle_hash_set(text: Column, n: Int): Column =
     GraftBridge.column(ShingleHashSet(GraftBridge.expression(text), n))
 
+  /** Whole-document BPE encode as ONE native pass — the compiled twin of
+    * the declarative per-word lambda
+    * `array_join(transform(filter(split(text,' '), len>0), w =>
+    * trim(replace×N(' ' || regexp_replace(w,"(.)","$1 ")))) , ' ')`.
+    * Higher-order-function lambdas evaluate INTERPRETED (one generic
+    * expression-tree eval per word per replace — the tx31/tx33 hot
+    * path); this runs the identical semantics in a tight JVM loop:
+    *
+    *  - words are the non-empty runs between single spaces (split ' ',
+    *    limit -1, empties dropped);
+    *  - char separation replicates Java regex "(.)" → "$1 ": one match
+    *    per CODE POINT, line terminators (\n \r U+0085 U+2028 U+2029)
+    *    are not matched by "." and pass through unseparated;
+    *  - each merge is a literal left-to-right non-overlapping replace
+    *    (Java String.replace == UTF8String.replace semantics);
+    *  - the final trim strips SPACES only (SQL trim), matching the
+    *    sentinel-space convention.
+    *
+    * OpsSpec pins bit-equality against the declarative spelling on
+    * adversarial inputs; the DuckDB oracle replays the same chain.
+    */
+  case class BpeEncodeDoc(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = StringType
+    override def prettyName: String = "bpe_encode_doc"
+
+    @transient private lazy val pats: Array[(String, String)] =
+      merges.map { case (a, b) => (s" $a $b ", s" $a$b ") }.toArray
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[UTF8String].toString
+      val out = new java.lang.StringBuilder(text.length * 2)
+      var first = true
+      var i = 0
+      val n = text.length
+      while (i <= n) {
+        val j = text.indexOf(' ', i)
+        val end = if (j < 0) n else j
+        if (end > i) {
+          if (!first) out.append(' ')
+          out.append(encodeWord(text, i, end))
+          first = false
+        }
+        i = if (j < 0) n + 1 else end + 1
+      }
+      UTF8String.fromString(out.toString)
+    }
+
+    private def isLineTerm(cp: Int): Boolean =
+      cp == '\n' || cp == '\r' || cp == 0x85 || cp == 0x2028 || cp == 0x2029
+
+    private def encodeWord(text: String, from: Int, until: Int): String = {
+      val sb = new java.lang.StringBuilder((until - from) * 2 + 2)
+      sb.append(' ')
+      var i = from
+      while (i < until) {
+        val cp = text.codePointAt(i)
+        val cc = Character.charCount(cp)
+        sb.append(text, i, i + cc)
+        if (!isLineTerm(cp)) sb.append(' ') // "." never matches line terminators
+        i += cc
+      }
+      var s = sb.toString
+      var m = 0
+      while (m < pats.length) {
+        s = s.replace(pats(m)._1, pats(m)._2)
+        m += 1
+      }
+      // SQL trim semantics: strip 0x20 spaces only, both ends
+      var b = 0
+      var e = s.length
+      while (b < e && s.charAt(b) == ' ') b += 1
+      while (e > b && s.charAt(e - 1) == ' ') e -= 1
+      s.substring(b, e)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): BpeEncodeDoc =
+      copy(child = newChild)
+  }
+
+  /** Column API: native whole-document BPE encode over a merge list. */
+  def bpe_encode_doc(text: Column, merges: Seq[(String, String)]): Column =
+    GraftBridge.column(BpeEncodeDoc(GraftBridge.expression(text), merges))
+
   /** A byte range of a backing array usable as an exact hash key —
     * word-distinctness and term frequencies are computed on the raw
     * UTF-8 bytes (no String decode, so invalid sequences round-trip). */

@@ -1663,4 +1663,28 @@ class OpsSpec extends SparkSpec {
       assert(bad === 0L, s"$d events.props violates the fixed-layout convention")
     }
   }
+
+  test("native BPE encode expression equals the declarative lambda spelling bit-for-bit") {
+    import spark.implicits._
+    // adversarial shapes: multi-space runs, leading/trailing spaces,
+    // empty text, unicode (surrogate pair, combining char), newline
+    // inside a word ("." does not match line terminators), quote and
+    // backslash merge symbols, merges that cascade left-to-right
+    val docs = Seq(
+      (1L, "ab ab abc"),
+      (2L, "  a  b   ab aab "),
+      (3L, ""),
+      (4L, "a\nb a\rb a b"),
+      (5L, "𝕏𝕏x éé"),
+      (6L, "\"q \\s \"q\"q"),
+      (7L, "aaaa aaa aa a"),
+      (8L, "zzz")).toDF("doc_id", "text")
+    val merges = Seq(("a", "b"), ("a", "ab"), ("ab", "c"), ("a", "a"),
+      ("\"", "q"), ("\\", "s"), ("𝕏", "𝕏"), ("e", "́"))
+    val native = ops.Bpe.encodeWith(docs, "text", "doc_id", merges)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val declarative = ops.Bpe.encodeWithDeclarative(docs, "text", "doc_id", merges)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(native.toSeq === declarative.toSeq)
+  }
 }
