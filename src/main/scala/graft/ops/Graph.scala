@@ -653,7 +653,7 @@ object Graph {
     */
   def labelSpread(edges: DataFrame, srcCol: String, dstCol: String,
                   seeds: DataFrame, seedNodeCol: String, seedLabCol: String,
-                  iters: Int): DataFrame = {
+                  iters: Int, localEdgeLimit: Long = 1000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val dir = edges.select(edges(srcCol).cast(LongType).as("a"),
         edges(dstCol).cast(LongType).as("b"))
@@ -666,6 +666,48 @@ object Graph {
       .localCheckpoint(false)
     val sd = seeds.select(seeds(seedNodeCol).cast(LongType).as("node"),
       seeds(seedLabCol).cast(LongType).as("slab"))
+    // Same dd6/pageRank/lpa scale split: kNN label graphs are usually
+    // tiny next to the corpus they pseudo-label — when the adjacency
+    // fits on the driver, one collect + the identical local recurrence
+    // replaces iters × (join + 2 aggregates) scheduled shuffles. The
+    // loop below stays the 100 TB path.
+    val nAdj = adj.count() // materializes the checkpoint either way
+    if (nAdj <= 2 * localEdgeLimit) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val es = adj.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val nodes = es.map(_._1).distinct
+      val nodeSet = nodes.toSet
+      // clamp labels: only seeds of graph nodes participate, exactly the
+      // distributed left join; a null seed label means "unseeded"
+      val slab = new scala.collection.mutable.HashMap[Long, Long]()
+      sd.collect().foreach { r =>
+        if (!r.isNullAt(1) && nodeSet.contains(r.getLong(0)))
+          slab(r.getLong(0)) = r.getLong(1)
+      }
+      var lab: Map[Long, Option[Long]] = nodes.map(n => n -> slab.get(n)).toMap
+      for (_ <- 1 to iters) {
+        // votes: per node, count labels over LABELED neighbors
+        val score = new scala.collection.mutable.HashMap[(Long, Long), Long]()
+        es.foreach { case (v, u) =>
+          lab(u).foreach { l =>
+            score((v, l)) = score.getOrElse((v, l), 0L) + 1L
+          }
+        }
+        // majority, ties -> MIN label (max(struct(c, -lab)))
+        val best = new scala.collection.mutable.HashMap[Long, (Long, Long)]()
+        score.foreach { case ((v, l), c) =>
+          best.get(v) match {
+            case Some((bl, bc)) if c < bc || (c == bc && l > bl) => ()
+            case _ => best(v) = (l, c)
+          }
+        }
+        lab = nodes.map { n =>
+          n -> slab.get(n).orElse(best.get(n).map(_._1).orElse(lab(n)))
+        }.toMap
+      }
+      return nodes.sorted.map(n => (n, lab(n))).toSeq.toDF("node", "lab")
+    }
     // (node, slab, lab): slab the clamp, lab the current assignment
     var lab = adj.select(col("node")).distinct()
       .join(sd, Seq("node"), "left")

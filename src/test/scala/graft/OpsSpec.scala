@@ -673,6 +673,23 @@ class OpsSpec extends SparkSpec {
     assert(all === 300)
   }
 
+  test("labelSpread driver fast path and distributed loop are bit-equal") {
+    import spark.implicits._
+    // pseudorandom graph incl. self-loops (dropped), parallel edges,
+    // unreachable nodes (stay null), and tie votes (min-label break)
+    val rnd = new scala.util.Random(13)
+    val edges = (1 to 400).map { _ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong)
+    }.toDF("s", "t")
+    val seeds = (0 until 60 by 4).map(n => (n.toLong, (n % 3).toLong)).toDF("n", "l")
+    def run(limit: Long) =
+      ops.Graph.labelSpread(edges, "s", "t", seeds, "n", "l", iters = 3,
+          localEdgeLimit = limit)
+        .orderBy("node").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    assert(run(Long.MaxValue) === run(0L))
+  }
+
   test("pageRank driver fast path and distributed loop are bit-equal") {
     // pseudorandom 40-node graph with weighted multi-edges and a few
     // dangling nodes (dst-only)
