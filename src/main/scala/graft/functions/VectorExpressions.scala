@@ -257,10 +257,82 @@ case class MatVecProject(child: Expression,
     copy(child = newChild)
 }
 
+/** Micro-unit quantization of a FLOAT/DOUBLE vector — the native twin of
+  * `transform(vec, x -> CAST(round(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT))`.
+  * The declarative spelling pays an interpreted lambda dispatch AND a
+  * BigDecimal allocation (Spark's Round on DoubleType) PER ELEMENT —
+  * dim × rows of it under every embedding operator's `prepared()`.
+  * This runs one compiled loop per row with Round's exact semantics:
+  * the decimal HALF_UP of the shortest-repr value, which for finite
+  * |d| < 2^52 equals: frac > .5 → up, frac < .5 → down, frac == .5 →
+  * away from zero (the shortest decimal repr of a non-tie double can
+  * never cross the .5 boundary, and exact ties are exact doubles);
+  * NaN/±Inf pass through round and then fail the BIGINT cast exactly
+  * like the declarative spelling under ANSI. OpsSpec pins equality on
+  * ties, near-ties, negatives, nulls and subnormals.
+  */
+case class QuantizeMicro(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "quantize_micro"
+
+  private lazy val fromFloat: Boolean = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case ArrayType(org.apache.spark.sql.types.DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"quantize_micro needs ARRAY<FLOAT|DOUBLE>, got ${other.sql}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val d = (if (fromFloat) arr.getFloat(i).toDouble else arr.getDouble(i)) * 1000000.0
+        out(i) = java.lang.Long.valueOf(roundHalfUpToLong(d))
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  private def roundHalfUpToLong(d: Double): Long = {
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d))
+      throw new ArithmeticException(
+        s"quantize_micro: $d cannot be cast to BIGINT (matches ANSI CAST on round($d))")
+    if (math.abs(d) >= 4503599627370496.0) { // 2^52: integral already; round is identity
+      if (d < Long.MinValue.toDouble || d > Long.MaxValue.toDouble)
+        throw new ArithmeticException(
+          s"quantize_micro: $d overflows BIGINT (matches ANSI CAST)")
+      d.toLong
+    } else {
+      val f = math.floor(d)
+      val frac = d - f // exact: Sterbenz subtraction below 2^52
+      val r =
+        if (frac > 0.5) f + 1
+        else if (frac < 0.5) f
+        else if (d >= 0) f + 1 // exact .5 tie: HALF_UP rounds away from zero
+        else f
+      r.toLong
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeMicro =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API for DotProductLong. */
   def dot_q(a: Column, b: Column): Column =
     GraftBridge.column(DotProductLong(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Column API for QuantizeMicro: float/double vector → BIGINT micro-units. */
+  def quantize_micro(vec: Column): Column =
+    GraftBridge.column(QuantizeMicro(GraftBridge.expression(vec)))
 
   /** Column API for MatVecProject: centered projection of a quantized
     * vector through a plan-baked (outDim × dim) matrix. */

@@ -1704,4 +1704,27 @@ class OpsSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(native.toSeq === declarative.toSeq)
   }
+
+  test("native quantize_micro equals the declarative round() lambda bit-for-bit") {
+    import spark.implicits._
+    // adversarial floats: exact .5 ties both signs (±2^-7 * 1e6 =
+    // ±7812.5), near-ties, zero, subnormals, nulls, empty vectors,
+    // large magnitudes — the tie direction (away from zero) and the
+    // decimal-HALF_UP-on-shortest-repr semantics are what the native
+    // expression must reproduce exactly
+    val rnd = new scala.util.Random(97)
+    val vecs = Seq(
+      (1L, Seq[Option[Float]](Some(0.0078125f), Some(-0.0078125f), Some(1.23456f),
+        Some(-9.87654f), Some(0f), Some(-0f))),
+      (2L, Seq[Option[Float]](Some(java.lang.Float.MIN_VALUE),
+        Some(-java.lang.Float.MIN_VALUE), Some(123456.78f), None)),
+      (3L, Seq[Option[Float]]()),
+      (4L, Seq.fill(64)(Some(rnd.nextFloat() * 2f - 1f)))
+    ).toDF("id", "vec")
+    val got = vecs.select(col("id"), ops.Embeddings.quantize(col("vec")).as("q"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getSeq[Any](1)))
+    val want = vecs.select(col("id"), ops.Embeddings.quantizeDeclarative(col("vec")).as("q"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getSeq[Any](1)))
+    assert(got.toSeq === want.toSeq)
+  }
 }
