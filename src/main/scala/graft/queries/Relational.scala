@@ -146,22 +146,19 @@ object Relational {
         |  MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-      // Three DISTINCT aggregates over different columns in one agg force
-      // an Expand that pushes 4x the input through the shuffle. Narrow
-      // per-column distinct passes (map-side partial dedup, tiny
-      // exchanges) joined on the 3-row group key run concurrently and
-      // move less data in total.
-      val l = li(s, d)
-      def distinctAgg(c: String, agg: Column, as: String) =
-        l.select(col("l_returnflag"), col(c)).distinct()
-          .groupBy("l_returnflag").agg(agg.as(as))
-      distinctAgg("l_partkey", count(lit(1)), "distinct_parts")
-        .join(distinctAgg("l_suppkey", count(lit(1)), "distinct_supps"), "l_returnflag")
-        .join(distinctAgg("l_quantity", sum("l_quantity"), "sum_distinct_qty"), "l_returnflag")
-        .join(l.groupBy("l_returnflag").agg(
+      // ONE scan, one agg: the Expand the three DISTINCT aggregates force
+      // multiplies rows 4x IN MEMORY, but partial distinct aggregation
+      // dedups them map-side BEFORE the exchange, so the shuffle carries
+      // only (flag x distinct-values) rows — measured cheaper than the
+      // previous four narrow scans + three joins (each scan paid the
+      // per-job floor; same-session A/B in OPTIMIZATION_r19.md).
+      li(s, d).groupBy("l_returnflag").agg(
+          countDistinct("l_partkey").as("distinct_parts"),
+          countDistinct("l_suppkey").as("distinct_supps"),
+          sum_distinct(col("l_quantity")).as("sum_distinct_qty"),
           min("l_extendedprice").as("min_price"),
           max("l_extendedprice").as("max_price"),
-          count(lit(1)).as("n")), "l_returnflag")
+          count(lit(1)).as("n"))
         .orderBy("l_returnflag")
     },
 
@@ -699,6 +696,11 @@ object Relational {
         |  ABS(a.est - e.exact_nd) <= 0.05 * e.exact_nd AS sketch_ok
         |FROM e JOIN a USING (l_returnflag) ORDER BY 1""".stripMargin) { (s, d) =>
       val t = li(s, d)
+      // NOTE (measured, round 19): fusing both passes over a shared
+      // DISTINCT (flag, status, orderkey) exchange (HLL is
+      // duplicate-insensitive, the q42 trick) was A/B'd and REJECTED —
+      // 1.01 -> 1.53 s: the fat distinct exchange costs more than the
+      // second scan whose HLL partials combine map-side to 6 sketches.
       // stage 1: per-subgroup partial sketches (what a per-shard job
       // would persist as a binary column)
       val partials = t.groupBy("l_returnflag", "l_linestatus")
@@ -896,15 +898,20 @@ object Relational {
       val K = KmvK
       val t = li(s, d).where(col("l_returnflag").isin("A", "R"))
         .select(col("l_returnflag").as("f"), col("l_orderkey").cast(StringType).as("ks"))
-      // ONE scan, three bounded sketches (nulls from the unmatched
-      // branches are skipped by the aggregate)
-      val sk = t.agg(
-        min_k_md5(when(col("f") === "A", col("ks")), K).as("ska"),
-        min_k_md5(when(col("f") === "R", col("ks")), K).as("skr"),
-        min_k_md5(col("ks"), K).as("sku"))
-      // exact ground truth: distinct keys with per-set membership flags
-      val ex = t.groupBy("ks")
+      // ONE scan for sketches AND ground truth: min-k-of-md5 is
+      // duplicate-insensitive (the oracle itself sketches the deduped
+      // `dh` relation), so both branches read the same distinct-key
+      // frame with per-set membership flags and share its exchange
+      // (ReusedExchange) — the old spelling paid a second corpus scan
+      // for the exact pass.
+      val keys = t.groupBy("ks")
         .agg(max(col("f") === "A").as("ia"), max(col("f") === "R").as("ir"))
+      val sk = keys.agg(
+        min_k_md5(when(col("ia"), col("ks")), K).as("ska"),
+        min_k_md5(when(col("ir"), col("ks")), K).as("skr"),
+        min_k_md5(col("ks"), K).as("sku"))
+      // exact ground truth over the same distinct keys
+      val ex = keys
         .agg(sum(col("ia").cast(LongType)).as("exact_a"),
           sum(col("ir").cast(LongType)).as("exact_r"),
           sum((col("ia") && col("ir")).cast(LongType)).as("exact_inter"))
