@@ -174,10 +174,16 @@ class PlanSpec extends SparkSpec {
       "as-of must not degrade to a join:\n" + p.take(3000))
   }
 
-  test("multi-distinct aggregation avoids Expand (q09 narrow passes)") {
+  test("multi-distinct aggregation pays ONE corpus scan (q09)") {
+    // round 19: the single mixed-distinct aggregate replaced four narrow
+    // scans — the Expand it introduces multiplies rows IN MEMORY only
+    // (partial distinct aggregation dedups map-side before the
+    // exchange, measured equal locally, 4 -> 1 scans at scale)
     val p = planOf("q09_distinct_aggs")
-    assert(!p.contains("Expand"),
-      "q09 must not multiply shuffle volume through an Expand:\n" + p.take(3000))
+    assert(scanCount(p) == 1, s"expected exactly 1 scan:\n${p.take(3000)}")
+    // partial aggregation below the exchange keeps the shuffle
+    // (flag x distinct-values)-sized
+    assert(p.contains("partial_count"), p.take(3000))
   }
 
   test("exact median runs as hash aggregation, not an object-hash percentile (q26)") {
