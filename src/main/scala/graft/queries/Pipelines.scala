@@ -479,6 +479,14 @@ object PipelinesDedup {
     }) { (s, d) =>
       import graft.functions.TextExprs
       val docs = Tables.load(s, d, "documents")
+      // NOTE (measured, round 19): the three branches (cand / a / b)
+      // prune to different columns, so each recomputes its sketch
+      // expressions over the corpus — but those recomputes run in
+      // PARALLEL broadcast futures (wall ≈ max, not sum), and both
+      // materialization barriers lose to them: persist 1.88 s /
+      // localCheckpoint 1.65 s vs repartition 1.25 s same-session
+      // (the shingle-set arrays are expensive to store). Keep the
+      // repartition barrier.
       val withSets = docs.filter(size(split(col("text"), " ")) >= 5)
         .select(col("doc_id"),
           TextExprs.minhash_band_keys(col("text"), 5, K, BANDS).as("bks"),
